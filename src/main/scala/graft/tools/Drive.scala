@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Dev utility: drives library modules end-to-end on the synthetic testdata
+ * from the command line. Usage:
+ *   sbt "runMain graft.tools.Drive <task> [sfDir]"
+ * Tasks: normalize, infer
+ */
+object Drive {
+  def main(args: Array[String]): Unit = {
+    val task  = args.headOption.getOrElse("normalize")
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-drive")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    task match {
+      case "normalize" =>
+        // Drive Normalize over a real table plus adversarial literals.
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val adversarial = Seq("na", "N/A", "--", "Yes", "no", "100.0", "007",
+          "[Not Available]", " padded ", "0.001", null).toDF("lang")
+          .withColumn("doc_id", lit(-1L)).withColumn("source", lit("probe"))
+        val unioned = docs.select($"doc_id", $"lang", $"source")
+          .unionByName(adversarial.select($"doc_id", $"lang", $"source"))
+        val out = graft.normalize.Normalize.normalizeStringColumns(unioned)
+        println("=== normalized sample (adversarial rows) ===")
+        out.filter($"doc_id" === -1L).show(20, truncate = false)
+        println(s"rows in=${unioned.count()} out=${out.count()}")
+        println("=== distinct normalized lang on real data ===")
+        out.filter($"doc_id" =!= -1L).groupBy("lang").count().orderBy(desc("count")).show(10)
+
+      case "infer" =>
+        // Distributed type inference over stringified real columns.
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select($"l_quantity".cast("string"), $"l_extendedprice".cast("string"),
+                  $"l_returnflag", $"l_shipdate".cast("string"))
+        val checkType = udf((s: String) =>
+          graft.types.TypeInference.checkValueType(s).map(_.name).orNull)
+        val typeSets = li.select(li.columns.toIndexedSeq.map(c =>
+          collect_set(checkType(col(c))).as(c)): _*).collect().head
+        li.columns.zipWithIndex.foreach { case (c, i) =>
+          val set = typeSets.getSeq[String](i).toSet.map(graft.types.BqType.fromName)
+          val resolved = graft.types.TypeInference.resolveTypeConflict(c, set)
+          println(s"$c: observed=$set resolved=$resolved spark=${
+            graft.types.BqType.toSpark(resolved)}")
+        }
+
+      case other => sys.error(s"unknown task $other")
+    }
+    spark.stop()
+  }
+}
