@@ -1,0 +1,96 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, StructField, StringType}
+import graft.normalize.Normalize
+
+/**
+ * Readers/writers wrapping Spark sources with the reference's semantics:
+ * null-marker spellings, duplicate-header dedup, per-cell normalization,
+ * row-count invariants, CTAS zero-row guard.
+ *
+ * Reference: cda_bq_etl/data_helpers.py:489-557 (`create_normalized_tsv`),
+ * :35-75 (TSV/JSONL writers), cda_bq_etl/bq_helpers/create_modify.py:108-208
+ * (loads + CTAS guard).
+ */
+object Io {
+
+  /** Pipeline-fatal zero-row CTAS (create_modify.py:126-128). */
+  final class ZeroRowsException(msg: String) extends RuntimeException(msg)
+
+  /**
+   * S1 — TSV reader with reference semantics: tab-separated, first line is
+   * the header; duplicate header names deduped to `name`, `name_1`, …
+   * (data_helpers.py:497-516); all cells read as strings and normalized
+   * per `normalize_value` (null markers → NULL, bool spellings →
+   * True/False, trivial floats → ints) when `normalize = true`.
+   *
+   * Reads distributed (Spark csv source); only the header line is touched
+   * on the driver. Scale: the normalization pass is pure `when/rlike`
+   * expressions — codegen'd into the scan, no extra stage.
+   */
+  def readTsv(spark: SparkSession, path: String, normalize: Boolean = true): DataFrame = {
+    val headerLine = spark.read.text(path).limit(1).collect()(0).getString(0)
+    val headers = Normalize.dedupHeader(headerLine.split("\t", -1).toSeq)
+    val schema = StructType(headers.map(h => StructField(h, StringType, nullable = true)))
+    val raw = spark.read
+      .option("sep", "\t").option("header", "true")
+      .schema(schema)
+      .csv(path)
+    if (normalize) Normalize.normalizeStringColumns(raw) else raw
+  }
+
+  /**
+   * S1 row-count invariant (data_helpers.py:550-557): normalized output must
+   * have exactly as many rows as the raw input. Runs two counts; call only
+   * in audited loads, not per-query.
+   */
+  def readTsvChecked(spark: SparkSession, path: String): DataFrame = {
+    val df = readTsv(spark, path)
+    val rawCount = spark.read.option("sep", "\t").option("header", "true").csv(path).count()
+    val outCount = df.count()
+    require(rawCount == outCount,
+      s"normalize row-count invariant violated: raw=$rawCount normalized=$outCount for $path")
+    df
+  }
+
+  /** S4 — TSV writer with the reference's null marker (data_helpers.py:35-56). */
+  def writeTsv(df: DataFrame, path: String, nullMarker: String = "None"): Unit =
+    df.write.mode("overwrite")
+      .option("sep", "\t").option("header", "true").option("nullValue", nullMarker)
+      .option("emptyValue", "").csv(path)
+
+  /** S3 — JSONL writer (data_helpers.py:59-75): newline-delimited JSON. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** S5 — JSONL → table load with explicit schema (create_modify.py:178-208). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** S6 — typed TSV load with null marker + skip-header (create_modify.py:137-175). */
+  def readTsvTyped(spark: SparkSession, path: String, schema: StructType,
+                   nullMarker: String = "None"): DataFrame =
+    spark.read.option("sep", "\t").option("header", "true")
+      .option("nullValue", nullMarker).schema(schema).csv(path)
+
+  /**
+   * S7 — CTAS with the reference's 0-row guard: materialize `df` at `path`
+   * (parquet, overwrite) and fail the pipeline when the result is empty
+   * (create_modify.py:108-134, 280-303). Returns the re-read table.
+   */
+  def ctasParquet(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    val out = spark.read.parquet(path)
+    if (out.isEmpty) throw new ZeroRowsException(s"CTAS produced 0 rows at $path")
+    out
+  }
+
+  /** S9 — table copy (create_modify.py:355-380), parquet-dir flavored. */
+  def copyTable(spark: SparkSession, srcPath: String, dstPath: String,
+                replace: Boolean = true): Unit = {
+    val mode = if (replace) "overwrite" else "errorifexists"
+    spark.read.parquet(srcPath).write.mode(mode).parquet(dstPath)
+  }
+}

@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`): brute-force
+ * cosine top-k as the exact baseline, plus a hyperplane-LSH bucketed variant
+ * as the 100 TB scale path (probe only matching buckets — no full scan per
+ * query, no crossJoin).
+ *
+ * All vector math is expression-only (`zip_with`/`aggregate` folds in double
+ * precision) — stays in whole-stage codegen.
+ */
+object Ann {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, 0 when either side has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b); val na = norm(a); val nb = norm(b)
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(d / (na * nb))
+  }
+
+  /**
+   * Exact brute-force top-k cosine neighbors of one query vector. The query
+   * vector is a literal (broadcast into codegen); the scan computes one
+   * similarity per row and TakeOrderedAndProject keeps k — a single pass,
+   * no shuffle beyond the final top-k merge.
+   */
+  def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
+                     query: Array[Float], k: Int,
+                     excludeId: Option[Long] = None): DataFrame = {
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val base = excludeId.map(id => df.filter(col(idCol) =!= id)).getOrElse(df)
+    base.select(col(idCol),
+        cosine(transform(col(vecCol), _.cast("double")), q).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
+   * Deterministic pseudo-random unit-free hyperplanes: plane p, dim d →
+   * a fixed hash-derived coefficient in [-1, 1). No RNG state — the same
+   * plane set on every executor and every run.
+   */
+  private def planeCoeff(plane: Int, dim: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((plane, dim))
+    (h.toDouble / Int.MaxValue.toDouble)
+  }
+
+  /** Sign-bit bucket key from `nPlanes` hyperplanes (expression-only). */
+  def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val coeffs = array((0 until dim).map(d => lit(planeCoeff(p, d))): _*)
+      val proj = aggregate(zip_with(vec, coeffs, (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /**
+   * LSH-bucketed ANN: corpus is bucketed by hyperplane signs; each query
+   * probes only rows in its own bucket and its single-bit-flip neighbor
+   * buckets (multi-probe, recall boost), then exact cosine ranks within the
+   * candidates. Join is equi on bucket id — shuffle-bounded, no crossJoin.
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+              idCol: String, dim: Int, k: Int, nPlanes: Int = 12): DataFrame = {
+    val cb = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
+      hyperplaneBucket(col(vecCol), dim, nPlanes).as("bucket"))
+    // query probes: own bucket + each 1-bit flip
+    val probes = (0 until nPlanes).map(p => hyperplaneBucket(col(vecCol), dim, nPlanes)
+      .bitwiseXOR(lit(1L << p))) :+ hyperplaneBucket(col(vecCol), dim, nPlanes)
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        explode(array(probes: _*)).as("bucket"))
+    val scored = qb.join(cb, "bucket")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(transform(col("qvec"), _.cast("double")),
+               transform(col("cvec"), _.cast("double"))).as("cosine_sim"))
+      .distinct()
+    // per-query top-k via window rank
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("rank")
+  }
+
+  /**
+   * Embedding-cosine near-dup pairs at scale: bucket by hyperplane signs,
+   * pair within buckets only, keep pairs with cosine ≥ threshold.
+   */
+  def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
+                        dim: Int, threshold: Double, nPlanes: Int = 10,
+                        maxBucketSize: Int = 2000): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      hyperplaneBucket(col(vecCol), dim, nPlanes).as("bucket"))
+    val buckets = b.groupBy("bucket")
+      .agg(collect_list(struct(col("id"), col("vec"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+    val sorted = array_sort(col("members"))
+    buckets.select(explode(flatten(transform(sorted, (a, i) =>
+        transform(slice(sorted, i + 2, size(sorted)),
+          bb => struct(a.getField("id").as("id1"), bb.getField("id").as("id2"),
+            cosine(transform(a.getField("vec"), _.cast("double")),
+                   transform(bb.getField("vec"), _.cast("double"))).as("cosine_sim")))))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"), col("p.cosine_sim").as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+      .distinct()
+  }
+}

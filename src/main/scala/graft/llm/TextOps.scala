@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: token
+ * counting, language-ID heuristics, quality scoring, fingerprinting. All are
+ * expression-only `Column` functions (whole-stage codegen; no UDFs) so they
+ * survive a 100 TB scan untouched.
+ *
+ * These extend the reference's normalization layer (cda_bq_etl/
+ * data_helpers.py:447-486) to the LLM-pipeline surface required by the
+ * engine's north star; no direct reference counterpart exists.
+ */
+object TextOps {
+
+  /** Whitespace tokenizer: `split` on runs of whitespace after trim. */
+  def whitespaceTokens(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  /** Whitespace token count. Empty/blank text counts 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(whitespaceTokens(text)).cast("long"))
+
+  /**
+   * BPE-ish subword unit count: letter runs, digit runs, and single
+   * non-alnum marks each count as one unit — a cheap, deterministic proxy
+   * for BPE token counts (ratio ≈ const per language).
+   */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
+
+  /** Tiny per-language stopword inventories for the lang-ID heuristic. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"))
+
+  /** Count of tokens that are stopwords of `lang` (lowercased match). */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val sw = Stopwords(lang).map(lit(_))
+    size(filter(whitespaceTokens(lower(text)), t => array_contains(array(sw: _*), t))).cast("long")
+  }
+
+  /**
+   * N-gram-free language-ID heuristic: argmax over per-language stopword hit
+   * counts; "und" (undetermined) when no language scores a hit. Deterministic
+   * tie-break by language code order.
+   */
+  def langIdHeuristic(text: Column): Column = {
+    val langs = Stopwords.keys.toSeq.sorted
+    val scored = langs.map(l => struct(stopwordHits(text, l).as("hits"), lit(l).as("lang")))
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Punctuation character count (non-alnum, non-space). */
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("long")
+
+  /**
+   * Quality score in [0,1]: penalizes very short docs, high punctuation
+   * ratio, and low mean word length. Rounded to 6 dp for cross-engine
+   * hash stability.
+   */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nWords = tokenCount(text).cast("double")
+    val lenScore   = least(nChars / lit(200.0), lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(nChars, lit(1.0))
+    val meanWord   = nChars / greatest(nWords, lit(1.0))
+    val wordScore  = least(meanWord / lit(8.0), lit(1.0))
+    round(lenScore * (lit(1.0) - punctRatio) * (lit(0.5) + lit(0.5) * wordScore), 6)
+  }
+
+  /** Word n-gram shingles of size n (contiguous, space-joined). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = whitespaceTokens(lower(text))
+    val count = greatest(size(toks) - (n - 1), lit(0))
+    transform(sequence(lit(1), count), i => array_join(slice(toks, i, lit(n)), " "))
+  }
+
+  /**
+   * Rolling fingerprint over whitespace tokens: a left-fold hash chain
+   * (acc, token) → xxhash64(acc, token). Order-sensitive, unlike a
+   * bag-of-words hash, and overflow-free under ANSI mode (a raw polynomial
+   * `acc*31+h` would throw ARITHMETIC_OVERFLOW).
+   */
+  def docFingerprint(text: Column): Column =
+    aggregate(whitespaceTokens(text), lit(0L),
+      (acc, t) => xxhash64(acc, t))
+}

@@ -23,9 +23,13 @@ object Normalize {
   /** MAX_CONCAT_COUNT — values-per-concat threshold before 'multi' collapse. */
   val MaxConcatCount = 8
 
-  private val intRe   = "^[+-]?[0-9]+$"
+  // Digit count bounded to 18 so `cast("long")` can never overflow (Spark 4
+  // ANSI mode would throw CAST_OVERFLOW; non-ANSI would silently NULL).
+  // Longer digit strings fall through to the verbatim `otherwise` branch —
+  // a documented divergence from the reference's arbitrary-precision int().
+  private val intRe   = "^[+-]?[0-9]{1,18}$"
   // trivial float: digits '.' zero-or-more zeros (e.g. "100.0", "-10001.00")
-  private val trivialFloatRe = "^[+-]?[0-9]+\\.0*$"
+  private val trivialFloatRe = "^[+-]?[0-9]{1,18}\\.0*$"
 
   /**
    * Normalize one string-typed column per `normalize_value`

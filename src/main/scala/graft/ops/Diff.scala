@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Table-diff macros: the reference's publish gate and its own regression-test
+ * primitives, as distributed DataFrame ops (no driver materialization — the
+ * reference's dict-compare A11 anti-pattern is deliberately replaced).
+ *
+ * References:
+ *  - symmetric diff publish gate: cda_bq_etl/bq_helpers/lookup.py:692-705
+ *    (`compare_two_tables_sql`); NaN-safe variant :677-690.
+ *  - added/removed keys: compare_and_publish_tables.py:127-136 (NOT EXISTS).
+ *  - changed records: compare_and_publish_tables.py:306-331 (INTERSECT of
+ *    both one-way diffs' keys).
+ *  - duplicate keys: compare_and_publish_tables.py:247-252 (HAVING COUNT>1).
+ */
+object Diff {
+
+  /** `EXCEPT DISTINCT` (U2). Spark's `except` already has DISTINCT
+    * semantics and treats NULL=NULL and NaN=NaN like BigQuery/DuckDB. */
+  def exceptDistinct(a: DataFrame, b: DataFrame): DataFrame = a.except(b)
+
+  /** `INTERSECT DISTINCT` (U4). */
+  def intersectDistinct(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
+
+  /** NaN → the literal string "NaN", else plain string cast — the
+    * lookup.py:677-690 cast-NaN-to-string trick, spelling pinned so both
+    * engines agree. */
+  def nanSafeString(c: Column): Column =
+    when(isnan(c), lit("NaN")).otherwise(c.cast("string"))
+
+  /**
+   * U3 symmetric diff: `(a EXCEPT b) UNION ALL (b EXCEPT a)`, tagged with
+   * which side each row came from. Empty result ⇒ tables identical ⇒ the
+   * publish workflow skips republishing (lookup.py:692-705).
+   *
+   * `nanSafeCols`: double columns to stringify first (lookup.py:677-690).
+   * Spark's set ops already treat NaN=NaN, so this is only needed when the
+   * caller wants reference-identical output columns.
+   */
+  def symmetricDiff(a: DataFrame, b: DataFrame,
+                    nanSafeCols: Seq[String] = Nil,
+                    sideCol: String = "_side"): DataFrame = {
+    def prep(df: DataFrame): DataFrame =
+      nanSafeCols.foldLeft(df)((d, c) => d.withColumn(c, nanSafeString(col(c))))
+    val pa = prep(a)
+    val pb = prep(b)
+    pa.except(pb).withColumn(sideCol, lit("old"))
+      .unionByName(pb.except(pa).withColumn(sideCol, lit("new")))
+  }
+
+  /** True iff the two tables are identical under DISTINCT semantics — the
+    * publish gate itself. Cheap: short-circuits on the first diff row. */
+  def tablesMatch(a: DataFrame, b: DataFrame): Boolean =
+    symmetricDiff(a, b).isEmpty
+
+  /** J7-shaped: rows of `newDf` whose key is absent from `oldDf` (added),
+    * via left-anti join (compare_and_publish_tables.py:127-136). */
+  def addedRows(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame =
+    newDf.join(oldDf.select(keys.map(col).toIndexedSeq: _*).distinct(), keys, "left_anti")
+
+  /** Rows of `oldDf` whose key is absent from `newDf` (removed). */
+  def removedRows(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame =
+    addedRows(newDf, oldDf, keys)
+
+  /**
+   * Changed records: keys present in both sides whose non-key columns
+   * differ — INTERSECT of the two one-way diffs projected to keys
+   * (compare_and_publish_tables.py:306-331).
+   */
+  def changedKeys(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    val k = keys.map(col).toIndexedSeq
+    oldDf.except(newDf).select(k: _*)
+      .intersect(newDf.except(oldDf).select(k: _*))
+  }
+
+  /** Duplicate-key report: `GROUP BY keys HAVING COUNT(*) > 1`
+    * (compare_and_publish_tables.py:247-252). */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+}

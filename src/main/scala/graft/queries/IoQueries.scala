@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.io.{Io, SchemaInfer}
+import Registry.td
+
+/**
+ * SURVEY §2.1 — sources/sinks S1–S7 as round-trip queries: each builds a
+ * deterministic fixture under target/io_fixtures from the testdata tables,
+ * writes it through the graft sink, reads it back through the graft source,
+ * and oracle-checks against SQL over the original table.
+ */
+object IoQueries {
+
+  private val FixtureRoot = "/root/repo/target/io_fixtures"
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // S1/S2 — TSV write → header-dedup + normalize + sampled type inference
+    //   read-back (create_normalized_tsv, data_helpers.py:489-557 + 220-277).
+    //   Fixture: nation with messy spellings; two columns named "val".
+    "s1_tsv_read_normalize" -> Q(
+      (s, dir) => {
+        val path = s"$FixtureRoot/s1_${new java.io.File(dir).getName}"
+        val messy = td(s, dir, "nation").select(
+          col("n_nationkey").cast("string").as("key"),
+          expr("""CASE CAST(n_nationkey % 4 AS INT) WHEN 0 THEN 'NA' WHEN 1 THEN 'yes'
+                 |WHEN 2 THEN '12.00' ELSE n_name END""".stripMargin).as("val"),
+          col("n_name").as("val2"))
+        // hand-write the TSV with a DUPLICATE header name (val, val) — the
+        // csv sink can't emit duplicates, the reference's readers must fix them
+        val lines = "key\tval\tval" +:
+          messy.collect().map(r => Seq(r.getString(0), r.getString(1), r.getString(2)).mkString("\t")).toSeq
+        val f = new java.io.File(path); f.mkdirs()
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/data.tsv"),
+          lines.mkString("\n").getBytes("UTF-8"))
+        Io.readTsv(s, s"$path/data.tsv")  // headers → key, val, val_1; cells normalized
+          .select(col("key").cast("long").as("key"), col("val"), col("val_1"))
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS key,
+             |CASE CAST(n_nationkey % 4 AS INTEGER) WHEN 0 THEN NULL WHEN 1 THEN 'True'
+             |  WHEN 2 THEN '12' ELSE n_name END AS val,
+             |n_name AS val_1 FROM nation""".stripMargin)),
+
+    // S3/S5 — JSONL writer → schema'd JSONL load round-trip
+    //   (data_helpers.py:59-75; create_modify.py:178-208)
+    "s3_jsonl_roundtrip" -> Q(
+      (s, dir) => {
+        val path = s"$FixtureRoot/s3_${new java.io.File(dir).getName}"
+        val src = td(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        Io.writeJsonl(src, path)
+        Io.readJsonl(s, path, StructType(Seq(
+          StructField("c_custkey", LongType), StructField("c_name", StringType),
+          StructField("c_acctbal", DoubleType), StructField("c_mktsegment", StringType))))
+      },
+      Some("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer")),
+
+    // S4/S6 — TSV sink with "None" null marker → typed TSV load round-trip
+    //   (data_helpers.py:35-56; create_modify.py:137-175)
+    "s4_tsv_null_marker_roundtrip" -> Q(
+      (s, dir) => {
+        val path = s"$FixtureRoot/s4_${new java.io.File(dir).getName}"
+        val src = td(s, dir, "supplier").select(
+          col("s_suppkey"),
+          nullif(col("s_name"), lit("Supplier#000000003")).as("s_name_opt"),
+          col("s_nationkey").cast("long").as("s_nationkey"))
+        Io.writeTsv(src, path)
+        Io.readTsvTyped(s, path, StructType(Seq(
+          StructField("s_suppkey", LongType), StructField("s_name_opt", StringType),
+          StructField("s_nationkey", LongType))))
+      },
+      Some("""SELECT s_suppkey, nullif(s_name, 'Supplier#000000003') AS s_name_opt,
+             |CAST(s_nationkey AS BIGINT) AS s_nationkey FROM supplier""".stripMargin)),
+
+    // S2 — sampled distributed type inference feeding a typed load: infer on
+    //   an all-string TSV of part, verify the inferred column types land
+    //   (INT64 keys, FLOAT64 price, STRING names)
+    "s2_infer_typed_load" -> Q(
+      (s, dir) => {
+        val path = s"$FixtureRoot/s2_${new java.io.File(dir).getName}"
+        val src = td(s, dir, "part").select(
+          col("p_partkey").cast("string"), col("p_name"),
+          col("p_size").cast("string"), col("p_retailprice").cast("string"))
+        Io.writeTsv(src, path)
+        val typed = SchemaInfer.inferAndLoadTsv(s, s"$path/*.csv")
+        typed.select(col("p_partkey"), col("p_name"), col("p_size"),
+          col("p_retailprice"))
+      },
+      Some("""SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name,
+             |CAST(p_size AS BIGINT) AS p_size,
+             |CAST(p_retailprice AS DOUBLE) AS p_retailprice FROM part""".stripMargin)),
+
+    // S7 — CTAS with 0-row guard (create_modify.py:108-134, 280-303)
+    "s7_ctas_guard" -> Q(
+      (s, dir) => {
+        val path = s"$FixtureRoot/s7_${new java.io.File(dir).getName}"
+        val agg = td(s, dir, "lineitem").groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("long").as("cnt"))
+        Io.ctasParquet(s, agg, path)
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt
+             |FROM lineitem GROUP BY 1""".stripMargin))
+  )
+}

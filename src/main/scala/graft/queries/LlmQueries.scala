@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Ann, Dedup, TextOps}
+import graft.multimodal.Multimodal
+import Registry.td
+
+/**
+ * LLM training-data pipeline operators over `documents` / `embeddings`:
+ * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
+ * (brute-force + LSH), text analysis, multimodal plumbing.
+ *
+ * Oracle notes: hash-based ops (xxhash64 signatures) are not DuckDB-
+ * expressible → registered rows-only; everything else carries SQL.
+ */
+object LlmQueries {
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // exact dedup on a 5-token prefix fingerprint (creates real dup groups
+    // in the synthetic corpus; md5 matches across engines)
+    "l1_exact_dedup" -> Q(
+      (s, dir) => {
+        val pre = td(s, dir, "documents").select(col("doc_id"),
+          array_join(slice(TextOps.whitespaceTokens(col("text")), 1, 5), " ").as("prefix"))
+        Dedup.exactDedup(pre, "prefix", "doc_id")
+      },
+      Some("""SELECT md5(array_to_string(regexp_split_to_array(trim(text), '\s+')[1:5], ' ')) AS fingerprint,
+             |CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // token counting: whitespace + BPE-ish regex units
+    "l2_token_count" -> Q(
+      (s, dir) => td(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.bpeishCount(col("text")).as("n_bpeish")),
+      Some("""SELECT doc_id,
+             |CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+             |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
+             |FROM documents""".stripMargin)),
+
+    // language-ID heuristic: argmax of per-language stopword hits
+    "l3_lang_id" -> Q(
+      (s, dir) => td(s, dir, "documents").select(
+        col("doc_id"), TextOps.langIdHeuristic(col("text")).as("pred_lang")),
+      Some("""WITH h AS (SELECT doc_id,
+             |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t IN ('der','die','das','und','ist','ein'))) AS de_h,
+             |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t IN ('the','a','and','of','to','in','is'))) AS en_h,
+             |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t IN ('el','la','los','y','es','un'))) AS es_h,
+             |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t IN ('le','la','les','et','est','un'))) AS fr_h
+             |  FROM documents)
+             |SELECT doc_id, CASE
+             |  WHEN greatest(de_h, en_h, es_h, fr_h) = 0 THEN 'und'
+             |  WHEN fr_h >= es_h AND fr_h >= en_h AND fr_h >= de_h THEN 'fr'
+             |  WHEN es_h >= en_h AND es_h >= de_h THEN 'es'
+             |  WHEN en_h >= de_h THEN 'en'
+             |  ELSE 'de' END AS pred_lang FROM h""".stripMargin)),
+
+    // quality scoring: length/punctuation/word-shape composite
+    "l4_quality_score" -> Q(
+      (s, dir) => td(s, dir, "documents").select(
+        col("doc_id"), TextOps.qualityScore(col("text")).as("quality")),
+      Some("""WITH t AS (SELECT doc_id,
+             |  CAST(length(text) AS DOUBLE) AS n_chars,
+             |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS n_words,
+             |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) AS n_punct
+             |  FROM documents)
+             |SELECT doc_id, round(least(n_chars/200.0, 1.0) * (1.0 - n_punct/greatest(n_chars, 1.0))
+             |  * (0.5 + 0.5*least((n_chars/greatest(n_words, 1.0))/8.0, 1.0)), 6) AS quality FROM t""".stripMargin)),
+
+    // MinHash-LSH near-dup candidates (xxhash64 signatures → rows-only);
+    // plan property: single shuffle on (band_id, band_hash), no crossJoin
+    "l5_minhash_lsh_pairs" -> Q(
+      (s, dir) => Dedup.minhashCandidatePairs(
+        td(s, dir, "documents"), "text", "doc_id", shingleSize = 3, k = 32, bands = 16),
+      None),
+
+    // LSH candidates verified with exact n-gram Jaccard
+    "l6_ngram_jaccard_neardups" -> Q(
+      (s, dir) => Dedup.nearDupPairs(
+        td(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.5, shingleSize = 3, k = 32, bands = 16),
+      None),
+
+    // SimHash fingerprints + blocked near-dup pairs (rows-only)
+    "l7_simhash_neardups" -> Q(
+      (s, dir) => Dedup.simhashNearDups(
+        td(s, dir, "documents"), "text", "doc_id", maxHamming = 8, blocks = 8),
+      None),
+
+    // rolling-hash document fingerprint (order-sensitive; rows-only)
+    "l8_doc_fingerprint" -> Q(
+      (s, dir) => td(s, dir, "documents").select(
+        col("doc_id"), TextOps.docFingerprint(col("text")).as("fingerprint")),
+      None),
+
+    // brute-force cosine top-k vs the vec_id=0 query vector (exact baseline)
+    "l9_ann_bruteforce_topk" -> Q(
+      (s, dir) => {
+        val e = td(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select("embedding")
+          .collect()(0).getSeq[Float](0).toArray
+        Ann.bruteForceTopK(e, "embedding", "vec_id", q, k = 10, excludeId = Some(0L))
+          .select(col("vec_id"), round(col("cosine_sim"), 6).as("cosine_sim"))
+      },
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+             |s AS (SELECT e.vec_id,
+             |  list_dot_product(e.embedding::DOUBLE[], q.qv)
+             |    / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+             |       * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+             |  FROM embeddings e, q WHERE e.vec_id <> 0)
+             |SELECT vec_id, round(sim, 6) AS cosine_sim FROM s
+             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // LSH-bucketed ANN: 16 queries probe hyperplane buckets only (rows-only)
+    "l10_ann_lsh_topk" -> Q(
+      (s, dir) => {
+        val e = td(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 16)
+        Ann.lshTopK(e, queries, "embedding", "vec_id", dim = 64, k = 5)
+      },
+      None),
+
+    // embedding-cosine near-dup pairs, hyperplane-bucketed (rows-only)
+    "l11_embedding_neardups" -> Q(
+      (s, dir) => Ann.embeddingNearDups(
+        td(s, dir, "embeddings"), "embedding", "vec_id",
+        dim = 64, threshold = 0.2, nPlanes = 6),
+      None),
+
+    // multimodal plumbing: binary payload → typed feature extraction via
+    // per-partition batch decode (decode itself is a deterministic stub);
+    // byte-level fields are oracle-checked, the stub hash is not exposed here
+    "m1_media_features" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.packText(td(s, dir, "documents"), "doc_id", "text")
+        Multimodal.extractFeatures(media.as[graft.multimodal.MediaRecord])
+          .toDF().select(
+            col("media_id"), col("byte_len"), col("first_byte").cast("long").as("first_byte"),
+            col("width").cast("long").as("width"), col("height").cast("long").as("height"))
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS media_id,
+             |CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             |CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+             |CAST(64 + octet_length(encode(text)) % 1024 AS BIGINT) AS width,
+             |CAST(64 + (ascii(substr(text, 1, 1)) * 7) % 768 AS BIGINT) AS height
+             |FROM documents""".stripMargin)),
+
+    // multimodal frame sampling: video-like payload → per-frame rows
+    "m2_media_frames" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.packText(td(s, dir, "documents"), "doc_id", "text", "video")
+        Multimodal.sampleFrames(media.as[graft.multimodal.MediaRecord], stride = 64)
+          .toDF().select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+            col("frame_hash"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Registry.td
+
+/**
+ * SURVEY §2.8 — scalar function surface: strings (F1), casts/null handling
+ * (F2), date/time (F3), array/struct/json (F4). All expression-only
+ * (whole-stage codegen; no UDFs).
+ */
+object ScalarFnQueries {
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // F1 — SPLIT[OFFSET] / LEFT / REGEXP_EXTRACT / TRIM / LOWER / CONCAT
+    //   (create_tables_clinical_gdc.py:53; RNA_seq.py:30,104;
+    //    per_sample_file_gdc.py:51)
+    "f1_string_functions" -> Q(
+      (s, dir) => td(s, dir, "part").select(
+        col("p_partkey"),
+        split(col("p_name"), " ").getItem(0).as("first_word"),
+        substring(col("p_name"), 1, 4).as("left4"),
+        regexp_extract(col("p_brand"), "^[^#]*#(.*)$", 1).as("brand_num"),
+        lower(col("p_type")).as("type_lower"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type")),
+      Some("""SELECT p_partkey, split_part(p_name, ' ', 1) AS first_word,
+             |substr(p_name, 1, 4) AS left4,
+             |regexp_extract(p_brand, '^[^#]*#(.*)$', 1) AS brand_num,
+             |lower(p_type) AS type_lower,
+             |p_brand || ':' || p_type AS brand_type FROM part""".stripMargin)),
+
+    // F2 — CAST(null AS STRING) placeholders, IFNULL/COALESCE
+    //   (per_sample_file_gdc.py:60-62; create_tables_clinical_gdc.py:471-472)
+    "f2_cast_null_coalesce" -> Q(
+      (s, dir) => td(s, dir, "customer").select(
+        col("c_custkey"),
+        lit(null).cast("string").as("placeholder"),
+        coalesce(when(col("c_acctbal") < 0, col("c_name")), lit("in_credit")).as("flagged_name"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("DEFAULT")).as("segment_or_default")),
+      Some("""SELECT c_custkey, CAST(NULL AS VARCHAR) AS placeholder,
+             |COALESCE(CASE WHEN c_acctbal < 0 THEN c_name END, 'in_credit') AS flagged_name,
+             |COALESCE(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS segment_or_default
+             |FROM customer""".stripMargin)),
+
+    // F3 — date/time conversion + parts (data_helpers.py:718-732; Spark
+    //   built-ins cover the reference's Python-side datetime handling)
+    "f3_datetime_parts" -> Q(
+      (s, dir) => td(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_date"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso")),
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+             |CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
+             |CAST(day(o_orderdate) AS BIGINT) AS d,
+             |strftime(o_orderdate, '%Y-%m-%d') AS iso FROM orders""".stripMargin)),
+
+    // F4 — array ops: ARRAY_REVERSE(SPLIT(...))[OFFSET(0)], array length,
+    //   contains (compare_clinical_gdc_api_releases.py:125, 153-157)
+    "f4_array_ops" -> Q(
+      (s, dir) => td(s, dir, "documents").select(
+        col("doc_id"),
+        element_at(reverse(split(col("text"), " ")), 1).as("last_word"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        array_contains(split(col("text"), " "), "spark").cast("boolean").as("mentions_spark"),
+        array_join(slice(split(col("text"), " "), 1, 3), "_").as("first3")),
+      Some("""SELECT doc_id, list_reverse(string_split(text, ' '))[1] AS last_word,
+             |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             |list_contains(string_split(text, ' '), 'spark') AS mentions_spark,
+             |array_to_string(string_split(text, ' ')[1:3], '_') AS first3 FROM documents""".stripMargin))
+  )
+}

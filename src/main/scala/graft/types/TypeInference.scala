@@ -152,7 +152,13 @@ object TypeInference {
     }
 
     // Dotted numerics (data_helpers.py:648-661): trivial fraction → INT64,
-    // real fraction → FLOAT64, unparseable dotted string → STRING.
+    // real fraction → FLOAT64, unparseable dotted string → STRING. An EMPTY
+    // fraction ("100.") is STRING, matching the golden-corpus variant
+    // (common_etl/utils.py check_value_type: int('') raises → STRING).
+    // Deliberate divergence (documented): dotted lowercase-exponent strings
+    // ("1.5e3") classify FLOAT64 here; the corpus variant returns STRING
+    // (int("5e3") raises) and the cda variant returns INT64 — we pick the
+    // type-safe reading since the value genuinely is a float.
     if (value.contains('.') && !value.contains(':')) {
       return Some(parseLong(value) match {
         case Some(_) => INT64
@@ -160,8 +166,8 @@ object TypeInference {
           parseDouble(value) match {
             case Some(_) =>
               val frac = value.split('.').lift(1).getOrElse("")
-              if (frac.nonEmpty && frac.forall(_ == '0')) INT64
-              else if (frac.forall(_.isDigit) && frac.exists(_ != '0')) FLOAT64
+              if (frac.isEmpty) STRING
+              else if (frac.forall(_ == '0')) INT64
               else FLOAT64
             case None => STRING
           }

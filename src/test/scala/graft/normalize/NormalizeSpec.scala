@@ -26,6 +26,9 @@ class NormalizeSpec extends AnyFunSuite {
     assert(normalizeValueScala("0.001").contains("0.001"))
     assert(normalizeValueScala(" hello ").contains("hello"))
     assert(normalizeValueScala(null).isEmpty)
+    // >18-digit strings stay verbatim (bounded regex; no Long overflow)
+    assert(normalizeValueScala("99999999999999999999").contains("99999999999999999999"))
+    assert(normalizeValueScala("+42").contains("42"))
   }
 
   test("normalizeValue Column matches pure-Scala twin") {

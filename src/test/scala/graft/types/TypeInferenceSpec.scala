@@ -67,6 +67,9 @@ class TypeInferenceSpec extends AnyFunSuite {
     assert(TypeInference.checkValueType("123e4567-e89b-12d3-a456-426614174000").contains(STRING))
     assert(TypeInference.checkValueType("1e2").contains(FLOAT64))
     assert(TypeInference.checkValueType("100.00").contains(INT64))
+    // empty fraction → STRING (common_etl/utils.py variant: int('') raises)
+    assert(TypeInference.checkValueType("100.").contains(STRING))
+    assert(TypeInference.checkValueType("1.").contains(STRING))
   }
 
   test("resolve_type_conflict lattice (test_utils.py:66-95)") {
