@@ -82,4 +82,24 @@ object Diff {
     df.groupBy(keys.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
+
+  /**
+   * Order-insensitive comparison of `sep`-concatenated columns
+   * (shared_test_functions.py:195-335): rows whose concat column holds a
+   * DIFFERENT SET of elements on each side, keyed comparison. The reference
+   * does this with Python set symmetric difference per row; here the concat
+   * is split + sorted and compared as an expression.
+   */
+  def concatColumnDiff(a: DataFrame, b: DataFrame, keys: Seq[String],
+                       concatCol: String, sep: String = ";"): DataFrame = {
+    def norm(df: DataFrame, as: String): DataFrame =
+      df.select(keys.map(col) :+
+        array_sort(array_distinct(split(col(concatCol), java.util.regex.Pattern.quote(sep))))
+          .as(as): _*)
+    val na = norm(a, "__a"); val nb = norm(b, "__b")
+    na.join(nb, keys, "full")
+      .filter(!(col("__a") <=> col("__b")))
+      .select(keys.map(col) :+ col("__a").as(s"${concatCol}_old") :+
+        col("__b").as(s"${concatCol}_new"): _*)
+  }
 }

@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.api.Sources
+import graft.io.{Catalog, Io}
+import graft.ops.Filters
+import Registry.td
+
+/**
+ * SURVEY §2.1 S8–S17 / §2.4 A12 / §2.6 O4 — catalog ops, export, and the
+ * driver-side API-source surface. The remote fetch is injected (here: local
+ * deterministic page functions over testdata), the pagination/drift/retry
+ * machinery is the real engine code.
+ */
+object ApiQueries {
+
+  private val FixtureRoot = "/root/repo/target/io_fixtures"
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // S8 — view creation + SQL over it (create_modify.py:306-336)
+    "s8_view_query" -> Q(
+      (s, dir) => {
+        Catalog.createView(s, "v_orders_graft", td(s, dir, "orders"))
+        s.sql("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt
+                 FROM v_orders_graft GROUP BY o_orderstatus""")
+      },
+      Some("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY o_orderstatus")),
+
+    // S9 — table copy (create_modify.py:355-380)
+    "s9_table_copy" -> Q(
+      (s, dir) => {
+        val src = s"$FixtureRoot/s9src_${new java.io.File(dir).getName}"
+        val dst = s"$FixtureRoot/s9dst_${new java.io.File(dir).getName}"
+        td(s, dir, "nation").write.mode("overwrite").parquet(src)
+        Io.copyTable(s, src, dst)
+        s.read.parquet(dst)
+      },
+      Some("SELECT * FROM nation")),
+
+    // S11 — export table → TSV with header (support.py:434-470), read back
+    "s11_export_tsv" -> Q(
+      (s, dir) => {
+        val path = s"$FixtureRoot/s11_${new java.io.File(dir).getName}"
+        Catalog.exportTsv(td(s, dir, "region"), path)
+        Io.readTsvTyped(s, path, StructType(Seq(
+          StructField("r_regionkey", IntegerType), StructField("r_name", StringType))))
+      },
+      Some("SELECT r_regionkey, r_name FROM region")),
+
+    // S13/A12 — offset/limit paginated source with drift detection + retry
+    //   (pdc_helpers.py:26-168): pages served locally from customer
+    "s13_paginated_source" -> Q(
+      (s, dir) => {
+        val all = td(s, dir, "customer").select("c_custkey", "c_name")
+          .orderBy("c_custkey").collect().toSeq
+        var failedOnce = false
+        val rows = Sources.fetchPaged[Row](pageSize = 100) { (offset, limit) =>
+          // one transient failure exercises the retry path
+          if (offset == 100 && !failedOnce) { failedOnce = true; sys.error("transient 503") }
+          (all.slice(offset, offset + limit), all.size)
+        }
+        Sources.toDataFrame(s, rows, StructType(Seq(
+          StructField("c_custkey", LongType), StructField("c_name", StringType))))
+      },
+      Some("SELECT c_custkey, c_name FROM customer")),
+
+    // S14 — cursor-walk source (rel="next" pagination,
+    //   quant_data_matrix_pdc.py:49-131): cursor is the last-seen key
+    "s14_cursor_source" -> Q(
+      (s, dir) => {
+        val all = td(s, dir, "supplier").select("s_suppkey", "s_name")
+          .orderBy("s_suppkey").collect().toSeq
+        val rows = Sources.fetchCursor[Row] { cursor =>
+          val from = cursor.map(_.toLong).getOrElse(-1L)
+          val page = all.filter(_.getLong(0) > from).take(3)
+          val next = if (page.size < 3) None else Some(page.last.getLong(0).toString)
+          (page, next)
+        }
+        Sources.toDataFrame(s, rows, StructType(Seq(
+          StructField("s_suppkey", LongType), StructField("s_name", StringType))))
+      },
+      Some("SELECT s_suppkey, s_name FROM supplier")),
+
+    // S15 — manifest source: filter-dict → manifest rows (support.py:503-573)
+    "s15_manifest_source" -> Q(
+      (s, dir) => td(s, dir, "part")
+        .filter(Filters.configFilter(Seq(
+          "p_type" -> Filters.In(Seq("ECONOMY", "PROMO")),
+          "p_size" -> Filters.Eq(1))))
+        .select(col("p_partkey").as("file_id"), col("p_name").as("file_name")),
+      Some("""SELECT p_partkey AS file_id, p_name AS file_name FROM part
+             |WHERE p_type IN ('ECONOMY','PROMO') AND p_size = 1""".stripMargin)),
+
+    // S16 — bucket puller: executor-parallel fetch of a pull-list
+    //   (support.py:661-752); fetch injected as local file reads
+    "s16_bucket_puller" -> Q(
+      (s, dir) => {
+        val src = s"$FixtureRoot/s16src_${new java.io.File(dir).getName}"
+        val dst = s"$FixtureRoot/s16dst_${new java.io.File(dir).getName}"
+        // stage "remote" objects: one file per region
+        new java.io.File(src).mkdirs()
+        td(s, dir, "region").collect().foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$src/region_${r.get(0)}.txt"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+        val pullList = td(s, dir, "region")
+          .select(concat(lit(s"$src/region_"), col("r_regionkey"), lit(".txt")).as("uri"))
+        Sources.pullToDir(pullList, "uri", dst,
+          uri => java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(uri)))
+        // inventory of pulled objects, loaded back distributed
+        s.read.option("wholetext", "true").text(s"$dst/*.txt")
+          .select(input_file_name().as("f"), col("value"))
+          .select(regexp_extract(col("f"), "region_([0-9]+)\\.txt", 1).cast("int").as("r_regionkey"),
+            col("value").as("r_name"))
+      },
+      Some("SELECT r_regionkey, r_name FROM region")),
+
+    // S17 — zip extraction source → normalized TSV read (extract_from_tsv.py:44-99)
+    "s17_zip_extract" -> Q(
+      (s, dir) => {
+        val root = s"$FixtureRoot/s17_${new java.io.File(dir).getName}"
+        new java.io.File(root).mkdirs()
+        val rows = td(s, dir, "nation").select("n_nationkey", "n_name")
+          .orderBy("n_nationkey").collect()
+        val (a, b) = rows.splitAt(rows.length / 2)
+        val zip = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(s"$root/data.zip"))
+        def entry(name: String, part: Array[Row]): Unit = {
+          zip.putNextEntry(new java.util.zip.ZipEntry(name))
+          val body = ("n_nationkey\tn_name" +: part.map(r => s"${r.get(0)}\t${r.getString(1)}").toSeq).mkString("\n")
+          zip.write(body.getBytes("UTF-8")); zip.closeEntry()
+        }
+        entry("part1.tsv", a); entry("part2.tsv", b)
+        zip.putNextEntry(new java.util.zip.ZipEntry("empty.tsv")); zip.closeEntry() // skipped
+        zip.close()
+        val extracted = Sources.extractZip(s"$root/data.zip", s"$root/out")
+          .filter(_.endsWith(".tsv"))
+        extracted.map(p => Io.readTsv(s, p)).reduce(_ unionByName _)
+          .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"))
+      },
+      Some("SELECT n_nationkey, n_name FROM nation")),
+
+    // O4 — driver-side top-N display cutoff via take(n)
+    //   (compare_and_publish_tables.py:101-104)
+    "o4_top_n_display" -> Q(
+      (s, dir) => {
+        val top = td(s, dir, "customer").orderBy(col("c_acctbal").desc, col("c_custkey"))
+          .select("c_custkey", "c_acctbal").take(5)
+        Sources.toDataFrame(s, top.toIndexedSeq, StructType(Seq(
+          StructField("c_custkey", LongType), StructField("c_acctbal", DoubleType))))
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+             |ORDER BY c_acctbal DESC, c_custkey LIMIT 5""".stripMargin)),
+
+    // event-time window aggregation over the ns-timestamp events table
+    //   (streaming-compatible shape: same plan works under readStream +
+    //   watermark; here batch, grouped on the hour window)
+    "w2_event_time_window" -> Q(
+      (s, dir) => {
+        val e = td(s, dir, "events")
+          .withColumn("ts_us", timestamp_micros((col("ts") / 1000).cast("long")))
+        e.groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            (sum(round(col("value") * 100).cast("long")) / lit(100.0)).as("value_sum"))
+          .select(col("window.start").cast("long").as("hour_epoch"),
+            col("event_type"), col("n"), col("value_sum"))
+      },
+      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+             |CAST(count(*) AS BIGINT) AS n,
+             |CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS value_sum
+             |FROM events GROUP BY 1, 2""".stripMargin))
+  )
+}

@@ -32,7 +32,8 @@ object Registry {
   def all: Seq[(String, Q)] =
     ProjectionQueries.all ++ JoinQueries.all ++ AggQueries.all ++
       WindowSortSetQueries.all ++ ScalarFnQueries.all ++
-      LlmQueries.all ++ IoQueries.all ++ CompositeQueries.all
+      LlmQueries.all ++ IoQueries.all ++ CompositeQueries.all ++
+      ClinicalQueries.all ++ ApiQueries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap

@@ -1,0 +1,42 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class AnnSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // deterministic 8-dim vectors: cluster A around e1, cluster B around e2
+  private def vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+    (1L, Array(0.9f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0f)),
+    (2L, Array(0.8f, 0.2f, 0f, 0f, 0f, 0f, 0f, 0f)),
+    (3L, Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f)),
+    (4L, Array(0f, 0.1f, 0.9f, 0f, 0f, 0f, 0f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine") {
+    val top = Ann.bruteForceTopK(vecs, "embedding", "vec_id",
+      Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), k = 2, excludeId = Some(0L))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top === Seq(1L, 2L))
+  }
+
+  test("LSH top-k finds same-cluster neighbors without crossJoin") {
+    val res = Ann.lshTopK(vecs, vecs.filter($"vec_id" === 0L), "embedding", "vec_id",
+      dim = 8, k = 2, nPlanes = 6)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val ids = res.select("corpus_id").as[Long].collect().toSet
+    assert(ids.contains(1L) || ids.contains(2L))
+  }
+
+  test("embedding near-dup pairs stay within buckets") {
+    val pairs = Ann.embeddingNearDups(vecs, "embedding", "vec_id",
+      dim = 8, threshold = 0.9, nPlanes = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // 0-1 and 1-2 are ≥0.9 cosine; 0-3 is orthogonal and must not appear
+    assert(!pairs.contains((0L, 3L)))
+    assert(pairs.nonEmpty)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+  private def docs = Seq(
+    (0L, base),
+    (1L, base),                                     // exact dup of 0
+    (2L, base.replace("lazy", "sleepy")),           // near dup of 0
+    (3L, "completely different content about spark catalyst optimizer rules engine"),
+    (4L, "unrelated short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("keep_id", "dup_cnt").as[(Long, Long)].collect().toMap
+    assert(out(0L) === 2L)       // docs 0+1 collapse, min id kept
+    assert(out.values.sum === 5L)
+  }
+
+  test("minhash LSH finds planted near-dups, not unrelated pairs") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id", shingleSize = 3, k = 32, bands = 16)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("LSH plan contains no cartesian/crossJoin") {
+    val plan = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("jaccard verification scores exact overlap") {
+    val withJ = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+    val m = withJ.map(t => (t._1, t._2) -> t._3).toMap
+    assert(m((0L, 1L)) === 1.0)                 // identical → jaccard 1
+    assert(m.get((0L, 2L)).exists(j => j > 0.3 && j < 1.0))
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, others far") {
+    val sims = docs.select($"doc_id", Dedup.simhash64($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sims(0L) === sims(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(0L), sims(2L)) < ham(sims(0L), sims(3L)))
+    val nd = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(nd.contains((0L, 1L)))
+  }
+}

@@ -1,0 +1,36 @@
+package graft.publish
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class PublishSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def freshRoot(): String = {
+    val f = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "pubspec").toString
+    f
+  }
+
+  test("publish: v1, identical skip, changed v2 (create_modify.py:210-277)") {
+    val root = freshRoot()
+    val t1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val r1 = Publish.publish(spark, t1, root, "t")
+    assert(r1.published && r1.version === 1)
+    val r2 = Publish.publish(spark, t1, root, "t")
+    assert(!r2.published && r2.version === 1)
+    val t2 = Seq((1L, "a"), (2L, "CHANGED")).toDF("id", "v")
+    val r3 = Publish.publish(spark, t2, root, "t")
+    assert(r3.published && r3.version === 2)
+    assert(Publish.latestVersion(root, "t") === 2)
+    val current = spark.read.parquet(s"$root/t_current").as[(Long, String)].collect().toSet
+    assert(current === Set((1L, "a"), (2L, "CHANGED")))
+  }
+
+  test("tag templating (create_modify.py:525-711)") {
+    assert(Publish.applyTags("{---a---}/{---b---}", Map("a" -> "x", "b" -> "y")) === "x/y")
+    val meta = Publish.templateMetadata(
+      Map("name" -> "{---rel---} table"), Map("rel" -> "r9"))
+    assert(meta("name") === "r9 table")
+  }
+}
