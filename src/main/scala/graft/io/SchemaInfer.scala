@@ -23,26 +23,21 @@ object SchemaInfer {
   /**
    * Infer per-column BQ types from an all-string DataFrame, sampling
    * `sampleFraction` of rows (reference `sample_interval` ≈ 1/fraction).
+   *
+   * One pass: every column aggregated with the native [[graft.types.TypeSetAgg]]
+   * Catalyst aggregate (map-side partial type sets, O(cols) result row) —
+   * no RDD fold, no driver data collection.
    */
   def inferColumnTypes(df: DataFrame, sampleFraction: Double = 1.0): Map[String, BqType] = {
+    val spark = df.sparkSession
     val cols = df.columns
     val sampled = if (sampleFraction >= 1.0) df else df.sample(withReplacement = false, sampleFraction, seed = 42L)
-    val zero = Array.fill(cols.length)(Set.empty[BqType])
-    val merged = sampled.rdd.treeAggregate(zero)(
-      seqOp = (acc, row) => {
-        var i = 0
-        while (i < cols.length) {
-          val v = row.get(i)
-          if (v != null) {
-            TypeInference.checkValueType(v.toString).foreach { t => acc(i) = acc(i) + t }
-          }
-          i += 1
-        }
-        acc
-      },
-      combOp = (a, b) => a.zip(b).map { case (x, y) => x ++ y }
-    )
-    cols.zip(merged).map { case (c, ts) => c -> TypeInference.resolveTypeConflict(c, ts) }.toMap
+    val aggs = cols.map(c => graft.types.TypeSetAgg.typeSet(spark, c).as(c))
+    val row = sampled.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
+    cols.zipWithIndex.map { case (c, i) =>
+      val ts = row.getSeq[String](i).map(BqType.fromName).toSet
+      c -> TypeInference.resolveTypeConflict(c, ts)
+    }.toMap
   }
 
   /** Inferred `StructType` in the source column order (schema.py:34-82). */

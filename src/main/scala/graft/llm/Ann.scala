@@ -76,10 +76,13 @@ object Ann {
               idCol: String, dim: Int, k: Int, nPlanes: Int = 12): DataFrame = {
     val cb = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
       hyperplaneBucket(col(vecCol), dim, nPlanes).as("bucket"))
-    // query probes: own bucket + each 1-bit flip
-    val probes = (0 until nPlanes).map(p => hyperplaneBucket(col(vecCol), dim, nPlanes)
-      .bitwiseXOR(lit(1L << p))) :+ hyperplaneBucket(col(vecCol), dim, nPlanes)
-    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+    // query probes: own bucket + each 1-bit flip. Bucket computed ONCE per
+    // row (materialized column), probes derived by XOR — inlining the
+    // nPlanes-projection fold into every probe would cost (nPlanes+1)×.
+    val qbase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      hyperplaneBucket(col(vecCol), dim, nPlanes).as("qbucket"))
+    val probes = col("qbucket") +: (0 until nPlanes).map(p => col("qbucket").bitwiseXOR(lit(1L << p)))
+    val qb = qbase.select(col("query_id"), col("qvec"),
         explode(array(probes: _*)).as("bucket"))
     val scored = qb.join(cb, "bucket")
       .filter(col("query_id") =!= col("corpus_id"))

@@ -161,7 +161,7 @@ object ApiQueries {
     "w2_event_time_window" -> Q(
       (s, dir) => {
         val e = td(s, dir, "events")
-          .withColumn("ts_us", timestamp_micros((col("ts") / 1000).cast("long")))
+          .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
         e.groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).cast("long").as("n"),
             (sum(round(col("value") * 100).cast("long")) / lit(100.0)).as("value_sum"))

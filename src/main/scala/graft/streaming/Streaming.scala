@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event in the stream (mirrors the testdata `events` table, with the
+  * ns-long `ts` already converted to a timestamp). */
+final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                       event_type: String, value: Double)
+
+/** One closed user session produced by [[Streaming.sessionize]]. */
+final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+                             session_end: java.sql.Timestamp, n_events: Long,
+                             value_sum: Double)
+
+private final case class SessionBuf(start: Long, end: Long, n: Long, sum: Double)
+
+/**
+ * Structured Streaming surface (engine extension; the reference is batch-only
+ * per SURVEY §1.1, so this extends the engine to the streaming shapes a
+ * training-data pipeline needs). Every transform below is
+ * batch/stream-agnostic: the same plan runs under `spark.read` and
+ * `spark.readStream`.
+ *
+ * Scale: windowed aggregation is an incremental stateful hash-agg keyed on
+ * (window, event_type); the watermark bounds state. Sessionization keeps one
+ * small state object per active user and emits on gap timeout.
+ */
+object Streaming {
+
+  /** Convert the testdata events frame (ns-long ts) to typed events. */
+  def asEvents(raw: DataFrame): Dataset[Event] = {
+    import raw.sparkSession.implicits._
+    // `div` (integral): ns epochs overflow double's exact-integer range, so
+    // `/ 1000` + cast would be off by ±1 µs.
+    raw.select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+  }
+
+  /**
+   * Event-time tumbling-window counts with a watermark: late events beyond
+   * `watermarkDelay` are dropped from state. Works identically on a batch
+   * frame (watermark is a no-op there).
+   */
+  def windowedCounts(events: Dataset[Event], windowLength: String,
+                     watermarkDelay: String): DataFrame =
+    events.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / lit(100.0)).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  /**
+   * Gap-based sessionization with `flatMapGroupsWithState` +
+   * EventTimeTimeout: one small state object per active user; a session is
+   * emitted when a later event arrives past the gap, or when the watermark
+   * passes `session_end + gap` (timeout). Callers must `withWatermark` the
+   * input in streaming mode.
+   */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+
+    def close(userId: Long, b: SessionBuf): UserSession =
+      UserSession(userId, new java.sql.Timestamp(b.start), new java.sql.Timestamp(b.end),
+        b.n, b.sum)
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionBuf]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+          if (state.hasTimedOut) {
+            state.getOption.foreach(b => out += close(userId, b))
+            state.remove()
+          } else {
+            // Sort within the batch slice; split on gaps > gapMs.
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var buf = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              val cents = math.round(e.value * 100).toDouble / 100.0
+              if (buf == null) buf = SessionBuf(t, t, 1, cents)
+              else if (t - buf.end > gapMs) {
+                out += close(userId, buf)
+                buf = SessionBuf(t, t, 1, cents)
+              } else buf = SessionBuf(buf.start, t, buf.n + 1, buf.sum + cents)
+            }
+            if (buf != null) {
+              state.update(buf)
+              // fire once the watermark passes the session's gap horizon
+              scala.util.Try(state.setTimeoutTimestamp(buf.end + gapMs))
+            }
+          }
+          out.iterator
+      }
+  }
+
+  /**
+   * Batch-mode sessionization oracle shape: the same gap-split computed with
+   * window functions (lag + cumulative session ids) — used to cross-check
+   * the stateful path and as the catch-up path for backfills.
+   */
+  def sessionizeBatch(events: Dataset[Event], gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    events.toDF()
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > gapMs * 1000L)
+          .cast("int"))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")) / lit(100.0)).as("value_sum"))
+      .drop("session_id")
+  }
+}
