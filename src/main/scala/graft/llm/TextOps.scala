@@ -84,6 +84,25 @@ object TextOps {
     transform(sequence(lit(1), count), i => array_join(slice(toks, i, lit(n)), " "))
   }
 
+  /** Per-token xxhash64 array — materialize this as a column BEFORE calling
+    * [[shingleHashesFromTokenHashes]], or every element access re-evaluates
+    * the whole transform (quadratic blowup). */
+  def tokenHashes(text: Column): Column =
+    transform(whitespaceTokens(lower(text)), t => xxhash64(t))
+
+  /**
+   * Hashed word n-gram shingles composed from a MATERIALIZED token-hash
+   * array column: each shingle hash mixes the n token hashes — no
+   * shingle-string allocation. The canonical representation for
+   * MinHash/Jaccard pipelines at scale (collision probability ~2⁻⁶⁴ per
+   * pair is negligible next to MinHash's own approximation error).
+   */
+  def shingleHashesFromTokenHashes(th: Column, n: Int): Column = {
+    val count = greatest(size(th) - (n - 1), lit(0))
+    transform(sequence(lit(1), count),
+      i => xxhash64((0 until n).map(j => get(th, i + lit(j) - 1)): _*))
+  }
+
   /**
    * Rolling fingerprint over whitespace tokens: a left-fold hash chain
    * (acc, token) → xxhash64(acc, token). Order-sensitive, unlike a

@@ -86,8 +86,32 @@ object TypeInference {
   private def fullMatch(p: scala.util.matching.Regex, s: String): Boolean =
     p.pattern.matcher(s).matches()
 
-  private def parseLong(s: String): Option[Long] =
-    try Some(java.lang.Long.parseLong(s.trim)) catch { case _: NumberFormatException => None }
+  // Cheap shape pre-checks so the hot inference path (TypeSetAgg over every
+  // cell) never pays for a thrown NumberFormatException on ordinary strings.
+  private def looksLikeLong(t: String): Boolean = {
+    if (t.isEmpty) return false
+    var i = if (t.charAt(0) == '+' || t.charAt(0) == '-') 1 else 0
+    if (i >= t.length || t.length - i > 19) return false
+    while (i < t.length) { if (t.charAt(i) < '0' || t.charAt(i) > '9') return false; i += 1 }
+    true
+  }
+
+  private def looksLikeDouble(t: String): Boolean = {
+    var i = 0; var sawDigit = false
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c >= '0' && c <= '9') sawDigit = true
+      else if (c != '+' && c != '-' && c != '.' && c != 'e' && c != 'E') return false
+      i += 1
+    }
+    sawDigit
+  }
+
+  private def parseLong(s: String): Option[Long] = {
+    val t = s.trim
+    if (!looksLikeLong(t)) None
+    else try Some(java.lang.Long.parseLong(t)) catch { case _: NumberFormatException => None }
+  }
 
   /** Python float() parse: accepts inf/infinity/nan (any case), exponents. */
   private def parseDouble(s: String): Option[Double] = {
@@ -99,7 +123,7 @@ object TypeInference {
       case "nan" | "+nan" | "-nan"                   => Some(Double.NaN)
       case _ =>
         // Reject java-isms Python float() rejects: trailing d/f, hex.
-        if (t.isEmpty || t.exists(c => c.isLetter && c != 'e' && c != 'E')) None
+        if (!looksLikeDouble(t)) None
         else try Some(java.lang.Double.parseDouble(t)) catch { case _: NumberFormatException => None }
     }
   }
