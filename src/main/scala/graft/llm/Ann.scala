@@ -100,6 +100,51 @@ object Ann {
   }
 
   /**
+   * IVF (inverted-file) ANN: corpus vectors are assigned to their nearest
+   * centroid cell; queries probe only the `nProbe` nearest cells. Centroids
+   * are provided by the caller (e.g. first-k deterministic sample or an
+   * offline k-means) — no training pass inside the operator. Join is equi
+   * on cell id: shuffle-bounded, no crossJoin.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+              idCol: String, centroids: Seq[Array[Float]], k: Int,
+              nProbe: Int = 2): DataFrame = {
+    // per-centroid similarity as an array of (negSim, cellId) structs;
+    // array_sort orders by negSim then cellId — head = nearest cell
+    def cellRank(vec: Column): Column = {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        val cl = array(c.map(v => lit(v.toDouble)): _*)
+        struct((lit(0.0) - cosine(transform(vec, _.cast("double")), cl)).as("neg"),
+          lit(i).as("cell"))
+      }
+      array_sort(array(scored: _*))
+    }
+    val cb = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"), cellRank(col(vecCol)).as("_r"))
+      .select(col("corpus_id"), col("cvec"), element_at(col("_r"), 1).getField("cell").as("cell"))
+    val qb = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), cellRank(col(vecCol)).as("_r"))
+      .select(col("query_id"), col("qvec"),
+        explode(transform(slice(col("_r"), 1, nProbe), _.getField("cell"))).as("cell"))
+    val scored = qb.join(cb, "cell")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(transform(col("qvec"), _.cast("double")),
+               transform(col("cvec"), _.cast("double"))).as("cosine_sim"))
+      .distinct()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k).drop("rank")
+  }
+
+  /** Deterministic centroid pick: the first k corpus vectors by id — the
+    * zero-training-pass seed a production job would replace with k-means. */
+  def firstKCentroids(df: DataFrame, vecCol: String, idCol: String, k: Int): Seq[Array[Float]] =
+    df.orderBy(col(idCol)).limit(k).select(vecCol)
+      .collect().map(_.getSeq[Float](0).toArray).toSeq
+
+  /**
    * Embedding-cosine near-dup pairs at scale: bucket by hyperplane signs,
    * pair within buckets only, keep pairs with cosine ≥ threshold.
    */

@@ -1,0 +1,89 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Agg
+
+/**
+ * Staged GDC/PDC measurement builds re-expressed as lazy DataFrame chains
+ * (SURVEY §3.3): the reference materializes `_step_1`…`_step_5` tables;
+ * here each step is a function and materialization is the caller's choice.
+ */
+object StagedBuilds {
+
+  /** Histogram-artifact gene rows dropped by the RNA-seq build
+    * (RNA_seq.py:97-126). */
+  val ExcludedGeneIds: Seq[String] = Seq(
+    "__no_feature", "__ambiguous", "__too_low_aQual", "__not_aligned",
+    "__alignment_not_unique")
+
+  /**
+   * RNA-seq staged chain (GDC/RNA_seq.py:218-299):
+   *  1. expression join `aliquot.file_gdc_id = LEFT(raw.file_name, 36)`
+   *     (RNA_seq.py:120);
+   *  2. gene-artifact filter;
+   *  3. pooled-sample merge: wide GROUP BY with STRING_AGG of the pooled
+   *     aliquot barcodes + summed counts (RNA_seq.py:161-215).
+   *
+   * raw: (file_name, gene_id, gene_name, unstranded, tpm_unstranded)
+   * aliquotToCase: (file_gdc_id, case_barcode, sample_barcode, aliquot_barcode,
+   *                 project_short_name)
+   */
+  def rnaSeq(raw: DataFrame, aliquotToCase: DataFrame): DataFrame = {
+    val joined = raw
+      .filter(!col("gene_id").isin(ExcludedGeneIds: _*))
+      .join(broadcast(aliquotToCase),
+        substring(col("file_name"), 1, 36) === col("file_gdc_id"))
+    joined.groupBy("project_short_name", "case_barcode", "sample_barcode",
+        "gene_id", "gene_name")
+      .agg(Agg.stringAggDistinctOrdered(col("aliquot_barcode"), ";").as("aliquot_barcodes"),
+        sum(col("unstranded")).cast("long").as("unstranded"),
+        (sum(round(col("tpm_unstranded") * 1000).cast("long")) / lit(1000.0)).as("tpm_unstranded"))
+  }
+
+  /**
+   * CLUSTER BY storage layout (gdc_file_utils.py:599-614): co-locate and
+   * order rows by the cluster columns on write. `repartition` on the
+   * leading column + `sortWithinPartitions` across all of them mirrors
+   * BigQuery clustering on parquet.
+   */
+  def clusterWrite(df: DataFrame, path: String, clusterCols: Seq[String],
+                   partitions: Int = 0): Unit = {
+    val cols = clusterCols.map(col)
+    val repart = if (partitions > 0) df.repartition(partitions, cols.head)
+    else df.repartition(cols.head)
+    repart.sortWithinPartitions(cols: _*).write.mode("overwrite").parquet(path)
+  }
+
+  /**
+   * PDC quant-matrix melt (quant_data_matrix_pdc.py:502-579, 645-662): a
+   * wide gene × aliquot matrix whose column names are
+   * `{aliquot_run_metadata_id}:{aliquot_submitter_id}` composites melts to
+   * long form with the composite split into its id parts.
+   */
+  def meltQuantMatrix(wide: DataFrame, geneCol: String): DataFrame = {
+    val valueCols = wide.columns.filterNot(_ == geneCol)
+    wide.unpivot(Array(col(geneCol)), valueCols.map(col).toArray,
+        "aliquot_composite", "protein_abundance_log2ratio")
+      .filter(col("protein_abundance_log2ratio").isNotNull)
+      .select(col(geneCol).as("gene_symbol"),
+        split(col("aliquot_composite"), ":").getItem(0).as("aliquot_run_metadata_id"),
+        split(col("aliquot_composite"), ":").getItem(1).as("aliquot_submitter_id"),
+        col("protein_abundance_log2ratio"))
+  }
+
+  /**
+   * Quant enrichment join chain (quant_data_matrix_pdc.py:631-640):
+   * aliquot_run_metadata → aliquot → sample → case, all broadcast-able
+   * mapping dims.
+   */
+  def enrichQuant(melted: DataFrame,
+                  runMetaToAliquot: DataFrame,  // (aliquot_run_metadata_id, aliquot_id)
+                  aliquotToSample: DataFrame,   // (aliquot_id, sample_id)
+                  sampleToCase: DataFrame       // (sample_id, case_id)
+                 ): DataFrame =
+    melted
+      .join(broadcast(runMetaToAliquot), Seq("aliquot_run_metadata_id"))
+      .join(broadcast(aliquotToSample), Seq("aliquot_id"))
+      .join(broadcast(sampleToCase), Seq("sample_id"))
+}

@@ -33,7 +33,8 @@ object Registry {
     ProjectionQueries.all ++ JoinQueries.all ++ AggQueries.all ++
       WindowSortSetQueries.all ++ ScalarFnQueries.all ++
       LlmQueries.all ++ IoQueries.all ++ CompositeQueries.all ++
-      ClinicalQueries.all ++ ApiQueries.all ++ StreamingQueries.all
+      ClinicalQueries.all ++ ApiQueries.all ++ StreamingQueries.all ++
+      PipelineQueries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap

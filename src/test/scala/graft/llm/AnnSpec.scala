@@ -31,6 +31,18 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(ids.contains(1L) || ids.contains(2L))
   }
 
+  test("IVF top-k: probed cells recover same-cluster neighbors") {
+    val centroids = Seq(
+      Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f))
+    val res = Ann.ivfTopK(vecs, vecs.filter($"vec_id" === 0L), "embedding", "vec_id",
+      centroids, k = 2, nProbe = 1)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val ids = res.select("corpus_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 2L)) // same cell as the query; cluster B excluded
+  }
+
   test("embedding near-dup pairs stay within buckets") {
     val pairs = Ann.embeddingNearDups(vecs, "embedding", "vec_id",
       dim = 8, threshold = 0.9, nPlanes = 4)
