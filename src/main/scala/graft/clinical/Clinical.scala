@@ -77,6 +77,24 @@ object Clinical {
     applyColumnOrder(joined, rootSpec)
   }
 
+  /**
+   * A2-driven null-column pruning pre-pass (create_tables_clinical_gdc.py:
+   * 155-244): the reference runs a pivoted null census per field group and
+   * drops columns with zero non-null values BEFORE generating the final
+   * query. One aggregate pass (O(cols) result row), then a projection.
+   */
+  def pruneNullColumns(df: DataFrame, keep: Set[String] = Set.empty): DataFrame = {
+    import graft.ops.Agg
+    val counts = df.agg(
+      Agg.nonNullCount(col(df.columns.head)).as(df.columns.head),
+      df.columns.tail.map(c => Agg.nonNullCount(col(c)).as(c)).toIndexedSeq: _*)
+      .collect()(0)
+    val alive = df.columns.zipWithIndex.collect {
+      case (c, i) if keep.contains(c) || counts.getLong(i) > 0 => c
+    }
+    df.select(alive.map(col).toIndexedSeq: _*)
+  }
+
   /** first/middle/last column ordering from the spec (yaml column_order). */
   private def applyColumnOrder(df: DataFrame, spec: EntitySpec): DataFrame = {
     val all = df.columns.toSeq

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Join rewrites for the shapes Catalyst would otherwise nested-loop or skew.
+ */
+object JoinOps {
+
+  /**
+   * OR-of-computed-keys join rewrite (SURVEY §7 "what's hard"): the
+   * reference's `ON REGEXP_EXTRACT(a, re1) = key OR REGEXP_EXTRACT(a, re2)
+   * = key` (gene_level_copy_number.py:57-59) is a theta join Catalyst must
+   * nested-loop. Rewritten: one equi-join per key expression, UNION, then
+   * DISTINCT — each leg hash-joins on its extracted key, so the plan is
+   * shuffle-bounded at any scale. The reference applies SELECT DISTINCT on
+   * top of the OR join, which makes the rewrite exactly equivalent.
+   */
+  def orOfKeysJoin(left: DataFrame, right: DataFrame,
+                   leftKeys: Seq[Column], rightKey: String): DataFrame =
+    leftKeys.map { k =>
+      left.withColumn("__k", k)
+        .join(right, col("__k") === col(rightKey))
+        .drop("__k")
+    }.reduce(_ unionByName _).distinct()
+
+  /**
+   * Skew-salted equi-join: the big (skewed) side gets a deterministic salt
+   * in [0, buckets) hashed from its full row; the small side is replicated
+   * `buckets`× — the hot key's rows spread over `buckets` tasks instead of
+   * one straggler. AQE's skew-join handles moderate skew automatically;
+   * this is the explicit tool for extreme single-key skew (e.g. a
+   * boilerplate dedup key at web scale).
+   */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 buckets: Int, joinType: String = "inner"): DataFrame = {
+    require(buckets > 0)
+    val salt = pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(buckets.toLong))
+    val saltedBig = big.withColumn("__salt", salt)
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    saltedBig.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

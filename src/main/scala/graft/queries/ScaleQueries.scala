@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.clinical.Clinical
+import graft.normalize.Normalize
+import graft.ops.{Agg, JoinOps}
+import Registry.td
+
+/**
+ * Scale-pattern operators: theta-join rewrite, skew salting, null-column
+ * pruning, and the file-metadata DAG composite (SURVEY §3.2) — the
+ * reference's driver-memory merge re-expressed as one distributed plan.
+ */
+object ScaleQueries {
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // J12 — OR-of-regex theta join → union of equi-joins
+    //   (gene_level_copy_number.py:57-59). Oracle keeps the raw OR join as
+    //   ground truth (DuckDB nested-loops it; fine at oracle scale).
+    "j12_or_of_regex_join" -> Q(
+      (s, dir) => {
+        val left = td(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 20 === 0)
+          .select(concat(col("l_partkey"), lit("-"), col("l_suppkey")).as("code"),
+            col("l_orderkey"))
+          .distinct()
+        val right = td(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+        JoinOps.orOfKeysJoin(left, right,
+          Seq(regexp_extract(col("code"), "^([0-9]+)-", 1).cast("long"),
+            regexp_extract(col("code"), "-([0-9]+)$", 1).cast("long")),
+          "s_suppkey")
+          .select("code", "l_orderkey", "s_suppkey", "s_name")
+      },
+      Some("""SELECT DISTINCT code, l_orderkey, s_suppkey, s_name
+             |FROM (SELECT DISTINCT l_partkey || '-' || l_suppkey AS code, l_orderkey
+             |      FROM lineitem WHERE l_orderkey % 20 = 0) l
+             |JOIN supplier ON CAST(regexp_extract(code, '^([0-9]+)-', 1) AS BIGINT) = s_suppkey
+             |  OR CAST(regexp_extract(code, '-([0-9]+)$', 1) AS BIGINT) = s_suppkey""".stripMargin)),
+
+    // J13 — skew-salted join: result identical to the plain join, shuffle
+    //   spread over `buckets` tasks per hot key
+    "j13_salted_join" -> Q(
+      (s, dir) => {
+        val l = td(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+        val p = td(s, dir, "part").select(col("p_partkey").as("l_partkey"), col("p_name"))
+        JoinOps.saltedJoin(l, p, "l_partkey", buckets = 8)
+          .select("l_orderkey", "l_partkey", "l_quantity", "p_name")
+      },
+      Some("""SELECT l_orderkey, l_partkey, l_quantity, p_name
+             |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin)),
+
+    // C12 — null-column pruning pre-pass (A2-driven,
+    //   create_tables_clinical_gdc.py:155-244): the all-null column must
+    //   vanish from the output schema
+    "c12_prune_null_columns" -> Q(
+      (s, dir) => {
+        val df = td(s, dir, "customer").select(
+          col("c_custkey"), col("c_name"),
+          lit(null).cast("string").as("dead_column"),
+          nullif(col("c_mktsegment"), lit("__NEVER__")).as("live_column"))
+        Clinical.pruneNullColumns(df)
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment AS live_column FROM customer""".stripMargin)),
+
+    // C13 — file-metadata DAG (SURVEY §3.2, create_tables_file_metadata_gdc
+    //   .py:78-438): base + aggregate branches LEFT-joined, STRING_AGG
+    //   columns collapsed to 'multi' past MAX_CONCAT_COUNT, values
+    //   normalized — the reference's seven-query driver merge as ONE plan
+    "c13_file_metadata_dag" -> Q(
+      (s, dir) => {
+        val o = td(s, dir, "orders")
+        val l = td(s, dir, "lineitem")
+        val acl = l.groupBy(col("l_orderkey").as("k1"))
+          .agg(Agg.stringAggDistinctOrdered(concat(lit("acl-"), col("l_suppkey")), ";").as("acl_ids"))
+        val parts = l.groupBy(col("l_orderkey").as("k2"))
+          .agg(Agg.stringAggDistinctOrdered(col("l_partkey").cast("string"), ";").as("part_ids"),
+            count(lit(1)).cast("long").as("n_items"))
+        o.join(acl, o("o_orderkey") === col("k1"), "left")
+          .join(parts, o("o_orderkey") === col("k2"), "left")
+          .select(o("o_orderkey"),
+            // default must NOT be a normalize null-marker ('none' would → NULL)
+            Normalize.normalizeValue(coalesce(col("acl_ids"), lit("unmapped"))).as("acl_ids"),
+            Normalize.convertConcatToMulti(col("part_ids")).as("part_ids"),
+            coalesce(col("n_items"), lit(0L)).as("n_items"))
+      },
+      Some("""WITH acl AS (SELECT l_orderkey,
+             |  string_agg(DISTINCT 'acl-' || l_suppkey, ';' ORDER BY 'acl-' || l_suppkey) AS acl_ids
+             |  FROM lineitem GROUP BY 1),
+             |parts AS (SELECT l_orderkey,
+             |  string_agg(DISTINCT CAST(l_partkey AS VARCHAR), ';' ORDER BY CAST(l_partkey AS VARCHAR)) AS part_ids,
+             |  CAST(count(*) AS BIGINT) AS n_items,
+             |  count(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY 1)
+             |SELECT o_orderkey, COALESCE(acl_ids, 'unmapped') AS acl_ids,
+             |  CASE WHEN n_parts > 8 THEN 'multi' ELSE part_ids END AS part_ids,
+             |  COALESCE(n_items, 0) AS n_items
+             |FROM orders
+             |LEFT JOIN acl ON o_orderkey = acl.l_orderkey
+             |LEFT JOIN parts ON o_orderkey = parts.l_orderkey""".stripMargin))
+  )
+}

@@ -40,19 +40,14 @@ object Drive {
         out.filter($"doc_id" =!= -1L).groupBy("lang").count().orderBy(desc("count")).show(10)
 
       case "infer" =>
-        // Distributed type inference over stringified real columns.
+        // One-pass distributed type inference (native TypeSetAgg — no UDF,
+        // no data collect; sampled like the reference's sample_interval).
         val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
           .select($"l_quantity".cast("string"), $"l_extendedprice".cast("string"),
                   $"l_returnflag", $"l_shipdate".cast("string"))
-        val checkType = udf((s: String) =>
-          graft.types.TypeInference.checkValueType(s).map(_.name).orNull)
-        val typeSets = li.select(li.columns.toIndexedSeq.map(c =>
-          collect_set(checkType(col(c))).as(c)): _*).collect().head
-        li.columns.zipWithIndex.foreach { case (c, i) =>
-          val set = typeSets.getSeq[String](i).toSet.map(graft.types.BqType.fromName)
-          val resolved = graft.types.TypeInference.resolveTypeConflict(c, set)
-          println(s"$c: observed=$set resolved=$resolved spark=${
-            graft.types.BqType.toSpark(resolved)}")
+        graft.io.SchemaInfer.inferColumnTypes(li, sampleFraction = 0.5).foreach {
+          case (c, resolved) =>
+            println(s"$c: resolved=$resolved spark=${graft.types.BqType.toSpark(resolved)}")
         }
 
       case other => sys.error(s"unknown task $other")

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("orOfKeysJoin equals the OR theta join, without a nested loop") {
+    val left = Seq(("1-2", "x"), ("3-1", "y"), ("9-9", "z")).toDF("code", "payload")
+    val right = Seq((1L, "s1"), (2L, "s2"), (3L, "s3")).toDF("key", "name")
+    val out = JoinOps.orOfKeysJoin(left, right,
+      Seq(regexp_extract(col("code"), "^([0-9]+)-", 1).cast("long"),
+        regexp_extract(col("code"), "-([0-9]+)$", 1).cast("long")), "key")
+    val got = out.select("code", "key").as[(String, Long)].collect().toSet
+    // "1-2" matches keys 1 and 2; "3-1" matches 3 and 1; "9-9" matches none
+    assert(got === Set(("1-2", 1L), ("1-2", 2L), ("3-1", 3L), ("3-1", 1L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("saltedJoin result identical to the plain join") {
+    val big = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d")).toDF("k", "v")
+    val small = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("k", "name")
+    val salted = JoinOps.saltedJoin(big, small, "k", buckets = 4)
+      .select("k", "v", "name").as[(Long, String, String)].collect().toSet
+    val plain = big.join(small, "k")
+      .select("k", "v", "name").as[(Long, String, String)].collect().toSet
+    assert(salted === plain)
+  }
+
+  test("saltedJoin left-outer keeps unmatched big-side rows") {
+    val big = Seq((1L, "a"), (9L, "x")).toDF("k", "v")
+    val small = Seq((1L, "one")).toDF("k", "name")
+    val out = JoinOps.saltedJoin(big, small, "k", buckets = 3, joinType = "left")
+      .select("k", "name").as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "one"), (9L, null)))
+  }
+}
