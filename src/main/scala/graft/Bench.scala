@@ -32,7 +32,11 @@ object Bench {
       case c => c.toString
     }
 
+    // dev-only filter: SPARK_GRAFT_ONLY=<prefix> limits the run; the driver
+    // doesn't set it, so round benches always run the full registry
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(n.startsWith))
     val timed  = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     names.foreach { name =>

@@ -74,13 +74,13 @@ object Ann {
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, dim: Int, k: Int, nPlanes: Int = 12): DataFrame = {
-    val cb = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
-      hyperplaneBucket(col(vecCol), dim, nPlanes).as("bucket"))
+    val spark = corpus.sparkSession
+    val cb = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+      .withColumn("bucket", HyperplaneBucket.bucketCol(spark, "cvec", nPlanes))
     // query probes: own bucket + each 1-bit flip. Bucket computed ONCE per
-    // row (materialized column), probes derived by XOR — inlining the
-    // nPlanes-projection fold into every probe would cost (nPlanes+1)×.
-    val qbase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      hyperplaneBucket(col(vecCol), dim, nPlanes).as("qbucket"))
+    // row (native codegen'd expression), probes derived by XOR.
+    val qbase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qbucket", HyperplaneBucket.bucketCol(spark, "qvec", nPlanes))
     val probes = col("qbucket") +: (0 until nPlanes).map(p => col("qbucket").bitwiseXOR(lit(1L << p)))
     val qb = qbase.select(col("query_id"), col("qvec"),
         explode(array(probes: _*)).as("bucket"))
@@ -151,8 +151,8 @@ object Ann {
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         dim: Int, threshold: Double, nPlanes: Int = 10,
                         maxBucketSize: Int = 2000): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      hyperplaneBucket(col(vecCol), dim, nPlanes).as("bucket"))
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", HyperplaneBucket.bucketCol(df.sparkSession, "vec", nPlanes))
     val buckets = b.groupBy("bucket")
       .agg(collect_list(struct(col("id"), col("vec"))).as("members"))
       .filter(size(col("members")).between(2, maxBucketSize))

@@ -188,9 +188,12 @@ object Dedup {
                       maxHamming: Int = 3, blocks: Int = 8,
                       maxBucketSize: Int = 1000): DataFrame = {
     val bits = 64 / blocks
-    // expression-fold simhash: measured 2× faster than the explode+64-agg
-    // variant (simhashByAgg), which falls out of codegen at 64 agg buffers
-    val withSim = df.select(col(idCol), simhash64(col(textCol)).as("simhash"))
+    // native SimHash64 expression (codegen'd tight loop): measured faster
+    // than both the HOF fold (per-token array allocs) and the explode+64-agg
+    // variant (falls out of codegen at 64 agg buffers)
+    val withSim = df
+      .select(col(idCol), TextOps.whitespaceTokens(lower(col(textCol))).as("_toks"))
+      .select(col(idCol), SimHash64.simhashCol(df.sparkSession, "_toks").as("simhash"))
     val slices = (0 until blocks).map(b =>
       shiftright(col("simhash"), b * bits).bitwiseAND(lit((1L << bits) - 1)))
     val banded = withSim.select(col(idCol), col("simhash"),

@@ -1,0 +1,81 @@
+package graft.llm
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native 64-bit SimHash over a token array — a codegen'd Catalyst
+ * `Expression` replacing the higher-order-function fold, which allocates
+ * two 64-int Catalyst arrays per token. This implementation keeps the
+ * 64 vote counters in a stack-local int[] inside one tight loop
+ * (~5× the fold at sf0.1; see PERF.md).
+ *
+ * Semantics: per bit i, vote = Σ over tokens of (bit_i(xxhash64(token))
+ * ? +1 : -1); result bit i set iff vote > 0. Uses Spark's own XxHash64
+ * (seed 42) so values match `xxhash64(token)`-based pipelines.
+ */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash64 requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.llm.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+
+  /** Static helper shared by interpreted eval and generated code. */
+  def compute(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(t, StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Register `graft_simhash64(array<string>)` as a session function.
+    * Idempotent. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64", (children: Seq[Expression]) => SimHash64(children.head), "scala_udf")
+
+  /** Column form over a named token-array column (register first). */
+  def simhashCol(spark: org.apache.spark.sql.SparkSession, tokensCol: String): org.apache.spark.sql.Column = {
+    register(spark)
+    org.apache.spark.sql.functions.expr(s"graft_simhash64(`$tokensCol`)")
+  }
+}

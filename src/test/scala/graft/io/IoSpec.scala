@@ -1,0 +1,59 @@
+package graft.io
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class IoSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String = java.nio.file.Files.createTempDirectory(
+    java.nio.file.Paths.get("/root/repo/target"), "iospec").toString
+
+  test("readTsv: duplicate headers deduped, cells normalized (data_helpers.py:489-557)") {
+    val dir = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.tsv"),
+      "id\tname\tname\n001\tNA\tYes\n2\t100.0\t x \n".getBytes("UTF-8"))
+    val df = Io.readTsv(spark, s"$dir/t.tsv")
+    assert(df.columns.toSeq === Seq("id", "name", "name_1"))
+    val rows = df.as[(String, String, String)].collect().toSet
+    assert(rows === Set(("001", null, "True"), ("2", "100", "x")))
+  }
+
+  test("readTsvChecked row-count invariant holds (data_helpers.py:550-557)") {
+    val dir = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.tsv"),
+      "a\tb\n1\t2\n3\t4\n".getBytes("UTF-8"))
+    assert(Io.readTsvChecked(spark, s"$dir/t.tsv").count() === 2)
+  }
+
+  test("ctasParquet throws on zero rows (create_modify.py:126-128)") {
+    val dir = tmp()
+    intercept[Io.ZeroRowsException] {
+      Io.ctasParquet(spark, Seq((1, "a")).toDF("k", "v").filter(lit(false)), s"$dir/empty")
+    }
+    val ok = Io.ctasParquet(spark, Seq((1, "a")).toDF("k", "v"), s"$dir/full")
+    assert(ok.count() === 1)
+  }
+
+  test("createView refuses when a persistent table holds the name (create_modify.py:314-323)") {
+    Catalog.createView(spark, "iospec_view", Seq((1, "a")).toDF("k", "v"))
+    assert(spark.table("iospec_view").count() === 1)
+    // replace is fine for views
+    Catalog.createView(spark, "iospec_view", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    assert(spark.table("iospec_view").count() === 2)
+    assert(Catalog.dropViewIfExists(spark, "iospec_view"))
+    assert(!Catalog.dropViewIfExists(spark, "iospec_view")) // idempotent
+  }
+
+  test("TSV null-marker round-trip preserves nulls (data_helpers.py:35-56)") {
+    val dir = tmp()
+    val src = Seq((1L, Some("x")), (2L, None)).toDF("id", "v")
+    Io.writeTsv(src, s"$dir/out")
+    val back = Io.readTsvTyped(spark, s"$dir/out",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+    assert(back.as[(Long, Option[String])].collect().toSet === Set((1L, Some("x")), (2L, None)))
+  }
+}

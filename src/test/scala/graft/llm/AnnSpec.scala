@@ -31,6 +31,15 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(ids.contains(1L) || ids.contains(2L))
   }
 
+  test("native HyperplaneBucket matches the expression-composed fold") {
+    import org.apache.spark.sql.functions._
+    val df = vecs.select($"vec_id", $"embedding".as("vec"),
+      Ann.hyperplaneBucket($"embedding", dim = 8, nPlanes = 10).as("fold"))
+    val both = df.withColumn("native", HyperplaneBucket.bucketCol(spark, "vec", 10))
+      .select($"vec_id", $"native", $"fold").as[(Long, Long, Long)].collect()
+    both.foreach { case (id, n, f) => assert(n === f, s"vec $id: native=$n fold=$f") }
+  }
+
   test("IVF top-k: probed cells recover same-cluster neighbors") {
     val centroids = Seq(
       Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),

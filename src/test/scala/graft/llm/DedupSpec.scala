@@ -46,6 +46,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(m.get((0L, 2L)).exists(j => j > 0.3 && j < 1.0))
   }
 
+  test("native SimHash64 expression matches the HOF-fold definition") {
+    val df = docs.select($"doc_id",
+      TextOps.whitespaceTokens(lower($"text")).as("_toks"),
+      Dedup.simhash64($"text").as("fold"))
+    val both = df.select($"doc_id", SimHash64.simhashCol(spark, "_toks").as("native"), $"fold")
+      .as[(Long, Long, Long)].collect()
+    both.foreach { case (id, native, fold) =>
+      assert(native === fold, s"doc $id: native=$native fold=$fold")
+    }
+    // interpreted eval path agrees too
+    val toks = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array("the", "quick", "the").map(org.apache.spark.unsafe.types.UTF8String.fromString))
+    assert(SimHash64.compute(toks) !== 0L)
+  }
+
   test("simhash: identical docs distance 0, near-dups close, others far") {
     val sims = docs.select($"doc_id", Dedup.simhash64($"text").as("sh"))
       .as[(Long, Long)].collect().toMap

@@ -1,0 +1,56 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class TextOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column)(implicit e: org.apache.spark.sql.Encoder[T]): T =
+    Seq(1).toDF("x").select(c.as("r")).as[T].collect()(0)
+
+  test("token counting: whitespace + BPE-ish units") {
+    val df = Seq("the quick  brown fox", "", "  ", "a-b c1d2").toDF("t")
+      .select(TextOps.tokenCount($"t").as("w"), TextOps.bpeishCount($"t").as("b"))
+    val got = df.as[(Long, Long)].collect().toSeq
+    assert(got(0) === ((4L, 4L)))
+    assert(got(1) === ((0L, 0L)))
+    assert(got(2) === ((0L, 0L)))
+    // "a-b c1d2" → bpeish: a, -, b, c, 1, d, 2 = 7 units, 2 whitespace tokens
+    assert(got(3) === ((2L, 7L)))
+  }
+
+  test("language ID picks the stopword-richest language; 'und' when none") {
+    val df = Seq(
+      "the cat and the dog of a house",
+      "der hund und die katze ist ein tier",
+      "el gato y la casa es un lugar",
+      "xyzzy plugh qwerty").toDF("t")
+      .select(TextOps.langIdHeuristic($"t").as("l"))
+    assert(df.as[String].collect().toSeq === Seq("en", "de", "es", "und"))
+  }
+
+  test("quality score: longer clean prose beats short punctuation soup") {
+    val df = Seq(
+      "This is a reasonably long and clean paragraph of ordinary text that goes on for a while and contains many normal words of sensible length throughout the entire passage, making it score well.",
+      "!!! ??? ### $$$ %%%",
+      "ok").toDF("t")
+      .select(TextOps.qualityScore($"t").as("q"))
+    val Seq(good, punct, short) = df.as[Double].collect().toSeq
+    assert(good > 0.5 && punct < 0.2 && short < 0.2)
+    assert(good > punct && good > short)
+  }
+
+  test("shingles and hashed shingles align in count; fingerprint is order-sensitive") {
+    val df = Seq("a b c d e").toDF("t").select(
+      TextOps.shingles($"t", 3).as("s"),
+      TextOps.tokenHashes($"t").as("th"))
+      .select(size($"s").as("ns"),
+        size(TextOps.shingleHashesFromTokenHashes($"th", 3)).as("nh"))
+    assert(df.as[(Int, Int)].collect()(0) === ((3, 3)))
+    val fp = Seq("a b c", "c b a").toDF("t")
+      .select(TextOps.docFingerprint($"t").as("f")).as[Long].collect()
+    assert(fp(0) !== fp(1))
+  }
+}
