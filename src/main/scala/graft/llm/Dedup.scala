@@ -130,6 +130,45 @@ object Dedup {
   }
 
   /**
+   * Near-dup cluster assignment: given candidate pairs (id1, id2), assign
+   * every doc the MINIMUM id reachable through the pair graph (connected
+   * components via iterative label propagation — each round is two
+   * join+aggregate passes; rounds needed = graph diameter, which for dedup
+   * clusters is tiny). The canonical "keep one per duplicate cluster" step:
+   * keep rows where id == cluster_id.
+   *
+   * Driver loop checks only an aggregated changed-count per round — no row
+   * data is collected.
+   */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
+      .unionByName(pairs.select(col("id2").cast("long").as("id1"), col("id1").cast("long").as("id2")))
+      .distinct()
+    var labels = edges.select(col("id1").as("id"))
+      .distinct()
+      .withColumn("cluster_id", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node adopts min(own label, neighbors' labels)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "id2").withColumnRenamed("cluster_id", "nl"), Seq("id2"))
+        .groupBy(col("id1").as("id"))
+        .agg(min(col("nl")).as("neighbor_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint() // truncate the growing lineage each round
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
+        .filter(col("cluster_id") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /**
    * 64-bit SimHash over whitespace tokens: per-bit majority vote of token
    * xxhash64 bits. Expression-only: for each bit position the vote is the
    * sum over tokens of ±1 by that bit — all inside one `aggregate` over the

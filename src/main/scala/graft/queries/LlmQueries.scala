@@ -91,6 +91,14 @@ object LlmQueries {
         td(s, dir, "documents"), "text", "doc_id", maxHamming = 8, blocks = 8),
       None),
 
+    // near-dup clusters: LSH candidates → connected components → the
+    // keep-one-per-cluster assignment (rows-only)
+    "l13_neardup_clusters" -> Q(
+      (s, dir) => Dedup.nearDupClusters(
+        Dedup.minhashCandidatePairs(td(s, dir, "documents"), "text", "doc_id",
+          shingleSize = 3, k = 32, bands = 16)),
+      None),
+
     // rolling-hash document fingerprint (order-sensitive; rows-only)
     "l8_doc_fingerprint" -> Q(
       (s, dir) => td(s, dir, "documents").select(

@@ -10,5 +10,6 @@ trait SparkTestBase {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
     .getOrCreate()
 }

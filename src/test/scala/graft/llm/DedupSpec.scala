@@ -46,6 +46,14 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(m.get((0L, 2L)).exists(j => j > 0.3 && j < 1.0))
   }
 
+  test("near-dup clustering: label propagation finds min-id components") {
+    // chain 1-2-3, pair 5-6, singleton 9 absent from pairs
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val clusters = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("native SimHash64 expression matches the HOF-fold definition") {
     val df = docs.select($"doc_id",
       TextOps.whitespaceTokens(lower($"text")).as("_toks"),
