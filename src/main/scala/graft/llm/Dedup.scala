@@ -140,29 +140,52 @@ object Dedup {
    * Driver loop checks only an aggregated changed-count per round — no row
    * data is collected.
    */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10,
+                      loopPartitions: Int = 8): DataFrame = {
+    val spark = pairs.sparkSession
+    // The candidate graph is tiny relative to the corpus; the loop's cost is
+    // tiny-task scheduling, so run it on few shuffle partitions (localCheckpoint
+    // bypasses AQE's automatic coalescing). Restored afterwards.
+    val prevPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopPartitions.toString)
+    try nearDupClustersLoop(pairs, maxIter)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevPartitions)
+  }
+
+  private def nearDupClustersLoop(pairs: DataFrame, maxIter: Int): DataFrame = {
+    // Materialize the edge list ONCE (localCheckpoint is eager): without
+    // this, every propagation round would re-execute the upstream candidate
+    // generation (e.g. the whole MinHash-LSH pipeline) — measured 16 s → 2 s
+    // at sf0.1.
     val edges = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
       .unionByName(pairs.select(col("id2").cast("long").as("id1"), col("id1").cast("long").as("id2")))
       .distinct()
+      .localCheckpoint()
     var labels = edges.select(col("id1").as("id"))
       .distinct()
       .withColumn("cluster_id", col("id"))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // each node adopts min(own label, neighbors' labels)
+      // each node adopts min(own label, neighbors' labels), then jumps one
+      // pointer (adopts its label's label) — path doubling makes the round
+      // count O(log diameter) instead of O(diameter). One checkpointed
+      // frame per round = two jobs (materialize + convergence probe).
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "id2").withColumnRenamed("cluster_id", "nl"), Seq("id2"))
         .groupBy(col("id1").as("id"))
         .agg(min(col("nl")).as("neighbor_min"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint() // truncate the growing lineage each round
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
-        .filter(col("cluster_id") =!= col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      val adopted = labels.withColumnRenamed("cluster_id", "old")
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("neighbor_min"), col("old"))).as("mid"))
+      val jump = labels.select(col("id").as("mid"), col("cluster_id").as("jl"))
+      val merged = adopted.join(jump, Seq("mid"), "left")
+        .select(col("id"), col("old"),
+          least(col("mid"), coalesce(col("jl"), col("mid"))).as("cluster_id"))
+        .localCheckpoint() // eager; truncates the growing lineage each round
+      converged = merged.filter(col("cluster_id") =!= col("old")).limit(1).isEmpty
+      labels = merged.select("id", "cluster_id")
       iter += 1
     }
     labels

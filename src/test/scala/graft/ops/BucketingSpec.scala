@@ -14,6 +14,14 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
   test("join of co-bucketed tables plans without Exchange") {
     spark.sql("DROP TABLE IF EXISTS bspec_a")
     spark.sql("DROP TABLE IF EXISTS bspec_b")
+    // the in-memory catalog is fresh per JVM but the warehouse dir persists —
+    // orphaned locations must go or CTAS refuses
+    Seq("bspec_a", "bspec_b").foreach { t =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(s"/root/repo/target/spark-warehouse/$t"))
+    }
     (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
       .write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bspec_a")
     (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")

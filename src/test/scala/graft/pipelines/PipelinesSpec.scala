@@ -100,6 +100,19 @@ class PipelinesSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Set(("G1", "a1", "s1", 1.5), ("G2", "a1", "s1", 2.0), ("G2", "a2", "s2", 3.0)))
   }
 
+  test("RunPipeline end-to-end: load → build → publish → QC (SURVEY §3)") {
+    val outRoot = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "demo").toString
+    val cfg = StepRunner.parseConfig(RunPipeline.DefaultConfig)
+    val executed = RunPipeline.run(spark, cfg, "/root/testdata/sf0.001", outRoot)
+    assert(executed === Seq("load_tables", "build_clinical", "build_per_sample_file",
+      "publish", "qc_report"))
+    assert(spark.read.parquet(s"$outRoot/published/clinical_current").count() === 150)
+    // second run with identical data: diff gate must skip republishing
+    RunPipeline.run(spark, cfg, "/root/testdata/sf0.001", outRoot)
+    assert(graft.publish.Publish.latestVersion(s"$outRoot/published", "clinical") === 1)
+  }
+
   test("clusterWrite orders rows within partitions") {
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "cluster").toString
