@@ -36,6 +36,25 @@ object Catalog {
   def createDatabase(spark: SparkSession, name: String): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$name`")
 
+  /**
+   * Schema-drift detector (`find_missing_columns`, lookup.py:544-645): the
+   * reference scans INFORMATION_SCHEMA.COLUMNS against the yaml-declared
+   * column lists before building. Returns (missing-from-table,
+   * unexpected-in-table).
+   */
+  def columnDrift(df: DataFrame, expected: Seq[String]): (Seq[String], Seq[String]) = {
+    val have = df.columns.toSet
+    val want = expected.toSet
+    (expected.filterNot(have.contains), df.columns.toSeq.filterNot(want.contains))
+  }
+
+  /** Fatal variant — pipelines refuse to build against drifted schemas. */
+  def requireColumns(df: DataFrame, expected: Seq[String]): Unit = {
+    val (missing, extra) = columnDrift(df, expected)
+    require(missing.isEmpty,
+      s"schema drift: missing=${missing.mkString(",")} extra=${extra.mkString(",")}")
+  }
+
   /** S11 — export a table to TSV files (support.py:434-470). */
   def exportTsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode("overwrite")

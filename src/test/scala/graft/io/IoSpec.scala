@@ -46,6 +46,18 @@ class IoSpec extends AnyFunSuite with SparkTestBase {
     assert(!Catalog.dropViewIfExists(spark, "iospec_view")) // idempotent
   }
 
+  test("columnDrift reports missing/extra columns (lookup.py:544-645)") {
+    val df = Seq((1, "a")).toDF("id", "v")
+    val (missing, extra) = Catalog.columnDrift(df, Seq("id", "v", "created"))
+    assert(missing === Seq("created") && extra === Seq.empty)
+    val (m2, e2) = Catalog.columnDrift(df, Seq("id"))
+    assert(m2.isEmpty && e2 === Seq("v"))
+    intercept[IllegalArgumentException] {
+      Catalog.requireColumns(df, Seq("id", "nope"))
+    }
+    Catalog.requireColumns(df, Seq("id", "v"))
+  }
+
   test("TSV null-marker round-trip preserves nulls (data_helpers.py:35-56)") {
     val dir = tmp()
     val src = Seq((1L, Some("x")), (2L, None)).toDF("id", "v")
