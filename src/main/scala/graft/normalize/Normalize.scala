@@ -30,6 +30,10 @@ object Normalize {
   private val intRe   = "^[+-]?[0-9]{1,18}$"
   // trivial float: digits '.' zero-or-more zeros (e.g. "100.0", "-10001.00")
   private val trivialFloatRe = "^[+-]?[0-9]{1,18}\\.0*$"
+  // exponent form with a small exponent (≤15 keeps the double integral-exact
+  // and far from Long overflow under ANSI); int-valued ones collapse to
+  // integer text like the reference's int(float(value))
+  private val expRe = "^[+-]?[0-9]+(\\.[0-9]+)?[eE][+-]?[0-9]{1,2}$"
 
   /**
    * Normalize one string-typed column per `normalize_value`
@@ -49,6 +53,13 @@ object Normalize {
       .when(t.rlike("^0[0-9]+$"), t)
       .when(t.rlike(intRe), t.cast("long").cast("string"))
       .when(t.rlike(trivialFloatRe), t.cast("double").cast("long").cast("string"))
+      // int-valued exponent strings → integer form ("2.01803E+13" →
+      // "20180300000000"), matching normalize_value's int(float(v))
+      // (data_helpers.py:479-484); non-integral or huge exponents pass through
+      .when(t.rlike(expRe) &&
+          t.cast("double") === floor(t.cast("double")) &&
+          abs(t.cast("double")) < lit(9.0e15),
+        t.cast("double").cast("long").cast("string"))
       .otherwise(t)
   }
 
@@ -72,6 +83,9 @@ object Normalize {
     else if (t.matches("^0[0-9]+$")) Some(t)
     else if (t.matches(intRe)) Some(java.lang.Long.parseLong(t).toString)
     else if (t.matches(trivialFloatRe)) Some(t.toDouble.toLong.toString)
+    else if (t.matches(expRe) && {
+      val d = t.toDouble; d == math.floor(d) && math.abs(d) < 9.0e15
+    }) Some(t.toDouble.toLong.toString)
     else Some(t)
   }
 

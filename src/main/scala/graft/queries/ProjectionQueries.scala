@@ -82,16 +82,16 @@ object ProjectionQueries {
     "p8_normalize_values" -> Q(
       (s, dir) => {
         val messy = td(s, dir, "nation").withColumn("raw",
-          expr("""CASE CAST(n_nationkey % 8 AS INT)
+          expr("""CASE CAST(n_nationkey % 9 AS INT)
                  |  WHEN 0 THEN 'NA' WHEN 1 THEN '  spark  ' WHEN 2 THEN '100.0'
                  |  WHEN 3 THEN 'YES' WHEN 4 THEN 'None' WHEN 5 THEN '0042'
-                 |  WHEN 6 THEN '+17' ELSE n_name END""".stripMargin))
+                 |  WHEN 6 THEN '+17' WHEN 7 THEN '2.01803E+13' ELSE n_name END""".stripMargin))
         messy.select(col("n_nationkey"), Normalize.normalizeValue(col("raw")).as("norm"))
       },
-      Some("""WITH t AS (SELECT n_nationkey, CASE CAST(n_nationkey % 8 AS INTEGER)
+      Some("""WITH t AS (SELECT n_nationkey, CASE CAST(n_nationkey % 9 AS INTEGER)
              |  WHEN 0 THEN 'NA' WHEN 1 THEN '  spark  ' WHEN 2 THEN '100.0'
              |  WHEN 3 THEN 'YES' WHEN 4 THEN 'None' WHEN 5 THEN '0042'
-             |  WHEN 6 THEN '+17' ELSE n_name END AS raw FROM nation)
+             |  WHEN 6 THEN '+17' WHEN 7 THEN '2.01803E+13' ELSE n_name END AS raw FROM nation)
              |SELECT n_nationkey, CASE
              |  WHEN lower(trim(raw)) IN ('na','n/a','none','','--','-','null','not reported',
              |    'unknown','[not available]','[not applicable]','[unknown]','.') THEN NULL
@@ -102,6 +102,10 @@ object ProjectionQueries {
              |    THEN CAST(CAST(trim(raw) AS BIGINT) AS VARCHAR)
              |  WHEN regexp_full_match(trim(raw), '^[+-]?[0-9]{1,18}\.0*$')
              |    THEN CAST(CAST(CAST(trim(raw) AS DOUBLE) AS BIGINT) AS VARCHAR)
+             |  WHEN regexp_full_match(trim(raw), '^[+-]?[0-9]+(\.[0-9]+)?[eE][+-]?[0-9]{1,2}$')
+             |    AND TRY_CAST(trim(raw) AS DOUBLE) = floor(TRY_CAST(trim(raw) AS DOUBLE))
+             |    AND abs(TRY_CAST(trim(raw) AS DOUBLE)) < 9.0e15
+             |    THEN CAST(CAST(TRY_CAST(trim(raw) AS DOUBLE) AS BIGINT) AS VARCHAR)
              |  ELSE trim(raw) END AS norm FROM t""".stripMargin)),
 
     // P9 — concat-length guard → 'multi' (create_tables_file_metadata_gdc.py:44-75)

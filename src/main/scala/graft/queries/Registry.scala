@@ -34,7 +34,7 @@ object Registry {
       WindowSortSetQueries.all ++ ScalarFnQueries.all ++
       LlmQueries.all ++ IoQueries.all ++ CompositeQueries.all ++
       ClinicalQueries.all ++ ApiQueries.all ++ StreamingQueries.all ++
-      PipelineQueries.all ++ ScaleQueries.all
+      PipelineQueries.all ++ ScaleQueries.all ++ StatQueries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap

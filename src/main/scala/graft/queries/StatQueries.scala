@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Registry.td
+
+/**
+ * Statistical operators: exact percentiles (oracle), HLL sketch distinct
+ * counts (self-checking; sketch internals differ per engine), and the
+ * tumor/normal pairing shape from the CN build.
+ */
+object StatQueries {
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // exact percentiles over money cents — interpolation formula is shared
+    // (sorted values, (n-1)*p), rounded for cross-engine stability
+    "a14_percentiles" -> Q(
+      (s, dir) => td(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99")),
+      Some("""SELECT o_orderstatus,
+             |round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             |round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+             |round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // HLL-sketch distinct count: engines' sketches differ, so the query is
+    // self-checking — it emits exact vs approx and a within-5% flag the
+    // driver's rows>0 check sees; the flag is asserted true here
+    "a15_approx_distinct_sketch" -> Q(
+      (s, dir) => {
+        val out = td(s, dir, "lineitem").agg(
+          countDistinct(col("l_partkey")).cast("long").as("exact"),
+          approx_count_distinct(col("l_partkey"), 0.02).cast("long").as("approx"))
+          .withColumn("within_5pct",
+            abs(col("approx") - col("exact")).cast("double") / col("exact") <= 0.05)
+        assert(out.filter(!col("within_5pct")).isEmpty, "HLL estimate drifted > 5%")
+        out
+      },
+      None),
+
+    // C14 — tumor LEFT JOIN normal pairing (gene_level_copy_number.py:138-142):
+    //   per (case, gene) the tumor measurement joined to its optional normal
+    "c14_tumor_normal_pairing" -> Q(
+      (s, dir) => {
+        val l = td(s, dir, "lineitem")
+        val measurements = l.select(
+          (col("l_orderkey") % 500).as("case_id"),
+          col("l_partkey").as("gene_id"),
+          when(col("l_linenumber") % 2 === 0, lit("tumor")).otherwise(lit("normal")).as("sample_kind"),
+          round(col("l_quantity") * 100).cast("long").as("cn"))
+        val tumor = measurements.filter(col("sample_kind") === "tumor")
+          .groupBy("case_id", "gene_id").agg(max(col("cn")).as("tumor_cn"))
+        val normal = measurements.filter(col("sample_kind") === "normal")
+          .groupBy(col("case_id").as("nc"), col("gene_id").as("ng"))
+          .agg(max(col("cn")).as("normal_cn"))
+        tumor.join(normal,
+            tumor("case_id") === col("nc") && tumor("gene_id") === col("ng"), "left")
+          .select(col("case_id"), col("gene_id"), col("tumor_cn"),
+            coalesce(col("normal_cn"), lit(-1L)).as("normal_cn"))
+      },
+      Some("""WITH m AS (SELECT l_orderkey % 500 AS case_id, l_partkey AS gene_id,
+             |  CASE WHEN l_linenumber % 2 = 0 THEN 'tumor' ELSE 'normal' END AS sample_kind,
+             |  CAST(round(l_quantity*100) AS BIGINT) AS cn FROM lineitem),
+             |t AS (SELECT case_id, gene_id, max(cn) AS tumor_cn FROM m WHERE sample_kind='tumor' GROUP BY 1,2),
+             |n AS (SELECT case_id, gene_id, max(cn) AS normal_cn FROM m WHERE sample_kind='normal' GROUP BY 1,2)
+             |SELECT t.case_id, t.gene_id, t.tumor_cn, COALESCE(n.normal_cn, -1) AS normal_cn
+             |FROM t LEFT JOIN n ON t.case_id = n.case_id AND t.gene_id = n.gene_id""".stripMargin))
+  )
+}

@@ -29,6 +29,12 @@ class NormalizeSpec extends AnyFunSuite {
     // >18-digit strings stay verbatim (bounded regex; no Long overflow)
     assert(normalizeValueScala("99999999999999999999").contains("99999999999999999999"))
     assert(normalizeValueScala("+42").contains("42"))
+    // int-valued exponent strings collapse (ADVICE: reference int(float(v)))
+    assert(normalizeValueScala("2.01803E+13").contains("20180300000000"))
+    assert(normalizeValueScala("1e5").contains("100000"))
+    assert(normalizeValueScala("1.5e1").contains("15"))
+    assert(normalizeValueScala("1.5e0").contains("1.5e0"))  // non-integral → verbatim
+    assert(normalizeValueScala("1e30").contains("1e30"))    // huge exponent → verbatim
   }
 
   test("normalizeValue Column matches pure-Scala twin") {
