@@ -57,6 +57,15 @@ object ScalarFnQueries {
              |CAST(day(o_orderdate) AS BIGINT) AS d,
              |strftime(o_orderdate, '%Y-%m-%d') AS iso FROM orders""".stripMargin)),
 
+    // F5 — TRIM with a character set, the release-compare idiom
+    //   `TRIM(STRING_AGG(...), '0 ')` (compare_clinical_gdc_api_releases.py:104-107)
+    "f5_trim_charset" -> Q(
+      (s, dir) => td(s, dir, "customer").select(
+        col("c_custkey"),
+        expr("TRIM(BOTH '0 ' FROM lpad(CAST(c_custkey AS STRING), 8, '0'))").as("trimmed")),
+      Some("""SELECT c_custkey, trim(lpad(CAST(c_custkey AS VARCHAR), 8, '0'), '0 ') AS trimmed
+             |FROM customer""".stripMargin)),
+
     // F4 — array ops: ARRAY_REVERSE(SPLIT(...))[OFFSET(0)], array length,
     //   contains (compare_clinical_gdc_api_releases.py:125, 153-157)
     "f4_array_ops" -> Q(
