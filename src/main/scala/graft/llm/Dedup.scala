@@ -27,6 +27,16 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).cast("long").as("dup_cnt"))
 
   /**
+   * Deduplicated corpus: keep exactly the min-id row of every exact-dup
+   * group (semi-join against [[exactDedup]]'s keep list — the filter step
+   * a training-data pipeline applies after grouping).
+   */
+  def dedupKeepFirst(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = exactDedup(df, textCol, idCol).select(col("keep_id"))
+    df.join(keep, df(idCol) === keep("keep_id"), "left_semi")
+  }
+
+  /**
    * MinHash signature over word `n`-gram shingles: `k` independent hash
    * functions, each the min over shingles of xxhash64(seed_i ++ shingle).
    * Expression-only (transform/aggregate over the shingle array) — computed

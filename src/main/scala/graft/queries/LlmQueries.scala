@@ -29,6 +29,19 @@ object LlmQueries {
              |CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt
              |FROM documents GROUP BY 1""".stripMargin)),
 
+    // the filter step after exact dedup: corpus reduced to one row per group
+    "l14_dedup_keep_first" -> Q(
+      (s, dir) => {
+        val pre = td(s, dir, "documents").select(col("doc_id"),
+          array_join(slice(TextOps.whitespaceTokens(col("text")), 1, 5), " ").as("prefix"))
+        Dedup.dedupKeepFirst(pre, "prefix", "doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |  array_to_string(regexp_split_to_array(trim(text), '\s+')[1:5], ' ') AS prefix
+             |  FROM documents)
+             |SELECT doc_id, prefix FROM p
+             |WHERE doc_id IN (SELECT min(doc_id) FROM p GROUP BY prefix)""".stripMargin)),
+
     // token counting: whitespace + BPE-ish regex units
     "l2_token_count" -> Q(
       (s, dir) => td(s, dir, "documents").select(

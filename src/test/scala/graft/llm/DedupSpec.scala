@@ -23,6 +23,12 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out.values.sum === 5L)
   }
 
+  test("dedupKeepFirst keeps one row per exact-dup group") {
+    val kept = Dedup.dedupKeepFirst(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 2L, 3L, 4L)) // doc 1 (dup of 0) dropped
+  }
+
   test("minhash LSH finds planted near-dups, not unrelated pairs") {
     val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id", shingleSize = 3, k = 32, bands = 16)
       .as[(Long, Long)].collect().toSet
