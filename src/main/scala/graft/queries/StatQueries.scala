@@ -41,6 +41,28 @@ object StatQueries {
       },
       None),
 
+    // C15 — one-pass table profile: the reference's QC metrics as a single
+    //   aggregate (support.py:2219-2228)
+    "c15_table_profile" -> Q(
+      (s, dir) => graft.ops.Profile.profile(
+        // money pre-cast to decimal: double→string rendering diverges across
+        // engines at ≥1e7 (Spark goes scientific), decimal doesn't
+        td(s, dir, "orders").withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)")),
+        Seq("o_orderstatus", "o_custkey", "o_totalprice")),
+      Some("""WITH a AS (SELECT CAST(count(o_orderstatus) AS BIGINT) AS s_nn, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS s_d,
+             |  CAST(min(o_orderstatus) AS VARCHAR) AS s_min, CAST(max(o_orderstatus) AS VARCHAR) AS s_max,
+             |  CAST(count(o_custkey) AS BIGINT) AS c_nn, CAST(count(DISTINCT o_custkey) AS BIGINT) AS c_d,
+             |  CAST(min(o_custkey) AS VARCHAR) AS c_min, CAST(max(o_custkey) AS VARCHAR) AS c_max,
+             |  CAST(count(o_totalprice) AS BIGINT) AS t_nn,
+             |  CAST(count(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS t_d,
+             |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS t_min,
+             |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS t_max,
+             |  CAST(count(*) AS BIGINT) AS total FROM orders)
+             |SELECT 'o_orderstatus' AS column_name, s_nn AS nonnull_count, s_d AS distinct_count,
+             |  s_min AS min_value, s_max AS max_value, total AS total_count FROM a
+             |UNION ALL SELECT 'o_custkey', c_nn, c_d, c_min, c_max, total FROM a
+             |UNION ALL SELECT 'o_totalprice', t_nn, t_d, t_min, t_max, total FROM a""".stripMargin)),
+
     // C14 — tumor LEFT JOIN normal pairing (gene_level_copy_number.py:138-142):
     //   per (case, gene) the tumor measurement joined to its optional normal
     "c14_tumor_normal_pairing" -> Q(

@@ -55,6 +55,18 @@ object Streaming {
         col("n"), col("value_sum"))
 
   /**
+   * Streaming exact dedup: drop events whose key was already seen, with
+   * watermark-bounded state (`dropDuplicatesWithinWatermark`) — the
+   * streaming twin of the batch exact-dedup operator; state for keys older
+   * than the watermark is evicted, so it runs indefinitely.
+   */
+  def dedupWithinWatermark(events: Dataset[Event], keyCols: Seq[String],
+                           watermarkDelay: String): DataFrame =
+    events.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /**
    * Gap-based sessionization with `flatMapGroupsWithState` +
    * EventTimeTimeout: one small state object per active user; a session is
    * emitted when a later event arrives past the gap, or when the watermark

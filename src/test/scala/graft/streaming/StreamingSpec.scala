@@ -59,6 +59,20 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(sessions.exists(_._1 == 99L))
   }
 
+  test("streaming dedup within watermark drops repeated keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.dedupWithinWatermark(mem.toDS(), Seq("event_id"), "1 minute")
+      .writeStream.format("memory").queryName("dd").outputMode(OutputMode.Append()).start()
+    mem.addData(ev(1, 5, 1), ev(1, 6, 1), ev(2, 7, 2))  // id 1 duplicated
+    q.processAllAvailable()
+    mem.addData(ev(1, 8, 1), ev(3, 9, 3))               // id 1 again, still in state
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dd").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("batch sessionization (window-function path) splits on gaps") {
     val events = Seq(
       ev(1, 0, 1), ev(2, 30, 1),      // session A
