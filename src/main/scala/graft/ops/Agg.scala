@@ -31,6 +31,19 @@ object Agg {
   def stringAggDistinctOrdered(c: Column, sep: String): Column =
     array_join(transform(array_sort(collect_set(c)), _.cast("string")), sep)
 
+  /**
+   * `STRING_AGG(value, sep ORDER BY key)` — ordered by a DIFFERENT key than
+   * the aggregated value (the general case SURVEY §2.9 notes the plain
+   * sort-value trick cannot express): collect (key, value) structs, sort by
+   * the struct (key leads), project values. Ties on key break by value,
+   * matching a deterministic ORDER BY key, value.
+   */
+  def stringAggOrderedBy(value: Column, key: Column, sep: String): Column =
+    array_join(
+      transform(array_sort(collect_list(struct(key.as("k"), value.as("v")))),
+        s => s.getField("v").cast("string")),
+      sep)
+
   /** `ARRAY_TO_STRING(ARRAY_AGG(c), sep)` — unordered input order is
     * nondeterministic under parallelism, so we sort for stable output. */
   def arrayAggToString(c: Column, sep: String): Column =

@@ -73,4 +73,13 @@ object PerSampleFile {
 
     aliquotBranch.unionByName(slideBranch).unionByName(caseBranch)
   }
+
+  /**
+   * DRS/index-file URI enrichment (per_sample_file_gdc.py:267-302): LEFT
+   * join the built table to the `drs_uri(file_uuid, gcs_path)` table so
+   * files without an index URI keep NULL paths.
+   */
+  def withDrsUris(built: DataFrame, drsUri: DataFrame): DataFrame =
+    built.join(broadcast(drsUri), built("file_id") === drsUri("file_uuid"), "left")
+      .drop("file_uuid")
 }

@@ -41,6 +41,16 @@ object StatQueries {
       },
       None),
 
+    // A16 — STRING_AGG ordered by a different key than the value (struct
+    //   sort; the general ORDER BY case)
+    "a16_string_agg_by_key" -> Q(
+      (s, dir) => td(s, dir, "customer").groupBy("c_nationkey")
+        .agg(graft.ops.Agg.stringAggOrderedBy(
+          col("c_name"), col("c_acctbal"), ";").as("names_by_balance")),
+      Some("""SELECT c_nationkey,
+             |string_agg(c_name, ';' ORDER BY c_acctbal, c_name) AS names_by_balance
+             |FROM customer GROUP BY 1""".stripMargin)),
+
     // C15 — one-pass table profile: the reference's QC metrics as a single
     //   aggregate (support.py:2219-2228)
     "c15_table_profile" -> Q(

@@ -73,6 +73,14 @@ class PipelinesSpec extends AnyFunSuite with SparkTestBase {
       ("f4", "case", "04-D4", null, "04-D4")))
   }
 
+  test("withDrsUris LEFT-joins index URIs, keeping unmatched files (per_sample_file_gdc.py:267-302)") {
+    val built = Seq(("f1", "open"), ("f2", "open")).toDF("file_id", "access")
+    val drs = Seq(("f1", "store://bucket/f1")).toDF("file_uuid", "gcs_path")
+    val out = PerSampleFile.withDrsUris(built, drs)
+      .select("file_id", "gcs_path").as[(String, String)].collect().toSet
+    assert(out === Set(("f1", "store://bucket/f1"), ("f2", null)))
+  }
+
   test("rnaSeq: artifact filter + prefix join + pooled merge (RNA_seq.py:97-215)") {
     val raw = Seq(
       ("u1".padTo(36, 'x') + ".tsv", "ENSG1", "g1", 10L, 0.05),
