@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * As-of (nearest-prior) join — a whole-operator semantic Spark lacks,
+ * composed scale-safe from existing ops (SURVEY's preference order (a)):
+ * for every left row, attach the right row with the greatest right-time ≤
+ * left-time within the same key.
+ *
+ * Technique: union both sides into one stream tagged by origin, sort each
+ * key's partition by (time, origin) with right rows first at equal times,
+ * and carry the last non-null right payload forward with
+ * `last(..., ignoreNulls).over(unbounded-preceding window)`. ONE shuffle on
+ * the key — never a per-key loop, never a range cross-product. Right rows
+ * must be unique per (key, time) for deterministic results (dedupe first).
+ */
+object AsOf {
+
+  /**
+   * @param left/right   inputs
+   * @param leftKey/rightKey   equi-key columns
+   * @param leftTime/rightTime numeric/orderable event-time columns
+   * @param rightPayload right columns to attach (null when no prior row)
+   */
+  def asofBackward(left: DataFrame, right: DataFrame,
+                   leftKey: Column, rightKey: Column,
+                   leftTime: Column, rightTime: Column,
+                   rightPayload: Seq[(String, Column)]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = struct(rightPayload.map { case (n, c) => c.as(n) }: _*)
+
+    val l = left.select(
+      leftKey.as("__k"), leftTime.as("__t"), lit(1).as("__src"),
+      struct(leftCols.map(col): _*).as("__lrow"),
+      lit(null).cast(right.select(payload).schema.fields(0).dataType).as("__rrow"))
+    val r = right.select(
+      rightKey.as("__k"), rightTime.as("__t"), lit(0).as("__src"),
+      lit(null).cast(left.select(struct(leftCols.map(col): _*)).schema.fields(0).dataType).as("__lrow"),
+      payload.as("__rrow"))
+
+    // right rows sort BEFORE left rows at equal time → "<=" semantics
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__rrow"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+      .select(leftCols.map(c => col(s"__lrow.$c").as(c)) :+ col("__asof"): _*)
+  }
+}

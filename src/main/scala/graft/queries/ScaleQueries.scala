@@ -50,6 +50,27 @@ object ScaleQueries {
       Some("""SELECT l_orderkey, l_partkey, l_quantity, p_name
              |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin)),
 
+    // J14 — as-of (nearest-prior) join: for each order, the latest event of
+    //   its user bucket at-or-before the order date; union+window technique,
+    //   oracle via DuckDB's native ASOF LEFT JOIN
+    "j14_asof_join" -> Q(
+      (s, dir) => {
+        val o = td(s, dir, "orders").select(col("o_orderkey"),
+          // NTZ → TZ cast is an identity instant under the UTC session zone
+          (col("o_custkey") % 20).as("k"), unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+        val e = td(s, dir, "events")
+          .select((col("user_id") % 20).as("k"), expr("ts div 1000").as("t"), col("event_id"))
+          .groupBy("k", "t").agg(max(col("event_id")).as("ev"))
+        graft.ops.AsOf.asofBackward(o, e,
+            col("k"), col("k"), col("t"), col("t"), Seq("ev" -> col("ev")))
+          .select(col("o_orderkey"), col("__asof.ev").as("last_event_id"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey % 20 AS k, epoch_us(o_orderdate) AS t FROM orders),
+             |e AS (SELECT user_id % 20 AS k, epoch_us(ts) AS t, max(event_id) AS ev
+             |  FROM events GROUP BY 1, 2)
+             |SELECT o.o_orderkey, e.ev AS last_event_id
+             |FROM o ASOF LEFT JOIN e ON o.k = e.k AND e.t <= o.t""".stripMargin)),
+
     // C12 — null-column pruning pre-pass (A2-driven,
     //   create_tables_clinical_gdc.py:155-244): the all-null column must
     //   vanish from the output schema
