@@ -51,4 +51,30 @@ object AsOf {
       .filter(col("__src") === 1)
       .select(leftCols.map(c => col(s"__lrow.$c").as(c)) :+ col("__asof"): _*)
   }
+
+  /**
+   * Binned range join — the scale path for point-in-interval joins, which
+   * planners otherwise nested-loop: intervals explode to the time bins they
+   * cover, points map to their single bin, both sides hash-join on the bin,
+   * and the exact containment predicate filters within bins. Shuffle on the
+   * bin key only; bin width trades replication (wide intervals) against
+   * bucket fan-in.
+   *
+   * @param points     rows with a point column
+   * @param intervals  rows with [start, end] columns (inclusive)
+   */
+  def binnedRangeJoin(points: DataFrame, intervals: DataFrame,
+                      pointCol: Column, startCol: Column, endCol: Column,
+                      binSize: Long): DataFrame = {
+    require(binSize > 0)
+    val p = points.withColumn("__bin", floor(pointCol / binSize).cast("long"))
+    val i = intervals
+      .withColumn("__s", startCol).withColumn("__e", endCol)
+      .withColumn("__bin", explode(sequence(
+        floor(col("__s") / binSize).cast("long"),
+        floor(col("__e") / binSize).cast("long"))))
+    p.join(i, Seq("__bin"))
+      .filter(pointCol >= col("__s") && pointCol <= col("__e"))
+      .drop("__bin", "__s", "__e")
+  }
 }

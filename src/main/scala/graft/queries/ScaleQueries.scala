@@ -71,6 +71,29 @@ object ScaleQueries {
              |SELECT o.o_orderkey, e.ev AS last_event_id
              |FROM o ASOF LEFT JOIN e ON o.k = e.k AND e.t <= o.t""".stripMargin)),
 
+    // J15 — binned range join: events falling inside derived order windows;
+    //   oracle keeps the plain range predicate as ground truth
+    "j15_range_join" -> Q(
+      (s, dir) => {
+        val e = td(s, dir, "events")
+          .select(col("event_id"), (col("user_id") % 10).as("bucket_id"),
+            expr("ts div 1000").as("t"))
+        // synthetic 1-hour windows anchored per bucket (deterministic)
+        val windows = td(s, dir, "events")
+          .groupBy((col("user_id") % 10).as("wb"))
+          .agg(min(expr("ts div 1000")).as("ws"))
+          .select(col("wb"), col("ws"), (col("ws") + 3600L * 1000000L).as("we"))
+        graft.ops.AsOf.binnedRangeJoin(e, windows,
+            col("t"), col("ws"), col("we"), binSize = 600L * 1000000L)
+          .filter(col("bucket_id") === col("wb"))
+          .select(col("event_id"), col("wb"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id % 10 AS bucket_id, epoch_us(ts) AS t FROM events),
+             |w AS (SELECT user_id % 10 AS wb, min(epoch_us(ts)) AS ws,
+             |  min(epoch_us(ts)) + CAST(3600 AS BIGINT)*1000000 AS we FROM events GROUP BY 1)
+             |SELECT e.event_id, w.wb FROM e JOIN w
+             |ON e.t >= w.ws AND e.t <= w.we AND e.bucket_id = w.wb""".stripMargin)),
+
     // C12 — null-column pruning pre-pass (A2-driven,
     //   create_tables_clinical_gdc.py:155-244): the all-null column must
     //   vanish from the output schema

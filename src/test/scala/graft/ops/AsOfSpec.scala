@@ -23,6 +23,17 @@ class AsOfSpec extends AnyFunSuite with SparkTestBase {
       (2L, 5L, "buy", None, None)))               // no prior quote
   }
 
+  test("binned range join equals the naive theta join, without a nested loop") {
+    val points = Seq((1L, 5L), (2L, 15L), (3L, 95L)).toDF("pid", "t")
+    val intervals = Seq((10L, 1L, 9L), (20L, 10L, 30L), (30L, 12L, 16L)).toDF("iid", "s", "e")
+    val out = AsOf.binnedRangeJoin(points, intervals, col("t"), col("s"), col("e"), binSize = 8)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 10L), (2L, 20L), (2L, 30L)))  // t=95 matches nothing
+    val plan = AsOf.binnedRangeJoin(points, intervals, col("t"), col("s"), col("e"), 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("plan shuffles once on the key — no range cross-product") {
     val l = Seq((1L, 10L)).toDF("k", "t")
     val r = Seq((1L, 5L, 1.0)).toDF("k", "t", "v")
