@@ -28,6 +28,36 @@ object Ann {
     when(na === 0 || nb === 0, lit(0.0)).otherwise(d / (na * nb))
   }
 
+  /** L2-normalize a vector to unit length (zero vectors pass through). */
+  def l2Normalize(vec: Column): Column = {
+    val n = norm(vec)
+    when(n === 0, transform(vec, _.cast("double")))
+      .otherwise(transform(vec, v => v.cast("double") / n))
+  }
+
+  /**
+   * Symmetric int8 quantization: clamp to [-1,1], scale to [-127,127],
+   * round — the storage form embedding pipelines ship at scale (4× smaller
+   * than float32; pair with [[l2Normalize]] first).
+   */
+  def quantizeInt8(vec: Column): Column =
+    transform(vec, v =>
+      round(greatest(lit(-1.0), least(lit(1.0), v.cast("double"))) * 127).cast("long"))
+
+  /**
+   * Deterministic random projection to `outDim` dimensions (Johnson-
+   * Lindenstrauss style): output d = Σ v(i)·coeff(d,i) with hash-derived
+   * coefficients — the no-training dimensionality-reduction path.
+   */
+  def randomProjection(vec: Column, inDim: Int, outDim: Int): Column = {
+    val comps = (0 until outDim).map { d =>
+      val coeffs = array((0 until inDim).map(i => lit(planeCoeff(d + 1000, i))): _*)
+      aggregate(zip_with(vec, coeffs, (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    array(comps: _*)
+  }
+
   /**
    * Exact brute-force top-k cosine neighbors of one query vector. The query
    * vector is a literal (broadcast into codegen); the scan computes one

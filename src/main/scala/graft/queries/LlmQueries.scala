@@ -152,6 +152,24 @@ object LlmQueries {
         dim = 64, threshold = 0.2, nPlanes = 6),
       None),
 
+    // embedding preprocessing: L2-normalize → int8-quantize (the 4×-smaller
+    // storage form); norms oracle-checked alongside
+    "l15_embedding_quantize" -> Q(
+      (s, dir) => {
+        val e = td(s, dir, "embeddings")
+          .select(col("vec_id"), Ann.l2Normalize(col("embedding")).as("unit"))
+        e.select(col("vec_id"),
+          Ann.quantizeInt8(col("unit")).as("q8"),
+          round(Ann.norm(col("unit")), 6).as("unit_norm"))
+      },
+      Some("""WITH u AS (SELECT vec_id,
+             |  list_transform(embedding::DOUBLE[],
+             |    x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS unit
+             |  FROM embeddings)
+             |SELECT vec_id,
+             |list_transform(unit, x -> CAST(round(greatest(-1.0, least(1.0, x)) * 127) AS BIGINT)) AS q8,
+             |round(sqrt(list_dot_product(unit, unit)), 6) AS unit_norm FROM u""".stripMargin)),
+
     // multimodal plumbing: binary payload → typed feature extraction via
     // per-partition batch decode (decode itself is a deterministic stub);
     // byte-level fields are oracle-checked, the stub hash is not exposed here
