@@ -74,9 +74,13 @@ object Dedup {
     // projections: inlining any stage into the next re-evaluates it per
     // reference (measured 40× slowdown on the signature, quadratic blowup
     // on per-element `get`s against an inlined transform).
+    // Docs with fewer than `shingleSize` tokens have NO shingles and thus no
+    // MinHash signature — drop them here rather than letting array_min(empty)
+    // = null collapse every short doc into one shared bucket.
     val withSig = df
       .select(col(idCol), TextOps.tokenHashes(col(textCol)).as("_th"))
       .select(col(idCol), TextOps.shingleHashesFromTokenHashes(col("_th"), shingleSize).as("_sh"))
+      .filter(size(col("_sh")) > 0)
       .select(col(idCol), minhashFromShingles(col("_sh"), k).as("_sig"))
     val bandHashes = (0 until bands).map(b => xxhash64(slice(col("_sig"), b * rows + 1, rows), lit(b)))
     withSig.select(col(idCol), posexplode(array(bandHashes: _*)).as(Seq("band_id", "band_hash")))

@@ -77,11 +77,15 @@ object TextOps {
     round(lenScore * (lit(1.0) - punctRatio) * (lit(0.5) + lit(0.5) * wordScore), 6)
   }
 
-  /** Word n-gram shingles of size n (contiguous, space-joined). */
+  /** Word n-gram shingles of size n (contiguous, space-joined). Docs with
+    * fewer than n tokens yield an EMPTY array — the guard matters because
+    * `sequence(1, 0)` is the DESCENDING [1, 0] in Spark (step defaults to
+    * -1 when start > stop), which would emit two bogus shingles. */
   def shingles(text: Column, n: Int): Column = {
     val toks = whitespaceTokens(lower(text))
-    val count = greatest(size(toks) - (n - 1), lit(0))
-    transform(sequence(lit(1), count), i => array_join(slice(toks, i, lit(n)), " "))
+    val count = size(toks) - (n - 1)
+    when(count < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), count), i => array_join(slice(toks, i, lit(n)), " ")))
   }
 
   /** Per-token xxhash64 array — materialize this as a column BEFORE calling
@@ -98,9 +102,10 @@ object TextOps {
    * pair is negligible next to MinHash's own approximation error).
    */
   def shingleHashesFromTokenHashes(th: Column, n: Int): Column = {
-    val count = greatest(size(th) - (n - 1), lit(0))
-    transform(sequence(lit(1), count),
-      i => xxhash64((0 until n).map(j => get(th, i + lit(j) - 1)): _*))
+    val count = size(th) - (n - 1)
+    when(count < 1, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), count),
+        i => xxhash64((0 until n).map(j => get(th, i + lit(j) - 1)): _*)))
   }
 
   /**

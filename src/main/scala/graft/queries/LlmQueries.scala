@@ -154,20 +154,26 @@ object LlmQueries {
 
     // embedding preprocessing: L2-normalize → int8-quantize (the 4×-smaller
     // storage form); norms oracle-checked alongside
+    // q8 serialized to CSV on BOTH sides: the driver's pandas comparator
+    // cannot hash an array column. Zero-norm guard mirrored in the oracle
+    // (l2Normalize passes zero vectors through; a raw divide would NaN).
     "l15_embedding_quantize" -> Q(
       (s, dir) => {
         val e = td(s, dir, "embeddings")
           .select(col("vec_id"), Ann.l2Normalize(col("embedding")).as("unit"))
         e.select(col("vec_id"),
-          Ann.quantizeInt8(col("unit")).as("q8"),
+          array_join(transform(Ann.quantizeInt8(col("unit")), _.cast("string")), ",").as("q8_csv"),
           round(Ann.norm(col("unit")), 6).as("unit_norm"))
       },
       Some("""WITH u AS (SELECT vec_id,
-             |  list_transform(embedding::DOUBLE[],
-             |    x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS unit
+             |  CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0
+             |    THEN embedding::DOUBLE[]
+             |    ELSE list_transform(embedding::DOUBLE[],
+             |      x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) END AS unit
              |  FROM embeddings)
              |SELECT vec_id,
-             |list_transform(unit, x -> CAST(round(greatest(-1.0, least(1.0, x)) * 127) AS BIGINT)) AS q8,
+             |array_to_string(list_transform(unit,
+             |  x -> CAST(CAST(round(greatest(-1.0, least(1.0, x)) * 127) AS BIGINT) AS VARCHAR)), ',') AS q8_csv,
              |round(sqrt(list_dot_product(unit, unit)), 6) AS unit_norm FROM u""".stripMargin)),
 
     // multimodal plumbing: binary payload → typed feature extraction via

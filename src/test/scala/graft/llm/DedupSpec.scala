@@ -44,6 +44,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("short and empty docs flow through the LSH pipeline without error or bogus pairs") {
+    val shorts = Seq((10L, ""), (11L, "one"), (12L, "one two"), (13L, "uno dos")).toDF("doc_id", "text")
+    val all = docs.unionByName(shorts)
+    val pairs = Dedup.minhashCandidatePairs(all, "text", "doc_id", shingleSize = 3, k = 32, bands = 16)
+      .as[(Long, Long)].collect().toSet
+    // shingle-less docs (< 3 tokens) must not pair with anything — before the
+    // guard they all shared a null signature and formed one giant bogus bucket
+    val shortIds = Set(10L, 11L, 12L, 13L)
+    assert(pairs.forall { case (a, b) => !shortIds(a) && !shortIds(b) })
+    assert(pairs.contains((0L, 1L))) // real dups still found
+    // nearDupPairs (jaccard verify) also survives short docs
+    val nd = Dedup.nearDupPairs(all, "text", "doc_id", threshold = 0.3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(nd.contains((0L, 1L)))
+    // inline signature form no longer throws on short docs
+    val sig = shorts.select(Dedup.minhashSignature($"text", 3, 8).as("s"))
+    assert(sig.collect().length === 4)
+  }
+
   test("jaccard verification scores exact overlap") {
     val withJ = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.3)
       .as[(Long, Long, Double)].collect()

@@ -53,4 +53,14 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       .select(TextOps.docFingerprint($"t").as("f")).as[Long].collect()
     assert(fp(0) !== fp(1))
   }
+
+  test("shingles of docs shorter than n are EMPTY (sequence(1,0) descending trap)") {
+    // 0-, 1-, and 2-token docs at shingleSize=3 must all yield zero shingles,
+    // not throw (slice start 0) or emit two bogus [1,0]-indexed shingles.
+    val df = Seq("", "  ", "one", "one two", "one two three").toDF("t").select(
+      size(TextOps.shingles($"t", 3)).as("ns"),
+      size(TextOps.shingleHashesFromTokenHashes(TextOps.tokenHashes($"t"), 3)).as("nh"))
+    val got = df.as[(Int, Int)].collect().toSeq
+    assert(got === Seq((0, 0), (0, 0), (0, 0), (0, 0), (1, 1)))
+  }
 }
