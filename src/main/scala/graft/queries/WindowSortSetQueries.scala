@@ -60,6 +60,50 @@ object WindowSortSetQueries {
       Some("""SELECT doc_id, source, CAST(CASE WHEN lang IN ('en','de') THEN 0 ELSE 1 END AS INTEGER) AS lang_class
              |FROM documents ORDER BY 3, length(source) DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // O6 — the LITERAL Swiss-Prot id-age rule (quant_data_matrix_pdc.py:
+    //   237-330): accession validator filters a protein list, then the
+    //   age comparator (6-char before 10-char, letter class P<Q<O<A..N<R..Z,
+    //   digit at idx 1) orders the ids. Accessions are synthesized
+    //   deterministically from s_suppkey so O/P/Q/A/R classes and both
+    //   lengths all appear. Global row_number is fine here: a verification
+    //   query over the (small) supplier dim, not a fact-table scan.
+    "o6_swissprot_age_sort" -> Q(
+      (s, dir) => {
+        import graft.clinical.UniProt
+        val k = col("s_suppkey")
+        def d(n: org.apache.spark.sql.Column) = n.cast("string")
+        val letter = element_at(
+          array(lit("P"), lit("Q"), lit("O"), lit("A"), lit("R")), (k % 5 + 1).cast("int"))
+        val acc6 = concat(letter, d(k % 10), lit("BC"), d((k * 7) % 10), d((k * 3) % 10))
+        val acc10 = concat(lit("B"), d(k % 10), lit("CD"), d((k * 7) % 10), d((k * 3) % 10),
+          lit("FG"), d((k * 9) % 10), d(k % 10))
+        val acc = when(k % 2 === 0, acc6).otherwise(acc10)
+        val proteins = concat(lit("ZZZZZZ;"), acc, lit(";A12345")) // invalid flankers
+        td(s, dir, "supplier")
+          .select(acc.as("acc"), UniProt.filterAccessions(proteins).as("uniprotkb_ids"))
+          .withColumn("age_rank", row_number().over(
+            Window.orderBy(UniProt.swissprotAgeKey(col("acc")), col("acc"))).cast("long"))
+      },
+      Some(s"""WITH s AS (SELECT
+             |  CASE WHEN s_suppkey % 2 = 0 THEN
+             |    (CASE s_suppkey % 5 WHEN 0 THEN 'P' WHEN 1 THEN 'Q' WHEN 2 THEN 'O'
+             |      WHEN 3 THEN 'A' ELSE 'R' END)
+             |    || CAST(s_suppkey % 10 AS VARCHAR) || 'BC'
+             |    || CAST((s_suppkey * 7) % 10 AS VARCHAR) || CAST((s_suppkey * 3) % 10 AS VARCHAR)
+             |  ELSE 'B' || CAST(s_suppkey % 10 AS VARCHAR) || 'CD'
+             |    || CAST((s_suppkey * 7) % 10 AS VARCHAR) || CAST((s_suppkey * 3) % 10 AS VARCHAR)
+             |    || 'FG' || CAST((s_suppkey * 9) % 10 AS VARCHAR) || CAST(s_suppkey % 10 AS VARCHAR)
+             |  END AS acc FROM supplier),
+             |v AS (SELECT acc,
+             |  array_to_string(list_filter(string_split('ZZZZZZ;' || acc || ';A12345', ';'),
+             |    p -> regexp_matches(upper(p), '${graft.clinical.UniProt.AccessionRegex}')), ';') AS uniprotkb_ids,
+             |  length(acc) * 1000
+             |    + (CASE substr(acc, 1, 1) WHEN 'P' THEN 1 WHEN 'Q' THEN 2 WHEN 'O' THEN 3
+             |        WHEN 'A' THEN 4 WHEN 'B' THEN 5 ELSE 18 END) * 10
+             |    + CAST(substr(acc, 2, 1) AS BIGINT) AS age_key FROM s)
+             |SELECT acc, uniprotkb_ids,
+             |CAST(row_number() OVER (ORDER BY age_key, acc) AS BIGINT) AS age_rank FROM v""".stripMargin)),
+
     // U1 — UNION ALL via unionByName (per_sample_file_gdc.py:258-264)
     "u1_union_all" -> Q(
       (s, dir) => {
