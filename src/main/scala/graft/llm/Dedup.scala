@@ -56,7 +56,11 @@ object Dedup {
     val hashes = (0 until k).map { i =>
       array_min(transform(sh, h => xxhash64(h, lit(i))))
     }
-    array(hashes: _*)
+    // Empty shingle array → NULL signature (not an array of 32 nulls): a
+    // caller that bands a null signature gets per-band constant buckets
+    // instead of silently collapsing every short doc into one mega-bucket.
+    // [[lshBands]] pre-filters short docs so this branch never fires there.
+    when(size(sh) > 0, array(hashes: _*)).otherwise(lit(null).cast("array<bigint>"))
   }
 
   /**
@@ -75,12 +79,17 @@ object Dedup {
     // reference (measured 40× slowdown on the signature, quadratic blowup
     // on per-element `get`s against an inlined transform).
     // Docs with fewer than `shingleSize` tokens have NO shingles and thus no
-    // MinHash signature — drop them here rather than letting array_min(empty)
-    // = null collapse every short doc into one shared bucket.
+    // MinHash signature — drop them BEFORE the staged projections with a
+    // cheap token-count predicate. Filtering mid-pipeline on size(_sh) is a
+    // trap: PushDownPredicates substitutes the aliases and re-inlines the
+    // whole tokenize→hash→shingle chain into the scan-level Filter, turning
+    // the scan O(tokens²) per row (measured 12–20× at sf0.1). The source
+    // predicate below is linear, evaluated once, and semantically identical
+    // (size(_sh) > 0 ⟺ n_tokens ≥ shingleSize).
     val withSig = df
+      .filter(size(TextOps.whitespaceTokens(col(textCol))) >= shingleSize)
       .select(col(idCol), TextOps.tokenHashes(col(textCol)).as("_th"))
       .select(col(idCol), TextOps.shingleHashesFromTokenHashes(col("_th"), shingleSize).as("_sh"))
-      .filter(size(col("_sh")) > 0)
       .select(col(idCol), minhashFromShingles(col("_sh"), k).as("_sig"))
     val bandHashes = (0 until bands).map(b => xxhash64(slice(col("_sig"), b * rows + 1, rows), lit(b)))
     withSig.select(col(idCol), posexplode(array(bandHashes: _*)).as(Seq("band_id", "band_hash")))
