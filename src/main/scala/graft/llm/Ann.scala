@@ -80,7 +80,7 @@ object Ann {
    * a fixed hash-derived coefficient in [-1, 1). No RNG state — the same
    * plane set on every executor and every run.
    */
-  private def planeCoeff(plane: Int, dim: Int): Double = {
+  private[graft] def planeCoeff(plane: Int, dim: Int): Double = {
     val h = scala.util.hashing.MurmurHash3.productHash((plane, dim))
     (h.toDouble / Int.MaxValue.toDouble)
   }

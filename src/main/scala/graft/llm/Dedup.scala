@@ -4,6 +4,65 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
+ * Pluggable hash family for the MinHash-LSH pipeline. Two members:
+ *
+ *  - [[Xx64Family]] (default): xxhash64 token-composed shingle hashes — the
+ *    fast path (PERF.md rule #2: hash early, never build shingle strings).
+ *  - [[PortableFamily]]: md5-derived shingle hashes + universal-hash seed
+ *    mixes + modular band folds. Slower (string shingles + md5), but every
+ *    step is exactly reproducible in ANSI SQL, so the DuckDB oracle can
+ *    cross-check the ENTIRE LSH pipeline end-to-end (shingling, banding,
+ *    bucketing, pairing) — the verification the xx-family can't have.
+ *
+ * Both run the identical staged pipeline in [[Dedup.lshBands]]; only the
+ * hash arithmetic differs.
+ */
+sealed trait MinHashFamily {
+  /** Stage 1: per-row array materialized before shingle hashing. */
+  private[graft] def stage1(text: Column, n: Int): Column
+  /** Stage 2: array<bigint> shingle hashes from the stage-1 column. */
+  private[graft] def stage2(c: Column, n: Int): Column
+  /** Seed-mix of one 64-bit shingle hash for signature row i. */
+  private[graft] def seedMix(h: Column, i: Int): Column
+  /** Hash of one band's signature slice (band id acts as the seed). */
+  private[graft] def bandHash(sigSlice: Column, b: Int): Column
+}
+
+object Xx64Family extends MinHashFamily {
+  private[graft] def stage1(text: Column, n: Int): Column = TextOps.tokenHashes(text)
+  private[graft] def stage2(c: Column, n: Int): Column =
+    TextOps.shingleHashesFromTokenHashes(c, n)
+  private[graft] def seedMix(h: Column, i: Int): Column = xxhash64(h, lit(i))
+  private[graft] def bandHash(sigSlice: Column, b: Int): Column =
+    xxhash64(sigSlice, lit(b))
+}
+
+object PortableFamily extends MinHashFamily {
+  /** Modulus for the universal hash family (2^31 - 1, prime): products
+    * a_i * (h mod P) stay < 2^62, safe under ANSI long arithmetic. */
+  val P = 2147483647L
+
+  /** Fixed (a_i, b_i) seeds — java.util.Random(42) is LCG-spec'd, so these
+    * are stable constants; the DuckDB oracle SQL interpolates the SAME
+    * values (generated from this very sequence, not re-derived). */
+  val seeds: IndexedSeq[(Long, Long)] = {
+    val rng = new scala.util.Random(42)
+    IndexedSeq.fill(64)(
+      ((rng.nextInt(Int.MaxValue - 1) + 1).toLong, rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  private[graft] def stage1(text: Column, n: Int): Column = TextOps.shingles(text, n)
+  private[graft] def stage2(c: Column, n: Int): Column =
+    transform(c, s => TextOps.portableHash60(s))
+  private[graft] def seedMix(h: Column, i: Int): Column = {
+    val (a, b) = seeds(i)
+    (lit(a) * (h % lit(P)) + lit(b)) % lit(P)
+  }
+  private[graft] def bandHash(sigSlice: Column, b: Int): Column =
+    aggregate(sigSlice, lit(b.toLong), (acc, v) => (acc * lit(8191L) + v) % lit(P))
+}
+
+/**
  * Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
  *
  * Scale design (the 100 TB contract): near-dup detection is ALWAYS bucketed —
@@ -52,9 +111,10 @@ object Dedup {
    * ([[TextOps.shingleHashes]]): k seed-mixes of each 64-bit shingle hash,
    * min-folded per seed. Accepts string shingles too (hashed first).
    */
-  def minhashFromShingles(sh: Column, k: Int): Column = {
+  def minhashFromShingles(sh: Column, k: Int,
+                          family: MinHashFamily = Xx64Family): Column = {
     val hashes = (0 until k).map { i =>
-      array_min(transform(sh, h => xxhash64(h, lit(i))))
+      array_min(transform(sh, h => family.seedMix(h, i)))
     }
     // Empty shingle array → NULL signature (not an array of 32 nulls): a
     // caller that bands a null signature gets per-band constant buckets
@@ -71,7 +131,8 @@ object Dedup {
    * Returns (idCol, band_id, band_hash) — one row per doc per band.
    */
   def lshBands(df: DataFrame, textCol: String, idCol: String,
-               shingleSize: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+               shingleSize: Int = 3, k: Int = 32, bands: Int = 8,
+               family: MinHashFamily = Xx64Family): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rows = k / bands
     // Stage token hashes → shingle hashes → signature as SEPARATE
@@ -88,10 +149,10 @@ object Dedup {
     // (size(_sh) > 0 ⟺ n_tokens ≥ shingleSize).
     val withSig = df
       .filter(size(TextOps.whitespaceTokens(col(textCol))) >= shingleSize)
-      .select(col(idCol), TextOps.tokenHashes(col(textCol)).as("_th"))
-      .select(col(idCol), TextOps.shingleHashesFromTokenHashes(col("_th"), shingleSize).as("_sh"))
-      .select(col(idCol), minhashFromShingles(col("_sh"), k).as("_sig"))
-    val bandHashes = (0 until bands).map(b => xxhash64(slice(col("_sig"), b * rows + 1, rows), lit(b)))
+      .select(col(idCol), family.stage1(col(textCol), shingleSize).as("_s1"))
+      .select(col(idCol), family.stage2(col("_s1"), shingleSize).as("_sh"))
+      .select(col(idCol), minhashFromShingles(col("_sh"), k, family).as("_sig"))
+    val bandHashes = (0 until bands).map(b => family.bandHash(slice(col("_sig"), b * rows + 1, rows), b))
     withSig.select(col(idCol), posexplode(array(bandHashes: _*)).as(Seq("band_id", "band_hash")))
   }
 
@@ -104,8 +165,9 @@ object Dedup {
    */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             shingleSize: Int = 3, k: Int = 32, bands: Int = 8,
-                            maxBucketSize: Int = 1000): DataFrame = {
-    val banded = lshBands(df, textCol, idCol, shingleSize, k, bands)
+                            maxBucketSize: Int = 1000,
+                            family: MinHashFamily = Xx64Family): DataFrame = {
+    val banded = lshBands(df, textCol, idCol, shingleSize, k, bands, family)
     // Bound bucket size BEFORE pairing: collect ids per bucket, cap, pair.
     val buckets = banded.groupBy("band_id", "band_hash")
       .agg(collect_list(col(idCol)).as("ids"))

@@ -109,6 +109,16 @@ object TextOps {
   }
 
   /**
+   * Portable 60-bit string hash: the first 15 hex chars of md5, parsed as
+   * an integer. ~30× slower than xxhash64 but exactly reproducible in any
+   * SQL engine (`('0x'||substr(md5(s),1,15))::BIGINT` in DuckDB) — used by
+   * [[graft.llm.PortableFamily]] so the whole LSH pipeline can be
+   * oracle-checked end-to-end.
+   */
+  def portableHash60(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /**
    * Rolling fingerprint over whitespace tokens: a left-fold hash chain
    * (acc, token) → xxhash64(acc, token). Order-sensitive, unlike a
    * bag-of-words hash, and overflow-free under ANSI mode (a raw polynomial

@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.llm.{Ann, PortableFamily}
+
+/**
+ * DuckDB oracle SQL generators for the LSH/ANN query family. These are the
+ * exact-twin checks VERDICT r3 asked for: every constant the Spark side uses
+ * (universal-hash seeds, hyperplane coefficients) is interpolated into the
+ * SQL from the SAME Scala values, so both engines compute the identical
+ * pipeline — shingling, banding, bucketing, probing, ranking — end to end.
+ *
+ * All-pairs forms (exact Jaccard, recursive-CTE components) are only viable
+ * at oracle scale (sf0.01, ~500 docs); the Spark side is the scale path.
+ */
+object LshOracles {
+
+  private val P = PortableFamily.P
+
+  /** DuckDB cosine similarity matching [[Ann.cosine]] (0 on zero norms). */
+  private def cosSql(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_dot_product($a,$a)) = 0 OR sqrt(list_dot_product($b,$b)) = 0
+       | THEN 0.0 ELSE list_dot_product($a,$b)
+       |   / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b))) END""".stripMargin
+
+  /** Hyperplane sign-bucket over a DOUBLE[] expression — the literal-
+    * coefficient twin of [[graft.llm.HyperplaneBucket]]. */
+  private def bucketSql(vec: String, nPlanes: Int, dim: Int): String =
+    (0 until nPlanes).map { p =>
+      val coeffs = (0 until dim).map(d => Ann.planeCoeff(p, d)).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($vec, $coeffs) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", "\n + ", ")")
+
+  /** Shared CTE prefix: tokenized docs (short docs excluded, mirroring the
+    * lshBands pre-filter) + distinct string shingles. */
+  private def shingleCtes(n: Int): String =
+    s"""toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= $n),
+       |shs AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-${n - 2}),
+       |    i -> array_to_string(t[i:i+${n - 1}], ' '))) AS sh
+       |  FROM toks)""".stripMargin
+
+  /** Exact all-pairs n-gram Jaccard ≥ threshold: the oracle for
+    * l6_ngram_jaccard_neardups. Matches Spark's rounded-then-filtered
+    * semantics (jaccard() rounds to 6 dp before the threshold filter). */
+  def exactJaccardPairsSql(n: Int, threshold: Double): String =
+    s"""WITH ${shingleCtes(n)},
+       |p AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+       |  FROM shs a JOIN shs b ON a.doc_id < b.doc_id)
+       |SELECT id1, id2, jaccard FROM p WHERE jaccard >= $threshold""".stripMargin
+
+  /** Connected components (min-reachable-id labels) over the exact-Jaccard
+    * near-dup graph: the oracle for l13_neardup_clusters. */
+  def exactJaccardClustersSql(n: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${shingleCtes(n)},
+       |p AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+       |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= $threshold),
+       |edges AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a""".stripMargin
+
+  /** Full MinHash-LSH candidate pipeline with the portable hash family:
+    * the oracle for l5_minhash_lsh_pairs. */
+  def minhashPortableSql(n: Int, k: Int, bands: Int, cap: Int): String = {
+    require(k % bands == 0)
+    val rows = k / bands
+    val sigExprs = (0 until k).map { i =>
+      val (a, b) = PortableFamily.seeds(i)
+      s"list_min(list_transform(sh, h -> ($a*(h%$P)+$b)%$P))"
+    }.mkString(",\n    ")
+    // band hash: fold acc = (acc*8191 + sig[j]) % P over the band's rows,
+    // seeded with the band id — identical to PortableFamily.bandHash
+    val bandHash = (1 to rows).foldLeft("r.range") { (acc, j) =>
+      s"(($acc)*8191 + sg[$rows*r.range+$j]) % $P"
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= $n),
+       |hsh AS (
+       |  SELECT doc_id, list_transform(range(1, len(t)-${n - 2}),
+       |    i -> ('0x'||substr(md5(array_to_string(t[i:i+${n - 1}], ' ')),1,15))::BIGINT) AS sh
+       |  FROM toks),
+       |sig AS (
+       |  SELECT doc_id, [$sigExprs] AS sg FROM hsh),
+       |banded AS (
+       |  SELECT doc_id, r.range AS band_id, $bandHash AS band_hash
+       |  FROM sig CROSS JOIN range(0,$bands) r),
+       |buckets AS (
+       |  SELECT band_id, band_hash, list_sort(list(doc_id)) AS ids
+       |  FROM banded GROUP BY 1,2 HAVING count(*) BETWEEN 2 AND $cap),
+       |pl AS (
+       |  SELECT unnest(flatten(list_transform(ids,
+       |    x -> list_transform(list_filter(ids, y -> y > x), y -> [x, y])))) AS pr
+       |  FROM buckets)
+       |SELECT DISTINCT pr[1] AS id1, pr[2] AS id2 FROM pl""".stripMargin
+  }
+
+  /** Multi-probe hyperplane-LSH top-k: the oracle for l10_ann_lsh_topk. */
+  def lshTopKSql(nPlanes: Int, dim: Int, nQueries: Int, k: Int): String = {
+    val probes = ("qb" +: (0 until nPlanes).map(p => s"xor(qb, ${1L << p})")).mkString(", ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, ${bucketSql("e", nPlanes, dim)} AS bucket FROM v),
+       |q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qb FROM b WHERE vec_id < $nQueries),
+       |pr AS (SELECT query_id, qe, unnest([$probes]) AS bucket FROM q),
+       |sc AS (SELECT DISTINCT p.query_id, c.vec_id AS corpus_id,
+       |    ${cosSql("p.qe", "c.e")} AS sim
+       |  FROM pr p JOIN b c ON p.bucket = c.bucket AND c.vec_id <> p.query_id),
+       |rk AS (SELECT query_id, corpus_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS r
+       |  FROM sc)
+       |SELECT query_id, corpus_id, round(sim, 6) AS cosine_sim FROM rk WHERE r <= $k""".stripMargin
+  }
+
+  /** Hyperplane-bucketed near-dup pairs: the oracle for l11_embedding_neardups. */
+  def embeddingNearDupsSql(nPlanes: Int, dim: Int, threshold: Double, cap: Int): String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, ${bucketSql("e", nPlanes, dim)} AS bucket FROM v),
+       |cnt AS (SELECT bucket, count(*) AS nb FROM b GROUP BY 1),
+       |ok AS (SELECT b.vec_id, b.e, b.bucket FROM b JOIN cnt USING (bucket)
+       |  WHERE cnt.nb BETWEEN 2 AND $cap),
+       |p AS (SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2,
+       |    ${cosSql("a.e", "c.e")} AS sim
+       |  FROM ok a JOIN ok c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+       |SELECT id1, id2, round(sim, 6) AS cosine_sim FROM p WHERE sim >= $threshold""".stripMargin
+
+  /** IVF (first-k centroids, nProbe cells) top-k: the oracle for
+    * l12_ann_ivf_topk. Cell ids are the centroid's rank in vec_id order,
+    * matching [[Ann.firstKCentroids]]. */
+  def ivfTopKSql(nCentroids: Int, nProbe: Int, nQueries: Int, k: Int): String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
+       |  FROM v ORDER BY vec_id LIMIT $nCentroids),
+       |sims AS (SELECT v.vec_id, v.e, c.cell, ${cosSql("v.e", "c.ce")} AS sim
+       |  FROM v CROSS JOIN c),
+       |rkd AS (SELECT vec_id, e, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS r
+       |  FROM sims),
+       |corpus AS (SELECT vec_id AS corpus_id, e AS ce2, cell FROM rkd WHERE r = 1),
+       |queries AS (SELECT vec_id AS query_id, e AS qe, cell
+       |  FROM rkd WHERE vec_id < $nQueries AND r <= $nProbe),
+       |sc AS (SELECT DISTINCT q.query_id, c2.corpus_id, ${cosSql("q.qe", "c2.ce2")} AS sim
+       |  FROM queries q JOIN corpus c2 ON q.cell = c2.cell AND c2.corpus_id <> q.query_id),
+       |rk AS (SELECT query_id, corpus_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS r
+       |  FROM sc)
+       |SELECT query_id, corpus_id, round(sim, 6) AS cosine_sim FROM rk WHERE r <= $k""".stripMargin
+}
