@@ -199,15 +199,20 @@ object Dedup {
   /**
    * Verified near-dup pairs: LSH candidates + exact shingle-Jaccard filter.
    * Joins the (small) candidate set back to the corpus twice to fetch
-   * shingle arrays — both joins are on the id key.
+   * shingle arrays — both joins are on the id key. The shingle-hash side
+   * uses the SAME `family` as candidate generation, so the PortableFamily
+   * variant is end-to-end reproducible in the DuckDB oracle
+   * ([[graft.queries.LshOracles.portableNearDupPairsSql]]).
    */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double, shingleSize: Int = 3,
-                   k: Int = 32, bands: Int = 8): DataFrame = {
-    val cands = minhashCandidatePairs(df, textCol, idCol, shingleSize, k, bands)
-    val sh = df.select(col(idCol).as("sid"), TextOps.tokenHashes(col(textCol)).as("_th"))
+                   k: Int = 32, bands: Int = 8,
+                   family: MinHashFamily = Xx64Family): DataFrame = {
+    val cands = minhashCandidatePairs(df, textCol, idCol, shingleSize, k, bands,
+      family = family)
+    val sh = df.select(col(idCol).as("sid"), family.stage1(col(textCol), shingleSize).as("_s1"))
       .select(col("sid"),
-        array_distinct(TextOps.shingleHashesFromTokenHashes(col("_th"), shingleSize)).as("sh"))
+        array_distinct(family.stage2(col("_s1"), shingleSize)).as("sh"))
     cands.join(sh, col("id1") === col("sid")).withColumnRenamed("sh", "sh1").drop("sid")
       .join(sh, col("id2") === col("sid")).withColumnRenamed("sh", "sh2").drop("sid")
       .select(col("id1"), col("id2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))

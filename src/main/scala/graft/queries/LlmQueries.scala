@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Dedup, TextOps}
+import graft.llm.{Ann, Dedup, PortableFamily, TextOps}
 import graft.multimodal.Multimodal
 import Registry.td
 
@@ -10,8 +10,12 @@ import Registry.td
  * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
  * (brute-force + LSH), text analysis, multimodal plumbing.
  *
- * Oracle notes: hash-based ops (xxhash64 signatures) are not DuckDB-
- * expressible → registered rows-only; everything else carries SQL.
+ * Oracle notes: xxhash64-based ops are not DuckDB-expressible → registered
+ * rows-only, with `l5p`/`l6p`/`l13p` portable-family TWINS of the same
+ * pipelines (md5-derived universal hashes, [[LshOracles]]) carrying exact
+ * DuckDB oracles end to end. The ANN family (l10/l11/l12) is oracle-checked
+ * directly: hyperplane coefficients are interpolated into the SQL from the
+ * same Scala constants.
  */
 object LlmQueries {
 
@@ -91,12 +95,32 @@ object LlmQueries {
         td(s, dir, "documents"), "text", "doc_id", shingleSize = 3, k = 32, bands = 16),
       None),
 
+    // portable-family twin of l5: identical staged pipeline, md5-derived
+    // universal hashes → the ENTIRE LSH pipeline (shingle, sign, band,
+    // bucket, pair) is cross-checked against a DuckDB exact twin
+    "l5p_minhash_lsh_pairs_portable" -> Q(
+      (s, dir) => Dedup.minhashCandidatePairs(
+        td(s, dir, "documents"), "text", "doc_id", shingleSize = 3, k = 32, bands = 16,
+        family = PortableFamily),
+      Some(LshOracles.minhashPortableSql(n = 3, k = 32, bands = 16, cap = 1000))),
+
     // LSH candidates verified with exact n-gram Jaccard
     "l6_ngram_jaccard_neardups" -> Q(
       (s, dir) => Dedup.nearDupPairs(
         td(s, dir, "documents"), "text", "doc_id",
         threshold = 0.5, shingleSize = 3, k = 32, bands = 16),
       None),
+
+    // portable-family twin of l6: candidates + Jaccard verify, both
+    // reproduced exactly in the oracle (Jaccard over the same md5 shingle
+    // hashes, rounded to 6 dp before the threshold filter)
+    "l6p_ngram_jaccard_neardups_portable" -> Q(
+      (s, dir) => Dedup.nearDupPairs(
+        td(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.5, shingleSize = 3, k = 32, bands = 16,
+        family = PortableFamily),
+      Some(LshOracles.portableNearDupPairsSql(n = 3, k = 32, bands = 16,
+        cap = 1000, threshold = 0.5))),
 
     // SimHash fingerprints + blocked near-dup pairs (rows-only)
     "l7_simhash_neardups" -> Q(
@@ -111,6 +135,14 @@ object LlmQueries {
         Dedup.minhashCandidatePairs(td(s, dir, "documents"), "text", "doc_id",
           shingleSize = 3, k = 32, bands = 16)),
       None),
+
+    // portable-family twin of l13: connected components over the SAME
+    // candidate graph the oracle derives (recursive-CTE reachability)
+    "l13p_neardup_clusters_portable" -> Q(
+      (s, dir) => Dedup.nearDupClusters(
+        Dedup.minhashCandidatePairs(td(s, dir, "documents"), "text", "doc_id",
+          shingleSize = 3, k = 32, bands = 16, family = PortableFamily)),
+      Some(LshOracles.portableClustersSql(n = 3, k = 32, bands = 16, cap = 1000))),
 
     // rolling-hash document fingerprint (order-sensitive; rows-only)
     "l8_doc_fingerprint" -> Q(
@@ -136,21 +168,30 @@ object LlmQueries {
              |SELECT vec_id, round(sim, 6) AS cosine_sim FROM s
              |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
 
-    // LSH-bucketed ANN: 16 queries probe hyperplane buckets only (rows-only)
+    // LSH-bucketed ANN: 16 queries probe hyperplane buckets only. Oracle:
+    // literal-coefficient hyperplane twin; rank on raw sim, round output
+    // to 6 dp on both sides (mirrors l9)
     "l10_ann_lsh_topk" -> Q(
       (s, dir) => {
         val e = td(s, dir, "embeddings")
         val queries = e.filter(col("vec_id") < 16)
         Ann.lshTopK(e, queries, "embedding", "vec_id", dim = 64, k = 5)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("cosine_sim"), 6).as("cosine_sim"))
       },
-      None),
+      Some(LshOracles.lshTopKSql(nPlanes = 12, dim = 64, nQueries = 16, k = 5))),
 
-    // embedding-cosine near-dup pairs, hyperplane-bucketed (rows-only)
+    // embedding-cosine near-dup pairs, hyperplane-bucketed. Oracle: same
+    // buckets from the same interpolated coefficients; threshold on raw
+    // sim, output rounded to 6 dp
     "l11_embedding_neardups" -> Q(
       (s, dir) => Ann.embeddingNearDups(
         td(s, dir, "embeddings"), "embedding", "vec_id",
-        dim = 64, threshold = 0.2, nPlanes = 6),
-      None),
+        dim = 64, threshold = 0.2, nPlanes = 6)
+        .select(col("id1"), col("id2"),
+          round(col("cosine_sim"), 6).as("cosine_sim")),
+      Some(LshOracles.embeddingNearDupsSql(nPlanes = 6, dim = 64,
+        threshold = 0.2, cap = 2000))),
 
     // embedding preprocessing: L2-normalize → int8-quantize (the 4×-smaller
     // storage form); norms oracle-checked alongside

@@ -70,9 +70,11 @@ object LshOracles {
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
        |SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a""".stripMargin
 
-  /** Full MinHash-LSH candidate pipeline with the portable hash family:
-    * the oracle for l5_minhash_lsh_pairs. */
-  def minhashPortableSql(n: Int, k: Int, bands: Int, cap: Int): String = {
+  /** CTE chain computing the portable-family MinHash-LSH candidate pairs —
+    * the shared body of [[minhashPortableSql]], [[portableNearDupPairsSql]]
+    * and [[portableClustersSql]]. Ends with `cand(id1, id2)`; also exposes
+    * `hsh(doc_id, sh)` (hashed shingles) for downstream Jaccard verify. */
+  private def candidateCtes(n: Int, k: Int, bands: Int, cap: Int): String = {
     require(k % bands == 0)
     val rows = k / bands
     val sigExprs = (0 until k).map { i =>
@@ -84,7 +86,7 @@ object LshOracles {
     val bandHash = (1 to rows).foldLeft("r.range") { (acc, j) =>
       s"(($acc)*8191 + sg[$rows*r.range+$j]) % $P"
     }
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
        |  FROM documents
        |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= $n),
@@ -103,9 +105,45 @@ object LshOracles {
        |pl AS (
        |  SELECT unnest(flatten(list_transform(ids,
        |    x -> list_transform(list_filter(ids, y -> y > x), y -> [x, y])))) AS pr
-       |  FROM buckets)
-       |SELECT DISTINCT pr[1] AS id1, pr[2] AS id2 FROM pl""".stripMargin
+       |  FROM buckets),
+       |cand AS (
+       |  SELECT DISTINCT pr[1] AS id1, pr[2] AS id2 FROM pl)""".stripMargin
   }
+
+  /** Full MinHash-LSH candidate pipeline with the portable hash family:
+    * the exact twin of `minhashCandidatePairs(..., family = PortableFamily)`. */
+  def minhashPortableSql(n: Int, k: Int, bands: Int, cap: Int): String =
+    s"""WITH ${candidateCtes(n, k, bands, cap)}
+       |SELECT id1, id2 FROM cand""".stripMargin
+
+  /** Portable LSH candidates + exact shingle-Jaccard verify — the exact twin
+    * of `nearDupPairs(..., family = PortableFamily)`. Jaccard is computed
+    * over DISTINCT hashed shingles on both sides (same md5-derived hashes),
+    * rounded to 6 dp BEFORE the threshold filter, mirroring [[graft.llm.Dedup.jaccard]]. */
+  def portableNearDupPairsSql(n: Int, k: Int, bands: Int, cap: Int,
+                              threshold: Double): String =
+    s"""WITH ${candidateCtes(n, k, bands, cap)},
+       |dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM hsh),
+       |j AS (
+       |  SELECT c.id1, c.id2,
+       |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+       |  FROM cand c JOIN dsh a ON c.id1 = a.doc_id JOIN dsh b ON c.id2 = b.doc_id)
+       |SELECT id1, id2, jaccard FROM j WHERE jaccard >= $threshold""".stripMargin
+
+  /** Connected components (min-reachable-id labels) over the portable LSH
+    * CANDIDATE graph — the exact twin of
+    * `nearDupClusters(minhashCandidatePairs(..., family = PortableFamily))`,
+    * which clusters unverified candidates (no Jaccard step), matching the
+    * registered l13 shape. */
+  def portableClustersSql(n: Int, k: Int, bands: Int, cap: Int): String =
+    s"""WITH RECURSIVE ${candidateCtes(n, k, bands, cap)},
+       |edges AS (SELECT id1 AS a, id2 AS b FROM cand UNION SELECT id2, id1 FROM cand),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a""".stripMargin
 
   /** Multi-probe hyperplane-LSH top-k: the oracle for l10_ann_lsh_topk. */
   def lshTopKSql(nPlanes: Int, dim: Int, nQueries: Int, k: Int): String = {

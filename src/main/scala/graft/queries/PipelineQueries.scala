@@ -193,15 +193,18 @@ object PipelineQueries {
              |  OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) / 100.0 AS running_total
              |FROM orders""".stripMargin)),
 
-    // IVF ANN: nearest-cell assignment + nProbe probing (rows-only; recall
-    //   vs brute force asserted in AnnSpec)
+    // IVF ANN: nearest-cell assignment + nProbe probing. Oracle: first-k
+    //   centroids by vec_id reproduced in SQL (row_number - 1 = cell id);
+    //   rank on raw sim, output rounded to 6 dp on both sides
     "l12_ann_ivf_topk" -> Q(
       (s, dir) => {
         val e = td(s, dir, "embeddings")
         val centroids = Ann.firstKCentroids(e, "embedding", "vec_id", k = 8)
         Ann.ivfTopK(e, e.filter(col("vec_id") < 8), "embedding", "vec_id",
           centroids, k = 5, nProbe = 2)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("cosine_sim"), 6).as("cosine_sim"))
       },
-      None)
+      Some(LshOracles.ivfTopKSql(nCentroids = 8, nProbe = 2, nQueries = 8, k = 5)))
   )
 }

@@ -71,6 +71,44 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(m.get((0L, 2L)).exists(j => j > 0.3 && j < 1.0))
   }
 
+  test("xx-family LSH recall vs exact-Jaccard ground truth at sf0.001") {
+    // ground truth: ALL pairs with shingle-Jaccard >= 0.5 (crossJoin is
+    // fine at test scale; the operators themselves never do this)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = corpus.select(col("doc_id").as("sid"),
+        array_distinct(TextOps.shingles(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val exact = sh.select(col("sid").as("id1"), col("sh").as("sh1"))
+      .crossJoin(sh.select(col("sid").as("id2"), col("sh").as("sh2")))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), Dedup.jaccard(col("sh1"), col("sh2")).as("j"))
+      .filter(col("j") >= 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture must contain true near-dup pairs")
+    // k=32, bands=16 (rows=2): per-pair miss prob at s=0.5 is 0.75^16 ≈ 1%
+    for (fam <- Seq(Xx64Family, PortableFamily)) {
+      val cands = Dedup.minhashCandidatePairs(corpus, "text", "doc_id",
+          shingleSize = 3, k = 32, bands = 16, family = fam)
+        .as[(Long, Long)].collect().toSet
+      val recall = exact.count(cands).toDouble / exact.size
+      assert(recall >= 0.9, s"$fam recall $recall over ${exact.size} true pairs")
+    }
+  }
+
+  test("portable and xx families agree on verified near-dup pairs") {
+    // jaccard is computed over distinct shingle hashes — its VALUE is
+    // hash-family-independent (absent collisions), so pairs surviving both
+    // families' candidate stages must carry identical scores
+    val xx = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val portable = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.3,
+        family = PortableFamily)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(portable.contains((0L, 1L)) && xx.contains((0L, 1L)))
+    for ((pair, j) <- portable if xx.contains(pair))
+      assert(xx(pair) === j, s"pair $pair: xx=${xx(pair)} portable=$j")
+  }
+
   test("near-dup clustering: label propagation finds min-id components") {
     // chain 1-2-3, pair 5-6, singleton 9 absent from pairs
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
