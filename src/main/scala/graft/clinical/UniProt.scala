@@ -90,9 +90,12 @@ object UniProt {
   }
 
   /** Oldest id of a semicolon-joined accession list (array form): min by
-    * ([[swissprotAgeKey]], id) — the reference's `sorted(...)[0]`. */
+    * ([[swissprotAgeKey]], input position) — the reference's
+    * `sorted(...)[0]` under Python's STABLE sort, where comparator ties
+    * keep list order (NOT lexicographic id order). */
   def oldestAccession(arr: Column): Column =
-    array_min(transform(arr, a => struct(swissprotAgeKey(a).as("k"), a.as("id"))))
+    array_min(transform(arr, (a, i) =>
+      struct(swissprotAgeKey(a).as("k"), i.as("pos"), a.as("id"))))
       .getField("id")
 
   // ------------------------------------------------------------ list filtering
@@ -143,16 +146,33 @@ object UniProt {
    * post-MGI count so pipelines can assert the reference's "exactly one
    * authority" invariant (where the reference hard-exits) instead of
    * crashing executors.
+   *
+   * The reference accumulates records into a dict keyed by authority, so a
+   * DUPLICATE authority keeps the LAST gene_id while entry order stays
+   * first-insertion — mirrored here: one record per authority (last-wins
+   * value), MGI popped afterwards, `n_records` counting DISTINCT non-MGI
+   * authorities.
    */
   def parseAuthority(authority: Column): Column = {
-    val recs = filter(
+    val parsed = filter(
       transform(split(authority, "; "),
         r => struct(substring_index(r, ":", 1).as("auth"),
           // everything after the first ':' (ids may not contain ':' per the
           // reference's <=2-element split invariant)
           when(instr(r, ":") > 0, substr(r, instr(r, ":") + 1)).as("gene_id")),
       ),
-      rec => rec.getField("auth") =!= "MGI" && rec.getField("gene_id").isNotNull)
+      rec => rec.getField("gene_id").isNotNull)
+    val auths = transform(parsed, r => r.getField("auth"))
+    // dict semantics: keep each authority's FIRST occurrence position...
+    val firstSeen = filter(parsed, (r, i) =>
+      array_position(auths, r.getField("auth")) === (i + lit(1)).cast("long"))
+    // ...carrying the LAST occurrence's gene_id, then pop MGI
+    val recs = filter(
+      transform(firstSeen, r => struct(
+        r.getField("auth").as("auth"),
+        element_at(filter(parsed, x => x.getField("auth") === r.getField("auth")), -1)
+          .getField("gene_id").as("gene_id"))),
+      r => r.getField("auth") =!= "MGI")
     val first = element_at(recs, 1)
     when(authority.isNull || length(authority) === 0 || size(recs) === 0,
       struct(lit(null).cast("string").as("authority"),

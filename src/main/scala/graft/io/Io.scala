@@ -31,7 +31,21 @@ object Io {
    * expressions — codegen'd into the scan, no extra stage.
    */
   def readTsv(spark: SparkSession, path: String, normalize: Boolean = true): DataFrame = {
-    val headerLine = spark.read.text(path).limit(1).collect()(0).getString(0)
+    // Resolve the header from the lexicographically-FIRST non-empty visible
+    // file: `spark.read.text(dir).limit(1)` picks an arbitrary split in
+    // multi-file dirs, and a fully-empty input would throw a bare
+    // ArrayIndexOutOfBounds instead of a diagnosable error.
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val globbed = Option(fs.globStatus(hp)).getOrElse(Array.empty)
+    val files = globbed
+      .flatMap(st => if (st.isDirectory) fs.listStatus(st.getPath) else Array(st))
+      .filter(st => st.isFile && st.getLen > 0)
+      .map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      .sortBy(_.toString)
+    require(files.nonEmpty, s"readTsv: no non-empty input files at $path")
+    val headerLine = spark.read.text(files.head.toString).limit(1).collect()(0).getString(0)
     val headers = Normalize.dedupHeader(headerLine.split("\t", -1).toSeq)
     val schema = StructType(headers.map(h => StructField(h, StringType, nullable = true)))
     val raw = spark.read

@@ -180,11 +180,13 @@ object Ann {
    */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         dim: Int, threshold: Double, nPlanes: Int = 10,
-                        maxBucketSize: Int = 2000): DataFrame = {
+                        maxBucketSize: Int = 2000,
+                        dropStats: Option[DropStats] = None): DataFrame = {
     val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", HyperplaneBucket.bucketCol(df.sparkSession, "vec", nPlanes))
-    val buckets = b.groupBy("bucket")
+    val grouped = b.groupBy("bucket")
       .agg(collect_list(struct(col("id"), col("vec"))).as("members"))
+    val buckets = Dedup.observeDrops(grouped, "members", maxBucketSize, dropStats)
       .filter(size(col("members")).between(2, maxBucketSize))
     val sorted = array_sort(col("members"))
     buckets.select(explode(flatten(transform(sorted, (a, i) =>

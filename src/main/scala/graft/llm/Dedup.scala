@@ -166,16 +166,37 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             shingleSize: Int = 3, k: Int = 32, bands: Int = 8,
                             maxBucketSize: Int = 1000,
-                            family: MinHashFamily = Xx64Family): DataFrame = {
+                            family: MinHashFamily = Xx64Family,
+                            dropStats: Option[DropStats] = None): DataFrame = {
     val banded = lshBands(df, textCol, idCol, shingleSize, k, bands, family)
     // Bound bucket size BEFORE pairing: collect ids per bucket, cap, pair.
-    val buckets = banded.groupBy("band_id", "band_hash")
+    val grouped = banded.groupBy("band_id", "band_hash")
       .agg(collect_list(col(idCol)).as("ids"))
+    val buckets = observeDrops(grouped, "ids", maxBucketSize, dropStats)
       .filter(size(col("ids")).between(2, maxBucketSize))
     buckets.select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p._1").as("id1"), col("p._2").as("id2"))
       .distinct()
   }
+
+  /**
+   * Over-cap bucket telemetry: count `dropped_buckets` / `dropped_rows`
+   * (rows = members of dropped buckets) on the pre-filter frame. Counters
+   * ride the normal action — zero extra jobs — via core accumulators, which
+   * survive AQE re-planning where `df.observe` does not (see [[DropStats]]).
+   * The tracking pass-through filter runs on bucket rows (post-aggregation
+   * cardinality), so its non-codegen cost is noise next to the
+   * `collect_list`; with `stats = None` the plan is untouched.
+   */
+  private[llm] def observeDrops(grouped: DataFrame, membersCol: String,
+                                cap: Int, stats: Option[DropStats]): DataFrame =
+    stats.fold(grouped) { st =>
+      val track = udf { n: Int =>
+        if (n > cap) { st.droppedBuckets.add(1L); st.droppedRows.add(n.toLong) }
+        true
+      }.asNondeterministic() // keep it un-reordered and un-collapsed
+      grouped.filter(track(size(col(membersCol))))
+    }
 
   /** All ordered pairs (a,b) with a<b from an array — expression-only. */
   private def pairsOf(ids: Column): Column = {
@@ -338,7 +359,8 @@ object Dedup {
    */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3, blocks: Int = 8,
-                      maxBucketSize: Int = 1000): DataFrame = {
+                      maxBucketSize: Int = 1000,
+                      dropStats: Option[DropStats] = None): DataFrame = {
     val bits = 64 / blocks
     // native SimHash64 expression (codegen'd tight loop): measured faster
     // than both the HOF fold (per-token array allocs) and the explode+64-agg
@@ -350,8 +372,9 @@ object Dedup {
       shiftright(col("simhash"), b * bits).bitwiseAND(lit((1L << bits) - 1)))
     val banded = withSim.select(col(idCol), col("simhash"),
       posexplode(array(slices: _*)).as(Seq("block_id", "slice")))
-    val buckets = banded.groupBy("block_id", "slice")
+    val grouped = banded.groupBy("block_id", "slice")
       .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh"))).as("members"))
+    val buckets = observeDrops(grouped, "members", maxBucketSize, dropStats)
       .filter(size(col("members")).between(2, maxBucketSize))
     val sorted = array_sort(col("members"))
     buckets.select(explode(flatten(transform(sorted, (a, i) =>

@@ -40,6 +40,48 @@ object ApiQueries {
       },
       Some("SELECT * FROM nation")),
 
+    // S10 — table delete / dataset create: idempotent drop + recreate; the
+    //   post-drop definition must win (create_modify.py:339-352, 383-410)
+    "s10_view_drop_recreate" -> Q(
+      (s, dir) => {
+        Catalog.createDatabase(s, "graft_s10_db")
+        Catalog.createView(s, "v_s10_region", td(s, dir, "region"))
+        require(Catalog.dropViewIfExists(s, "v_s10_region"),
+          "dropping an existing view must report true")
+        require(!Catalog.dropViewIfExists(s, "v_s10_region"),
+          "a second drop must be an idempotent no-op")
+        Catalog.createView(s, "v_s10_region",
+          td(s, dir, "region").filter(col("r_regionkey") < 3))
+        s.sql("SELECT r_regionkey, r_name FROM v_s10_region")
+      },
+      Some("SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 3")),
+
+    // S12 — object-store I/O: stage binary objects, pull them with the
+    //   executor-parallel puller, read back DISTRIBUTED via the binaryFile
+    //   source and content-hash every object (support.py:661-752)
+    "s12_object_store_roundtrip" -> Q(
+      (s, dir) => {
+        val src = s"$FixtureRoot/s12src_${new java.io.File(dir).getName}"
+        val dst = s"$FixtureRoot/s12dst_${new java.io.File(dir).getName}"
+        new java.io.File(src).mkdirs()
+        td(s, dir, "nation").select("n_nationkey", "n_name").collect().foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$src/obj_${r.get(0)}.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+        val pullList = td(s, dir, "nation")
+          .select(concat(lit(s"$src/obj_"), col("n_nationkey"), lit(".bin")).as("uri"))
+        Sources.pullToDir(pullList, "uri", dst,
+          uri => java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(uri)))
+        s.read.format("binaryFile").load(s"$dst/*.bin")
+          .select(
+            regexp_extract(col("path"), "obj_([0-9]+)\\.bin", 1).cast("int").as("n_nationkey"),
+            length(col("content")).cast("long").as("byte_len"),
+            md5(col("content")).as("content_md5"))
+      },
+      Some("""SELECT n_nationkey, CAST(octet_length(encode(n_name)) AS BIGINT) AS byte_len,
+             |md5(n_name) AS content_md5 FROM nation""".stripMargin)),
+
     // S11 — export table → TSV with header (support.py:434-470), read back
     "s11_export_tsv" -> Q(
       (s, dir) => {

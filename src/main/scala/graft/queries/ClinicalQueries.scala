@@ -99,17 +99,19 @@ object ClinicalQueries {
     // C16 — gene authority-record parser (quant_data_matrix_pdc.py:382-410):
     //   "AUTH:ID; AUTH2:ID2" → the single non-MGI record. Fixture rotates
     //   through the reference's cases: plain HGNC, HGNC+MGI (MGI excluded),
-    //   MGI-only (→ nulls), empty (→ nulls). The oracle derives the EXPECTED
-    //   outputs independently from the same case split — it does not re-parse.
+    //   MGI-only (→ nulls), empty (→ nulls), duplicate HGNC (dict last-wins
+    //   gene_id, counted once). The oracle derives the EXPECTED outputs
+    //   independently from the same case split — it does not re-parse.
     "c16_authority_parse" -> Q(
       (s, dir) => {
         import graft.clinical.UniProt
         val k = col("c_custkey")
         val id = k.cast("string")
-        val auth = when(k % 4 === 0, concat(lit("HGNC:"), id))
-          .when(k % 4 === 1, concat(lit("HGNC:"), id, lit("; MGI:"), id))
-          .when(k % 4 === 2, concat(lit("MGI:"), id))
-          .otherwise(lit(""))
+        val auth = when(k % 5 === 0, concat(lit("HGNC:"), id))
+          .when(k % 5 === 1, concat(lit("HGNC:"), id, lit("; MGI:"), id))
+          .when(k % 5 === 2, concat(lit("MGI:"), id))
+          .when(k % 5 === 3, lit(""))
+          .otherwise(concat(lit("HGNC:"), id, lit("; HGNC:"), id, lit("X")))
         td(s, dir, "customer")
           .select(k.as("custkey"), UniProt.parseAuthority(auth).as("a"))
           .select(col("custkey"), col("a.authority").as("authority"),
@@ -117,9 +119,10 @@ object ClinicalQueries {
             col("a.n_records").as("n_records"))
       },
       Some("""SELECT c_custkey AS custkey,
-             |CASE WHEN c_custkey % 4 IN (0, 1) THEN 'HGNC' END AS authority,
-             |CASE WHEN c_custkey % 4 IN (0, 1) THEN CAST(c_custkey AS VARCHAR) END AS authority_gene_id,
-             |CAST(CASE WHEN c_custkey % 4 IN (0, 1) THEN 1 ELSE 0 END AS BIGINT) AS n_records
+             |CASE WHEN c_custkey % 5 IN (0, 1, 4) THEN 'HGNC' END AS authority,
+             |CASE WHEN c_custkey % 5 IN (0, 1) THEN CAST(c_custkey AS VARCHAR)
+             |     WHEN c_custkey % 5 = 4 THEN CAST(c_custkey AS VARCHAR) || 'X' END AS authority_gene_id,
+             |CAST(CASE WHEN c_custkey % 5 IN (0, 1, 4) THEN 1 ELSE 0 END AS BIGINT) AS n_records
              |FROM customer""".stripMargin))
   )
 }

@@ -80,6 +80,12 @@ object Streaming {
       UserSession(userId, new java.sql.Timestamp(b.start), new java.sql.Timestamp(b.end),
         b.n, b.sum)
 
+    // Batch mode sees each user's FULL history in one group call and no
+    // timeout ever fires afterwards — parking the trailing session in state
+    // would silently drop it. Streaming mode must park it (a later batch or
+    // the event-time timeout closes it).
+    val streaming = events.isStreaming
+
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionBuf, UserSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -102,9 +108,14 @@ object Streaming {
               } else buf = SessionBuf(buf.start, t, buf.n + 1, buf.sum + cents)
             }
             if (buf != null) {
-              state.update(buf)
-              // fire once the watermark passes the session's gap horizon
-              scala.util.Try(state.setTimeoutTimestamp(buf.end + gapMs))
+              if (streaming) {
+                state.update(buf)
+                // fire once the watermark passes the session's gap horizon
+                scala.util.Try(state.setTimeoutTimestamp(buf.end + gapMs))
+              } else {
+                // batch: input is complete — the open session IS final
+                out += close(userId, buf)
+              }
             }
           }
           out.iterator

@@ -52,6 +52,18 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(ids === Set(1L, 2L)) // same cell as the query; cluster B excluded
   }
 
+  test("embedding near-dups: over-cap bucket fires dropStats counters") {
+    // 4 identical vectors share one hyperplane bucket; cap 3 drops it
+    val same = Seq.tabulate(4)(i =>
+      (i.toLong, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val st = graft.llm.DropStats(spark, "ann_drops")
+    val pairs = Ann.embeddingNearDups(same, "embedding", "vec_id",
+      dim = 8, threshold = 0.5, nPlanes = 4, maxBucketSize = 3, dropStats = Some(st))
+    assert(pairs.count() === 0L)
+    assert(st.buckets === 1L)
+    assert(st.rows === 4L)
+  }
+
   test("embedding near-dup pairs stay within buckets") {
     val pairs = Ann.embeddingNearDups(vecs, "embedding", "vec_id",
       dim = 8, threshold = 0.9, nPlanes = 4)

@@ -109,6 +109,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       assert(xx(pair) === j, s"pair $pair: xx=${xx(pair)} portable=$j")
   }
 
+  test("over-cap buckets fire dropStats counters instead of vanishing silently") {
+    // 5 identical docs, cap 3: every band's bucket holds all 5 → all dropped.
+    // Accumulator-based (NOT df.observe): the bucket agg sits in a non-final
+    // AQE query stage here (distinct() shuffles above it), exactly the shape
+    // where CollectMetrics loses its values — see DropStats scaladoc.
+    val dups = Seq.tabulate(5)(i => (i.toLong, base)).toDF("doc_id", "text")
+    val st = DropStats(spark, "lsh_drops")
+    val pairs = Dedup.minhashCandidatePairs(dups, "text", "doc_id",
+      shingleSize = 3, k = 32, bands = 16, maxBucketSize = 3, dropStats = Some(st))
+    assert(pairs.count() === 0L) // every bucket over cap → no pairs emitted
+    assert(st.buckets === 16L)   // one over-cap bucket per band
+    assert(st.rows === 80L)      // 16 buckets × 5 members
+  }
+
   test("near-dup clustering: label propagation finds min-id components") {
     // chain 1-2-3, pair 5-6, singleton 9 absent from pairs
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")

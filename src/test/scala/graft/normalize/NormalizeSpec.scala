@@ -67,6 +67,14 @@ class NormalizeSpec extends AnyFunSuite {
     val filtered = df.select(Normalize.convertConcatToMulti($"v", filterDuplicates = true).as("r"))
       .collect().map(_.getString(0))
     assert(filtered.toSeq == Seq("multi", eight, "a;b;c", "solo", null))
+    // boundary edges: raw count over max but DISTINCT count exactly max →
+    // kept (deduped); distinct count one over max → multi even after dedup
+    val atMax  = eight + ";1"            // 9 raw, 8 distinct
+    val overMax = nine + ";1"            // 10 raw, 9 distinct
+    val edges = Seq(atMax, overMax).toDF("v")
+      .select(Normalize.convertConcatToMulti($"v", filterDuplicates = true).as("r"))
+      .collect().map(_.getString(0))
+    assert(edges.toSeq == Seq(eight, "multi"))
   }
 
   test("dedupHeader (data_helpers.py:497-516)") {

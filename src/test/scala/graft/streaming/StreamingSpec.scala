@@ -73,6 +73,21 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(ids.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("batch run of the stateful sessionizer emits trailing open sessions") {
+    // single-session user: before the batch-mode flush, the only session was
+    // parked in state and silently dropped (no timeout fires after a batch)
+    val events = Seq(
+      ev(1, 0, 1), ev(2, 30, 1),      // user 1, one open session
+      ev(3, 300, 2), ev(4, 500, 2))   // user 2, gap-closed + trailing session
+    val out = Streaming.sessionize(events.toDS(), gapMs = 60000)
+      .collect().map(s => (s.user_id, s.n_events)).toSeq.sorted
+    assert(out === Seq((1L, 2L), (2L, 1L), (2L, 1L)))
+    // batch stateful path now agrees with the window-function batch path
+    val wf = Streaming.sessionizeBatch(events.toDS(), gapMs = 60000)
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSeq.sorted
+    assert(out === wf)
+  }
+
   test("batch sessionization (window-function path) splits on gaps") {
     val events = Seq(
       ev(1, 0, 1), ev(2, 30, 1),      // session A
