@@ -33,7 +33,13 @@ object Explain {
         val exchanges = "Exchange".r.findAllIn(plan).size
         val bcasts = "BroadcastHashJoin".r.findAllIn(plan).size
         val smj = "SortMergeJoin".r.findAllIn(plan).size
-        val codegen = "WholeStageCodegen".r.findAllIn(plan).size
+        // codegen spans only surface in SIMPLE mode as `*(n)` operator
+        // prefixes (formatted mode never prints the WholeStageCodegen label
+        // pre-execution) — count DISTINCT span ids
+        val simple = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+        val codegen = "\\*\\((\\d+)\\)".r.findAllMatchIn(simple)
+          .map(_.group(1)).toSet.size
         val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(plan)
           .count(!_.contains("[]"))
         println(f"$name%-28s exch=$exchanges bhj=$bcasts smj=$smj wsc=$codegen pushedFilters=$pushed")
