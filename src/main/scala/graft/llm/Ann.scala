@@ -139,23 +139,37 @@ object Ann {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, centroids: Seq[Array[Float]], k: Int,
               nProbe: Int = 2): DataFrame = {
-    // per-centroid similarity as an array of (negSim, cellId) structs;
-    // array_sort orders by negSim then cellId — head = nearest cell
-    def cellRank(vec: Column): Column = {
-      val scored = centroids.zipWithIndex.map { case (c, i) =>
-        val cl = array(c.map(v => lit(v.toDouble)): _*)
-        struct((lit(0.0) - cosine(transform(vec, _.cast("double")), cl)).as("neg"),
-          lit(i).as("cell"))
-      }
-      array_sort(array(scored: _*))
-    }
-    val cb = corpus
-      .select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"), cellRank(col(vecCol)).as("_r"))
-      .select(col("corpus_id"), col("cvec"), element_at(col("_r"), 1).getField("cell").as("cell"))
-    val qb = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), cellRank(col(vecCol)).as("_r"))
-      .select(col("query_id"), col("qvec"),
-        explode(transform(slice(col("_r"), 1, nProbe), _.getField("cell"))).as("cell"))
+    // ONE literal array<struct<cell,c,nb>> shared by every row, folded with a
+    // single lambda — not one cloned cosine tree per centroid. The old shape
+    // (32 clones, each re-casting the vector ~5×) was a huge expression tree
+    // with redundant per-row array materializations — the prime suspect for
+    // l12's unpinned run-to-run variance. Centroid norms are precomputed in
+    // Scala with the same left-fold order as the [[norm]] expression, so
+    // scores are bit-identical to the previous formulation.
+    val centLit = array(centroids.zipWithIndex.map { case (c, i) =>
+      val ds = c.map(_.toDouble)
+      struct(lit(i).as("cell"), array(ds.map(lit(_)): _*).as("c"),
+        lit(math.sqrt(ds.map(v => v * v).sum)).as("nb"))
+    }: _*)
+    // per-centroid (negSim, cellId) structs from a pre-cast vector and its
+    // pre-computed norm; min = nearest cell, sort+slice = nProbe cells
+    def scoredCells(dvec: Column, na: Column): Column =
+      transform(centLit, s => {
+        val d = dot(dvec, s.getField("c")); val nb = s.getField("nb")
+        struct((lit(0.0) - when(na === 0 || nb === 0, lit(0.0))
+          .otherwise(d / (na * nb))).as("neg"), s.getField("cell").as("cell"))
+      })
+    def withDvec(df: DataFrame, id: String): DataFrame = df
+      .select(col(idCol).as(id), col(vecCol).as("vec"),
+        transform(col(vecCol), _.cast("double")).as("_dv"))
+      .select(col(id), col("vec"), col("_dv"), norm(col("_dv")).as("_na"))
+    val cb = withDvec(corpus, "corpus_id")
+      .select(col("corpus_id"), col("vec").as("cvec"),
+        array_min(scoredCells(col("_dv"), col("_na"))).getField("cell").as("cell"))
+    val qb = withDvec(queries, "query_id")
+      .select(col("query_id"), col("vec").as("qvec"),
+        explode(transform(slice(array_sort(scoredCells(col("_dv"), col("_na"))), 1, nProbe),
+          _.getField("cell"))).as("cell"))
     val scored = qb.join(cb, "cell")
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),

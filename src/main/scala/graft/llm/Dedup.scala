@@ -361,13 +361,37 @@ object Dedup {
                       maxHamming: Int = 3, blocks: Int = 8,
                       maxBucketSize: Int = 1000,
                       dropStats: Option[DropStats] = None): DataFrame = {
-    val bits = 64 / blocks
     // native SimHash64 expression (codegen'd tight loop): measured faster
     // than both the HOF fold (per-token array allocs) and the explode+64-agg
     // variant (falls out of codegen at 64 agg buffers)
     val withSim = df
       .select(col(idCol), TextOps.whitespaceTokens(lower(col(textCol))).as("_toks"))
       .select(col(idCol), SimHash64.simhashCol(df.sparkSession, "_toks").as("simhash"))
+    simhashBlockPairs(withSim, idCol, maxHamming, blocks, maxBucketSize, dropStats)
+  }
+
+  /** Portable twin of [[simhashNearDups]]: identical pipeline with
+    * [[SimHashPortable60]] fingerprints (md5-derived token hashes), so a
+    * DuckDB oracle can replay every step — see
+    * `LshOracles.portableSimhashNearDupsSql`. */
+  def simhashNearDupsPortable(df: DataFrame, textCol: String, idCol: String,
+                              maxHamming: Int = 3, blocks: Int = 8,
+                              maxBucketSize: Int = 1000,
+                              dropStats: Option[DropStats] = None): DataFrame = {
+    val withSim = df
+      .select(col(idCol), TextOps.whitespaceTokens(lower(col(textCol))).as("_toks"))
+      .select(col(idCol), SimHashPortable60.simhashCol(df.sparkSession, "_toks").as("simhash"))
+    simhashBlockPairs(withSim, idCol, maxHamming, blocks, maxBucketSize, dropStats)
+  }
+
+  /** Shared block-bucket pairing tail: slice the 64-bit fingerprint into
+    * `blocks` bands, shuffle once on (block_id, slice), pair within capped
+    * buckets, verify hamming ≤ maxHamming. */
+  private def simhashBlockPairs(withSim: DataFrame, idCol: String,
+                                maxHamming: Int, blocks: Int,
+                                maxBucketSize: Int,
+                                dropStats: Option[DropStats]): DataFrame = {
+    val bits = 64 / blocks
     val slices = (0 until blocks).map(b =>
       shiftright(col("simhash"), b * bits).bitwiseAND(lit((1L << bits) - 1)))
     val banded = withSim.select(col(idCol), col("simhash"),

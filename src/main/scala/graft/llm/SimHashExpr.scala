@@ -79,3 +79,87 @@ object SimHash64 {
     org.apache.spark.sql.functions.expr(s"graft_simhash64(`$tokensCol`)")
   }
 }
+
+/**
+ * Portable twin of [[SimHash64]]: identical vote loop, but per-token hashes
+ * are [[TextOps.portableHash60]] (first 15 hex chars of md5 as a 60-bit
+ * integer) instead of xxhash64 — every step reproducible in ANSI SQL, so
+ * the whole SimHash near-dup pipeline gets a DuckDB exact twin. Bits 60–63
+ * are always 0 (votes strictly negative), on both engines alike.
+ */
+case class SimHashPortable60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash_p60 requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_p60"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashPortable60.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.llm.SimHashPortable60.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashPortable60 =
+    copy(child = newChild)
+}
+
+object SimHashPortable60 {
+
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 15 hex chars of md5(bytes) as a long — numerically identical to
+    * Spark's `conv(substring(md5(s), 1, 15), 16, 10)` and DuckDB's
+    * `('0x'||substr(md5(s),1,15))::BIGINT`: 7 full bytes then the high
+    * nibble of byte 7, big-endian. */
+  private[llm] def hash60(bytes: Array[Byte]): Long = {
+    val d = md5.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    (v << 4) | ((dig(7) >>> 4) & 0xfL)
+  }
+
+  /** Static helper shared by interpreted eval and generated code. */
+  def compute(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hash60(tokens.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Register `graft_simhash_p60(array<string>)` as a session function.
+    * Idempotent. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash_p60", (children: Seq[Expression]) => SimHashPortable60(children.head), "scala_udf")
+
+  /** Column form over a named token-array column (register first). */
+  def simhashCol(spark: org.apache.spark.sql.SparkSession, tokensCol: String): org.apache.spark.sql.Column = {
+    register(spark)
+    org.apache.spark.sql.functions.expr(s"graft_simhash_p60(`$tokensCol`)")
+  }
+}

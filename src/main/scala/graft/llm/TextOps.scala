@@ -127,4 +127,18 @@ object TextOps {
   def docFingerprint(text: Column): Column =
     aggregate(whitespaceTokens(text), lit(0L),
       (acc, t) => xxhash64(acc, t))
+
+  /**
+   * Portable twin of [[docFingerprint]]: the same order-sensitive left-fold
+   * chain, but with SQL-reproducible arithmetic — acc = (acc·8191 +
+   * [[portableHash60]](token)) mod P, P = 2³¹−1. Products stay < 2⁶²
+   * (acc < 2³¹, hash < 2⁶⁰), safe under ANSI long math. A DuckDB
+   * recursive CTE replays the identical fold, giving the fingerprint
+   * family an exact external oracle.
+   */
+  def portableDocFingerprint(text: Column): Column = {
+    val P = graft.llm.PortableFamily.P
+    aggregate(whitespaceTokens(text), lit(0L),
+      (acc, t) => (acc * lit(8191L) + portableHash60(t)) % lit(P))
+  }
 }

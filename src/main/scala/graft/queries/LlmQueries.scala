@@ -128,6 +128,13 @@ object LlmQueries {
         td(s, dir, "documents"), "text", "doc_id", maxHamming = 8, blocks = 8),
       None),
 
+    // portable twin of l7: same vote/block/hamming pipeline over md5-derived
+    // 60-bit token hashes a DuckDB CTE chain replays exactly
+    "l7p_simhash_neardups_portable" -> Q(
+      (s, dir) => Dedup.simhashNearDupsPortable(
+        td(s, dir, "documents"), "text", "doc_id", maxHamming = 8, blocks = 8),
+      Some(LshOracles.portableSimhashNearDupsSql(maxHamming = 8, blocks = 8, cap = 1000))),
+
     // near-dup clusters: LSH candidates → connected components → the
     // keep-one-per-cluster assignment (rows-only)
     "l13_neardup_clusters" -> Q(
@@ -149,6 +156,13 @@ object LlmQueries {
       (s, dir) => td(s, dir, "documents").select(
         col("doc_id"), TextOps.docFingerprint(col("text")).as("fingerprint")),
       None),
+
+    // portable twin of l8: same order-sensitive fold with modular
+    // arithmetic a DuckDB recursive CTE replays exactly
+    "l8p_doc_fingerprint_portable" -> Q(
+      (s, dir) => td(s, dir, "documents").select(
+        col("doc_id"), TextOps.portableDocFingerprint(col("text")).as("fingerprint")),
+      Some(LshOracles.portableFingerprintSql)),
 
     // brute-force cosine top-k vs the vec_id=0 query vector (exact baseline)
     "l9_ann_bruteforce_topk" -> Q(

@@ -145,6 +145,58 @@ object LshOracles {
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
        |SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a""".stripMargin
 
+  /** Portable rolling doc fingerprint — the exact twin of
+    * [[graft.llm.TextOps.portableDocFingerprint]]: a recursive CTE replays
+    * the identical left-fold (acc·8191 + md5-hash60(token)) mod P over
+    * whitespace tokens, in order. */
+  def portableFingerprintSql: String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+       |f(doc_id, i, acc) AS (
+       |  SELECT doc_id, 0, CAST(0 AS BIGINT) FROM toks
+       |  UNION ALL
+       |  SELECT f.doc_id, f.i + 1,
+       |    (f.acc*8191 + ('0x'||substr(md5(t[f.i+1]),1,15))::BIGINT) % $P
+       |  FROM f JOIN toks USING (doc_id) WHERE f.i < len(t))
+       |SELECT f.doc_id, f.acc AS fingerprint
+       |FROM f JOIN toks USING (doc_id) WHERE f.i = len(t)""".stripMargin
+
+  /** Portable SimHash near-dup pairs — the exact twin of
+    * `simhashNearDupsPortable`: md5-derived 60-bit token hashes, per-bit
+    * majority vote (strictly positive), byte-slice blocking with capped
+    * buckets, hamming-verified pairs. */
+  def portableSimhashNearDupsSql(maxHamming: Int, blocks: Int, cap: Int): String = {
+    val bits = 64 / blocks
+    val mask = (1L << bits) - 1
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+       |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+       |hv AS (SELECT doc_id, ('0x'||substr(md5(w),1,15))::BIGINT AS h FROM tok),
+       |votes AS (
+       |  SELECT doc_id, r.range AS b,
+       |    SUM(CASE WHEN (h >> CAST(r.range AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hv CROSS JOIN range(0, 60) r GROUP BY 1, 2),
+       |sh AS (
+       |  SELECT doc_id, CAST(SUM(CASE WHEN v > 0
+       |    THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY 1),
+       |sl AS (
+       |  SELECT doc_id, simhash, r.range AS block_id,
+       |    (simhash >> CAST(r.range * $bits AS INTEGER)) & $mask AS slice
+       |  FROM sh CROSS JOIN range(0, $blocks) r),
+       |bk AS (
+       |  SELECT block_id, slice FROM sl GROUP BY 1, 2
+       |  HAVING count(*) BETWEEN 2 AND $cap),
+       |p AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |  FROM sl a
+       |  JOIN sl b ON a.block_id = b.block_id AND a.slice = b.slice
+       |    AND a.doc_id < b.doc_id
+       |  JOIN bk ON bk.block_id = a.block_id AND bk.slice = a.slice)
+       |SELECT id1, id2, hamming FROM p WHERE hamming <= $maxHamming""".stripMargin
+  }
+
   /** Multi-probe hyperplane-LSH top-k: the oracle for l10_ann_lsh_topk. */
   def lshTopKSql(nPlanes: Int, dim: Int, nQueries: Int, k: Int): String = {
     val probes = ("qb" +: (0 until nPlanes).map(p => s"xor(qb, ${1L << p})")).mkString(", ")

@@ -26,9 +26,12 @@ object StatQueries {
              |round(quantile_cont(o_totalprice, 0.99), 4) AS p99
              |FROM orders GROUP BY 1""".stripMargin)),
 
-    // HLL-sketch distinct count: engines' sketches differ, so the query is
-    // self-checking — it emits exact vs approx and a within-5% flag the
-    // driver's rows>0 check sees; the flag is asserted true here
+    // HLL-sketch distinct count: engines' sketches differ, so the raw
+    // estimate can't be hash-compared — instead the OUTPUT is the property
+    // the sketch must satisfy (exact count + a within-5% flag), which the
+    // DuckDB oracle CAN verify: it recomputes the exact count and expects
+    // the flag true. The sketch still runs; a drifted estimate flips the
+    // flag and fails the row.
     "a15_approx_distinct_sketch" -> Q(
       (s, dir) => {
         val out = td(s, dir, "lineitem").agg(
@@ -37,9 +40,10 @@ object StatQueries {
           .withColumn("within_5pct",
             abs(col("approx") - col("exact")).cast("double") / col("exact") <= 0.05)
         assert(out.filter(!col("within_5pct")).isEmpty, "HLL estimate drifted > 5%")
-        out
+        out.select(col("exact"), col("within_5pct"))
       },
-      None),
+      Some("""SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact,
+             |true AS within_5pct FROM lineitem""".stripMargin)),
 
     // A16 — STRING_AGG ordered by a different key than the value (struct
     //   sort; the general ORDER BY case)

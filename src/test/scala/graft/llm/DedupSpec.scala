@@ -146,6 +146,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(SimHash64.compute(toks) !== 0L)
   }
 
+  test("SimHashPortable60 hash60 matches the portableHash60 Column expression") {
+    // the native expression's md5-nibble parse must equal
+    // conv(substring(md5(s),1,15),16,10) — one mis-shifted nibble and the
+    // DuckDB twin silently diverges
+    val words = Seq("the", "quick", "brown", "", "ümlaut", "a b", "42")
+    val expected = words.toDF("w")
+      .select(TextOps.portableHash60($"w").as("h")).as[Long].collect()
+    words.zip(expected).foreach { case (w, e) =>
+      val got = SimHashPortable60.compute(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          Array(org.apache.spark.unsafe.types.UTF8String.fromString(w))))
+      // a single token's simhash IS its hash60 restricted to set bits: every
+      // bit of h votes +1, every unset bit votes −1 → out == h
+      assert(got === e, s"token '$w': native=$got expr=$e")
+    }
+    // portable near-dups still find the planted identical pair (0,1)
+    val pairs = Dedup.simhashNearDupsPortable(docs, "text", "doc_id",
+      maxHamming = 8, blocks = 8)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
   test("simhash: identical docs distance 0, near-dups close, others far") {
     val sims = docs.select($"doc_id", Dedup.simhash64($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
