@@ -250,7 +250,10 @@ object LlmQueries {
              |CAST(64 + (ascii(substr(text, 1, 1)) * 7) % 768 AS BIGINT) AS height
              |FROM documents""".stripMargin)),
 
-    // multimodal frame sampling: video-like payload → per-frame rows
+    // multimodal frame sampling: video-like payload → per-frame rows.
+    // The stub decode is a pure function of the payload bytes, so even this
+    // path is oracle-checked: DuckDB replays the wrap-around rolling hash
+    // via HUGEINT arithmetic mod 2^64 (MediaOracles.sampleFramesSql)
     "m2_media_frames" -> Q(
       (s, dir) => {
         import s.implicits._
@@ -259,6 +262,6 @@ object LlmQueries {
           .toDF().select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
             col("frame_hash"))
       },
-      None)
+      Some(MediaOracles.sampleFramesSql(stride = 64)))
   )
 }
