@@ -136,29 +136,33 @@ object Ann {
    * offline k-means) — no training pass inside the operator. Join is equi
    * on cell id: shuffle-bounded, no crossJoin.
    */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-              idCol: String, centroids: Seq[Array[Float]], k: Int,
-              nProbe: Int = 2): DataFrame = {
-    // ONE literal array<struct<cell,c,nb>> shared by every row, folded with a
-    // single lambda — not one cloned cosine tree per centroid. The old shape
-    // (32 clones, each re-casting the vector ~5×) was a huge expression tree
-    // with redundant per-row array materializations — the prime suspect for
-    // l12's unpinned run-to-run variance. Centroid norms are precomputed in
-    // Scala with the same left-fold order as the [[norm]] expression, so
-    // scores are bit-identical to the previous formulation.
-    val centLit = array(centroids.zipWithIndex.map { case (c, i) =>
+  /** ONE literal array<struct<cell,c,nb>> shared by every row — not one
+    * cloned cosine tree per centroid. The old per-centroid-clone shape
+    * (each re-casting the vector ~5×) was a huge expression tree with
+    * redundant per-row array materializations — the source of l12's
+    * unpinned run-to-run variance. Centroid norms are precomputed in Scala
+    * with the same left-fold order as the [[norm]] expression, so scores
+    * are bit-identical to the clone formulation. */
+  private def centroidLit(centroids: Seq[Array[Float]]): Column =
+    array(centroids.zipWithIndex.map { case (c, i) =>
       val ds = c.map(_.toDouble)
       struct(lit(i).as("cell"), array(ds.map(lit(_)): _*).as("c"),
         lit(math.sqrt(ds.map(v => v * v).sum)).as("nb"))
     }: _*)
-    // per-centroid (negSim, cellId) structs from a pre-cast vector and its
-    // pre-computed norm; min = nearest cell, sort+slice = nProbe cells
-    def scoredCells(dvec: Column, na: Column): Column =
-      transform(centLit, s => {
-        val d = dot(dvec, s.getField("c")); val nb = s.getField("nb")
-        struct((lit(0.0) - when(na === 0 || nb === 0, lit(0.0))
-          .otherwise(d / (na * nb))).as("neg"), s.getField("cell").as("cell"))
-      })
+
+  /** Per-centroid (negSim, cellId) structs from a pre-cast vector and its
+    * pre-computed norm; array_min = nearest cell, sort+slice = nProbe. */
+  private def scoredCells(centLit: Column)(dvec: Column, na: Column): Column =
+    transform(centLit, s => {
+      val d = dot(dvec, s.getField("c")); val nb = s.getField("nb")
+      struct((lit(0.0) - when(na === 0 || nb === 0, lit(0.0))
+        .otherwise(d / (na * nb))).as("neg"), s.getField("cell").as("cell"))
+    })
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+              idCol: String, centroids: Seq[Array[Float]], k: Int,
+              nProbe: Int = 2): DataFrame = {
+    val scoredCells = this.scoredCells(centroidLit(centroids)) _
     def withDvec(df: DataFrame, id: String): DataFrame = df
       .select(col(idCol).as(id), col(vecCol).as("vec"),
         transform(col(vecCol), _.cast("double")).as("_dv"))
@@ -183,10 +187,70 @@ object Ann {
   }
 
   /** Deterministic centroid pick: the first k corpus vectors by id — the
-    * zero-training-pass seed a production job would replace with k-means. */
+    * zero-training-pass seed for [[kmeansCentroids]] or a quick IVF run. */
   def firstKCentroids(df: DataFrame, vecCol: String, idCol: String, k: Int): Seq[Array[Float]] =
     df.orderBy(col(idCol)).limit(k).select(vecCol)
       .collect().map(_.getSeq[Float](0).toArray).toSeq
+
+  /**
+   * Distributed Lloyd iterations: the offline k-means trainer for
+   * [[ivfTopK]]'s centroids. Per iteration: assign each vector its nearest
+   * cell with the same shared centroid-literal fold the IVF query uses (no
+   * shuffle), then recompute means via ONE skinny shuffle of (cell, dim,
+   * component) rows — posexplode sidesteps the k·dim-wide aggregation
+   * buffers that fall out of codegen (PERF.md rule 6), and only k·dim sum
+   * rows ever reach the driver. Empty cells keep their previous centroid.
+   *
+   * At 100 TB the standard practice this mirrors: train on a `df.sample`
+   * (centroid quality needs a fraction of the corpus), then assign the full
+   * corpus once. Float means are summed in double but partial-sum order is
+   * nondeterministic, so trained centroids are bit-approximate across runs —
+   * fine for IVF routing, which is why the trainer is spec-verified on
+   * cluster recovery rather than oracle-hashed.
+   */
+  def kmeansCentroids(df: DataFrame, vecCol: String, idCol: String, k: Int,
+                      iters: Int = 5): Seq[Array[Float]] = {
+    var cents = firstKCentroids(df, vecCol, idCol, k)
+    var it = 0
+    while (it < iters) {
+      val sc = scoredCells(centroidLit(cents)) _
+      val assigned = df
+        .select(col(vecCol).as("vec"),
+          transform(col(vecCol), _.cast("double")).as("_dv"))
+        .select(col("vec"), col("_dv"), norm(col("_dv")).as("_na"))
+        .select(col("vec"),
+          array_min(sc(col("_dv"), col("_na"))).getField("cell").as("cell"))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
+        rows.foreach { r =>
+          next(cell)(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat
+        }
+      }
+      cents = next.toSeq
+      it += 1
+    }
+    cents
+  }
+
+  /**
+   * Mean assignment cost of a centroid set: avg over rows of
+   * (1 − cos(vec, nearest centroid)) — the routing-quality objective a
+   * trained IVF index is judged by. One scan, no shuffle beyond the final
+   * scalar agg.
+   */
+  def meanAssignmentCost(df: DataFrame, vecCol: String,
+                         centroids: Seq[Array[Float]]): Double = {
+    val sc = scoredCells(centroidLit(centroids)) _
+    df.select(transform(col(vecCol), _.cast("double")).as("_dv"))
+      .select(col("_dv"), norm(col("_dv")).as("_na"))
+      .select((array_min(sc(col("_dv"), col("_na"))).getField("neg") + lit(1.0)).as("cost"))
+      .agg(avg(col("cost"))).head().getDouble(0)
+  }
 
   /**
    * Embedding-cosine near-dup pairs at scale: bucket by hyperplane signs,

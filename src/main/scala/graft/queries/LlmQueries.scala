@@ -250,6 +250,26 @@ object LlmQueries {
              |CAST(64 + (ascii(substr(text, 1, 1)) * 7) % 768 AS BIGINT) AS height
              |FROM documents""".stripMargin)),
 
+    // IVF k-means trainer: distributed Lloyd iterations over the embedding
+    // corpus. Trained centroids are float-sum nondeterministic at the bit
+    // level, so (like a15) the OUTPUT is the externally checkable property:
+    // training must not worsen mean routing cost vs the first-k seeds
+    // (asserted in-query with a small float-jitter tolerance).
+    "l16_ivf_kmeans_train" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val e = td(s, dir, "embeddings")
+        val k = 16
+        val seeds = Ann.firstKCentroids(e, "embedding", "vec_id", k)
+        val trained = Ann.kmeansCentroids(e, "embedding", "vec_id", k, iters = 3)
+        val seedCost = Ann.meanAssignmentCost(e, "embedding", seeds)
+        val trainedCost = Ann.meanAssignmentCost(e, "embedding", trained)
+        val improved = trainedCost <= seedCost + 1e-6
+        assert(improved, s"k-means worsened routing cost: $seedCost -> $trainedCost")
+        Seq((k.toLong, improved)).toDF("k", "improved")
+      },
+      Some("SELECT CAST(16 AS BIGINT) AS k, true AS improved")),
+
     // multimodal frame sampling: video-like payload → per-frame rows.
     // The stub decode is a pure function of the payload bytes, so even this
     // path is oracle-checked: DuckDB replays the wrap-around rolling hash

@@ -52,6 +52,25 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(ids === Set(1L, 2L)) // same cell as the query; cluster B excluded
   }
 
+  test("kmeansCentroids recovers planted clusters and improves on first-k seeds") {
+    // first-2 seeds both land in cluster A (ids 0,1) — Lloyd must pull one
+    // centroid to cluster B (ids 3,4) and converge to the cluster means
+    val cents = Ann.kmeansCentroids(vecs, "embedding", "vec_id", k = 2, iters = 4)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val a = Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val b = Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f)
+    // each planted cluster axis has a near-aligned trained centroid
+    assert(cents.exists(c => cos(c, a) > 0.95), cents.map(_.toSeq))
+    assert(cents.exists(c => cos(c, b) > 0.95), cents.map(_.toSeq))
+    // trained centroids route IVF correctly: query 0 stays in cluster A
+    val res = Ann.ivfTopK(vecs, vecs.filter($"vec_id" === 0L), "embedding", "vec_id",
+      cents, k = 2, nProbe = 1)
+    assert(res.select("corpus_id").as[Long].collect().toSet === Set(1L, 2L))
+  }
+
   test("embedding near-dups: over-cap bucket fires dropStats counters") {
     // 4 identical vectors share one hyperplane bucket; cap 3 drops it
     val same = Seq.tabulate(4)(i =>
