@@ -20,6 +20,28 @@ class IoSpec extends AnyFunSuite with SparkTestBase {
     assert(rows === Set(("001", null, "True"), ("2", "100", "x")))
   }
 
+  test("readTsv multi-file dirs: header from the FIRST non-empty file; empty input diagnosable") {
+    val dir = tmp()
+    // part files sort b < c; the empty a-file and the _SUCCESS marker must
+    // both be ignored when resolving the header
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a_empty.tsv"), Array.empty[Byte])
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_SUCCESS"), Array.empty[Byte])
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.tsv"),
+      "id\tv\n1\tx\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c.tsv"),
+      "id\tv\n2\ty\n".getBytes("UTF-8"))
+    val df = Io.readTsv(spark, dir)
+    assert(df.columns.toSeq === Seq("id", "v"))
+    // per-file header lines are consumed as headers, never as data rows
+    assert(df.as[(String, String)].collect().toSet === Set(("1", "x"), ("2", "y")))
+    // a whole directory of empty files fails with a diagnosable error, not
+    // an ArrayIndexOutOfBounds from a headerless collect
+    val emptyDir = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$emptyDir/a.tsv"), Array.empty[Byte])
+    val e = intercept[IllegalArgumentException] { Io.readTsv(spark, emptyDir) }
+    assert(e.getMessage.contains("no non-empty input files"))
+  }
+
   test("readTsvChecked row-count invariant holds (data_helpers.py:550-557)") {
     val dir = tmp()
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.tsv"),
