@@ -81,6 +81,40 @@ object SimHash64 {
 }
 
 /**
+ * Native form of [[TextOps.portableHash60]]: first 15 hex chars of md5 as a
+ * 60-bit long, computed with a direct digest + nibble parse instead of the
+ * hex-string → `conv` round-trip (one fewer string materialization per
+ * shingle on the portable-twin hot path; values identical — property-tested
+ * against the Column-expression definition).
+ */
+case class PortableHash60Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_phash60 requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_phash60"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashPortable60.hash60(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.llm.SimHashPortable60.hash60($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableHash60Expr =
+    copy(child = newChild)
+}
+
+object PortableHash60Expr {
+  /** Register `graft_phash60(string)` as a session function. Idempotent. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_phash60", (children: Seq[Expression]) => PortableHash60Expr(children.head), "scala_udf")
+}
+
+/**
  * Portable twin of [[SimHash64]]: identical vote loop, but per-token hashes
  * are [[TextOps.portableHash60]] (first 15 hex chars of md5 as a 60-bit
  * integer) instead of xxhash64 — every step reproducible in ANSI SQL, so

@@ -110,12 +110,22 @@ object TextOps {
 
   /**
    * Portable 60-bit string hash: the first 15 hex chars of md5, parsed as
-   * an integer. ~30× slower than xxhash64 but exactly reproducible in any
-   * SQL engine (`('0x'||substr(md5(s),1,15))::BIGINT` in DuckDB) — used by
+   * an integer. Slower than xxhash64 but exactly reproducible in any SQL
+   * engine (`('0x'||substr(md5(s),1,15))::BIGINT` in DuckDB) — used by
    * [[graft.llm.PortableFamily]] so the whole LSH pipeline can be
-   * oracle-checked end-to-end.
+   * oracle-checked end-to-end. Computed by the native [[PortableHash60Expr]]
+   * (direct digest + nibble parse); [[portableHash60Sql]] is the
+   * expression-composed definition it is parity-tested against.
    */
-  def portableHash60(s: Column): Column =
+  def portableHash60(s: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge._
+    column(PortableHash60Expr(expression(s)))
+  }
+
+  /** Expression-composed twin of [[portableHash60]] (hex string + `conv`) —
+    * kept as the independent definition the native expression is tested
+    * against. */
+  private[llm] def portableHash60Sql(s: Column): Column =
     conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /**

@@ -25,14 +25,16 @@ class LlmPropertySpec extends AnyFunSuite with SparkTestBase {
     Gen.oneOf("the", "a", "naïve", "Ω", "x1", "..", "-"),
     Gen.asciiPrintableStr.suchThat(s => s.nonEmpty && !s.exists(_.isWhitespace)))
 
-  test("portableHash60 ∈ [0, 2^60) and native hash60 ≡ Column expression") {
+  test("portableHash60 ∈ [0, 2^60) and native ≡ hex-string/conv definition") {
     val words = samples(word, 300).distinct
-    val expr = words.toDF("w")
-      .select(graft.llm.TextOps.portableHash60($"w").as("h")).as[Long].collect()
-    words.zip(expr).foreach { case (w, h) =>
+    val both = words.toDF("w")
+      .select(graft.llm.TextOps.portableHash60($"w").as("h"),
+        graft.llm.TextOps.portableHash60Sql($"w").as("hs"))
+      .as[(Long, Long)].collect()
+    words.zip(both).foreach { case (w, (h, hs)) =>
       assert(h >= 0L && h < (1L << 60), s"'$w' → $h out of range")
-      val native = SimHashPortable60.hash60(w.getBytes("UTF-8"))
-      assert(native === h, s"'$w': native=$native expr=$h")
+      assert(h === hs, s"'$w': native=$h conv=$hs")
+      assert(SimHashPortable60.hash60(w.getBytes("UTF-8")) === h, s"'$w' static helper diverged")
     }
   }
 
