@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.llm.{HyperplaneBucket, PortableHash60Expr, SimHash64, SimHashPortable60}
+import graft.types.TypeSetAgg
+
+/**
+ * Session-extension installer for graft's native Catalyst expressions —
+ * the proper way to make them available in EVERY session (SQL included)
+ * without per-call `register(spark)` plumbing:
+ *
+ * {{{
+ *   spark.sql.extensions=graft.GraftExtensions
+ * }}}
+ *
+ * Registers: `graft_simhash64(array<string>)`,
+ * `graft_simhash_p60(array<string>)`, `graft_phash60(string)`,
+ * `graft_hyperplane_bucket(array<float>, nPlanes)`,
+ * `graft_type_set(col)` (the one-pass type-inference aggregate).
+ *
+ * The per-object `register` helpers remain for ad-hoc sessions; the Column
+ * APIs in [[graft.llm]] work with or without the extension installed.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, usage: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage),
+        (children: Seq[Expression]) => builder(children)): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    inject("graft_simhash64", "64-bit SimHash over a token array (xxhash64 votes)",
+      children => SimHash64(children.head))
+    inject("graft_simhash_p60", "portable 60-bit SimHash over a token array (md5-derived votes)",
+      children => SimHashPortable60(children.head))
+    inject("graft_phash60", "portable 60-bit string hash (first 15 md5 hex chars)",
+      children => PortableHash60Expr(children.head))
+    inject("graft_hyperplane_bucket", "hyperplane sign-bucket of a float vector",
+      children => HyperplaneBucket(children.head,
+        children(1).eval().asInstanceOf[Number].intValue()))
+    inject("graft_type_set", "one-pass BigQuery-style type-set aggregate",
+      children => TypeSetAgg(children.head))
+  }
+}

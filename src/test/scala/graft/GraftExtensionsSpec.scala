@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The extension path must expose every native function to plain SQL with
+ * no per-object `register` calls. One JVM = one SparkContext, and
+ * `spark.sql.extensions` only applies at first-session creation, so the
+ * installer is driven through [[org.apache.spark.sql.GraftTestBridge]]
+ * against the shared session's registry — exercising exactly the
+ * injectFunction tuples the conf path would consume.
+ */
+class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("GraftExtensions exposes the native functions to SQL") {
+    org.apache.spark.sql.GraftTestBridge.applyExtensions(
+      new GraftExtensions(),
+      org.apache.spark.sql.GraftTestBridge.functionRegistry(spark))
+    val r = spark.sql(
+      """SELECT
+        |  graft_simhash64(array('the', 'quick')) AS sh,
+        |  graft_simhash_p60(array('the', 'quick')) AS shp,
+        |  graft_phash60('the') AS ph,
+        |  graft_hyperplane_bucket(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)), 4) AS hb
+        |""".stripMargin).collect()(0)
+    // values must agree with the library's Column-API path
+    import org.apache.spark.sql.functions.lit
+    val viaColumnApi = spark.range(1)
+      .select(graft.llm.TextOps.portableHash60(lit("the")).as("h"))
+      .collect()(0).getLong(0)
+    assert(r.getLong(2) === viaColumnApi)
+    assert(r.getLong(0) !== 0L)
+    assert(r.getLong(1) !== 0L)
+    assert(r.getLong(3) >= 0L && r.getLong(3) < 16L)
+    // the aggregate registers too
+    import spark.implicits._
+    val types = Seq("1", "2.5", "x").toDF("v")
+      .selectExpr("graft_type_set(v) AS t").as[Seq[String]].collect()(0)
+    assert(types.nonEmpty)
+  }
+}
