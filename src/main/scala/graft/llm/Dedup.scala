@@ -128,13 +128,17 @@ object Dedup {
    * rows each; each band hashes to one bucket key. Docs sharing ANY band
    * bucket become candidate pairs.
    *
-   * Returns (idCol, band_id, band_hash) — one row per doc per band.
+   * Returns (idCol, carry..., band_id, band_hash) — one row per doc per
+   * band; `carry` columns (e.g. an event-time column for the streaming
+   * detector) ride through the staged projections unchanged.
    */
   def lshBands(df: DataFrame, textCol: String, idCol: String,
                shingleSize: Int = 3, k: Int = 32, bands: Int = 8,
-               family: MinHashFamily = Xx64Family): DataFrame = {
+               family: MinHashFamily = Xx64Family,
+               carry: Seq[String] = Nil): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rows = k / bands
+    val carried = carry.map(col)
     // Stage token hashes → shingle hashes → signature as SEPARATE
     // projections: inlining any stage into the next re-evaluates it per
     // reference (measured 40× slowdown on the signature, quadratic blowup
@@ -149,11 +153,36 @@ object Dedup {
     // (size(_sh) > 0 ⟺ n_tokens ≥ shingleSize).
     val withSig = df
       .filter(size(TextOps.whitespaceTokens(col(textCol))) >= shingleSize)
-      .select(col(idCol), family.stage1(col(textCol), shingleSize).as("_s1"))
-      .select(col(idCol), family.stage2(col("_s1"), shingleSize).as("_sh"))
-      .select(col(idCol), minhashFromShingles(col("_sh"), k, family).as("_sig"))
+      .select(col(idCol) +: carried :+ family.stage1(col(textCol), shingleSize).as("_s1"): _*)
+      .select(col(idCol) +: carried :+ family.stage2(col("_s1"), shingleSize).as("_sh"): _*)
+      .select(col(idCol) +: carried :+ minhashFromShingles(col("_sh"), k, family).as("_sig"): _*)
     val bandHashes = (0 until bands).map(b => family.bandHash(slice(col("_sig"), b * rows + 1, rows), b))
-    withSig.select(col(idCol), posexplode(array(bandHashes: _*)).as(Seq("band_id", "band_hash")))
+    withSig.select(col(idCol) +: carried :+ posexplode(array(bandHashes: _*)).as(Seq("band_id", "band_hash")): _*)
+  }
+
+  /**
+   * Batch near-dup DETECTION, keep-first semantics: a doc is a near-dup if
+   * any of its LSH buckets contains an EARLIER doc (by (tsCol, idCol));
+   * `dup_of` is the earliest such bucket-keeper across its buckets. Unlike
+   * pair generation this is LINEAR — per-bucket min + one equi-join back,
+   * no pair explosion, so giant boilerplate buckets need no cap. The batch
+   * twin of [[graft.streaming.Streaming.nearDupDetectStream]]; with
+   * [[PortableFamily]] it is exactly reproducible in the DuckDB oracle.
+   *
+   * Returns (idCol, dup_of) for dup docs only (keepers are absent).
+   */
+  def nearDupDetectBatch(df: DataFrame, textCol: String, idCol: String,
+                         tsCol: String, shingleSize: Int = 3, k: Int = 32,
+                         bands: Int = 8,
+                         family: MinHashFamily = Xx64Family): DataFrame = {
+    val banded = lshBands(df, textCol, idCol, shingleSize, k, bands, family,
+      carry = Seq(tsCol))
+    val keepers = banded.groupBy("band_id", "band_hash")
+      .agg(min(struct(col(tsCol), col(idCol))).as("keeper"))
+    banded.join(keepers, Seq("band_id", "band_hash"))
+      .filter(struct(col(tsCol), col(idCol)) > col("keeper"))
+      .groupBy(col(idCol))
+      .agg(min(col("keeper")).getField(idCol).as("dup_of"))
   }
 
   /**

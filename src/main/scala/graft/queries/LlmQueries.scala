@@ -250,6 +250,19 @@ object LlmQueries {
              |CAST(64 + (ascii(substr(text, 1, 1)) * 7) % 768 AS BIGINT) AS height
              |FROM documents""".stripMargin)),
 
+    // keep-first near-dup detection — the batch twin of the STREAMING
+    // detector (Streaming.nearDupDetectStream): linear per-bucket-keeper
+    // min + equi-join, no pair explosion. ts = epoch + doc_id seconds makes
+    // event-time order ≡ id order, so the portable oracle replays it exactly
+    "l17_neardup_detect_portable" -> Q(
+      (s, dir) => {
+        val docs = td(s, dir, "documents").select(col("doc_id"),
+          timestamp_seconds(lit(946684800L) + col("doc_id")).as("ts"), col("text"))
+        Dedup.nearDupDetectBatch(docs, "text", "doc_id", "ts",
+          shingleSize = 3, k = 32, bands = 16, family = PortableFamily)
+      },
+      Some(LshOracles.portableNearDupDetectSql(n = 3, k = 32, bands = 16))),
+
     // IVF k-means trainer: distributed Lloyd iterations over the embedding
     // corpus. Trained centroids are float-sum nondeterministic at the bit
     // level, so (like a15) the OUTPUT is the externally checkable property:

@@ -74,7 +74,9 @@ object LshOracles {
     * the shared body of [[minhashPortableSql]], [[portableNearDupPairsSql]]
     * and [[portableClustersSql]]. Ends with `cand(id1, id2)`; also exposes
     * `hsh(doc_id, sh)` (hashed shingles) for downstream Jaccard verify. */
-  private def candidateCtes(n: Int, k: Int, bands: Int, cap: Int): String = {
+  /** Shared prefix: tokenize → md5-hash shingles → portable signatures →
+    * banded (doc_id, band_id, band_hash) rows. */
+  private def bandedCtes(n: Int, k: Int, bands: Int): String = {
     require(k % bands == 0)
     val rows = k / bands
     val sigExprs = (0 until k).map { i =>
@@ -98,7 +100,11 @@ object LshOracles {
        |  SELECT doc_id, [$sigExprs] AS sg FROM hsh),
        |banded AS (
        |  SELECT doc_id, r.range AS band_id, $bandHash AS band_hash
-       |  FROM sig CROSS JOIN range(0,$bands) r),
+       |  FROM sig CROSS JOIN range(0,$bands) r)""".stripMargin
+  }
+
+  private def candidateCtes(n: Int, k: Int, bands: Int, cap: Int): String =
+    s"""${bandedCtes(n, k, bands)},
        |buckets AS (
        |  SELECT band_id, band_hash, list_sort(list(doc_id)) AS ids
        |  FROM banded GROUP BY 1,2 HAVING count(*) BETWEEN 2 AND $cap),
@@ -108,7 +114,22 @@ object LshOracles {
        |  FROM buckets),
        |cand AS (
        |  SELECT DISTINCT pr[1] AS id1, pr[2] AS id2 FROM pl)""".stripMargin
-  }
+
+  /** Keep-first near-dup DETECTION — the exact twin of
+    * `nearDupDetectBatch(..., family = PortableFamily)` when the ts column
+    * is monotone in doc_id (the fixture's ts = epoch + doc_id): per-bucket
+    * keeper = min doc_id; a doc's dup_of = the minimum keeper among its
+    * buckets whose keeper precedes it. */
+  def portableNearDupDetectSql(n: Int, k: Int, bands: Int): String =
+    s"""WITH ${bandedCtes(n, k, bands)},
+       |bmin AS (
+       |  SELECT band_id, band_hash, min(doc_id) AS keeper
+       |  FROM banded GROUP BY 1, 2),
+       |d AS (
+       |  SELECT b.doc_id, min(m.keeper) AS dup_of
+       |  FROM banded b JOIN bmin m USING (band_id, band_hash)
+       |  WHERE m.keeper < b.doc_id GROUP BY 1)
+       |SELECT doc_id, dup_of FROM d""".stripMargin
 
   /** Full MinHash-LSH candidate pipeline with the portable hash family:
     * the exact twin of `minhashCandidatePairs(..., family = PortableFamily)`. */

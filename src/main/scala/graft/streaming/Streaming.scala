@@ -16,6 +16,14 @@ final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
 
 private final case class SessionBuf(start: Long, end: Long, n: Long, sum: Double)
 
+/** One document flowing through the streaming near-dup detector. */
+final case class StreamDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+/** A near-dup verdict: `doc_id` shares an LSH bucket with the earlier
+  * `dup_of` (one event per matching bucket — aggregate min(dup_of) per doc
+  * for a single verdict). */
+final case class NearDupEvent(doc_id: Long, ts: java.sql.Timestamp, dup_of: Long)
+
 /**
  * Structured Streaming surface (engine extension; the reference is batch-only
  * per SURVEY §1.1, so this extends the engine to the streaming shapes a
@@ -65,6 +73,62 @@ object Streaming {
     events.toDF()
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /**
+   * Streaming MinHash-LSH near-dup DETECTION over a document stream — the
+   * crawl-dedup shape: each doc's signature is banded (stateless,
+   * expression-only); per (band_id, band_hash) bucket ONE small keeper
+   * (earliest (ts, doc_id) seen) lives in state; a doc landing in a bucket
+   * with an earlier keeper emits a [[NearDupEvent]]. When a doc PRECEDES
+   * the current keeper (out-of-order within the watermark), the old keeper
+   * is emitted as the dup and the new doc takes over — so event-time
+   * keep-first semantics hold for any disorder the watermark admits.
+   * Keeper state expires `retentionMs` after the bucket's latest doc
+   * (EventTimeTimeout), so the dedup horizon — and state size — is bounded:
+   * this runs indefinitely. Batch twin: [[graft.llm.Dedup.nearDupDetectBatch]]
+   * (relational; oracle-checked with the portable family). Callers must
+   * `withWatermark("ts", …)` the input in streaming mode.
+   */
+  def nearDupDetectStream(docs: Dataset[StreamDoc], retentionMs: Long,
+                          shingleSize: Int = 3, k: Int = 32, bands: Int = 8,
+                          family: graft.llm.MinHashFamily = graft.llm.Xx64Family)
+      : Dataset[NearDupEvent] = {
+    import docs.sparkSession.implicits._
+    val banded = graft.llm.Dedup.lshBands(docs.toDF(), "text", "doc_id",
+        shingleSize, k, bands, family, carry = Seq("ts"))
+      .as[(Long, java.sql.Timestamp, Int, Long)]
+    banded.groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[(Long, Long), NearDupEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupEvent]
+            var keeper = state.getOption // (keeperId, keeperTsMillis)
+            var maxTs = 0L
+            // event-time order within the batch; across batches the
+            // keeper-displacement branch repairs watermark-bounded disorder
+            rows.toSeq.sortBy(r => (r._2.getTime, r._1)).foreach { r =>
+              val (id, t) = (r._1, r._2.getTime)
+              maxTs = math.max(maxTs, t)
+              keeper match {
+                case None => keeper = Some((id, t))
+                case Some((kid, kts)) =>
+                  if (t < kts || (t == kts && id < kid)) {
+                    // doc precedes the keeper: old keeper becomes the dup
+                    out += NearDupEvent(kid, new java.sql.Timestamp(kts), id)
+                    keeper = Some((id, t))
+                  } else if (id != kid) {
+                    out += NearDupEvent(id, r._2, kid)
+                  }
+              }
+            }
+            keeper.foreach(state.update)
+            scala.util.Try(state.setTimeoutTimestamp(maxTs + retentionMs))
+            out.iterator
+          }
+      }
+  }
 
   /**
    * Gap-based sessionization with `flatMapGroupsWithState` +

@@ -34,6 +34,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(batch.exists { case (_, t, n, _) => t == "click" && n == 2 }) // 0-60s window, user1
   }
 
+  private def doc(id: Long, tSec: Long, text: String) =
+    StreamDoc(id, new java.sql.Timestamp(tSec * 1000), text)
+
+  test("streaming near-dup detector: keep-first verdicts, out-of-order repair, batch-twin agreement") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      doc(10, 5, base),                                // keeper (earliest)
+      doc(11, 30, base + " ok"),                       // near-dup of 10
+      doc(12, 40, "completely different content about spark catalyst optimizer internals"),
+      doc(13, 20, base + " ok"))                       // EARLIER than 11, arrives later
+    val mem = MemoryStream[StreamDoc]
+    val q = Streaming.nearDupDetectStream(
+        mem.toDS().withWatermark("ts", "1 hour"), retentionMs = 3600000L)
+      .writeStream.format("memory").queryName("nd").outputMode(OutputMode.Append()).start()
+    mem.addData(docs(0), docs(1), docs(2))
+    q.processAllAvailable()
+    mem.addData(docs(3)) // out-of-order arrival inside the watermark
+    q.processAllAvailable()
+    q.stop()
+    val verdicts = spark.table("nd").select("doc_id", "dup_of")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    assert(verdicts.keySet === Set(11L, 13L), verdicts)  // 12 unrelated; 10 is the keeper
+    assert(verdicts(13L) === 10L)  // repaired: 13 precedes 11, dups against 10 only
+    assert(verdicts(11L) === 10L)
+
+    // batch-mode run of the SAME stateful operator ≡ relational batch twin
+    val streamedBatch = Streaming.nearDupDetectStream(docs.toDS(), retentionMs = 3600000L)
+      .groupBy($"doc_id").agg(org.apache.spark.sql.functions.min($"dup_of").as("dup_of"))
+      .as[(Long, Long)].collect().toSet
+    val relational = graft.llm.Dedup.nearDupDetectBatch(
+        docs.toDF(), "text", "doc_id", "ts")
+      .as[(Long, Long)].collect().toSet
+    assert(streamedBatch === relational, s"streamed=$streamedBatch relational=$relational")
+    assert(relational === Set((11L, 10L), (13L, 10L)))
+  }
+
   test("stateful sessionization emits on gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
