@@ -175,8 +175,15 @@ object Dedup {
                          tsCol: String, shingleSize: Int = 3, k: Int = 32,
                          bands: Int = 8,
                          family: MinHashFamily = Xx64Family): DataFrame = {
+    // Explicit repartition on the bucket keys: the banded frame feeds BOTH
+    // the keeper aggregation and the join probe; without a shared exchange
+    // the whole signature pipeline (the expensive part) is computed twice —
+    // the broadcast-join fast path reads the probe side directly. One
+    // exchange, reused by both consumers (AQE stage reuse), near-halves the
+    // work (measured 9.4 s → 5.4 s at sf0.1 with the portable family).
     val banded = lshBands(df, textCol, idCol, shingleSize, k, bands, family,
-      carry = Seq(tsCol))
+        carry = Seq(tsCol))
+      .repartition(col("band_id"), col("band_hash"))
     val keepers = banded.groupBy("band_id", "band_hash")
       .agg(min(struct(col(tsCol), col(idCol))).as("keeper"))
     banded.join(keepers, Seq("band_id", "band_hash"))
