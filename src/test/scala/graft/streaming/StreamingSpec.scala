@@ -71,6 +71,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(relational === Set((11L, 10L), (13L, 10L)))
   }
 
+  test("streaming near-dup detector: keeper state expires after the retention horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val mem = MemoryStream[StreamDoc]
+    // retention 60s, watermark 0s: the keeper for base's buckets must be
+    // gone once the watermark passes its ts + 60s
+    val q = Streaming.nearDupDetectStream(
+        mem.toDS().withWatermark("ts", "0 seconds"), retentionMs = 60000L)
+      .writeStream.format("memory").queryName("ndexp").outputMode(OutputMode.Append()).start()
+    mem.addData(doc(1, 10, base))
+    q.processAllAvailable()
+    // unrelated doc far in the future advances the watermark past 10s+60s
+    mem.addData(doc(2, 600, "completely different content about spark catalyst optimizer internals"))
+    q.processAllAvailable()
+    // near-dup of doc 1 arrives after the horizon: NOT flagged (doc 1's
+    // keeper state expired); it becomes the new keeper instead
+    mem.addData(doc(3, 610, base + " ok"))
+    q.processAllAvailable()
+    // ...which a prompt follower IS deduped against
+    mem.addData(doc(4, 620, base + " ok"))
+    q.processAllAvailable()
+    q.stop()
+    val verdicts = spark.table("ndexp").select("doc_id", "dup_of")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    assert(verdicts === Map(4L -> 3L), verdicts)
+  }
+
   test("stateful sessionization emits on gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
