@@ -200,6 +200,21 @@ object Dedup {
   }
 
   /**
+   * Near-dup-cleaned corpus: every doc minus the keep-first near-dups
+   * [[nearDupDetectBatch]] flags — the one-call "dedupe my corpus" API a
+   * training-data pipeline actually wants (the near-dup analogue of
+   * [[dedupKeepFirst]]). One anti-join on the id.
+   */
+  def nearDupKeepFirst(df: DataFrame, textCol: String, idCol: String,
+                       tsCol: String, shingleSize: Int = 3, k: Int = 32,
+                       bands: Int = 8,
+                       family: MinHashFamily = Xx64Family): DataFrame = {
+    val dups = nearDupDetectBatch(df, textCol, idCol, tsCol, shingleSize, k,
+      bands, family)
+    df.join(dups.select(col(idCol)), Seq(idCol), "left_anti")
+  }
+
+  /**
    * Candidate near-dup pairs via MinHash-LSH: shuffle once on
    * (band_id, band_hash), self-join within buckets only (id1 < id2),
    * distinct across bands. `maxBucketSize` caps pathological buckets

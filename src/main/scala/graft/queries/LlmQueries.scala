@@ -263,6 +263,21 @@ object LlmQueries {
       },
       Some(LshOracles.portableNearDupDetectSql(n = 3, k = 32, bands = 16))),
 
+    // the cleaned corpus: anti-join of documents against l17's verdicts —
+    // the one-call near-dup dedupe a training pipeline runs. Oracle: the
+    // same detect SQL as an anti-filter
+    "l18_neardup_keep_first_portable" -> Q(
+      (s, dir) => {
+        val docs = td(s, dir, "documents").select(col("doc_id"),
+          timestamp_seconds(lit(946684800L) + col("doc_id")).as("ts"), col("text"))
+        Dedup.nearDupKeepFirst(docs, "text", "doc_id", "ts",
+            shingleSize = 3, k = 32, bands = 16, family = PortableFamily)
+          .select(col("doc_id"))
+      },
+      Some(s"""WITH dups AS (${LshOracles.portableNearDupDetectSql(n = 3, k = 32, bands = 16)})
+              |SELECT doc_id FROM documents
+              |WHERE doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin)),
+
     // IVF k-means trainer: distributed Lloyd iterations over the embedding
     // corpus. Trained centroids are float-sum nondeterministic at the bit
     // level, so (like a15) the OUTPUT is the externally checkable property:
