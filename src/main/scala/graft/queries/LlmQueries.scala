@@ -250,6 +250,19 @@ object LlmQueries {
              |CAST(64 + (ascii(substr(text, 1, 1)) * 7) % 768 AS BIGINT) AS height
              |FROM documents""".stripMargin)),
 
+    // VERIFIED clusters: components over Jaccard-verified pairs, not raw
+    // band collisions — the semantically stronger clustering (l13 keeps the
+    // candidate-graph shape; this is the quality-gated variant, exact-twin
+    // checked end to end)
+    "l19_verified_clusters_portable" -> Q(
+      (s, dir) => Dedup.nearDupClusters(
+        Dedup.nearDupPairs(td(s, dir, "documents"), "text", "doc_id",
+            threshold = 0.5, shingleSize = 3, k = 32, bands = 16,
+            family = PortableFamily)
+          .select(col("id1"), col("id2"))),
+      Some(LshOracles.portableVerifiedClustersSql(n = 3, k = 32, bands = 16,
+        cap = 1000, threshold = 0.5))),
+
     // keep-first near-dup detection — the batch twin of the STREAMING
     // detector (Streaming.nearDupDetectStream): linear per-bucket-keeper
     // min + equi-join, no pair explosion. ts = epoch + doc_id seconds makes

@@ -115,6 +115,27 @@ object LshOracles {
        |cand AS (
        |  SELECT DISTINCT pr[1] AS id1, pr[2] AS id2 FROM pl)""".stripMargin
 
+  /** Connected components over the VERIFIED near-dup graph (portable LSH
+    * candidates + exact shingle-Jaccard ≥ threshold) — the exact twin of
+    * `nearDupClusters(nearDupPairs(..., family = PortableFamily))`: the
+    * semantically stronger clustering (band-collision false edges removed
+    * before components form). */
+  def portableVerifiedClustersSql(n: Int, k: Int, bands: Int, cap: Int,
+                                  threshold: Double): String =
+    s"""WITH RECURSIVE ${candidateCtes(n, k, bands, cap)},
+       |dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM hsh),
+       |vp AS (
+       |  SELECT c.id1, c.id2
+       |  FROM cand c JOIN dsh a ON c.id1 = a.doc_id JOIN dsh b ON c.id2 = b.doc_id
+       |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= $threshold),
+       |edges AS (SELECT id1 AS a, id2 AS b FROM vp UNION SELECT id2, id1 FROM vp),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a""".stripMargin
+
   /** Keep-first near-dup DETECTION — the exact twin of
     * `nearDupDetectBatch(..., family = PortableFamily)` when the ts column
     * is monotone in doc_id (the fixture's ts = epoch + doc_id): per-bucket
