@@ -123,6 +123,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(st.rows === 80L)      // 16 buckets × 5 members
   }
 
+  test("nearDupDetectBatch: keep-first by (ts, id), id breaks ts ties") {
+    import org.apache.spark.sql.functions.timestamp_seconds
+    // 1 and 2 share buckets and a TIMESTAMP: lower id keeps; 3 is later
+    val docs = Seq(
+      (2L, 100L, base), (1L, 100L, base + " x"), (3L, 200L, base + " y"),
+      (9L, 50L, "completely different content about spark catalyst internals"))
+      .toDF("doc_id", "t", "text")
+      .select($"doc_id", timestamp_seconds($"t").as("ts"), $"text")
+    val dups = Dedup.nearDupDetectBatch(docs, "text", "doc_id", "ts",
+      shingleSize = 3, k = 32, bands = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(dups === Map(2L -> 1L, 3L -> 1L), dups)
+  }
+
   test("near-dup clustering: label propagation finds min-id components") {
     // chain 1-2-3, pair 5-6, singleton 9 absent from pairs
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
