@@ -41,8 +41,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_phash60", "portable 60-bit string hash (first 15 md5 hex chars)",
       children => PortableHash60Expr(children.head))
     inject("graft_hyperplane_bucket", "hyperplane sign-bucket of a float vector",
-      children => HyperplaneBucket(children.head,
-        children(1).eval().asInstanceOf[Number].intValue()))
+      children => {
+        // arity/foldability guarded here: eval on a non-foldable or null
+        // nPlanes would otherwise surface as a raw internal exception
+        require(children.length == 2,
+          s"graft_hyperplane_bucket(vec, nPlanes) takes 2 arguments, got ${children.length}")
+        val np = children(1)
+        require(np.foldable, "graft_hyperplane_bucket: nPlanes must be a literal")
+        val v = np.eval()
+        require(v != null, "graft_hyperplane_bucket: nPlanes must not be NULL")
+        HyperplaneBucket(children.head, v.asInstanceOf[Number].intValue())
+      })
     inject("graft_type_set", "one-pass BigQuery-style type-set aggregate",
       children => TypeSetAgg(children.head))
   }

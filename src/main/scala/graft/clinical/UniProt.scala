@@ -162,17 +162,25 @@ object UniProt {
           when(instr(r, ":") > 0, substr(r, instr(r, ":") + 1)).as("gene_id")),
       ),
       rec => rec.getField("gene_id").isNotNull)
-    val auths = transform(parsed, r => r.getField("auth"))
-    // dict semantics: keep each authority's FIRST occurrence position...
-    val firstSeen = filter(parsed, (r, i) =>
-      array_position(auths, r.getField("auth")) === (i + lit(1)).cast("long"))
-    // ...carrying the LAST occurrence's gene_id, then pop MGI
-    val recs = filter(
-      transform(firstSeen, r => struct(
-        r.getField("auth").as("auth"),
-        element_at(filter(parsed, x => x.getField("auth") === r.getField("auth")), -1)
-          .getField("gene_id").as("gene_id"))),
-      r => r.getField("auth") =!= "MGI")
+    // dict semantics without nested re-expansion (the earlier
+    // array_position/per-element-filter formulation re-parsed the string
+    // O(m²) per row — the inlining trap lshBands documents): a single fold
+    // over `parsed` replays Python's dict build literally — first
+    // occurrence fixes the position, a repeated authority overwrites the
+    // gene_id in place (last wins). All inner work touches only the small
+    // accumulator of lambda vars; `parsed` is referenced once. Then pop
+    // MGI. (map_from_entries would be neater but throws under Spark's
+    // default EXCEPTION key-dedup policy.)
+    val dict = aggregate(parsed,
+      array().cast("array<struct<auth:string,gene_id:string>>"),
+      (acc, r) => when(
+        exists(acc, x => x.getField("auth") === r.getField("auth")),
+        transform(acc, x =>
+          when(x.getField("auth") === r.getField("auth"),
+            struct(x.getField("auth").as("auth"),
+              r.getField("gene_id").as("gene_id"))).otherwise(x)))
+        .otherwise(array_append(acc, r)))
+    val recs = filter(dict, r => r.getField("auth") =!= "MGI")
     val first = element_at(recs, 1)
     when(authority.isNull || length(authority) === 0 || size(recs) === 0,
       struct(lit(null).cast("string").as("authority"),

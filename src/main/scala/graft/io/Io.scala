@@ -45,7 +45,12 @@ object Io {
       .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
       .sortBy(_.toString)
     require(files.nonEmpty, s"readTsv: no non-empty input files at $path")
-    val headerLine = spark.read.text(files.head.toString).limit(1).collect()(0).getString(0)
+    // headOption, not (0): a byte-non-empty file can still hold zero text
+    // rows (e.g. an empty gzip member) — keep the failure diagnosable
+    val headerLine = spark.read.text(files.head.toString).limit(1).collect()
+      .headOption.map(_.getString(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"readTsv: no non-empty input files at $path (first candidate ${files.head} has no lines)"))
     val headers = Normalize.dedupHeader(headerLine.split("\t", -1).toSeq)
     val schema = StructType(headers.map(h => StructField(h, StringType, nullable = true)))
     val raw = spark.read

@@ -17,8 +17,11 @@ import org.apache.spark.util.LongAccumulator
  * position, so they survive AQE re-planning; the same values surface in the
  * Spark UI / listener bus on a real cluster.
  *
- * Caveats (acceptable for telemetry): stage retries can over-count, and the
- * counters only populate once an action has executed the bucket stage.
+ * Caveats (acceptable for telemetry): stage retries can over-count; EVERY
+ * action that re-executes the bucket stage adds again (two actions on the
+ * same uncached frame double the counts — call [[DropStats.reset]] between
+ * actions, or read after exactly one); and the counters only populate once
+ * an action has executed the bucket stage.
  */
 final class DropStats private (
     val droppedBuckets: LongAccumulator,

@@ -305,8 +305,11 @@ object LlmQueries {
         val trained = Ann.kmeansCentroids(e, "embedding", "vec_id", k, iters = 3)
         val seedCost = Ann.meanAssignmentCost(e, "embedding", seeds)
         val trainedCost = Ann.meanAssignmentCost(e, "embedding", trained)
+        // no assert-throw: cosine-assignment + mean-update Lloyd is not
+        // strictly monotone in the 1−cos objective, and the sums are
+        // float-nondeterministic — a regression should fail THIS row's
+        // hash compare visibly, not kill the whole verify/bench dump
         val improved = trainedCost <= seedCost + 1e-6
-        assert(improved, s"k-means worsened routing cost: $seedCost -> $trainedCost")
         Seq((k.toLong, improved)).toDF("k", "improved")
       },
       Some("SELECT CAST(16 AS BIGINT) AS k, true AS improved")),

@@ -70,12 +70,9 @@ object LshOracles {
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
        |SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a""".stripMargin
 
-  /** CTE chain computing the portable-family MinHash-LSH candidate pairs —
-    * the shared body of [[minhashPortableSql]], [[portableNearDupPairsSql]]
-    * and [[portableClustersSql]]. Ends with `cand(id1, id2)`; also exposes
-    * `hsh(doc_id, sh)` (hashed shingles) for downstream Jaccard verify. */
   /** Shared prefix: tokenize → md5-hash shingles → portable signatures →
-    * banded (doc_id, band_id, band_hash) rows. */
+    * banded (doc_id, band_id, band_hash) rows; also exposes `hsh(doc_id,
+    * sh)` (hashed shingles) for downstream Jaccard verify. */
   private def bandedCtes(n: Int, k: Int, bands: Int): String = {
     require(k % bands == 0)
     val rows = k / bands
@@ -103,6 +100,8 @@ object LshOracles {
        |  FROM sig CROSS JOIN range(0,$bands) r)""".stripMargin
   }
 
+  /** [[bandedCtes]] + capped buckets + within-bucket pairing — the shared
+    * body of the pair/cluster twins. Ends with `cand(id1, id2)`. */
   private def candidateCtes(n: Int, k: Int, bands: Int, cap: Int): String =
     s"""${bandedCtes(n, k, bands)},
        |buckets AS (

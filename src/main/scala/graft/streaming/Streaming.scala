@@ -20,9 +20,12 @@ private final case class SessionBuf(start: Long, end: Long, n: Long, sum: Double
 final case class StreamDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
 /** A near-dup verdict: `doc_id` shares an LSH bucket with the earlier
-  * `dup_of` (one event per matching bucket — aggregate min(dup_of) per doc
-  * for a single verdict). */
-final case class NearDupEvent(doc_id: Long, ts: java.sql.Timestamp, dup_of: Long)
+  * keeper `dup_of` (whose event time is `dup_of_ts`). One event per
+  * matching bucket — aggregate min by (dup_of_ts, dup_of) per doc for a
+  * single verdict that matches the batch twin's earliest-keeper
+  * attribution. */
+final case class NearDupEvent(doc_id: Long, ts: java.sql.Timestamp,
+                              dup_of: Long, dup_of_ts: java.sql.Timestamp)
 
 /**
  * Structured Streaming surface (engine extension; the reference is batch-only
@@ -82,11 +85,15 @@ object Streaming {
    * with an earlier keeper emits a [[NearDupEvent]]. When a doc PRECEDES
    * the current keeper (out-of-order within the watermark), the old keeper
    * is emitted as the dup and the new doc takes over — so event-time
-   * keep-first semantics hold for any disorder the watermark admits.
-   * Keeper state expires `retentionMs` after the bucket's latest doc
-   * (EventTimeTimeout), so the dedup horizon — and state size — is bounded:
-   * this runs indefinitely. Batch twin: [[graft.llm.Dedup.nearDupDetectBatch]]
-   * (relational; oracle-checked with the portable family). Callers must
+   * keep-first semantics hold for any disorder the watermark admits (with
+   * the append-mode caveat that a verdict already emitted against a since-
+   * displaced keeper cannot be retracted; aggregate min by
+   * (dup_of_ts, dup_of) to resolve multi-bucket verdicts the way the batch
+   * twin does). Keeper state expires `retentionMs` after the LATEST doc the
+   * bucket has ever seen (tracked in state, so an out-of-order arrival can
+   * never shrink the horizon), bounding state size: this runs indefinitely.
+   * Batch twin: [[graft.llm.Dedup.nearDupDetectBatch]] (relational;
+   * oracle-checked with the portable family). Callers must
    * `withWatermark("ts", …)` the input in streaming mode.
    */
   def nearDupDetectStream(docs: Dataset[StreamDoc], retentionMs: Long,
@@ -98,14 +105,15 @@ object Streaming {
         shingleSize, k, bands, family, carry = Seq("ts"))
       .as[(Long, java.sql.Timestamp, Int, Long)]
     banded.groupByKey(r => (r._3, r._4))
-      .flatMapGroupsWithState[(Long, Long), NearDupEvent](
+      .flatMapGroupsWithState[(Long, Long, Long), NearDupEvent](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (_, rows, state: GroupState[(Long, Long)]) =>
+        case (_, rows, state: GroupState[(Long, Long, Long)]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val out = scala.collection.mutable.ArrayBuffer.empty[NearDupEvent]
-            var keeper = state.getOption // (keeperId, keeperTsMillis)
-            var maxTs = 0L
+            // (keeperId, keeperTsMillis, maxTsMillisSeen)
+            var keeper = state.getOption.map { case (id, t, _) => (id, t) }
+            var maxTs = state.getOption.map(_._3).getOrElse(0L)
             // event-time order within the batch; across batches the
             // keeper-displacement branch repairs watermark-bounded disorder
             rows.toSeq.sortBy(r => (r._2.getTime, r._1)).foreach { r =>
@@ -116,14 +124,14 @@ object Streaming {
                 case Some((kid, kts)) =>
                   if (t < kts || (t == kts && id < kid)) {
                     // doc precedes the keeper: old keeper becomes the dup
-                    out += NearDupEvent(kid, new java.sql.Timestamp(kts), id)
+                    out += NearDupEvent(kid, new java.sql.Timestamp(kts), id, r._2)
                     keeper = Some((id, t))
                   } else if (id != kid) {
-                    out += NearDupEvent(id, r._2, kid)
+                    out += NearDupEvent(id, r._2, kid, new java.sql.Timestamp(kts))
                   }
               }
             }
-            keeper.foreach(state.update)
+            keeper.foreach { case (id, t) => state.update((id, t, maxTs)) }
             scala.util.Try(state.setTimeoutTimestamp(maxTs + retentionMs))
             out.iterator
           }

@@ -54,15 +54,20 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     mem.addData(docs(3)) // out-of-order arrival inside the watermark
     q.processAllAvailable()
     q.stop()
-    val verdicts = spark.table("nd").select("doc_id", "dup_of")
-      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    // resolve multi-bucket verdicts the way the batch twin does: earliest
+    // (dup_of_ts, dup_of) keeper wins
+    val verdicts = spark.table("nd").select("doc_id", "dup_of_ts", "dup_of")
+      .as[(Long, java.sql.Timestamp, Long)].collect().groupBy(_._1).view
+      .mapValues(vs => vs.map(v => (v._2.getTime, v._3)).min._2).toMap
     assert(verdicts.keySet === Set(11L, 13L), verdicts)  // 12 unrelated; 10 is the keeper
     assert(verdicts(13L) === 10L)  // repaired: 13 precedes 11, dups against 10 only
     assert(verdicts(11L) === 10L)
 
     // batch-mode run of the SAME stateful operator ≡ relational batch twin
+    import org.apache.spark.sql.functions.{min, struct}
     val streamedBatch = Streaming.nearDupDetectStream(docs.toDS(), retentionMs = 3600000L)
-      .groupBy($"doc_id").agg(org.apache.spark.sql.functions.min($"dup_of").as("dup_of"))
+      .groupBy($"doc_id")
+      .agg(min(struct($"dup_of_ts", $"dup_of")).getField("dup_of").as("dup_of"))
       .as[(Long, Long)].collect().toSet
     val relational = graft.llm.Dedup.nearDupDetectBatch(
         docs.toDF(), "text", "doc_id", "ts")
