@@ -84,12 +84,14 @@ object Streaming {
    * (earliest (ts, doc_id) seen) lives in state; a doc landing in a bucket
    * with an earlier keeper emits a [[NearDupEvent]]. When a doc PRECEDES
    * the current keeper (out-of-order within the watermark), the old keeper
-   * is emitted as the dup and the new doc takes over — so event-time
-   * keep-first semantics hold for any disorder the watermark admits (with
-   * the append-mode caveat that a verdict already emitted against a since-
-   * displaced keeper cannot be retracted; aggregate min by
-   * (dup_of_ts, dup_of) to resolve multi-bucket verdicts the way the batch
-   * twin does). Keeper state expires `retentionMs` after the LATEST doc the
+   * is emitted as the dup and the new doc takes over — so dup MEMBERSHIP
+   * (which docs are flagged) matches the batch twin for any disorder the
+   * watermark admits (property-tested over randomized arrival orders).
+   * ATTRIBUTION is best-effort in append mode: a verdict already emitted
+   * against a since-displaced keeper cannot be retracted, so the
+   * min-(dup_of_ts, dup_of) aggregated keeper may be non-minimal when
+   * arrivals interleave — it is always a genuine earlier bucket-sharer.
+   * Keeper state expires `retentionMs` after the LATEST doc the
    * bucket has ever seen (tracked in state, so an out-of-order arrival can
    * never shrink the horizon), bounding state size: this runs indefinitely.
    * Batch twin: [[graft.llm.Dedup.nearDupDetectBatch]] (relational;

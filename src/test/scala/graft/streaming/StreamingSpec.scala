@@ -76,6 +76,63 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(relational === Set((11L, 10L), (13L, 10L)))
   }
 
+  test("streaming ≡ batch near-dup verdicts under randomized in-watermark arrival orders") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{min, struct}
+    // deterministic pseudo-random corpus: clusters of near-identical docs
+    // with shuffled event times, delivered in ARRIVAL order unrelated to
+    // event time, split across micro-batches at varying points
+    val rng = new scala.util.Random(1234)
+    val stems = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "completely different content about spark catalyst optimizer internals",
+      "a third cluster of text describing minhash signatures and lsh bands nicely")
+    val docs = (0 until 24).map { i =>
+      val stem = stems(i % 3)
+      val text = if (i < 18) stem + " v" + (i % 2) else s"unique doc $i with totally distinct words ${('a' + i).toChar}"
+      doc(i.toLong, 100 + rng.nextInt(500), text)
+    }
+    val relational = graft.llm.Dedup.nearDupDetectBatch(
+        docs.toDF(), "text", "doc_id", "ts")
+      .as[(Long, Long)].collect().toMap
+    // evidence set for attribution validity: genuine LSH bucket-sharers
+    val candidates = graft.llm.Dedup.minhashCandidatePairs(
+        docs.toDF(), "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val order = docs.map(d => d.doc_id -> (d.ts.getTime, d.doc_id)).toMap
+    for (trial <- 1 to 3) {
+      val arrival = new scala.util.Random(trial).shuffle(docs)
+      val (b1, rest) = arrival.splitAt(8)
+      val (b2, b3) = rest.splitAt(8)
+      val mem = MemoryStream[StreamDoc]
+      // watermark 1 hour: every disorder in this corpus is in-watermark
+      val q = Streaming.nearDupDetectStream(
+          mem.toDS().withWatermark("ts", "1 hour"), retentionMs = 7200000L)
+        .writeStream.format("memory").queryName(s"ndp$trial")
+        .outputMode(OutputMode.Append()).start()
+      Seq(b1, b2, b3).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val streamed = spark.table(s"ndp$trial")
+        .groupBy($"doc_id")
+        .agg(min(struct($"dup_of_ts", $"dup_of")).getField("dup_of").as("dup_of"))
+        .as[(Long, Long)].collect().toMap
+      // the convergence contract: dup MEMBERSHIP equals the batch twin for
+      // any in-watermark disorder (an early-arriving doc that later proves
+      // to be a dup is displaced and emitted); ATTRIBUTION is best-effort
+      // in append mode (already-emitted verdicts cannot be retracted), but
+      // every named keeper must be a genuine bucket-sharer that precedes
+      // the dup in (ts, id)
+      assert(streamed.keySet === relational.keySet,
+        s"trial $trial: streamed=${streamed.keySet} relational=${relational.keySet}")
+      streamed.foreach { case (d, k) =>
+        val pair = (math.min(d, k), math.max(d, k))
+        assert(candidates.contains(pair), s"trial $trial: $d -> $k not a bucket pair")
+        assert(implicitly[Ordering[(Long, Long)]].lt(order(k), order(d)),
+          s"trial $trial: keeper $k does not precede $d")
+      }
+    }
+  }
+
   test("streaming near-dup detector: keeper state expires after the retention horizon") {
     implicit val sqlCtx = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog again and again today"
