@@ -48,9 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_hyperplane_bucket(vec, nPlanes) takes 2 arguments, got ${children.length}")
         val np = children(1)
         require(np.foldable, "graft_hyperplane_bucket: nPlanes must be a literal")
-        val v = np.eval()
-        require(v != null, "graft_hyperplane_bucket: nPlanes must not be NULL")
-        HyperplaneBucket(children.head, v.asInstanceOf[Number].intValue())
+        np.eval() match {
+          case n: Number => HyperplaneBucket(children.head, n.intValue())
+          case null => throw new IllegalArgumentException(
+            "graft_hyperplane_bucket: nPlanes must not be NULL")
+          case other => throw new IllegalArgumentException(
+            s"graft_hyperplane_bucket: nPlanes must be a numeric literal, got $other")
+        }
       })
     inject("graft_type_set", "one-pass BigQuery-style type-set aggregate",
       children => TypeSetAgg(children.head))

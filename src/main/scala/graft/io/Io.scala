@@ -45,12 +45,15 @@ object Io {
       .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
       .sortBy(_.toString)
     require(files.nonEmpty, s"readTsv: no non-empty input files at $path")
-    // headOption, not (0): a byte-non-empty file can still hold zero text
-    // rows (e.g. an empty gzip member) — keep the failure diagnosable
-    val headerLine = spark.read.text(files.head.toString).limit(1).collect()
+    // a byte-non-empty file can still hold zero text rows (e.g. an empty
+    // gzip member) — advance to the next sorted candidate rather than
+    // aborting while valid input exists; fail diagnosably only when EVERY
+    // candidate is line-empty
+    val headerLine = files.view
+      .flatMap(f => spark.read.text(f.toString).limit(1).collect().headOption)
       .headOption.map(_.getString(0))
       .getOrElse(throw new IllegalArgumentException(
-        s"readTsv: no non-empty input files at $path (first candidate ${files.head} has no lines)"))
+        s"readTsv: no input file with any text rows at $path"))
     val headers = Normalize.dedupHeader(headerLine.split("\t", -1).toSeq)
     val schema = StructType(headers.map(h => StructField(h, StringType, nullable = true)))
     val raw = spark.read

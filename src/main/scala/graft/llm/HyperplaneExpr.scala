@@ -89,8 +89,16 @@ object HyperplaneBucket {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hyperplane_bucket",
-      (children: Seq[Expression]) => HyperplaneBucket(children.head,
-        children(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_hyperplane_bucket(vec, nPlanes) takes 2 arguments, got ${children.length}")
+        require(children(1).foldable, "graft_hyperplane_bucket: nPlanes must be a literal")
+        children(1).eval() match {
+          case n: Number => HyperplaneBucket(children.head, n.intValue())
+          case other => throw new IllegalArgumentException(
+            s"graft_hyperplane_bucket: nPlanes must be a numeric literal, got $other")
+        }
+      }, "scala_udf")
 
   /** Column form over a named vector column (registers on call). */
   def bucketCol(spark: org.apache.spark.sql.SparkSession, vecCol: String,

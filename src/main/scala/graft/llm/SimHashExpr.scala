@@ -149,8 +149,11 @@ object SimHashPortable60 {
   /** First 15 hex chars of md5(bytes) as a long — numerically identical to
     * Spark's `conv(substring(md5(s), 1, 15), 16, 10)` and DuckDB's
     * `('0x'||substr(md5(s),1,15))::BIGINT`: 7 full bytes then the high
-    * nibble of byte 7, big-endian. */
-  private[llm] def hash60(bytes: Array[Byte]): Long = {
+    * nibble of byte 7, big-endian. PUBLIC because generated Java calls it
+    * through the static forwarder — `private[llm]` gets no forwarder and
+    * Janino then fails, silently dropping every portable plan out of
+    * whole-stage codegen. */
+  def hash60(bytes: Array[Byte]): Long = {
     val d = md5.get()
     d.reset()
     val dig = d.digest(bytes)

@@ -63,6 +63,11 @@ object ApiQueries {
       (s, dir) => {
         val src = s"$FixtureRoot/s12src_${new java.io.File(dir).getName}"
         val dst = s"$FixtureRoot/s12dst_${new java.io.File(dir).getName}"
+        // clean both fixture dirs: stale obj_*.bin from a prior (possibly
+        // interrupted or different-fixture) run would leak into the
+        // binaryFile glob and diverge from the oracle's current-table rows
+        for (d <- Seq(src, dst); f <- Option(new java.io.File(d).listFiles).getOrElse(Array.empty))
+          f.delete()
         new java.io.File(src).mkdirs()
         td(s, dir, "nation").select("n_nationkey", "n_name").collect().foreach { r =>
           java.nio.file.Files.write(

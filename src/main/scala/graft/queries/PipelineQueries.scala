@@ -22,16 +22,19 @@ object PipelineQueries {
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus —
         // dedupe to one row per file id (min-aggregates are deterministic on
         // both engines) before deriving the reference-shaped fixtures.
-        // localCheckpoint (eager) materializes the deduped base ONCE: it
-        // feeds both the file and fawe sides of the fm join, and fm1 fans
-        // out to three branches — without it the shuffle+agg re-executes up
-        // to 8× (once per branch per join side).
+        // LAZY localCheckpoint materializes the deduped base ONCE at first
+        // action: it feeds both the file and fawe sides of the fm join, and
+        // fm1 fans out to three branches — without it the shuffle+agg
+        // re-executes up to 8× (once per branch per join side). Lazy so
+        // plan-only consumers (Explain, PlanAuditSpec) don't trigger a job
+        // at DataFrame construction. Local-mode storage is fine here; a
+        // real cluster job would point this at a reliable checkpoint dir.
         val l = td(s, dir, "lineitem").groupBy("l_orderkey", "l_linenumber")
           .agg(min(col("l_partkey")).as("l_partkey"),
             min(col("l_suppkey")).as("l_suppkey"),
             min(col("l_quantity")).as("l_quantity"),
             min(col("l_returnflag")).as("l_returnflag"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val file = l.select(
           concat(lit("f"), col("l_orderkey"), lit("-"), col("l_linenumber")).as("file_id"),
           concat(lit("f"), col("l_orderkey"), lit("-"), col("l_linenumber"), lit(".bam")).as("file_name"),
