@@ -37,5 +37,16 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     val types = Seq("1", "2.5", "x").toDF("v")
       .selectExpr("graft_type_set(v) AS t").as[Seq[String]].collect()(0)
     assert(types.nonEmpty)
+    // malformed nPlanes surfaces as the guard's clean error, not a raw
+    // ClassCastException/NPE out of the builder
+    for (bad <- Seq("'4'", "NULL", "")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT graft_hyperplane_bucket(array(CAST(1.0 AS FLOAT)), $bad)").collect()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("graft_hyperplane_bucket") || msgs.contains("WRONG_NUM_ARGS"),
+        s"nPlanes=$bad: $msgs")
+    }
   }
 }
