@@ -1,18 +1,72 @@
 package graft
 
+import java.lang.management.ManagementFactory
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /**
- * Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
- * prints ONE JSON line {"metric":"total","value":N,"unit":"sec",
- * "queries":{...},"sf":...}. Failed queries are reported under "errors"
- * and excluded from "queries"/"value" so a broken query can never be
- * mistaken for a fast one.
+ * Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR.
+ *
+ * Emits TWO artifacts:
+ *
+ *  1. stdout — ONE compact JSON line
+ *     `{"metric":"total","value":N,"unit":"sec","queries":{...},...}`.
+ *     The driver captures only the LAST ~2000 chars of output, so the
+ *     per-query map uses each query's unique short prefix (the part before
+ *     the first '_': `l5p_minhash_lsh_pairs_portable` → `"l5p"`) and
+ *     3-decimal seconds. With full names the line never fit the window —
+ *     every prior round's driver-side parse came back null.
+ *  2. `bench/BENCH_LOCAL.json` (tracked; override via
+ *     SPARK_GRAFT_BENCH_OUT) — the COMPLETE record: full query names,
+ *     full-precision seconds, per-query GC-time deltas, run metadata.
+ *     This is the file to diff across rounds.
+ *
+ * Measurement hygiene:
+ *  - an untimed warmup pass exercises the Janino/codegen + JIT cold path
+ *    (first generated-class compile costs hundreds of ms that would
+ *    otherwise land on whichever query runs first with a native
+ *    expression);
+ *  - cached/localCheckpointed RDDs are unpersisted after every query
+ *    (c9/l13/l16 checkpoint; letting blocks accumulate across 116 queries
+ *    builds GC pressure that can cliff an unlucky mid-suite query);
+ *  - per-query GC-time deltas go into the full JSON so a one-off outlier
+ *    (like the driver's r5 l5p=39.2 s) is attributable from the artifact
+ *    alone.
+ *
+ * Failed queries are reported under "errors" and excluded from
+ * "queries"/"value" so a broken query can never be mistaken for a fast one.
  */
 object Bench {
+
+  /** Short display key: unique prefix before the first '_' (falls back to
+    * the full name if two registered names would collide). */
+  private[graft] def shortKeys(names: Seq[String]): Map[String, String] = {
+    val pref = names.groupBy(n => n.takeWhile(_ != '_'))
+    names.map { n =>
+      val p = n.takeWhile(_ != '_')
+      n -> (if (pref(p).lengthCompare(1) == 0) p else n)
+    }.toMap
+  }
+
+  private def gcMillis(): Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(b.getCollectionTime, 0L)).sum
+
+  /** Drop every cached/localCheckpointed block the previous query left
+    * behind; each registered query is independent, so nothing is reused. */
+  private def clearPersisted(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/BENCH_LOCAL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,33 +86,77 @@ object Bench {
       case c => c.toString
     }
 
+    // Untimed warmup: a tiny end-to-end plan through the registered native
+    // expressions + md5 + a shuffle, so Janino, the codegen cache machinery
+    // and the parquet/noop writer JIT-compile before anything is timed.
+    // SPARK_GRAFT_WARMUP=0 disables (to measure the true-cold profile).
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+      import org.apache.spark.sql.functions._
+      val warm = spark.range(256)
+        .select(col("id"), split(concat(col("id").cast("string"), lit(" warm up tokens")), " ").as("toks"))
+        .select(
+          md5(col("id").cast("string").cast("binary")).as("m"),
+          graft.llm.SimHash64.simhashCol(spark, "toks").as("sh"),
+          graft.llm.SimHashPortable60.simhashCol(spark, "toks").as("shp"),
+          graft.llm.TextOps.docFingerprint(col("id").cast("string")).as("fp"),
+          graft.llm.TextOps.portableDocFingerprint(col("id").cast("string")).as("pfp"))
+      warm.groupBy("m").agg(max("sh"), max("shp"), max("fp"), max("pfp"))
+        .write.format("noop").mode("overwrite").save()
+      clearPersisted(spark)
+    }
+
     // dev-only filter: SPARK_GRAFT_ONLY=<prefix> limits the run; the driver
     // doesn't set it, so round benches always run the full registry
     val only = sys.env.get("SPARK_GRAFT_ONLY")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(n.startsWith))
     val timed  = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val gcMs   = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       try {
         // noop sink evaluates the full physical plan (count() would let
         // Catalyst prune every projection and undercount the work).
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         timed += name -> (System.nanoTime() - t0) / 1e9
+        gcMs  += name -> (gcMillis() - gc0)
       } catch {
         case e: Throwable =>
           errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
       }
+      clearPersisted(spark)
     }
 
-    val qs = timed.map { case (k, v) => "\"" + jsonEscape(k) + "\":" + v }
-      .mkString("{", ",", "}")
+    val total = if (timed.nonEmpty) timed.values.sum else 0.0
     val es = errors.map { case (k, v) => "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\"" }
       .mkString("{", ",", "}")
-    val total = if (timed.nonEmpty) timed.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"${jsonEscape(sfDir)}"}""")
+
+    // full-fidelity artifact (tracked): complete names + gc telemetry
+    val fullQs = timed.map { case (k, v) =>
+      "\"" + jsonEscape(k) + "\":{\"sec\":" + f"$v%.6f" + ",\"gc_ms\":" + gcMs.getOrElse(k, 0L) + "}"
+    }.mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"${jsonEscape(sfDir)}","cpus":$cpus,""" +
+      s""""queries":$fullQs,"errors":$es,""" +
+      s""""jvm":"${jsonEscape(System.getProperty("java.version"))}","heap_max_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)}}"""
+    try {
+      val p = Paths.get(outPath)
+      Option(p.getParent).foreach(Files.createDirectories(_))
+      Files.write(p, full.getBytes(StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $outPath: ${e.getMessage}")
+    }
+
+    // compact stdout line (must fit the driver's ~2000-char tail window)
+    val short = shortKeys(names)
+    val qs = timed.map { case (k, v) => "\"" + jsonEscape(short(k)) + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$es,""" +
+      s""""sf":"${jsonEscape(sfDir)}","keys":"prefix-before-first-underscore","full":"${jsonEscape(outPath)}"}""")
     spark.stop()
   }
 }

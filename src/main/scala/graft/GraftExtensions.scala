@@ -34,12 +34,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info(name, usage),
         (children: Seq[Expression]) => builder(children)): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
 
-    inject("graft_simhash64", "64-bit SimHash over a token array (xxhash64 votes)",
-      children => SimHash64(children.head))
-    inject("graft_simhash_p60", "portable 60-bit SimHash over a token array (md5-derived votes)",
-      children => SimHashPortable60(children.head))
-    inject("graft_phash60", "portable 60-bit string hash (first 15 md5 hex chars)",
-      children => PortableHash60Expr(children.head))
+    // every unary builder checks arity: `children.head` on zero args would
+    // surface as an opaque NoSuchElementException at plan time, and extra
+    // args would be silently ignored
+    def unary(name: String, usage: String, build: Expression => Expression): Unit =
+      inject(name, usage, children => {
+        require(children.length == 1,
+          s"$name(col) takes exactly 1 argument, got ${children.length}")
+        build(children.head)
+      })
+
+    unary("graft_simhash64", "64-bit SimHash over a token array (xxhash64 votes)",
+      SimHash64(_))
+    unary("graft_simhash_p60", "portable 60-bit SimHash over a token array (md5-derived votes)",
+      SimHashPortable60(_))
+    unary("graft_phash60", "portable 60-bit string hash (first 15 md5 hex chars)",
+      PortableHash60Expr(_))
     inject("graft_hyperplane_bucket", "hyperplane sign-bucket of a float vector",
       children => {
         // arity/foldability guarded here: eval on a non-foldable or null
@@ -56,7 +66,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_hyperplane_bucket: nPlanes must be a numeric literal, got $other")
         }
       })
-    inject("graft_type_set", "one-pass BigQuery-style type-set aggregate",
-      children => TypeSetAgg(children.head))
+    unary("graft_type_set", "one-pass BigQuery-style type-set aggregate",
+      TypeSetAgg(_))
   }
 }

@@ -159,21 +159,101 @@ object Ann {
         .otherwise(d / (na * nb))).as("neg"), s.getField("cell").as("cell"))
     })
 
+  /** Above this k the IVF family switches from the shared centroid-literal
+    * fold (fastest at small k; but plan size grows with k·dim literal nodes,
+    * a hard analysis/codegen ceiling at real IVF cell counts of 10⁴–10⁵) to
+    * a broadcast centroid TABLE — plan stays O(1) in k, centroid data ships
+    * once per executor as a broadcast relation instead of inside the plan. */
+  val ivfLiteralFoldMaxK = 256
+
+  /** Centroid set as a (cell, c: array<double>, nb) DataFrame. Norms use the
+    * same formula as [[centroidLit]], so both paths score bit-identically. */
+  private def centroidTable(spark: org.apache.spark.sql.SparkSession,
+                            centroids: Seq[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) =>
+      val ds = c.map(_.toDouble).toSeq
+      (i, ds, math.sqrt(ds.map(v => v * v).sum))
+    }.toDF("cell", "c", "nb")
+  }
+
+  /** One row per (input row, centroid): the broadcast-join centroid scorer.
+    * The join key is a NON-FOLDABLE constant (`xxhash64(id) % 1`): both
+    * sides carry the same single value, so Catalyst plans a
+    * BroadcastHashJoin (never a BroadcastNestedLoopJoin — a foldable `true`
+    * condition would degenerate to a cross join and trip the plan audit).
+    * `neg` mirrors [[scoredCells]] exactly: −cosine with the zero-norm
+    * guard, so argmin tie-break order matches the fold path bit for bit. */
+  private def joinedCellScores(withDvec: DataFrame, id: String,
+                               cents: DataFrame): DataFrame = {
+    val probe = withDvec.withColumn("_k", pmod(xxhash64(col(id)), lit(1)))
+    val ct = broadcast(cents.withColumn("_k", pmod(xxhash64(col("cell")), lit(1))))
+    probe.join(ct, "_k")
+      .select(col(id), col("vec"), col("cell"),
+        (lit(0.0) - when(col("_na") === 0 || col("nb") === 0, lit(0.0))
+          .otherwise(dot(col("_dv"), col("c")) / (col("_na") * col("nb")))).as("neg"))
+  }
+
+  /** Nearest-cell assignment via the broadcast path: deterministic argmin =
+    * min over (neg, cell) structs — identical tie-break to the fold path's
+    * `array_min`. Partial aggregation collapses each row's k candidates
+    * map-side (they are co-located by construction), so the exchange moves
+    * one row per input row. */
+  private def assignCellsBroadcast(withDvec: DataFrame, id: String,
+                                   cents: DataFrame): DataFrame =
+    joinedCellScores(withDvec, id, cents)
+      .groupBy(col(id))
+      .agg(min(struct(col("neg"), col("cell"))).as("_best"),
+        first(col("vec")).as("vec"))
+      .select(col(id), col("vec"), col("_best.cell").as("cell"))
+
+  /** Top-`nProbe` cells per query row via the broadcast path: window rank
+    * over (neg, cell) — the same order `array_sort` gives the fold path. */
+  private def probeCellsBroadcast(withDvec: DataFrame, id: String,
+                                  cents: DataFrame, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(id)).orderBy(col("neg"), col("cell"))
+    joinedCellScores(withDvec, id, cents)
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= nProbe)
+      .select(col(id), col("vec"), col("cell"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, centroids: Seq[Array[Float]], k: Int,
-              nProbe: Int = 2): DataFrame = {
-    val scoredCells = this.scoredCells(centroidLit(centroids)) _
+              nProbe: Int = 2): DataFrame =
+    ivfTopKPath(corpus, queries, vecCol, idCol, centroids, k, nProbe,
+      broadcastCentroids = centroids.size > ivfLiteralFoldMaxK)
+
+  /** Path-forced variant ([[ivfTopK]] picks by k): `broadcastCentroids`
+    * selects the O(1)-plan broadcast-table scorer over the literal fold.
+    * Package-private so specs can parity-test both paths at the same k. */
+  private[graft] def ivfTopKPath(corpus: DataFrame, queries: DataFrame,
+                                 vecCol: String, idCol: String,
+                                 centroids: Seq[Array[Float]], k: Int,
+                                 nProbe: Int,
+                                 broadcastCentroids: Boolean): DataFrame = {
     def withDvec(df: DataFrame, id: String): DataFrame = df
       .select(col(idCol).as(id), col(vecCol).as("vec"),
         transform(col(vecCol), _.cast("double")).as("_dv"))
       .select(col(id), col("vec"), col("_dv"), norm(col("_dv")).as("_na"))
-    val cb = withDvec(corpus, "corpus_id")
-      .select(col("corpus_id"), col("vec").as("cvec"),
-        array_min(scoredCells(col("_dv"), col("_na"))).getField("cell").as("cell"))
-    val qb = withDvec(queries, "query_id")
-      .select(col("query_id"), col("vec").as("qvec"),
-        explode(transform(slice(array_sort(scoredCells(col("_dv"), col("_na"))), 1, nProbe),
-          _.getField("cell"))).as("cell"))
+    val (cb, qb) =
+      if (broadcastCentroids) {
+        val ct = centroidTable(corpus.sparkSession, centroids)
+        (assignCellsBroadcast(withDvec(corpus, "corpus_id"), "corpus_id", ct)
+           .select(col("corpus_id"), col("vec").as("cvec"), col("cell")),
+         probeCellsBroadcast(withDvec(queries, "query_id"), "query_id", ct, nProbe)
+           .select(col("query_id"), col("vec").as("qvec"), col("cell")))
+      } else {
+        val scoredCells = this.scoredCells(centroidLit(centroids)) _
+        (withDvec(corpus, "corpus_id")
+           .select(col("corpus_id"), col("vec").as("cvec"),
+             array_min(scoredCells(col("_dv"), col("_na"))).getField("cell").as("cell")),
+         withDvec(queries, "query_id")
+           .select(col("query_id"), col("vec").as("qvec"),
+             explode(transform(slice(array_sort(scoredCells(col("_dv"), col("_na"))), 1, nProbe),
+               _.getField("cell"))).as("cell")))
+      }
     val scored = qb.join(cb, "cell")
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
@@ -213,13 +293,19 @@ object Ann {
     var cents = firstKCentroids(df, vecCol, idCol, k)
     var it = 0
     while (it < iters) {
-      val sc = scoredCells(centroidLit(cents)) _
-      val assigned = df
-        .select(col(vecCol).as("vec"),
+      val withDvec = df
+        .select(col(idCol).as("_id"), col(vecCol).as("vec"),
           transform(col(vecCol), _.cast("double")).as("_dv"))
-        .select(col("vec"), col("_dv"), norm(col("_dv")).as("_na"))
-        .select(col("vec"),
-          array_min(sc(col("_dv"), col("_na"))).getField("cell").as("cell"))
+        .select(col("_id"), col("vec"), col("_dv"), norm(col("_dv")).as("_na"))
+      val assigned =
+        if (k > ivfLiteralFoldMaxK)
+          assignCellsBroadcast(withDvec, "_id", centroidTable(df.sparkSession, cents))
+            .select(col("vec"), col("cell"))
+        else {
+          val sc = scoredCells(centroidLit(cents)) _
+          withDvec.select(col("vec"),
+            array_min(sc(col("_dv"), col("_na"))).getField("cell").as("cell"))
+        }
       val sums = assigned
         .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
@@ -244,13 +330,32 @@ object Ann {
    * scalar agg.
    */
   def meanAssignmentCost(df: DataFrame, vecCol: String,
-                         centroids: Seq[Array[Float]]): Double = {
-    val sc = scoredCells(centroidLit(centroids)) _
-    df.select(transform(col(vecCol), _.cast("double")).as("_dv"))
-      .select(col("_dv"), norm(col("_dv")).as("_na"))
-      .select((array_min(sc(col("_dv"), col("_na"))).getField("neg") + lit(1.0)).as("cost"))
-      .agg(avg(col("cost"))).head().getDouble(0)
-  }
+                         centroids: Seq[Array[Float]]): Double =
+    meanAssignmentCostPath(df, vecCol, centroids,
+      useBroadcast = centroids.size > ivfLiteralFoldMaxK)
+
+  /** Path-forced variant (package-private for parity specs). */
+  private[graft] def meanAssignmentCostPath(df: DataFrame, vecCol: String,
+                                            centroids: Seq[Array[Float]],
+                                            useBroadcast: Boolean): Double =
+    if (useBroadcast) {
+      // broadcast path needs a per-row grouping key for the argmin; a
+      // partition-stable synthetic id suffices (rows are never re-identified)
+      val withDvec = df
+        .select(monotonically_increasing_id().as("_id"),
+          col(vecCol).as("vec"), transform(col(vecCol), _.cast("double")).as("_dv"))
+        .select(col("_id"), col("vec"), col("_dv"), norm(col("_dv")).as("_na"))
+      joinedCellScores(withDvec, "_id", centroidTable(df.sparkSession, centroids))
+        .groupBy(col("_id")).agg(min(col("neg")).as("neg"))
+        .select((col("neg") + lit(1.0)).as("cost"))
+        .agg(avg(col("cost"))).head().getDouble(0)
+    } else {
+      val sc = scoredCells(centroidLit(centroids)) _
+      df.select(transform(col(vecCol), _.cast("double")).as("_dv"))
+        .select(col("_dv"), norm(col("_dv")).as("_na"))
+        .select((array_min(sc(col("_dv"), col("_na"))).getField("neg") + lit(1.0)).as("cost"))
+        .agg(avg(col("cost"))).head().getDouble(0)
+    }
 
   /**
    * Embedding-cosine near-dup pairs at scale: bucket by hyperplane signs,

@@ -49,4 +49,56 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
         s"nPlanes=$bad: $msgs")
     }
   }
+
+  test("unary builders reject wrong arity with a named error") {
+    org.apache.spark.sql.GraftTestBridge.applyExtensions(
+      new GraftExtensions(),
+      org.apache.spark.sql.GraftTestBridge.functionRegistry(spark))
+    for {
+      fn   <- Seq("graft_simhash64", "graft_simhash_p60", "graft_phash60")
+      args <- Seq("", "array('a'), array('b')")
+    } {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT $fn($args)").collect()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains(fn) || msgs.contains("WRONG_NUM_ARGS"),
+        s"$fn($args): expected a named arity error, got: $msgs")
+    }
+  }
+
+  test("a fresh session built withExtensions resolves the functions (conf path)") {
+    // the real installer path: a NEW session (same context) constructed with
+    // .withExtensions — what spark.sql.extensions=graft.GraftExtensions does
+    import org.apache.spark.sql.SparkSession
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-conf-path")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val row = s2.sql(
+        """SELECT graft_simhash64(array('the','quick','fox')) AS s,
+          |       graft_hyperplane_bucket(array(CAST(1.0 AS DOUBLE), CAST(-2.0 AS DOUBLE)), 6) AS b,
+          |       graft_phash60('the') AS p
+          |""".stripMargin).collect()(0)
+      assert(row.getLong(0) !== 0L)
+      assert(row.getLong(1) >= 0L && row.getLong(1) < (1L << 6))
+      assert(row.getLong(2) > 0L)
+      val types = s2.sql(
+        "SELECT graft_type_set(v) AS t FROM VALUES ('1'), ('2.5'), ('x') AS t(v)")
+        .collect()(0).getSeq[String](0)
+      assert(types.toSet === Set("BOOL", "FLOAT64", "STRING"))
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }

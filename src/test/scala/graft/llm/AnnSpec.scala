@@ -71,6 +71,66 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(res.select("corpus_id").as[Long].collect().toSet === Set(1L, 2L))
   }
 
+  // deterministic synthetic corpus for the large-k path: 60 rows, 16 dims
+  private def synth(n: Int, dim: Int) = {
+    val rng = new scala.util.Random(7)
+    Seq.tabulate(n)(i => (i.toLong, Array.fill(dim)(rng.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+  }
+  private def synthCentroids(k: Int, dim: Int): Seq[Array[Float]] = {
+    val rng = new scala.util.Random(11)
+    Seq.fill(k)(Array.fill(dim)(rng.nextFloat() - 0.5f))
+  }
+
+  test("IVF broadcast-centroid path matches the literal fold bit for bit (k=32)") {
+    val corpus = synth(60, 16)
+    val queries = corpus.filter($"vec_id" < 4L)
+    val cents = synthCentroids(32, 16)
+    def run(bc: Boolean) =
+      Ann.ivfTopKPath(corpus, queries, "embedding", "vec_id", cents,
+          k = 5, nProbe = 2, broadcastCentroids = bc)
+        .select("query_id", "corpus_id", "cosine_sim")
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(run(bc = true) === run(bc = false))
+  }
+
+  test("broadcast-centroid path keeps the plan flat at k=1024 and plans a hash join") {
+    val corpus = synth(60, 16)
+    val queries = corpus.filter($"vec_id" < 2L)
+    val small = Ann.ivfTopKPath(corpus, queries, "embedding", "vec_id",
+      synthCentroids(32, 16), k = 3, nProbe = 2, broadcastCentroids = false)
+    val big = Ann.ivfTopKPath(corpus, queries, "embedding", "vec_id",
+      synthCentroids(1024, 16), k = 3, nProbe = 2, broadcastCentroids = true)
+    // 32× the centroids must NOT grow the plan: the centroid data lives in a
+    // broadcast relation, not in literal expression nodes
+    val sizeSmall = small.queryExecution.optimizedPlan.toString.length
+    val sizeBig = big.queryExecution.optimizedPlan.toString.length
+    assert(sizeBig < sizeSmall,
+      s"broadcast plan ($sizeBig chars) should be smaller than the k=32 literal fold ($sizeSmall chars)")
+    // the constant-key join stays a BroadcastHashJoin — a foldable key would
+    // degenerate to BroadcastNestedLoopJoin and break the no-BNLJ contract
+    val phys = big.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), phys.take(2000))
+    assert(!phys.contains("BroadcastNestedLoopJoin"), phys.take(2000))
+    assert(!phys.contains("CartesianProduct"), phys.take(2000))
+    // and it RUNS at k=1024 (the fold path would be a plan-size hazard here)
+    assert(big.count() >= 0L)
+    // the public API auto-selects the broadcast path above the threshold
+    val auto = Ann.ivfTopK(corpus, queries, "embedding", "vec_id",
+      synthCentroids(1024, 16), k = 3, nProbe = 2)
+    assert(auto.queryExecution.optimizedPlan.toString.length < sizeSmall * 2)
+  }
+
+  test("meanAssignmentCost agrees between fold and broadcast paths") {
+    val corpus = synth(40, 16)
+    val cents = synthCentroids(8, 16)
+    val a = Ann.meanAssignmentCostPath(corpus, "embedding", cents, useBroadcast = false)
+    val b = Ann.meanAssignmentCostPath(corpus, "embedding", cents, useBroadcast = true)
+    // same scoring expressions on both paths ⇒ bit-identical per-row minima;
+    // the final avg is a single-partition fold either way at this size
+    assert(math.abs(a - b) < 1e-12, s"fold=$a broadcast=$b")
+  }
+
   test("embedding near-dups: over-cap bucket fires dropStats counters") {
     // 4 identical vectors share one hyperplane bucket; cap 3 drops it
     val same = Seq.tabulate(4)(i =>
