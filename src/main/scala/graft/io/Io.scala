@@ -30,7 +30,8 @@ object Io {
    * on the driver. Scale: the normalization pass is pure `when/rlike`
    * expressions — codegen'd into the scan, no extra stage.
    */
-  def readTsv(spark: SparkSession, path: String, normalize: Boolean = true): DataFrame = {
+  def readTsv(spark: SparkSession, path: String, normalize: Boolean = true,
+              verifyHeaders: Boolean = false): DataFrame = {
     // Resolve the header from the lexicographically-FIRST non-empty visible
     // file: `spark.read.text(dir).limit(1)` picks an arbitrary split in
     // multi-file dirs, and a fully-empty input would throw a bare
@@ -54,6 +55,22 @@ object Io {
       .headOption.map(_.getString(0))
       .getOrElse(throw new IllegalArgumentException(
         s"readTsv: no input file with any text rows at $path"))
+    // csv(header=true) + an explicit schema DROPS the first line of EVERY
+    // file without checking it: a file whose header disagrees in column
+    // order is silently misaligned to the resolved header. Opt-in guard
+    // (driver-side, one tiny job per file — O(files), not O(bytes); leave
+    // off on hot multi-thousand-file dirs, on for audited loads):
+    if (verifyHeaders) {
+      files.drop(1).foreach { f =>
+        val first = spark.read.text(f.toString).limit(1).collect()
+          .headOption.map(_.getString(0))
+        first.filter(_ != headerLine).foreach { h =>
+          throw new IllegalArgumentException(
+            s"readTsv: header mismatch in $f — expected '$headerLine', found '$h'; " +
+              "files in one load must agree on column order")
+        }
+      }
+    }
     val headers = Normalize.dedupHeader(headerLine.split("\t", -1).toSeq)
     val schema = StructType(headers.map(h => StructField(h, StringType, nullable = true)))
     val raw = spark.read

@@ -69,9 +69,13 @@ object Ann {
                      excludeId: Option[Long] = None): DataFrame = {
     val q = array(query.map(v => lit(v.toDouble)): _*)
     val base = excludeId.map(id => df.filter(col(idCol) =!= id)).getOrElse(df)
+    // rank on the 6-dp-ROUNDED similarity (raw sim still returned): the
+    // rank key must be engine-stable — two near-tied candidates straddling
+    // the top-k boundary would otherwise be decided by the last ulp of the
+    // fold order, which an external oracle cannot reproduce
     base.select(col(idCol),
         cosine(transform(col(vecCol), _.cast("double")), q).as("cosine_sim"))
-      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+      .orderBy(round(col("cosine_sim"), 6).desc, col(idCol).asc)
       .limit(k)
   }
 
@@ -120,10 +124,11 @@ object Ann {
         cosine(transform(col("qvec"), _.cast("double")),
                transform(col("cvec"), _.cast("double"))).as("cosine_sim"))
       .distinct()
-    // per-query top-k via window rank
+    // per-query top-k via window rank, keyed on the 6-dp-ROUNDED similarity
+    // (engine-stable boundary; see bruteForceTopK)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine_sim").desc, col("corpus_id").asc)
+      .orderBy(round(col("cosine_sim"), 6).desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .drop("rank")
@@ -261,8 +266,9 @@ object Ann {
                transform(col("cvec"), _.cast("double"))).as("cosine_sim"))
       .distinct()
     import org.apache.spark.sql.expressions.Window
+    // rounded rank key — engine-stable boundary (see bruteForceTopK)
     val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine_sim").desc, col("corpus_id").asc)
+      .orderBy(round(col("cosine_sim"), 6).desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k).drop("rank")
   }
 

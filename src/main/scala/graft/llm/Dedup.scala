@@ -245,6 +245,9 @@ object Dedup {
    * The tracking pass-through filter runs on bucket rows (post-aggregation
    * cardinality), so its non-codegen cost is noise next to the
    * `collect_list`; with `stats = None` the plan is untouched.
+   *
+   * Telemetry only — callers must never gate control flow or correctness
+   * on these counts (re-execution over-counts; see [[DropStats]]).
    */
   private[llm] def observeDrops(grouped: DataFrame, membersCol: String,
                                 cap: Int, stats: Option[DropStats]): DataFrame =

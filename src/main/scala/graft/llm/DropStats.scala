@@ -22,6 +22,11 @@ import org.apache.spark.util.LongAccumulator
  * same uncached frame double the counts — call [[DropStats.reset]] between
  * actions, or read after exactly one); and the counters only populate once
  * an action has executed the bucket stage.
+ *
+ * RULE: these counts are telemetry ONLY — never gate pipeline control flow,
+ * correctness checks, or retries on them. Any `dropStats` parameter in
+ * [[Dedup]]/[[Ann]] carries this same contract: the caps themselves (not
+ * the counters) are the correctness mechanism.
  */
 final class DropStats private (
     val droppedBuckets: LongAccumulator,

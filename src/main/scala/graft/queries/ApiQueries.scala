@@ -38,7 +38,7 @@ object ApiQueries {
         Io.copyTable(s, src, dst)
         s.read.parquet(dst)
       },
-      Some("SELECT * FROM nation")),
+      Some("SELECT * FROM nation"), eager = true),
 
     // S10 — table delete / dataset create: idempotent drop + recreate; the
     //   post-drop definition must win (create_modify.py:339-352, 383-410)
@@ -85,7 +85,7 @@ object ApiQueries {
             md5(col("content")).as("content_md5"))
       },
       Some("""SELECT n_nationkey, CAST(octet_length(encode(n_name)) AS BIGINT) AS byte_len,
-             |md5(n_name) AS content_md5 FROM nation""".stripMargin)),
+             |md5(n_name) AS content_md5 FROM nation""".stripMargin), eager = true),
 
     // S11 — export table → TSV with header (support.py:434-470), read back
     "s11_export_tsv" -> Q(
@@ -95,7 +95,7 @@ object ApiQueries {
         Io.readTsvTyped(s, path, StructType(Seq(
           StructField("r_regionkey", IntegerType), StructField("r_name", StringType))))
       },
-      Some("SELECT r_regionkey, r_name FROM region")),
+      Some("SELECT r_regionkey, r_name FROM region"), eager = true),
 
     // S13/A12 — offset/limit paginated source with drift detection + retry
     //   (pdc_helpers.py:26-168): pages served locally from customer
@@ -112,7 +112,7 @@ object ApiQueries {
         Sources.toDataFrame(s, rows, StructType(Seq(
           StructField("c_custkey", LongType), StructField("c_name", StringType))))
       },
-      Some("SELECT c_custkey, c_name FROM customer")),
+      Some("SELECT c_custkey, c_name FROM customer"), eager = true),
 
     // S14 — cursor-walk source (rel="next" pagination,
     //   quant_data_matrix_pdc.py:49-131): cursor is the last-seen key
@@ -129,7 +129,7 @@ object ApiQueries {
         Sources.toDataFrame(s, rows, StructType(Seq(
           StructField("s_suppkey", LongType), StructField("s_name", StringType))))
       },
-      Some("SELECT s_suppkey, s_name FROM supplier")),
+      Some("SELECT s_suppkey, s_name FROM supplier"), eager = true),
 
     // S15 — manifest source: filter-dict → manifest rows (support.py:503-573)
     "s15_manifest_source" -> Q(
@@ -164,7 +164,7 @@ object ApiQueries {
           .select(regexp_extract(col("f"), "region_([0-9]+)\\.txt", 1).cast("int").as("r_regionkey"),
             col("value").as("r_name"))
       },
-      Some("SELECT r_regionkey, r_name FROM region")),
+      Some("SELECT r_regionkey, r_name FROM region"), eager = true),
 
     // S17 — zip extraction source → normalized TSV read (extract_from_tsv.py:44-99)
     "s17_zip_extract" -> Q(
@@ -188,7 +188,7 @@ object ApiQueries {
         extracted.map(p => Io.readTsv(s, p)).reduce(_ unionByName _)
           .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"))
       },
-      Some("SELECT n_nationkey, n_name FROM nation")),
+      Some("SELECT n_nationkey, n_name FROM nation"), eager = true),
 
     // O4 — driver-side top-N display cutoff via take(n)
     //   (compare_and_publish_tables.py:101-104)
@@ -200,7 +200,7 @@ object ApiQueries {
           StructField("c_custkey", LongType), StructField("c_acctbal", DoubleType))))
       },
       Some("""SELECT c_custkey, c_acctbal FROM customer
-             |ORDER BY c_acctbal DESC, c_custkey LIMIT 5""".stripMargin)),
+             |ORDER BY c_acctbal DESC, c_custkey LIMIT 5""".stripMargin), eager = true),
 
     // event-time window aggregation over the ns-timestamp events table
     //   (streaming-compatible shape: same plan works under readStream +

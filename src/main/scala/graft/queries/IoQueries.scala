@@ -41,7 +41,7 @@ object IoQueries {
       Some("""SELECT CAST(n_nationkey AS BIGINT) AS key,
              |CASE CAST(n_nationkey % 4 AS INTEGER) WHEN 0 THEN NULL WHEN 1 THEN 'True'
              |  WHEN 2 THEN '12' ELSE n_name END AS val,
-             |n_name AS val_1 FROM nation""".stripMargin)),
+             |n_name AS val_1 FROM nation""".stripMargin), eager = true),
 
     // S3/S5 — JSONL writer → schema'd JSONL load round-trip
     //   (data_helpers.py:59-75; create_modify.py:178-208)
@@ -54,7 +54,7 @@ object IoQueries {
           StructField("c_custkey", LongType), StructField("c_name", StringType),
           StructField("c_acctbal", DoubleType), StructField("c_mktsegment", StringType))))
       },
-      Some("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer")),
+      Some("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer"), eager = true),
 
     // S4/S6 — TSV sink with "None" null marker → typed TSV load round-trip
     //   (data_helpers.py:35-56; create_modify.py:137-175)
@@ -71,7 +71,7 @@ object IoQueries {
           StructField("s_nationkey", LongType))))
       },
       Some("""SELECT s_suppkey, nullif(s_name, 'Supplier#000000003') AS s_name_opt,
-             |CAST(s_nationkey AS BIGINT) AS s_nationkey FROM supplier""".stripMargin)),
+             |CAST(s_nationkey AS BIGINT) AS s_nationkey FROM supplier""".stripMargin), eager = true),
 
     // S2 — sampled distributed type inference feeding a typed load: infer on
     //   an all-string TSV of part, verify the inferred column types land
@@ -89,7 +89,7 @@ object IoQueries {
       },
       Some("""SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name,
              |CAST(p_size AS BIGINT) AS p_size,
-             |CAST(p_retailprice AS DOUBLE) AS p_retailprice FROM part""".stripMargin)),
+             |CAST(p_retailprice AS DOUBLE) AS p_retailprice FROM part""".stripMargin), eager = true),
 
     // S7 — CTAS with 0-row guard (create_modify.py:108-134, 280-303)
     "s7_ctas_guard" -> Q(
@@ -100,6 +100,6 @@ object IoQueries {
         Io.ctasParquet(s, agg, path)
       },
       Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt
-             |FROM lineitem GROUP BY 1""".stripMargin))
+             |FROM lineitem GROUP BY 1""".stripMargin), eager = true)
   )
 }

@@ -249,7 +249,7 @@ object LshOracles {
        |    ${cosSql("p.qe", "c.e")} AS sim
        |  FROM pr p JOIN b c ON p.bucket = c.bucket AND c.vec_id <> p.query_id),
        |rk AS (SELECT query_id, corpus_id, sim,
-       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS r
+       |    row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 6) DESC, corpus_id) AS r
        |  FROM sc)
        |SELECT query_id, corpus_id, round(sim, 6) AS cosine_sim FROM rk WHERE r <= $k""".stripMargin
   }
@@ -284,7 +284,7 @@ object LshOracles {
        |sc AS (SELECT DISTINCT q.query_id, c2.corpus_id, ${cosSql("q.qe", "c2.ce2")} AS sim
        |  FROM queries q JOIN corpus c2 ON q.cell = c2.cell AND c2.corpus_id <> q.query_id),
        |rk AS (SELECT query_id, corpus_id, sim,
-       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS r
+       |    row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 6) DESC, corpus_id) AS r
        |  FROM sc)
        |SELECT query_id, corpus_id, round(sim, 6) AS cosine_sim FROM rk WHERE r <= $k""".stripMargin
 }

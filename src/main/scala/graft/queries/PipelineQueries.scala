@@ -203,7 +203,8 @@ object PipelineQueries {
 
     // IVF ANN: nearest-cell assignment + nProbe probing. Oracle: first-k
     //   centroids by vec_id reproduced in SQL (row_number - 1 = cell id);
-    //   rank on raw sim, output rounded to 6 dp on both sides
+    //   top-k rank keyed on the 6-dp-rounded sim on both sides (engine-
+    //   stable boundary), output rounded to 6 dp
     "l12_ann_ivf_topk" -> Q(
       (s, dir) => {
         val e = td(s, dir, "embeddings")

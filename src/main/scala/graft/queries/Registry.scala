@@ -18,9 +18,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    ns-precision; Spark truncates to µs);
  *  - pass-through doubles and MIN/MAX are exact selections → safe raw.
  */
+/**
+ * @param eager true when `fn` runs work at DataFrame-CONSTRUCTION time
+ *              (fixture writes, driver-side source fetches, bounded
+ *              collects, trainer loops) rather than returning a pure lazy
+ *              plan. Plan-only tooling (PlanAuditSpec) skips eager queries —
+ *              calling their `fn` would execute jobs and mutate fixture
+ *              dirs, not just build a plan.
+ */
 final case class Q(
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    eager: Boolean = false)
 
 object Registry {
 
@@ -40,5 +49,5 @@ object Registry {
     all.map { case (n, q) => n -> q.fn }.toMap
 
   lazy val oracleSql: Map[String, String] =
-    all.collect { case (n, Q(_, Some(sql))) => n -> sql }.toMap
+    all.collect { case (n, Q(_, Some(sql), _)) => n -> sql }.toMap
 }

@@ -43,7 +43,7 @@ object StatQueries {
         out.select(col("exact"), col("within_5pct"))
       },
       Some("""SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact,
-             |true AS within_5pct FROM lineitem""".stripMargin)),
+             |true AS within_5pct FROM lineitem""".stripMargin), eager = true),
 
     // A16 — STRING_AGG ordered by a different key than the value (struct
     //   sort; the general ORDER BY case)

@@ -134,7 +134,13 @@ object Streaming {
               }
             }
             keeper.foreach { case (id, t) => state.update((id, t, maxTs)) }
-            scala.util.Try(state.setTimeoutTimestamp(maxTs + retentionMs))
+            // 'timeout before watermark' must not be swallowed: a bucket
+            // whose last-seen event time already trails the watermark by
+            // more than retentionMs would otherwise keep keeper state with
+            // no (or a stale) timeout — a slow state leak. Its retention
+            // has expired by definition, so drop the state now.
+            try state.setTimeoutTimestamp(maxTs + retentionMs)
+            catch { case _: IllegalArgumentException => state.remove() }
             out.iterator
           }
       }
@@ -184,8 +190,15 @@ object Streaming {
             if (buf != null) {
               if (streaming) {
                 state.update(buf)
-                // fire once the watermark passes the session's gap horizon
-                scala.util.Try(state.setTimeoutTimestamp(buf.end + gapMs))
+                // fire once the watermark passes the session's gap horizon;
+                // when the horizon ALREADY trails the watermark the timeout
+                // can never be set — the session is final now, so emit it
+                // instead of parking it in state with no timeout (leak)
+                try state.setTimeoutTimestamp(buf.end + gapMs)
+                catch { case _: IllegalArgumentException =>
+                  out += close(userId, buf)
+                  state.remove()
+                }
               } else {
                 // batch: input is complete — the open session IS final
                 out += close(userId, buf)

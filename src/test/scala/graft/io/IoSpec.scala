@@ -42,6 +42,26 @@ class IoSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("no non-empty input files"))
   }
 
+  test("readTsv verifyHeaders: column-order disagreement fails with a named error") {
+    val dir = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.tsv"),
+      "id\tv\n1\tx\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.tsv"),
+      "v\tid\ny\t2\n".getBytes("UTF-8"))
+    // default (unverified) read silently misaligns b.tsv to a.tsv's header —
+    // the documented fast-path tradeoff; the guard turns it into a hard error
+    val e = intercept[IllegalArgumentException] {
+      Io.readTsv(spark, dir, verifyHeaders = true)
+    }
+    assert(e.getMessage.contains("header mismatch"))
+    assert(e.getMessage.contains("b.tsv"))
+    // agreeing headers pass the guard unchanged
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.tsv"),
+      "id\tv\n2\ty\n".getBytes("UTF-8"))
+    val ok = Io.readTsv(spark, dir, verifyHeaders = true)
+    assert(ok.as[(String, String)].collect().toSet === Set(("1", "x"), ("2", "y")))
+  }
+
   test("readTsvChecked row-count invariant holds (data_helpers.py:550-557)") {
     val dir = tmp()
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.tsv"),
