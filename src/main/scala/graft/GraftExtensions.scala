@@ -19,7 +19,8 @@ import graft.types.TypeSetAgg
  * Registers: `graft_simhash64(array<string>)`,
  * `graft_simhash_p60(array<string>)`, `graft_phash60(string)`,
  * `graft_hyperplane_bucket(array<float>, nPlanes)`,
- * `graft_type_set(col)` (the one-pass type-inference aggregate).
+ * `graft_type_set(col)` (the one-pass type-inference aggregate),
+ * `graft_bpe_count(string)` (BPE token count, default merges table).
  *
  * The per-object `register` helpers remain for ad-hoc sessions; the Column
  * APIs in [[graft.llm]] work with or without the extension installed.
@@ -68,5 +69,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       })
     unary("graft_type_set", "one-pass BigQuery-style type-set aggregate",
       TypeSetAgg(_))
+    unary("graft_bpe_count", "BPE token count (DefaultMerges table)",
+      graft.llm.BpeCountExpr(_, graft.llm.Bpe.DefaultMerges))
   }
 }

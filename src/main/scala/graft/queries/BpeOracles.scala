@@ -1,0 +1,59 @@
+package graft.queries
+
+/**
+ * DuckDB oracle SQL for the BPE tokenizer ([[graft.llm.Bpe]]): a recursive
+ * CTE replays the IDENTICAL greedy lowest-rank single-occurrence merge
+ * loop over every distinct word, with the merges table interpolated from
+ * the same Scala values the Spark expression carries — both engines encode
+ * from the same spec, end to end.
+ *
+ * Mechanics verified against DuckDB 1.0 semantics: string slicing is
+ * code-point-based (matches the Scala encoder's codePoints), and
+ * `list_position` returns 0 when absent — the candidate key
+ * `rank·10000 + i` therefore encodes "found" as `key ≥ 10000`, and
+ * `list_min` picks (lowest rank, then leftmost). All-pairs recursion depth
+ * is bounded by word length (each step removes one symbol).
+ */
+object BpeOracles {
+
+  private def esc(s: String): String = s.replace("'", "''")
+
+  /** `['a' || chr(1) || 'b', ...]` in rank order — chr(1) cannot occur in
+    * trained symbols, so the composite key is exact pair lookup. */
+  private def mergeListSql(merges: Seq[(String, String)]): String =
+    merges.map { case (a, b) => s"'${esc(a)}' || chr(1) || '${esc(b)}'" }
+      .mkString("[", ", ", "]")
+
+  /** Lowest-rank-then-leftmost mergeable pair of symbol list `s` against
+    * merge list `m`, as `rank·10000 + position` (NULL when none). */
+  private def pickSql(s: String): String =
+    s"""list_min(list_filter(list_transform(range(1, len($s)),
+       |    i -> list_position(m, $s[i] || chr(1) || $s[i+1]) * 10000 + i),
+       |  x -> x >= 10000))""".stripMargin
+
+  /** Exact twin of `Bpe.countTokens(col("text"), merges)` over the
+    * `documents` table: (doc_id, bpe_tokens). */
+  def tokenCountSql(merges: Seq[(String, String)]): String =
+    s"""WITH RECURSIVE
+       |ml AS (SELECT ${mergeListSql(merges)} AS m),
+       |tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |words AS (SELECT DISTINCT w FROM tok),
+       |enc(w, syms, best) AS (
+       |  SELECT w, syms, ${pickSql("syms")}
+       |  FROM (SELECT w, list_transform(range(1, length(w)+1), i -> w[i:i]) AS syms
+       |        FROM words), ml
+       |  UNION ALL
+       |  SELECT w, ns, ${pickSql("ns")}
+       |  FROM (SELECT w, syms[1:(best % 10000)-1]
+       |          || [syms[best % 10000] || syms[(best % 10000)+1]]
+       |          || syms[(best % 10000)+2:] AS ns
+       |        FROM enc WHERE best IS NOT NULL), ml),
+       |wc AS (SELECT w, len(syms) AS n FROM enc WHERE best IS NULL),
+       |cnt AS (SELECT t.doc_id, SUM(wc.n) AS n FROM tok t JOIN wc USING (w) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CASE WHEN d.text IS NULL THEN NULL
+       |       ELSE CAST(COALESCE(c.n, 0) AS BIGINT) END AS bpe_tokens
+       |FROM documents d LEFT JOIN cnt c USING (doc_id)""".stripMargin
+}

@@ -58,6 +58,14 @@ object LlmQueries {
              |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
              |FROM documents""".stripMargin)),
 
+    // REAL BPE token count: native codegen'd greedy-merge encoder with the
+    // fixed DefaultMerges table; the oracle replays the identical merge
+    // loop in a recursive CTE with the SAME interpolated merges
+    "l20_bpe_token_count" -> Q(
+      (s, dir) => td(s, dir, "documents").select(
+        col("doc_id"), graft.llm.Bpe.countTokens(col("text")).as("bpe_tokens")),
+      Some(BpeOracles.tokenCountSql(graft.llm.Bpe.DefaultMerges))),
+
     // language-ID heuristic: argmax of per-language stopword hits
     "l3_lang_id" -> Q(
       (s, dir) => td(s, dir, "documents").select(
@@ -180,11 +188,13 @@ object LlmQueries {
              |       * sqrt(list_dot_product(q.qv, q.qv))) AS sim
              |  FROM embeddings e, q WHERE e.vec_id <> 0)
              |SELECT vec_id, round(sim, 6) AS cosine_sim FROM s
-             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+             |ORDER BY round(sim, 6) DESC, vec_id LIMIT 10""".stripMargin), eager = true),
 
     // LSH-bucketed ANN: 16 queries probe hyperplane buckets only. Oracle:
-    // literal-coefficient hyperplane twin; rank on raw sim, round output
-    // to 6 dp on both sides (mirrors l9)
+    // literal-coefficient hyperplane twin; rank on the 6-dp-ROUNDED sim on
+    // both sides (engine-stable rank key: a last-ulp divergence between
+    // Spark's fold dot product and DuckDB's summation can't flip the
+    // row_number boundary), output rounded to 6 dp
     "l10_ann_lsh_topk" -> Q(
       (s, dir) => {
         val e = td(s, dir, "embeddings")
@@ -312,7 +322,7 @@ object LlmQueries {
         val improved = trainedCost <= seedCost + 1e-6
         Seq((k.toLong, improved)).toDF("k", "improved")
       },
-      Some("SELECT CAST(16 AS BIGINT) AS k, true AS improved")),
+      Some("SELECT CAST(16 AS BIGINT) AS k, true AS improved"), eager = true),
 
     // multimodal frame sampling: video-like payload → per-frame rows.
     // The stub decode is a pure function of the payload bytes, so even this
@@ -326,6 +336,19 @@ object LlmQueries {
           .toDF().select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
             col("frame_hash"))
       },
-      Some(MediaOracles.sampleFramesSql(stride = 64)))
+      Some(MediaOracles.sampleFramesSql(stride = 64))),
+
+    // REAL multimodal decode: per-id real BMP/WAV containers built with
+    // every header field a function of the id, parsed back by the pure-JVM
+    // header decoders. The oracle recomputes the expected decoded values
+    // from doc_id alone — the decode itself is what's under test.
+    "m3_media_decode" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = td(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map(id => Multimodal.packMediaById(id))
+        Multimodal.decodeMedia(media).toDF()
+      },
+      Some(MediaOracles.decodeSql))
   )
 }
