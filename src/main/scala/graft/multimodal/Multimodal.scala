@@ -14,6 +14,13 @@ final case class MediaFeatures(media_id: Long, media_type: String,
 /** One sampled frame of a video-like payload. */
 final case class MediaFrame(media_id: Long, frame_idx: Int, frame_hash: Long)
 
+/** Real-container decode result: BMP fills width/height/bits, WAV fills
+  * channels/sample_rate/bits/duration_ms, unparseable payloads come back
+  * `container = "unknown"` with zeros (quarantine, don't kill the job). */
+final case class MediaDecoded(media_id: Long, container: String,
+                              width: Int, height: Int, channels: Int,
+                              sample_rate: Int, bits: Int, duration_ms: Long)
+
 /**
  * Multimodal column handling: image/audio/video as opaque `binary` columns
  * with typed metadata, decoded via per-partition batch functions.
@@ -89,4 +96,145 @@ object Multimodal {
     import spark.implicits._
     extractFeatures(media.as[MediaRecord]).toDF()
   }
+
+  // ---- REAL container decode (pure JVM, no codec libraries) -----------
+  // BMP (BITMAPINFOHEADER) and WAV (RIFF/PCM) headers parsed byte-for-byte
+  // — the decode step of this family is no longer a stub for these two
+  // containers; the mapPartitions seam is the same one a JNI codec would
+  // plug into. Anything else still routes to "unknown" (a 100 TB pipeline
+  // quarantines undecodable payloads; it never throws mid-scan).
+
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** Parse a BMP header: magic "BM", BITMAPINFOHEADER width/height/bpp at
+    * fixed offsets 18/22/28 (little-endian). None when not a BMP. */
+  private[multimodal] def decodeBmp(b: Array[Byte]): Option[(Int, Int, Int)] =
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') None
+    else {
+      val w = leInt(b, 18)
+      val h = leInt(b, 22)
+      val bpp = leShort(b, 28)
+      // negative height = top-down DIB; report magnitude
+      if (w <= 0 || h == 0 || bpp <= 0) None else Some((w, math.abs(h), bpp))
+    }
+
+  /** Walk RIFF/WAVE chunks: "fmt " → (channels, sampleRate, bits),
+    * "data" → size; duration_ms = dataSize·1000 / byteRate (floor). Odd
+    * chunk sizes are padded per the RIFF spec. None when not a PCM WAV. */
+  private[multimodal] def decodeWav(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def tag(off: Int, s: String): Boolean =
+      off + s.length <= b.length &&
+        s.zipWithIndex.forall { case (c, i) => b(off + i) == c.toByte }
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) None
+    else {
+      var off = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, byteRate
+      var dataSize = -1L
+      while (off + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
+        val size = leInt(b, off + 4).toLong & 0xffffffffL
+        if (tag(off, "fmt ") && off + 8 + 16 <= b.length)
+          fmt = Some((leShort(b, off + 10), leInt(b, off + 12),
+            leShort(b, off + 22), leInt(b, off + 16)))
+        else if (tag(off, "data")) dataSize = size
+        val step = 8L + size + (size & 1L)       // RIFF pads odd chunks
+        // malformed/huge declared size: stop the walk instead of looping
+        off = if (off + step > b.length.toLong) b.length else off + step.toInt
+      }
+      for ((ch, rate, bits, byteRate) <- fmt if dataSize >= 0 && byteRate > 0)
+        yield (ch, rate, bits, dataSize * 1000L / byteRate)
+    }
+  }
+
+  /**
+   * Decode media payloads into typed container features: real BMP/WAV
+   * header parses, `"unknown"` + zeros for anything else. Same batch
+   * mapPartitions shape as [[extractFeatures]] — partition-parallel, one
+   * decoder init per partition, no driver materialization.
+   */
+  def decodeMedia(media: Dataset[MediaRecord]): Dataset[MediaDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        decodeBmp(m.payload) match {
+          case Some((w, h, bpp)) =>
+            MediaDecoded(m.media_id, "bmp", w, h, 0, 0, bpp, 0L)
+          case None => decodeWav(m.payload) match {
+            case Some((ch, rate, bits, durMs)) =>
+              MediaDecoded(m.media_id, "wav", 0, 0, ch, rate, bits, durMs)
+            case None =>
+              MediaDecoded(m.media_id, "unknown", 0, 0, 0, 0, 0, 0L)
+          }
+        }
+      }
+    }
+  }
+
+  // ---- deterministic real-container generators (dev fixtures) ---------
+
+  /** A real 24bpp bottom-up BMP (54-byte header + padded pixel rows);
+    * pixel bytes from a seeded LCG — decoders must get dimensions from the
+    * HEADER, never from the payload length. */
+  private[multimodal] def bmpBytes(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val bb = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)                  // reserved, pixel offset
+    bb.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24)              // planes, bpp
+      .putInt(0).putInt(dataSize)            // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var x = seed * 6364136223846793005L + 1442695040888963407L
+    (0 until dataSize).foreach { _ =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      bb.put((x >>> 56).toByte)
+    }
+    bb.array()
+  }
+
+  /** A real PCM WAV (RIFF + fmt + data chunks), LCG-seeded samples. */
+  private[multimodal] def wavBytes(channels: Int, sampleRate: Int, bits: Int,
+                                   nSamples: Int, seed: Long): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0 && bits % 8 == 0 && nSamples >= 0)
+    val blockAlign = channels * bits / 8
+    val dataSize = nSamples * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                           // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign)       // byte rate
+      .putShort(blockAlign.toShort).putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var x = seed * 6364136223846793005L + 1442695040888963407L
+    (0 until dataSize).foreach { _ =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      bb.put((x >>> 56).toByte)
+    }
+    bb.array()
+  }
+
+  /** Deterministic per-id media fixture: even ids → a real BMP, odd ids →
+    * a real PCM WAV, with every header field a pure function of the id —
+    * so an external oracle can assert the DECODED values from the id alone
+    * (a misparsed offset or endianness flips the comparison). */
+  def packMediaById(id: Long): MediaRecord =
+    if (id % 2 == 0)
+      MediaRecord(id, "image",
+        bmpBytes(width = 1 + (id % 16).toInt, height = 1 + (id % 9).toInt, seed = id))
+    else
+      MediaRecord(id, "audio",
+        wavBytes(channels = 1 + ((id >> 1) % 2).toInt,
+          sampleRate = 8000 * (1 + (id % 3).toInt),
+          bits = 8 * (1 + ((id >> 2) % 2).toInt),
+          nSamples = 1 + (id % 97).toInt, seed = id))
 }

@@ -49,4 +49,24 @@ object MediaOracles {
        |    THEN acc - CAST('$TwoPow64' AS HUGEINT) ELSE acc END AS BIGINT) AS frame_hash
        |FROM h""".stripMargin
   }
+
+  /**
+   * Oracle for the REAL container decode (m3): `packMediaById` builds every
+   * BMP/WAV header field as a pure function of the id, so the expected
+   * DECODED values are computable from `doc_id` alone — a misparsed offset,
+   * a wrong endianness, or a bad chunk walk in the Scala decoder breaks the
+   * comparison. WAV duration: dataSize·1000/byteRate floors to
+   * (nSamples·1000)//sampleRate exactly (blockAlign cancels).
+   */
+  def decodeSql: String =
+    s"""SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS container,
+       |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 16 ELSE 0 END AS INTEGER) AS width,
+       |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 9 ELSE 0 END AS INTEGER) AS height,
+       |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 + (doc_id // 2) % 2 END AS INTEGER) AS channels,
+       |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 * (1 + doc_id % 3) END AS INTEGER) AS sample_rate,
+       |  CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 8 * (1 + (doc_id // 4) % 2) END AS INTEGER) AS bits,
+       |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+       |       ELSE ((1 + doc_id % 97) * 1000) // (8000 * (1 + doc_id % 3)) END AS BIGINT) AS duration_ms
+       |FROM documents""".stripMargin
 }

@@ -36,4 +36,63 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(r.media_id === 7L && r.media_type === "audio")
     assert(new String(r.payload, "UTF-8") === "abc")
   }
+
+  test("BMP round-trip: generated header fields parse back exactly") {
+    for ((w, h) <- Seq((1, 1), (5, 3), (16, 9), (33, 7))) {
+      val b = Multimodal.bmpBytes(w, h, seed = 42L)
+      assert(Multimodal.decodeBmp(b) === Some((w, h, 24)), s"($w,$h)")
+      // dimensions come from the header, not the byte length: padding rows
+      // to 4 bytes means len alone cannot recover an arbitrary width
+      assert(b.length === 54 + ((w * 3 + 3) / 4) * 4 * h)
+    }
+    // truncated and non-BMP payloads refuse, not misparse
+    assert(Multimodal.decodeBmp(Multimodal.bmpBytes(4, 4, 1L).take(30)) === None)
+    assert(Multimodal.decodeBmp("BMnot really a bitmap".getBytes) === None)
+    assert(Multimodal.decodeBmp(Array.empty[Byte]) === None)
+  }
+
+  test("WAV round-trip: fmt/data chunk walk recovers channels, rate, bits, duration") {
+    for ((ch, rate, bits, n) <- Seq((1, 8000, 8, 97), (2, 16000, 16, 1),
+        (1, 24000, 16, 96), (2, 44100, 8, 13))) {
+      val b = Multimodal.wavBytes(ch, rate, bits, n, seed = 7L)
+      val expectMs = n.toLong * (ch * bits / 8) * 1000L / (rate.toLong * ch * bits / 8)
+      assert(Multimodal.decodeWav(b) === Some((ch, rate, bits, expectMs)),
+        s"($ch,$rate,$bits,$n)")
+    }
+    // truncated header / wrong magic → None (never a bogus parse)
+    assert(Multimodal.decodeWav(Multimodal.wavBytes(1, 8000, 8, 10, 1L).take(40)) === None)
+    assert(Multimodal.decodeWav("RIFFxxxxNOPE".getBytes) === None)
+  }
+
+  test("decodeMedia routes BMP/WAV/unknown per payload, distributed") {
+    val ds = Seq(
+      MediaRecord(0L, "image", Multimodal.bmpBytes(6, 2, 0L)),
+      MediaRecord(1L, "audio", Multimodal.wavBytes(2, 16000, 16, 50, 1L)),
+      MediaRecord(2L, "image", "definitely not media".getBytes)).toDS()
+    val out = Multimodal.decodeMedia(ds).collect().map(d => d.media_id -> d).toMap
+    assert(out(0L).container === "bmp" && out(0L).width === 6 &&
+      out(0L).height === 2 && out(0L).bits === 24)
+    assert(out(1L).container === "wav" && out(1L).channels === 2 &&
+      out(1L).sample_rate === 16000 && out(1L).bits === 16 &&
+      out(1L).duration_ms === 50L * 1000L / 16000L)
+    assert(out(2L).container === "unknown" && out(2L).width === 0)
+  }
+
+  test("packMediaById: id-derived header fields match the m3 oracle formulas") {
+    for (id <- 0L until 24L) {
+      val rec = Multimodal.packMediaById(id)
+      val d = Multimodal.decodeMedia(Seq(rec).toDS()).collect()(0)
+      if (id % 2 == 0) {
+        assert(d.container === "bmp")
+        assert(d.width === 1 + (id % 16).toInt && d.height === 1 + (id % 9).toInt)
+        assert(d.bits === 24)
+      } else {
+        assert(d.container === "wav")
+        assert(d.channels === 1 + ((id / 2) % 2).toInt)
+        assert(d.sample_rate === 8000 * (1 + (id % 3).toInt))
+        assert(d.bits === 8 * (1 + ((id / 4) % 2).toInt))
+        assert(d.duration_ms === (1 + id % 97) * 1000L / (8000L * (1 + id % 3)))
+      }
+    }
+  }
 }
