@@ -160,6 +160,61 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(verdicts === Map(4L -> 3L), verdicts)
   }
 
+  test("near-dup keeper state survives a checkpoint stop/restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "ckpt").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val mem = MemoryStream[StreamDoc]
+    // memory sink refuses checkpoint recovery in Append mode; foreachBatch
+    // is the recovery-capable test sink
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def start() = Streaming.nearDupDetectStream(
+        mem.toDS().withWatermark("ts", "1 hour"), retentionMs = 3600000L)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[NearDupEvent], _: Long) =>
+        df.collect().foreach(e => got.add((e.doc_id, e.dup_of)))
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    // phase 1: establish the keeper, commit the batch, KILL the query
+    val q1 = start()
+    mem.addData(doc(1, 5, base),
+      doc(2, 8, "completely different content about spark catalyst optimizer internals"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(got.isEmpty) // no dups yet
+
+    // phase 2: a near-dup arrives only AFTER restart. Doc 1's batch is
+    // committed and never replayed, so the only way doc 3 can be flagged
+    // against doc 1 is the keeper state store surviving the restart.
+    mem.addData(doc(3, 30, base + " ok"))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val restarted = got.toArray(Array.empty[(Long, Long)])
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    assert(restarted === Map(3L -> 1L),
+      s"keeper state lost across restart: $restarted")
+
+    // ≡ the uninterrupted run over the same arrivals
+    val mem2 = MemoryStream[StreamDoc]
+    val qU = Streaming.nearDupDetectStream(
+        mem2.toDS().withWatermark("ts", "1 hour"), retentionMs = 3600000L)
+      .writeStream.format("memory").queryName("ckptu")
+      .outputMode(OutputMode.Append()).start()
+    mem2.addData(doc(1, 5, base),
+      doc(2, 8, "completely different content about spark catalyst optimizer internals"))
+    qU.processAllAvailable()
+    mem2.addData(doc(3, 30, base + " ok"))
+    qU.processAllAvailable()
+    qU.stop()
+    val uninterrupted = spark.table("ckptu").select("doc_id", "dup_of")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    assert(restarted === uninterrupted)
+  }
+
   test("stateful sessionization emits on gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
