@@ -71,5 +71,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TypeSetAgg(_))
     unary("graft_bpe_count", "BPE token count (DefaultMerges table)",
       graft.llm.BpeCountExpr(_, graft.llm.Bpe.DefaultMerges))
+    unary("graft_bpe_encode", "BPE token sequence, space-joined (DefaultMerges table)",
+      graft.llm.BpeEncodeExpr(_, graft.llm.Bpe.DefaultMerges))
   }
 }

@@ -52,3 +52,32 @@ object BpeCountExpr {
       (children: Seq[Expression]) => BpeCountExpr(children.head, Bpe.DefaultMerges),
       "scala_udf")
 }
+
+/** Full-encoding twin of [[BpeCountExpr]]: the document's BPE token
+  * sequence as one space-joined string (tokens are whitespace-free, so the
+  * join is lossless). Same reference-object merges plumbing. */
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe_encode requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_bpe_encode"
+
+  @transient private lazy val table = new BpeTable(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(table.encodeJoined(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString($tableRef.encodeJoined($c.toString()))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+}

@@ -31,6 +31,44 @@ object BpeOracles {
        |    i -> list_position(m, $s[i] || chr(1) || $s[i+1]) * 10000 + i),
        |  x -> x >= 10000))""".stripMargin
 
+  /** Shared recursive-encode CTE block ending in `wc(w, syms)` — final
+    * symbol lists per distinct word — plus `tok(doc_id, w, pos)` with
+    * in-document word positions (parallel unnests zip row-wise). */
+  private def encodeCtes(merges: Seq[(String, String)]): String =
+    s"""ml AS (SELECT ${mergeListSql(merges)} AS m),
+       |toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |tok AS (SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS pos FROM toks),
+       |words AS (SELECT DISTINCT w FROM tok),
+       |enc(w, syms, best) AS (
+       |  SELECT w, syms, ${pickSql("syms")}
+       |  FROM (SELECT w, list_transform(range(1, length(w)+1), i -> w[i:i]) AS syms
+       |        FROM words), ml
+       |  UNION ALL
+       |  SELECT w, ns, ${pickSql("ns")}
+       |  FROM (SELECT w, syms[1:(best % 10000)-1] ||
+       |          [syms[best % 10000] || syms[(best % 10000)+1]] ||
+       |          syms[(best % 10000)+2:] AS ns
+       |        FROM enc WHERE best IS NOT NULL), ml),
+       |wc AS (SELECT w, syms FROM enc WHERE best IS NULL)""".stripMargin
+  // NB: this block is re-interpolated into an outer .stripMargin template —
+  // continuation lines must never start with whitespace + '|', or the outer
+  // strip eats one pipe of a '||' operator
+
+  /** Exact twin of `Bpe.encodeTokens(col("text"), merges)` over the
+    * `documents` table: (doc_id, bpe_text) — every word's final tokens
+    * re-assembled in document order, space-joined. */
+  def encodeSql(merges: Seq[(String, String)]): String =
+    s"""WITH RECURSIVE
+       |${encodeCtes(merges)},
+       |asm AS (
+       |  SELECT t.doc_id, string_agg(array_to_string(wc.syms, ' '), ' ' ORDER BY t.pos) AS s
+       |  FROM tok t JOIN wc USING (w) WHERE len(wc.syms) > 0 GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(a.s, '') END AS bpe_text
+       |FROM documents d LEFT JOIN asm a USING (doc_id)""".stripMargin
+
   /** Exact twin of `Bpe.countTokens(col("text"), merges)` over the
     * `documents` table: (doc_id, bpe_tokens). */
   def tokenCountSql(merges: Seq[(String, String)]): String =

@@ -66,6 +66,14 @@ object LlmQueries {
         col("doc_id"), graft.llm.Bpe.countTokens(col("text")).as("bpe_tokens")),
       Some(BpeOracles.tokenCountSql(graft.llm.Bpe.DefaultMerges))),
 
+    // full BPE ENCODING (not just the count): the entire token sequence is
+    // hash-compared, so any divergence in any merge step of any word fails
+    // the row — the strongest external check on the tokenizer
+    "l21_bpe_encode" -> Q(
+      (s, dir) => td(s, dir, "documents").select(
+        col("doc_id"), graft.llm.Bpe.encodeTokens(col("text")).as("bpe_text")),
+      Some(BpeOracles.encodeSql(graft.llm.Bpe.DefaultMerges))),
+
     // language-ID heuristic: argmax of per-language stopword hits
     "l3_lang_id" -> Q(
       (s, dir) => td(s, dir, "documents").select(

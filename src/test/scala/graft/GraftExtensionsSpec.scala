@@ -37,6 +37,12 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     val types = Seq("1", "2.5", "x").toDF("v")
       .selectExpr("graft_type_set(v) AS t").as[Seq[String]].collect()(0)
     assert(types.nonEmpty)
+    // BPE pair: count is consistent with the encoded sequence
+    val bpe = spark.sql(
+      "SELECT graft_bpe_count('the table') AS n, graft_bpe_encode('the table') AS s")
+      .collect()(0)
+    assert(bpe.getLong(0) === bpe.getString(1).split(" ").length.toLong)
+    assert(bpe.getLong(0) === graft.llm.Bpe.defaultTable.countTokens("the table"))
     // malformed nPlanes surfaces as the guard's clean error, not a raw
     // ClassCastException/NPE out of the builder
     for (bad <- Seq("'4'", "NULL", "")) {
@@ -55,7 +61,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
       new GraftExtensions(),
       org.apache.spark.sql.GraftTestBridge.functionRegistry(spark))
     for {
-      fn   <- Seq("graft_simhash64", "graft_simhash_p60", "graft_phash60")
+      fn   <- Seq("graft_simhash64", "graft_simhash_p60", "graft_phash60",
+        "graft_bpe_count", "graft_bpe_encode")
       args <- Seq("", "array('a'), array('b')")
     } {
       val e = intercept[Exception] {

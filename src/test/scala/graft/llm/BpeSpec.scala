@@ -102,6 +102,31 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(got(5L) === Some(t.countTokens("zzz qqq")))
   }
 
+  test("encodeJoined: in-order word tokens, space-joined; count consistency") {
+    val t = new BpeTable(Seq(("a", "b"), ("ab", "c"), ("l", "o"), ("lo", "w"),
+      ("e", "r"), ("low", "er")))
+    assert(t.encodeJoined("abcabd lower") === "abc ab d lower")
+    assert(t.encodeJoined("  lowest  x ") === "low e s t x") // double space vanishes
+    assert(t.encodeJoined("") === "" && t.encodeJoined("   ") === "")
+    // joined form splits back to exactly countTokens tokens
+    samples(Gen.listOf(word).map(_.mkString(" ")), 100).foreach { s =>
+      val enc = Bpe.defaultTable.encodeJoined(s)
+      val n = if (enc.isEmpty) 0L else enc.split(" ").length.toLong
+      assert(n === Bpe.defaultTable.countTokens(s), s"'$s' → '$enc'")
+    }
+  }
+
+  test("encodeTokens expression ≡ encodeJoined distributed, incl. null") {
+    val rows = Seq((1L, "the query scans the table"), (2L, ""),
+      (3L, null.asInstanceOf[String]))
+    val got = rows.toDF("id", "text")
+      .select($"id", Bpe.encodeTokens($"text").as("s"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L) === Some(Bpe.defaultTable.encodeJoined("the query scans the table")))
+    assert(got(2L) === Some(""))
+    assert(got(3L) === None)
+  }
+
   test("graft_bpe_count compiles under CODEGEN_ONLY (no interpreted fallback)") {
     val fm = spark.conf.getOption("spark.sql.codegen.factoryMode")
     val fb = spark.conf.getOption("spark.sql.codegen.fallback")
@@ -113,6 +138,9 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
       assert(out === Seq(
         Bpe.defaultTable.countTokens("the table"),
         Bpe.defaultTable.countTokens("a window batch")))
+      val enc = Seq("the table").toDF("text")
+        .select(Bpe.encodeTokens($"text").as("s")).as[String].collect().toSeq
+      assert(enc === Seq(Bpe.defaultTable.encodeJoined("the table")))
     } finally {
       fm.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
         spark.conf.set("spark.sql.codegen.factoryMode", _))
