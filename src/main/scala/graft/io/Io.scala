@@ -86,7 +86,9 @@ object Io {
    * in audited loads, not per-query.
    */
   def readTsvChecked(spark: SparkSession, path: String): DataFrame = {
-    val df = readTsv(spark, path)
+    // the audited load takes the belt-and-braces path: per-file header
+    // agreement too, not just the row-count invariant
+    val df = readTsv(spark, path, verifyHeaders = true)
     val rawCount = spark.read.option("sep", "\t").option("header", "true").csv(path).count()
     val outCount = df.count()
     require(rawCount == outCount,

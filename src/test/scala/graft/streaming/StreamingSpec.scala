@@ -215,6 +215,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(restarted === uninterrupted)
   }
 
+  test("open-session state survives a checkpoint stop/restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "ckpt").toString
+    val mem = MemoryStream[Event]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[UserSession]()
+    def start() = Streaming.sessionize(
+        mem.toDS().withWatermark("ts", "0 seconds"), gapMs = 60000)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[UserSession], _: Long) =>
+        df.collect().foreach(got.add)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    // phase 1: user 1's session is OPEN (no gap yet) when the query dies
+    val q1 = start()
+    mem.addData(ev(1, 10, 1), ev(2, 30, 1))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(got.isEmpty) // nothing closed yet
+
+    // phase 2: restart; an event within the gap EXTENDS the restored
+    // session, then a far event closes it — start time 10 proves the
+    // pre-kill state (never replayed) survived
+    mem.addData(ev(3, 50, 1), ev(4, 200, 1))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val closed = got.toArray(Array.empty[UserSession])
+      .filter(_.session_start.getTime == 10000L)
+    assert(closed.length === 1, s"restored session not closed once: ${got}")
+    assert(closed(0).session_end.getTime === 50000L)
+    assert(closed(0).n_events === 3L) // 2 pre-kill + 1 post-restart
+  }
+
   test("stateful sessionization emits on gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
