@@ -49,7 +49,11 @@ object BpeCountExpr {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bpe_count",
-      (children: Seq[Expression]) => BpeCountExpr(children.head, Bpe.DefaultMerges),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_bpe_count(text) takes exactly 1 argument, got ${children.length}")
+        BpeCountExpr(children.head, Bpe.DefaultMerges)
+      },
       "scala_udf")
 }
 

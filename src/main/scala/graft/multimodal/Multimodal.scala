@@ -111,10 +111,16 @@ object Multimodal {
   private def leShort(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
 
-  /** Parse a BMP header: magic "BM", BITMAPINFOHEADER width/height/bpp at
-    * fixed offsets 18/22/28 (little-endian). None when not a BMP. */
+  /** DIB header sizes whose width/height/bpp live at offsets 18/22/28:
+    * BITMAPINFOHEADER and its V2–V5 extensions. BITMAPCOREHEADER (12) lays
+    * those fields out differently and must be refused, not misparsed. */
+  private val BmpDibSizes = Set(40, 52, 56, 108, 124)
+
+  /** Parse a BMP header: magic "BM", INFO-family DIB, width/height/bpp at
+    * fixed offsets 18/22/28 (little-endian). None when not such a BMP. */
   private[multimodal] def decodeBmp(b: Array[Byte]): Option[(Int, Int, Int)] =
-    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') None
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M' ||
+        !BmpDibSizes.contains(leInt(b, 14))) None
     else {
       val w = leInt(b, 18)
       val h = leInt(b, 22)
@@ -137,7 +143,11 @@ object Multimodal {
       var dataSize = -1L
       while (off + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
         val size = leInt(b, off + 4).toLong & 0xffffffffL
-        if (tag(off, "fmt ") && off + 8 + 16 <= b.length)
+        // audioFormat (data offset 0) must be 1 = integer PCM: float/ADPCM
+        // containers would "parse" but the PCM bit/duration math is wrong
+        // for them — quarantine as unknown instead
+        if (tag(off, "fmt ") && off + 8 + 16 <= b.length &&
+            leShort(b, off + 8) == 1)
           fmt = Some((leShort(b, off + 10), leInt(b, off + 12),
             leShort(b, off + 22), leInt(b, off + 16)))
         else if (tag(off, "data")) dataSize = size

@@ -25,11 +25,16 @@ object BpeOracles {
       .mkString("[", ", ", "]")
 
   /** Lowest-rank-then-leftmost mergeable pair of symbol list `s` against
-    * merge list `m`, as `rank·10000 + position` (NULL when none). */
+    * merge list `m`, as `rank·10⁶ + position` (NULL when none).
+    * `list_position` returns 0 when absent; `nullif` maps that to NULL so
+    * an absent pair can NEVER masquerade as a found one (a bare `x >= K`
+    * filter on `0·K + i` would re-admit positions ≥ K in pathologically
+    * long words); the 10⁶ stride keeps (rank, position) ordering exact for
+    * words up to 10⁶ code points. */
   private def pickSql(s: String): String =
     s"""list_min(list_filter(list_transform(range(1, len($s)),
-       |    i -> list_position(m, $s[i] || chr(1) || $s[i+1]) * 10000 + i),
-       |  x -> x >= 10000))""".stripMargin
+       |    i -> nullif(list_position(m, $s[i] || chr(1) || $s[i+1]), 0) * 1000000 + i),
+       |  x -> x IS NOT NULL))""".stripMargin
 
   /** Shared recursive-encode CTE block ending in `wc(w, syms)` — final
     * symbol lists per distinct word — plus `tok(doc_id, w, pos)` with
@@ -47,9 +52,9 @@ object BpeOracles {
        |        FROM words), ml
        |  UNION ALL
        |  SELECT w, ns, ${pickSql("ns")}
-       |  FROM (SELECT w, syms[1:(best % 10000)-1] ||
-       |          [syms[best % 10000] || syms[(best % 10000)+1]] ||
-       |          syms[(best % 10000)+2:] AS ns
+       |  FROM (SELECT w, syms[1:(best % 1000000)-1] ||
+       |          [syms[best % 1000000] || syms[(best % 1000000)+1]] ||
+       |          syms[(best % 1000000)+2:] AS ns
        |        FROM enc WHERE best IS NOT NULL), ml),
        |wc AS (SELECT w, syms FROM enc WHERE best IS NULL)""".stripMargin
   // NB: this block is re-interpolated into an outer .stripMargin template —
@@ -70,26 +75,15 @@ object BpeOracles {
        |FROM documents d LEFT JOIN asm a USING (doc_id)""".stripMargin
 
   /** Exact twin of `Bpe.countTokens(col("text"), merges)` over the
-    * `documents` table: (doc_id, bpe_tokens). */
+    * `documents` table: (doc_id, bpe_tokens). Builds on the SAME
+    * [[encodeCtes]] block as [[encodeSql]] — one hand-maintained copy of
+    * the recursive merge replay, so a fix there can never desynchronize
+    * the count oracle from the encode oracle. */
   def tokenCountSql(merges: Seq[(String, String)]): String =
     s"""WITH RECURSIVE
-       |ml AS (SELECT ${mergeListSql(merges)} AS m),
-       |tok AS (
-       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-       |  FROM documents WHERE text IS NOT NULL),
-       |words AS (SELECT DISTINCT w FROM tok),
-       |enc(w, syms, best) AS (
-       |  SELECT w, syms, ${pickSql("syms")}
-       |  FROM (SELECT w, list_transform(range(1, length(w)+1), i -> w[i:i]) AS syms
-       |        FROM words), ml
-       |  UNION ALL
-       |  SELECT w, ns, ${pickSql("ns")}
-       |  FROM (SELECT w, syms[1:(best % 10000)-1]
-       |          || [syms[best % 10000] || syms[(best % 10000)+1]]
-       |          || syms[(best % 10000)+2:] AS ns
-       |        FROM enc WHERE best IS NOT NULL), ml),
-       |wc AS (SELECT w, len(syms) AS n FROM enc WHERE best IS NULL),
-       |cnt AS (SELECT t.doc_id, SUM(wc.n) AS n FROM tok t JOIN wc USING (w) GROUP BY 1)
+       |${encodeCtes(merges)},
+       |cnt AS (SELECT t.doc_id, SUM(len(wc.syms)) AS n
+       |        FROM tok t JOIN wc USING (w) GROUP BY 1)
        |SELECT d.doc_id,
        |  CASE WHEN d.text IS NULL THEN NULL
        |       ELSE CAST(COALESCE(c.n, 0) AS BIGINT) END AS bpe_tokens

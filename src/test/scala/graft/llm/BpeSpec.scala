@@ -153,5 +153,11 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     BpeCountExpr.register(spark)
     val n = spark.sql("SELECT graft_bpe_count('the query') AS n").as[Long].head()
     assert(n === Bpe.defaultTable.countTokens("the query"))
+    // zero args through THIS registration path must fail with the named
+    // guard, not a raw NoSuchElementException out of children.head
+    val e = intercept[Exception] { spark.sql("SELECT graft_bpe_count()").collect() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("graft_bpe_count"), msgs)
   }
 }

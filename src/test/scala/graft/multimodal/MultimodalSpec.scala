@@ -49,6 +49,11 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodeBmp(Multimodal.bmpBytes(4, 4, 1L).take(30)) === None)
     assert(Multimodal.decodeBmp("BMnot really a bitmap".getBytes) === None)
     assert(Multimodal.decodeBmp(Array.empty[Byte]) === None)
+    // a BITMAPCOREHEADER-style DIB (size 12) lays out w/h/bpp differently —
+    // must refuse rather than read the INFO-header offsets as garbage
+    val core = Multimodal.bmpBytes(4, 4, 1L).clone()
+    core(14) = 12; core(15) = 0; core(16) = 0; core(17) = 0
+    assert(Multimodal.decodeBmp(core) === None)
   }
 
   test("WAV round-trip: fmt/data chunk walk recovers channels, rate, bits, duration") {
@@ -62,6 +67,11 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     // truncated header / wrong magic → None (never a bogus parse)
     assert(Multimodal.decodeWav(Multimodal.wavBytes(1, 8000, 8, 10, 1L).take(40)) === None)
     assert(Multimodal.decodeWav("RIFFxxxxNOPE".getBytes) === None)
+    // non-integer-PCM audioFormat (IEEE float = 3) → quarantine, since the
+    // PCM bit/duration math would be wrong for it
+    val float32 = Multimodal.wavBytes(1, 8000, 16, 10, 1L).clone()
+    float32(20) = 3
+    assert(Multimodal.decodeWav(float32) === None)
   }
 
   test("decodeMedia routes BMP/WAV/unknown per payload, distributed") {
