@@ -1,0 +1,66 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One packed document: its chunk, the bin within the chunk it landed in,
+  * and its token count. `chunk * 1e6 + bin` is a convenient global bin id
+  * (bins per chunk are bounded by the chunk's doc count). */
+final case class PackedDoc(doc_id: Long, chunk: Long, bin: Long, n_tokens: Long)
+
+/**
+ * Sequence packing for training pipelines: assign documents, in id order,
+ * to bins of at most `binCapacity` tokens (greedy first-fit-in-order — the
+ * standard packing that preserves corpus order and wastes at most one
+ * underfull bin per boundary). A document larger than the capacity gets a
+ * bin of its own.
+ *
+ * Greedy packing over a GLOBAL order is inherently sequential, which does
+ * not scale; the scale-honest form packs independently within fixed
+ * id-range CHUNKS (`doc_id / chunkSize`): chunks are embarrassingly
+ * parallel (one `flatMapGroups` with O(1) state per chunk, one shuffle on
+ * the chunk key), deterministic, and the only loss vs the global greedy is
+ * ≤ 1 underfull bin per chunk boundary — negligible at real chunk sizes.
+ * At 100 TB this is exactly a keyed aggregation: no global sort, no driver
+ * state, bins bounded by construction.
+ *
+ * Engine extension beyond the reference (north-star LLM surface); the
+ * DuckDB oracle replays the identical greedy fold per chunk via a
+ * recursive CTE ([[graft.queries.BpeOracles.packingSql]]).
+ */
+object Packing {
+
+  /**
+   * Pack `(id, tokenCount)` rows into bins. Rows with NULL token counts
+   * are excluded (mirror any upstream null-text filtering explicitly).
+   */
+  def packByTokenBudget(df: DataFrame, idCol: String, nTokensCol: String,
+                        binCapacity: Long, chunkSize: Long): Dataset[PackedDoc] = {
+    require(binCapacity > 0 && chunkSize > 0)
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(nTokensCol).cast("long"))
+      .filter(col(nTokensCol).isNotNull)
+      .as[(Long, Long)]
+      .groupByKey { case (id, _) => id / chunkSize }
+      .flatMapGroups { (chunk: Long, rows: Iterator[(Long, Long)]) =>
+        // chunk doc count ≤ chunkSize by construction — the sort is bounded
+        val sorted = rows.toArray.sortBy(_._1)
+        var bin = 0L
+        var running = 0L
+        sorted.iterator.map { case (id, n) =>
+          if (running > 0 && running + n > binCapacity) { bin += 1; running = 0L }
+          running += n
+          PackedDoc(id, chunk, bin, n)
+        }
+      }
+  }
+
+  /** [[packByTokenBudget]] over raw text via [[Bpe.countTokens]]. */
+  def packTextByTokenBudget(docs: DataFrame, idCol: String, textCol: String,
+                            binCapacity: Long, chunkSize: Long,
+                            merges: Seq[(String, String)] = Bpe.DefaultMerges)
+      : Dataset[PackedDoc] =
+    packByTokenBudget(
+      docs.select(col(idCol), Bpe.countTokens(col(textCol), merges).as("_n")),
+      idCol, "_n", binCapacity, chunkSize)
+}

@@ -88,4 +88,42 @@ object BpeOracles {
        |  CASE WHEN d.text IS NULL THEN NULL
        |       ELSE CAST(COALESCE(c.n, 0) AS BIGINT) END AS bpe_tokens
        |FROM documents d LEFT JOIN cnt c USING (doc_id)""".stripMargin
+
+  /** Exact twin of the l22 vocab-stats query: token frequencies over the
+    * full BPE-encoded corpus, top `k` by (count desc, token asc). */
+  def vocabStatsSql(merges: Seq[(String, String)], k: Int): String =
+    s"""WITH RECURSIVE
+       |${encodeCtes(merges)},
+       |toka AS (SELECT unnest(wc.syms) AS token FROM tok t JOIN wc USING (w)),
+       |g AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toka GROUP BY 1)
+       |SELECT token, n FROM g ORDER BY n DESC, token LIMIT $k""".stripMargin
+
+  /** Exact twin of `Packing.packTextByTokenBudget` over `documents`: the
+    * identical greedy first-fit-in-order fold replayed per chunk by a
+    * linear recursive CTE over the chunk-local row number (all chunks
+    * advance in parallel per recursion step; depth = chunk doc count). */
+  def packingSql(merges: Seq[(String, String)], binCapacity: Long,
+                 chunkSize: Long): String =
+    s"""WITH RECURSIVE
+       |${encodeCtes(merges)},
+       |cnt AS (SELECT t.doc_id, SUM(len(wc.syms)) AS n
+       |        FROM tok t JOIN wc USING (w) GROUP BY 1),
+       |nn AS (SELECT d.doc_id, COALESCE(c.n, 0) AS n
+       |       FROM documents d LEFT JOIN cnt c USING (doc_id)
+       |       WHERE d.text IS NOT NULL),
+       |seq AS (SELECT doc_id, doc_id // $chunkSize AS chunk, n,
+       |        row_number() OVER (PARTITION BY doc_id // $chunkSize ORDER BY doc_id) AS rn
+       |        FROM nn),
+       |rec(chunk, rn, doc_id, n, bin, running) AS (
+       |  SELECT chunk, rn, doc_id, n, CAST(0 AS BIGINT), n FROM seq WHERE rn = 1
+       |  UNION ALL
+       |  SELECT s.chunk, s.rn, s.doc_id, s.n,
+       |    CASE WHEN r.running > 0 AND r.running + s.n > $binCapacity
+       |         THEN r.bin + 1 ELSE r.bin END,
+       |    CASE WHEN r.running > 0 AND r.running + s.n > $binCapacity
+       |         THEN s.n ELSE r.running + s.n END
+       |  FROM rec r JOIN seq s ON s.chunk = r.chunk AND s.rn = r.rn + 1)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(chunk AS BIGINT) AS chunk,
+       |  CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n_tokens
+       |FROM rec""".stripMargin
 }

@@ -74,6 +74,26 @@ object LlmQueries {
         col("doc_id"), graft.llm.Bpe.encodeTokens(col("text")).as("bpe_text")),
       Some(BpeOracles.encodeSql(graft.llm.Bpe.DefaultMerges))),
 
+    // corpus vocabulary stats over the BPE encoding: top-50 tokens by
+    // frequency — the vocab-audit step of a tokenizer rollout
+    "l22_bpe_vocab_stats" -> Q(
+      (s, dir) => td(s, dir, "documents")
+        .select(explode(split(graft.llm.Bpe.encodeTokens(col("text")), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(50),
+      Some(BpeOracles.vocabStatsSql(graft.llm.Bpe.DefaultMerges, k = 50))),
+
+    // sequence packing: docs → bins of ≤512 BPE tokens, greedy first-fit
+    // in id order within 32-doc chunks (chunks are the parallel unit; the
+    // oracle replays the identical greedy fold per chunk recursively)
+    "l23_token_packing" -> Q(
+      (s, dir) => graft.llm.Packing.packTextByTokenBudget(
+        td(s, dir, "documents"), "doc_id", "text",
+        binCapacity = 512L, chunkSize = 32L).toDF(),
+      Some(BpeOracles.packingSql(graft.llm.Bpe.DefaultMerges,
+        binCapacity = 512L, chunkSize = 32L))),
+
     // language-ID heuristic: argmax of per-language stopword hits
     "l3_lang_id" -> Q(
       (s, dir) => td(s, dir, "documents").select(

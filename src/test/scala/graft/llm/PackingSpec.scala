@@ -1,0 +1,57 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class PackingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def pack(rows: Seq[(Long, Long)], cap: Long, chunk: Long = 1000L) =
+    Packing.packByTokenBudget(rows.toDF("id", "n"), "id", "n", cap, chunk)
+      .collect().map(p => p.doc_id -> (p.chunk, p.bin, p.n_tokens)).toMap
+
+  test("greedy first-fit in id order: bins close when the next doc overflows") {
+    val got = pack(Seq((0L, 300L), (1L, 200L), (2L, 20L), (3L, 500L), (4L, 10L)), cap = 512)
+    // 300+200 = 500 fits; +20 overflows → bin 1; 20+500 overflows → bin 2; 500+10 fits
+    assert(got(0L)._2 === 0L && got(1L)._2 === 0L)
+    assert(got(2L)._2 === 1L)
+    assert(got(3L)._2 === 2L && got(4L)._2 === 2L)
+  }
+
+  test("a doc larger than the capacity gets a bin of its own") {
+    val got = pack(Seq((0L, 100L), (1L, 9999L), (2L, 100L)), cap = 512)
+    assert(got(0L)._2 === 0L)
+    assert(got(1L)._2 === 1L) // oversize: alone in bin 1
+    assert(got(2L)._2 === 2L) // 9999+100 > cap → next bin
+  }
+
+  test("zero-token docs never close a bin; null counts are excluded") {
+    val df = Seq((0L, Some(512L)), (1L, Some(0L)), (2L, None), (3L, Some(1L)))
+      .toDF("id", "n")
+    val got = Packing.packByTokenBudget(df, "id", "n", binCapacity = 512, chunkSize = 1000)
+      .collect().map(p => p.doc_id -> p.bin).toMap
+    assert(!got.contains(2L))
+    assert(got(0L) === 0L && got(1L) === 0L) // 512+0 does not overflow
+    assert(got(3L) === 1L)
+  }
+
+  test("chunks pack independently: same per-chunk bins regardless of other chunks") {
+    val a = pack(Seq((0L, 400L), (1L, 400L)), cap = 512, chunk = 2)
+    val b = pack(Seq((0L, 400L), (1L, 400L), (2L, 400L), (3L, 400L)), cap = 512, chunk = 2)
+    // chunk 0 packs identically whether or not chunk 1 exists
+    assert(a(0L) === b(0L) && a(1L) === b(1L))
+    // chunk 1 restarts at bin 0 with running 0
+    assert(b(2L) === (1L, 0L, 400L) && b(3L) === (1L, 1L, 400L))
+  }
+
+  test("bin token sums never exceed capacity except for single oversize docs") {
+    val rows = (0L until 200L).map(i => (i, (i * 37 % 700) + 1))
+    val packed = Packing.packByTokenBudget(rows.toDF("id", "n"), "id", "n",
+      binCapacity = 512, chunkSize = 32).collect()
+    packed.groupBy(p => (p.chunk, p.bin)).foreach { case (key, ds) =>
+      val sum = ds.map(_.n_tokens).sum
+      assert(sum <= 512 || ds.length == 1, s"bin $key overfull with ${ds.length} docs: $sum")
+    }
+    assert(packed.length === 200)
+  }
+}
