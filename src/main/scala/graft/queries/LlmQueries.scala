@@ -111,6 +111,14 @@ object LlmQueries {
              |  WHEN en_h >= de_h THEN 'en'
              |  ELSE 'de' END AS pred_lang FROM h""".stripMargin)),
 
+    // char-trigram-profile language ID (Cavnar–Trenkle weights): catches
+    // languages even when function words are absent; profiles interpolated
+    // into the oracle from the same Scala constants
+    "l24_lang_id_ngram" -> Q(
+      (s, dir) => td(s, dir, "documents").select(
+        col("doc_id"), graft.llm.NgramLangId.langIdNgram(col("text")).as("pred_lang")),
+      Some(TextOracles.langIdNgramSql)),
+
     // quality scoring: length/punctuation/word-shape composite
     "l4_quality_score" -> Q(
       (s, dir) => td(s, dir, "documents").select(
