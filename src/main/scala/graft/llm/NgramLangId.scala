@@ -78,10 +78,21 @@ object NgramLangId {
     if (bs <= 0L) "und" else bl
   }
 
-  /** Column form: argmax over per-language weighted trigram sums.
-    * Trigram array is materialized once; each language folds one
-    * `element_at(map, tg)` sum over it — all inside codegen. */
+  /** The default scorer over [[Profiles]] in sorted-language order. */
+  lazy val defaultScorer: LangIdScorer = new LangIdScorer(Langs.map(l => l -> Profiles(l)))
+
+  /** Column form: native one-pass expression (the HOF formulation below
+    * re-evaluates `lower(trim(text))` per trigram inside the lambda — no
+    * CSE in lambda bodies — which measured 30 s for the sf0.1 registry
+    * row vs 0.2 s for this). */
   def langIdNgram(text: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge._
+    column(LangIdNgramExpr(expression(text)))
+  }
+
+  /** Expression-composed twin kept as the independent definition the
+    * native expression is parity-tested against (NOT the hot path). */
+  private[llm] def langIdNgramHof(text: Column): Column = {
     val s = lower(trim(text))
     val tgs = when(length(s) < 3, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), length(s) - 2), i => substring(s, i, lit(3))))
@@ -90,7 +101,11 @@ object NgramLangId {
     // the lexicographically SMALLEST code, matching [[predict]]
     val ranked = Langs.zipWithIndex.map { case (l, i) => (l, Langs.length - i) }.toMap
     val scored = Langs.map { l =>
-      val m = map(Profiles(l).flatMap { case (t, w) => Seq(lit(t), lit(w)) }: _*)
+      // typedlit, NOT map(lit...): CreateMap inside the lambda body is
+      // re-evaluated PER ARRAY ELEMENT (one fresh 2K-slot map per trigram
+      // per language — measured 30 s for the registry row at sf0.1);
+      // typedlit bakes the profile into a single MapType Literal (0.3 s)
+      val m = typedlit(Profiles(l).toMap)
       val score = aggregate(tgs, lit(0L),
         (acc, t) => acc + coalesce(element_at(m, t).cast("long"), lit(0L)))
       struct(score.as("score"), lit(ranked(l)).as("pri"), lit(l).as("lang"))
@@ -98,4 +113,102 @@ object NgramLangId {
     val best = array_max(array(scored: _*))
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+}
+
+/**
+ * One-pass scorer shared by interpreted eval and generated code: a single
+ * trigram→weights[nLangs] hash map, one slide over the string. Top-level
+ * public class — generated Java references it by source name (a nested
+ * object class's `Outer$Inner` binary name is not valid Java source).
+ */
+final class LangIdScorer(profiles: Seq[(String, Seq[(String, Int)])])
+    extends Serializable {
+  private val nLangs = profiles.size
+  @transient private lazy val weights: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    profiles.zipWithIndex.foreach { case ((_, prof), li) =>
+      prof.foreach { case (t, w) =>
+        val arr = m.computeIfAbsent(t, _ => new Array[Int](nLangs))
+        arr(li) = w
+      }
+    }
+    m
+  }
+  private val langCodes: Array[String] = profiles.map(_._1).toArray
+
+  /** Argmax language over one pass of code-point trigrams; ties and
+    * all-zero scores resolve exactly like the HOF/oracle twins. */
+  def predict(raw: String): String = {
+    val s = BpeTable.trimSpaces(raw).toLowerCase
+    val scores = new Array[Long](nLangs)
+    if (s.length >= 3) {
+      // code-point boundaries (trigram = 3 code points, matching DuckDB
+      // slicing and profileOf)
+      val bounds = new Array[Int](s.codePointCount(0, s.length) + 1)
+      var ci = 0; var n = 0
+      while (ci < s.length) { bounds(n) = ci; n += 1; ci += Character.charCount(s.codePointAt(ci)) }
+      bounds(n) = s.length
+      var i = 0
+      while (i + 3 <= n) {
+        val w = weights.get(s.substring(bounds(i), bounds(i + 3)))
+        if (w != null) { var li = 0; while (li < nLangs) { scores(li) += w(li); li += 1 } }
+        i += 1
+      }
+    }
+    var bs = 0L; var bl = "und"; var li = 0
+    while (li < nLangs) {
+      if (scores(li) > bs) { bs = scores(li); bl = langCodes(li) }
+      li += 1
+    }
+    bl
+  }
+}
+
+/** Native one-pass trigram-profile language ID (see [[NgramLangId]]): the
+  * scorer rides the plan as a reference object; NULL text classifies as
+  * "und" (unknown ≡ undetermined), matching the SQL twin's semantics. */
+case class LangIdNgramExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{DataType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_lang_id_ngram requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_lang_id_ngram"
+  // null in → "und" out, not NULL (the operator classifies unknown input)
+  override def nullable: Boolean = false
+
+  @transient private lazy val scorer = NgramLangId.defaultScorer
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    val s = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+    UTF8String.fromString(scorer.predict(s))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val ref = ctx.addReferenceObj("langScorer", scorer,
+      classOf[LangIdScorer].getName)
+    val c = child.genCode(ctx)
+    val u = "org.apache.spark.unsafe.types.UTF8String"
+    ev.copy(
+      code = code"""
+        ${c.code}
+        $u ${ev.value} = $u.fromString(
+          $ref.predict(${c.isNull} ? "" : ${c.value}.toString()));
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): LangIdNgramExpr =
+    copy(child = newChild)
 }

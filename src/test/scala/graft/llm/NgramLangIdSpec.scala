@@ -48,4 +48,38 @@ class NgramLangIdSpec extends AnyFunSuite with SparkTestBase {
     assert(got(0L) === Some("en") && got(1L) === Some("de"))
     assert(got(2L) === Some("es") && got(3L) === Some("fr"))
   }
+
+  test("native expression ≡ HOF twin ≡ one-pass scorer on varied inputs") {
+    val texts = Seq(
+      "the quick brown fox", "die kleinen kinder", "los niños pequeños",
+      "les petits enfants", "a b c d e", "mixed der the los les text",
+      "   spaces   ", "ab")
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val native = rows.select($"id", NgramLangId.langIdNgram($"text").as("p"))
+      .as[(Long, String)].collect().toMap
+    val hof = rows.select($"id", NgramLangId.langIdNgramHof($"text").as("p"))
+      .as[(Long, String)].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(native(i.toLong) === NgramLangId.defaultScorer.predict(t), s"native '$t'")
+      assert(native(i.toLong) === hof(i.toLong), s"native vs hof '$t'")
+      assert(native(i.toLong) === NgramLangId.predict(t), s"native vs reference '$t'")
+    }
+  }
+
+  test("native expression compiles under CODEGEN_ONLY") {
+    val fm = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val fb = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = Seq("the quick brown fox and the street").toDF("text")
+        .select(NgramLangId.langIdNgram($"text").as("p")).as[String].collect()
+      assert(out.toSeq === Seq("en"))
+    } finally {
+      fm.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+      fb.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
 }
