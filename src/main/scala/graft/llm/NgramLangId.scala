@@ -42,6 +42,22 @@ object NgramLangId {
       "vieilles maisons se dressent dans la rue calme où les gens marchent " +
       "ensemble dans le matin"))
 
+  /** Locale-independent SIMPLE-mapping lowercase (per code point, like
+    * DuckDB's `lower()`): `String.toLowerCase()` applies locale-dependent
+    * FULL mappings — 'İ' → "i"+U+0307 (an extra code point that shifts
+    * every later trigram frame vs the oracle) and, under a Turkish-locale
+    * JVM, 'I' → 'ı' (profiles stop matching entirely). */
+  private[llm] def simpleLower(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      sb.appendCodePoint(Character.toLowerCase(cp))
+      ci += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
   /** All char trigrams of `s` (with multiplicity), in order. */
   private[llm] def trigrams(s: String): Seq[String] =
     if (s.length < 3) Seq.empty
@@ -50,7 +66,7 @@ object NgramLangId {
   /** trigram → weight (K − rank) for one language's top-K profile;
     * deterministic (freq desc, trigram asc) ranking. */
   private[llm] def profileOf(text: String, k: Int = ProfileSize): Seq[(String, Int)] = {
-    val counts = trigrams(text.toLowerCase).groupBy(identity)
+    val counts = trigrams(simpleLower(text)).groupBy(identity)
       .map { case (t, occ) => (t, occ.size) }.toSeq
     counts.sortBy { case (t, n) => (-n, t) }.take(k)
       .zipWithIndex.map { case ((t, _), r) => (t, k - r) }
@@ -66,8 +82,8 @@ object NgramLangId {
     * Argmax with smallest-code tie-break: scan langs in sorted order,
     * keep only strict improvements. */
   private[llm] def predict(text: String): String = {
-    // space-only trim to match Spark's trim() exactly, then lower
-    val tgs = trigrams(BpeTable.trimSpaces(text).toLowerCase)
+    // space-only trim to match Spark's trim() exactly, then simple lower
+    val tgs = trigrams(simpleLower(BpeTable.trimSpaces(text)))
     var bs = -1L
     var bl = "und"
     Langs.foreach { l =>
@@ -139,7 +155,7 @@ final class LangIdScorer(profiles: Seq[(String, Seq[(String, Int)])])
   /** Argmax language over one pass of code-point trigrams; ties and
     * all-zero scores resolve exactly like the HOF/oracle twins. */
   def predict(raw: String): String = {
-    val s = BpeTable.trimSpaces(raw).toLowerCase
+    val s = NgramLangId.simpleLower(BpeTable.trimSpaces(raw))
     val scores = new Array[Long](nLangs)
     if (s.length >= 3) {
       // code-point boundaries (trigram = 3 code points, matching DuckDB

@@ -14,9 +14,15 @@ package graft.queries
  * `list_min` picks (lowest rank, then leftmost). All-pairs recursion depth
  * is bounded by word length (each step removes one symbol).
  */
+/** Shared SQL-literal escaping for the oracle builders — one definition so
+  * a quoting fix can never reach only one generator. */
+private[queries] object OracleSqlUtil {
+  def esc(s: String): String = s.replace("'", "''")
+}
+
 object BpeOracles {
 
-  private def esc(s: String): String = s.replace("'", "''")
+  private def esc(s: String): String = OracleSqlUtil.esc(s)
 
   /** `['a' || chr(1) || 'b', ...]` in rank order — chr(1) cannot occur in
     * trained symbols, so the composite key is exact pair lookup. */

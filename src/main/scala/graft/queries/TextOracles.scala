@@ -11,7 +11,7 @@ import graft.llm.NgramLangId
  */
 object TextOracles {
 
-  private def esc(s: String): String = s.replace("'", "''")
+  private def esc(s: String): String = OracleSqlUtil.esc(s)
 
   /** `CASE t WHEN 'tg' THEN w ... ELSE 0 END` scorer for one language. */
   private def weightCase(lang: String): String = {

@@ -22,8 +22,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("no lazily-constructed registered query plans a cartesian or nested-loop join") {
-    val offenders = Registry.all.filterNot(_._2.eager).flatMap { case (name, q) =>
+  /** ONE offender scan shared by both audits — the banned-shape list must
+    * never drift between the lazy and eager passes. */
+  private def assertNoNestedLoops(qs: Seq[(String, Q)]): Unit = {
+    val offenders = qs.flatMap { case (name, q) =>
       val plan = q.fn(spark, sfDir).queryExecution.executedPlan.toString
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")
         .filter(plan.contains).map(op => s"$name → $op")
@@ -31,13 +33,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(offenders.isEmpty, s"nested-loop shapes planned:\n${offenders.mkString("\n")}")
   }
 
+  test("no lazily-constructed registered query plans a cartesian or nested-loop join") {
+    assertNoNestedLoops(Registry.all.filterNot(_._2.eager))
+  }
+
   test("eager queries' returned plans are nested-loop-free too (runs their construction)") {
-    val offenders = Registry.all.filter(_._2.eager).flatMap { case (name, q) =>
-      val plan = q.fn(spark, sfDir).queryExecution.executedPlan.toString
-      Seq("CartesianProduct", "BroadcastNestedLoopJoin")
-        .filter(plan.contains).map(op => s"$name → $op")
-    }
-    assert(offenders.isEmpty, s"nested-loop shapes planned:\n${offenders.mkString("\n")}")
+    assertNoNestedLoops(Registry.all.filter(_._2.eager))
   }
 
   test("the eager (audit-exempt) set is exactly the documented one") {
