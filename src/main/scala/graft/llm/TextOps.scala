@@ -77,6 +77,28 @@ object TextOps {
     round(lenScore * (lit(1.0) - punctRatio) * (lit(0.5) + lit(0.5) * wordScore), 6)
   }
 
+  /** RE2-compatible (works in Spark's Java regex AND DuckDB) PII patterns:
+    * no lookarounds, no backrefs — the portable subset. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /**
+   * PII scrubbing: emails → `<EMAIL>` then phone-like digit runs →
+   * `<PHONE>` (order fixed — scrubbing emails first keeps their digits
+   * from feeding the phone matcher). Expression-only, codegen'd; the
+   * patterns are deliberately in the Java∩RE2 subset so an external
+   * engine applies the identical transform.
+   */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Count of PII matches (emails + phone runs) in the RAW text. */
+  def piiCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
+      size(regexp_extract_all(text, lit(PhonePattern), lit(0)))).cast("long")
+
   /** Word n-gram shingles of size n (contiguous, space-joined). Docs with
     * fewer than n tokens yield an EMPTY array — the guard matters because
     * `sequence(1, 0)` is the DESCENDING [1, 0] in Spark (step defaults to

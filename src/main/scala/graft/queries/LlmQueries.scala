@@ -119,6 +119,33 @@ object LlmQueries {
         col("doc_id"), graft.llm.NgramLangId.langIdNgram(col("text")).as("pred_lang")),
       Some(TextOracles.langIdNgramSql)),
 
+    // benchmark decontamination: corpus docs sharing 5-grams with the
+    // held-out "benchmark" slice (every 50th doc) — broadcast-hash check,
+    // portable md5 shingle hashes so the oracle replays it exactly
+    "l25_decontaminate" -> Q(
+      (s, dir) => {
+        val docs = td(s, dir, "documents")
+        graft.llm.Decontaminate.flaggedDocs(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "text", "doc_id", n = 5)
+      },
+      Some(TextOracles.decontaminateSql(n = 5, benchMod = 50))),
+
+    // PII scrubbing: synthetic emails/phones appended from doc_id, then
+    // the Java∩RE2 replace chain — redaction + count, exact twin in SQL
+    "l26_pii_scrub" -> Q(
+      (s, dir) => {
+        val syn = concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1 (555) 010-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        td(s, dir, "documents").select(
+          col("doc_id"),
+          graft.llm.TextOps.scrubPii(syn).as("scrubbed"),
+          graft.llm.TextOps.piiCount(syn).as("n_pii"))
+      },
+      Some(TextOracles.piiScrubSql)),
+
     // quality scoring: length/punctuation/word-shape composite
     "l4_quality_score" -> Q(
       (s, dir) => td(s, dir, "documents").select(

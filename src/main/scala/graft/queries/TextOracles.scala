@@ -20,6 +20,43 @@ object TextOracles {
     s"CASE t $whens ELSE 0 END"
   }
 
+  /** Exact twin of `Decontaminate.flaggedDocs` with corpus =
+    * `doc_id % $benchMod <> 0` and bench = `doc_id % $benchMod = 0` over
+    * `documents`: (doc_id, n_shared distinct collided n-grams). Shingle
+    * hashes are the portable md5 family, replayed verbatim. */
+  def decontaminateSql(n: Int, benchMod: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |shs AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-${n - 2}),
+       |    i -> ('0x'||substr(md5(array_to_string(t[i:i+${n - 1}], ' ')),1,15))::BIGINT)) AS sh
+       |  FROM toks WHERE len(t) >= $n),
+       |ch AS (SELECT doc_id, unnest(sh) AS h FROM shs WHERE doc_id % $benchMod <> 0),
+       |bh AS (SELECT DISTINCT unnest(sh) AS h FROM shs WHERE doc_id % $benchMod = 0)
+       |SELECT c.doc_id, CAST(count(DISTINCT c.h) AS BIGINT) AS n_shared
+       |FROM ch c JOIN bh USING (h) GROUP BY 1""".stripMargin
+
+  /** Exact twin of the l26 PII-scrub query: synthetic PII appended from
+    * doc_id, then the identical Java∩RE2 replace chain. */
+  def piiScrubSql: String = {
+    // single-quoted SQL literals pass backslashes through verbatim, so the
+    // Scala pattern strings interpolate unchanged
+    val email = graft.llm.TextOps.EmailPattern
+    val phone = graft.llm.TextOps.PhonePattern
+    s"""WITH syn AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com or +1 (555) 010-' ||
+       |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+       |  FROM documents)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(s, '${OracleSqlUtil.esc(email)}', '<EMAIL>', 'g'),
+       |    '${OracleSqlUtil.esc(phone)}', '<PHONE>', 'g') AS scrubbed,
+       |  CAST(len(regexp_extract_all(s, '${OracleSqlUtil.esc(email)}'))
+       |    + len(regexp_extract_all(s, '${OracleSqlUtil.esc(phone)}')) AS BIGINT) AS n_pii
+       |FROM syn""".stripMargin
+  }
+
   /** Exact twin of `NgramLangId.langIdNgram(col("text"))` over
     * `documents`: (doc_id, pred_lang). Langs are scored in sorted order
     * and ties resolve to the first (smallest) code via `>=` chaining. */
