@@ -37,8 +37,12 @@ object Decontaminate {
     val ch = shingleHashes(corpus, textCol, idCol, n)
     val bh = broadcast(shingleHashes(bench, textCol, idCol, n)
       .select("h").distinct())
+    // ch is distinct per (doc_id, h) by construction (array_distinct before
+    // the explode) and bh is distinct — so the join emits each collided
+    // (doc_id, h) exactly once and count(*) IS the distinct count, without
+    // countDistinct's expand + second aggregation pass
     ch.join(bh, "h")
       .groupBy("doc_id")
-      .agg(countDistinct(col("h")).cast("long").as("n_shared"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
   }
 }
