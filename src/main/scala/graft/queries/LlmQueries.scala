@@ -146,6 +146,14 @@ object LlmQueries {
       },
       Some(TextOracles.piiScrubSql)),
 
+    // Gopher-style repetition quality filters: top-token / top-bigram /
+    // unique-token fractions per doc — two relational hash-aggs, no
+    // per-row array lambdas
+    "l27_repetition_filters" -> Q(
+      (s, dir) => graft.llm.RepetitionStats.repetitionStats(
+        td(s, dir, "documents"), "doc_id", "text"),
+      Some(TextOracles.repetitionStatsSql)),
+
     // quality scoring: length/punctuation/word-shape composite
     "l4_quality_score" -> Q(
       (s, dir) => td(s, dir, "documents").select(

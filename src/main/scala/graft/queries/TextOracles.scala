@@ -57,6 +57,36 @@ object TextOracles {
        |FROM syn""".stripMargin
   }
 
+  /** Exact twin of `RepetitionStats.repetitionStats` over `documents`:
+    * (doc_id, top_token_frac, top_bigram_frac, uniq_token_frac). Empty
+    * split tokens are excluded from token stats but kept in the bigram
+    * stream, and token-less docs are absent — all mirrored from the Spark
+    * side's filter placement. */
+  def repetitionStatsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |tokf AS (
+       |  SELECT doc_id, g, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(t) AS g FROM toks)
+       |  WHERE length(g) > 0 GROUP BY 1, 2),
+       |toka AS (
+       |  SELECT doc_id,
+       |    round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_token_frac,
+       |    round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS uniq_token_frac
+       |  FROM tokf GROUP BY 1),
+       |bigf AS (
+       |  SELECT doc_id, g, count(*) AS c
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+       |        FROM toks WHERE len(t) >= 2)
+       |  GROUP BY 1, 2),
+       |biga AS (
+       |  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+       |  FROM bigf GROUP BY 1)
+       |SELECT t.doc_id, t.top_token_frac, b.top_bigram_frac, t.uniq_token_frac
+       |FROM toka t LEFT JOIN biga b USING (doc_id)""".stripMargin
+
   /** Exact twin of `NgramLangId.langIdNgram(col("text"))` over
     * `documents`: (doc_id, pred_lang). Langs are scored in sorted order
     * and ties resolve to the first (smallest) code via `>=` chaining. */

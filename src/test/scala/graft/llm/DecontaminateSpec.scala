@@ -30,6 +30,23 @@ class DecontaminateSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("repetition filters: hand-computed fractions, degenerate docs score high") {
+    val docs = Seq(
+      (1L, "buy buy buy buy now"),              // top token 4/5, uniq 2/5
+      (2L, "all words here are distinct"),      // top 1/5, uniq 1.0
+      (3L, "go go go go"),                      // bigram "go go" 3/3
+      (4L, "solo"),                             // 1 token → no bigrams (null)
+      (5L, "")).toDF("doc_id", "text")          // token-less → absent
+    val got = RepetitionStats.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Double, Option[Double], Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((0.8, Some(0.75), 0.4))) // bigram (buy buy) 3 of 4
+    assert(got(2L) === ((0.2, Some(0.25), 1.0)))
+    assert(got(3L) === ((1.0, Some(1.0), 0.25)))
+    assert(got(4L) === ((1.0, None, 1.0)))
+    assert(!got.contains(5L))
+  }
+
   test("scrubPii redacts emails before phones; piiCount counts raw matches") {
     val rows = Seq(
       "reach me at jane.doe+x@sub.example.org today",
