@@ -106,6 +106,13 @@ object Io {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC sink/source (engine extension — the columnar format Spark ships
+    * alongside parquet; the reference's BQ loads have no counterpart). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S5 — JSONL → table load with explicit schema (create_modify.py:178-208). */
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)

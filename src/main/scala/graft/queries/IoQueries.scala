@@ -91,6 +91,18 @@ object IoQueries {
              |CAST(p_size AS BIGINT) AS p_size,
              |CAST(p_retailprice AS DOUBLE) AS p_retailprice FROM part""".stripMargin), eager = true),
 
+    // S19 — ORC sink → source round-trip (engine extension: the second
+    //   columnar format Spark ships; exercises a non-parquet binary codec
+    //   end to end)
+    "s19_orc_roundtrip" -> Q(
+      (s, dir) => {
+        val path = s"$FixtureRoot/s19_${new java.io.File(dir).getName}"
+        val src = td(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+        Io.writeOrc(src, path)
+        Io.readOrc(s, path)
+      },
+      Some("SELECT c_custkey, c_name, c_acctbal FROM customer"), eager = true),
+
     // S7 — CTAS with 0-row guard (create_modify.py:108-134, 280-303)
     "s7_ctas_guard" -> Q(
       (s, dir) => {

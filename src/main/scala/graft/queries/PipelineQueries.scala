@@ -201,6 +201,27 @@ object PipelineQueries {
              |  OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) / 100.0 AS running_total
              |FROM orders""".stripMargin)),
 
+    // distribution window functions: percent_rank / cume_dist (exact
+    // small-int rationals — bit-stable across engines; rounded anyway) +
+    // first/nth value over the running frame
+    "w6_window_distribution" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        td(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          first(col("o_orderstatus")).over(w).as("first_status"),
+          nth_value(col("o_orderstatus"), 2).over(w).as("second_status"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 6) AS pr,
+             |round(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 6) AS cd,
+             |first_value(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS first_status,
+             |nth_value(o_orderstatus, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS second_status
+             |FROM orders""".stripMargin)),
+
     // IVF ANN: nearest-cell assignment + nProbe probing. Oracle: first-k
     //   centroids by vec_id reproduced in SQL (row_number - 1 = cell id);
     //   top-k rank keyed on the 6-dp-rounded sim on both sides (engine-

@@ -78,6 +78,21 @@ object ScalarFnQueries {
       Some("""SELECT doc_id, list_reverse(string_split(text, ' '))[1] AS last_word,
              |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
              |list_contains(string_split(text, ' '), 'spark') AS mentions_spark,
-             |array_to_string(string_split(text, ' ')[1:3], '_') AS first3 FROM documents""".stripMargin))
+             |array_to_string(string_split(text, ' ')[1:3], '_') AS first3 FROM documents""".stripMargin)),
+
+    // F6 — edit distance (levenshtein), the fuzzy-match primitive both
+    //   engines ship natively: distance to a fixed probe + case-mangling
+    //   distance between derived columns
+    "f6_edit_distance" -> Q(
+      (s, dir) => td(s, dir, "nation").select(
+        col("n_nationkey"),
+        levenshtein(col("n_name"), lit("CANADA")).cast("long").as("d_canada"),
+        levenshtein(lower(col("n_name")), col("n_name")).cast("long").as("d_case"),
+        levenshtein(col("n_name"), reverse(col("n_name"))).cast("long").as("d_rev")),
+      Some("""SELECT n_nationkey,
+             |CAST(levenshtein(n_name, 'CANADA') AS BIGINT) AS d_canada,
+             |CAST(levenshtein(lower(n_name), n_name) AS BIGINT) AS d_case,
+             |CAST(levenshtein(n_name, reverse(n_name)) AS BIGINT) AS d_rev
+             |FROM nation""".stripMargin))
   )
 }

@@ -94,6 +94,32 @@ object ScaleQueries {
              |SELECT e.event_id, w.wb FROM e JOIN w
              |ON e.t >= w.ws AND e.t <= w.we AND e.bucket_id = w.wb""".stripMargin)),
 
+    // J16 — fuzzy join (edit-distance ≤ 1): misspelled nation names joined
+    //   back by first-letter equi-key + length band, levenshtein-verified.
+    //   The scale shape: candidates come from an EQUI join on a cheap
+    //   blocking key (never all-pairs), the expensive distance runs only on
+    //   candidates — the standard entity-resolution blocking pattern
+    "j16_fuzzy_join" -> Q(
+      (s, dir) => {
+        val nation = td(s, dir, "nation")
+        val mangled = nation.select(col("n_nationkey").as("m_key"),
+          concat(substring(col("n_name"), 1, 1), lit("X"),
+            substring(col("n_name"), 2, 200)).as("m_name"))
+        mangled.join(nation.select(col("n_nationkey").as("n_key"), col("n_name")),
+            substring(col("m_name"), 1, 1) === substring(col("n_name"), 1, 1))
+          .filter(abs(length(col("m_name")) - length(col("n_name"))) <= 1)
+          .select(col("m_key"), col("n_key"),
+            levenshtein(col("m_name"), col("n_name")).cast("long").as("dist"))
+          .filter(col("dist") <= 1)
+      },
+      Some("""WITH m AS (SELECT n_nationkey AS m_key,
+             |  substr(n_name, 1, 1) || 'X' || substr(n_name, 2) AS m_name FROM nation)
+             |SELECT m.m_key, n.n_nationkey AS n_key,
+             |  CAST(levenshtein(m.m_name, n.n_name) AS BIGINT) AS dist
+             |FROM m JOIN nation n ON substr(m.m_name, 1, 1) = substr(n.n_name, 1, 1)
+             |WHERE abs(length(m.m_name) - length(n.n_name)) <= 1
+             |  AND levenshtein(m.m_name, n.n_name) <= 1""".stripMargin)),
+
     // C12 — null-column pruning pre-pass (A2-driven,
     //   create_tables_clinical_gdc.py:155-244): the all-null column must
     //   vanish from the output schema
