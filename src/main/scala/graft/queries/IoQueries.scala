@@ -103,6 +103,24 @@ object IoQueries {
       },
       Some("SELECT c_custkey, c_name, c_acctbal FROM customer"), eager = true),
 
+    // S20 — XML sink → source round-trip (engine extension: Spark 4's
+    //   built-in XML format; explicit schema on read-back — XML inference
+    //   is not round-trip-stable for numeric types)
+    "s20_xml_roundtrip" -> Q(
+      (s, dir) => {
+        val path = s"$FixtureRoot/s20_${new java.io.File(dir).getName}"
+        val src = td(s, dir, "region").select(
+          col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+        src.write.format("xml").option("rowTag", "region")
+          .mode("overwrite").save(path)
+        s.read.format("xml").option("rowTag", "region")
+          .schema(StructType(Seq(
+            StructField("r_regionkey", LongType), StructField("r_name", StringType))))
+          .load(path)
+      },
+      Some("SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region"),
+      eager = true),
+
     // S7 — CTAS with 0-row guard (create_modify.py:108-134, 280-303)
     "s7_ctas_guard" -> Q(
       (s, dir) => {

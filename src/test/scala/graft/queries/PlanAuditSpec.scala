@@ -47,7 +47,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val expected = Set(
       "s1_tsv_read_normalize", "s2_infer_typed_load", "s3_jsonl_roundtrip",
       "s4_tsv_null_marker_roundtrip", "s7_ctas_guard", "s9_table_copy",
-      "s19_orc_roundtrip",
+      "s19_orc_roundtrip", "s20_xml_roundtrip",
       "s11_export_tsv", "s12_object_store_roundtrip", "s13_paginated_source",
       "s14_cursor_source", "s16_bucket_puller", "s17_zip_extract",
       "o4_top_n_display", "a15_approx_distinct_sketch",
