@@ -26,6 +26,27 @@ object StatQueries {
              |round(quantile_cont(o_totalprice, 0.99), 4) AS p99
              |FROM orders GROUP BY 1""".stripMargin)),
 
+    // approx-percentile sketch (Greenwald-Khanna): like a15, the sketch
+    // value itself is engine-specific, so the OUTPUT is the property the
+    // sketch guarantees — the estimate brackets the exact percentile
+    // within the configured relative-rank tolerance — which the oracle
+    // recomputes exactly and expects true
+    "a17_approx_percentile_sketch" -> Q(
+      (s, dir) => {
+        // rank-error bound: approx_percentile(accuracy=1000) returns a
+        // value whose RANK is within n/1000 of 0.9n — so it must lie
+        // between the exact percentiles at 0.9 ∓ 5/1000 (generous margin)
+        td(s, dir, "orders").agg(
+            expr("percentile(o_totalprice, 0.895)").as("lo"),
+            expr("percentile(o_totalprice, 0.905)").as("hi"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("exact_p90"),
+            expr("approx_percentile(o_totalprice, 0.9, 1000)").as("ap"))
+          .select(col("exact_p90"),
+            (col("ap") >= col("lo") && col("ap") <= col("hi")).as("within_bound"))
+      },
+      Some("""SELECT round(quantile_cont(o_totalprice, 0.9), 4) AS exact_p90,
+             |true AS within_bound FROM orders""".stripMargin)),
+
     // HLL-sketch distinct count: engines' sketches differ, so the raw
     // estimate can't be hash-compared — instead the OUTPUT is the property
     // the sketch must satisfy (exact count + a within-5% flag), which the

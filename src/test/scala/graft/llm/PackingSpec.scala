@@ -44,6 +44,28 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     assert(b(2L) === (1L, 0L, 400L) && b(3L) === (1L, 1L, 400L))
   }
 
+  test("randomized inputs match an independent per-chunk reference fold") {
+    val rng = new scala.util.Random(42)
+    // sparse, shuffled-looking ids; counts spanning 0 .. 3× capacity
+    val rows = (0 until 500).map(_ => (rng.nextInt(10000).toLong, rng.nextInt(1500).toLong))
+      .distinctBy(_._1)
+    val cap = 512L
+    val chunkSize = 64L
+    def referencePack(rs: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+      rs.groupBy(_._1 / chunkSize).flatMap { case (chunk, members) =>
+        var bin = 0L; var running = 0L
+        members.sortBy(_._1).map { case (id, n) =>
+          if (running > 0 && running + n > cap) { bin += 1; running = 0L }
+          running += n
+          id -> (chunk, bin)
+        }
+      }
+    val expected = referencePack(rows)
+    val got = Packing.packByTokenBudget(rows.toDF("id", "n"), "id", "n", cap, chunkSize)
+      .collect().map(p => p.doc_id -> (p.chunk, p.bin)).toMap
+    assert(got === expected)
+  }
+
   test("bin token sums never exceed capacity except for single oversize docs") {
     val rows = (0L until 200L).map(i => (i, (i * 37 % 700) + 1))
     val packed = Packing.packByTokenBudget(rows.toDF("id", "n"), "id", "n",

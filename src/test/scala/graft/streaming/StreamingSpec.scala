@@ -251,6 +251,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(closed(0).n_events === 3L) // 2 pre-kill + 1 post-restart
   }
 
+  test("streaming parquet file sink is exactly-once across a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "fsink").toString
+    val mem = MemoryStream[Event]
+    def start() = Streaming.windowedCounts(mem.toDS(), "1 minute", "10 seconds")
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode(OutputMode.Append()).start()
+
+    val q1 = start()
+    mem.addData(ev(1, 10, 1), ev(2, 20, 1))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the same checkpoint; late-window rows flush when the
+    // watermark passes (append mode only emits finalized windows)
+    mem.addData(ev(3, 200, 2), ev(4, 500, 1))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    // the file-sink log must yield each finalized window EXACTLY once —
+    // no duplicated batches from the restart replay
+    val rows = spark.read.parquet(s"$base/out")
+      .select("window_start", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSeq
+    assert(rows.size === rows.distinct.size, s"duplicated sink rows: $rows")
+    // windows 0-60s (2 events) and 180-240s (1 event) are final; 480-540s
+    // still open at stop
+    val byStart = rows.map(r => r._1.getTime -> r._3).toMap
+    assert(byStart === Map(0L -> 2L, 180000L -> 1L), rows)
+  }
+
   test("stateful sessionization emits on gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
