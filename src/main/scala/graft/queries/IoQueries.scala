@@ -114,6 +114,9 @@ object IoQueries {
         src.write.format("xml").option("rowTag", "region")
           .mode("overwrite").save(path)
         s.read.format("xml").option("rowTag", "region")
+          // default ignoreSurroundingSpaces=true would TRIM string values
+          // on read-back — not a faithful round-trip
+          .option("ignoreSurroundingSpaces", "false")
           .schema(StructType(Seq(
             StructField("r_regionkey", LongType), StructField("r_name", StringType))))
           .load(path)

@@ -103,8 +103,10 @@ object ScaleQueries {
       (s, dir) => {
         val nation = td(s, dir, "nation")
         val mangled = nation.select(col("n_nationkey").as("m_key"),
+          // 2-arg substring (to end of string) — the oracle's substr(x, 2)
+          // exactly; a capped 3-arg form would silently diverge on long names
           concat(substring(col("n_name"), 1, 1), lit("X"),
-            substring(col("n_name"), 2, 200)).as("m_name"))
+            expr("substring(n_name, 2)")).as("m_name"))
         mangled.join(nation.select(col("n_nationkey").as("n_key"), col("n_name")),
             substring(col("m_name"), 1, 1) === substring(col("n_name"), 1, 1))
           .filter(abs(length(col("m_name")) - length(col("n_name"))) <= 1)
