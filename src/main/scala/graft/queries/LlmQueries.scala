@@ -146,6 +146,19 @@ object LlmQueries {
       },
       Some(TextOracles.piiScrubSql)),
 
+    // deterministic stratified sampling: keep-decision is a pure function
+    // of (seed, key) — reproducible across runs/engines/retries, unlike
+    // df.sample's RNG; per-stratum rates downsample dominant event types
+    "l28_stratified_sample" -> Q(
+      (s, dir) => graft.llm.Sampling.stratifiedSample(
+        td(s, dir, "events"), "event_id", "event_type",
+        rates = Map("click" -> 25, "view" -> 10, "purchase" -> 100, "error" -> 50))
+        .select(col("event_id"), col("event_type")),
+      Some("""SELECT event_id, event_type FROM events
+             |WHERE ('0x'||substr(md5('s1' || CAST(event_id AS VARCHAR)),1,15))::BIGINT % 100 <
+             |  CASE event_type WHEN 'click' THEN 25 WHEN 'view' THEN 10
+             |    WHEN 'purchase' THEN 100 WHEN 'error' THEN 50 ELSE 0 END""".stripMargin)),
+
     // Gopher-style repetition quality filters: top-token / top-bigram /
     // unique-token fractions per doc — two relational hash-aggs, no
     // per-row array lambdas
