@@ -63,4 +63,25 @@ object Packing {
     packByTokenBudget(
       docs.select(col(idCol), Bpe.countTokens(col(textCol), merges).as("_n")),
       idCol, "_n", binCapacity, chunkSize)
+
+  /**
+   * Materialize packed bins into training SEQUENCES: one row per
+   * (chunk, bin) with the member texts joined in id order by `docSep`
+   * (the \<doc\> boundary marker a trainer splits on), the member count,
+   * and the bin's token total. One extra shuffle on (chunk, bin) over
+   * skinny rows; texts travel once.
+   */
+  def materializeBins(docs: DataFrame, idCol: String, textCol: String,
+                      binCapacity: Long, chunkSize: Long,
+                      docSep: String = " <doc> ",
+                      merges: Seq[(String, String)] = Bpe.DefaultMerges): DataFrame = {
+    val packed = packTextByTokenBudget(docs, idCol, textCol, binCapacity,
+      chunkSize, merges).toDF()
+    packed.join(docs.select(col(idCol).as("doc_id"), col(textCol).as("_text")), "doc_id")
+      .groupBy("chunk", "bin")
+      .agg(
+        graft.ops.Agg.stringAggOrderedBy(col("_text"), col("doc_id"), docSep).as("seq_text"),
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"))
+  }
 }

@@ -104,14 +104,12 @@ object BpeOracles {
        |g AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toka GROUP BY 1)
        |SELECT token, n FROM g ORDER BY n DESC, token LIMIT $k""".stripMargin
 
-  /** Exact twin of `Packing.packTextByTokenBudget` over `documents`: the
-    * identical greedy first-fit-in-order fold replayed per chunk by a
-    * linear recursive CTE over the chunk-local row number (all chunks
-    * advance in parallel per recursion step; depth = chunk doc count). */
-  def packingSql(merges: Seq[(String, String)], binCapacity: Long,
-                 chunkSize: Long): String =
-    s"""WITH RECURSIVE
-       |${encodeCtes(merges)},
+  /** Shared packing CTE body: [[encodeCtes]] + counts + the per-chunk
+    * greedy fold recursion, ending in `rec(chunk, rn, doc_id, n, bin,
+    * running)`. */
+  private def packedCtes(merges: Seq[(String, String)], binCapacity: Long,
+                         chunkSize: Long): String =
+    s"""${encodeCtes(merges)},
        |cnt AS (SELECT t.doc_id, SUM(len(wc.syms)) AS n
        |        FROM tok t JOIN wc USING (w) GROUP BY 1),
        |nn AS (SELECT d.doc_id, COALESCE(c.n, 0) AS n
@@ -128,8 +126,32 @@ object BpeOracles {
        |         THEN r.bin + 1 ELSE r.bin END,
        |    CASE WHEN r.running > 0 AND r.running + s.n > $binCapacity
        |         THEN s.n ELSE r.running + s.n END
-       |  FROM rec r JOIN seq s ON s.chunk = r.chunk AND s.rn = r.rn + 1)
+       |  FROM rec r JOIN seq s ON s.chunk = r.chunk AND s.rn = r.rn + 1)""".stripMargin
+
+  /** Exact twin of `Packing.packTextByTokenBudget` over `documents`: the
+    * identical greedy first-fit-in-order fold replayed per chunk by a
+    * linear recursive CTE over the chunk-local row number (all chunks
+    * advance in parallel per recursion step; depth = chunk doc count). */
+  def packingSql(merges: Seq[(String, String)], binCapacity: Long,
+                 chunkSize: Long): String =
+    s"""WITH RECURSIVE
+       |${packedCtes(merges, binCapacity, chunkSize)}
        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(chunk AS BIGINT) AS chunk,
        |  CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n_tokens
        |FROM rec""".stripMargin
+
+  /** Exact twin of `Packing.materializeBins` (sequence md5'd on both
+    * sides to keep compared rows small): the packing recursion joined
+    * back to text, aggregated per (chunk, bin) with the identical
+    * id-ordered doc-separator join. */
+  def packMaterializeSql(merges: Seq[(String, String)], binCapacity: Long,
+                         chunkSize: Long, docSep: String): String =
+    s"""WITH RECURSIVE
+       |${packedCtes(merges, binCapacity, chunkSize)}
+       |SELECT CAST(r.chunk AS BIGINT) AS chunk, CAST(r.bin AS BIGINT) AS bin,
+       |  md5(string_agg(d.text, '${OracleSqlUtil.esc(docSep)}' ORDER BY r.doc_id)) AS seq_md5,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(r.n) AS BIGINT) AS total_tokens
+       |FROM rec r JOIN documents d USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
 }

@@ -146,6 +146,18 @@ object LlmQueries {
       },
       Some(TextOracles.piiScrubSql)),
 
+    // packed bins materialized into training SEQUENCES: texts joined in
+    // id order with the <doc> boundary marker; compared via md5 so rows
+    // stay small
+    "l29_pack_materialize" -> Q(
+      (s, dir) => graft.llm.Packing.materializeBins(
+          td(s, dir, "documents"), "doc_id", "text",
+          binCapacity = 512L, chunkSize = 32L)
+        .select(col("chunk"), col("bin"), md5(col("seq_text")).as("seq_md5"),
+          col("n_docs"), col("total_tokens")),
+      Some(BpeOracles.packMaterializeSql(graft.llm.Bpe.DefaultMerges,
+        binCapacity = 512L, chunkSize = 32L, docSep = " <doc> "))),
+
     // deterministic stratified sampling: keep-decision is a pure function
     // of (seed, key) — reproducible across runs/engines/retries, unlike
     // df.sample's RNG; per-stratum rates downsample dominant event types

@@ -38,6 +38,15 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(t.countTokens("\tab") === 0L + 1L)
   }
 
+  test("code-point symbols: non-BMP chars are single symbols, never split surrogates") {
+    val t = new BpeTable(Seq(("😀", "😀"), ("a", "😀")))
+    // U+1F600 is 2 UTF-16 chars; a char-based split would break the pair
+    assert(t.encodeWord("😀😀").toSeq === Seq("😀😀"))
+    assert(t.encodeWord("a😀b").toSeq === Seq("a😀", "b"))
+    assert(t.countTokens("héllo wörld 😀😀") ===
+      t.countWord("héllo") + t.countWord("wörld") + 1L)
+  }
+
   test("counts are additive under whitespace concatenation (pre-tokenization invariant)") {
     val t = Bpe.defaultTable
     val text = Gen.listOf(word).map(_.mkString(" "))
