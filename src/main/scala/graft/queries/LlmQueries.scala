@@ -8,14 +8,20 @@ import Registry.td
 /**
  * LLM training-data pipeline operators over `documents` / `embeddings`:
  * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
- * (brute-force + LSH), text analysis, multimodal plumbing.
+ * (brute-force + LSH + IVF), the BPE tokenizer family (count l20, full
+ * encode l21, vocab stats l22, sequence packing l23/l29), text analysis
+ * (lang-id l3/l24, quality l4/l27, PII l26), corpus hygiene
+ * (decontamination l25, deterministic sampling l28), multimodal
+ * plumbing + real BMP/WAV decode (m1–m3).
  *
  * Oracle notes: xxhash64-based ops are not DuckDB-expressible → registered
  * rows-only, with `l5p`/`l6p`/`l13p` portable-family TWINS of the same
  * pipelines (md5-derived universal hashes, [[LshOracles]]) carrying exact
  * DuckDB oracles end to end. The ANN family (l10/l11/l12) is oracle-checked
  * directly: hyperplane coefficients are interpolated into the SQL from the
- * same Scala constants.
+ * same Scala constants. The BPE family replays its greedy merge loop in a
+ * recursive CTE ([[BpeOracles]]); lang-id/PII/repetition twins live in
+ * [[TextOracles]].
  */
 object LlmQueries {
 
