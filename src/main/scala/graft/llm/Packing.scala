@@ -38,13 +38,17 @@ object Packing {
                         binCapacity: Long, chunkSize: Long): Dataset[PackedDoc] = {
     require(binCapacity > 0 && chunkSize > 0)
     import df.sparkSession.implicits._
+    // NULL counts are dropped on the TYPED side, not with a relational
+    // isNotNull filter: Catalyst pushes such a filter below the projection
+    // and re-evaluates the (expensive) count expression once for the
+    // filter and once for the project — doubling the tokenize cost when
+    // the count is a BPE expression (no CSE across Filter/Project).
     df.select(col(idCol).cast("long"), col(nTokensCol).cast("long"))
-      .filter(col(nTokensCol).isNotNull)
-      .as[(Long, Long)]
+      .as[(Long, Option[Long])]
       .groupByKey { case (id, _) => id / chunkSize }
-      .flatMapGroups { (chunk: Long, rows: Iterator[(Long, Long)]) =>
+      .flatMapGroups { (chunk: Long, rows: Iterator[(Long, Option[Long])]) =>
         // chunk doc count ≤ chunkSize by construction — the sort is bounded
-        val sorted = rows.toArray.sortBy(_._1)
+        val sorted = rows.collect { case (id, Some(n)) => (id, n) }.toArray.sortBy(_._1)
         var bin = 0L
         var running = 0L
         sorted.iterator.map { case (id, n) =>

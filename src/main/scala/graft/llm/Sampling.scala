@@ -21,14 +21,39 @@ import org.apache.spark.sql.functions._
  */
 object Sampling {
 
+  /** Separator between seed and key in the hash input: without one,
+    * (seed "s1", key "23") and (seed "s12", key "3") would hash the same
+    * bytes and correlate what should be independent samples (train/val
+    * leakage). Unit-separator keeps both sides printable-safe; seeds must
+    * not contain it. */
+  val SeedSep = "\u001f"
+
   /** Keep-decision column for one key at `pct`% (0–100). */
-  def keepCol(key: Column, pct: Column, seed: String): Column =
-    pmod(TextOps.portableHash60(concat(lit(seed), key.cast("string"))), lit(100L)) < pct
+  def keepCol(key: Column, pct: Column, seed: String): Column = {
+    require(!seed.contains(SeedSep), "seed must not contain the unit separator")
+    pmod(TextOps.portableHash60(concat(lit(seed + SeedSep), key.cast("string"))),
+      lit(100L)) < pct
+  }
+
+  /** String/integral key types only: doubles, decimals, and timestamps
+    * render to string DIFFERENTLY across engines, which would silently
+    * break the cross-engine reproducibility contract. */
+  private def requireStableKeyType(df: DataFrame, keyCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(keyCol).dataType match {
+      case StringType | ByteType | ShortType | IntegerType | LongType =>
+      case other => throw new IllegalArgumentException(
+        s"deterministic sampling key '$keyCol' must be string or integral " +
+          s"(got ${other.catalogString}): other types' string renderings " +
+          "differ across engines")
+    }
+  }
 
   /** Uniform deterministic sample: keep `pct`% of rows by key hash. */
   def deterministicSample(df: DataFrame, keyCol: String, pct: Int,
                           seed: String = "s1"): DataFrame = {
     require(pct >= 0 && pct <= 100)
+    requireStableKeyType(df, keyCol)
     df.filter(keepCol(col(keyCol), lit(pct), seed))
   }
 
@@ -40,6 +65,7 @@ object Sampling {
   def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
                        rates: Map[String, Int], seed: String = "s1"): DataFrame = {
     require(rates.values.forall(p => p >= 0 && p <= 100))
+    requireStableKeyType(df, keyCol)
     val rate = coalesce(element_at(typedlit(rates), col(stratumCol)), lit(0))
     df.filter(keepCol(col(keyCol), rate, seed))
   }

@@ -173,7 +173,7 @@ object LlmQueries {
         rates = Map("click" -> 25, "view" -> 10, "purchase" -> 100, "error" -> 50))
         .select(col("event_id"), col("event_type")),
       Some("""SELECT event_id, event_type FROM events
-             |WHERE ('0x'||substr(md5('s1' || CAST(event_id AS VARCHAR)),1,15))::BIGINT % 100 <
+             |WHERE ('0x'||substr(md5('s1' || chr(31) || CAST(event_id AS VARCHAR)),1,15))::BIGINT % 100 <
              |  CASE event_type WHEN 'click' THEN 25 WHEN 'view' THEN 10
              |    WHEN 'purchase' THEN 100 WHEN 'error' THEN 50 ELSE 0 END""".stripMargin)),
 

@@ -26,12 +26,14 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("rates land near nominal; absent strata drop entirely") {
-    val n = events.count().toDouble / 5 // ~uniform across 5 event types
+    val totals = events.groupBy("event_type").count().as[(String, Long)].collect().toMap
     val out = Sampling.stratifiedSample(events, "event_id", "event_type",
       rates = Map("click" -> 25, "purchase" -> 100))
     val byType = out.groupBy("event_type").count().as[(String, Long)].collect().toMap
     assert(!byType.contains("view") && !byType.contains("signup") && !byType.contains("error"))
-    assert(math.abs(byType("purchase") - n) <= n * 0.02) // rate 100 keeps all
+    // rate 100 keeps EVERY row of the stratum — exact, not statistical
+    assert(byType("purchase") === totals("purchase"))
+    val n = totals("click").toDouble
     assert(math.abs(byType("click") - n * 0.25) <= n * 0.15)
   }
 
