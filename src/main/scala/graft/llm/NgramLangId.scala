@@ -107,9 +107,16 @@ object NgramLangId {
   }
 
   /** Expression-composed twin kept as the independent definition the
-    * native expression is parity-tested against (NOT the hot path). */
+    * native expression is parity-tested against (NOT the hot path).
+    * Lowercasing is the ONE primitive shared with the native expression
+    * (a UDF over [[simpleLower]]): Spark's `lower()` applies FULL/locale
+    * mappings ('İ' → 'i' + U+0307), which would make the parity test flake
+    * on such inputs even though the hot path and the oracle — both
+    * simple-lowering — agree. The trigram framing and scoring below stay
+    * independently expressed, which is what the parity test exercises. */
   private[llm] def langIdNgramHof(text: Column): Column = {
-    val s = lower(trim(text))
+    val simpleLowerUdf = udf((raw: String) => Option(raw).map(simpleLower))
+    val s = simpleLowerUdf(trim(text))
     val tgs = when(length(s) < 3, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), length(s) - 2), i => substring(s, i, lit(3))))
     // array_max compares structs field-by-field: (score, pri, lang) with

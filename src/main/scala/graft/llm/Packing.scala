@@ -17,9 +17,11 @@ final case class PackedDoc(doc_id: Long, chunk: Long, bin: Long, n_tokens: Long)
  *
  * Greedy packing over a GLOBAL order is inherently sequential, which does
  * not scale; the scale-honest form packs independently within fixed
- * id-range CHUNKS (`doc_id / chunkSize`): chunks are embarrassingly
+ * id-range CHUNKS (`floorDiv(doc_id, chunkSize)`): chunks are embarrassingly
  * parallel (one `flatMapGroups` with O(1) state per chunk, one shuffle on
- * the chunk key), deterministic, and the only loss vs the global greedy is
+ * the chunk key; the chunk key is `floorDiv(doc_id, chunkSize)` — floor,
+ * not truncating, division, so negative ids bin identically to the
+ * oracle's `//`), deterministic, and the only loss vs the global greedy is
  * ≤ 1 underfull bin per chunk boundary — negligible at real chunk sizes.
  * At 100 TB this is exactly a keyed aggregation: no global sort, no driver
  * state, bins bounded by construction.
@@ -45,7 +47,10 @@ object Packing {
     // the count is a BPE expression (no CSE across Filter/Project).
     df.select(col(idCol).cast("long"), col(nTokensCol).cast("long"))
       .as[(Long, Option[Long])]
-      .groupByKey { case (id, _) => id / chunkSize }
+      // floorDiv, not truncating `/`: the DuckDB oracle's `doc_id //
+      // chunkSize` floors, and the two diverge on negative ids (-1/10 = 0
+      // truncating vs -1 floored), silently shifting bin assignments.
+      .groupByKey { case (id, _) => Math.floorDiv(id, chunkSize) }
       .flatMapGroups { (chunk: Long, rows: Iterator[(Long, Option[Long])]) =>
         // chunk doc count ≤ chunkSize by construction — the sort is bounded
         val sorted = rows.collect { case (id, Some(n)) => (id, n) }.toArray.sortBy(_._1)

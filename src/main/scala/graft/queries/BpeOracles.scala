@@ -9,10 +9,11 @@ package graft.queries
  *
  * Mechanics verified against DuckDB 1.0 semantics: string slicing is
  * code-point-based (matches the Scala encoder's codePoints), and
- * `list_position` returns 0 when absent — the candidate key
- * `rank·10000 + i` therefore encodes "found" as `key ≥ 10000`, and
- * `list_min` picks (lowest rank, then leftmost). All-pairs recursion depth
- * is bounded by word length (each step removes one symbol).
+ * `list_position` returns 0 when absent — `nullif(…, 0)` maps absence to
+ * NULL (so it can never masquerade as a found pair), and the candidate key
+ * is `rank·10⁶ + position` with `list_min` picking (lowest rank, then
+ * leftmost) among the non-NULL candidates. All-pairs recursion depth is
+ * bounded by word length (each step removes one symbol).
  */
 /** Shared SQL-literal escaping for the oracle builders — one definition so
   * a quoting fix can never reach only one generator. */
@@ -24,10 +25,14 @@ object BpeOracles {
 
   private def esc(s: String): String = OracleSqlUtil.esc(s)
 
-  /** `['a' || chr(1) || 'b', ...]` in rank order — chr(1) cannot occur in
-    * trained symbols, so the composite key is exact pair lookup. */
+  /** `['a b', ...]` in rank order, pair symbols joined by a single space —
+    * the same separator as `BpeTable.Sep`. Symbols come from
+    * whitespace-split words, so they provably cannot contain a space and
+    * the composite key is exact pair lookup (chr(1) was NOT safe here:
+    * \\x01 is not whitespace, so a corpus word could carry it into trained
+    * symbols and collide composite keys). */
   private def mergeListSql(merges: Seq[(String, String)]): String =
-    merges.map { case (a, b) => s"'${esc(a)}' || chr(1) || '${esc(b)}'" }
+    merges.map { case (a, b) => s"'${esc(a)} ${esc(b)}'" }
       .mkString("[", ", ", "]")
 
   /** Lowest-rank-then-leftmost mergeable pair of symbol list `s` against
@@ -39,7 +44,7 @@ object BpeOracles {
     * words up to 10⁶ code points. */
   private def pickSql(s: String): String =
     s"""list_min(list_filter(list_transform(range(1, len($s)),
-       |    i -> nullif(list_position(m, $s[i] || chr(1) || $s[i+1]), 0) * 1000000 + i),
+       |    i -> nullif(list_position(m, $s[i] || ' ' || $s[i+1]), 0) * 1000000 + i),
        |  x -> x IS NOT NULL))""".stripMargin
 
   /** Shared recursive-encode CTE block ending in `wc(w, syms)` — final
