@@ -54,18 +54,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_hyperplane_bucket", "hyperplane sign-bucket of a float vector",
       children => {
         // arity/foldability guarded here: eval on a non-foldable or null
-        // nPlanes would otherwise surface as a raw internal exception
-        require(children.length == 2,
-          s"graft_hyperplane_bucket(vec, nPlanes) takes 2 arguments, got ${children.length}")
-        val np = children(1)
-        require(np.foldable, "graft_hyperplane_bucket: nPlanes must be a literal")
-        np.eval() match {
-          case n: Number => HyperplaneBucket(children.head, n.intValue())
-          case null => throw new IllegalArgumentException(
-            "graft_hyperplane_bucket: nPlanes must not be NULL")
-          case other => throw new IllegalArgumentException(
-            s"graft_hyperplane_bucket: nPlanes must be a numeric literal, got $other")
+        // int arg would otherwise surface as a raw internal exception
+        require(children.length == 2 || children.length == 3,
+          s"graft_hyperplane_bucket(vec, nPlanes[, planeOffset]) takes 2 or 3 arguments, got ${children.length}")
+        def lit(e: Expression, what: String): Int = {
+          require(e.foldable, s"graft_hyperplane_bucket: $what must be a literal")
+          e.eval() match {
+            case n: Number => n.intValue()
+            case null => throw new IllegalArgumentException(
+              s"graft_hyperplane_bucket: $what must not be NULL")
+            case other => throw new IllegalArgumentException(
+              s"graft_hyperplane_bucket: $what must be a numeric literal, got $other")
+          }
         }
+        val off = if (children.length == 3) lit(children(2), "planeOffset") else 0
+        HyperplaneBucket(children.head, lit(children(1), "nPlanes"), off)
       })
     unary("graft_type_set", "one-pass BigQuery-style type-set aggregate",
       TypeSetAgg(_))

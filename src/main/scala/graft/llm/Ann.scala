@@ -89,10 +89,16 @@ object Ann {
     (h.toDouble / Int.MaxValue.toDouble)
   }
 
-  /** Sign-bit bucket key from `nPlanes` hyperplanes (expression-only). */
-  def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int): Column = {
+  /** Bits needed to tag `n` distinct table ids (0 for n=1). */
+  private def ceilLog2(n: Int): Int = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n - 1, 0).toLong).toInt
+
+  /** Sign-bit bucket key from `nPlanes` hyperplanes starting at global
+    * plane index `planeOffset` (expression-only twin of the native
+    * [[HyperplaneBucket]]). */
+  def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int,
+                       planeOffset: Int = 0): Column = {
     val bits = (0 until nPlanes).map { p =>
-      val coeffs = array((0 until dim).map(d => lit(planeCoeff(p, d))): _*)
+      val coeffs = array((0 until dim).map(d => lit(planeCoeff(planeOffset + p, d))): _*)
       val proj = aggregate(zip_with(vec, coeffs, (x, c) => x.cast("double") * c),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
@@ -101,20 +107,45 @@ object Ann {
   }
 
   /**
-   * LSH-bucketed ANN: corpus is bucketed by hyperplane signs; each query
-   * probes only rows in its own bucket and its single-bit-flip neighbor
-   * buckets (multi-probe, recall boost), then exact cosine ranks within the
-   * candidates. Join is equi on bucket id — shuffle-bounded, no crossJoin.
+   * LSH-bucketed ANN with STANDARD AMPLIFICATION: `nTables` independent
+   * hash tables of `nPlanes` sign bits each (table t draws planes
+   * `[t·nPlanes, (t+1)·nPlanes)` of the one deterministic coefficient
+   * family; its bucket keys are tagged `t << nPlanes`, so tables can share
+   * one equi-join). Each query probes, PER TABLE, its own bucket and the
+   * single-bit-flip neighbors (multi-probe); exact cosine then ranks the
+   * unioned candidates.
+   *
+   * Why tables: a single b-bit table recalls a true neighbor with
+   * per-plane agreement p only with probability ≈ pᵇ (plus b·pᵇ⁻¹(1-p)
+   * from multi-probe) — at p = 0.6 (cosine ≈ 0.3, this fixture's top-5
+   * regime) a lone 12-bit table measures recall@5 = 0.013. L tables
+   * amplify to 1-(1-pᵇ…)ᴸ: b=6, L=8 measures 0.92+ (AnnRecallSpec pins
+   * the floor). Candidate volume scales as L·(b+1)·N/2ᵇ — still bucketed,
+   * one shuffle on the tagged key, no crossJoin; at 100 TB you raise b as
+   * corpus density (and target similarity) rises and L buys recall back.
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-              idCol: String, dim: Int, k: Int, nPlanes: Int = 12): DataFrame = {
+              idCol: String, dim: Int, k: Int, nPlanes: Int = 6,
+              nTables: Int = 8): DataFrame = {
+    require(nPlanes > 0 && nTables > 0 && nPlanes + ceilLog2(nTables) <= 62,
+      s"table tag (nTables=$nTables) must fit above $nPlanes bucket bits in a long")
     val spark = corpus.sparkSession
+    // one row per (vector, table): tagged bucket keys, native expression
+    val tagged = (0 until nTables).map { t =>
+      lit(t.toLong << nPlanes).bitwiseOR(
+        HyperplaneBucket.bucketCol(spark, "cvec", nPlanes, t * nPlanes))
+    }
     val cb = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
-      .withColumn("bucket", HyperplaneBucket.bucketCol(spark, "cvec", nPlanes))
-    // query probes: own bucket + each 1-bit flip. Bucket computed ONCE per
-    // row (native codegen'd expression), probes derived by XOR.
+      .withColumn("bucket", explode(array(tagged: _*)))
+    // query probes: per table, own bucket + each 1-bit flip (XOR touches
+    // only the low nPlanes bits — the table tag is preserved). Buckets are
+    // computed ONCE per (row, table); probes derived by XOR.
+    val qtagged = (0 until nTables).map { t =>
+      lit(t.toLong << nPlanes).bitwiseOR(
+        HyperplaneBucket.bucketCol(spark, "qvec", nPlanes, t * nPlanes))
+    }
     val qbase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("qbucket", HyperplaneBucket.bucketCol(spark, "qvec", nPlanes))
+      .withColumn("qbucket", explode(array(qtagged: _*)))
     val probes = col("qbucket") +: (0 until nPlanes).map(p => col("qbucket").bitwiseXOR(lit(1L << p)))
     val qb = qbase.select(col("query_id"), col("qvec"),
         explode(array(probes: _*)).as("bucket"))

@@ -17,7 +17,8 @@ import org.apache.spark.sql.types._
  * (plane, dim) scaled to [-1, 1)), so buckets are interchangeable with the
  * expression-composed version.
  */
-case class HyperplaneBucket(child: Expression, nPlanes: Int)
+case class HyperplaneBucket(child: Expression, nPlanes: Int,
+                             planeOffset: Int = 0)
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -34,11 +35,11 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int)
   }
 
   override def nullSafeEval(input: Any): Any =
-    HyperplaneBucket.compute(input.asInstanceOf[ArrayData], nPlanes, isFloat)
+    HyperplaneBucket.compute(input.asInstanceOf[ArrayData], nPlanes, planeOffset, isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.llm.HyperplaneBucket.compute($c, $nPlanes, $isFloat)")
+      c => s"graft.llm.HyperplaneBucket.compute($c, $nPlanes, $planeOffset, $isFloat)")
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
     copy(child = newChild)
@@ -46,17 +47,21 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int)
 
 object HyperplaneBucket {
 
-  // coefficient cache: (nPlanes, dim) → row-major [plane][dim] array
-  private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+  // coefficient cache: (planeOffset, nPlanes, dim) → row-major
+  // [local plane][dim] array; plane index offset+i selects which planes of
+  // the one deterministic global family this slice covers (table t of a
+  // multi-table LSH index uses offset = t·nPlanes — disjoint planes per
+  // table, identical on every executor and run)
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
 
-  private def coeffs(nPlanes: Int, dim: Int): Array[Double] =
-    cache.computeIfAbsent((nPlanes, dim), { case (p, d) =>
+  private def coeffs(planeOffset: Int, nPlanes: Int, dim: Int): Array[Double] =
+    cache.computeIfAbsent((planeOffset, nPlanes, dim), { case (off, p, d) =>
       val arr = new Array[Double](p * d)
       var i = 0
       while (i < p) {
         var j = 0
         while (j < d) {
-          arr(i * d + j) = scala.util.hashing.MurmurHash3.productHash((i, j))
+          arr(i * d + j) = scala.util.hashing.MurmurHash3.productHash((off + i, j))
             .toDouble / Int.MaxValue.toDouble
           j += 1
         }
@@ -65,9 +70,9 @@ object HyperplaneBucket {
       arr
     })
 
-  def compute(vec: ArrayData, nPlanes: Int, isFloat: Boolean): Long = {
+  def compute(vec: ArrayData, nPlanes: Int, planeOffset: Int, isFloat: Boolean): Long = {
     val dim = vec.numElements()
-    val cs = coeffs(nPlanes, dim)
+    val cs = coeffs(planeOffset, nPlanes, dim)
     var out = 0L
     var p = 0
     while (p < nPlanes) {
@@ -85,25 +90,32 @@ object HyperplaneBucket {
     out
   }
 
-  /** Register `graft_hyperplane_bucket(vec, nPlanes)`. Idempotent. */
+  private def intLit(e: Expression, what: String): Int = {
+    require(e.foldable, s"graft_hyperplane_bucket: $what must be a literal")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_hyperplane_bucket: $what must be a numeric literal, got $other")
+    }
+  }
+
+  /** Register `graft_hyperplane_bucket(vec, nPlanes[, planeOffset])`.
+    * Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hyperplane_bucket",
       (children: Seq[Expression]) => {
-        require(children.length == 2,
-          s"graft_hyperplane_bucket(vec, nPlanes) takes 2 arguments, got ${children.length}")
-        require(children(1).foldable, "graft_hyperplane_bucket: nPlanes must be a literal")
-        children(1).eval() match {
-          case n: Number => HyperplaneBucket(children.head, n.intValue())
-          case other => throw new IllegalArgumentException(
-            s"graft_hyperplane_bucket: nPlanes must be a numeric literal, got $other")
-        }
+        require(children.length == 2 || children.length == 3,
+          s"graft_hyperplane_bucket(vec, nPlanes[, planeOffset]) takes 2 or 3 arguments, got ${children.length}")
+        val off = if (children.length == 3) intLit(children(2), "planeOffset") else 0
+        HyperplaneBucket(children.head, intLit(children(1), "nPlanes"), off)
       }, "scala_udf")
 
   /** Column form over a named vector column (registers on call). */
   def bucketCol(spark: org.apache.spark.sql.SparkSession, vecCol: String,
-                nPlanes: Int): org.apache.spark.sql.Column = {
+                nPlanes: Int, planeOffset: Int = 0): org.apache.spark.sql.Column = {
     register(spark)
-    org.apache.spark.sql.functions.expr(s"graft_hyperplane_bucket(`$vecCol`, $nPlanes)")
+    org.apache.spark.sql.functions.expr(
+      s"graft_hyperplane_bucket(`$vecCol`, $nPlanes, $planeOffset)")
   }
 }

@@ -23,10 +23,13 @@ object LshOracles {
        |   / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b))) END""".stripMargin
 
   /** Hyperplane sign-bucket over a DOUBLE[] expression — the literal-
-    * coefficient twin of [[graft.llm.HyperplaneBucket]]. */
-  private def bucketSql(vec: String, nPlanes: Int, dim: Int): String =
+    * coefficient twin of [[graft.llm.HyperplaneBucket]]; `planeOffset`
+    * selects the plane slice (table t of a multi-table index interpolates
+    * the coefficients for planes t·nPlanes …, same as the Scala side). */
+  private def bucketSql(vec: String, nPlanes: Int, dim: Int,
+                        planeOffset: Int = 0): String =
     (0 until nPlanes).map { p =>
-      val coeffs = (0 until dim).map(d => Ann.planeCoeff(p, d)).mkString("[", ", ", "]")
+      val coeffs = (0 until dim).map(d => Ann.planeCoeff(planeOffset + p, d)).mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product($vec, $coeffs) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", "\n + ", ")")
 
@@ -238,11 +241,19 @@ object LshOracles {
        |SELECT id1, id2, hamming FROM p WHERE hamming <= $maxHamming""".stripMargin
   }
 
-  /** Multi-probe hyperplane-LSH top-k: the oracle for l10_ann_lsh_topk. */
-  def lshTopKSql(nPlanes: Int, dim: Int, nQueries: Int, k: Int): String = {
+  /** Multi-probe, multi-TABLE hyperplane-LSH top-k: the oracle for
+    * l10_ann_lsh_topk. Table t's bucket arm interpolates its own plane
+    * slice's coefficients and tags keys with `t << nPlanes`, exactly like
+    * [[Ann.lshTopK]]; probes XOR only the low plane bits, preserving the
+    * tag. */
+  def lshTopKSql(nPlanes: Int, dim: Int, nQueries: Int, k: Int,
+                 nTables: Int = 1): String = {
     val probes = ("qb" +: (0 until nPlanes).map(p => s"xor(qb, ${1L << p})")).mkString(", ")
+    val tableArms = (0 until nTables).map { t =>
+      s"SELECT vec_id, e, ${t.toLong << nPlanes} + ${bucketSql("e", nPlanes, dim, t * nPlanes)} AS bucket FROM v"
+    }.mkString("\n UNION ALL ")
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |b AS (SELECT vec_id, e, ${bucketSql("e", nPlanes, dim)} AS bucket FROM v),
+       |b AS ($tableArms),
        |q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qb FROM b WHERE vec_id < $nQueries),
        |pr AS (SELECT query_id, qe, unnest([$probes]) AS bucket FROM q),
        |sc AS (SELECT DISTINCT p.query_id, c.vec_id AS corpus_id,

@@ -31,13 +31,21 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(ids.contains(1L) || ids.contains(2L))
   }
 
-  test("native HyperplaneBucket matches the expression-composed fold") {
+  test("native HyperplaneBucket matches the expression-composed fold (offset 0 and table slices)") {
     import org.apache.spark.sql.functions._
-    val df = vecs.select($"vec_id", $"embedding".as("vec"),
-      Ann.hyperplaneBucket($"embedding", dim = 8, nPlanes = 10).as("fold"))
-    val both = df.withColumn("native", HyperplaneBucket.bucketCol(spark, "vec", 10))
-      .select($"vec_id", $"native", $"fold").as[(Long, Long, Long)].collect()
-    both.foreach { case (id, n, f) => assert(n === f, s"vec $id: native=$n fold=$f") }
+    for (offset <- Seq(0, 10, 30)) {
+      val df = vecs.select($"vec_id", $"embedding".as("vec"),
+        Ann.hyperplaneBucket($"embedding", dim = 8, nPlanes = 10, planeOffset = offset).as("fold"))
+      val both = df.withColumn("native", HyperplaneBucket.bucketCol(spark, "vec", 10, offset))
+        .select($"vec_id", $"native", $"fold").as[(Long, Long, Long)].collect()
+      both.foreach { case (id, n, f) => assert(n === f, s"vec $id offset $offset: native=$n fold=$f") }
+    }
+    // different plane slices must actually be different hash functions
+    val b = vecs.select(
+        HyperplaneBucket.bucketCol(spark, "embedding", 10, 0).as("t0"),
+        HyperplaneBucket.bucketCol(spark, "embedding", 10, 10).as("t1"))
+      .as[(Long, Long)].collect()
+    assert(b.exists { case (t0, t1) => t0 != t1 }, "offset slices collapsed to one function")
   }
 
   test("IVF top-k: probed cells recover same-cluster neighbors") {
