@@ -14,10 +14,36 @@ import graft.ops.Diff
  *
  * Storage model: a table family lives under `root/` as `name_v<N>` parquet
  * dirs plus `name_current`; metadata as a JSON sidecar per version.
+ *
+ * Two "current" mechanisms:
+ *  - [[CopyCurrent]] (default, reference-faithful): `name_current` is a
+ *    parquet COPY of the new version (create_modify.py:210-277 copies the
+ *    table). Simple, but the copy rewrites the whole table (O(data) per
+ *    publish) and an overwrite-in-place is not atomic — a concurrent
+ *    reader can catch a half-written dir.
+ *  - [[PointerCurrent]] (transactional variant): versions stay immutable;
+ *    `name_current.ptr` is a tiny JSON manifest naming the current
+ *    version, swapped via write-temp + ATOMIC_MOVE rename. Publish is
+ *    O(1) in table size, the flip is all-or-nothing (readers resolve
+ *    either the old or the new immutable version, never a mix), and every
+ *    prior version stays readable ([[readVersion]] = time travel). This is
+ *    the Delta/Iceberg commit-pointer idea reduced to one table on a
+ *    filesystem with atomic rename; on an object store without atomic
+ *    rename you'd back the pointer with a catalog or conditional put.
+ *
+ * Version allocation assumes one publisher per table family at a time
+ * (true of the reference's ETL, which publishes from a single driver).
  */
 object Publish {
 
   final case class PublishResult(published: Boolean, version: Int, path: String)
+
+  /** How `name_current` is maintained. */
+  sealed trait CurrentMode
+  /** Reference-faithful: `name_current` is a full parquet copy. */
+  case object CopyCurrent extends CurrentMode
+  /** Transactional: `name_current.ptr` manifest, atomically renamed. */
+  case object PointerCurrent extends CurrentMode
 
   /** Highest existing version of `name` under `root` (0 = none). */
   def latestVersion(root: String, name: String): Int = {
@@ -31,11 +57,16 @@ object Publish {
   }
 
   /**
-   * Publish gate + copy: if a previous version exists and is row-identical
-   * (U3 symmetric diff empty, lookup.py:692-705) the publish is SKIPPED;
-   * otherwise write `name_v<N+1>` and overwrite `name_current`.
+   * Publish gate + version write: if a previous version exists and is
+   * row-identical (U3 symmetric diff empty, lookup.py:692-705) the publish
+   * is SKIPPED; otherwise write `name_v<N+1>` and advance "current" per
+   * `mode` — a parquet copy ([[CopyCurrent]], the reference's behavior) or
+   * an atomic pointer swap ([[PointerCurrent]]). The diff gate is
+   * mode-independent: both paths version against the same `name_v<N>`
+   * lineage, so a family can even switch modes between publishes.
    */
-  def publish(spark: SparkSession, df: DataFrame, root: String, name: String): PublishResult = {
+  def publish(spark: SparkSession, df: DataFrame, root: String, name: String,
+              mode: CurrentMode = CopyCurrent): PublishResult = {
     val prev = latestVersion(root, name)
     if (prev > 0) {
       val old = spark.read.parquet(s"$root/${name}_v$prev")
@@ -44,10 +75,56 @@ object Publish {
     }
     val next = prev + 1
     df.write.mode("overwrite").parquet(s"$root/${name}_v$next")
-    spark.read.parquet(s"$root/${name}_v$next")
-      .write.mode("overwrite").parquet(s"$root/${name}_current")
+    mode match {
+      case CopyCurrent =>
+        spark.read.parquet(s"$root/${name}_v$next")
+          .write.mode("overwrite").parquet(s"$root/${name}_current")
+      case PointerCurrent =>
+        writePointer(root, name, next)
+    }
     PublishResult(published = true, version = next, path = s"$root/${name}_v$next")
   }
+
+  private def pointerPath(root: String, name: String) =
+    java.nio.file.Paths.get(s"$root/${name}_current.ptr")
+
+  /** Atomically swap the current-version pointer: write a temp manifest,
+    * then ATOMIC_MOVE it over the pointer path. Readers see the old or the
+    * new manifest in full — never a partial file. */
+  private def writePointer(root: String, name: String, version: Int): Unit = {
+    val target = pointerPath(root, name)
+    val tmp = java.nio.file.Paths.get(s"$root/${name}_current.ptr.tmp")
+    val json = s"""{"name": "$name", "version": $version, "path": "${name}_v$version"}"""
+    java.nio.file.Files.write(tmp, json.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Version the `name_current.ptr` manifest names, 0 if no pointer. */
+  def currentVersion(root: String, name: String): Int = {
+    val p = pointerPath(root, name)
+    if (!java.nio.file.Files.exists(p)) 0
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      """"version":\s*(\d+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(s"malformed pointer manifest $p: $s"))
+    }
+  }
+
+  /** Read the current table: pointer manifest if present (PointerCurrent
+    * families), else the `name_current` copy dir. */
+  def readCurrent(spark: SparkSession, root: String, name: String): DataFrame = {
+    val v = currentVersion(root, name)
+    if (v > 0) readVersion(spark, root, name, v)
+    else spark.read.parquet(s"$root/${name}_current")
+  }
+
+  /** Time travel: read version `v` of a published family (versions are
+    * immutable under both modes). */
+  def readVersion(spark: SparkSession, root: String, name: String, v: Int): DataFrame =
+    spark.read.parquet(s"$root/${name}_v$v")
 
   /**
    * C8 — `{---tag-key---}` substitution into a metadata template
