@@ -45,4 +45,30 @@ object Decontaminate {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_shared"))
   }
+
+  /**
+   * Per-document contamination FRACTION: of a doc's distinct `n`-gram
+   * shingles, what share also occurs in the benchmark set. [[flaggedDocs]]
+   * is the binary triage; this is the number a release gate thresholds on
+   * (e.g. drop docs > 20% contaminated, keep-but-tag above 0%). Emits one
+   * row per corpus doc with ≥ 1 shingle, ZERO-shared docs included —
+   * a gate needs the clean docs' zeros, not just the hits.
+   *
+   * Same scale shape as [[flaggedDocs]]: one corpus scan, benchmark side
+   * broadcast; the fraction folds into the same single aggregation (flag
+   * from the left join, no second pass, no countDistinct).
+   */
+  def contaminationScore(corpus: DataFrame, bench: DataFrame, textCol: String,
+                         idCol: String, n: Int): DataFrame = {
+    val ch = shingleHashes(corpus, textCol, idCol, n)
+    val bh = broadcast(shingleHashes(bench, textCol, idCol, n)
+      .select("h").distinct().withColumn("_hit", lit(1L)))
+    ch.join(bh, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        coalesce(sum(col("_hit")), lit(0L)).cast("long").as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_shingles").cast("double"), 6)
+          .as("contamination"))
+  }
 }

@@ -93,6 +93,54 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).cast("long").as("dup_cnt"))
 
   /**
+   * Corpus-level LINE deduplication (the CCNet/RefinedWeb boilerplate
+   * step): a line whose trimmed form appears in ≥ `minDf` DISTINCT
+   * documents is boilerplate (nav bars, cookie banners, license headers)
+   * and is removed from EVERY document; remaining lines are rejoined in
+   * original order. Blank lines are structural, never counted or removed.
+   * Intra-document repeats don't count toward `minDf` — the signal is
+   * cross-document repetition.
+   *
+   * Returns one row per non-null-text document:
+   * (doc_id, clean_text, n_lines, n_removed) — docs whose every line was
+   * boilerplate come back with clean_text = ''.
+   *
+   * Scale shape: two corpus passes, both embarrassingly standard — pass 1
+   * explodes lines and hash-aggregates document frequency (map-side
+   * partials; one shuffle on the trimmed-line key), pass 2 anti-joins the
+   * BROADCAST heavy-line set (boilerplate vocabularies are tiny by
+   * definition — it's the lines that repeat across the corpus) and
+   * reassembles per doc (one shuffle on doc id). No all-pairs anything;
+   * at 100 TB the only growing state is the heavy set, bounded by how
+   * much distinct boilerplate exists, not by corpus size.
+   */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"minDf=$minDf would remove every non-blank line")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+    // -1 limit: trailing empty lines survive the split on both engines
+    val lines = base.select(col("doc_id"),
+      posexplode(split(col("_text"), "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("k", trim(col("line")))
+    val heavy = lines.filter(col("k") =!= "")
+      .groupBy("k").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select("k")
+    val kept = lines.join(broadcast(heavy), Seq("k"), "left_anti")
+    val agg = kept.groupBy("doc_id").agg(
+      graft.ops.Agg.stringAggOrderedBy(col("line"), col("pos"), "\n").as("clean"),
+      count(lit(1)).cast("long").as("n_kept"))
+    base.select(col("doc_id"),
+        size(split(col("_text"), "\n", -1)).cast("long").as("n_lines"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"))
+  }
+
+  /**
    * Deduplicated corpus: keep exactly the min-id row of every exact-dup
    * group (semi-join against [[exactDedup]]'s keep list — the filter step
    * a training-data pipeline applies after grouping).
@@ -429,13 +477,25 @@ object Dedup {
   }
 
   /**
-   * SimHash near-dup candidates: block on `blocks` byte-slices of the
-   * simhash (docs within hamming distance d share at least one identical
-   * slice when blocks > d) — shuffle on (block_id, slice), pair within
-   * blocks, verify hamming ≤ maxHamming. No crossJoin.
+   * SimHash near-dup candidates: block on `blocks` bit-slices of the
+   * simhash — shuffle on (block_id, slice), pair within blocks, verify
+   * hamming ≤ maxHamming. No crossJoin.
+   *
+   * Banding is pigeonhole-EXACT iff `blocks > maxHamming` (≤ maxHamming
+   * differing bits across > maxHamming disjoint slices leave at least one
+   * slice identical); fewer blocks = approximate. Default is the
+   * literature-standard near-dup setting (Manku et al., WWW'07): 64-bit
+   * fingerprints, hamming ≤ 3, `blocks = 4` — the MINIMAL exact banding.
+   * Fewer, WIDER slices are strictly better than extra narrow ones: r7
+   * shipped blocks=8 (8-bit slices), whose 256 distinct values saturate as
+   * the corpus grows — bucket occupancy, and with it candidate pairs, grew
+   * quadratically (l7 measured ×18 time for ×10 docs); 16-bit slices hold
+   * 65k values and the same query scales linearly. At larger corpora still,
+   * widen slices further and/or add Manku-style permutations — the knob is
+   * slice CARDINALITY vs the pigeonhole floor `blocks > maxHamming`.
    */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3, blocks: Int = 8,
+                      maxHamming: Int = 3, blocks: Int = 4,
                       maxBucketSize: Int = 1000,
                       dropStats: Option[DropStats] = None): DataFrame = {
     // native SimHash64 expression (codegen'd tight loop): measured faster
@@ -452,7 +512,7 @@ object Dedup {
     * DuckDB oracle can replay every step — see
     * `LshOracles.portableSimhashNearDupsSql`. */
   def simhashNearDupsPortable(df: DataFrame, textCol: String, idCol: String,
-                              maxHamming: Int = 3, blocks: Int = 8,
+                              maxHamming: Int = 3, blocks: Int = 4,
                               maxBucketSize: Int = 1000,
                               dropStats: Option[DropStats] = None): DataFrame = {
     val withSim = df

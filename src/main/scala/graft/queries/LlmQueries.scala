@@ -138,6 +138,29 @@ object LlmQueries {
       },
       Some(TextOracles.decontaminateSql(n = 5, benchMod = 50))),
 
+    // corpus-level line dedup (CCNet/RefinedWeb boilerplate removal):
+    // lines in >= 3 distinct docs removed everywhere, docs rebuilt in
+    // order; heavy-line set broadcast, md5 keeps output rows small
+    "l30_line_dedup" -> Q(
+      (s, dir) => graft.llm.Dedup.lineDedup(
+          td(s, dir, "documents"), "doc_id", "text", minDf = 3)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_lines"), col("n_removed")),
+      Some(TextOracles.lineDedupSql(minDf = 3))),
+
+    // contamination fraction: matched share of each doc's distinct
+    // 5-gram shingles vs the benchmark slice — zero-shared docs included
+    // (a release gate needs the zeros); same broadcast shape as l25
+    "l31_contamination_score" -> Q(
+      (s, dir) => {
+        val docs = td(s, dir, "documents")
+        graft.llm.Decontaminate.contaminationScore(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "text", "doc_id", n = 5)
+      },
+      Some(TextOracles.contaminationScoreSql(n = 5, benchMod = 50))),
+
     // PII scrubbing: synthetic emails/phones appended from doc_id, then
     // the Java∩RE2 replace chain — redaction + count, exact twin in SQL
     "l26_pii_scrub" -> Q(
@@ -232,18 +255,22 @@ object LlmQueries {
       Some(LshOracles.portableNearDupPairsSql(n = 3, k = 32, bands = 16,
         cap = 1000, threshold = 0.5))),
 
-    // SimHash fingerprints + blocked near-dup pairs (rows-only)
+    // SimHash fingerprints + blocked near-dup pairs (rows-only). Manku-
+    // standard hamming<=3 with the minimal EXACT banding (4 x 16-bit
+    // slices): r7's 8 x 8-bit banding at maxHamming=8 was not pigeonhole-
+    // exact AND its 256-value slices saturated - pairs grew quadratically
+    // (x18 time for x10 docs); 16-bit slices scale linearly
     "l7_simhash_neardups" -> Q(
       (s, dir) => Dedup.simhashNearDups(
-        td(s, dir, "documents"), "text", "doc_id", maxHamming = 8, blocks = 8),
+        td(s, dir, "documents"), "text", "doc_id", maxHamming = 3, blocks = 4),
       None),
 
     // portable twin of l7: same vote/block/hamming pipeline over md5-derived
     // 60-bit token hashes a DuckDB CTE chain replays exactly
     "l7p_simhash_neardups_portable" -> Q(
       (s, dir) => Dedup.simhashNearDupsPortable(
-        td(s, dir, "documents"), "text", "doc_id", maxHamming = 8, blocks = 8),
-      Some(LshOracles.portableSimhashNearDupsSql(maxHamming = 8, blocks = 8, cap = 1000))),
+        td(s, dir, "documents"), "text", "doc_id", maxHamming = 3, blocks = 4),
+      Some(LshOracles.portableSimhashNearDupsSql(maxHamming = 3, blocks = 4, cap = 1000))),
 
     // near-dup clusters: LSH candidates → connected components → the
     // keep-one-per-cluster assignment (rows-only)

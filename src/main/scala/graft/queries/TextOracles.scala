@@ -37,6 +37,42 @@ object TextOracles {
        |SELECT c.doc_id, CAST(count(DISTINCT c.h) AS BIGINT) AS n_shared
        |FROM ch c JOIN bh USING (h) GROUP BY 1""".stripMargin
 
+  /** Twin of the l31 contamination-fraction query: same shingle CTEs as
+    * [[decontaminateSql]], but a LEFT join keeps zero-shared docs and the
+    * fraction is the matched share of each doc's distinct shingles. */
+  def contaminationScoreSql(n: Int, benchMod: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |shs AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-${n - 2}),
+       |    i -> ('0x'||substr(md5(array_to_string(t[i:i+${n - 1}], ' ')),1,15))::BIGINT)) AS sh
+       |  FROM toks WHERE len(t) >= $n),
+       |ch AS (SELECT doc_id, unnest(sh) AS h FROM shs WHERE doc_id % $benchMod <> 0),
+       |bh AS (SELECT DISTINCT unnest(sh) AS h FROM shs WHERE doc_id % $benchMod = 0)
+       |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(count(b.h) AS BIGINT) AS n_shared,
+       |  round(CAST(count(b.h) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS contamination
+       |FROM ch c LEFT JOIN bh b ON c.h = b.h GROUP BY 1""".stripMargin
+
+  /** Twin of the l30 line-dedup query: document frequency per trimmed
+    * line, lines in ≥ minDf distinct docs removed everywhere, remaining
+    * lines rejoined in order (blank lines kept, md5 of the rebuilt text). */
+  def lineDedupSql(minDf: Int): String =
+    s"""WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS a
+       |  FROM documents WHERE text IS NOT NULL),
+       |l AS (SELECT doc_id, unnest(a) AS line, unnest(range(len(a))) AS pos FROM ls),
+       |hv AS (SELECT trim(line) AS k FROM l WHERE trim(line) <> ''
+       |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= $minDf),
+       |kept AS (SELECT doc_id, line, pos FROM l
+       |  WHERE trim(line) = '' OR trim(line) NOT IN (SELECT k FROM hv)),
+       |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+       |  count(*) AS n_kept FROM kept GROUP BY 1)
+       |SELECT b.doc_id, md5(coalesce(a.clean, '')) AS clean_md5,
+       |  CAST(len(b.a) AS BIGINT) AS n_lines,
+       |  CAST(len(b.a) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+       |FROM ls b LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   /** Exact twin of the l26 PII-scrub query: synthetic PII appended from
     * doc_id, then the identical Java∩RE2 replace chain. */
   def piiScrubSql: String = {

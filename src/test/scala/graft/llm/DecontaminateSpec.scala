@@ -30,6 +30,21 @@ class DecontaminateSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("contaminationScore: fractions hand-computed, clean docs report zero") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon zeta eta suffix"), // 6 shingles, 3 shared
+      (2L, "completely different content with no overlap at all here"),    // 9 words → 5 shingles, 0 shared
+      (3L, "alpha beta gamma delta epsilon only"))                         // 2 shingles, 1 shared
+      .toDF("doc_id", "text")
+    val got = Decontaminate.contaminationScore(corpus, bench, "text", "doc_id", n = 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, tot, sh, c) => id -> ((tot, sh, c)) }.toMap
+    assert(got(1L) === ((6L, 3L, 0.5)))
+    assert(got(2L) === ((5L, 0L, 0.0))) // the zero a release gate needs
+    assert(got(3L) === ((2L, 1L, 0.5)))
+  }
+
   test("repetition filters: hand-computed fractions, degenerate docs score high") {
     val docs = Seq(
       (1L, "buy buy buy buy now"),              // top token 4/5, uniq 2/5

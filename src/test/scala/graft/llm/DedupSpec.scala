@@ -29,6 +29,44 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept === Set(0L, 2L, 3L, 4L)) // doc 1 (dup of 0) dropped
   }
 
+  test("lineDedup removes cross-doc boilerplate lines, keeps blanks and local repeats") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nreal content one\n\nreal content one"),  // intra-doc repeat stays
+      (2L, "COOKIE BANNER\nunique middle\nother text"),
+      (3L, "COOKIE BANNER\nthird doc body"),
+      (4L, "no boilerplate here\n\ntrailing blank\n"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, "doc_id", "text", minDf = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (id, t, nl, nr) => id -> ((t, nl, nr)) }.toMap
+    // banner in 3 distinct docs → removed everywhere; blank + repeat kept
+    assert(got(1L) === (("real content one\n\nreal content one", 4L, 1L)))
+    assert(got(2L) === (("unique middle\nother text", 3L, 1L)))
+    assert(got(3L) === (("third doc body", 2L, 1L)))
+    // trailing \n → trailing empty line survives intact
+    assert(got(4L) === (("no boilerplate here\n\ntrailing blank\n", 4L, 0L)))
+    assert(!got.contains(5L)) // null text filtered, mirrored in the oracle
+  }
+
+  test("lineDedup: doc reduced to nothing comes back as empty text, not a dropped row") {
+    val docs = Seq(
+      (1L, "SAME"), (2L, "SAME"), (3L, "SAME"))
+      .toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, "doc_id", "text", minDf = 3)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.length === 3)
+    got.foreach { case (_, t, nl, nr) => assert(t === "" && nl === 1L && nr === 1L) }
+  }
+
+  test("lineDedup plans the heavy-line set as a broadcast anti-join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Dedup.lineDedup(docs, "doc_id", "text", minDf = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan.take(800))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("minhash LSH finds planted near-dups, not unrelated pairs") {
     val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id", shingleSize = 3, k = 32, bands = 16)
       .as[(Long, Long)].collect().toSet
