@@ -102,7 +102,8 @@ object RunPipeline {
     StepRunner.run(spark, config, registeredSteps(sfDir, outRoot))
 
   def main(args: Array[String]): Unit = {
-    val configText = args.headOption.map(p =>
+    // "" means "default config" so positional args 2/3 stay addressable
+    val configText = args.headOption.filter(_.nonEmpty).map(p =>
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
       .getOrElse(DefaultConfig)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
