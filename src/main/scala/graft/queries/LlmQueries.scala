@@ -339,17 +339,19 @@ object LlmQueries {
       Some(LshOracles.lshTopKSql(nPlanes = 6, dim = 64, nQueries = 16, k = 5,
         nTables = 8))),
 
-    // embedding-cosine near-dup pairs, hyperplane-bucketed. Oracle: same
-    // buckets from the same interpolated coefficients; threshold on raw
-    // sim, output rounded to 6 dp
+    // embedding-cosine near-dup pairs, hyperplane-bucketed with 4-table
+    // amplification (recall in the realistic >=0.9-cosine regime is gated
+    // by AnnRecallSpec on planted dups; nPlanes=8 keeps buckets sparse as
+    // the corpus grows). Oracle: same tagged buckets from the same
+    // interpolated per-slice coefficients; threshold on raw sim
     "l11_embedding_neardups" -> Q(
       (s, dir) => Ann.embeddingNearDups(
         td(s, dir, "embeddings"), "embedding", "vec_id",
-        dim = 64, threshold = 0.2, nPlanes = 6)
+        dim = 64, threshold = 0.2, nPlanes = 8, nTables = 4)
         .select(col("id1"), col("id2"),
           round(col("cosine_sim"), 6).as("cosine_sim")),
-      Some(LshOracles.embeddingNearDupsSql(nPlanes = 6, dim = 64,
-        threshold = 0.2, cap = 2000))),
+      Some(LshOracles.embeddingNearDupsSql(nPlanes = 8, dim = 64,
+        threshold = 0.2, cap = 2000, nTables = 4))),
 
     // embedding preprocessing: L2-normalize → int8-quantize (the 4×-smaller
     // storage form); norms oracle-checked alongside

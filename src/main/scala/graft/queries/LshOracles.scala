@@ -265,10 +265,17 @@ object LshOracles {
        |SELECT query_id, corpus_id, round(sim, 6) AS cosine_sim FROM rk WHERE r <= $k""".stripMargin
   }
 
-  /** Hyperplane-bucketed near-dup pairs: the oracle for l11_embedding_neardups. */
-  def embeddingNearDupsSql(nPlanes: Int, dim: Int, threshold: Double, cap: Int): String =
+  /** Hyperplane-bucketed near-dup pairs: the oracle for
+    * l11_embedding_neardups. Multi-table arms tag buckets `t << nPlanes`
+    * with per-slice coefficients, exactly like [[Ann.embeddingNearDups]];
+    * the DISTINCT in `p` dedups pairs found by several tables. */
+  def embeddingNearDupsSql(nPlanes: Int, dim: Int, threshold: Double, cap: Int,
+                           nTables: Int = 1): String = {
+    val arms = (0 until nTables).map { t =>
+      s"SELECT vec_id, e, ${t.toLong << nPlanes} + ${bucketSql("e", nPlanes, dim, t * nPlanes)} AS bucket FROM v"
+    }.mkString("\n UNION ALL ")
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |b AS (SELECT vec_id, e, ${bucketSql("e", nPlanes, dim)} AS bucket FROM v),
+       |b AS ($arms),
        |cnt AS (SELECT bucket, count(*) AS nb FROM b GROUP BY 1),
        |ok AS (SELECT b.vec_id, b.e, b.bucket FROM b JOIN cnt USING (bucket)
        |  WHERE cnt.nb BETWEEN 2 AND $cap),
@@ -276,6 +283,7 @@ object LshOracles {
        |    ${cosSql("a.e", "c.e")} AS sim
        |  FROM ok a JOIN ok c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
        |SELECT id1, id2, round(sim, 6) AS cosine_sim FROM p WHERE sim >= $threshold""".stripMargin
+  }
 
   /** IVF (first-k centroids, nProbe cells) top-k: the oracle for
     * l12_ann_ivf_topk. Cell ids are the centroid's rank in vec_id order,

@@ -98,6 +98,49 @@ class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
     assert(r >= 0.70, f"IVF recall@5 regressed: $r%.3f < 0.70")
   }
 
+  test("embeddingNearDups: table amplification recovers planted high-sim pairs") {
+    // the parquet fixture is near-random (max pair cosine 0.51) — REAL
+    // near-dups live at cosine >= 0.9, so plant them: 60 base vectors,
+    // each with a jittered twin (deterministic hash-derived components)
+    def comp(seed: Int, d: Int): Float = {
+      val h = scala.util.hashing.MurmurHash3.productHash((seed, d))
+      h.toFloat / Int.MaxValue.toFloat
+    }
+    // jitter 0.45× the component scale puts twin cosine ≈ 0.88-0.93 — the
+    // regime where a single table provably misses most pairs (p⁸ ≈ 0.3)
+    // and amplification earns its keep
+    val dim = 32
+    val rows = (0 until 60).flatMap { i =>
+      val base = Array.tabulate(dim)(d => comp(i, d))
+      val twin = base.zipWithIndex.map { case (x, d) => x + 0.45f * comp(i + 1000, d) }
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, twin))
+    }.toDF("vec_id", "embedding")
+    // ground truth = planted pairs that actually cleared the threshold
+    // (jitter is deterministic but the exact cosine varies per pair)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val planted = (0 until 60).map { i =>
+      val base = Array.tabulate(dim)(d => comp(i, d))
+      val twin = base.zipWithIndex.map { case (x, d) => x + 0.45f * comp(i + 1000, d) }
+      ((i.toLong * 2, i.toLong * 2 + 1), cos(base, twin))
+    }
+    val truePairs = planted.collect { case (p, c) if c >= 0.9 => p }.toSet
+    assert(truePairs.size >= 30, s"fixture degenerate: only ${truePairs.size} true pairs")
+    def found(nTables: Int): Set[(Long, Long)] =
+      Ann.embeddingNearDups(rows, "embedding", "vec_id", dim = dim,
+          threshold = 0.9, nPlanes = 8, nTables = nTables)
+        .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+        .intersect(truePairs)
+    val r1 = found(1).size.toDouble / truePairs.size
+    val r8 = found(8).size.toDouble / truePairs.size
+    info(f"planted-dup pair recall (${truePairs.size} true pairs): 1 table $r1%.2f, 8 tables $r8%.2f")
+    assert(r8 >= 0.85, f"amplified detector missed planted dups: $r8%.2f < 0.85")
+    assert(r8 > r1, "amplification must improve pair recall")
+  }
+
   test("ivfTopK recall improves with nProbe (the knob a user turns)") {
     val k = 5
     val queryIds = (0L until 8L).toSeq
