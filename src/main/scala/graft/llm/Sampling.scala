@@ -69,4 +69,55 @@ object Sampling {
     val rate = coalesce(element_at(typedlit(rates), col(stratumCol)), lit(0))
     df.filter(keepCol(col(keyCol), rate, seed))
   }
+
+  /** Basis-point keep decision (0–10000): the resolution [[balanceToShares]]
+    * needs — whole percents are too coarse for computed rates. */
+  def keepColBp(key: Column, bp: Column, seed: String): Column = {
+    require(!seed.contains(SeedSep), "seed must not contain the unit separator")
+    pmod(TextOps.portableHash60(concat(lit(seed + SeedSep), key.cast("string"))),
+      lit(10000L)) < bp
+  }
+
+  /**
+   * Domain-mixture balancing: down-sample strata so the OUTPUT's
+   * per-stratum weight shares (token counts, char counts) hit
+   * `targetPct` — the "English 60 / code 30 / other 10" knob of a
+   * training-mix spec. Strata absent from `targetPct` are dropped.
+   *
+   * Rates derive from the largest output satisfying every target with
+   * down-sampling only: stratum s with weight wₛ caps the output at
+   * `100·wₛ/pₛ`; the binding (minimum) cap X* fixes
+   * `rateₛ = pₛ·X* / (100·wₛ)`, stored in BASIS POINTS via pure long
+   * floor-division so the DuckDB oracle replays the arithmetic bit for bit
+   * (no doubles anywhere — ULP-boundary floors would diverge across
+   * engines). Overflow-safe for stratum weights up to ~9·10¹² (pₛ·X*·10⁴
+   * must fit a long) — count weight in units (tokens, KB) that keep totals
+   * under that, which 100 TB corpora comfortably can (token counts in
+   * billions are ~10¹⁰).
+   *
+   * The per-stratum totals are a driver-side collect BOUNDED by the
+   * number of targeted strata (a mix spec names a handful) — same
+   * O(small) pattern as the BPE trainer's vocab collect. The keep filter
+   * itself is expression-only and pushes to the scan.
+   */
+  def balanceToShares(df: DataFrame, keyCol: String, stratumCol: String,
+                      weightCol: String, targetPct: Map[String, Int],
+                      seed: String = "s1"): DataFrame = {
+    require(targetPct.nonEmpty && targetPct.values.forall(p => p > 0 && p <= 100),
+      "target shares must be positive percentages")
+    require(targetPct.values.sum <= 100, "target shares must sum to <= 100")
+    requireStableKeyType(df, keyCol)
+    val weights: Map[String, Long] = df
+      .filter(col(stratumCol).isin(targetPct.keys.toSeq: _*))
+      .groupBy(stratumCol).agg(sum(col(weightCol)).cast("long").as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = targetPct.keySet -- weights.keySet
+    require(missing.isEmpty, s"targeted strata absent from data: ${missing.mkString(", ")}")
+    val xStar = targetPct.map { case (s, p) => 100L * weights(s) / p }.min
+    val bp: Map[String, Long] = targetPct.map { case (s, p) =>
+      s -> math.min(10000L, p * xStar * 10000L / (100L * weights(s)))
+    }
+    val bpCol = coalesce(element_at(typedlit(bp), col(stratumCol)), lit(0L))
+    df.filter(keepColBp(col(keyCol), bpCol, seed))
+  }
 }

@@ -173,4 +173,39 @@ object TextOps {
     aggregate(whitespaceTokens(text), lit(0L),
       (acc, t) => (acc * lit(8191L) + portableHash60(t)) % lit(P))
   }
+
+  /**
+   * Sliding token-window chunking (the RAG / context-window prep step):
+   * each document becomes overlapping windows of `windowTokens` whitespace
+   * tokens advancing by `strideTokens` — window w covers tokens
+   * `[w·stride, w·stride + window)`, the last window may be shorter, a doc
+   * of ≤ window tokens yields exactly one window, blank/NULL docs yield
+   * none. Expression-only window construction (one `transform` over a
+   * `sequence`, slices of the one tokens array) followed by a single
+   * `posexplode` — no shuffle at all; the output is a scan-shaped map.
+   *
+   * Returns (doc_id, win_id, win_text, win_tokens).
+   */
+  def slidingWindows(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, windowTokens: Int,
+                     strideTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(windowTokens > 0 && strideTokens > 0 && strideTokens <= windowTokens,
+      s"need 0 < stride <= window, got window=$windowTokens stride=$strideTokens")
+    val toks = whitespaceTokens(col(textCol))
+    val n = size(toks)
+    // ceil((n - window)/stride) + 1 for n > window, else 1. Spark's `/` on
+    // int columns is DOUBLE division; truncate back (operands are ≥ 0 and
+    // far below 2^53, so the double round-trip is exact)
+    val nWins = when(n <= windowTokens, lit(1))
+      .otherwise(((n - windowTokens + strideTokens - 1) / strideTokens).cast("int") + 1)
+    df.filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), toks.as("_toks"), nWins.as("_nw"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("_nw") - 1),
+          w => slice(col("_toks"), w * strideTokens + 1, lit(windowTokens))))
+          .as(Seq("win_id", "_win")))
+      .select(col("doc_id"), col("win_id").cast("long").as("win_id"),
+        array_join(col("_win"), " ").as("win_text"),
+        size(col("_win")).cast("long").as("win_tokens"))
+  }
 }

@@ -161,6 +161,28 @@ object LlmQueries {
       },
       Some(TextOracles.contaminationScoreSql(n = 5, benchMod = 50))),
 
+    // sliding token-window chunking (RAG / context-window prep): 64-token
+    // windows, stride 48 — expression-only windows + one posexplode, no
+    // shuffle; the oracle replays the window arithmetic in BIGINT
+    "l32_doc_chunking" -> Q(
+      (s, dir) => TextOps.slidingWindows(
+        td(s, dir, "documents"), "doc_id", "text",
+        windowTokens = 64, strideTokens = 48),
+      Some(TextOracles.slidingWindowsSql(window = 64, stride = 48))),
+
+    // domain-mixture balancing: down-sample sources so output char-weight
+    // shares hit the target mix (40/40/20 over three sources; the rest
+    // drop). Driver-side per-stratum totals are bounded by the mix size;
+    // rates are exact long floor-division basis points the oracle replays
+    "l33_domain_balance" -> Q(
+      (s, dir) => graft.llm.Sampling.balanceToShares(
+          td(s, dir, "documents"), "doc_id", "source", "n_chars",
+          targetPct = Map("src0" -> 40, "src1" -> 40, "src2" -> 20))
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      Some(TextOracles.balanceToSharesSql("source", "n_chars",
+        targets = Seq("src0" -> 40, "src1" -> 40, "src2" -> 20), seed = "s1")),
+      eager = true),
+
     // PII scrubbing: synthetic emails/phones appended from doc_id, then
     // the Java∩RE2 replace chain — redaction + count, exact twin in SQL
     "l26_pii_scrub" -> Q(

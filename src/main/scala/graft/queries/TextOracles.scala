@@ -73,6 +73,44 @@ object TextOracles {
        |  CAST(len(b.a) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
        |FROM ls b LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** Twin of the l32 sliding-window chunking query: identical window
+    * arithmetic in BIGINT (DuckDB `//` floors like the truncated
+    * non-negative Spark division). */
+  def slidingWindowsSql(window: Int, stride: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+       |nw AS (SELECT doc_id, toks,
+       |  CASE WHEN len(toks) <= $window THEN 1
+       |       ELSE (len(toks) - $window + $stride - 1) // $stride + 1 END AS n
+       |  FROM t),
+       |w AS (SELECT doc_id, unnest(range(n)) AS win_id, toks FROM nw)
+       |SELECT doc_id, CAST(win_id AS BIGINT) AS win_id,
+       |  array_to_string(toks[win_id*$stride + 1 : win_id*$stride + $window], ' ') AS win_text,
+       |  CAST(len(toks[win_id*$stride + 1 : win_id*$stride + $window]) AS BIGINT) AS win_tokens
+       |FROM w""".stripMargin
+
+  /** Twin of the l33 domain-balance query: replays the exact long
+    * floor-division rate arithmetic of
+    * [[graft.llm.Sampling.balanceToShares]] in SQL CTEs, then the same
+    * basis-point hash keep-decision. `targets` must list the same
+    * (stratum → pct) pairs. */
+  def balanceToSharesSql(stratumCol: String, weightCol: String,
+                         targets: Seq[(String, Int)], seed: String): String = {
+    val inList = targets.map { case (s, _) => s"'${OracleSqlUtil.esc(s)}'" }.mkString(", ")
+    val pCase = targets.map { case (s, p) =>
+      s"WHEN '${OracleSqlUtil.esc(s)}' THEN $p" }.mkString(" ")
+    s"""WITH w AS (
+       |  SELECT $stratumCol AS s, CAST(SUM($weightCol) AS BIGINT) AS w,
+       |    CAST(CASE $stratumCol $pCase END AS BIGINT) AS p
+       |  FROM documents WHERE $stratumCol IN ($inList) GROUP BY 1),
+       |x AS (SELECT MIN(100 * w // p) AS xs FROM w),
+       |bp AS (SELECT s, LEAST(10000, p * xs * 10000 // (100 * w)) AS bp FROM w, x)
+       |SELECT d.doc_id, d.$stratumCol AS $stratumCol, CAST(d.$weightCol AS BIGINT) AS $weightCol
+       |FROM documents d JOIN bp ON d.$stratumCol = bp.s
+       |WHERE ('0x'||substr(md5('${OracleSqlUtil.esc(seed)}' || chr(31) || CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT % 10000 < bp.bp""".stripMargin
+  }
+
   /** Exact twin of the l26 PII-scrub query: synthetic PII appended from
     * doc_id, then the identical Java∩RE2 replace chain. */
   def piiScrubSql: String = {

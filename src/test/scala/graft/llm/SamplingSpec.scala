@@ -37,6 +37,44 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(byType("click") - n * 0.25) <= n * 0.15)
   }
 
+  test("balanceToShares: output weight shares land near targets, binding stratum stays whole") {
+    import org.apache.spark.sql.functions._
+    // deterministic weights: stratum a 60k, b 30k, c 10k total chars;
+    // target 20/40/40 → c binds (10k/0.4=25k cap), a keeps 5k/60k, b 10k/30k
+    val rows = (0 until 3000).map { i =>
+      val (s, w) = i % 3 match {
+        case 0 => ("a", 60L); case 1 => ("b", 30L); case _ => ("c", 10L)
+      }
+      (i.toLong, s, w)
+    }.toDF("id", "stratum", "w")
+    val out = Sampling.balanceToShares(rows, "id", "stratum", "w",
+      targetPct = Map("a" -> 20, "b" -> 40, "c" -> 40))
+    val got = out.groupBy("stratum").agg(sum("w").as("w"))
+      .as[(String, Long)].collect().toMap
+    val total = got.values.sum.toDouble
+    // c binds → kept ~whole; shares within a few points of target (hash
+    // sampling is exact-in-expectation, 1000 keys/stratum keeps noise small)
+    assert(got("c") >= 9000L, s"binding stratum over-sampled: $got")
+    assert(math.abs(got("a") / total - 0.2) < 0.05, s"share a off: $got")
+    assert(math.abs(got("b") / total - 0.4) < 0.05, s"share b off: $got")
+    assert(math.abs(got("c") / total - 0.4) < 0.05, s"share c off: $got")
+    // determinism: same input, same keep-set
+    assert(out.select("id").as[Long].collect().toSet ===
+      Sampling.balanceToShares(rows, "id", "stratum", "w",
+        targetPct = Map("a" -> 20, "b" -> 40, "c" -> 40))
+        .select("id").as[Long].collect().toSet)
+  }
+
+  test("balanceToShares rejects unknown strata and bad shares") {
+    val rows = Seq((1L, "a", 10L)).toDF("id", "stratum", "w")
+    intercept[IllegalArgumentException] {
+      Sampling.balanceToShares(rows, "id", "stratum", "w", Map("zz" -> 50))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.balanceToShares(rows, "id", "stratum", "w", Map("a" -> 60, "b" -> 60))
+    }
+  }
+
   test("the sample filter reaches the scan stage (no shuffle, no RNG node)") {
     val plan = Sampling.deterministicSample(events, "event_id", 30)
       .queryExecution.executedPlan.toString

@@ -63,4 +63,29 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     val got = df.as[(Int, Int)].collect().toSeq
     assert(got === Seq((0, 0), (0, 0), (0, 0), (0, 0), (1, 1)))
   }
+
+  test("slidingWindows: coverage, overlap, short-doc and edge semantics") {
+    val docs = Seq(
+      (1L, (1 to 11).map(i => s"t$i").mkString(" ")), // 11 toks: ceil(5/4)+1 = 3 wins at 0,4,8
+      (2L, "a b c"),                                  // ≤ window → exactly one window
+      (3L, ""), (4L, "   "), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextOps.slidingWindows(docs, "doc_id", "text",
+        windowTokens = 6, strideTokens = 4)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(got.keySet === Set(1L, 2L)) // blank/null docs yield nothing
+    val w1 = got(1L)
+    assert(w1.map(_._2) === Seq(0L, 1L, 2L))
+    assert(w1(0)._3 === "t1 t2 t3 t4 t5 t6" && w1(0)._4 === 6L)
+    assert(w1(1)._3 === "t5 t6 t7 t8 t9 t10" && w1(1)._4 === 6L)
+    assert(w1(2)._3 === "t9 t10 t11" && w1(2)._4 === 3L) // short tail window
+    // every token appears in some window; consecutive windows overlap
+    assert(w1.flatMap(_._3.split(" ")).toSet === (1 to 11).map(i => s"t$i").toSet)
+    assert(got(2L) === Seq((2L, 0L, "a b c", 3L)))
+    // plan is shuffle-free: windows are generated in the scan stage
+    val plan = TextOps.slidingWindows(docs, "doc_id", "text", 6, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+  }
 }
