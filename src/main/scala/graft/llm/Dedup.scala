@@ -141,6 +141,65 @@ object Dedup {
   }
 
   /**
+   * Repeated-SPAN scrubbing — the token-level generalization of
+   * [[lineDedup]] and the bucketed approximation of exact-substring dedup
+   * (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+   * Better"): any maximal run of tokens covered by word `n`-grams that
+   * occur in ≥ `minDf` DISTINCT documents is removed from every document
+   * (long verbatim repeats — licenses, templates, quoted chunks — are
+   * exactly runs of repeated n-grams). Token-exact and case-sensitive;
+   * docs shorter than `n` tokens are untouched; intra-document repeats
+   * don't count toward `minDf`. Suffix arrays give the reference algorithm
+   * single-occurrence precision, but they're a global sequential
+   * structure; n-gram DF + position masking is the shuffle-native form,
+   * over-approximating only in that ALL occurrences of a repeated span are
+   * scrubbed (the [[lineDedup]] convention).
+   *
+   * Returns (doc_id, clean_text, n_tokens, n_removed) per non-blank doc.
+   *
+   * Scale shape: one tokens explode + one shingles explode (corpus-linear,
+   * map-side-partial DF agg on the shingle string), repeated-shingle join,
+   * covered-position expansion bounded by repeated-content volume × n,
+   * anti-join + one reassembly shuffle. The repeated-shingle set is NOT
+   * assumed broadcastable (unlike boilerplate lines it can grow with
+   * heavily-templated corpora) — the join shuffles on the shingle string
+   * and AQE may still broadcast it when small.
+   */
+  def repeatedSpanScrub(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 8, minDf: Int = 2): DataFrame = {
+    require(n >= 2, s"span n-grams need n >= 2, got $n")
+    require(minDf >= 2, s"minDf=$minDf would scrub every shingle")
+    val base = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), TextOps.whitespaceTokens(col(textCol)).as("_toks"))
+    val tok = base.select(col("doc_id"),
+      posexplode(col("_toks")).as(Seq("pos", "w")))
+    val shingled = base.filter(size(col("_toks")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("_toks")) - n),
+          i => array_join(slice(col("_toks"), i + 1, lit(n)), " ")))
+          .as(Seq("spos", "s")))
+    val heavy = shingled.groupBy("s")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select("s")
+    val covered = shingled.join(heavy, "s")
+      .select(col("doc_id"),
+        explode(sequence(col("spos"), col("spos") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = tok.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val agg = kept.groupBy("doc_id").agg(
+      graft.ops.Agg.stringAggOrderedBy(col("w"), col("pos"), " ").as("clean"),
+      count(lit(1)).cast("long").as("n_kept"))
+    base.select(col("doc_id"), size(col("_toks")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"))
+  }
+
+  /**
    * Deduplicated corpus: keep exactly the min-id row of every exact-dup
    * group (semi-join against [[exactDedup]]'s keep list — the filter step
    * a training-data pipeline applies after grouping).

@@ -183,6 +183,16 @@ object LlmQueries {
         targets = Seq("src0" -> 40, "src1" -> 40, "src2" -> 20), seed = "s1")),
       eager = true),
 
+    // repeated-span scrubbing (bucketed exact-substring dedup, Lee et al.
+    // 2021): token runs covered by 8-grams appearing in >= 2 distinct docs
+    // removed everywhere; md5 keeps output rows small
+    "l34_repeated_span_scrub" -> Q(
+      (s, dir) => Dedup.repeatedSpanScrub(
+          td(s, dir, "documents"), "doc_id", "text", n = 8, minDf = 2)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_tokens"), col("n_removed")),
+      Some(TextOracles.repeatedSpanScrubSql(n = 8, minDf = 2))),
+
     // PII scrubbing: synthetic emails/phones appended from doc_id, then
     // the Java∩RE2 replace chain — redaction + count, exact twin in SQL
     "l26_pii_scrub" -> Q(

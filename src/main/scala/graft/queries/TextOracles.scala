@@ -111,6 +111,29 @@ object TextOracles {
        |WHERE ('0x'||substr(md5('${OracleSqlUtil.esc(seed)}' || chr(31) || CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT % 10000 < bp.bp""".stripMargin
   }
 
+  /** Twin of the l34 repeated-span scrub: same string shingles, DF
+    * threshold, covered-position expansion, and ordered rebuild. */
+  def repeatedSpanScrubSql(n: Int, minDf: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+       |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+       |tok AS (SELECT doc_id, unnest(tk) AS w, unnest(range(len(tk))) AS pos FROM t),
+       |sh AS (SELECT doc_id, unnest(range(len(tk) - ${n - 1})) AS spos, tk
+       |  FROM t WHERE len(tk) >= $n),
+       |sg AS (SELECT doc_id, spos, array_to_string(tk[spos+1 : spos+$n], ' ') AS s FROM sh),
+       |hv AS (SELECT s FROM sg GROUP BY 1 HAVING count(DISTINCT doc_id) >= $minDf),
+       |cov AS (SELECT DISTINCT g.doc_id, g.spos + r.range AS pos
+       |  FROM sg g JOIN hv USING (s) CROSS JOIN range(0, $n) r),
+       |kept AS (SELECT k.doc_id, k.w, k.pos FROM tok k
+       |  LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos
+       |  WHERE c.pos IS NULL),
+       |agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean,
+       |  count(*) AS n_kept FROM kept GROUP BY 1)
+       |SELECT t.doc_id, md5(coalesce(a.clean, '')) AS clean_md5,
+       |  CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       |  CAST(len(t.tk) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+       |FROM t LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   /** Exact twin of the l26 PII-scrub query: synthetic PII appended from
     * doc_id, then the identical Java∩RE2 replace chain. */
   def piiScrubSql: String = {

@@ -67,6 +67,41 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("repeatedSpanScrub removes cross-doc verbatim spans, keeps unique and intra-doc text") {
+    val span = "the quick brown fox jumps over the lazy" // 8 tokens
+    val docs = Seq(
+      (1L, s"intro one $span outro one"),
+      (2L, s"different lead $span and a tail"),
+      (3L, "totally unique content with no repeats at all whatsoever here"),
+      (4L, s"short doc"),                    // < n tokens, untouched
+      (5L, s"$span $span"))                  // intra-doc... also cross-doc here
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedSpanScrub(docs, "doc_id", "text", n = 8, minDf = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (id, t, nt, nr) => id -> ((t, nt, nr)) }.toMap
+    assert(got(1L) === (("intro one outro one", 12L, 8L)))
+    assert(got(2L) === (("different lead and a tail", 13L, 8L)))
+    assert(got(3L)._3 === 0L) // unique doc untouched
+    assert(got(3L)._1.startsWith("totally unique"))
+    assert(got(4L) === (("short doc", 2L, 0L)))
+    // doc 5 is all span (plus bridging 8-grams also cross nothing): every
+    // token covered by the cross-doc shingle -> scrubbed to empty
+    assert(got(5L)._1 === "" && got(5L)._3 === 16L)
+  }
+
+  test("repeatedSpanScrub: intra-doc-only repetition does not trigger removal") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      (1L, s"$span filler $span"), // repeats only within ONE doc
+      (2L, "completely unrelated second document content here okay"))
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedSpanScrub(docs, "doc_id", "text", n = 8, minDf = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (id, t, _, nr) => id -> ((t, nr)) }.toMap
+    assert(got(1L)._2 === 0L, s"intra-doc repeat wrongly scrubbed: ${got(1L)}")
+    assert(got(2L)._2 === 0L)
+  }
+
   test("minhash LSH finds planted near-dups, not unrelated pairs") {
     val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id", shingleSize = 3, k = 32, bands = 16)
       .as[(Long, Long)].collect().toSet
