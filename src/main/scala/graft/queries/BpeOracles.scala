@@ -85,6 +85,25 @@ object BpeOracles {
        |  CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(a.s, '') END AS bpe_text
        |FROM documents d LEFT JOIN asm a USING (doc_id)""".stripMargin
 
+  /** Twin of the l35 round-trip audit: the tokenizer is LOSSLESS iff
+    * stripping the token separator from the encoding reproduces the
+    * whitespace-collapsed source (tokens never contain whitespace, words
+    * partition into symbols). The oracle recomputes the encoding via the
+    * same recursive CTE and counts mismatches independently — expected
+    * (n_docs, 0). */
+  def roundTripSql(merges: Seq[(String, String)]): String =
+    s"""WITH RECURSIVE
+       |${encodeCtes(merges)},
+       |asm AS (
+       |  SELECT t.doc_id, string_agg(array_to_string(wc.syms, ' '), ' ' ORDER BY t.pos) AS s
+       |  FROM tok t JOIN wc USING (w) WHERE len(wc.syms) > 0 GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN replace(COALESCE(a.s, ''), ' ', '')
+       |      <> regexp_replace(trim(d.text), '\\s+', '', 'g') THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_mismatch
+       |FROM documents d LEFT JOIN asm a USING (doc_id)
+       |WHERE d.text IS NOT NULL""".stripMargin
+
   /** Exact twin of `Bpe.countTokens(col("text"), merges)` over the
     * `documents` table: (doc_id, bpe_tokens). Builds on the SAME
     * [[encodeCtes]] block as [[encodeSql]] — one hand-maintained copy of

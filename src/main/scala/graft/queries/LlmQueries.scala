@@ -100,6 +100,49 @@ object LlmQueries {
       Some(BpeOracles.packingSql(graft.llm.Bpe.DefaultMerges,
         binCapacity = 512L, chunkSize = 32L))),
 
+    // tokenizer LOSSLESSNESS audit: stripping the separator from the
+    // encoding must reproduce the whitespace-collapsed source for EVERY
+    // doc — the invariant a tokenizer rollout gates on. Both engines
+    // compute the mismatch count independently; expected (n_docs, 0)
+    "l35_bpe_roundtrip" -> Q(
+      (s, dir) => td(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(
+          (translate(graft.llm.Bpe.encodeTokens(col("text")), " ", "")
+            =!= regexp_replace(trim(col("text")), "\\s+", "")).as("_bad"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("_bad"), 1L).otherwise(0L)).cast("long").as("n_mismatch")),
+      Some(BpeOracles.roundTripSql(graft.llm.Bpe.DefaultMerges))),
+
+    // one-row corpus HEALTH REPORT (the numbers a pipeline run gates on):
+    // doc/blank/token counts, exact-dup docs, mean quality. Mean is summed
+    // in DECIMAL(18,6) over per-doc 6-dp-rounded scores (exact arithmetic
+    // ⇒ engine-identical), then divided as double by an exact long
+    "l36_corpus_report" -> Q(
+      (s, dir) => td(s, dir, "documents").agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("text").isNull || length(trim(col("text"))) === 0, 1L)
+          .otherwise(0L)).cast("long").as("n_blank"),
+        sum(coalesce(TextOps.tokenCount(col("text")), lit(0L))).cast("long").as("n_tokens"),
+        (count(col("text")) - countDistinct(Dedup.exactFingerprint(col("text"))))
+          .cast("long").as("n_dup_docs"),
+        round(sum(TextOps.qualityScore(col("text")).cast("decimal(18,6)")).cast("double")
+          / count(col("text")).cast("double"), 6).as("mean_quality")),
+      Some("""WITH q AS (SELECT doc_id, text,
+             |  CAST(length(text) AS DOUBLE) AS n_chars,
+             |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS n_words,
+             |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) AS n_punct
+             |  FROM documents)
+             |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+             |  CAST(COALESCE(SUM(CAST(n_words AS BIGINT)), 0) AS BIGINT) AS n_tokens,
+             |  CAST(count(text) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs,
+             |  round(CAST(SUM(CAST(round(least(n_chars/200.0, 1.0) * (1.0 - n_punct/greatest(n_chars, 1.0))
+             |      * (0.5 + 0.5*least((n_chars/greatest(n_words, 1.0))/8.0, 1.0)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+             |    / CAST(count(text) AS DOUBLE), 6) AS mean_quality
+             |FROM q""".stripMargin)),
+
     // language-ID heuristic: argmax of per-language stopword hits
     "l3_lang_id" -> Q(
       (s, dir) => td(s, dir, "documents").select(
