@@ -51,7 +51,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "s11_export_tsv", "s12_object_store_roundtrip", "s13_paginated_source",
       "s14_cursor_source", "s16_bucket_puller", "s17_zip_extract",
       "o4_top_n_display", "a15_approx_distinct_sketch",
-      "l9_ann_bruteforce_topk", "l16_ivf_kmeans_train")
+      "l9_ann_bruteforce_topk", "l16_ivf_kmeans_train",
+      // l33: per-stratum totals collect (bounded by the mix size) derives
+      // the keep rates at construction time — reviewed round 8
+      "l33_domain_balance")
     val actual = Registry.all.filter(_._2.eager).map(_._1).toSet
     assert(actual == expected,
       s"eager-set drift — added: ${actual -- expected}, removed: ${expected -- actual}")
