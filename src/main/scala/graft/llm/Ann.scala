@@ -437,4 +437,119 @@ object Ann {
       .filter(col("cosine_sim") >= threshold)
       .distinct()
   }
+
+  /**
+   * Approximate k-NN SELF-join: every vector's top-`k` neighbors among
+   * LSH-candidate pairs (the retrieval-augmentation shape — "for each
+   * training doc, its k nearest corpus docs" — where a per-query probe
+   * like [[lshTopK]] would be one job per row). Candidate generation is
+   * [[embeddingNearDups]] at threshold −1 (all bucketed pairs, same
+   * multi-table amplification and per-bucket caps), mirrored to both
+   * directions, then a per-id window keeps k by the engine-stable rounded
+   * rank key.
+   *
+   * Scale shape: pair volume stays bounded by nTables·cap²/2 per bucket —
+   * never all-pairs. BOTH directions of each pair are emitted inside the
+   * one in-bucket pair expression (each cosine computed once), so the plan
+   * keeps a SINGLE candidate-generation subtree — a mirror `union` of an
+   * undirected pair frame would recompute the whole explode+agg per arm
+   * (Spark has no cross-arm CSE). One scan, then: bucket agg → directed
+   * distinct → window on id. Raise nPlanes with corpus density exactly as
+   * documented on [[embeddingNearDups]].
+   *
+   * Output: (id, neighbor_id, rank, cosine_sim@6dp), rank 1-based.
+   */
+  def lshKnnJoin(df: DataFrame, vecCol: String, idCol: String, dim: Int,
+                 k: Int, nPlanes: Int = 8, nTables: Int = 4,
+                 maxBucketSize: Int = 2000,
+                 dropStats: Option[DropStats] = None): DataFrame = {
+    require(nPlanes > 0 && nTables > 0 && nPlanes + ceilLog2(nTables) <= 62,
+      s"table tag (nTables=$nTables) must fit above $nPlanes bucket bits in a long")
+    val spark = df.sparkSession
+    val tagged = (0 until nTables).map { t =>
+      lit(t.toLong << nPlanes).bitwiseOR(
+        HyperplaneBucket.bucketCol(spark, "vec", nPlanes, t * nPlanes))
+    }
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", explode(array(tagged: _*)))
+    val grouped = b.groupBy("bucket")
+      .agg(collect_list(struct(col("id"), col("vec"))).as("members"))
+    val buckets = Dedup.observeDrops(grouped, "members", maxBucketSize, dropStats)
+      .filter(size(col("members")).between(2, maxBucketSize))
+    val sorted = array_sort(col("members"))
+    val directed = buckets.select(explode(flatten(transform(sorted, (a, i) =>
+        flatten(transform(slice(sorted, i + 2, size(sorted)), bb => {
+          val sim = cosine(transform(a.getField("vec"), _.cast("double")),
+                           transform(bb.getField("vec"), _.cast("double")))
+          array(
+            struct(a.getField("id").as("id"), bb.getField("id").as("neighbor_id"), sim.as("cosine_sim")),
+            struct(bb.getField("id").as("id"), a.getField("id").as("neighbor_id"), sim.as("cosine_sim")))
+        }))))).as("p"))
+      .select(col("p.id").as("id"), col("p.neighbor_id").as("neighbor_id"),
+        col("p.cosine_sim").as("cosine_sim"))
+      .distinct() // pairs found by several tables collapse (same sim bits)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id")
+      .orderBy(round(col("cosine_sim"), 6).desc, col("neighbor_id").asc)
+    directed.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("neighbor_id"), col("rank"),
+        round(col("cosine_sim"), 6).as("cosine_sim"))
+  }
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+   * data-efficient learning at web-scale through semantic deduplication",
+   * public): assign every vector to its nearest centroid, compare pairs
+   * ONLY within a cell, and drop each vector that has a LOWER-id neighbor
+   * at cosine ≥ `threshold` — keep-first inside semantic neighborhoods.
+   * Near-dup dedup ([[embeddingNearDups]]) catches copies; this catches
+   * *paraphrases* that land in the same semantic cell.
+   *
+   * Cell assignment reuses the IVF scorer family — centroid-literal fold
+   * below [[ivfLiteralFoldMaxK]] cells, broadcast centroid table above —
+   * so assignment is bit-identical to [[ivfTopK]]'s and the plan stays
+   * O(1) in k at real cell counts. In-cell pair generation is the same
+   * capped sorted-slice expression as [[embeddingNearDups]]: a cell larger
+   * than `maxCellSize` yields no pairs (its members are all kept) rather
+   * than an O(cell²) blow-up, and the cap is observable via `dropStats`.
+   *
+   * Scale shape: one broadcast (centroids), one shuffle on cell, one
+   * left-anti-style join back on id. At 100 TB you raise the centroid
+   * count so expected cell occupancy stays under the cap — the same
+   * density knob as IVF.
+   *
+   * Output: (id, cell, kept) for EVERY input row — the release-gate form
+   * (downstream filters `kept`; auditors count drops per cell).
+   */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+                    centroids: Seq[Array[Float]], threshold: Double,
+                    maxCellSize: Int = 2000,
+                    dropStats: Option[DropStats] = None): DataFrame = {
+    val spark = df.sparkSession
+    val wd = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        transform(col(vecCol), _.cast("double")).as("_dv"))
+      .select(col("id"), col("vec"), col("_dv"), norm(col("_dv")).as("_na"))
+    val assigned =
+      if (centroids.size > ivfLiteralFoldMaxK)
+        assignCellsBroadcast(wd, "id", centroidTable(spark, centroids))
+          .select(col("id"), col("vec"), col("cell").cast("long").as("cell"))
+      else wd.select(col("id"), col("vec"),
+        array_min(scoredCells(centroidLit(centroids))(col("_dv"), col("_na")))
+          .getField("cell").cast("long").as("cell"))
+    val grouped = assigned.groupBy("cell")
+      .agg(collect_list(struct(col("id"), col("vec"))).as("members"))
+    val pairs = Dedup.observeDrops(grouped, "members", maxCellSize, dropStats)
+      .filter(size(col("members")).between(2, maxCellSize))
+    val sorted = array_sort(col("members"))
+    val dropIds = pairs.select(explode(flatten(transform(sorted, (a, i) =>
+        transform(slice(sorted, i + 2, size(sorted)),
+          bb => struct(bb.getField("id").as("id2"),
+            cosine(transform(a.getField("vec"), _.cast("double")),
+                   transform(bb.getField("vec"), _.cast("double"))).as("sim")))))).as("p"))
+      .filter(col("p.sim") >= threshold)
+      .select(col("p.id2").as("_drop_id")).distinct()
+    assigned.join(dropIds, col("id") === col("_drop_id"), "left")
+      .select(col("id"), col("cell"), col("_drop_id").isNull.as("kept"))
+  }
 }

@@ -549,6 +549,50 @@ object LlmQueries {
       },
       Some(MediaOracles.sampleFramesSql(stride = 64))),
 
+    // approximate k-NN SELF-join: every vector's top-3 neighbors among
+    // multi-table LSH candidates (same 8-plane × 4-table index as l11) —
+    // the "for each doc, its k nearest corpus docs" retrieval shape. The
+    // oracle replays buckets, mirrors pairs, and ranks by the same
+    // rounded key
+    "l37_knn_join" -> Q(
+      (s, dir) => Ann.lshKnnJoin(td(s, dir, "embeddings"), "embedding",
+        "vec_id", dim = 64, k = 3, nPlanes = 8, nTables = 4),
+      Some(LshOracles.lshKnnJoinSql(nPlanes = 8, dim = 64, k = 3,
+        cap = 2000, nTables = 4))),
+
+    // SemDeDup-style semantic dedup: nearest-of-16-centroids cells (IVF
+    // scorer family, firstKCentroids seed), in-cell pairs only, drop on a
+    // lower-id neighbor at cosine >= 0.35 (12% of the fixture — the
+    // SemDeDup paper's single-digit-to-low-tens regime); every row comes
+    // back with its cell and kept flag (the release-gate form)
+    "l38_semantic_dedup" -> Q(
+      (s, dir) => {
+        val e = td(s, dir, "embeddings")
+        val centroids = Ann.firstKCentroids(e, "embedding", "vec_id", k = 16)
+        Ann.semanticDedup(e, "embedding", "vec_id", centroids, threshold = 0.35)
+          .select(col("id").as("vec_id"), col("cell"), col("kept"))
+      },
+      Some(LshOracles.semanticDedupSql(nCentroids = 16, threshold = 0.35,
+        cap = 2000))),
+
+    // inverted index: per-token df / total tf / first-20 doc:tf postings,
+    // hapax pruned at df >= 5; postings capped by a bounded window rank,
+    // never an unbounded collect_list
+    "l39_inverted_index" -> Q(
+      (s, dir) => graft.llm.Index.invertedIndex(
+        td(s, dir, "documents"), "doc_id", "text", minDf = 5, maxPostings = 20),
+      Some(TextOracles.invertedIndexSql(minDf = 5, maxPostings = 20))),
+
+    // BM25 ranked retrieval for a 4-term probe query: Robertson idf + tf
+    // saturation, per-term contributions rounded to 6 dp and summed in
+    // DECIMAL(18,6) (order-independent), global top-25
+    "l40_bm25_topk" -> Q(
+      (s, dir) => graft.llm.Index.bm25TopK(
+        td(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("join", "vector", "filter", "merge"), topK = 25),
+      Some(TextOracles.bm25TopKSql(
+        terms = Seq("join", "vector", "filter", "merge"), topK = 25))),
+
     // REAL multimodal decode: per-id real BMP/WAV containers built with
     // every header field a function of the id, parsed back by the pure-JVM
     // header decoders. The oracle recomputes the expected decoded values

@@ -306,4 +306,54 @@ object LshOracles {
        |    row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 6) DESC, corpus_id) AS r
        |  FROM sc)
        |SELECT query_id, corpus_id, round(sim, 6) AS cosine_sim FROM rk WHERE r <= $k""".stripMargin
+
+  /** Exact twin of [[graft.llm.Ann.lshKnnJoin]] over `embeddings` —
+    * l37_knn_join. Candidate arms replay [[embeddingNearDupsSql]] at
+    * threshold −1 (all bucketed pairs), mirrored to both directions, then
+    * the per-id window keeps k by the rounded rank key. */
+  def lshKnnJoinSql(nPlanes: Int, dim: Int, k: Int, cap: Int,
+                    nTables: Int): String = {
+    val arms = (0 until nTables).map { t =>
+      s"SELECT vec_id, e, ${t.toLong << nPlanes} + ${bucketSql("e", nPlanes, dim, t * nPlanes)} AS bucket FROM v"
+    }.mkString("\n UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |b AS ($arms),
+       |cnt AS (SELECT bucket, count(*) AS nb FROM b GROUP BY 1),
+       |ok AS (SELECT b.vec_id, b.e, b.bucket FROM b JOIN cnt USING (bucket)
+       |  WHERE cnt.nb BETWEEN 2 AND $cap),
+       |p AS (SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2,
+       |    ${cosSql("a.e", "c.e")} AS sim
+       |  FROM ok a JOIN ok c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+       |sym AS (SELECT id1 AS id, id2 AS neighbor_id, sim FROM p
+       |  UNION ALL SELECT id2, id1, sim FROM p),
+       |rk AS (SELECT id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY id ORDER BY round(sim, 6) DESC, neighbor_id) AS r
+       |  FROM sym)
+       |SELECT id, neighbor_id, CAST(r AS BIGINT) AS "rank",
+       |  round(sim, 6) AS cosine_sim FROM rk WHERE r <= $k""".stripMargin
+  }
+
+  /** Exact twin of [[graft.llm.Ann.semanticDedup]] over `embeddings` with
+    * [[graft.llm.Ann.firstKCentroids]] centroids — l38_semantic_dedup.
+    * Cell assignment replays [[ivfTopKSql]]'s argmax CTE (sim DESC, cell
+    * tie-break = the Scala side's (neg, cell) array_min); cells above the
+    * cap produce no pairs, so their members stay kept. */
+  def semanticDedupSql(nCentroids: Int, threshold: Double, cap: Int): String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
+       |  FROM v ORDER BY vec_id LIMIT $nCentroids),
+       |sims AS (SELECT v.vec_id, v.e, c.cell, ${cosSql("v.e", "c.ce")} AS sim
+       |  FROM v CROSS JOIN c),
+       |asg AS (SELECT vec_id, e, cell FROM (
+       |    SELECT vec_id, e, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS r
+       |    FROM sims) WHERE r = 1),
+       |cnt AS (SELECT cell, count(*) AS nc FROM asg GROUP BY 1),
+       |okc AS (SELECT a.vec_id, a.e, a.cell FROM asg a JOIN cnt USING (cell)
+       |  WHERE cnt.nc BETWEEN 2 AND $cap),
+       |drops AS (SELECT DISTINCT c2.vec_id AS did
+       |  FROM okc a JOIN okc c2 ON a.cell = c2.cell AND a.vec_id < c2.vec_id
+       |  WHERE ${cosSql("a.e", "c2.e")} >= $threshold)
+       |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, d.did IS NULL AS kept
+       |FROM asg a LEFT JOIN drops d ON a.vec_id = d.did""".stripMargin
 }

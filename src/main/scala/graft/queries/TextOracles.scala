@@ -214,4 +214,58 @@ object TextOracles {
        |    ELSE '${langs.last}' END AS pred_lang
        |FROM sc""".stripMargin
   }
+
+  /** Exact twin of [[graft.llm.Index.invertedIndex]] over `documents` —
+    * l39_inverted_index: per-token document frequency, total term
+    * frequency, and the first `maxPostings` `doc:tf` postings in doc-id
+    * order. Token stream = lowercase, trim, split on whitespace runs,
+    * empties excluded (the registry-wide text-op token definition). */
+  def invertedIndexSql(minDf: Int, maxPostings: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+       |  FROM documents),
+       |tf AS (SELECT token, doc_id, count(*) AS tf FROM toks
+       |  WHERE length(token) > 0 GROUP BY 1, 2),
+       |stats AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+       |    CAST(sum(tf) AS BIGINT) AS tf_total
+       |  FROM tf GROUP BY 1 HAVING count(*) >= $minDf),
+       |rk AS (SELECT token, doc_id, tf,
+       |    row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+       |  FROM tf),
+       |po AS (SELECT token, string_agg(doc_id || ':' || tf, '|' ORDER BY doc_id) AS postings
+       |  FROM rk WHERE rn <= $maxPostings GROUP BY 1)
+       |SELECT s.token, s.df, s.tf_total, p.postings
+       |FROM stats s JOIN po p USING (token)""".stripMargin
+
+  /** Exact twin of [[graft.llm.Index.bm25TopK]] over `documents` —
+    * l40_bm25_topk. Identical operation ORDER inside every double
+    * expression (idf numerator/denominator, tf saturation, (b·dl)/avgdl)
+    * so both engines fold the same IEEE sequence; per-term contributions
+    * round to 6 dp and sum in DECIMAL(18,6), the registry-wide
+    * order-independent double-sum rule. */
+  def bm25TopKSql(terms: Seq[String], topK: Int,
+                  k1: Double = 1.2, b: Double = 0.75): String = {
+    val termList = terms.map(t => s"'${OracleSqlUtil.esc(t)}'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents),
+       |docs AS (SELECT doc_id, tk,
+       |    CAST(len(list_filter(tk, x -> length(x) > 0)) AS BIGINT) AS dl
+       |  FROM d),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS dl_total FROM docs),
+       |tf AS (SELECT doc_id, dl, token, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(tk) AS token FROM docs)
+       |  WHERE token IN ($termList) GROUP BY 1, 2, 3),
+       |dft AS (SELECT token, CAST(count(*) AS BIGINT) AS t_df FROM tf GROUP BY 1),
+       |sc AS (SELECT doc_id,
+       |    CAST(round(
+       |      ln((n_docs - t_df + 0.5) / (t_df + 0.5) + 1.0)
+       |      * ((tf * ($k1 + 1.0))
+       |        / (tf + $k1 * (1.0 - $b + $b * dl / (CAST(dl_total AS DOUBLE) / CAST(n_docs AS DOUBLE))))),
+       |      6) AS DECIMAL(18,6)) AS c
+       |  FROM tf JOIN dft USING (token) CROSS JOIN tot)
+       |SELECT doc_id, CAST(sum(c) AS DOUBLE) AS score
+       |FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
+  }
 }
