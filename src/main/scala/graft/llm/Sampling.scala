@@ -120,4 +120,37 @@ object Sampling {
     val bpCol = coalesce(element_at(typedlit(bp), col(stratumCol)), lit(0L))
     df.filter(keepColBp(col(keyCol), bpCol, seed))
   }
+
+  /**
+   * Deterministic EPOCH SHUFFLE + shard assignment: the global training
+   * order for one epoch as a pure function of (seed, key) — no RNG state,
+   * no `orderBy(rand())`. Each row's sort key is `portableHash60(seed ‖
+   * key)`; its shard is that hash mod `nShards`, and its position is the
+   * hash-order rank WITHIN the shard (key tie-breaks duplicate hashes).
+   * Changing the seed is a fresh permutation; re-running a crashed epoch
+   * reproduces the identical order — the resumability property
+   * `orderBy(rand())` cannot give.
+   *
+   * Scale shape: expression-only hashing, then ONE exchange (hash on
+   * shard) + per-shard sort for the rank. Pick nShards ≈ the number of
+   * training readers (each shard is one reader's sequential stream);
+   * per-shard sort is the unavoidable cost of materializing an order, and
+   * it parallelizes across shards.
+   *
+   * Output: (<keyCol>, shard, pos) — pos is 1-based within shard.
+   */
+  def epochShuffle(df: DataFrame, keyCol: String, nShards: Int,
+                   seed: String = "e1"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    require(!seed.contains(SeedSep), "seed must not contain the unit separator")
+    requireStableKeyType(df, keyCol)
+    import org.apache.spark.sql.expressions.Window
+    val h = TextOps.portableHash60(
+      concat(lit(seed + SeedSep), col(keyCol).cast("string")))
+    val w = Window.partitionBy("shard").orderBy(col("_h"), col(keyCol))
+    df.select(col(keyCol), h.as("_h"))
+      .withColumn("shard", pmod(col("_h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(keyCol), col("shard"), col("pos"))
+  }
 }

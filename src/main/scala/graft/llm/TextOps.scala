@@ -208,4 +208,49 @@ object TextOps {
         array_join(col("_win"), " ").as("win_text"),
         size(col("_win")).cast("long").as("win_tokens"))
   }
+
+  /**
+   * Fill-in-the-middle (FIM) transformation in PSM order (Bavarian et al.
+   * 2022, "Efficient training of language models to fill in the middle",
+   * public): split each doc's token stream at two DETERMINISTIC cut points
+   * and re-serialize as `<PRE>prefix<SUF>suffix<MID>middle`. Cuts are
+   * `portableHash60(seed ‖ arm ‖ id) mod (n+1)` for arms "a"/"b",
+   * lo=min / hi=max — a pure function of (seed, id), so a re-run, a
+   * retried partition, or another engine reproduces the same split (the
+   * same resumability contract as [[Sampling]]). Docs shorter than
+   * `minTokens` keep lo=hi=n: whole doc in the prefix, empty suffix and
+   * middle — one uniform serialization, no special-case row shape.
+   *
+   * Expression-only (hash + slice + concat): zero shuffles, scan-shaped.
+   *
+   * Output: (doc_id, n_tokens, cut_lo, cut_hi, fim_md5) — the md5 stands
+   * in for shipping the transformed text through the hash gate; real
+   * pipelines write the PSM string itself.
+   */
+  def fimTransform(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, seed: String = "f1",
+                   minTokens: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(!seed.contains(Sampling.SeedSep), "seed must not contain the unit separator")
+    def cutHash(arm: String, n: Column): Column =
+      pmod(portableHash60(concat(
+        lit(seed + Sampling.SeedSep + arm + Sampling.SeedSep),
+        col(idCol).cast("string"))), n + 1)
+    val tk = whitespaceTokens(col(textCol))
+    val base = df.select(col(idCol).as("doc_id"), tk.as("_tk"), size(tk).as("_n"))
+      .select(col("doc_id"), col("_tk"), col("_n"),
+        cutHash("a", col("_n")).as("_h1"), cutHash("b", col("_n")).as("_h2"))
+      .select(col("doc_id"), col("_tk"), col("_n"),
+        when(col("_n") < minTokens, col("_n").cast("long"))
+          .otherwise(least(col("_h1"), col("_h2"))).as("_lo"),
+        when(col("_n") < minTokens, col("_n").cast("long"))
+          .otherwise(greatest(col("_h1"), col("_h2"))).as("_hi"))
+    base.select(col("doc_id"), col("_n").cast("long").as("n_tokens"),
+      col("_lo").as("cut_lo"), col("_hi").as("cut_hi"),
+      md5(concat(
+        lit("<PRE>"), array_join(slice(col("_tk"), lit(1), col("_lo").cast("int")), " "),
+        lit("<SUF>"), array_join(slice(col("_tk"), col("_hi").cast("int") + 1,
+          col("_n") - col("_hi").cast("int")), " "),
+        lit("<MID>"), array_join(slice(col("_tk"), col("_lo").cast("int") + 1,
+          (col("_hi") - col("_lo")).cast("int")), " ")).cast("binary")).as("fim_md5"))
+  }
 }

@@ -593,6 +593,28 @@ object LlmQueries {
       Some(TextOracles.bm25TopKSql(
         terms = Seq("join", "vector", "filter", "merge"), topK = 25))),
 
+    // deterministic epoch shuffle: hash-order training permutation +
+    // 4-shard assignment as a pure function of (seed, doc_id) — rerunning
+    // a crashed epoch reproduces the identical order (orderBy(rand())
+    // cannot); one exchange + per-shard sort
+    "l41_epoch_shuffle" -> Q(
+      (s, dir) => graft.llm.Sampling.epochShuffle(
+        td(s, dir, "documents"), "doc_id", nShards = 4, seed = "e1"),
+      Some("""WITH h AS (SELECT doc_id,
+             |    ('0x'||substr(md5('e1' || chr(31) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS hv
+             |  FROM documents)
+             |SELECT doc_id, CAST(hv % 4 AS BIGINT) AS shard,
+             |  CAST(row_number() OVER (PARTITION BY hv % 4 ORDER BY hv, doc_id) AS BIGINT) AS pos
+             |FROM h""".stripMargin)),
+
+    // fill-in-the-middle (PSM) transform: two deterministic hash cuts per
+    // doc, re-serialized <PRE>..<SUF>..<MID>..; expression-only, zero
+    // shuffles; short docs (< 3 tokens) keep lo=hi=n (all-prefix)
+    "l42_fim_transform" -> Q(
+      (s, dir) => TextOps.fimTransform(
+        td(s, dir, "documents"), "doc_id", "text", seed = "f1", minTokens = 3),
+      Some(TextOracles.fimTransformSql(seed = "f1", minTokens = 3))),
+
     // REAL multimodal decode: per-id real BMP/WAV containers built with
     // every header field a function of the id, parsed back by the pure-JVM
     // header decoders. The oracle recomputes the expected decoded values

@@ -215,6 +215,32 @@ object TextOracles {
        |FROM sc""".stripMargin
   }
 
+  /** Exact twin of [[graft.llm.TextOps.fimTransform]] over `documents` —
+    * l42_fim_transform. Cut arithmetic, slice bounds, and the PSM
+    * serialization are replayed exactly; DuckDB list slicing is 1-based
+    * inclusive (`tk[1:lo]` = Spark `slice(tk, 1, lo)`). */
+  def fimTransformSql(seed: String, minTokens: Int): String = {
+    val esc = OracleSqlUtil.esc(seed)
+    def cut(arm: String) =
+      s"('0x'||substr(md5('$esc' || chr(31) || '$arm' || chr(31) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT % (len(tk)+1)"
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+       |c AS (SELECT doc_id, tk, len(tk) AS n,
+       |    ${cut("a")} AS h1,
+       |    ${cut("b")} AS h2
+       |  FROM t),
+       |d AS (SELECT doc_id, tk, n,
+       |    CASE WHEN n < $minTokens THEN n ELSE least(h1, h2) END AS lo,
+       |    CASE WHEN n < $minTokens THEN n ELSE greatest(h1, h2) END AS hi
+       |  FROM c)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  CAST(lo AS BIGINT) AS cut_lo, CAST(hi AS BIGINT) AS cut_hi,
+       |  md5('<PRE>' || (CASE WHEN lo < 1 THEN '' ELSE array_to_string(tk[1:lo], ' ') END)
+       |    || '<SUF>' || (CASE WHEN hi + 1 > n THEN '' ELSE array_to_string(tk[hi+1:n], ' ') END)
+       |    || '<MID>' || (CASE WHEN lo + 1 > hi THEN '' ELSE array_to_string(tk[lo+1:hi], ' ') END)) AS fim_md5
+       |FROM d""".stripMargin
+  }
+
   /** Exact twin of [[graft.llm.Index.invertedIndex]] over `documents` —
     * l39_inverted_index: per-token document frequency, total term
     * frequency, and the first `maxPostings` `doc:tf` postings in doc-id

@@ -81,4 +81,29 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), plan.take(500))
     assert(!plan.contains("Sample"), plan.take(500)) // not RNG-based df.sample
   }
+
+  test("epochShuffle: exact partition into shards, dense 1-based positions, seeded determinism") {
+    import spark.implicits._
+    val rows = (0L until 200L).toDF("id")
+    val out = Sampling.epochShuffle(rows, "id", nShards = 4, seed = "e1")
+      .as[(Long, Long, Long)].collect()
+    // every input row appears exactly once
+    assert(out.map(_._1).sorted.toSeq === (0L until 200L).toSeq)
+    // positions are dense 1..count within each shard
+    out.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(shard >= 0 && shard < 4)
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq, s"shard $shard")
+    }
+    // identical rerun, different seed → different permutation
+    val again = Sampling.epochShuffle(rows, "id", nShards = 4, seed = "e1")
+      .as[(Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    val other = Sampling.epochShuffle(rows, "id", nShards = 4, seed = "e2")
+      .as[(Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq !== other.sortBy(_._1).toSeq)
+    // unstable key types are rejected (cross-engine rendering contract)
+    intercept[IllegalArgumentException] {
+      Sampling.epochShuffle(rows.selectExpr("CAST(id AS DOUBLE) AS id"), "id", 4)
+    }
+  }
 }

@@ -88,4 +88,44 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(500))
   }
+
+  test("fimTransform: PSM round-trip from reported cuts, short-doc all-prefix, seeded determinism") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val texts = Map(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta",
+      1L -> "one two",             // < 3 tokens → all-prefix
+      2L -> "x y z",
+      3L -> "lorem ipsum dolor sit amet consectetur")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val out = TextOps.fimTransform(docs, "doc_id", "text", seed = "f1")
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    texts.foreach { case (id, text) =>
+      val (_, n, lo, hi, got) = out(id)
+      val tk = text.trim.split("\\s+")
+      assert(n === tk.length.toLong)
+      assert(0L <= lo && lo <= hi && hi <= n, s"doc $id cuts ($lo,$hi) of $n")
+      // round-trip: rebuild the PSM string from the REPORTED cuts
+      val expect = md5hex("<PRE>" + tk.take(lo.toInt).mkString(" ") +
+        "<SUF>" + tk.drop(hi.toInt).mkString(" ") +
+        "<MID>" + tk.slice(lo.toInt, hi.toInt).mkString(" "))
+      assert(got === expect, s"doc $id")
+    }
+    // short doc: whole text in the prefix, empty suffix and middle
+    val (_, n1, lo1, hi1, _) = out(1L)
+    assert(lo1 === n1 && hi1 === n1)
+    // same seed reproduces; another seed moves at least one cut pair
+    val again = TextOps.fimTransform(docs, "doc_id", "text", seed = "f1")
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(again === out)
+    val moved = TextOps.fimTransform(docs, "doc_id", "text", seed = "f9")
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(moved !== out)
+    // expression-only: no shuffle in the plan
+    val plan = TextOps.fimTransform(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+  }
 }
