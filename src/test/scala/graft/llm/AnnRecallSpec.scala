@@ -139,6 +139,22 @@ class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
     info(f"planted-dup pair recall (${truePairs.size} true pairs): 1 table $r1%.2f, 8 tables $r8%.2f")
     assert(r8 >= 0.85, f"amplified detector missed planted dups: $r8%.2f < 0.85")
     assert(r8 > r1, "amplification must improve pair recall")
+
+    // lshKnnJoin on the same planted fixture: each twin's TRUE nearest
+    // neighbor is its partner (cos ≈ 0.9 vs ≤ ~0.5 for everything else),
+    // so the kNN join must put the partner at rank 1 whenever any of its
+    // tables co-buckets the pair — the same amplification economics as
+    // the pair detector, measured in the rank-1 position a retrieval
+    // user consumes
+    val knn = Ann.lshKnnJoin(rows, "embedding", "vec_id", dim = dim,
+        k = 1, nPlanes = 8, nTables = 8)
+      .select($"id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val rank1Hits = truePairs.count { case (a, b) =>
+      knn.get(a).contains(b) && knn.get(b).contains(a)
+    }
+    val rKnn = rank1Hits.toDouble / truePairs.size
+    info(f"kNN-join rank-1 partner recall: $rKnn%.2f")
+    assert(rKnn >= 0.85, f"kNN join missed planted partners at rank 1: $rKnn%.2f < 0.85")
   }
 
   test("ivfTopK recall improves with nProbe (the knob a user turns)") {
