@@ -99,6 +99,42 @@ object Index {
    *
    * Output: (doc_id, score) — top `topK` by (score desc, doc_id asc).
    */
+  /**
+   * TF-IDF keyword extraction: each document's `topK` most characteristic
+   * terms by `tf · ln(N/df)`, the classic summarization/tagging signal.
+   *
+   * Same engine-stability toolkit as [[bm25TopK]]: idf divides two exact
+   * longs (one IEEE division), the rank key is the 6-dp-rounded score
+   * with term tie-break, and N rides a one-row non-foldable-key
+   * broadcast. Same one-stream shape as [[invertedIndex]]: df comes from
+   * a token-partitioned window over the (token, doc) frequencies — never
+   * a groupBy-and-join-back arm — then one window on doc ranks terms.
+   * Tokens with df > `maxDfFrac`·N are excluded as stopwords BEFORE
+   * ranking (idf ≈ 0 anyway; dropping them early keeps the skewed
+   * stopword partitions out of the doc-ranking sort).
+   *
+   * Output: (doc_id, term, rank, score) — rank 1-based per doc.
+   */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    topK: Int, maxDfFrac: Double = 0.5): DataFrame = {
+    val tf = tokenStream(df, idCol, textCol)
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("t_df", count(lit(1))
+        .over(Window.partitionBy("token")).cast("long"))
+    val totals = df.agg(count(lit(1)).cast("long").as("n_docs"))
+      .withColumn("_k", pmod(xxhash64(col("n_docs")), lit(1)))
+    val scored = tf
+      .withColumn("_k", pmod(xxhash64(col("doc_id")), lit(1)))
+      .join(broadcast(totals), "_k")
+      .filter(col("t_df") <= col("n_docs").cast("double") * maxDfFrac)
+      .select(col("doc_id"), col("token").as("term"),
+        round(col("tf") * log(col("n_docs") / col("t_df")), 6).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("term"), col("rank"), col("score"))
+  }
+
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], topK: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {

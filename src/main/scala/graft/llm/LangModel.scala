@@ -1,0 +1,68 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Statistical language-model quality scoring, CCNet-style (Wenzek et al.
+ * 2019, public): score every document by its per-token surprisal under a
+ * bigram model — low average surprisal ≈ fluent in-distribution text, high
+ * ≈ boilerplate, gibberish, or wrong-language. CCNet trains the reference
+ * LM offline (KenLM); here the corpus scores itself in ONE lazy plan —
+ * the self-scoring form a data pipeline uses to find its own outliers.
+ *
+ * Model: add-one-smoothed bigram with a BOS marker per document,
+ * `P(w|prev) = (c2(prev,w) + 1) / (c1(prev) + V)`, all counts corpus-wide
+ * exact longs, V = distinct token count. Per-token surprisal −ln P rounds
+ * to 6 dp and sums in DECIMAL(18,6) (the registry-wide order-independent
+ * double-sum rule), so the doc score is engine-reproducible.
+ *
+ * Scale shape: the bigram stream is built expression-side (BOS-prepend +
+ * zip — no self-join of tokens on position) and exploded once; both count
+ * tables ride WINDOWS over that one stream (partition (prev,w), then
+ * prev) instead of groupBy-and-join-back arms that would recompute the
+ * explode (no cross-arm CSE). V is a one-row aggregate joined on a
+ * NON-FOLDABLE constant key (BroadcastHashJoin, never a cross join). Two
+ * corpus scans total (stream + the skinny V aggregate), three exchanges
+ * ((prev,w) → prev → doc_id). Window skew on a stopword `prev` is a
+ * per-partition sort — disk-spillable, the same envelope as the inverted
+ * index.
+ *
+ * Output: (doc_id, n_bigrams, nll, avg_nll) — one row per doc with at
+ * least one token; nll = Σ round(−ln P, 6) exactly, avg_nll = nll / n.
+ */
+object LangModel {
+
+  /** BOS marker: a control char whitespace-split tokens can never equal
+    * (STX, `chr(2)` on the DuckDB side). */
+  val Bos = "\u0002"
+
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = filter(split(trim(lower(col(textCol))), "\\s+"), t => length(t) > 0)
+    // prev_i = BOS for i=1, else token_{i-1}: a zip of (BOS ++ tk[0, n-1))
+    // with tk — expression-only, no positional self-join
+    val prevArr = concat(array(lit(Bos)), slice(col("_tk"), lit(1), greatest(size(col("_tk")) - 1, lit(0))))
+    val stream = df
+      .select(col(idCol).as("doc_id"), tk.as("_tk"))
+      .filter(size(col("_tk")) > 0)
+      .select(col("doc_id"), explode(arrays_zip(prevArr.as("prev"), col("_tk").as("w"))).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.w").as("w"))
+    val counted = stream
+      .withColumn("c2", count(lit(1)).over(Window.partitionBy("prev", "w")).cast("long"))
+      .withColumn("c1", count(lit(1)).over(Window.partitionBy("prev")).cast("long"))
+    val vocab = stream.agg(countDistinct(col("w")).cast("long").as("v"))
+      .withColumn("_k", pmod(xxhash64(col("v")), lit(1)))
+    counted
+      .withColumn("_k", pmod(xxhash64(col("doc_id")), lit(1)))
+      .join(broadcast(vocab), "_k")
+      .select(col("doc_id"),
+        round(lit(0.0) - log((col("c2") + 1L) / (col("c1") + col("v"))), 6)
+          .cast("decimal(18,6)").as("_s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(col("_s")).cast("double").as("nll"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll"),
+        (col("nll") / col("n_bigrams")).as("avg_nll"))
+  }
+}

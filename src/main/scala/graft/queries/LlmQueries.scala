@@ -615,6 +615,24 @@ object LlmQueries {
         td(s, dir, "documents"), "doc_id", "text", seed = "f1", minTokens = 3),
       Some(TextOracles.fimTransformSql(seed = "f1", minTokens = 3))),
 
+    // CCNet-style bigram-LM surprisal: the corpus scores itself under an
+    // add-one bigram model (BOS per doc) — low avg_nll = fluent, high =
+    // boilerplate/gibberish. Counts ride windows over ONE exploded
+    // stream; V on a non-foldable-key broadcast; 6-dp DECIMAL sums
+    "l43_bigram_surprisal" -> Q(
+      (s, dir) => graft.llm.LangModel.bigramSurprisal(
+        td(s, dir, "documents"), "doc_id", "text"),
+      Some(TextOracles.bigramSurprisalSql)),
+
+    // TF-IDF keyword extraction: per-doc top-5 characteristic terms,
+    // stopword cut at df > 80% of docs (the fixture's 31-token vocab has
+    // median df 388/500 — 0.5 would blank out most docs); df via the
+    // one-stream token window (no join-back), 6-dp rank key
+    "l44_tfidf_keywords" -> Q(
+      (s, dir) => graft.llm.Index.tfidfTopTerms(
+        td(s, dir, "documents"), "doc_id", "text", topK = 5, maxDfFrac = 0.8),
+      Some(TextOracles.tfidfTopTermsSql(topK = 5, maxDfFrac = 0.8))),
+
     // REAL multimodal decode: per-id real BMP/WAV containers built with
     // every header field a function of the id, parsed back by the pure-JVM
     // header decoders. The oracle recomputes the expected decoded values

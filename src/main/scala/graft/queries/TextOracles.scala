@@ -241,6 +241,35 @@ object TextOracles {
        |FROM d""".stripMargin
   }
 
+  /** Exact twin of [[graft.llm.LangModel.bigramSurprisal]] over
+    * `documents` — l43_bigram_surprisal. The bigram stream aligns two
+    * same-length unnests (BOS-prepended prefix vs tokens); the single-token
+    * case is guarded because `tk[1:0]` is NULL in DuckDB, not []. Count
+    * windows, the V constant, smoothing arithmetic, and the DECIMAL
+    * contribution sum replay the Spark side exactly. */
+  def bigramSurprisalSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |    x -> length(x) > 0) AS tk
+       |  FROM documents),
+       |s AS (SELECT doc_id,
+       |    unnest(CASE WHEN len(tk) = 1 THEN [chr(2)]
+       |           ELSE list_prepend(chr(2), tk[1:len(tk)-1]) END) AS prev,
+       |    unnest(tk) AS w
+       |  FROM t WHERE len(tk) > 0),
+       |c AS (SELECT doc_id,
+       |    count(*) OVER (PARTITION BY prev, w) AS c2,
+       |    count(*) OVER (PARTITION BY prev) AS c1
+       |  FROM s),
+       |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM s),
+       |sc AS (SELECT doc_id,
+       |    CAST(round(-ln((c2 + 1) / (c1 + v)), 6) AS DECIMAL(18,6)) AS sc
+       |  FROM c CROSS JOIN v),
+       |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(sc) AS DOUBLE) AS nll
+       |  FROM sc GROUP BY 1)
+       |SELECT doc_id, n_bigrams, nll, nll / n_bigrams AS avg_nll FROM g""".stripMargin
+
   /** Exact twin of [[graft.llm.Index.invertedIndex]] over `documents` —
     * l39_inverted_index: per-token document frequency, total term
     * frequency, and the first `maxPostings` `doc:tf` postings in doc-id
@@ -262,6 +291,29 @@ object TextOracles {
        |  FROM rk WHERE rn <= $maxPostings GROUP BY 1)
        |SELECT s.token, s.df, s.tf_total, p.postings
        |FROM stats s JOIN po p USING (token)""".stripMargin
+
+  /** Exact twin of [[graft.llm.Index.tfidfTopTerms]] over `documents` —
+    * l44_tfidf_keywords: per-doc top-k terms by `tf · ln(N/df)`, stopword
+    * cut at df > maxDfFrac·N, 6-dp rank key with term tie-break. */
+  def tfidfTopTermsSql(topK: Int, maxDfFrac: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+       |  FROM documents),
+       |tf AS (SELECT token, doc_id, count(*) AS tf FROM toks
+       |  WHERE length(token) > 0 GROUP BY 1, 2),
+       |dft AS (SELECT token, doc_id, tf,
+       |    count(*) OVER (PARTITION BY token) AS t_df
+       |  FROM tf),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |sc AS (SELECT doc_id, token AS term,
+       |    round(tf * ln(n_docs / t_df), 6) AS score
+       |  FROM dft CROSS JOIN tot
+       |  WHERE t_df <= n_docs * $maxDfFrac),
+       |rk AS (SELECT doc_id, term, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS r
+       |  FROM sc)
+       |SELECT doc_id, term, CAST(r AS BIGINT) AS "rank", score
+       |FROM rk WHERE r <= $topK""".stripMargin
 
   /** Exact twin of [[graft.llm.Index.bm25TopK]] over `documents` —
     * l40_bm25_topk. Identical operation ORDER inside every double

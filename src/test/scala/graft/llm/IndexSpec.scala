@@ -42,6 +42,27 @@ class IndexSpec extends AnyFunSuite with SparkTestBase {
     assert(Index.bm25TopK(docs, "doc_id", "text", Seq("the"), topK = 1).count() === 1L)
   }
 
+  test("tfidfTopTerms: characteristic terms outrank shared ones; stopword cut applies") {
+    // 4 docs: 'cat' df=1 (characteristic of doc0), 'sat' df=2, 'the' df=4
+    val d = Seq(
+      (0L, "cat cat sat"), (1L, "dog sat"), (2L, "bird flew"), (3L, "fish swam")
+    ).toDF("doc_id", "text")
+    val out = Index.tfidfTopTerms(d, "doc_id", "text", topK = 2, maxDfFrac = 0.5)
+      .as[(Long, String, Long, Double)].collect()
+    val doc0 = out.filter(_._1 == 0L).sortBy(_._3)
+    // tf=2 · ln(4/1) beats tf=1 · ln(4/2)
+    assert(doc0.map(_._2).toSeq === Seq("cat", "sat"))
+    val exp = BigDecimal(2.0 * math.log(4.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(doc0.head._4 === exp)
+    // a df=4 token would be cut at maxDfFrac 0.5 (df > 2 of 4)
+    val all = Index.tfidfTopTerms(
+      Seq((0L, "the cat"), (1L, "the dog"), (2L, "the owl"), (3L, "the elk"))
+        .toDF("doc_id", "text"), "doc_id", "text", topK = 5, maxDfFrac = 0.5)
+      .as[(Long, String, Long, Double)].collect()
+    assert(!all.exists(_._2 == "the"))
+    assert(all.length === 4) // each doc keeps its own animal
+  }
+
   private def clusteredVecs = Seq(
     (0L, Array(1f, 0f, 0f, 0f)),
     (1L, Array(0.99f, 0.14f, 0f, 0f)),   // ~cos 0.99 with 0
