@@ -1,0 +1,58 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic count-min sketch (Cormode & Muthukrishnan 2005, public)
+ * over a token stream: d independent hash rows × w buckets, point-query
+ * estimate = min over rows of the landed cell. Unlike the engine-native
+ * sketches (HLL a15, GK a17) whose internals differ per engine and are
+ * only property-checkable, this sketch uses the portable md5-derived
+ * 60-bit hash family — the SAME sketch materializes on any engine, so a
+ * DuckDB oracle replays the estimates EXACTLY, and an incremental
+ * pipeline can merge sketches built by different systems (cells are
+ * additive longs).
+ *
+ * Scale shape: token frequencies first (one corpus shuffle, map-side
+ * partials), then the d-way cell explode runs over the VOCABULARY, not
+ * the corpus — d·|vocab| skinny rows into a d·w-cell table (constant
+ * size: the whole point of a sketch). Probe terms hash expression-side
+ * and join the broadcast cell table; an unpopulated cell is 0 via the
+ * left join. At 100 TB the sketch is the bounded-memory stand-in for a
+ * full heavy-hitter groupBy: w scales with 1/ε, never with the corpus.
+ *
+ * CMS guarantee (spec-asserted, not oracle-asserted): est ≥ exact count,
+ * and est ≤ exact + ε·N with probability 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
+ *
+ * Output: (term, est) for each probe term.
+ */
+object Sketch {
+
+  /** Row-r bucket for a key: portable hash of `cms<r>‖US‖key`, mod w —
+    * replayed in SQL as `('0x'||substr(md5('cms'||r||chr(31)||key),1,15))::BIGINT % w`. */
+  def cmsBucket(r: Int, key: Column, w: Int): Column =
+    pmod(TextOps.portableHash60(
+      concat(lit("cms" + r + Sampling.SeedSep), key)), lit(w.toLong))
+
+  def cmsHeavyHitters(df: DataFrame, idCol: String, textCol: String,
+                      probes: Seq[String], d: Int = 4, w: Int = 64): DataFrame = {
+    require(probes.nonEmpty && d > 0 && w > 0, "need probes and positive d, w")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tf = df.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    def cellArms(key: Column): Column = explode(array((0 until d).map(r =>
+      struct(lit(r).as("r"), cmsBucket(r, key, w).as("bucket"))): _*))
+    val cells = tf.select(cellArms(col("token")).as("rb"), col("cnt"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(sum("cnt").cast("long").as("c"))
+    val probeCells = probes.toDF("term")
+      .select(col("term"), cellArms(col("term")).as("rb"))
+      .select(col("term"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    probeCells.join(broadcast(cells), Seq("r", "bucket"), "left")
+      .groupBy("term")
+      .agg(min(coalesce(col("c"), lit(0L))).cast("long").as("est"))
+  }
+}

@@ -10,9 +10,11 @@ import Registry.td
  * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
  * (brute-force + LSH + IVF), the BPE tokenizer family (count l20, full
  * encode l21, vocab stats l22, sequence packing l23/l29), text analysis
- * (lang-id l3/l24, quality l4/l27, PII l26), corpus hygiene
- * (decontamination l25, deterministic sampling l28), multimodal
- * plumbing + real BMP/WAV decode (m1–m3).
+ * (lang-id l3/l24, quality l4/l27, PII l26, bigram-LM surprisal l43),
+ * corpus hygiene (decontamination l25, deterministic sampling l28, epoch
+ * shuffle l41, FIM transform l42), retrieval (kNN self-join l37, inverted
+ * index l39, BM25 l40, TF-IDF keywords l44, CMS heavy hitters l45),
+ * semantic dedup (l38), multimodal plumbing + real BMP/WAV decode (m1–m3).
  *
  * Oracle notes: xxhash64-based ops are not DuckDB-expressible → registered
  * rows-only, with `l5p`/`l6p`/`l13p` portable-family TWINS of the same
@@ -632,6 +634,17 @@ object LlmQueries {
       (s, dir) => graft.llm.Index.tfidfTopTerms(
         td(s, dir, "documents"), "doc_id", "text", topK = 5, maxDfFrac = 0.8),
       Some(TextOracles.tfidfTopTermsSql(topK = 5, maxDfFrac = 0.8))),
+
+    // deterministic count-min sketch heavy hitters: 4 rows x 64 buckets
+    // of portable-hash cells — the SAME sketch on any engine, so the
+    // estimates (unlike HLL a15 / GK a17) oracle-replay EXACTLY; the
+    // cell table is constant-size, the bounded-memory heavy-hitter form
+    "l45_cms_heavy_hitters" -> Q(
+      (s, dir) => graft.llm.Sketch.cmsHeavyHitters(
+        td(s, dir, "documents"), "doc_id", "text",
+        probes = Seq("join", "hash", "filter", "zzz_absent"), d = 4, w = 64),
+      Some(TextOracles.cmsHeavyHittersSql(
+        probes = Seq("join", "hash", "filter", "zzz_absent"), d = 4, w = 64))),
 
     // REAL multimodal decode: per-id real BMP/WAV containers built with
     // every header field a function of the id, parsed back by the pure-JVM

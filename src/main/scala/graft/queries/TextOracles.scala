@@ -270,6 +270,31 @@ object TextOracles {
        |  FROM sc GROUP BY 1)
        |SELECT doc_id, n_bigrams, nll, nll / n_bigrams AS avg_nll FROM g""".stripMargin
 
+  /** Exact twin of [[graft.llm.Sketch.cmsHeavyHitters]] over `documents` —
+    * l45_cms_heavy_hitters. The portable hash family makes the whole
+    * sketch engine-deterministic, so the oracle replays cell placement,
+    * cell sums, and the min-over-rows estimates EXACTLY (unpopulated
+    * probe cells are 0 via the left join). */
+  def cmsHeavyHittersSql(probes: Seq[String], d: Int, w: Int): String = {
+    val vals = probes.map(p => s"('${OracleSqlUtil.esc(p)}')").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+       |  FROM documents),
+       |tf AS (SELECT token, count(*) AS cnt FROM toks
+       |  WHERE length(token) > 0 GROUP BY 1),
+       |cells AS (SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS c FROM (
+       |    SELECT cnt, t.r,
+       |      ('0x'||substr(md5('cms'||t.r||chr(31)||token),1,15))::BIGINT % $w AS bucket
+       |    FROM tf CROSS JOIN range(0, $d) t(r))
+       |  GROUP BY 1, 2),
+       |probes(term) AS (VALUES $vals),
+       |pc AS (SELECT term, t.r,
+       |    ('0x'||substr(md5('cms'||t.r||chr(31)||term),1,15))::BIGINT % $w AS bucket
+       |  FROM probes CROSS JOIN range(0, $d) t(r))
+       |SELECT term, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+       |FROM pc LEFT JOIN cells USING (r, bucket) GROUP BY 1""".stripMargin
+  }
+
   /** Exact twin of [[graft.llm.Index.invertedIndex]] over `documents` —
     * l39_inverted_index: per-token document frequency, total term
     * frequency, and the first `maxPostings` `doc:tf` postings in doc-id
