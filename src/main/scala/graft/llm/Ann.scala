@@ -394,6 +394,41 @@ object Ann {
         .agg(avg(col("cost"))).head().getDouble(0)
     }
 
+  /** Per-member prep for in-bucket pair generation: (id, dv, na) with the
+    * float→double cast and the L2 norm hoisted OUT of the per-pair lambdas.
+    * The inline form re-cast BOTH vectors and re-derived BOTH norms for
+    * every pair (no CSE inside lambda bodies — 5 array traversals/pair);
+    * with this prep a pair costs ONE zip_with/aggregate dot. Cast
+    * float→double is exact and the norm expression is unchanged, so
+    * downstream sims are bit-identical to the inline form. */
+  private def memberStruct(idC: Column, vecC: Column): Column = {
+    val dv = transform(vecC, _.cast("double"))
+    struct(idC.as("id"), dv.as("dv"), norm(dv).as("na"))
+  }
+
+  /** Exploded in-bucket candidate pairs (id1 < id2, sim) from a grouped
+    * frame carrying `members: array<struct<id,dv,na>>`. The sorted array
+    * is materialized as its OWN projection stage first: referencing
+    * `array_sort` from inside the pair lambda re-sorts the members once
+    * per outer element (no CSE in lambda bodies); a bound attribute is an
+    * O(1) read, and CollapseProject leaves the stage alone because the
+    * attribute is referenced more than once. Sims are bit-identical to
+    * the former inline-cosine form (see [[memberStruct]]). */
+  private def explodedPairs(buckets: DataFrame): DataFrame = {
+    val ms = col("ms")
+    buckets.select(array_sort(col("members")).as("ms"))
+      .select(explode(flatten(transform(ms, (a, i) =>
+        transform(slice(ms, i + 2, size(ms)), bb => {
+          val d = aggregate(zip_with(a.getField("dv"), bb.getField("dv"),
+            (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+          val sim = when(a.getField("na") === 0 || bb.getField("na") === 0, lit(0.0))
+            .otherwise(d / (a.getField("na") * bb.getField("na")))
+          struct(a.getField("id").as("id1"), bb.getField("id").as("id2"),
+            sim.as("sim"))
+        })))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"), col("p.sim").as("sim"))
+  }
+
   /**
    * Embedding-cosine near-dup pairs at scale: bucket by hyperplane signs,
    * pair within buckets only, keep pairs with cosine ≥ threshold.
@@ -422,18 +457,14 @@ object Ann {
         HyperplaneBucket.bucketCol(spark, "vec", nPlanes, t * nPlanes))
     }
     val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("m", memberStruct(col("id"), col("vec"))) // prep once, pre-explode
       .withColumn("bucket", explode(array(tagged: _*)))
     val grouped = b.groupBy("bucket")
-      .agg(collect_list(struct(col("id"), col("vec"))).as("members"))
+      .agg(collect_list(col("m")).as("members"))
     val buckets = Dedup.observeDrops(grouped, "members", maxBucketSize, dropStats)
       .filter(size(col("members")).between(2, maxBucketSize))
-    val sorted = array_sort(col("members"))
-    buckets.select(explode(flatten(transform(sorted, (a, i) =>
-        transform(slice(sorted, i + 2, size(sorted)),
-          bb => struct(a.getField("id").as("id1"), bb.getField("id").as("id2"),
-            cosine(transform(a.getField("vec"), _.cast("double")),
-                   transform(bb.getField("vec"), _.cast("double"))).as("cosine_sim")))))).as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"), col("p.cosine_sim").as("cosine_sim"))
+    explodedPairs(buckets)
+      .select(col("id1"), col("id2"), col("sim").as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
       .distinct()
   }
@@ -471,20 +502,20 @@ object Ann {
         HyperplaneBucket.bucketCol(spark, "vec", nPlanes, t * nPlanes))
     }
     val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("m", memberStruct(col("id"), col("vec"))) // prep once, pre-explode
       .withColumn("bucket", explode(array(tagged: _*)))
     val grouped = b.groupBy("bucket")
-      .agg(collect_list(struct(col("id"), col("vec"))).as("members"))
+      .agg(collect_list(col("m")).as("members"))
     val buckets = Dedup.observeDrops(grouped, "members", maxBucketSize, dropStats)
       .filter(size(col("members")).between(2, maxBucketSize))
-    val sorted = array_sort(col("members"))
-    val directed = buckets.select(explode(flatten(transform(sorted, (a, i) =>
-        flatten(transform(slice(sorted, i + 2, size(sorted)), bb => {
-          val sim = cosine(transform(a.getField("vec"), _.cast("double")),
-                           transform(bb.getField("vec"), _.cast("double")))
-          array(
-            struct(a.getField("id").as("id"), bb.getField("id").as("neighbor_id"), sim.as("cosine_sim")),
-            struct(bb.getField("id").as("id"), a.getField("id").as("neighbor_id"), sim.as("cosine_sim")))
-        }))))).as("p"))
+    // mirror AFTER the pair explode, on materialized columns — each sim is
+    // genuinely computed once (the former in-lambda two-struct form inlined
+    // the cosine tree twice; a union of arms would recompute the whole
+    // explode+agg subtree per arm)
+    val directed = explodedPairs(buckets)
+      .select(explode(array(
+        struct(col("id1").as("id"), col("id2").as("neighbor_id"), col("sim").as("cosine_sim")),
+        struct(col("id2").as("id"), col("id1").as("neighbor_id"), col("sim").as("cosine_sim")))).as("p"))
       .select(col("p.id").as("id"), col("p.neighbor_id").as("neighbor_id"),
         col("p.cosine_sim").as("cosine_sim"))
       .distinct() // pairs found by several tables collapse (same sim bits)
@@ -537,18 +568,14 @@ object Ann {
       else wd.select(col("id"), col("vec"),
         array_min(scoredCells(centroidLit(centroids))(col("_dv"), col("_na")))
           .getField("cell").cast("long").as("cell"))
-    val grouped = assigned.groupBy("cell")
-      .agg(collect_list(struct(col("id"), col("vec"))).as("members"))
+    val grouped = assigned
+      .select(col("cell"), memberStruct(col("id"), col("vec")).as("m"))
+      .groupBy("cell").agg(collect_list(col("m")).as("members"))
     val pairs = Dedup.observeDrops(grouped, "members", maxCellSize, dropStats)
       .filter(size(col("members")).between(2, maxCellSize))
-    val sorted = array_sort(col("members"))
-    val dropIds = pairs.select(explode(flatten(transform(sorted, (a, i) =>
-        transform(slice(sorted, i + 2, size(sorted)),
-          bb => struct(bb.getField("id").as("id2"),
-            cosine(transform(a.getField("vec"), _.cast("double")),
-                   transform(bb.getField("vec"), _.cast("double"))).as("sim")))))).as("p"))
-      .filter(col("p.sim") >= threshold)
-      .select(col("p.id2").as("_drop_id")).distinct()
+    val dropIds = explodedPairs(pairs)
+      .filter(col("sim") >= threshold)
+      .select(col("id2").as("_drop_id")).distinct()
     assigned.join(dropIds, col("id") === col("_drop_id"), "left")
       .select(col("id"), col("cell"), col("_drop_id").isNull.as("kept"))
   }
