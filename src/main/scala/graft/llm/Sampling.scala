@@ -153,4 +153,34 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col(keyCol), col("shard"), col("pos"))
   }
+
+  /**
+   * Per-group cap: keep at most `maxPerGroup` rows of each group, chosen
+   * by seeded key hash — the "cap every domain/source at N documents"
+   * step that keeps one over-crawled site from dominating a training mix
+   * (the over-representation knob behind C4/CCNet-style source balancing;
+   * same idea as [[balanceToShares]] but a hard per-group ceiling instead
+   * of proportional shares). Hash order — not doc order — so the survivors
+   * are an unbiased deterministic sample of each group, reproducible
+   * across engines/retries, and a re-crawl that appends rows only
+   * DISPLACES hash-later rows rather than shifting everyone's rank.
+   *
+   * Scale shape: one exchange on the group column + per-group sort (the
+   * [[epochShuffle]] profile). Groups at or under the cap pass through
+   * unchanged. Output: (key, group, pos) with pos 1..maxPerGroup.
+   */
+  def capPerGroup(df: DataFrame, keyCol: String, groupCol: String,
+                  maxPerGroup: Int, seed: String = "c1"): DataFrame = {
+    require(maxPerGroup > 0, "maxPerGroup must be positive")
+    require(!seed.contains(SeedSep), "seed must not contain the unit separator")
+    requireStableKeyType(df, keyCol)
+    import org.apache.spark.sql.expressions.Window
+    val h = TextOps.portableHash60(
+      concat(lit(seed + SeedSep), col(keyCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_h"), col(keyCol))
+    df.select(col(keyCol), col(groupCol), h.as("_h"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= maxPerGroup)
+      .select(col(keyCol), col(groupCol), col("pos"))
+  }
 }

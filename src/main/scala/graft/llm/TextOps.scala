@@ -99,6 +99,68 @@ object TextOps {
     (size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
       size(regexp_extract_all(text, lit(PhonePattern), lit(0)))).cast("long")
 
+  /** Control characters a text pipeline strips: C0 except tab/newline
+    * (\x09, \x0A) and CR (\x0D), plus DEL. Java∩RE2 subset. */
+  private[llm] val ControlCharPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** URL host matcher, Java∩RE2 subset: scheme + captured host. */
+  private[llm] val UrlHostPattern = "https?://([A-Za-z0-9.-]+)"
+
+  /** Hosts of every http(s) URL in the text, in order (empty array when
+    * none) — the per-doc half of domain-level filtering: corpus curation
+    * blocks by DOMAIN (ad/tracker/spam lists), not by full URL. */
+  def extractUrlDomains(text: Column): Column =
+    regexp_extract_all(text, lit(UrlHostPattern), lit(1))
+
+  /** Role markers for [[renderSftTemplate]]. Fixed strings, shared with
+    * the generated oracle SQL so the span arithmetic can never skew. */
+  val SftSystemTag = "<|system|>\n"
+  val SftUserTag = "\n<|user|>\n"
+  val SftAssistantTag = "\n<|assistant|>\n"
+  val SftEndTag = "<|end|>"
+
+  /**
+   * SFT chat-template rendering: serialize (system, prompt, response)
+   * into one training string and report the LOSS-MASK span — the
+   * character range covering exactly the assistant response, which is
+   * what supervised fine-tuning computes loss on (prompt tokens are
+   * masked out). Getting this span arithmetic right is the fiddly part
+   * of SFT prep; emitting it next to the rendered text makes it
+   * verifiable instead of re-derived downstream by fragile re-parsing.
+   *
+   * Offsets are CODE-POINT positions (Spark `length` semantics, matching
+   * DuckDB `length`), 0-based: `substr(rendered, mask_start+1, mask_len)`
+   * is the response. Expression-only — zero shuffles.
+   *
+   * Output: (id, rendered, mask_start, mask_len).
+   */
+  def renderSftTemplate(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        promptCol: String, responseCol: String,
+                        systemPrompt: String): org.apache.spark.sql.DataFrame = {
+    val pre = concat(lit(SftSystemTag + systemPrompt + SftUserTag),
+      col(promptCol), lit(SftAssistantTag))
+    df.select(col(idCol).as("id"),
+        concat(pre, col(responseCol), lit(SftEndTag)).as("rendered"),
+        length(pre).cast("long").as("mask_start"),
+        length(col(responseCol)).cast("long").as("mask_len"))
+  }
+
+  /**
+   * Text normalization for ingestion: Unicode NFC composition (native
+   * [[NfcNormalizeExpr]] — combining sequences from legacy encoders
+   * compose to canonical form, so "e"+U+0301 and "é" dedup/tokenize the
+   * same), then strip C0 control characters (keeping tab/newline/CR),
+   * then collapse space/tab runs to one space. Expression-only — zero
+   * shuffles; the regex steps are in the Java∩RE2 subset so an external
+   * engine (DuckDB `nfc_normalize` + `regexp_replace`) applies the
+   * identical transform.
+   */
+  def normalizeText(text: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge._
+    val nfc = column(NfcNormalizeExpr(expression(text)))
+    regexp_replace(regexp_replace(nfc, ControlCharPattern, ""), "[ \\t]+", " ")
+  }
+
   /** Word n-gram shingles of size n (contiguous, space-joined). Docs with
     * fewer than n tokens yield an EMPTY array — the guard matters because
     * `sequence(1, 0)` is the DESCENDING [1, 0] in Spark (step defaults to

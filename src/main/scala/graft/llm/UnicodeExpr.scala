@@ -1,0 +1,49 @@
+package graft.llm
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Unicode NFC normalization as a native codegen'd expression. Spark has no
+ * built-in normalizer; a Scala UDF would pay serde per row. The JDK's
+ * `java.text.Normalizer` implements the same UAX #15 canonical composition
+ * DuckDB's `nfc_normalize` does, which is what makes the cross-engine
+ * oracle exact.
+ *
+ * Already-NFC input (the overwhelming majority of real text) short-circuits
+ * through `Normalizer.isNormalized` — a scan, no allocation.
+ */
+object UnicodeNormalize {
+  /** Static helper shared by interpreted eval and generated code. PUBLIC
+    * because generated Java calls it (a `private[llm]` method gets no
+    * static forwarder and Janino fails back to interpreted eval). */
+  def nfc(s: UTF8String): UTF8String = {
+    val j = s.toString
+    if (java.text.Normalizer.isNormalized(j, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(j, java.text.Normalizer.Form.NFC))
+  }
+}
+
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeNormalize.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.llm.UnicodeNormalize.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+}

@@ -646,6 +646,114 @@ object LlmQueries {
       Some(TextOracles.cmsHeavyHittersSql(
         probes = Seq("join", "hash", "filter", "zzz_absent"), d = 4, w = 64))),
 
+    // trainable quality classifier (fastText-style hashed bag-of-words
+    // logistic regression) scoring under the frozen seed model — the BPE
+    // pattern again: the deterministic seed-trained model feeds both the
+    // Spark query and the generated DuckDB oracle. Exact-DECIMAL scoring,
+    // keep = sign of the n-scaled logit (no exp in the compared columns)
+    // minLogit is CALIBRATED: bias + 0.05 keeps docs whose mean token
+    // weight exceeds 0.05 — the fixture median is ~0.057, so the gate
+    // splits the corpus near half rather than rubber-stamping every row
+    "l46_quality_classifier" -> Q(
+      (s, dir) => graft.llm.QualityClassifier.score(
+        td(s, dir, "documents"), "doc_id", "text",
+        graft.llm.QualityClassifier.DefaultModel,
+        minLogit = graft.llm.QualityClassifier.DefaultModel.bias
+          .add(new java.math.BigDecimal("0.050000"))),
+      Some(ClassifierOracles.scoreSql(graft.llm.QualityClassifier.DefaultModel,
+        minLogit = graft.llm.QualityClassifier.DefaultModel.bias
+          .add(new java.math.BigDecimal("0.050000"))))),
+
+    // domain-level URL filtering: synthetic doc_id-keyed URLs (l26
+    // pattern), hosts extracted with a Java∩RE2 regex, aggregated per
+    // domain with a blocklist flag — the corpus-curation step that drops
+    // ad/tracker/spam domains wholesale
+    "l50_url_domain_filter" -> Q(
+      (s, dir) => {
+        val doms = array(lit("ads.example.com"), lit("docs.example.org"),
+          lit("spam.click.net"), lit("data.example.io"),
+          lit("tracker.bad.site"), lit("wiki.example.edu"))
+        val aug = concat(col("text"),
+          lit(" see https://"), element_at(doms, (col("doc_id") % 6).cast("int") + 1),
+          lit("/p/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 3 === 0, lit(" and http://mirror.example.net/x"))
+            .otherwise(lit("")))
+        td(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.llm.TextOps.extractUrlDomains(aug)).as("domain"))
+          .groupBy("domain")
+          .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_urls"))
+          .withColumn("blocked", col("domain")
+            .isin("spam.click.net", "tracker.bad.site"))
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text || ' see https://' ||
+             |    CASE CAST(doc_id % 6 AS INTEGER)
+             |      WHEN 0 THEN 'ads.example.com' WHEN 1 THEN 'docs.example.org'
+             |      WHEN 2 THEN 'spam.click.net' WHEN 3 THEN 'data.example.io'
+             |      WHEN 4 THEN 'tracker.bad.site' ELSE 'wiki.example.edu' END
+             |    || '/p/' || CAST(doc_id AS VARCHAR) ||
+             |    CASE WHEN doc_id % 3 = 0 THEN ' and http://mirror.example.net/x' ELSE '' END AS t
+             |  FROM documents),
+             |d AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+             |  FROM aug)
+             |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  CAST(count(*) AS BIGINT) AS n_urls,
+             |  domain IN ('spam.click.net', 'tracker.bad.site') AS blocked
+             |FROM d GROUP BY 1""".stripMargin)),
+
+    // SFT chat-template rendering with the loss-mask span: fixture docs
+    // become (prompt = first 8 tokens, response = rest); the compared
+    // columns are the rendered-string md5 (l29 pattern) plus the EXACT
+    // code-point mask offsets SFT loss depends on
+    "l49_sft_template" -> Q(
+      (s, dir) => {
+        val tk = split(trim(col("text")), "\\s+")
+        val d = td(s, dir, "documents").select(col("doc_id"),
+          array_join(slice(tk, 1, 8), " ").as("prompt"),
+          array_join(slice(tk, 9, 1 << 20), " ").as("resp"))
+        graft.llm.TextOps.renderSftTemplate(
+            d, "doc_id", "prompt", "resp", "You are a helpful assistant.")
+          .select(col("id").as("doc_id"), md5(col("rendered")).as("rendered_md5"),
+            col("mask_start"), col("mask_len"))
+      },
+      Some(TextOracles.sftTemplateSql("You are a helpful assistant."))),
+
+    // per-source cap: at most 15 docs per source, hash-chosen — the
+    // C4-style "don't let one over-crawled site dominate the mix" ceiling;
+    // one exchange on source + per-group sort, engine-reproducible
+    "l48_source_cap" -> Q(
+      (s, dir) => graft.llm.Sampling.capPerGroup(
+        td(s, dir, "documents"), "doc_id", "source", maxPerGroup = 15),
+      Some("""WITH h AS (SELECT doc_id, source,
+             |    ('0x'||substr(md5('c1' || chr(31) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS hv
+             |  FROM documents)
+             |SELECT doc_id, source, pos FROM (
+             |  SELECT doc_id, source,
+             |    CAST(row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS BIGINT) AS pos
+             |  FROM h) WHERE pos <= 15""".stripMargin)),
+
+    // Unicode ingestion normalization: NFC composition (native codegen'd
+    // expression — Spark has no built-in) + control strip + whitespace
+    // collapse. Fixture text is clean ASCII, so the row augments it with
+    // doc_id-keyed decomposed/control/clean tails (the l26 pattern) to
+    // exercise every path; the oracle replays via DuckDB nfc_normalize
+    "l47_unicode_normalize" -> Q(
+      (s, dir) => {
+        val suffix = element_at(array(
+          lit("cafe\u0301 touche\u0301"),
+          lit("A\u030Angstro\u0308m"),
+          lit("bad\u0007ctl\u001Ftail"),
+          lit("plain tail")), (col("doc_id") % 4).cast("int") + 1)
+        val raw = concat_ws(" ", col("text"), suffix)
+        td(s, dir, "documents")
+          .select(col("doc_id"), raw.as("_raw"))
+          .withColumn("norm_text", graft.llm.TextOps.normalizeText(col("_raw")))
+          .select(col("doc_id"), col("norm_text"),
+            (col("norm_text") =!= col("_raw")).as("changed"))
+      },
+      Some(TextOracles.normalizeTextSql)),
+
     // REAL multimodal decode: per-id real BMP/WAV containers built with
     // every header field a function of the id, parsed back by the pure-JVM
     // header decoders. The oracle recomputes the expected decoded values

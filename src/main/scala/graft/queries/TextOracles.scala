@@ -371,4 +371,62 @@ object TextOracles {
        |SELECT doc_id, CAST(sum(c) AS DOUBLE) AS score
        |FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
   }
+
+  /**
+   * Oracle for l47: the same doc_id-keyed augmentation (decomposed
+   * combining sequences / control characters / an already-clean tail),
+   * then DuckDB's `nfc_normalize` + the identical RE2 regex steps.
+   * Combining marks ride as REAL UTF-8 in the generated SQL; control
+   * characters are spliced with `chr()` so the SQL stays printable. Both
+   * `regexp_replace` calls need the 'g' flag — DuckDB replaces only the
+   * first match by default, Spark replaces all.
+   */
+  def normalizeTextSql: String = {
+    val acute = "\u0301"; val ring = "\u030A"; val uml = "\u0308"
+    s"""WITH aug AS (
+       |  SELECT doc_id, concat_ws(' ', text,
+       |    CASE CAST(doc_id % 4 AS INTEGER)
+       |      WHEN 0 THEN 'cafe$acute touche$acute'
+       |      WHEN 1 THEN 'A${ring}ngstro${uml}m'
+       |      WHEN 2 THEN 'bad'||chr(7)||'ctl'||chr(31)||'tail'
+       |      ELSE 'plain tail' END) AS raw
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, raw,
+       |    regexp_replace(
+       |      regexp_replace(nfc_normalize(raw),
+       |        '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+       |      '[ \\t]+', ' ', 'g') AS norm_text
+       |  FROM aug)
+       |SELECT doc_id, norm_text, norm_text <> raw AS changed FROM n""".stripMargin
+  }
+
+  /**
+   * Oracle for l49: prompt/response derived from the fixture exactly as
+   * the Spark row does, then the identical template concatenation. The
+   * role tags are interpolated from [[graft.llm.TextOps]]'s constants
+   * (newlines spliced as `chr(10)` to keep the SQL printable), so the
+   * mask arithmetic can never skew between the two sides.
+   */
+  def sftTemplateSql(systemPrompt: String): String = {
+    def tag(s: String): String =
+      "'" + esc(s).replace("\n", "'||chr(10)||'") + "'"
+    val preTags = tag(graft.llm.TextOps.SftSystemTag + systemPrompt +
+      graft.llm.TextOps.SftUserTag)
+    val asst = tag(graft.llm.TextOps.SftAssistantTag)
+    val end = tag(graft.llm.TextOps.SftEndTag)
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+       |  FROM documents),
+       |pr AS (
+       |  SELECT doc_id, array_to_string(tk[1:8], ' ') AS prompt,
+       |    array_to_string(tk[9:], ' ') AS resp
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id, $preTags || prompt || $asst AS pre, resp FROM pr)
+       |SELECT doc_id, md5(pre || resp || $end) AS rendered_md5,
+       |  CAST(length(pre) AS BIGINT) AS mask_start,
+       |  CAST(length(resp) AS BIGINT) AS mask_len
+       |FROM r""".stripMargin
+  }
 }

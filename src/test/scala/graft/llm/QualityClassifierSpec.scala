@@ -1,0 +1,63 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class QualityClassifierSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("frozen model separates the seed corpus at the default boundary") {
+    val m = QualityClassifier.DefaultModel
+    val hits = QualityClassifier.SeedCorpus.count { case (text, y) =>
+      val toks = QualityClassifier.tokenize(text)
+      val s = toks.map(t => m.weights.getOrElse(
+        QualityClassifier.bucketOf(t, m.nBuckets),
+        java.math.BigDecimal.ZERO)).foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      val z = s.add(new java.math.BigDecimal(toks.size).multiply(m.bias))
+      (z.signum > 0) == (y == 1)
+    }
+    assert(hits.toDouble / QualityClassifier.SeedCorpus.size >= 0.95,
+      s"seed accuracy $hits/${QualityClassifier.SeedCorpus.size}")
+  }
+
+  test("distributed trainer matches the local reference trainer") {
+    val seedDf = QualityClassifier.SeedCorpus.zipWithIndex
+      .map { case ((text, y), i) => (i.toLong, text, y) }
+      .toDF("doc_id", "text", "label")
+    val local = QualityClassifier.trainLocal(QualityClassifier.SeedCorpus, epochs = 30)
+    val dist = QualityClassifier.train(seedDf, "doc_id", "text", "label", epochs = 30)
+    assert(dist.nBuckets === local.nBuckets)
+    // same non-zero support and 6-dp-identical weights: gradients differ
+    // only by float addition order across partitions (~1e-15/step), far
+    // below the 6-dp freeze
+    assert(dist.weights.keySet === local.weights.keySet)
+    val maxDiff = local.weights.map { case (k, v) =>
+      math.abs(v.subtract(dist.weights(k)).doubleValue())
+    }.max
+    assert(maxDiff <= 1e-6, s"max weight diff $maxDiff")
+    assert(math.abs(local.bias.subtract(dist.bias).doubleValue()) <= 1e-6)
+  }
+
+  test("keep flag equals sigmoid > 0.5 at the default boundary") {
+    val m = QualityClassifier.DefaultModel
+    val scored = QualityClassifier.score(docs, "doc_id", "text", m)
+    val withP = scored.withColumn("p",
+      QualityClassifier.sigmoid(col("score_sum"), col("n_tokens"), m))
+    val disagree = withP.filter(col("keep") =!= (col("p") > 0.5)).count()
+    assert(disagree === 0L)
+  }
+
+  test("calibrated gate discriminates on the fixture (both classes present)") {
+    val m = QualityClassifier.DefaultModel
+    val minLogit = m.bias.add(new java.math.BigDecimal("0.050000"))
+    val byKeep = QualityClassifier.score(docs, "doc_id", "text", m, minLogit)
+      .groupBy("keep").count().as[(Boolean, Long)].collect().toMap
+    assert(byKeep.getOrElse(true, 0L) > 0L && byKeep.getOrElse(false, 0L) > 0L,
+      s"degenerate gate: $byKeep")
+    // every input doc with >=1 token is scored exactly once
+    assert(byKeep.values.sum === docs.filter(length(trim(col("text"))) > 0).count())
+  }
+}

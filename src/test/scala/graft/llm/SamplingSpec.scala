@@ -106,4 +106,30 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       Sampling.epochShuffle(rows.selectExpr("CAST(id AS DOUBLE) AS id"), "id", 4)
     }
   }
+
+  test("capPerGroup: hard ceiling, pass-through under cap, stable survivor set") {
+    import spark.implicits._
+    // 3 groups: 40, 10, and 3 rows — cap at 10
+    val rows = ((0L until 40L).map(i => (i, "big")) ++
+      (100L until 110L).map(i => (i, "mid")) ++
+      (200L until 203L).map(i => (i, "tiny"))).toDF("id", "grp")
+    val out = Sampling.capPerGroup(rows, "id", "grp", maxPerGroup = 10)
+      .as[(Long, String, Long)].collect()
+    val byGrp = out.groupBy(_._2)
+    assert(byGrp("big").length === 10)
+    assert(byGrp("mid").map(_._1).sorted.toSeq === (100L until 110L).toSeq)
+    assert(byGrp("tiny").map(_._1).sorted.toSeq === (200L until 203L).toSeq)
+    // dense 1-based positions inside every group
+    byGrp.foreach { case (g, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq, s"group $g")
+    }
+    // deterministic rerun; raising the cap only ADDS survivors (hash order
+    // is a fixed total order per group, so prefixes nest)
+    val again = Sampling.capPerGroup(rows, "id", "grp", maxPerGroup = 10)
+      .as[(Long, String, Long)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    val wider = Sampling.capPerGroup(rows, "id", "grp", maxPerGroup = 20)
+      .as[(Long, String, Long)].collect()
+    assert(out.map(_._1).toSet.subsetOf(wider.map(_._1).toSet))
+  }
 }

@@ -128,4 +128,45 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(500))
   }
+
+  test("renderSftTemplate: mask span extracts exactly the response") {
+    val d = Seq((1L, "what is a shuffle", "a network exchange of rows"),
+                (2L, "empty response", ""),
+                (3L, "", "resp only")).toDF("id", "p", "r")
+    val out = TextOps.renderSftTemplate(d, "id", "p", "r", "Sys prompt.")
+      .as[(Long, String, Long, Long)].collect().map(t => t._1 -> t).toMap
+    d.as[(Long, String, String)].collect().foreach { case (id, p, r) =>
+      val (_, rendered, start, len) = out(id)
+      // the mask span IS the response — substring round-trip
+      assert(rendered.substring(start.toInt, (start + len).toInt) === r, s"id $id")
+      // template structure: tags present, prompt before the mask
+      assert(rendered.startsWith(TextOps.SftSystemTag + "Sys prompt." + TextOps.SftUserTag))
+      assert(rendered.endsWith(TextOps.SftEndTag))
+      assert(rendered.substring(0, start.toInt).endsWith(p + TextOps.SftAssistantTag))
+    }
+  }
+
+  test("normalizeText: NFC composition, control strip, whitespace collapse") {
+    // decomposed e + U+0301 composes to single-code-point \u00E9; NFC input unchanged
+    assert(one[String](TextOps.normalizeText(lit("cafe\u0301"))) === "caf\u00E9")
+    assert(one[String](TextOps.normalizeText(lit("caf\u00E9"))) === "caf\u00E9")
+    // A + U+030A composes to \u00C5 (not the visually-identical U+212B)
+    assert(one[String](TextOps.normalizeText(lit("A\u030A"))) === "\u00C5")
+    // C0 controls stripped; newline survives; tab/space runs collapse
+    assert(one[String](TextOps.normalizeText(lit("a\u0007b\u001Fc"))) === "abc")
+    assert(one[String](TextOps.normalizeText(lit("a\nb"))) === "a\nb")
+    assert(one[String](TextOps.normalizeText(lit("a \t b"))) === "a b")
+    assert(one[String](TextOps.normalizeText(lit("a   b"))) === "a b")
+    // matches the JDK reference normalizer on a mixed string
+    val mixed = "no\u0308el me\u0301lange\u0002  x"
+    val expected = java.text.Normalizer
+      .normalize(mixed, java.text.Normalizer.Form.NFC)
+      .replaceAll("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+      .replaceAll("[ \\t]+", " ")
+    assert(one[String](TextOps.normalizeText(lit(mixed))) === expected)
+    // null passes through
+    val n = Seq(1).toDF("x").select(TextOps.normalizeText(lit(null).cast("string")).as("r"))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
 }
