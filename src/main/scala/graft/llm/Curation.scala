@@ -1,0 +1,66 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Composed curation pipeline: the operators prove they COMPOSE, not just
+ * pass row-level oracles. Normalize → learned quality gate →
+ * opening-fingerprint dedup (keep-first among survivors on the md5 of
+ * the first `prefixTokens` normalized tokens — the boilerplate-opening
+ * key that catches templated near-identical docs exact-text dedup
+ * misses) → per-source funnel report — the end-to-end shape of a
+ * training-data ingestion run, and the report a data curator actually
+ * reads (how many docs each source lost at each stage, and the
+ * surviving token budget).
+ *
+ * Every stage is the already-oracle-checked operator family: [[TextOps
+ * .normalizeText]] (l47), [[QualityClassifier.score]] (l46), md5
+ * keep-first dedup (the l1/l14 family), so the composite's DuckDB oracle
+ * is the same CTE chain and stays EXACT end to end.
+ *
+ * Scale shape: normalization is expression-only; the quality gate is one
+ * explode + broadcast-weights join + per-doc agg; dedup is one window
+ * over md5(norm); the report is one final hash agg on source. No
+ * cross-branch recomputation of the tokenize/score work — `score` runs
+ * once and joins back by id.
+ *
+ * Docs whose normalized text has zero tokens carry n_tokens = 0 and fail
+ * the gate only if `minLogit` ≥ 0 · bias — they are LEFT-join-preserved
+ * so `n_in` counts every input row.
+ */
+object Curation {
+
+  def curationFunnel(df: DataFrame, idCol: String, textCol: String,
+                     sourceCol: String, model: QualityClassifier.Model,
+                     minLogit: java.math.BigDecimal,
+                     prefixTokens: Int = 8): DataFrame = {
+    require(prefixTokens > 0, "prefixTokens must be positive")
+    val norm = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      TextOps.normalizeText(col(textCol)).as("norm"))
+    val scored = QualityClassifier.score(norm, "doc_id", "norm", model, minLogit)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("keep"))
+    // LEFT join: zero-token docs have no scored row — they count in n_in,
+    // never in the gate's survivors
+    val q = norm.join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("norm"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("keep"), lit(false)).as("keep"))
+    // dedup rank rides the SAME pass: partitioning the window by
+    // (fingerprint, keep) ranks survivors only, so `final` needs no
+    // filter→rank→self-join (which re-ran the whole normalize+score
+    // subtree per branch — no cross-arm CSE; this shape scans the corpus
+    // twice total instead of six times)
+    val w = Window.partitionBy(col("_k"), col("keep")).orderBy(col("doc_id"))
+    q.withColumn("_k", md5(array_join(
+        slice(split(trim(lower(col("norm"))), "\\s+"), 1, prefixTokens), " ")))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("final", col("keep") && col("_rn") === 1)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_in"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("final"), 1L).otherwise(0L)).as("n_final"),
+        sum(when(col("final"), col("n_tokens")).otherwise(0L)).as("tokens_final"))
+  }
+}

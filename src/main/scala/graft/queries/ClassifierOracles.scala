@@ -4,23 +4,29 @@ import graft.llm.QualityClassifier.Model
 
 /**
  * DuckDB oracle SQL for the frozen quality-classifier scoring row
- * ([[graft.llm.QualityClassifier.score]]). The weight table is
- * interpolated from the SAME frozen model object the Spark query uses, so
- * the two sides cannot skew. Everything compared is exact: the feature
- * hash is the portable md5-prefix hash (`hash60 % nBuckets`), weights are
- * DECIMAL(9,6) literals, the per-doc sum is exact decimal addition
- * (order-independent), and the keep decision is the sign of
- * `score_sum + n_tokens·bias` — no division, no exp.
+ * ([[graft.llm.QualityClassifier.score]]) and the composed curation
+ * funnel ([[graft.llm.Curation.curationFunnel]]). The weight table is
+ * interpolated from the SAME frozen model object the Spark queries use,
+ * so the two sides cannot skew. Everything compared is exact: the
+ * feature hash is the portable md5-prefix hash (`hash60 % nBuckets`),
+ * weights are DECIMAL(9,6) literals, the per-doc sum is exact decimal
+ * addition (order-independent), and the keep decision is the sign of
+ * `score_sum + n_tokens·(bias − minLogit)` — no division, no exp.
  */
 object ClassifierOracles {
 
-  def scoreSql(model: Model,
-               minLogit: java.math.BigDecimal = java.math.BigDecimal.ZERO): String = {
-    val biasAdj = model.bias.subtract(minLogit)
-    val values = model.weights.toSeq.sortBy(_._1)
+  /** `(bucket, wt)` VALUES rows from the frozen model. */
+  private def weightValues(model: Model): String =
+    model.weights.toSeq.sortBy(_._1)
       .map { case (b, wt) => s"($b, CAST(${wt.toPlainString} AS DECIMAL(9,6)))" }
       .mkString(", ")
-    s"""WITH w(bucket, wt) AS (SELECT * FROM (VALUES $values)),
+
+  private def biasAdj(model: Model, minLogit: java.math.BigDecimal): String =
+    model.bias.subtract(minLogit).toPlainString
+
+  def scoreSql(model: Model,
+               minLogit: java.math.BigDecimal = java.math.BigDecimal.ZERO): String =
+    s"""WITH w(bucket, wt) AS (SELECT * FROM (VALUES ${weightValues(model)})),
        |tk AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
        |  FROM documents),
@@ -35,7 +41,50 @@ object ClassifierOracles {
        |  SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens, sum(wt0) AS s
        |  FROM j GROUP BY 1)
        |SELECT id, n_tokens, CAST(s AS DOUBLE) AS score_sum,
-       |  (s + n_tokens * CAST(${biasAdj.toPlainString} AS DECIMAL(9,6))) > 0 AS keep
+       |  (s + n_tokens * CAST(${biasAdj(model, minLogit)} AS DECIMAL(9,6))) > 0 AS keep
        |FROM g""".stripMargin
-  }
+
+  /** Exact CTE-chain twin of the l51 curation funnel: the l47 normalize
+    * chain, the l46 gate (LEFT-join-preserved zero-token docs),
+    * opening-fingerprint keep-first dedup among survivors (md5 of the
+    * first `prefixTokens` normalized tokens), per-source funnel counts. */
+  def curationFunnelSql(model: Model, minLogit: java.math.BigDecimal,
+                        prefixTokens: Int = 8): String =
+    s"""WITH w(bucket, wt) AS (SELECT * FROM (VALUES ${weightValues(model)})),
+       |nrm AS (
+       |  SELECT doc_id, source,
+       |    regexp_replace(
+       |      regexp_replace(nfc_normalize(text),
+       |        '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+       |      '[ \\t]+', ' ', 'g') AS norm
+       |  FROM documents),
+       |tk AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(norm), '\\s+')) AS token
+       |  FROM nrm),
+       |tb AS (
+       |  SELECT doc_id,
+       |    CAST(('0x'||substr(md5(token),1,15))::BIGINT % ${model.nBuckets} AS INTEGER) AS bucket
+       |  FROM tk WHERE length(token) > 0),
+       |g AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    sum(COALESCE(wt, CAST(0 AS DECIMAL(9,6)))) AS s
+       |  FROM tb LEFT JOIN w USING (bucket) GROUP BY 1),
+       |q AS (
+       |  SELECT n.doc_id, n.source, n.norm,
+       |    COALESCE(g.n_tokens, 0) AS n_tokens,
+       |    COALESCE((g.s + g.n_tokens * CAST(${biasAdj(model, minLogit)} AS DECIMAL(9,6))) > 0,
+       |      false) AS keep
+       |  FROM nrm n LEFT JOIN g USING (doc_id)),
+       |r AS (
+       |  SELECT doc_id, source, n_tokens, keep,
+       |    keep AND row_number() OVER (
+       |      PARTITION BY md5(array_to_string(
+       |        (regexp_split_to_array(trim(lower(norm)), '\\s+'))[1:$prefixTokens], ' ')), keep
+       |      ORDER BY doc_id) = 1 AS final
+       |  FROM q)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_in,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |  CAST(sum(CASE WHEN final THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+       |  CAST(sum(CASE WHEN final THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_final
+       |FROM r GROUP BY 1""".stripMargin
 }

@@ -664,6 +664,21 @@ object LlmQueries {
         minLogit = graft.llm.QualityClassifier.DefaultModel.bias
           .add(new java.math.BigDecimal("0.050000"))))),
 
+    // COMPOSED curation pipeline: normalize (l47) -> learned quality gate
+    // (l46) -> md5 keep-first dedup (l1 family) -> per-source funnel
+    // report. The operators prove they compose; the oracle is the same
+    // CTE chain end to end and stays exact
+    "l51_curation_funnel" -> Q(
+      (s, dir) => graft.llm.Curation.curationFunnel(
+        td(s, dir, "documents"), "doc_id", "text", "source",
+        graft.llm.QualityClassifier.DefaultModel,
+        minLogit = graft.llm.QualityClassifier.DefaultModel.bias
+          .add(new java.math.BigDecimal("0.050000"))),
+      Some(ClassifierOracles.curationFunnelSql(
+        graft.llm.QualityClassifier.DefaultModel,
+        minLogit = graft.llm.QualityClassifier.DefaultModel.bias
+          .add(new java.math.BigDecimal("0.050000"))))),
+
     // domain-level URL filtering: synthetic doc_id-keyed URLs (l26
     // pattern), hosts extracted with a Java∩RE2 regex, aggregated per
     // domain with a blocklist flag — the corpus-curation step that drops
