@@ -664,6 +664,45 @@ object LlmQueries {
         minLogit = graft.llm.QualityClassifier.DefaultModel.bias
           .add(new java.math.BigDecimal("0.050000"))))),
 
+    // product quantization encode (Jégou 2011): 64 floats -> 8 codes via
+    // per-subspace seed codebooks sliced from the first-16 vectors — a
+    // pure function of the DATA, so the oracle rebuilds the identical
+    // codebook from the same parquet and replays encoding exactly
+    "l52_pq_encode" -> Q(
+      (s, dir) => {
+        val e = td(s, dir, "embeddings")
+        graft.llm.Pq.encode(e, "embedding", "vec_id",
+            graft.llm.Pq.seedCodebooks(e, "embedding", "vec_id", m = 8, k = 16))
+          .select(col("id").as("vec_id"), col("codes"), col("recon_err"))
+      },
+      Some("""WITH s AS (SELECT unnest(range(8)) AS sub),
+             |seeds AS (
+             |  SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+             |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+             |cb AS (
+             |  SELECT s.sub, seeds.cell,
+             |    list_transform(embedding[s.sub*8+1 : s.sub*8+8],
+             |      x -> CAST(x AS DOUBLE)) AS cent
+             |  FROM seeds CROSS JOIN s),
+             |v AS (
+             |  SELECT vec_id, s.sub,
+             |    list_transform(embedding[s.sub*8+1 : s.sub*8+8],
+             |      x -> CAST(x AS DOUBLE)) AS sv
+             |  FROM embeddings CROSS JOIN s),
+             |d AS (
+             |  SELECT v.vec_id, v.sub, cb.cell,
+             |    round(list_sum(list_transform(range(1, 9),
+             |      i -> (sv[i]-cent[i])*(sv[i]-cent[i]))), 6) AS dist
+             |  FROM v JOIN cb USING (sub)),
+             |r AS (
+             |  SELECT vec_id, sub, cell, dist, row_number() OVER (
+             |    PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn
+             |  FROM d)
+             |SELECT vec_id,
+             |  string_agg(CAST(cell AS VARCHAR), ',' ORDER BY sub) AS codes,
+             |  CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) AS recon_err
+             |FROM r WHERE rn = 1 GROUP BY vec_id""".stripMargin)),
+
     // COMPOSED curation pipeline: normalize (l47) -> learned quality gate
     // (l46) -> md5 keep-first dedup (l1 family) -> per-source funnel
     // report. The operators prove they compose; the oracle is the same
