@@ -122,6 +122,56 @@ object Pq {
     cbs
   }
 
+  /**
+   * ADC (asymmetric distance computation) top-k: score every ENCODED
+   * vector against an uncompressed query using per-subspace lookup
+   * tables — the query side of PQ retrieval, where distance to a corpus
+   * vector is Σ_j table_j[code_j] and the corpus is never decompressed.
+   * The m·k table entries are computed driver-side with the same
+   * left-fold arithmetic and 6-dp rounding as [[encode]]'s distances and
+   * ride the plan as DECIMAL literals; the score sums them exactly, so
+   * an external engine replays the ranking bit-for-bit. Plan: cell
+   * choice + table lookup are expression-only, then TakeOrderedAndProject
+   * — no shuffle, no decompression, O(m·k) plan growth.
+   *
+   * Output: (id, adc_score) ascending, ties by id, first `k` rows.
+   */
+  def adcTopK(df: DataFrame, vecCol: String, idCol: String,
+              codebooks: Seq[Seq[Array[Float]]], query: Array[Float],
+              k: Int): DataFrame = {
+    val m = codebooks.size
+    val d = codebooks.head.head.length
+    require(query.length == m * d, s"query dim ${query.length} != ${m * d}")
+    val qTables: Seq[Seq[java.math.BigDecimal]] = (0 until m).map { j =>
+      val q = query.slice(j * d, j * d + d).map(_.toDouble)
+      codebooks(j).map { cent =>
+        var acc = 0.0
+        var i = 0
+        while (i < d) {
+          val t = q(i) - cent(i).toDouble; acc += t * t; i += 1
+        }
+        new java.math.BigDecimal(acc).setScale(6, java.math.RoundingMode.HALF_UP)
+      }
+    }
+    val dv = df.select(col(idCol).as("id"),
+      transform(col(vecCol), _.cast("double")).as("_dv"))
+    val cells: Seq[Column] = (0 until m).map { j =>
+      val sv = slice(col("_dv"), j * d + 1, d)
+      array_min(transform(subCodebookLit(codebooks(j)), s =>
+        struct(round(sqDist(sv, s.getField("cent")), 6).as("d"),
+          s.getField("cell").as("cell")))).getField("cell")
+    }
+    val staged = dv.select(col("id") +: cells.zipWithIndex.map {
+      case (c, j) => c.as(s"_c$j") }: _*)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val score = (0 until m).map { j =>
+      element_at(array(qTables(j).map(v => lit(v).cast(dec)): _*), col(s"_c$j") + 1)
+    }.reduce(_ + _)
+    staged.select(col("id"), score.cast("double").as("adc_score"))
+      .orderBy(col("adc_score"), col("id"))
+      .limit(k)
+  }
+
   /** Mean reconstruction error of an encoding — the distortion the
     * trainer minimizes; spec-checked to drop after Lloyd refinement. */
   def meanDistortion(df: DataFrame, vecCol: String, idCol: String,

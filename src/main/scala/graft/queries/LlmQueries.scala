@@ -703,6 +703,54 @@ object LlmQueries {
              |  CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) AS recon_err
              |FROM r WHERE rn = 1 GROUP BY vec_id""".stripMargin)),
 
+    // PQ-ADC retrieval: the query side of product quantization — score
+    // compressed codes against the first vector via per-subspace lookup
+    // tables, never decompressing the corpus. Query + codebook + tables
+    // all derive from the data, so the oracle replays the ranking exactly
+    "l53_pq_adc_topk" -> Q(
+      (s, dir) => {
+        val e = td(s, dir, "embeddings")
+        val cbs = graft.llm.Pq.seedCodebooks(e, "embedding", "vec_id", m = 8, k = 16)
+        val query = graft.llm.Ann.firstKCentroids(e, "embedding", "vec_id", 1).head
+        graft.llm.Pq.adcTopK(e, "embedding", "vec_id", cbs, query, k = 25)
+          .select(col("id").as("vec_id"), col("adc_score"))
+      },
+      Some("""WITH s AS (SELECT unnest(range(8)) AS sub),
+             |seeds AS (
+             |  SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+             |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+             |cb AS (
+             |  SELECT s.sub, seeds.cell,
+             |    list_transform(embedding[s.sub*8+1 : s.sub*8+8],
+             |      x -> CAST(x AS DOUBLE)) AS cent
+             |  FROM seeds CROSS JOIN s),
+             |qv AS (SELECT embedding AS q FROM embeddings ORDER BY vec_id LIMIT 1),
+             |qt AS (
+             |  SELECT cb.sub, cb.cell,
+             |    CAST(round(list_sum(list_transform(range(1, 9),
+             |      i -> (CAST(q[cb.sub*8+i] AS DOUBLE)-cent[i])
+             |         * (CAST(q[cb.sub*8+i] AS DOUBLE)-cent[i]))), 6)
+             |      AS DECIMAL(18,6)) AS qd
+             |  FROM cb CROSS JOIN qv),
+             |v AS (
+             |  SELECT vec_id, s.sub,
+             |    list_transform(embedding[s.sub*8+1 : s.sub*8+8],
+             |      x -> CAST(x AS DOUBLE)) AS sv
+             |  FROM embeddings CROSS JOIN s),
+             |d AS (
+             |  SELECT v.vec_id, v.sub, cb.cell,
+             |    round(list_sum(list_transform(range(1, 9),
+             |      i -> (sv[i]-cent[i])*(sv[i]-cent[i]))), 6) AS dist
+             |  FROM v JOIN cb USING (sub)),
+             |r AS (
+             |  SELECT vec_id, sub, cell, row_number() OVER (
+             |    PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn
+             |  FROM d)
+             |SELECT vec_id, CAST(sum(qt.qd) AS DOUBLE) AS adc_score
+             |FROM r JOIN qt ON r.sub = qt.sub AND r.cell = qt.cell
+             |WHERE r.rn = 1 GROUP BY vec_id
+             |ORDER BY adc_score, vec_id LIMIT 25""".stripMargin)),
+
     // COMPOSED curation pipeline: normalize (l47) -> learned quality gate
     // (l46) -> md5 keep-first dedup (l1 family) -> per-source funnel
     // report. The operators prove they compose; the oracle is the same
