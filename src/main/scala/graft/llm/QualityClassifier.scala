@@ -199,6 +199,48 @@ object QualityClassifier {
           .as("keep"))
   }
 
+  /**
+   * Expression-only scorer — the STREAMING-safe form of [[score]]: no
+   * explode, no join, no aggregation, so it runs stateless inside any
+   * Structured Streaming query (and batch plans keep whole-stage codegen
+   * end to end). Weights ride as an O(nBuckets) literal array of exact
+   * integer MICROS (6-dp weights × 10⁶ — long-fold accumulation is exact
+   * and overflow-safe at ANSI mode: |w|·10⁶ ≤ 10⁹ per token), so
+   * results are bit-identical to [[score]]'s DECIMAL path; the literal
+   * array caps practical nBuckets at a few thousand — beyond that use
+   * [[score]]'s broadcast weight table (which needs a shuffle and is
+   * therefore the batch-only shape).
+   *
+   * Same output columns and semantics as [[score]] except zero-token
+   * docs are KEPT in the output (n_tokens 0, keep = bias−minLogit > 0
+   * degenerately false at any positive gate) — a stream must emit a
+   * verdict per document, it cannot drop rows into a later join.
+   */
+  def scoreStreamable(df: DataFrame, idCol: String, textCol: String,
+                      model: Model,
+                      minLogit: java.math.BigDecimal = java.math.BigDecimal.ZERO): DataFrame = {
+    val hashCol: Column => Column = { c =>
+      import org.apache.spark.sql.GraftExpressionBridge._
+      column(PortableHash60Expr(expression(c)))
+    }
+    val micros: Seq[Long] = (0 until model.nBuckets).map(b =>
+      model.weights.get(b).fold(0L)(_.movePointRight(6).longValueExact()))
+    val biasAdjMicro = model.bias.subtract(minLogit)
+      .movePointRight(6).longValueExact()
+    val warr = array(micros.map(lit(_)): _*)
+    // token array staged as its own projection — referencing the
+    // split+filter expression from two consumers would evaluate it twice
+    val micro = aggregate(col("_tk"), lit(0L), (acc, t) =>
+      acc + element_at(warr, (hashCol(t) % model.nBuckets).cast("int") + 1))
+    df.select(col(idCol).as("id"),
+        filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("_tk"))
+      .select(col("id"), col("_tk"), micro.as("_m"))
+      .select(col("id"), size(col("_tk")).cast("long").as("n_tokens"),
+        (col("_m").cast(org.apache.spark.sql.types.DecimalType(25, 6)) /
+          lit(1000000L)).cast("double").as("score_sum"),
+        (col("_m") + size(col("_tk")).cast("long") * biasAdjMicro > 0).as("keep"))
+  }
+
   /** Probability form for interactive use (NOT oracle-compared — libm exp
     * differs across engines in the last ulp): sigmoid(score_sum/n + bias). */
   def sigmoid(scoreSum: Column, nTokens: Column, model: Model): Column =

@@ -50,6 +50,25 @@ class QualityClassifierSpec extends AnyFunSuite with SparkTestBase {
     assert(disagree === 0L)
   }
 
+  test("scoreStreamable ≡ score on every common row (exact doubles)") {
+    val m = QualityClassifier.DefaultModel
+    val minLogit = m.bias.add(new java.math.BigDecimal("0.050000"))
+    val a = QualityClassifier.score(docs, "doc_id", "text", m, minLogit)
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    val b = QualityClassifier.scoreStreamable(docs, "doc_id", "text", m, minLogit)
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    // streamable keeps zero-token docs; every scored doc matches exactly
+    assert(a.keySet.subsetOf(b.keySet))
+    a.foreach { case (id, row) => assert(b(id) === row, s"doc $id") }
+    b.keySet.diff(a.keySet).foreach { id =>
+      assert(b(id)._2 === 0L && !b(id)._4, s"zero-token doc $id")
+    }
+    // streaming-safe shape: no Exchange anywhere in the plan
+    val plan = QualityClassifier.scoreStreamable(docs, "doc_id", "text", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+  }
+
   test("calibrated gate discriminates on the fixture (both classes present)") {
     val m = QualityClassifier.DefaultModel
     val minLogit = m.bias.add(new java.math.BigDecimal("0.050000"))

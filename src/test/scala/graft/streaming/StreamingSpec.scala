@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkTestBase
 
@@ -36,6 +37,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
   private def doc(id: Long, tSec: Long, text: String) =
     StreamDoc(id, new java.sql.Timestamp(tSec * 1000), text)
+
+  test("streaming curation gate: normalize + classifier verdicts match batch exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.{QualityClassifier, TextOps}
+    val m = QualityClassifier.DefaultModel
+    val texts = Seq(
+      (1L, "the query planner pushes each filter below the join so the scan reads fewer pages"),
+      (2L, "click here click here click here best price best price best price"),
+      (3L, "café mélange:  a  small essay on sort merge joins and broadcast tables"),
+      (4L, ""))
+    def gate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      QualityClassifier.scoreStreamable(
+        df.select(col("doc_id"), TextOps.normalizeText(col("text")).as("norm")),
+        "doc_id", "norm", m)
+    val mem = MemoryStream[StreamDoc]
+    val q = gate(mem.toDF()).writeStream
+      .format("memory").queryName("curation_gate").outputMode("append").start()
+    try {
+      mem.addData(texts.map { case (id, t) => StreamDoc(id, new java.sql.Timestamp(1000), t) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curation_gate")
+        .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+      val batch = gate(texts.toDF("doc_id", "text"))
+        .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+      assert(streamed === batch)
+      assert(streamed.size === 4)
+      val byId = streamed.map(r => r._1 -> r).toMap
+      assert(byId(1L)._4 === true)   // technical prose passes
+      assert(byId(2L)._4 === false)  // spam fails
+      assert(byId(4L)._2 === 0L && byId(4L)._4 === false) // empty doc: verdict, not a drop
+    } finally q.stop()
+  }
 
   test("streaming near-dup detector: keep-first verdicts, out-of-order repair, batch-twin agreement") {
     implicit val sqlCtx = spark.sqlContext
