@@ -703,6 +703,51 @@ object LlmQueries {
              |  CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) AS recon_err
              |FROM r WHERE rn = 1 GROUP BY vec_id""".stripMargin)),
 
+    // token-entropy quality signal: Shannon entropy of the token
+    // distribution — repetitive/templated docs score low, varied prose
+    // high; complements the Gopher repetition rules (l27) with a single
+    // scalar. Per-term contributions round to 6 dp into DECIMAL (the BM25
+    // pattern) so the cross-engine sum is order-independent and exact
+    "l54_token_entropy" -> Q(
+      (s, dir) => {
+        val tf = td(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+          .filter(length(col("token")) > 0)
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+        val n = sum(col("c")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")))
+        val p = col("c").cast("double") / col("_n").cast("double")
+        tf.withColumn("_n", n)
+          .withColumn("_term",
+            round(-(p * log(p) / log(lit(2.0))), 6)
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .groupBy("doc_id")
+          .agg(first(col("_n")).as("n_tokens"),
+            count(lit(1)).as("distinct_tokens"),
+            sum(col("_term")).cast("double").as("entropy"))
+          .withColumn("low_entropy", col("entropy") < 3.0)
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, token, count(*) AS c FROM tk
+             |  WHERE length(token) > 0 GROUP BY 1, 2),
+             |wn AS (
+             |  SELECT doc_id, token, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM tf),
+             |t AS (
+             |  SELECT doc_id, n,
+             |    CAST(round(-((CAST(c AS DOUBLE)/CAST(n AS DOUBLE))
+             |      * ln(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) / ln(2.0)), 6)
+             |      AS DECIMAL(18,6)) AS term
+             |  FROM wn)
+             |SELECT doc_id, CAST(min(n) AS BIGINT) AS n_tokens,
+             |  CAST(count(*) AS BIGINT) AS distinct_tokens,
+             |  CAST(sum(term) AS DOUBLE) AS entropy,
+             |  CAST(sum(term) AS DOUBLE) < 3.0 AS low_entropy
+             |FROM t GROUP BY 1""".stripMargin)),
+
     // PQ-ADC retrieval: the query side of product quantization — score
     // compressed codes against the first vector via per-subspace lookup
     // tables, never decompressing the corpus. Query + codebook + tables

@@ -10,6 +10,10 @@ import Registry.td
  */
 object StatQueries {
 
+  /** Exact decimal sum surfaced as double (same trick as AggQueries). */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
   val all: Seq[(String, Q)] = Seq(
 
     // exact percentiles over money cents — interpolation formula is shared
@@ -75,6 +79,32 @@ object StatQueries {
       Some("""SELECT c_nationkey,
              |string_agg(c_name, ';' ORDER BY c_acctbal, c_name) AS names_by_balance
              |FROM customer GROUP BY 1""".stripMargin)),
+
+    // Pearson correlation + sample covariance per group. corr is scale-free
+    // (|r| ≤ 1): engine co-moment noise ~1e-14, safe at 6 dp. covar rides
+    // the VALUE scale (~1e4 here): noise ~1e-6 absolute, so it rounds at
+    // 2 dp where the boundary half-width (5e-3) dwarfs it
+    "a18_corr_covar" -> Q(
+      (s, dir) => td(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag,
+             |round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+             |round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+             |CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // ROLLUP: per-(flag,status) rows plus flag subtotals plus the grand
+    // total in ONE aggregation pass — the report shape the reference
+    // builds with repeated queries. Sums in exact DECIMAL (dsum)
+    "a19_rollup" -> Q(
+      (s, dir) => td(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty")),
+      Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
     // C15 — one-pass table profile: the reference's QC metrics as a single
     //   aggregate (support.py:2219-2228)
