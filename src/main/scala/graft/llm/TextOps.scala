@@ -112,6 +112,39 @@ object TextOps {
   def extractUrlDomains(text: Column): Column =
     regexp_extract_all(text, lit(UrlHostPattern), lit(1))
 
+  /**
+   * Seeded word-dropout augmentation: drop `dropPct`% of tokens, the
+   * keep-decision a pure function of (seed, doc id, token position) — the
+   * classic denoising/robustness augmentation, reproducible across
+   * runs/engines/retries exactly like [[Sampling.deterministicSample]]
+   * (an RNG-based dropout can never re-materialize the same epoch).
+   * Position indexes the EMPTY-FILTERED token array; the index comes from
+   * `transform`'s (element, index) lambda — no `sequence(1, size)` that
+   * walks DESCENDING on empty docs. Expression-only, zero shuffles.
+   *
+   * Output: (id, aug_text, n_tokens, n_kept). A doc whose every token
+   * drops keeps its row with aug_text '' — augmentation must not silently
+   * change corpus membership.
+   */
+  def wordDropout(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, dropPct: Int,
+                  seed: String): org.apache.spark.sql.DataFrame = {
+    require(dropPct >= 0 && dropPct <= 100, "dropPct must be 0-100")
+    require(!seed.contains(Sampling.SeedSep), "seed must not contain the unit separator")
+    val keep = (s: Column) => pmod(portableHash60(
+      concat(lit(seed + Sampling.SeedSep), col("id").cast("string"),
+        lit(":"), s.getField("i").cast("string"))), lit(100L)) >= dropPct
+    df.select(col(idCol).as("id"),
+        filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0).as("_tk"))
+      .select(col("id"), col("_tk"),
+        filter(transform(col("_tk"), (t, i) =>
+          struct(t.as("t"), i.as("i"))), keep).as("_kept"))
+      .select(col("id"),
+        array_join(transform(col("_kept"), _.getField("t")), " ").as("aug_text"),
+        size(col("_tk")).cast("long").as("n_tokens"),
+        size(col("_kept")).cast("long").as("n_kept"))
+  }
+
   /** Role markers for [[renderSftTemplate]]. Fixed strings, shared with
     * the generated oracle SQL so the span arithmetic can never skew. */
   val SftSystemTag = "<|system|>\n"

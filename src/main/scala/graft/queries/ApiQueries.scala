@@ -218,6 +218,44 @@ object ApiQueries {
       Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
              |CAST(count(*) AS BIGINT) AS n,
              |CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS value_sum
-             |FROM events GROUP BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // time-series gap filling + LOCF: per user, every hour between first
+    // and last activity exists in the output — gaps carry the last
+    // observed hourly total forward (the dashboard/feature-store densify
+    // step). All-integer hour index (ns div) and exact cents, so the fill
+    // is engine-exact; per-user grid is bounded by the time span, the
+    // join and window share one hash partitioning on user
+    "w7_gap_fill_locf" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val actual = td(s, dir, "events")
+          .select(col("user_id"), expr("ts div 3600000000000").as("hr"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("user_id", "hr").agg(sum(col("cents")).as("cents"))
+        val grid = actual.groupBy("user_id")
+          .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+          .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("hr"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(actual, Seq("user_id", "hr"), "left")
+          .withColumn("_locf", last(col("cents"), ignoreNulls = true).over(w))
+          .select(col("user_id"), col("hr"),
+            (col("_locf") / lit(100.0)).as("value_filled"),
+            col("cents").isNull.as("was_gap"))
+      },
+      Some("""WITH a AS (
+             |  SELECT user_id, epoch_us(ts)//3600000000 AS hr,
+             |    SUM(CAST(round(value*100) AS BIGINT)) AS cents
+             |  FROM events GROUP BY 1, 2),
+             |b AS (SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM a GROUP BY 1),
+             |g AS (SELECT user_id, unnest(range(mn, mx+1)) AS hr FROM b),
+             |j AS (SELECT g.user_id, g.hr, a.cents
+             |  FROM g LEFT JOIN a ON g.user_id = a.user_id AND g.hr = a.hr)
+             |SELECT user_id, CAST(hr AS BIGINT) AS hr,
+             |  last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS value_filled,
+             |  cents IS NULL AS was_gap
+             |FROM j""".stripMargin))
   )
 }

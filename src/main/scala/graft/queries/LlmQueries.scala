@@ -703,6 +703,32 @@ object LlmQueries {
              |  CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) AS recon_err
              |FROM r WHERE rn = 1 GROUP BY vec_id""".stripMargin)),
 
+    // seeded word-dropout augmentation: keep-decision a pure function of
+    // (seed, doc, position) — reproducible denoising augmentation; an
+    // RNG dropout can never re-materialize the same epoch
+    "l55_word_dropout" -> Q(
+      (s, dir) => graft.llm.TextOps.wordDropout(
+          td(s, dir, "documents"), "doc_id", "text", dropPct = 10, seed = "d1")
+        .withColumnRenamed("id", "doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |    x -> length(x) > 0) AS tk
+             |  FROM documents),
+             |tok AS (
+             |  SELECT doc_id, unnest(tk) AS w, unnest(range(len(tk))) AS pos FROM t),
+             |k AS (
+             |  SELECT doc_id, w, pos FROM tok
+             |  WHERE ('0x'||substr(md5('d1' || chr(31) || CAST(doc_id AS VARCHAR)
+             |    || ':' || CAST(pos AS VARCHAR)),1,15))::BIGINT % 100 >= 10),
+             |agg AS (
+             |  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS s,
+             |    CAST(count(*) AS BIGINT) AS n_kept
+             |  FROM k GROUP BY 1)
+             |SELECT t.doc_id, COALESCE(agg.s, '') AS aug_text,
+             |  CAST(len(t.tk) AS BIGINT) AS n_tokens,
+             |  COALESCE(agg.n_kept, 0) AS n_kept
+             |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin)),
+
     // token-entropy quality signal: Shannon entropy of the token
     // distribution — repetitive/templated docs score low, varied prose
     // high; complements the Gopher repetition rules (l27) with a single

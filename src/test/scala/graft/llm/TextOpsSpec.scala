@@ -129,6 +129,36 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), plan.take(500))
   }
 
+  test("wordDropout: nominal rate, determinism, membership preserved") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextOps.wordDropout(docs, "doc_id", "text", dropPct = 10, seed = "d1")
+      .as[(Long, String, Long, Long)].collect()
+    // every input doc keeps a row, even if all tokens dropped
+    assert(out.length === docs.count())
+    val (tot, kept) = out.foldLeft((0L, 0L)) { case ((t, k), r) => (t + r._3, k + r._4) }
+    val rate = 1.0 - kept.toDouble / tot
+    assert(rate > 0.07 && rate < 0.13, s"drop rate $rate not near 10%")
+    // kept text is a subsequence of the original tokens
+    val orig = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    out.take(50).foreach { case (id, aug, _, _) =>
+      val o = orig(id).trim.split("\\s+").filter(_.nonEmpty).iterator
+      aug.split(" ").filter(_.nonEmpty).foreach { w =>
+        assert(o.contains(w), s"doc $id: '$w' out of order or absent")
+      }
+    }
+    // deterministic rerun; a different seed produces a different corpus
+    val again = TextOps.wordDropout(docs, "doc_id", "text", 10, "d1")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    val other = TextOps.wordDropout(docs, "doc_id", "text", 10, "d2")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq !== other.sortBy(_._1).toSeq)
+    // plan is expression-only
+    val plan = TextOps.wordDropout(docs, "doc_id", "text", 10, "d1")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+  }
+
   test("renderSftTemplate: mask span extracts exactly the response") {
     val d = Seq((1L, "what is a shuffle", "a network exchange of rows"),
                 (2L, "empty response", ""),
