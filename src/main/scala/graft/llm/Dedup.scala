@@ -322,6 +322,46 @@ object Dedup {
   }
 
   /**
+   * Incremental-ingest dedup: verdicts for a NEW batch against an
+   * EXISTING corpus — the daily-ingest shape, where re-clustering the
+   * whole corpus per batch is the thing a production pipeline must never
+   * do. Each new doc gets exactly one row:
+   * (id, verdict ∈ exact_dup | near_dup | unique, dup_of = the smallest
+   * matching corpus id, NULL for unique). exact = same md5 fingerprint;
+   * near = any shared LSH band bucket (the same bucket-level linear
+   * semantics as [[nearDupDetectBatch]] — no pair explosion, corpus
+   * buckets reduce to ONE keeper row each before the join). Precedence:
+   * exact beats near.
+   *
+   * Scale shape: corpus side reduces to (fingerprint → keeper) and
+   * (band, hash → keeper) aggregates — both shrink with dedup state, not
+   * corpus text; the join keys are hashes, so the batch never shuffles
+   * corpus text. With [[PortableFamily]] the whole verdict is exactly
+   * replayable in DuckDB.
+   */
+  def incrementalDedup(newDf: DataFrame, corpusDf: DataFrame,
+                       textCol: String, idCol: String,
+                       shingleSize: Int = 3, k: Int = 32, bands: Int = 8,
+                       family: MinHashFamily = Xx64Family): DataFrame = {
+    val nb = newDf.select(col(idCol), exactFingerprint(col(textCol)).as("_fp"))
+    val ex = corpusDf
+      .select(exactFingerprint(col(textCol)).as("_fp"), col(idCol).as("_cid"))
+      .groupBy("_fp").agg(min(col("_cid")).as("_exact_keeper"))
+    val bc = lshBands(corpusDf, textCol, idCol, shingleSize, k, bands, family)
+      .groupBy("band_id", "band_hash").agg(min(col(idCol)).as("_bkeeper"))
+    val near = lshBands(newDf, textCol, idCol, shingleSize, k, bands, family)
+      .join(bc, Seq("band_id", "band_hash"))
+      .groupBy(idCol).agg(min(col("_bkeeper")).as("_near_keeper"))
+    nb.join(ex, Seq("_fp"), "left")
+      .join(near, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_exact_keeper").isNotNull, lit("exact_dup"))
+          .when(col("_near_keeper").isNotNull, lit("near_dup"))
+          .otherwise(lit("unique")).as("verdict"),
+        coalesce(col("_exact_keeper"), col("_near_keeper")).as("dup_of"))
+  }
+
+  /**
    * Candidate near-dup pairs via MinHash-LSH: shuffle once on
    * (band_id, band_hash), self-join within buckets only (id1 < id2),
    * distinct across bands. `maxBucketSize` caps pathological buckets

@@ -703,6 +703,20 @@ object LlmQueries {
              |  CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) AS recon_err
              |FROM r WHERE rn = 1 GROUP BY vec_id""".stripMargin)),
 
+    // incremental-ingest dedup: verdicts for a new batch (doc_id % 10 = 0)
+    // against the existing corpus — the daily-ingest shape where the
+    // corpus reduces to fingerprint/bucket keeper aggregates and is never
+    // re-clustered; portable family ⇒ exact DuckDB replay
+    "l56_incremental_dedup" -> Q(
+      (s, dir) => {
+        val docs = td(s, dir, "documents")
+        graft.llm.Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "text", "doc_id", family = graft.llm.PortableFamily)
+      },
+      Some(LshOracles.incrementalDedupSql(n = 3, k = 32, bands = 8, mod = 10))),
+
     // seeded word-dropout augmentation: keep-decision a pure function of
     // (seed, doc, position) — reproducible denoising augmentation; an
     // RNG dropout can never re-materialize the same epoch

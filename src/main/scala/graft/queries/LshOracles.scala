@@ -356,4 +356,29 @@ object LshOracles {
        |  WHERE ${cosSql("a.e", "c2.e")} >= $threshold)
        |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, d.did IS NULL AS kept
        |FROM asg a LEFT JOIN drops d ON a.vec_id = d.did""".stripMargin
+
+  /** Exact twin of [[graft.llm.Dedup.incrementalDedup]] with corpus =
+    * `doc_id % mod <> 0` and new batch = `doc_id % mod = 0`: md5 exact
+    * fingerprints, portable banded buckets reduced to per-bucket corpus
+    * keepers, bucket-collision near verdicts, exact-beats-near. The
+    * banded CTE runs ONCE over all docs and splits downstream — band
+    * hashes are per-doc, independent of the split. */
+  def incrementalDedupSql(n: Int, k: Int, bands: Int, mod: Int): String =
+    s"""WITH ${bandedCtes(n, k, bands)},
+       |nb AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % $mod = 0),
+       |ex AS (SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keeper
+       |  FROM documents WHERE doc_id % $mod <> 0 GROUP BY 1),
+       |bc AS (SELECT band_id, band_hash, CAST(min(doc_id) AS BIGINT) AS keeper
+       |  FROM banded WHERE doc_id % $mod <> 0 GROUP BY 1, 2),
+       |bn AS (SELECT doc_id, band_id, band_hash FROM banded WHERE doc_id % $mod = 0),
+       |near AS (SELECT bn.doc_id, min(bc.keeper) AS keeper
+       |  FROM bn JOIN bc ON bn.band_id = bc.band_id AND bn.band_hash = bc.band_hash
+       |  GROUP BY 1),
+       |e AS (SELECT nb.doc_id, ex.keeper FROM nb JOIN ex USING (fp))
+       |SELECT nb.doc_id,
+       |  CASE WHEN e.keeper IS NOT NULL THEN 'exact_dup'
+       |       WHEN near.keeper IS NOT NULL THEN 'near_dup'
+       |       ELSE 'unique' END AS verdict,
+       |  COALESCE(e.keeper, near.keeper) AS dup_of
+       |FROM nb LEFT JOIN e USING (doc_id) LEFT JOIN near USING (doc_id)""".stripMargin
 }

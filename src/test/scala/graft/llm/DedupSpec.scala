@@ -255,6 +255,31 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("incrementalDedup: exact beats near, bucket near-dups, unique passes") {
+    val corpus = Seq(
+      (10L, base),
+      (11L, "another corpus document about distributed joins and shuffles today"),
+      (12L, base) // later exact copy — keeper for base must be min id 10
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, base),                                    // exact dup of 10
+      (101L, base.replace("lazy", "sleepy")),          // near dup of 10
+      (102L, "fresh unrelated text about streaming watermarks and state stores"),
+      (103L, "tiny")                                   // < shingleSize tokens: no bands
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, corpus, "text", "doc_id")
+      .as[(Long, String, Option[Long])].collect().map(r => r._1 -> r).toMap
+    assert(out.size === 4) // one verdict per new doc, including the tiny one
+    assert(out(100L) === ((100L, "exact_dup", Some(10L)))) // exact wins, min keeper
+    assert(out(101L) === ((101L, "near_dup", Some(10L))))
+    assert(out(102L)._2 === "unique" && out(102L)._3.isEmpty)
+    assert(out(103L)._2 === "unique")
+    // verdicts are insensitive to corpus arrival order
+    val shuffled = Dedup.incrementalDedup(batch, corpus.orderBy(rand(7)), "text", "doc_id")
+      .as[(Long, String, Option[Long])].collect().map(r => r._1 -> r).toMap
+    assert(shuffled === out)
+  }
+
   test("simhash: identical docs distance 0, near-dups close, others far") {
     val sims = docs.select($"doc_id", Dedup.simhash64($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
