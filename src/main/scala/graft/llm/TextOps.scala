@@ -112,6 +112,14 @@ object TextOps {
   def extractUrlDomains(text: Column): Column =
     regexp_extract_all(text, lit(UrlHostPattern), lit(1))
 
+  /** Accent-folded search key: native [[StripAccentsExpr]] (NFD → drop
+    * combining marks → NFC), the DuckDB-`strip_accents` transform — the
+    * normalization matching/search keys use so "café" joins "cafe". */
+  def foldAccents(text: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge._
+    column(StripAccentsExpr(expression(text)))
+  }
+
   /**
    * Seeded word-dropout augmentation: drop `dropPct`% of tokens, the
    * keep-decision a pure function of (seed, doc id, token position) — the

@@ -26,6 +26,28 @@ object UnicodeNormalize {
     else UTF8String.fromString(
       java.text.Normalizer.normalize(j, java.text.Normalizer.Form.NFC))
   }
+
+  /** Accent folding: NFD-decompose then drop combining marks (Unicode
+    * category Mn), recompose — "café" → "cafe", "Ångström" → "Angstrom".
+    * The same transform as DuckDB's `strip_accents`. ASCII (the common
+    * case) short-circuits with a scan, no allocation. */
+  def stripAccents(s: UTF8String): UTF8String = {
+    val j = s.toString
+    var ascii = true
+    var i = 0
+    while (ascii && i < j.length) { if (j.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) return s
+    val d = java.text.Normalizer.normalize(j, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var k = 0
+    while (k < d.length) {
+      val c = d.charAt(k)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      k += 1
+    }
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC))
+  }
 }
 
 case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
@@ -45,5 +67,27 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.llm.UnicodeNormalize.nfc($c)")
 
   override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+}
+
+/** Native accent folding ([[UnicodeNormalize.stripAccents]]) — the search-
+  * key normalization DuckDB exposes as `strip_accents`. */
+case class StripAccentsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_strip_accents requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_strip_accents"
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeNormalize.stripAccents(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.llm.UnicodeNormalize.stripAccents($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): StripAccentsExpr =
     copy(child = newChild)
 }

@@ -703,6 +703,33 @@ object LlmQueries {
              |  CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) AS recon_err
              |FROM r WHERE rn = 1 GROUP BY vec_id""".stripMargin)),
 
+    // accent folding for search/match keys (native NFD->strip-marks->NFC
+    // expression, DuckDB's strip_accents): doc_id-keyed accented tails
+    // (l26/l47 pattern) exercise the fold on the ASCII fixture
+    "l57_accent_fold" -> Q(
+      (s, dir) => {
+        val suffix = element_at(array(
+          lit("café touché"), lit("Ångström"),
+          lit("naïve façade"), lit("plain tail")),
+          (col("doc_id") % 4).cast("int") + 1)
+        td(s, dir, "documents")
+          .select(col("doc_id"), concat_ws(" ", col("text"), suffix).as("_raw"))
+          .withColumn("folded", graft.llm.TextOps.foldAccents(col("_raw")))
+          .select(col("doc_id"), col("folded"),
+            (col("folded") =!= col("_raw")).as("changed"))
+      },
+      Some(s"""WITH aug AS (
+             |  SELECT doc_id, concat_ws(' ', text,
+             |    CASE CAST(doc_id % 4 AS INTEGER)
+             |      WHEN 0 THEN 'café touché'
+             |      WHEN 1 THEN 'Ångström'
+             |      WHEN 2 THEN 'naïve façade'
+             |      ELSE 'plain tail' END) AS raw
+             |  FROM documents)
+             |SELECT doc_id, strip_accents(raw) AS folded,
+             |  strip_accents(raw) <> raw AS changed
+             |FROM aug""".stripMargin)),
+
     // incremental-ingest dedup: verdicts for a new batch (doc_id % 10 = 0)
     // against the existing corpus — the daily-ingest shape where the
     // corpus reduces to fingerprint/bucket keeper aggregates and is never

@@ -106,6 +106,24 @@ object StatQueries {
              |CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // per-group z-score standardization (windowed mean/stddev — the
+    // feature-scaling step of any numeric ML prep): z is scale-free
+    // (O(1)), so 6-dp rounding absorbs cross-engine moment noise exactly
+    // as in a18
+    "a20_zscore" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+        td(s, dir, "events").select(col("event_id"), col("event_type"),
+            col("value"), avg(col("value")).over(w).as("_m"),
+            stddev_samp(col("value")).over(w).as("_sd"))
+          .select(col("event_id"), col("event_type"),
+            round((col("value") - col("_m")) / col("_sd"), 6).as("z"))
+      },
+      Some("""SELECT event_id, event_type,
+             |round((value - avg(value) OVER (PARTITION BY event_type))
+             |  / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS z
+             |FROM events""".stripMargin)),
+
     // C15 — one-pass table profile: the reference's QC metrics as a single
     //   aggregate (support.py:2219-2228)
     "c15_table_profile" -> Q(

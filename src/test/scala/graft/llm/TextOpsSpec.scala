@@ -176,6 +176,26 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("foldAccents: composed and decomposed accents fold; ASCII fast path") {
+    // composed e-acute and decomposed e + U+0301 both fold to plain e
+    assert(one[String](TextOps.foldAccents(lit("caf\u00E9"))) === "cafe")
+    assert(one[String](TextOps.foldAccents(lit("cafe\u0301"))) === "cafe")
+    assert(one[String](TextOps.foldAccents(lit("\u00C5ngstr\u00F6m"))) === "Angstrom")
+    assert(one[String](TextOps.foldAccents(lit("na\u00EFve fa\u00E7ade"))) === "naive facade")
+    // pure ASCII returns unchanged (and exercises the scan-only path)
+    assert(one[String](TextOps.foldAccents(lit("plain ascii text"))) === "plain ascii text")
+    // matches the JDK reference definition on a mixed string
+    val mixed = "r\u00E9sum\u00E9 \u00FCber alles"
+    val expected = java.text.Normalizer
+      .normalize(mixed, java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{Mn}", "")
+    assert(one[String](TextOps.foldAccents(lit(mixed))) ===
+      java.text.Normalizer.normalize(expected, java.text.Normalizer.Form.NFC))
+    val n = Seq(1).toDF("x").select(TextOps.foldAccents(lit(null).cast("string")).as("r"))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("normalizeText: NFC composition, control strip, whitespace collapse") {
     // decomposed e + U+0301 composes to single-code-point \u00E9; NFC input unchanged
     assert(one[String](TextOps.normalizeText(lit("cafe\u0301"))) === "caf\u00E9")
