@@ -703,6 +703,35 @@ object LlmQueries {
              |  CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) AS recon_err
              |FROM r WHERE rn = 1 GROUP BY vec_id""".stripMargin)),
 
+    // per-source embedding centroids: elementwise mean vector per domain
+    // (the domain-centroid step behind SemDeDup cell seeding and per-
+    // source drift monitoring). Output as (source, dim, c) ROWS — no
+    // array/string rendering to diverge across engines; one skinny
+    // (source, dim) shuffle, map-side partials
+    "l58_domain_centroids" -> Q(
+      (s, dir) => {
+        val j = td(s, dir, "embeddings")
+          .join(td(s, dir, "documents").select(col("doc_id"), col("source")),
+            col("vec_id") === col("doc_id"))
+        j.select(col("source"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("source", "dim")
+          .agg(round(avg(col("v").cast("double")), 6).as("c"),
+            count(lit(1)).as("n_docs"))
+          .select(col("source"), col("dim").cast("long").as("dim"),
+            col("c"), col("n_docs"))
+      },
+      Some("""WITH j AS (
+             |  SELECT d.source, e.embedding
+             |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+             |x AS (
+             |  SELECT source, unnest(embedding) AS v,
+             |    unnest(range(len(embedding))) AS dim
+             |  FROM j)
+             |SELECT source, CAST(dim AS BIGINT) AS dim,
+             |  round(avg(CAST(v AS DOUBLE)), 6) AS c,
+             |  CAST(count(*) AS BIGINT) AS n_docs
+             |FROM x GROUP BY 1, 2""".stripMargin)),
+
     // accent folding for search/match keys (native NFD->strip-marks->NFC
     // expression, DuckDB's strip_accents): doc_id-keyed accented tails
     // (l26/l47 pattern) exercise the fold on the ASCII fixture
