@@ -77,7 +77,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/BENCH_LOCAL.json")
+    // a FILTERED dev run (SPARK_GRAFT_ONLY) must never clobber the tracked
+    // full-registry artifact — it burned one round-8 commit before this
+    // guard: the single-query JSON silently replaced the 160-query one
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (sys.env.contains("SPARK_GRAFT_ONLY")) "bench/BENCH_DEV.json"
+      else "bench/BENCH_LOCAL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
