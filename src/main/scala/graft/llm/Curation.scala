@@ -32,6 +32,14 @@ import org.apache.spark.sql.functions._
  */
 object Curation {
 
+  /** Opening fingerprint: md5 of the first `prefixTokens` normalized
+    * tokens — ONE definition shared by [[curationFunnel]] and
+    * [[graft.pipelines.RunCuration]]'s row-level path, whose runtime
+    * consistency check depends on the two being bit-identical. */
+  def openingFingerprint(norm: org.apache.spark.sql.Column,
+                         prefixTokens: Int): org.apache.spark.sql.Column =
+    md5(array_join(slice(split(trim(lower(norm)), "\\s+"), 1, prefixTokens), " "))
+
   def curationFunnel(df: DataFrame, idCol: String, textCol: String,
                      sourceCol: String, model: QualityClassifier.Model,
                      minLogit: java.math.BigDecimal,
@@ -53,8 +61,7 @@ object Curation {
     // subtree per branch — no cross-arm CSE; this shape scans the corpus
     // twice total instead of six times)
     val w = Window.partitionBy(col("_k"), col("keep")).orderBy(col("doc_id"))
-    q.withColumn("_k", md5(array_join(
-        slice(split(trim(lower(col("norm"))), "\\s+"), 1, prefixTokens), " ")))
+    q.withColumn("_k", openingFingerprint(col("norm"), prefixTokens))
       .withColumn("_rn", row_number().over(w))
       .withColumn("final", col("keep") && col("_rn") === 1)
       .groupBy("source")

@@ -150,7 +150,11 @@ object Pq {
         while (i < d) {
           val t = q(i) - cent(i).toDouble; acc += t * t; i += 1
         }
-        new java.math.BigDecimal(acc).setScale(6, java.math.RoundingMode.HALF_UP)
+        // valueOf (shortest-decimal), NOT new BigDecimal(acc) (exact binary
+        // expansion): Spark's Round and DuckDB's round both round the
+        // shortest decimal rendering, and the two constructors disagree
+        // exactly at .xxxxxx5 boundaries
+        java.math.BigDecimal.valueOf(acc).setScale(6, java.math.RoundingMode.HALF_UP)
       }
     }
     val dv = df.select(col(idCol).as("id"),

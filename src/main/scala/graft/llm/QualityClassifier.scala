@@ -50,7 +50,13 @@ object QualityClassifier {
     * `split(lower(text), "\\s+")` + drop-empties exactly: empties only
     * arise from leading whitespace or an empty string, and both sides drop
     * them, so trim placement is irrelevant. Locale.ROOT lowering matches
-    * Spark's `lower` on ASCII (the seed corpus is ASCII by construction). */
+    * Spark's `lower` on ASCII (the seed corpus is ASCII by construction);
+    * for non-ASCII corpora note Spark's `lower` delegates to
+    * DEFAULT-locale `String.toLowerCase` off the ASCII fast path — a
+    * Turkish-locale JVM would lower 'I' differently than this ROOT-locale
+    * trainer, silently shifting hashed buckets between train and score.
+    * Train and score on the same JVM locale (or pre-fold text) if the
+    * corpus leaves ASCII. */
   private[llm] def tokenize(text: String): Seq[String] =
     text.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq.filter(_.nonEmpty)
 
@@ -212,9 +218,10 @@ object QualityClassifier {
    * therefore the batch-only shape).
    *
    * Same output columns and semantics as [[score]] except zero-token
-   * docs are KEPT in the output (n_tokens 0, keep = bias−minLogit > 0
-   * degenerately false at any positive gate) — a stream must emit a
-   * verdict per document, it cannot drop rows into a later join.
+   * docs are KEPT in the output with n_tokens 0 and keep = false
+   * (0 + 0·(bias−minLogit) > 0 never holds, whatever the gate) — a
+   * stream must emit a verdict per document, it cannot drop rows into a
+   * later join, and an empty doc passing any quality gate would be wrong.
    */
   def scoreStreamable(df: DataFrame, idCol: String, textCol: String,
                       model: Model,

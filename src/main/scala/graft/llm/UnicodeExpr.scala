@@ -39,11 +39,15 @@ object UnicodeNormalize {
     if (ascii) return s
     val d = java.text.Normalizer.normalize(j, java.text.Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(d.length)
+    // iterate CODE POINTS, not chars: supplementary-plane combining marks
+    // (Mn above U+FFFF, e.g. U+1D165) are surrogate pairs whose halves
+    // classify as SURROGATE — a char loop would never strip them, while
+    // DuckDB's strip_accents (code-point level) does
     var k = 0
     while (k < d.length) {
-      val c = d.charAt(k)
-      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
-      k += 1
+      val cp = d.codePointAt(k)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) sb.appendCodePoint(cp)
+      k += Character.charCount(cp)
     }
     UTF8String.fromString(
       java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC))

@@ -59,8 +59,7 @@ object RunCuration {
       val kept = norm.join(gated, "doc_id")
       val w = Window.partitionBy(col("_k")).orderBy(col("doc_id"))
       val deduped = kept
-        .withColumn("_k", md5(array_join(
-          slice(split(trim(lower(col("norm"))), "\\s+"), 1, 8), " ")))
+        .withColumn("_k", Curation.openingFingerprint(col("norm"), prefixTokens = 8))
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
         .select(col("doc_id"), col("source"), col("norm"))

@@ -229,8 +229,13 @@ object ApiQueries {
     "w7_gap_fill_locf" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        // FLOOR division, not `div` (truncates toward zero): DuckDB's `//`
+        // floors, and the two diverge on pre-epoch timestamps — latent on
+        // this fixture but a real-data trap
+        val hrFloor = expr("ts div 3600000000000") -
+          when(expr("ts % 3600000000000") < 0, 1L).otherwise(0L)
         val actual = td(s, dir, "events")
-          .select(col("user_id"), expr("ts div 3600000000000").as("hr"),
+          .select(col("user_id"), hrFloor.as("hr"),
             round(col("value") * 100).cast("long").as("cents"))
           .groupBy("user_id", "hr").agg(sum(col("cents")).as("cents"))
         val grid = actual.groupBy("user_id")

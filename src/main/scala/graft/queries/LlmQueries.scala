@@ -713,9 +713,16 @@ object LlmQueries {
         val j = td(s, dir, "embeddings")
           .join(td(s, dir, "documents").select(col("doc_id"), col("source")),
             col("vec_id") === col("doc_id"))
+        // per-element round→DECIMAL before the sum: a raw-double avg is
+        // accumulation-order-dependent (Spark partial-merge order is
+        // nondeterministic), which can flip the 6-dp round between runs
+        // let alone engines; decimal sums are exact and order-free
         j.select(col("source"), posexplode(col("embedding")).as(Seq("dim", "v")))
           .groupBy("source", "dim")
-          .agg(round(avg(col("v").cast("double")), 6).as("c"),
+          .agg(round(
+              sum(round(col("v").cast("double"), 9)
+                .cast(org.apache.spark.sql.types.DecimalType(20, 9)))
+                .cast("double") / count(lit(1)), 6).as("c"),
             count(lit(1)).as("n_docs"))
           .select(col("source"), col("dim").cast("long").as("dim"),
             col("c"), col("n_docs"))
@@ -728,7 +735,8 @@ object LlmQueries {
              |    unnest(range(len(embedding))) AS dim
              |  FROM j)
              |SELECT source, CAST(dim AS BIGINT) AS dim,
-             |  round(avg(CAST(v AS DOUBLE)), 6) AS c,
+             |  round(CAST(sum(CAST(round(CAST(v AS DOUBLE), 9) AS DECIMAL(20,9))) AS DOUBLE)
+             |    / count(*), 6) AS c,
              |  CAST(count(*) AS BIGINT) AS n_docs
              |FROM x GROUP BY 1, 2""".stripMargin)),
 

@@ -27,7 +27,9 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
         val scored = cbs(j).zipWithIndex.map { case (cent, cell) =>
           val dist = sv.zip(cent.map(_.toDouble)).foldLeft(0.0) {
             case (acc, (x, y)) => acc + (x - y) * (x - y) }
-          (BigDecimal(dist).setScale(6, BigDecimal.RoundingMode.HALF_UP), cell)
+          // valueOf semantics to match Spark's Round (shortest decimal)
+          (BigDecimal(java.math.BigDecimal.valueOf(dist))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP), cell)
         }
         val best = scored.min
         assert(best._2 === code, s"id $id sub $j: expected ${best._2} got $code")
