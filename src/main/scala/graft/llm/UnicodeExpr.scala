@@ -39,14 +39,17 @@ object UnicodeNormalize {
     if (ascii) return s
     val d = java.text.Normalizer.normalize(j, java.text.Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(d.length)
-    // iterate CODE POINTS, not chars: supplementary-plane combining marks
-    // (Mn above U+FFFF, e.g. U+1D165) are surrogate pairs whose halves
-    // classify as SURROGATE — a char loop would never strip them, while
-    // DuckDB's strip_accents (code-point level) does
+    // iterate CODE POINTS, not chars: supplementary-plane marks are
+    // surrogate pairs whose halves classify as SURROGATE — a char loop
+    // would never strip them. Drop ALL mark categories (Mn, Mc, Me) —
+    // utf8proc's STRIP_MARK, which is what DuckDB strip_accents applies
+    // (verified: it strips Mc U+1D165 too, not just Mn)
     var k = 0
     while (k < d.length) {
       val cp = d.codePointAt(k)
-      if (Character.getType(cp) != Character.NON_SPACING_MARK) sb.appendCodePoint(cp)
+      val t = Character.getType(cp)
+      if (t != Character.NON_SPACING_MARK && t != Character.COMBINING_SPACING_MARK &&
+          t != Character.ENCLOSING_MARK) sb.appendCodePoint(cp)
       k += Character.charCount(cp)
     }
     UTF8String.fromString(

@@ -182,6 +182,12 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(one[String](TextOps.foldAccents(lit("cafe\u0301"))) === "cafe")
     assert(one[String](TextOps.foldAccents(lit("\u00C5ngstr\u00F6m"))) === "Angstrom")
     assert(one[String](TextOps.foldAccents(lit("na\u00EFve fa\u00E7ade"))) === "naive facade")
+    // supplementary-plane marks (U+1D165 Mc, U+1D167 Mn — both above
+    // U+FFFF): a UTF-16 char loop would classify the surrogate halves as
+    // SURROGATE and keep them; code-point iteration over all mark
+    // categories (utf8proc STRIP_MARK) strips both, like DuckDB does
+    assert(one[String](TextOps.foldAccents(lit("x\uD834\uDD65y"))) === "xy")
+    assert(one[String](TextOps.foldAccents(lit("x\uD834\uDD67y"))) === "xy")
     // pure ASCII returns unchanged (and exercises the scan-only path)
     assert(one[String](TextOps.foldAccents(lit("plain ascii text"))) === "plain ascii text")
     // matches the JDK reference definition on a mixed string
