@@ -46,6 +46,15 @@ class CodegenGateSpec extends AnyFunSuite with SparkTestBase {
       // full portable LSH pipeline end to end
       assert(Dedup.minhashCandidatePairs(docs, "text", "doc_id",
         shingleSize = 3, k = 8, bands = 4, family = PortableFamily).count() >= 0)
+      // round-8 Unicode expressions (NFC normalize + accent fold): force a
+      // non-ASCII literal through both so the generated call paths compile
+      val uni = Seq((1L, "café Ångström")).toDF("id", "t")
+      assert(uni.select(TextOps.normalizeText($"t")).collect().length === 1)
+      assert(uni.select(TextOps.foldAccents($"t")).collect()(0).getString(0)
+        === "cafe Angstrom")
+      // LangIdNgramExpr + BPE expressions ride their own specs; the trigram
+      // expression is exercised here through the registry-facing column
+      assert(uni.select(NgramLangId.langIdNgram($"t")).collect().length === 1)
     }
   }
 }
