@@ -385,6 +385,44 @@ object Dedup {
   }
 
   /**
+   * Train/test split leakage audit: deterministic hash split (train <
+   * `trainPct`, val < `trainPct+valPct`, test above — the
+   * [[Sampling.keepCol]] arithmetic) + LSH candidate pairs that CROSS
+   * from train into test. Benchmark decontamination ([[Decontaminate]])
+   * guards against EXTERNAL eval sets; this guards the split itself —
+   * near-identical docs landing on both sides of a random split silently
+   * inflate held-out metrics, and hash splitting cannot prevent it
+   * (near-dups hash independently).
+   *
+   * Output: one row per leaked (test_id, train_id) candidate pair.
+   * Scale shape: [[minhashCandidatePairs]]'s bucket-capped single
+   * shuffle, then two broadcast-joinable split lookups (the split column
+   * is a pure hash of the id — recomputed per side, never stored).
+   */
+  def splitLeakage(df: DataFrame, textCol: String, idCol: String,
+                   seed: String, trainPct: Int, valPct: Int,
+                   shingleSize: Int = 3, k: Int = 32, bands: Int = 8,
+                   maxBucketSize: Int = 1000,
+                   family: MinHashFamily = Xx64Family): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"invalid split $trainPct/$valPct")
+    val bucket = (id: Column) => pmod(TextOps.portableHash60(
+      concat(lit(seed + Sampling.SeedSep), id.cast("string"))), lit(100L))
+    val pairs = minhashCandidatePairs(df, textCol, idCol, shingleSize, k,
+      bands, maxBucketSize, family)
+    val b1 = bucket(col("id1"))
+    val b2 = bucket(col("id2"))
+    val testPct = trainPct + valPct
+    pairs
+      .withColumn("_t1", b1 >= testPct).withColumn("_r1", b1 < trainPct)
+      .withColumn("_t2", b2 >= testPct).withColumn("_r2", b2 < trainPct)
+      .filter((col("_t1") && col("_r2")) || (col("_t2") && col("_r1")))
+      .select(
+        when(col("_t1"), col("id1")).otherwise(col("id2")).as("test_id"),
+        when(col("_t1"), col("id2")).otherwise(col("id1")).as("train_id"))
+  }
+
+  /**
    * Over-cap bucket telemetry: count `dropped_buckets` / `dropped_rows`
    * (rows = members of dropped buckets) on the pre-filter frame. Counters
    * ride the normal action — zero extra jobs — via core accumulators, which

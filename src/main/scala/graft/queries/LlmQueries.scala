@@ -767,6 +767,18 @@ object LlmQueries {
              |  strip_accents(raw) <> raw AS changed
              |FROM aug""".stripMargin)),
 
+    // split-leakage audit: near-dup candidate pairs that cross a 90/5/5
+    // hash split from train into test — the internal-leakage guard
+    // benchmark decontamination (l25) can't provide (near-dups hash
+    // independently, so a random split WILL put some on both sides)
+    "l59_split_leakage" -> Q(
+      (s, dir) => graft.llm.Dedup.splitLeakage(
+        td(s, dir, "documents"), "text", "doc_id",
+        seed = "sp1", trainPct = 90, valPct = 5,
+        family = graft.llm.PortableFamily),
+      Some(LshOracles.splitLeakageSql(n = 3, k = 32, bands = 8, cap = 1000,
+        seed = "sp1", trainPct = 90, valPct = 5))),
+
     // incremental-ingest dedup: verdicts for a new batch (doc_id % 10 = 0)
     // against the existing corpus — the daily-ingest shape where the
     // corpus reduces to fingerprint/bucket keeper aggregates and is never

@@ -357,6 +357,27 @@ object LshOracles {
        |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, d.did IS NULL AS kept
        |FROM asg a LEFT JOIN drops d ON a.vec_id = d.did""".stripMargin
 
+  /** Exact twin of [[graft.llm.Dedup.splitLeakage]]: portable banded
+    * candidates (capped), hash-split membership recomputed per side, pairs
+    * crossing train→test in either orientation. */
+  def splitLeakageSql(n: Int, k: Int, bands: Int, cap: Int,
+                      seed: String, trainPct: Int, valPct: Int): String = {
+    val testPct = trainPct + valPct
+    val esc = OracleSqlUtil.esc(seed)
+    s"""WITH ${candidateCtes(n, k, bands, cap)},
+       |sp AS (
+       |  SELECT doc_id,
+       |    ('0x'||substr(md5('$esc' || chr(31) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 AS b
+       |  FROM documents)
+       |SELECT CASE WHEN s1.b >= $testPct THEN c.id1 ELSE c.id2 END AS test_id,
+       |  CASE WHEN s1.b >= $testPct THEN c.id2 ELSE c.id1 END AS train_id
+       |FROM cand c
+       |JOIN sp s1 ON c.id1 = s1.doc_id
+       |JOIN sp s2 ON c.id2 = s2.doc_id
+       |WHERE (s1.b >= $testPct AND s2.b < $trainPct)
+       |   OR (s2.b >= $testPct AND s1.b < $trainPct)""".stripMargin
+  }
+
   /** Exact twin of [[graft.llm.Dedup.incrementalDedup]] with corpus =
     * `doc_id % mod <> 0` and new batch = `doc_id % mod = 0`: md5 exact
     * fingerprints, portable banded buckets reduced to per-bucket corpus

@@ -280,6 +280,31 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(shuffled === out)
   }
 
+  test("splitLeakage: cross-split near-dups surface; same-side pairs don't") {
+    val seed = "sp1"
+    def bucketOf(id: Long): Long = {
+      val h = SimHashPortable60.hash60(
+        (seed + Sampling.SeedSep + id.toString).getBytes("UTF-8"))
+      java.lang.Math.floorMod(h, 100L)
+    }
+    // probe the deterministic split for ids on each side
+    val ids = (0L until 400L)
+    val train = ids.filter(bucketOf(_) < 90)
+    val test = ids.filter(bucketOf(_) >= 95)
+    assert(train.size >= 3 && test.size >= 2, s"probe failed: ${train.size}/${test.size}")
+    val a = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val b = "completely different content about spark catalyst optimizer rules engine"
+    val docs = Seq(
+      (train(0), a), (test(0), a + " ok"),   // cross-split near-dup → leaked
+      (train(1), b), (train(2), b + " ok"),  // train-train near-dup → silent
+      (test(1), "unrelated streaming watermark state store text here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.splitLeakage(docs, "text", "doc_id", seed,
+        trainPct = 90, valPct = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(out === Set((test(0), train(0))), s"got $out")
+  }
+
   test("simhash: identical docs distance 0, near-dups close, others far") {
     val sims = docs.select($"doc_id", Dedup.simhash64($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
