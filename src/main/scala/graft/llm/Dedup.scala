@@ -396,8 +396,9 @@ object Dedup {
    *
    * Output: one row per leaked (test_id, train_id) candidate pair.
    * Scale shape: [[minhashCandidatePairs]]'s bucket-capped single
-   * shuffle, then two broadcast-joinable split lookups (the split column
-   * is a pure hash of the id — recomputed per side, never stored).
+   * shuffle, then an expression-only split filter — the split bucket is
+   * a pure hash of each id, computed once per side in a staged
+   * projection, never stored or joined.
    */
   def splitLeakage(df: DataFrame, textCol: String, idCol: String,
                    seed: String, trainPct: Int, valPct: Int,
@@ -406,20 +407,22 @@ object Dedup {
                    family: MinHashFamily = Xx64Family): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       s"invalid split $trainPct/$valPct")
-    val bucket = (id: Column) => pmod(TextOps.portableHash60(
-      concat(lit(seed + Sampling.SeedSep), id.cast("string"))), lit(100L))
     val pairs = minhashCandidatePairs(df, textCol, idCol, shingleSize, k,
       bands, maxBucketSize, family)
-    val b1 = bucket(col("id1"))
-    val b2 = bucket(col("id2"))
     val testPct = trainPct + valPct
+    // stage the two bucket values as their OWN projection: boolean columns
+    // each embedding the hash would re-evaluate md5 4× in the pushed-down
+    // filter plus once more in the output CASE (the l38 multi-reference
+    // lesson; CollapseProject leaves multiply-referenced projections alone)
     pairs
-      .withColumn("_t1", b1 >= testPct).withColumn("_r1", b1 < trainPct)
-      .withColumn("_t2", b2 >= testPct).withColumn("_r2", b2 < trainPct)
-      .filter((col("_t1") && col("_r2")) || (col("_t2") && col("_r1")))
+      .select(col("id1"), col("id2"),
+        Sampling.hashBucket(col("id1"), seed).as("_b1"),
+        Sampling.hashBucket(col("id2"), seed).as("_b2"))
+      .filter((col("_b1") >= testPct && col("_b2") < trainPct) ||
+        (col("_b2") >= testPct && col("_b1") < trainPct))
       .select(
-        when(col("_t1"), col("id1")).otherwise(col("id2")).as("test_id"),
-        when(col("_t1"), col("id2")).otherwise(col("id1")).as("train_id"))
+        when(col("_b1") >= testPct, col("id1")).otherwise(col("id2")).as("test_id"),
+        when(col("_b1") >= testPct, col("id2")).otherwise(col("id1")).as("train_id"))
   }
 
   /**

@@ -28,12 +28,18 @@ object Sampling {
     * not contain it. */
   val SeedSep = "\u001f"
 
-  /** Keep-decision column for one key at `pct`% (0–100). */
-  def keepCol(key: Column, pct: Column, seed: String): Column = {
+  /** Seeded percent bucket (0–99) for one key — the shared primitive
+    * behind [[keepCol]] and [[Dedup.splitLeakage]]'s split assignment,
+    * with the SeedSep guard every seeded API must carry. */
+  def hashBucket(key: Column, seed: String): Column = {
     require(!seed.contains(SeedSep), "seed must not contain the unit separator")
     pmod(TextOps.portableHash60(concat(lit(seed + SeedSep), key.cast("string"))),
-      lit(100L)) < pct
+      lit(100L))
   }
+
+  /** Keep-decision column for one key at `pct`% (0–100). */
+  def keepCol(key: Column, pct: Column, seed: String): Column =
+    hashBucket(key, seed) < pct
 
   /** String/integral key types only: doubles, decimals, and timestamps
     * render to string DIFFERENTLY across engines, which would silently

@@ -113,8 +113,9 @@ object TextOps {
     regexp_extract_all(text, lit(UrlHostPattern), lit(1))
 
   /** Accent-folded search key: native [[StripAccentsExpr]] (NFD → drop
-    * combining marks → NFC), the DuckDB-`strip_accents` transform — the
-    * normalization matching/search keys use so "café" joins "cafe". */
+    * all mark categories Mn/Mc/Me → NFC), the DuckDB-`strip_accents`
+    * transform — the normalization matching/search keys use so "café"
+    * joins "cafe". */
   def foldAccents(text: Column): Column = {
     import org.apache.spark.sql.GraftExpressionBridge._
     column(StripAccentsExpr(expression(text)))

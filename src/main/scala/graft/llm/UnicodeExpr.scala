@@ -27,10 +27,11 @@ object UnicodeNormalize {
       java.text.Normalizer.normalize(j, java.text.Normalizer.Form.NFC))
   }
 
-  /** Accent folding: NFD-decompose then drop combining marks (Unicode
-    * category Mn), recompose — "café" → "cafe", "Ångström" → "Angstrom".
-    * The same transform as DuckDB's `strip_accents`. ASCII (the common
-    * case) short-circuits with a scan, no allocation. */
+  /** Accent folding: NFD-decompose then drop ALL mark categories (Mn,
+    * Mc, Me — utf8proc's STRIP_MARK), recompose — "café" → "cafe",
+    * "Ångström" → "Angstrom". The same transform as DuckDB's
+    * `strip_accents` (which strips Mc/Me too, not just Mn). ASCII (the
+    * common case) short-circuits with a scan, no allocation. */
   def stripAccents(s: UTF8String): UTF8String = {
     val j = s.toString
     var ascii = true

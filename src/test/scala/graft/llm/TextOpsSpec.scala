@@ -190,11 +190,12 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(one[String](TextOps.foldAccents(lit("x\uD834\uDD67y"))) === "xy")
     // pure ASCII returns unchanged (and exercises the scan-only path)
     assert(one[String](TextOps.foldAccents(lit("plain ascii text"))) === "plain ascii text")
-    // matches the JDK reference definition on a mixed string
-    val mixed = "r\u00E9sum\u00E9 \u00FCber alles"
+    // matches the JDK reference definition (all mark categories, the
+    // utf8proc STRIP_MARK set) on a mixed string that includes an Mc mark
+    val mixed = "r\u00E9sum\u00E9 \u00FCber\uD834\uDD65 alles"
     val expected = java.text.Normalizer
       .normalize(mixed, java.text.Normalizer.Form.NFD)
-      .replaceAll("\\p{Mn}", "")
+      .replaceAll("\\p{M}", "")
     assert(one[String](TextOps.foldAccents(lit(mixed))) ===
       java.text.Normalizer.normalize(expected, java.text.Normalizer.Form.NFC))
     val n = Seq(1).toDF("x").select(TextOps.foldAccents(lit(null).cast("string")).as("r"))
