@@ -20,20 +20,31 @@ import org.apache.spark.sql.SparkSession
  *     the first '_': `l5p_minhash_lsh_pairs_portable` → `"l5p"`) and
  *     3-decimal seconds. With full names the line never fit the window —
  *     every prior round's driver-side parse came back null.
- *  2. `bench/BENCH_LOCAL.json` (tracked; override via
- *     SPARK_GRAFT_BENCH_OUT) — the COMPLETE record: full query names,
- *     full-precision per-rep seconds, per-rep GC-time deltas, run metadata.
- *     This is the file to diff across rounds.
+ *  2. a full JSON artifact (COMPLETE record: full query names,
+ *     full-precision per-rep seconds, per-rep GC-time deltas, run
+ *     provenance). Artifact provenance is pinned by PATH (round 9 —
+ *     the round-8 driver run silently overwrote the committed round-close
+ *     artifact, 141.3 s vs 174.3 s, and the working tree read as doc
+ *     drift):
+ *       - default             → `bench/BENCH_DRIVER.json` (gitignored;
+ *         what the driver's per-round run produces — never dirties git)
+ *       - SPARK_GRAFT_ONLY    → `bench/BENCH_DEV.json`   (gitignored)
+ *       - SPARK_GRAFT_BENCH_OUT=bench/BENCH_LOCAL.json → the TRACKED
+ *         round-close artifact, written only by an explicit opt-in run.
+ *     Every artifact also carries `run_id`/hostname/load so two runs can
+ *     never be confused even if a file is copied around.
  *
- * Noise-robust protocol (round 8): each query runs SPARK_GRAFT_REPS times
- * (default 3) back-to-back within the one process, and the reported
- * per-query number — and the headline "value" (their sum) — is the per-query
- * MEDIAN. Round 7 burned a full judge adjudication proving a 2× wall
- * inflation was host noise: single cold runs on this box cliff random
- * queries 6-40× (driver r7 hit l11/l12/l13; the judge's rerun hit
- * f4_array_ops instead), while the per-query min across runs matched r6 at
- * 1.00×. A median-of-3 inside one process makes one-rep cliffs visible AND
- * self-correcting: the artifact carries min/max/all-reps so any residual
+ * Noise-robust protocol (round 9): each query runs SPARK_GRAFT_REPS times
+ * (default 3), INTERLEAVED suite-wide — pass 1 of every query, then pass 2,
+ * then pass 3 — and the reported per-query number — and the headline
+ * "value" (their sum) — is the per-query MEDIAN. Round 7 burned a full
+ * judge adjudication proving a 2× wall inflation was host noise; round 8's
+ * back-to-back median-of-3 fixed one-rep cliffs but was blind to SUSTAINED
+ * contention: the r8 driver window inflated all three consecutive reps of
+ * c14 (6.8 s vs 0.99 s isolated) and a1 (1.28 s vs 0.34 s). With
+ * interleaving, a multi-second contention window inflates one PASS of many
+ * queries instead of all reps of one query, and the per-query median
+ * self-corrects. The artifact carries min/max/all-reps so any residual
  * outlier is attributable without a rerun.
  *
  * Measurement hygiene:
@@ -50,6 +61,10 @@ import org.apache.spark.sql.SparkSession
  *
  * Failed queries are reported under "errors" and excluded from
  * "queries"/"value" so a broken query can never be mistaken for a fast one.
+ * A query that succeeded on earlier passes and failed later keeps its
+ * successful reps in the full artifact under `"partial":true` (still
+ * excluded from the headline), so a cross-round diff can see the
+ * flakiness instead of misreading the shrunken total as a speedup.
  */
 object Bench {
 
@@ -80,9 +95,12 @@ object Bench {
     // a FILTERED dev run (SPARK_GRAFT_ONLY) must never clobber the tracked
     // full-registry artifact — it burned one round-8 commit before this
     // guard: the single-query JSON silently replaced the 160-query one
+    // and the DRIVER's own full-registry run must not clobber it either
+    // (round 8: driver overwrote the committed 141.3 s artifact with its
+    // contended 174.3 s run) — so the tracked path is explicit-opt-in only
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (sys.env.contains("SPARK_GRAFT_ONLY")) "bench/BENCH_DEV.json"
-      else "bench/BENCH_LOCAL.json")
+      else "bench/BENCH_DRIVER.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -127,35 +145,44 @@ object Bench {
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(n.startsWith))
-    // per query: all successful rep times (sec) and their gc deltas (ms)
+    // per query: all successful rep times (sec) and their gc deltas (ms).
+    // INTERLEAVED passes (round 9): pass p of EVERY query, then pass p+1 —
+    // a sustained host-contention window now lands on one pass of many
+    // queries (median-correctable) instead of all reps of one query.
     val repSec = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     val repGc  = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Long]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    names.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      var secs = Vector.empty[Double]
-      var gcs  = Vector.empty[Long]
-      var failed = false
-      var r = 0
-      while (r < reps && !failed) {
-        val gc0 = gcMillis()
-        val t0 = System.nanoTime()
-        try {
-          // noop sink evaluates the full physical plan (count() would let
-          // Catalyst prune every projection and undercount the work).
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          secs :+= (System.nanoTime() - t0) / 1e9
-          gcs  :+= (gcMillis() - gc0)
-        } catch {
-          case e: Throwable =>
-            failed = true
-            errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+    names.foreach { n => repSec += n -> Vector.empty; repGc += n -> Vector.empty }
+    var pass = 0
+    while (pass < reps) {
+      names.foreach { name =>
+        if (!errors.contains(name)) {  // a failed query stays failed; skip its later passes
+          val fn = SparkEntry.queries(name)
+          val gc0 = gcMillis()
+          val t0 = System.nanoTime()
+          try {
+            // noop sink evaluates the full physical plan (count() would let
+            // Catalyst prune every projection and undercount the work).
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            repSec(name) :+= (System.nanoTime() - t0) / 1e9
+            repGc(name)  :+= (gcMillis() - gc0)
+          } catch {
+            case e: Throwable =>
+              errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+          }
+          clearPersisted(spark)
         }
-        clearPersisted(spark)
-        r += 1
       }
-      if (!failed && secs.nonEmpty) { repSec += name -> secs; repGc += name -> gcs }
+      pass += 1
     }
+    // a query with an error keeps any earlier successful reps as PARTIAL
+    // data (full artifact only, flagged) — never in the headline, so a
+    // flaky query can't shrink "value" into a phantom speedup unnoticed
+    val partialSec = repSec.collect { case (k, v) if errors.contains(k) && v.nonEmpty => k -> v }
+    val partialGc  = repGc.collect  { case (k, v) if errors.contains(k) && v.nonEmpty => k -> v }
+    errors.keys.foreach { k => repSec -= k; repGc -= k }
+    repSec.filterInPlace((_, v) => v.nonEmpty)
+    repGc.filterInPlace((_, v) => v.nonEmpty)
 
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
@@ -167,15 +194,28 @@ object Bench {
     val es = errors.map { case (k, v) => "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\"" }
       .mkString("{", ",", "}")
 
-    // full-fidelity artifact (tracked): complete names, every rep, gc telemetry
-    val fullQs = repSec.map { case (k, v) =>
-      "\"" + jsonEscape(k) + "\":{\"sec\":" + f"${med(k)}%.6f" +
+    // full-fidelity artifact: complete names, every rep, gc telemetry;
+    // partial (errored-later) queries carry their reps flagged, outside the headline
+    def qEntry(k: String, v: Vector[Double], gc: Vector[Long], partial: Boolean): String =
+      "\"" + jsonEscape(k) + "\":{\"sec\":" + f"${median(v)}%.6f" +
         ",\"min\":" + f"${v.min}%.6f" + ",\"max\":" + f"${v.max}%.6f" +
         ",\"reps\":" + v.map(x => f"$x%.6f").mkString("[", ",", "]") +
-        ",\"gc_ms\":" + repGc(k).mkString("[", ",", "]") + "}"
-    }.mkString("{", ",", "}")
+        ",\"gc_ms\":" + gc.mkString("[", ",", "]") +
+        (if (partial) ",\"partial\":true" else "") + "}"
+    val fullQs = (
+      repSec.map { case (k, v) => qEntry(k, v, repGc(k), partial = false) } ++
+      partialSec.map { case (k, v) => qEntry(k, v, partialGc(k), partial = true) }
+    ).mkString("{", ",", "}")
+    // run provenance: pins WHICH run produced an artifact even if the file
+    // is copied — round-8's committed-vs-driver artifact confusion is
+    // unambiguous with run_id + hostname + load in the record
+    val host = try java.net.InetAddress.getLocalHost.getHostName catch { case _: Throwable => "unknown" }
+    val startedAt = java.time.Instant.now().toString
+    val runId = f"${host}-${ProcessHandle.current.pid}%d-${System.currentTimeMillis()}%d"
+    val loadAvg = ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","reps":$reps,"sf":"${jsonEscape(sfDir)}","cpus":$cpus,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","reps":$reps,"interleaved":true,"sf":"${jsonEscape(sfDir)}","cpus":$cpus,""" +
+      s""""run_id":"${jsonEscape(runId)}","hostname":"${jsonEscape(host)}","written_at":"${jsonEscape(startedAt)}","load_avg_end":$loadAvg,""" +
       s""""queries":$fullQs,"errors":$es,""" +
       s""""jvm":"${jsonEscape(System.getProperty("java.version"))}","heap_max_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)}}"""
     try {
