@@ -113,9 +113,13 @@ object Sampling {
       "target shares must be positive percentages")
     require(targetPct.values.sum <= 100, "target shares must sum to <= 100")
     requireStableKeyType(df, keyCol)
+    // stratum compared/keyed AS STRING so a non-string stratum column (int
+    // source id, date bucket) balances by its canonical text form instead
+    // of failing the driver collect with an opaque ClassCastException
+    val stratumStr = col(stratumCol).cast("string")
     val weights: Map[String, Long] = df
-      .filter(col(stratumCol).isin(targetPct.keys.toSeq: _*))
-      .groupBy(stratumCol).agg(sum(col(weightCol)).cast("long").as("w"))
+      .filter(stratumStr.isin(targetPct.keys.toSeq: _*))
+      .groupBy(stratumStr.as("stratum")).agg(sum(col(weightCol)).cast("long").as("w"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val missing = targetPct.keySet -- weights.keySet
     require(missing.isEmpty, s"targeted strata absent from data: ${missing.mkString(", ")}")
@@ -123,7 +127,7 @@ object Sampling {
     val bp: Map[String, Long] = targetPct.map { case (s, p) =>
       s -> math.min(10000L, p * xStar * 10000L / (100L * weights(s)))
     }
-    val bpCol = coalesce(element_at(typedlit(bp), col(stratumCol)), lit(0L))
+    val bpCol = coalesce(element_at(typedlit(bp), stratumStr), lit(0L))
     df.filter(keepColBp(col(keyCol), bpCol, seed))
   }
 

@@ -79,6 +79,13 @@ object Publish {
       case CopyCurrent =>
         spark.read.parquet(s"$root/${name}_v$next")
           .write.mode("overwrite").parquet(s"$root/${name}_current")
+        // a family may switch modes between publishes: a pointer left by an
+        // earlier PointerCurrent publish would otherwise shadow this newer
+        // copy in readCurrent forever. Re-aim it at the new version (keeps
+        // the swap atomic; deleting would race a concurrent reader between
+        // unlink and copy-read).
+        if (java.nio.file.Files.exists(pointerPath(root, name)))
+          writePointer(root, name, next)
       case PointerCurrent =>
         writePointer(root, name, next)
     }

@@ -69,6 +69,84 @@ class PublishSpec extends AnyFunSuite with SparkTestBase {
     assert(Publish.currentVersion(root, "t") === 2)
   }
 
+  test("mode switch back to copy re-aims a stale pointer (readCurrent never serves old data)") {
+    val root = freshRoot()
+    Publish.publish(spark, Seq((1L, "a")).toDF("id", "v"), root, "t", Publish.PointerCurrent)
+    assert(Publish.currentVersion(root, "t") === 1)
+    // switch the family back to CopyCurrent with NEW content: without the
+    // pointer re-aim, readCurrent would resolve the v1 pointer forever
+    val r = Publish.publish(spark, Seq((1L, "NEWER")).toDF("id", "v"), root, "t")
+    assert(r.published && r.version === 2)
+    assert(Publish.readCurrent(spark, root, "t").as[(Long, String)].collect().toSet
+      === Set((1L, "NEWER")))
+  }
+
+  test("CAS publish: gate, generations, time travel (lookup.py:650-727 on a no-rename store)") {
+    val root = freshRoot()
+    val t1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val r1 = CasPublish.publish(spark, t1, root, "t")
+    assert(r1.published && r1.generation === 1)
+    // identical → diff gate skips, no new generation, staged dir dropped
+    val r2 = CasPublish.publish(spark, t1, root, "t")
+    assert(!r2.published && r2.generation === 1)
+    assert(CasPublish.currentGeneration(root, "t") === 1)
+    val t2 = Seq((1L, "a"), (2L, "CHANGED")).toDF("id", "v")
+    val r3 = CasPublish.publish(spark, t2, root, "t")
+    assert(r3.published && r3.generation === 2)
+    assert(CasPublish.readCurrent(spark, root, "t").as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "CHANGED")))
+    // time travel: gen 1 immutable and readable
+    assert(CasPublish.readGeneration(spark, root, "t", 1).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+    // only committed data dirs + log remain (skip's staged dir was dropped)
+    val dataDirs = new java.io.File(root).listFiles().map(_.getName).filter(_.startsWith("t_d_"))
+    assert(dataDirs.length === 2)
+  }
+
+  test("CAS publish: concurrent publishers — one winner per generation, no mixed reads") {
+    val root = freshRoot()
+    CasPublish.publish(spark, Seq((0L, "base")).toDF("id", "v"), root, "t")
+    // 4 publishers race DISTINCT content from the same base generation.
+    // Every publisher must land (distinct content never skips), generations
+    // must be contiguous with exactly one winner each, and every committed
+    // generation must read back as EXACTLY one publisher's full content.
+    val contents = (1 to 4).map(i => Seq((i.toLong, s"writer$i"), (100L + i, s"w$i")).toSet)
+    val dfs = contents.map(c => c.toSeq.toDF("id", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = dfs.map(df => pool.submit(new java.util.concurrent.Callable[CasPublish.CasResult] {
+        def call(): CasPublish.CasResult = CasPublish.publish(spark, df, root, "t")
+      }))
+      val results = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(results.forall(_.published), s"every distinct-content publisher must land: $results")
+      assert(results.map(_.generation).toSet === Set(2L, 3L, 4L, 5L), "contiguous, one winner per gen")
+      assert(CasPublish.currentGeneration(root, "t") === 5)
+      // no torn reads: each generation is bit-for-bit one publisher's table
+      val seen = (2L to 5L).map { g =>
+        CasPublish.readGeneration(spark, root, "t", g).as[(Long, String)].collect().toSet
+      }
+      assert(seen.toSet === contents.toSet, "each generation is exactly one publisher's content")
+    } finally pool.shutdownNow()
+  }
+
+  test("CAS publish: racing identical content — one winner, the loser skips") {
+    val root = freshRoot()
+    val same = Seq((1L, "same"), (2L, "same")).toDF("id", "v")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = (1 to 2).map(_ => pool.submit(new java.util.concurrent.Callable[CasPublish.CasResult] {
+        def call(): CasPublish.CasResult = CasPublish.publish(spark, same, root, "t")
+      }))
+      val results = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      // both may win distinct gens only if neither saw the other's commit
+      // before its own put — with a shared base gen 0 the put target is the
+      // SAME gen 1 for both, so exactly one can win it; the loser re-gates
+      // against the winner's identical content and must skip
+      assert(results.count(_.published) === 1, s"exactly one writer commits: $results")
+      assert(CasPublish.currentGeneration(root, "t") === 1)
+    } finally pool.shutdownNow()
+  }
+
   test("tag templating (create_modify.py:525-711)") {
     assert(Publish.applyTags("{---a---}/{---b---}", Map("a" -> "x", "b" -> "y")) === "x/y")
     val meta = Publish.templateMetadata(
