@@ -70,4 +70,39 @@ object Curation {
         sum(when(col("final"), 1L).otherwise(0L)).as("n_final"),
         sum(when(col("final"), col("n_tokens")).otherwise(0L)).as("tokens_final"))
   }
+
+  /**
+   * One INCREMENT of the composed ingest path — the micro-batch /
+   * daily-ingest tail of the curation funnel: quality-gated new docs get
+   * an admission verdict against the standing corpus via
+   * [[Dedup.incrementalDedup]] (l56 shape: corpus pre-reduced to keeper
+   * aggregates, batch never shuffles corpus text).
+   *
+   * `gated` is the OUTPUT of the streaming-safe gate —
+   * `(doc_id, norm, n_tokens, keep)` as produced by
+   * `QualityClassifier.scoreStreamable(..., carry = Seq("norm"))` — so
+   * the normalize→gate stages run INSIDE a Structured Streaming query
+   * (stateless, append-safe) and only this corpus-verdict tail runs per
+   * micro-batch (`foreachBatch`), where its aggregations are legal. The
+   * same call curates a daily batch unchanged.
+   *
+   * One row per input doc: (doc_id, n_tokens, verdict, dup_of) with
+   * verdict ∈ rejected_quality | exact_dup | near_dup | admitted.
+   */
+  def admitIncrement(gated: DataFrame, corpus: DataFrame,
+                     corpusIdCol: String, corpusTextCol: String,
+                     shingleSize: Int = 3, k: Int = 32, bands: Int = 8,
+                     family: MinHashFamily = Xx64Family): DataFrame = {
+    val corpusNorm = corpus.select(col(corpusIdCol).as("doc_id"),
+      TextOps.normalizeText(col(corpusTextCol)).as("norm"))
+    val survivors = gated.filter(col("keep")).select("doc_id", "norm")
+    val verdicts = Dedup.incrementalDedup(survivors, corpusNorm, "norm", "doc_id",
+      shingleSize, k, bands, family)
+    gated.join(verdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        when(!col("keep"), lit("rejected_quality"))
+          .when(col("verdict") === "unique", lit("admitted"))
+          .otherwise(col("verdict")).as("verdict"),
+        col("dup_of"))
+  }
 }

@@ -225,7 +225,8 @@ object QualityClassifier {
    */
   def scoreStreamable(df: DataFrame, idCol: String, textCol: String,
                       model: Model,
-                      minLogit: java.math.BigDecimal = java.math.BigDecimal.ZERO): DataFrame = {
+                      minLogit: java.math.BigDecimal = java.math.BigDecimal.ZERO,
+                      carry: Seq[String] = Nil): DataFrame = {
     val hashCol: Column => Column = { c =>
       import org.apache.spark.sql.GraftExpressionBridge._
       column(PortableHash60Expr(expression(c)))
@@ -235,17 +236,21 @@ object QualityClassifier {
     val biasAdjMicro = model.bias.subtract(minLogit)
       .movePointRight(6).longValueExact()
     val warr = array(micros.map(lit(_)): _*)
+    // `carry` columns (e.g. the normalized text a downstream dedup stage
+    // needs) ride the staged projections unchanged — the lshBands pattern
+    val carried = carry.map(col)
     // token array staged as its own projection — referencing the
     // split+filter expression from two consumers would evaluate it twice
     val micro = aggregate(col("_tk"), lit(0L), (acc, t) =>
       acc + element_at(warr, (hashCol(t) % model.nBuckets).cast("int") + 1))
-    df.select(col(idCol).as("id"),
-        filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("_tk"))
-      .select(col("id"), col("_tk"), micro.as("_m"))
-      .select(col("id"), size(col("_tk")).cast("long").as("n_tokens"),
+    df.select(col(idCol).as("id") +: carried :+
+        filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("_tk"): _*)
+      .select(col("id") +: carried :+ col("_tk") :+ micro.as("_m"): _*)
+      .select(col("id") +: carried :+
+        size(col("_tk")).cast("long").as("n_tokens") :+
         (col("_m").cast(org.apache.spark.sql.types.DecimalType(25, 6)) /
-          lit(1000000L)).cast("double").as("score_sum"),
-        (col("_m") + size(col("_tk")).cast("long") * biasAdjMicro > 0).as("keep"))
+          lit(1000000L)).cast("double").as("score_sum") :+
+        (col("_m") + size(col("_tk")).cast("long") * biasAdjMicro > 0).as("keep"): _*)
   }
 
   /** Probability form for interactive use (NOT oracle-compared — libm exp

@@ -193,6 +193,83 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(verdicts === Map(4L -> 3L), verdicts)
   }
 
+  test("COMPOSED curation ingest streams end-to-end with checkpoint recovery (normalize → gate → incremental-dedup → sink)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.{Curation, QualityClassifier, TextOps}
+    val m = QualityClassifier.DefaultModel
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "curckpt").toString
+    // the standing corpus the increment dedups against (static side)
+    val corpusTexts = Seq(
+      (100L, "the query planner pushes each filter below the join so the scan reads fewer pages"),
+      (101L, "a sort merge join shuffles both sides by key while a broadcast join ships the small table"))
+    val corpus = corpusTexts.toDF("doc_id", "text")
+
+    // normalize + quality gate run INSIDE the stream (stateless,
+    // append-safe); the corpus-verdict tail (l56 incremental dedup, which
+    // aggregates) runs per micro-batch — the composed daily-ingest shape
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Any)]()
+    def build(mem: MemoryStream[StreamDoc]) = {
+      val norm = mem.toDF().select(col("doc_id"),
+        TextOps.normalizeText(col("text")).as("norm"))
+      QualityClassifier.scoreStreamable(norm, "doc_id", "norm", m, carry = Seq("norm"))
+        .withColumnRenamed("id", "doc_id")
+    }
+    def start(mem: MemoryStream[StreamDoc]) = build(mem).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Curation.admitIncrement(batch, corpus, "doc_id", "text")
+          .collect().foreach(r => got.add((r.getLong(0), r.getString(2),
+            if (r.isNullAt(3)) null else r.getLong(3))))
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    def doc(id: Long, text: String) = StreamDoc(id, new java.sql.Timestamp(1000), text)
+    val phase1 = Seq(
+      doc(1, "window functions rank rows inside a partition without collapsing the group"),
+      doc(2, "click here click here click here best price best price best price"),
+      doc(3, corpusTexts.head._2)) // byte-identical to corpus doc 100
+    val phase2 = Seq(
+      doc(4, corpusTexts(1)._2 + " ok"), // near-dup of corpus doc 101
+      doc(5, "the optimizer prunes unused columns early which keeps the exchange narrow and fast"))
+
+    // phase 1: ingest, commit, KILL the query
+    val mem = MemoryStream[StreamDoc]
+    val q1 = start(mem)
+    mem.addData(phase1: _*)
+    q1.processAllAvailable()
+    q1.stop()
+    // phase 2: more docs arrive only after RESTART from the checkpoint;
+    // the committed phase-1 batch must NOT be re-emitted
+    mem.addData(phase2: _*)
+    val q2 = start(mem)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val verdicts = got.toArray(Array.empty[(Long, String, Any)])
+    assert(verdicts.length === 5, s"each doc exactly one verdict (no replay): ${verdicts.toSeq}")
+    val byId = verdicts.map(v => v._1 -> ((v._2, v._3))).toMap
+    assert(byId(1L) === (("admitted", null)))
+    assert(byId(2L) === (("rejected_quality", null)))
+    assert(byId(3L) === (("exact_dup", 100L)))
+    assert(byId(4L) === (("near_dup", 101L)))
+    assert(byId(5L) === (("admitted", null)))
+
+    // ≡ the same increments run as plain batches (stream adds nothing)
+    def batchGate(texts: Seq[StreamDoc]) = {
+      val df = texts.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+        .select(col("doc_id"), TextOps.normalizeText(col("text")).as("norm"))
+      QualityClassifier.scoreStreamable(df, "doc_id", "norm", m, carry = Seq("norm"))
+        .withColumnRenamed("id", "doc_id")
+    }
+    val batchVerdicts = (Seq(phase1, phase2).flatMap { ph =>
+      Curation.admitIncrement(batchGate(ph), corpus, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getString(2),
+          if (r.isNullAt(3)) null else r.getLong(3))))
+    }).toMap
+    assert(byId === batchVerdicts, "stream ≡ batch on the composed path")
+  }
+
   test("near-dup keeper state survives a checkpoint stop/restart") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory(
