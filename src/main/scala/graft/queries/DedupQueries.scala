@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, PortableFamily, TextOps}
+import Registry.td
+
+/**
+ * Dedup-family registry rows (split from LlmQueries, round 9 — pure
+ * mechanical move, registry content unchanged): exact/keep-first dedup,
+ * MinHash-LSH candidates + portable twins, SimHash, n-gram Jaccard,
+ * near-dup clustering, keep-first detection, line/span dedup,
+ * split-leakage audit, incremental-ingest dedup. Oracle notes and the
+ * portable-twin scheme: see [[LshOracles]].
+ */
+object DedupQueries {
+
+  val all: Seq[(String, Q)] = Seq(
+    // exact dedup on a 5-token prefix fingerprint (creates real dup groups
+    // in the synthetic corpus; md5 matches across engines)
+    "l1_exact_dedup" -> Q(
+      (s, dir) => {
+        val pre = td(s, dir, "documents").select(col("doc_id"),
+          array_join(slice(TextOps.whitespaceTokens(col("text")), 1, 5), " ").as("prefix"))
+        Dedup.exactDedup(pre, "prefix", "doc_id")
+      },
+      Some("""SELECT md5(array_to_string(regexp_split_to_array(trim(text), '\s+')[1:5], ' ')) AS fingerprint,
+             |CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // the filter step after exact dedup: corpus reduced to one row per group
+    "l14_dedup_keep_first" -> Q(
+      (s, dir) => {
+        val pre = td(s, dir, "documents").select(col("doc_id"),
+          array_join(slice(TextOps.whitespaceTokens(col("text")), 1, 5), " ").as("prefix"))
+        Dedup.dedupKeepFirst(pre, "prefix", "doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |  array_to_string(regexp_split_to_array(trim(text), '\s+')[1:5], ' ') AS prefix
+             |  FROM documents)
+             |SELECT doc_id, prefix FROM p
+             |WHERE doc_id IN (SELECT min(doc_id) FROM p GROUP BY prefix)""".stripMargin)),
+
+    // corpus-level line dedup (CCNet/RefinedWeb boilerplate removal):
+    // lines in >= 3 distinct docs removed everywhere, docs rebuilt in
+    // order; heavy-line set broadcast, md5 keeps output rows small
+    "l30_line_dedup" -> Q(
+      (s, dir) => graft.llm.Dedup.lineDedup(
+          td(s, dir, "documents"), "doc_id", "text", minDf = 3)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_lines"), col("n_removed")),
+      Some(TextOracles.lineDedupSql(minDf = 3))),
+
+    // repeated-span scrubbing (bucketed exact-substring dedup, Lee et al.
+    // 2021): token runs covered by 8-grams appearing in >= 2 distinct docs
+    // removed everywhere; md5 keeps output rows small
+    "l34_repeated_span_scrub" -> Q(
+      (s, dir) => Dedup.repeatedSpanScrub(
+          td(s, dir, "documents"), "doc_id", "text", n = 8, minDf = 2)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_tokens"), col("n_removed")),
+      Some(TextOracles.repeatedSpanScrubSql(n = 8, minDf = 2))),
+
+    // MinHash-LSH near-dup candidates (xxhash64 signatures → rows-only);
+    // plan property: single shuffle on (band_id, band_hash), no crossJoin
+    "l5_minhash_lsh_pairs" -> Q(
+      (s, dir) => Dedup.minhashCandidatePairs(
+        td(s, dir, "documents"), "text", "doc_id", shingleSize = 3, k = 32, bands = 16),
+      None),
+
+    // portable-family twin of l5: identical staged pipeline, md5-derived
+    // universal hashes → the ENTIRE LSH pipeline (shingle, sign, band,
+    // bucket, pair) is cross-checked against a DuckDB exact twin
+    "l5p_minhash_lsh_pairs_portable" -> Q(
+      (s, dir) => Dedup.minhashCandidatePairs(
+        td(s, dir, "documents"), "text", "doc_id", shingleSize = 3, k = 32, bands = 16,
+        family = PortableFamily),
+      Some(LshOracles.minhashPortableSql(n = 3, k = 32, bands = 16, cap = 1000))),
+
+    // LSH candidates verified with exact n-gram Jaccard
+    "l6_ngram_jaccard_neardups" -> Q(
+      (s, dir) => Dedup.nearDupPairs(
+        td(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.5, shingleSize = 3, k = 32, bands = 16),
+      None),
+
+    // portable-family twin of l6: candidates + Jaccard verify, both
+    // reproduced exactly in the oracle (Jaccard over the same md5 shingle
+    // hashes, rounded to 6 dp before the threshold filter)
+    "l6p_ngram_jaccard_neardups_portable" -> Q(
+      (s, dir) => Dedup.nearDupPairs(
+        td(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.5, shingleSize = 3, k = 32, bands = 16,
+        family = PortableFamily),
+      Some(LshOracles.portableNearDupPairsSql(n = 3, k = 32, bands = 16,
+        cap = 1000, threshold = 0.5))),
+
+    // SimHash fingerprints + blocked near-dup pairs (rows-only). Manku-
+    // standard hamming<=3 with the minimal EXACT banding (4 x 16-bit
+    // slices): r7's 8 x 8-bit banding at maxHamming=8 was not pigeonhole-
+    // exact AND its 256-value slices saturated - pairs grew quadratically
+    // (x18 time for x10 docs); 16-bit slices scale linearly
+    "l7_simhash_neardups" -> Q(
+      (s, dir) => Dedup.simhashNearDups(
+        td(s, dir, "documents"), "text", "doc_id", maxHamming = 3, blocks = 4),
+      None),
+
+    // portable twin of l7: same vote/block/hamming pipeline over md5-derived
+    // 60-bit token hashes a DuckDB CTE chain replays exactly
+    "l7p_simhash_neardups_portable" -> Q(
+      (s, dir) => Dedup.simhashNearDupsPortable(
+        td(s, dir, "documents"), "text", "doc_id", maxHamming = 3, blocks = 4),
+      Some(LshOracles.portableSimhashNearDupsSql(maxHamming = 3, blocks = 4, cap = 1000))),
+
+    // near-dup clusters: LSH candidates → connected components → the
+    // keep-one-per-cluster assignment (rows-only)
+    "l13_neardup_clusters" -> Q(
+      (s, dir) => Dedup.nearDupClusters(
+        Dedup.minhashCandidatePairs(td(s, dir, "documents"), "text", "doc_id",
+          shingleSize = 3, k = 32, bands = 16)),
+      None),
+
+    // portable-family twin of l13: connected components over the SAME
+    // candidate graph the oracle derives (recursive-CTE reachability)
+    "l13p_neardup_clusters_portable" -> Q(
+      (s, dir) => Dedup.nearDupClusters(
+        Dedup.minhashCandidatePairs(td(s, dir, "documents"), "text", "doc_id",
+          shingleSize = 3, k = 32, bands = 16, family = PortableFamily)),
+      Some(LshOracles.portableClustersSql(n = 3, k = 32, bands = 16, cap = 1000))),
+
+    // rolling-hash document fingerprint (order-sensitive; rows-only)
+    "l8_doc_fingerprint" -> Q(
+      (s, dir) => td(s, dir, "documents").select(
+        col("doc_id"), TextOps.docFingerprint(col("text")).as("fingerprint")),
+      None),
+
+    // portable twin of l8: same order-sensitive fold with modular
+    // arithmetic a DuckDB recursive CTE replays exactly
+    "l8p_doc_fingerprint_portable" -> Q(
+      (s, dir) => td(s, dir, "documents").select(
+        col("doc_id"), TextOps.portableDocFingerprint(col("text")).as("fingerprint")),
+      Some(LshOracles.portableFingerprintSql)),
+
+    // VERIFIED clusters: components over Jaccard-verified pairs, not raw
+    // band collisions — the semantically stronger clustering (l13 keeps the
+    // candidate-graph shape; this is the quality-gated variant, exact-twin
+    // checked end to end)
+    "l19_verified_clusters_portable" -> Q(
+      (s, dir) => Dedup.nearDupClusters(
+        Dedup.nearDupPairs(td(s, dir, "documents"), "text", "doc_id",
+            threshold = 0.5, shingleSize = 3, k = 32, bands = 16,
+            family = PortableFamily)
+          .select(col("id1"), col("id2"))),
+      Some(LshOracles.portableVerifiedClustersSql(n = 3, k = 32, bands = 16,
+        cap = 1000, threshold = 0.5))),
+
+    // keep-first near-dup detection — the batch twin of the STREAMING
+    // detector (Streaming.nearDupDetectStream): linear per-bucket-keeper
+    // min + equi-join, no pair explosion. ts = epoch + doc_id seconds makes
+    // event-time order ≡ id order, so the portable oracle replays it exactly
+    "l17_neardup_detect_portable" -> Q(
+      (s, dir) => {
+        val docs = td(s, dir, "documents").select(col("doc_id"),
+          timestamp_seconds(lit(946684800L) + col("doc_id")).as("ts"), col("text"))
+        Dedup.nearDupDetectBatch(docs, "text", "doc_id", "ts",
+          shingleSize = 3, k = 32, bands = 16, family = PortableFamily)
+      },
+      Some(LshOracles.portableNearDupDetectSql(n = 3, k = 32, bands = 16))),
+
+    // the cleaned corpus: anti-join of documents against l17's verdicts —
+    // the one-call near-dup dedupe a training pipeline runs. Oracle: the
+    // same detect SQL as an anti-filter
+    "l18_neardup_keep_first_portable" -> Q(
+      (s, dir) => {
+        val docs = td(s, dir, "documents").select(col("doc_id"),
+          timestamp_seconds(lit(946684800L) + col("doc_id")).as("ts"), col("text"))
+        Dedup.nearDupKeepFirst(docs, "text", "doc_id", "ts",
+            shingleSize = 3, k = 32, bands = 16, family = PortableFamily)
+          .select(col("doc_id"))
+      },
+      Some(s"""WITH dups AS (${LshOracles.portableNearDupDetectSql(n = 3, k = 32, bands = 16)})
+              |SELECT doc_id FROM documents
+              |WHERE doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin)),
+
+    // split-leakage audit: near-dup candidate pairs that cross a 90/5/5
+    // hash split from train into test — the internal-leakage guard
+    // benchmark decontamination (l25) can't provide (near-dups hash
+    // independently, so a random split WILL put some on both sides)
+    "l59_split_leakage" -> Q(
+      (s, dir) => graft.llm.Dedup.splitLeakage(
+        td(s, dir, "documents"), "text", "doc_id",
+        seed = "sp1", trainPct = 90, valPct = 5,
+        family = graft.llm.PortableFamily),
+      Some(LshOracles.splitLeakageSql(n = 3, k = 32, bands = 8, cap = 1000,
+        seed = "sp1", trainPct = 90, valPct = 5))),
+
+    // incremental-ingest dedup: verdicts for a new batch (doc_id % 10 = 0)
+    // against the existing corpus — the daily-ingest shape where the
+    // corpus reduces to fingerprint/bucket keeper aggregates and is never
+    // re-clustered; portable family ⇒ exact DuckDB replay
+    "l56_incremental_dedup" -> Q(
+      (s, dir) => {
+        val docs = td(s, dir, "documents")
+        graft.llm.Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "text", "doc_id", family = graft.llm.PortableFamily)
+      },
+      Some(LshOracles.incrementalDedupSql(n = 3, k = 32, bands = 8, mod = 10))),
+  )
+}

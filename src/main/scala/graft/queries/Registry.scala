@@ -41,7 +41,8 @@ object Registry {
   def all: Seq[(String, Q)] =
     ProjectionQueries.all ++ JoinQueries.all ++ AggQueries.all ++
       WindowSortSetQueries.all ++ ScalarFnQueries.all ++
-      LlmQueries.all ++ IoQueries.all ++ CompositeQueries.all ++
+      DedupQueries.all ++ AnnQueries.all ++ TextQueries.all ++
+      IoQueries.all ++ CompositeQueries.all ++
       ClinicalQueries.all ++ ApiQueries.all ++ StreamingQueries.all ++
       PipelineQueries.all ++ ScaleQueries.all ++ StatQueries.all
 
