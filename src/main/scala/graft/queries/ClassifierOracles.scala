@@ -87,4 +87,63 @@ object ClassifierOracles {
        |  CAST(sum(CASE WHEN final THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
        |  CAST(sum(CASE WHEN final THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_final
        |FROM r GROUP BY 1""".stripMargin
+
+  /**
+   * Exact twin of [[graft.llm.Curation.admitIncrement]] over the
+   * `doc_id % mod = 0` new batch vs the rest as standing corpus: the l47
+   * normalize chain on BOTH sides, the l46 gate over the new slice
+   * (zero-token docs LEFT-join-preserved with keep = false), then the
+   * l56 incremental-dedup verdicts for quality survivors — md5 exact
+   * fingerprints and [[LshOracles.bandedCtes]] portable buckets over the
+   * NORMALIZED text, exact-beats-near, and the admission mapping
+   * (rejected_quality | exact_dup | near_dup | admitted).
+   */
+  def admitIncrementSql(model: Model, minLogit: java.math.BigDecimal,
+                        mod: Int, n: Int = 3, k: Int = 32,
+                        bands: Int = 8): String =
+    s"""WITH w(bucket, wt) AS (SELECT * FROM (VALUES ${weightValues(model)})),
+       |nrm AS (
+       |  SELECT doc_id,
+       |    regexp_replace(
+       |      regexp_replace(nfc_normalize(text),
+       |        '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+       |      '[ \\t]+', ' ', 'g') AS text
+       |  FROM documents),
+       |tk AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+       |  FROM nrm WHERE doc_id % $mod = 0),
+       |tb AS (
+       |  SELECT doc_id,
+       |    CAST(('0x'||substr(md5(token),1,15))::BIGINT % ${model.nBuckets} AS INTEGER) AS bucket
+       |  FROM tk WHERE length(token) > 0),
+       |g AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    sum(COALESCE(wt, CAST(0 AS DECIMAL(9,6)))) AS s
+       |  FROM tb LEFT JOIN w USING (bucket) GROUP BY 1),
+       |q AS (
+       |  SELECT b.doc_id, COALESCE(g.n_tokens, 0) AS n_tokens,
+       |    COALESCE((g.s + g.n_tokens * CAST(${biasAdj(model, minLogit)} AS DECIMAL(9,6))) > 0,
+       |      false) AS keep
+       |  FROM (SELECT doc_id FROM nrm WHERE doc_id % $mod = 0) b
+       |  LEFT JOIN g USING (doc_id)),
+       |${LshOracles.bandedCtes(n, k, bands, src = "nrm")},
+       |nb AS (SELECT q.doc_id, md5(nrm.text) AS fp
+       |  FROM q JOIN nrm USING (doc_id) WHERE q.keep),
+       |ex AS (SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keeper
+       |  FROM nrm WHERE doc_id % $mod <> 0 GROUP BY 1),
+       |bc AS (SELECT band_id, band_hash, CAST(min(doc_id) AS BIGINT) AS keeper
+       |  FROM banded WHERE doc_id % $mod <> 0 GROUP BY 1, 2),
+       |bn AS (SELECT banded.doc_id, band_id, band_hash
+       |  FROM banded JOIN q USING (doc_id) WHERE q.keep),
+       |near AS (SELECT bn.doc_id, min(bc.keeper) AS keeper
+       |  FROM bn JOIN bc ON bn.band_id = bc.band_id AND bn.band_hash = bc.band_hash
+       |  GROUP BY 1),
+       |e AS (SELECT nb.doc_id, ex.keeper FROM nb JOIN ex USING (fp))
+       |SELECT q.doc_id, q.n_tokens,
+       |  CASE WHEN NOT q.keep THEN 'rejected_quality'
+       |       WHEN e.keeper IS NOT NULL THEN 'exact_dup'
+       |       WHEN near.keeper IS NOT NULL THEN 'near_dup'
+       |       ELSE 'admitted' END AS verdict,
+       |  COALESCE(e.keeper, near.keeper) AS dup_of
+       |FROM q LEFT JOIN e USING (doc_id) LEFT JOIN near USING (doc_id)""".stripMargin
 }

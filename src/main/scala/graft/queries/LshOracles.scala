@@ -76,7 +76,8 @@ object LshOracles {
   /** Shared prefix: tokenize → md5-hash shingles → portable signatures →
     * banded (doc_id, band_id, band_hash) rows; also exposes `hsh(doc_id,
     * sh)` (hashed shingles) for downstream Jaccard verify. */
-  private def bandedCtes(n: Int, k: Int, bands: Int): String = {
+  private[queries] def bandedCtes(n: Int, k: Int, bands: Int,
+                                  src: String = "documents"): String = {
     require(k % bands == 0)
     val rows = k / bands
     val sigExprs = (0 until k).map { i =>
@@ -90,7 +91,7 @@ object LshOracles {
     }
     s"""toks AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-       |  FROM documents
+       |  FROM $src
        |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= $n),
        |hsh AS (
        |  SELECT doc_id, list_transform(range(1, len(t)-${n - 2}),

@@ -429,6 +429,33 @@ object TextQueries {
     // (l46) -> md5 keep-first dedup (l1 family) -> per-source funnel
     // report. The operators prove they compose; the oracle is the same
     // CTE chain end to end and stays exact
+    // COMPOSED incremental ingest admission — the streaming foreachBatch
+    // tail (Curation.admitIncrement) run as a batch: normalize (l47) →
+    // streaming-safe gate (l46 micros scorer) over the doc_id%10=0 new
+    // batch → l56 incremental-dedup verdicts vs the standing corpus,
+    // mapped to admitted / rejected_quality / exact_dup / near_dup.
+    // Portable family + the oracle's normalize+gate+banded CTE chain
+    // make the whole composition exact end to end
+    "l60_admit_increment" -> Q(
+      (s, dir) => {
+        val model = graft.llm.QualityClassifier.DefaultModel
+        val minLogit = model.bias.add(new java.math.BigDecimal("0.050000"))
+        val docs = td(s, dir, "documents")
+        val norm = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), TextOps.normalizeText(col("text")).as("norm"))
+        val gated = graft.llm.QualityClassifier.scoreStreamable(
+            norm, "doc_id", "norm", model, minLogit, carry = Seq("norm"))
+          .withColumnRenamed("id", "doc_id")
+        graft.llm.Curation.admitIncrement(gated,
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          family = graft.llm.PortableFamily)
+      },
+      Some(ClassifierOracles.admitIncrementSql(
+        graft.llm.QualityClassifier.DefaultModel,
+        minLogit = graft.llm.QualityClassifier.DefaultModel.bias
+          .add(new java.math.BigDecimal("0.050000")),
+        mod = 10))),
+
     "l51_curation_funnel" -> Q(
       (s, dir) => graft.llm.Curation.curationFunnel(
         td(s, dir, "documents"), "doc_id", "text", "source",
