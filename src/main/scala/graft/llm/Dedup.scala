@@ -92,6 +92,48 @@ object Dedup {
     df.groupBy(exactFingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).cast("long").as("dup_cnt"))
 
+  /** [[exactDedupKeepBest]] merit ceiling (exclusive): 2^20. */
+  val KeepBestMeritCap: Long = 1L << 20
+  /** [[exactDedupKeepBest]] id ceiling (exclusive): 2^33. */
+  val KeepBestIdCap: Long = 1L << 33
+
+  /**
+   * Exact dedup with a PRIORITY keeper: one row per fingerprint group
+   * keeping the member that MAXIMIZES `meritCol` (quality score, doc
+   * length, source trust rank — CCNet keeps the best-scored copy, the
+   * reference keeps RefSeq rows by status rank, refseq.py:append_ranks),
+   * ties broken by the SMALLEST id. Where [[exactDedup]]'s keep-first is
+   * an arbitrary-but-stable winner, this is the curation form: when five
+   * crawls carry the same article, keep the longest / cleanest copy.
+   *
+   * The keeper rides the ONE fingerprint hash-aggregation as a packed
+   * long `(cap − merit)·2³³ + id` whose MIN is "best merit, then smallest
+   * id" — no window sort, no second join, map-side partials apply, and
+   * the arithmetic is pure integers so a DuckDB oracle replays it bit for
+   * bit. Contract (guarded per row): 0 ≤ merit < 2²⁰, 0 ≤ id < 2³³ —
+   * merits are scores/lengths (rescale upstream if wider), ids at 100 TB
+   * needing > 2³³ should dedup on a surrogate id and map back.
+   *
+   * Output: (fingerprint, keep_id, keep_merit, dup_cnt).
+   */
+  def exactDedupKeepBest(df: DataFrame, textCol: String, idCol: String,
+                         meritCol: String): DataFrame = {
+    val merit = col(meritCol).cast("long")
+    val id = col(idCol).cast("long")
+    val packed = when(
+      merit.between(0, KeepBestMeritCap - 1) && id.between(0, KeepBestIdCap - 1),
+      (lit(KeepBestMeritCap) - merit) * lit(KeepBestIdCap) + id)
+      .otherwise(raise_error(concat(
+        lit(s"exactDedupKeepBest: merit/id out of range (merit < $KeepBestMeritCap, id < $KeepBestIdCap): "),
+        merit, lit("/"), id)))
+    df.groupBy(exactFingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(packed).as("_pk"), count(lit(1)).cast("long").as("dup_cnt"))
+      .select(col("fingerprint"),
+        col("_pk").bitwiseAND(lit(KeepBestIdCap - 1)).as("keep_id"),
+        (lit(KeepBestMeritCap) - shiftright(col("_pk"), 33)).as("keep_merit"),
+        col("dup_cnt"))
+  }
+
   /**
    * Corpus-level LINE deduplication (the CCNet/RefinedWeb boilerplate
    * step): a line whose trimmed form appears in ≥ `minDf` DISTINCT

@@ -40,6 +40,28 @@ object DedupQueries {
              |SELECT doc_id, prefix FROM p
              |WHERE doc_id IN (SELECT min(doc_id) FROM p GROUP BY prefix)""".stripMargin)),
 
+    // exact dedup with a PRIORITY keeper: same 5-token-prefix groups as
+    // l1, but the keeper is the LONGEST member (n_chars desc, id asc) —
+    // the "keep the best copy" curation form. The packed-long min rides
+    // the one hash-agg; the oracle replays the integer packing exactly
+    "l61_dedup_keep_best" -> Q(
+      (s, dir) => {
+        val pre = td(s, dir, "documents").select(col("doc_id"),
+          array_join(slice(TextOps.whitespaceTokens(col("text")), 1, 5), " ").as("prefix"),
+          col("n_chars"))
+        Dedup.exactDedupKeepBest(pre, "prefix", "doc_id", "n_chars")
+      },
+      Some("""WITH p AS (SELECT doc_id, n_chars,
+             |  md5(array_to_string(regexp_split_to_array(trim(text), '\s+')[1:5], ' ')) AS fingerprint
+             |  FROM documents),
+             |g AS (SELECT fingerprint,
+             |    min((1048576 - n_chars) * 8589934592 + doc_id) AS pk,
+             |    CAST(count(*) AS BIGINT) AS dup_cnt
+             |  FROM p GROUP BY 1)
+             |SELECT fingerprint, CAST(pk & 8589934591 AS BIGINT) AS keep_id,
+             |  CAST(1048576 - (pk >> 33) AS BIGINT) AS keep_merit, dup_cnt
+             |FROM g""".stripMargin)),
+
     // corpus-level line dedup (CCNet/RefinedWeb boilerplate removal):
     // lines in >= 3 distinct docs removed everywhere, docs rebuilt in
     // order; heavy-line set broadcast, md5 keeps output rows small

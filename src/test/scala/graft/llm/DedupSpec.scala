@@ -305,6 +305,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Set((test(0), train(0))), s"got $out")
   }
 
+  test("keep-best dedup: highest merit wins, ties to min id, singletons pass through") {
+    val rows = Seq(
+      (5L, "aaa", 10L), (1L, "aaa", 30L), (2L, "aaa", 30L), // 1 wins: merit 30, tie → min id
+      (3L, "bbb", 5L),                                      // singleton
+      (4L, "ccc", 0L), (0L, "ccc", 0L)                      // zero merit ok; min id wins
+    ).toDF("doc_id", "text", "merit")
+    val out = Dedup.exactDedupKeepBest(rows, "text", "doc_id", "merit")
+      .select("keep_id", "keep_merit", "dup_cnt")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 30L, 3L), (3L, 5L, 1L), (0L, 0L, 2L)))
+  }
+
+  test("keep-best dedup: out-of-range merit fails loudly") {
+    val bad = Seq((1L, "x", Dedup.KeepBestMeritCap)).toDF("doc_id", "text", "merit")
+    val e = intercept[Exception] {
+      Dedup.exactDedupKeepBest(bad, "text", "doc_id", "merit").collect()
+    }
+    assert(e.getMessage.contains("exactDedupKeepBest") ||
+      Option(e.getCause).exists(_.getMessage.contains("exactDedupKeepBest")))
+  }
+
   test("simhash: identical docs distance 0, near-dups close, others far") {
     val sims = docs.select($"doc_id", Dedup.simhash64($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
