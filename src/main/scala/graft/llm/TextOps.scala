@@ -112,6 +112,40 @@ object TextOps {
   def extractUrlDomains(text: Column): Column =
     regexp_extract_all(text, lit(UrlHostPattern), lit(1))
 
+  /**
+   * URL canonicalization for URL-level dedup (the same page crawled five
+   * ways must collapse BEFORE text dedup ever runs): a fixed, documented
+   * normal form —
+   *   1. drop the `#fragment`;
+   *   2. lowercase scheme + host (path/query case is significant, host
+   *      case is not — RFC 3986 §6.2.2.1);
+   *   3. drop a leading `www.`;
+   *   4. drop the scheme-default port (`http…:80`, `https…:443`);
+   *   5. remove tracking params (`utm_*`, `gclid`, `fbclid`, `msclkid`,
+   *      `ref`, `ref_src`) wherever they sit in the query string, then
+   *      collapse the separators they leave behind;
+   *   6. drop a trailing `/` (also before `?`).
+   * Every step is a Java∩RE2 regex (no lookaround — RE2 has none), so a
+   * DuckDB oracle replays the chain verbatim. Expression-only: zero
+   * shuffles; canonical keys feed [[graft.llm.Dedup.exactDedup]] /
+   * [[graft.llm.Dedup.exactDedupKeepBest]] directly.
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val sh = regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    val rest = noFrag.substr(length(sh) + lit(1), length(noFrag))
+    val shNoWww = regexp_replace(lower(sh), "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
+    val shNoPort = regexp_replace(
+      regexp_replace(shNoWww, "^(http://.*):80$", "$1"),
+      "^(https://.*):443$", "$1")
+    val restNoTrack = regexp_replace(rest,
+      "([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref|ref_src)=[^&#]*", "$1")
+    val c1 = regexp_replace(concat(shNoPort, restNoTrack), "(\\?|&)&+", "$1")
+    val c2 = regexp_replace(c1, "/\\?", "?")
+    val c3 = regexp_replace(c2, "[?&]+$", "")
+    regexp_replace(c3, "/$", "")
+  }
+
   /** Accent-folded search key: native [[StripAccentsExpr]] (NFD → drop
     * all mark categories Mn/Mc/Me → NFC), the DuckDB-`strip_accents`
     * transform — the normalization matching/search keys use so "café"

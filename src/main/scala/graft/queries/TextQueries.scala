@@ -505,6 +505,70 @@ object TextQueries {
              |  domain IN ('spam.click.net', 'tracker.bad.site') AS blocked
              |FROM d GROUP BY 1""".stripMargin)),
 
+    // URL canonicalization + canonical-URL dedup: synthetic doc_id-keyed
+    // URLs with case noise, www/default-port variants, tracking params,
+    // optional trailing slash + fragment; canonical groups collapse the
+    // crawl-variant dimensions (case, :443/:80, utm/fbclid, slash, #frag)
+    // while keeping the real `id=` param — the pre-text-dedup URL step.
+    // The oracle replays the synth AND the whole regex chain verbatim
+    "l62_url_canonicalize" -> Q(
+      (s, dir) => {
+        val d = col("doc_id")
+        val url = concat(
+          when(d % 3 === 0, lit("HTTPS")).otherwise(lit("http")), lit("://"),
+          when(d % 2 === 0, lit("WWW.")).otherwise(lit("")),
+          lit("Example"), (d % 10).cast("string"), lit(".COM"),
+          when(d % 3 === 0, lit(":443"))
+            .when(d % 3 === 1, lit(":80")).otherwise(lit("")),
+          lit("/Path/"), (d % 20).cast("string"),
+          when(d % 4 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&id="), (d % 5).cast("string"),
+          lit("&fbclid=x"), d.cast("string"),
+          when(d % 6 === 0, lit("#Sec")).otherwise(lit("")))
+        td(s, dir, "documents")
+          .select(d, TextOps.canonicalizeUrl(url).as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).cast("long").as("n_urls"),
+            min(col("doc_id")).as("keep_doc"))
+      },
+      Some("""WITH u0 AS (SELECT doc_id,
+             |  (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+             |  (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+             |  'Example' || CAST(doc_id % 10 AS VARCHAR) || '.COM' ||
+             |  (CASE WHEN doc_id % 3 = 0 THEN ':443'
+             |        WHEN doc_id % 3 = 1 THEN ':80' ELSE '' END) ||
+             |  '/Path/' || CAST(doc_id % 20 AS VARCHAR) ||
+             |  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+             |  '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR) ||
+             |  '&fbclid=x' || CAST(doc_id AS VARCHAR) ||
+             |  (CASE WHEN doc_id % 6 = 0 THEN '#Sec' ELSE '' END) AS url
+             |  FROM documents),
+             |f AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u0),
+             |sp AS (SELECT doc_id, u,
+             |  regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS sh FROM f),
+             |lc AS (SELECT doc_id,
+             |  regexp_replace(
+             |    regexp_replace(
+             |      regexp_replace(lower(sh), '^([a-z][a-z0-9+.-]*://)www\.', '\1'),
+             |      '^(http://.*):80$', '\1'),
+             |    '^(https://.*):443$', '\1') AS sh2,
+             |  regexp_replace(substr(u, length(sh)+1),
+             |    '([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref|ref_src)=[^&#]*',
+             |    '\1', 'g') AS r1
+             |  FROM sp),
+             |c AS (SELECT doc_id,
+             |  regexp_replace(
+             |    regexp_replace(
+             |      regexp_replace(
+             |        regexp_replace(sh2 || r1, '(\?|&)&+', '\1', 'g'),
+             |        '/\?', '?'),
+             |      '[?&]+$', ''),
+             |    '/$', '') AS canonical_url
+             |  FROM lc)
+             |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
+             |  CAST(min(doc_id) AS BIGINT) AS keep_doc
+             |FROM c GROUP BY 1""".stripMargin)),
+
     // SFT chat-template rendering with the loss-mask span: fixture docs
     // become (prompt = first 8 tokens, response = rest); the compared
     // columns are the rendered-string md5 (l29 pattern) plus the EXACT

@@ -226,4 +226,26 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       .collect()(0)
     assert(n.isNullAt(0))
   }
+
+  test("canonicalizeUrl: case, www, default ports, tracking params, slash, fragment") {
+    def c(u: String): String = one[String](TextOps.canonicalizeUrl(lit(u)))
+    assert(c("HTTPS://WWW.Example.COM:443/a/?utm_source=x&b=1#frag")
+      === "https://example.com/a?b=1")
+    // all params tracking → query vanishes entirely
+    assert(c("http://Site.org:80/p?utm_a=1&utm_b=2") === "http://site.org/p")
+    // trailing slash without query
+    assert(c("http://a.example/p/") === "http://a.example/p")
+    // scheme-less: host case untouched (no authority to extract), params still cleaned
+    assert(c("example.com/x?ref=1&keep=2") === "example.com/x?keep=2")
+    // non-default port survives; path case survives
+    assert(c("https://h.io:8443/Q") === "https://h.io:8443/Q")
+    // tracking param mid-query; gclid
+    assert(c("HTTP://HOST/Path?a=1&gclid=99&z=2") === "http://host/Path?a=1&z=2")
+    // :443 on http is NOT default → kept
+    assert(c("http://x.y:443/p") === "http://x.y:443/p")
+    // null propagates
+    val n = Seq(1).toDF("x")
+      .select(TextOps.canonicalizeUrl(lit(null).cast("string")).as("r")).collect()(0)
+    assert(n.isNullAt(0))
+  }
 }
