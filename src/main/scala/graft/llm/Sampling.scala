@@ -131,6 +131,65 @@ object Sampling {
     df.filter(keepColBp(col(keyCol), bpCol, seed))
   }
 
+  /** Exact integer sqrt: floor(√w), computed as IEEE `sqrt` plus a
+    * one-step fix-up of the rounding — the SAME closed form the DuckDB
+    * oracle replays (a bare `floor(sqrt(w))` can be off by one at ulp
+    * boundaries; the fix-up makes both engines exact for w ≤ ~4·10¹⁵). */
+  private[llm] def isqrt(w: Long): Long = {
+    require(w >= 0, s"isqrt of negative $w")
+    val r0 = math.sqrt(w.toDouble).toLong
+    if ((r0 + 1) * (r0 + 1) <= w) r0 + 1
+    else if (r0 * r0 > w) r0 - 1
+    else r0
+  }
+
+  /**
+   * TEMPERATURE-flattened mixture resampling at T = 2: down-sample strata
+   * so output weight shares are ∝ √wₛ instead of ∝ wₛ — the standard
+   * temperature-sampling knob (multilingual training mixes up-weight
+   * tail languages exactly this way) expressed as a deterministic filter.
+   * T = 2 specifically because √ is an IEEE-exact operation: a general
+   * T needs libm `pow`, whose last-ulp differences across engines break
+   * replayable arithmetic; √ plus the [[isqrt]] fix-up is bit-exact in
+   * both engines. (T = 1 is the identity; flatter mixes can iterate:
+   * applying the transform twice gives shares ∝ w^¼.)
+   *
+   * Rates: with rₛ = isqrt(wₛ), the largest down-sample-only output with
+   * shares ∝ rₛ keeps stratum s at `rateₛ = min_t ⌊10⁴·rₛ·w_t / (r_t·wₛ)⌋`
+   * basis points (the t = s term caps the min at 10⁴, so the binding
+   * stratum is kept whole — same structure as [[balanceToShares]]).
+   * Cross-products run in BigInt driver-side and HUGEINT oracle-side —
+   * wₛ up to 2⁶² stays exact. The per-stratum totals are a driver-side
+   * collect bounded by stratum cardinality (a mixture has a bounded
+   * source/language set — guarded by `maxStrata`); the keep filter is
+   * expression-only and pushes to the scan.
+   */
+  def temperedMixture(df: DataFrame, keyCol: String, stratumCol: String,
+                      weightCol: String, seed: String = "s1",
+                      maxStrata: Int = 10000): DataFrame = {
+    requireStableKeyType(df, keyCol)
+    val stratumStr = col(stratumCol).cast("string")
+    val weights: Seq[(String, Long)] = df
+      .filter(col(stratumCol).isNotNull)
+      .groupBy(stratumStr.as("stratum"))
+      .agg(sum(col(weightCol)).cast("long").as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    require(weights.nonEmpty, "temperedMixture: no strata")
+    require(weights.size <= maxStrata,
+      s"temperedMixture: ${weights.size} strata exceed maxStrata=$maxStrata — " +
+        "a mixture spec needs a bounded stratum set")
+    require(weights.forall(_._2 > 0),
+      "temperedMixture: every stratum needs positive total weight")
+    val r: Map[String, Long] = weights.map { case (s, w) => s -> isqrt(w) }.toMap
+    val bp: Map[String, Long] = weights.map { case (s, ws) =>
+      s -> weights.map { case (t, wt) =>
+        BigInt(10000) * BigInt(r(s)) * BigInt(wt) / (BigInt(r(t)) * BigInt(ws))
+      }.min.toLong
+    }.toMap
+    val bpCol = coalesce(element_at(typedlit(bp), stratumStr), lit(0L))
+    df.filter(keepColBp(col(keyCol), bpCol, seed))
+  }
+
   /**
    * Deterministic EPOCH SHUFFLE + shard assignment: the global training
    * order for one epoch as a pure function of (seed, key) — no RNG state,

@@ -111,6 +111,28 @@ object TextOracles {
        |WHERE ('0x'||substr(md5('${OracleSqlUtil.esc(seed)}' || chr(31) || CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT % 10000 < bp.bp""".stripMargin
   }
 
+  /** Twin of [[graft.llm.Sampling.temperedMixture]]: per-stratum totals,
+    * exact isqrt (IEEE sqrt + one-step fix-up, the same closed form as
+    * the Scala side), and the min-over-strata basis-point rate with
+    * HUGEINT cross-products mirroring the driver's BigInt arithmetic. */
+  def temperedMixtureSql(stratumCol: String, weightCol: String,
+                         seed: String): String =
+    s"""WITH w AS (
+       |  SELECT $stratumCol AS s, CAST(SUM($weightCol) AS BIGINT) AS w
+       |  FROM documents WHERE $stratumCol IS NOT NULL GROUP BY 1),
+       |r AS (SELECT s, w,
+       |    CASE WHEN (r0+1)*(r0+1) <= w THEN r0+1
+       |         WHEN r0*r0 > w THEN r0-1 ELSE r0 END AS r
+       |  FROM (SELECT s, w,
+       |    CAST(floor(sqrt(CAST(w AS DOUBLE))) AS BIGINT) AS r0 FROM w)),
+       |bp AS (SELECT a.s,
+       |    MIN(CAST(10000 AS HUGEINT) * a.r * b.w // (b.r * a.w)) AS bp
+       |  FROM r a, r b GROUP BY 1)
+       |SELECT d.doc_id, d.$stratumCol AS $stratumCol,
+       |  CAST(d.$weightCol AS BIGINT) AS $weightCol
+       |FROM documents d JOIN bp ON d.$stratumCol = bp.s
+       |WHERE ('0x'||substr(md5('${OracleSqlUtil.esc(seed)}' || chr(31) || CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT % 10000 < bp.bp""".stripMargin
+
   /** Twin of the l34 repeated-span scrub: same string shingles, DF
     * threshold, covered-position expansion, and ordered rebuild. */
   def repeatedSpanScrubSql(n: Int, minDf: Int): String =

@@ -180,6 +180,18 @@ object TextQueries {
         targets = Seq("src0" -> 40, "src1" -> 40, "src2" -> 20), seed = "s1")),
       eager = true),
 
+    // temperature-flattened mixture (T = 2): output char-weight shares
+    // ∝ √(per-source chars) — the tail-source up-weighting knob of a
+    // multilingual/multi-source training mix. √ because IEEE sqrt is
+    // exact cross-engine where pow is not; the oracle replays the isqrt
+    // fix-up and the HUGEINT min-rate arithmetic verbatim
+    "l63_tempered_mixture" -> Q(
+      (s, dir) => graft.llm.Sampling.temperedMixture(
+          td(s, dir, "documents"), "doc_id", "source", "n_chars", seed = "t2")
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      Some(TextOracles.temperedMixtureSql("source", "n_chars", seed = "t2")),
+      eager = true),
+
     // PII scrubbing: synthetic emails/phones appended from doc_id, then
     // the Java∩RE2 replace chain — redaction + count, exact twin in SQL
     "l26_pii_scrub" -> Q(

@@ -132,4 +132,46 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, String, Long)].collect()
     assert(out.map(_._1).toSet.subsetOf(wider.map(_._1).toSet))
   }
+
+  test("isqrt: exact floor(sqrt) across boundaries and large values") {
+    def ref(w: Long): Long = {
+      var r = BigInt(0); var hi = BigInt(w)
+      while (r < hi) { val m = (r + hi + 1) / 2; if (m * m <= w) r = m else hi = m - 1 }
+      r.toLong
+    }
+    val probes = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 15L, 16L, 24L, 25L,
+      999999L, 1000000L, 1000001L,
+      (1L << 31) - 1, 1L << 31, (1L << 40) + 12345L,
+      4000000000000000L, 3999999999999999L) ++
+      (0 until 200).map(i => i.toLong * i * i + i)
+    probes.foreach { w =>
+      assert(Sampling.isqrt(w) === ref(w), s"isqrt($w)")
+      val r = Sampling.isqrt(w)
+      assert(r * r <= w && (r + 1) * (r + 1) > w, s"floor property at $w")
+    }
+  }
+
+  test("temperedMixture: shares flatten toward sqrt-proportional, binding stratum whole") {
+    // heavy:light = 90:1 by weight → tempered target ratio √9000·k : √100·k ≈ 9.5:1
+    val rows = ((0L until 900L).map(i => (i, "heavy", 10L)) ++
+      (10000L until 10010L).map(i => (i, "light", 10L))).toDF("id", "src", "w")
+    val out = Sampling.temperedMixture(rows, "id", "src", "w", seed = "tx")
+      .as[(Long, String, Long)].collect()
+    val byStr = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // binding stratum (smallest w/isqrt(w)) is light → kept whole
+    assert(byStr("light") === 100L)
+    // heavy down-sampled to ≈ w_l·r_h/r_l = 100·94/10 = 940 chars (±
+    // hash-sampling noise at rate 1044bp over 900 rows)
+    val expectHeavy = 100.0 * Sampling.isqrt(9000L) / Sampling.isqrt(100L)
+    assert(math.abs(byStr("heavy") - expectHeavy) / expectHeavy < 0.35,
+      s"heavy=${byStr("heavy")} expected≈$expectHeavy")
+    // deterministic
+    val again = Sampling.temperedMixture(rows, "id", "src", "w", seed = "tx")
+      .as[(Long, String, Long)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // equal strata: both kept whole (rates all 10000)
+    val eq = ((0L until 50L).map(i => (i, "a", 7L)) ++
+      (100L until 150L).map(i => (i, "b", 7L))).toDF("id", "src", "w")
+    assert(Sampling.temperedMixture(eq, "id", "src", "w").count() === 100L)
+  }
 }
