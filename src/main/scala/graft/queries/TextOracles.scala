@@ -133,6 +133,37 @@ object TextOracles {
        |FROM documents d JOIN bp ON d.$stratumCol = bp.s
        |WHERE ('0x'||substr(md5('${OracleSqlUtil.esc(seed)}' || chr(31) || CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT % 10000 < bp.bp""".stripMargin
 
+  /** Twin of [[graft.llm.Dsir.importanceWeights]] with target =
+    * `source = '<targetSource>'`: hashed unigram+bigram buckets
+    * (portable md5 hash mod B), add-one smoothed target/raw models, one
+    * `ln` per feature of an exactly-computed double ratio, 6-dp DECIMAL
+    * sums. */
+  def dsirSql(nBuckets: Int, targetSource: String): String = {
+    val src = OracleSqlUtil.esc(targetSource)
+    s"""WITH tk AS (SELECT doc_id, source,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |fe AS (
+       |  SELECT doc_id, source, unnest(t) AS f FROM tk
+       |  UNION ALL
+       |  SELECT doc_id, source, unnest(list_transform(range(1, len(t)),
+       |    i -> array_to_string(t[i:i+1], ' '))) AS f
+       |  FROM tk WHERE len(t) >= 2),
+       |fb AS (SELECT doc_id, source,
+       |    ('0x'||substr(md5(f),1,15))::BIGINT % $nBuckets AS b FROM fe),
+       |tm AS (SELECT b, count(*) AS ct FROM fb WHERE source = '$src' GROUP BY 1),
+       |tt AS (SELECT count(*) AS tot FROM fb WHERE source = '$src'),
+       |rm AS (SELECT b, count(*) AS cr FROM fb GROUP BY 1),
+       |rt AS (SELECT count(*) AS tot FROM fb),
+       |sc AS (SELECT fb.doc_id,
+       |    round(ln( ((COALESCE(tm.ct, 0) + 1)::DOUBLE * (rt.tot + $nBuckets)::DOUBLE)
+       |            / ((rm.cr + 1)::DOUBLE * (tt.tot + $nBuckets)::DOUBLE) ), 6)::DECIMAL(18,6) AS s
+       |  FROM fb LEFT JOIN tm USING (b) JOIN rm USING (b), tt, rt)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |  CAST(sum(s) AS DOUBLE) AS logw, sum(s) > 0 AS selected
+       |FROM sc GROUP BY 1""".stripMargin
+  }
+
   /** Twin of the l34 repeated-span scrub: same string shingles, DF
     * threshold, covered-position expansion, and ordered rebuild. */
   def repeatedSpanScrubSql(n: Int, minDf: Int): String =

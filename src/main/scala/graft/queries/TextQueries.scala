@@ -192,6 +192,20 @@ object TextQueries {
       Some(TextOracles.temperedMixtureSql("source", "n_chars", seed = "t2")),
       eager = true),
 
+    // DSIR importance resampling (Xie 2023): raw corpus scored against a
+    // target domain (source='src0') via hashed unigram+bigram models —
+    // log p_target/p_raw per doc, 6-dp DECIMAL sums, selected = logw>0.
+    // Models are B-bounded broadcasts; the oracle replays hash, smoothing,
+    // and the single-ln-per-feature arithmetic exactly
+    "l64_dsir_importance" -> Q(
+      (s, dir) => {
+        val docs = td(s, dir, "documents")
+        graft.llm.Dsir.importanceWeights(
+          docs, docs.filter(col("source") === "src0"),
+          "doc_id", "text", nBuckets = 1024)
+      },
+      Some(TextOracles.dsirSql(nBuckets = 1024, targetSource = "src0"))),
+
     // PII scrubbing: synthetic emails/phones appended from doc_id, then
     // the Java∩RE2 replace chain — redaction + count, exact twin in SQL
     "l26_pii_scrub" -> Q(
