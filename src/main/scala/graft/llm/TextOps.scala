@@ -113,6 +113,45 @@ object TextOps {
     regexp_extract_all(text, lit(UrlHostPattern), lit(1))
 
   /**
+   * HTML → text extraction (the crawl-ingestion step BEFORE any text
+   * operator runs — raw web documents arrive as markup): a fixed,
+   * documented chain —
+   *   1. drop `<script>`/`<style>` blocks wholesale (code/CSS is not
+   *      training text) and `<!-- comments -->`;
+   *   2. block-level tags (`p div br li tr h1..h6`) become newlines so
+   *      document line structure survives for the line-level operators
+   *      ([[graft.llm.Dedup.lineDedup]] works on exactly these lines);
+   *   3. every remaining tag is stripped;
+   *   4. the fixed entity set `&nbsp; &lt; &gt; &quot; &#39; &amp;`
+   *      decodes, `&amp;` LAST (single-pass decode — `&amp;lt;` is the
+   *      TEXT "&lt;", not a double-decode);
+   *   5. whitespace normalizes: runs of spaces/tabs/CRs to one space,
+   *      spaces hugging newlines dropped, newline runs collapsed,
+   *      leading/trailing newlines then spaces removed (plain `trim` —
+   *      identical space-only semantics in both engines).
+   * Every step is a Java∩RE2 regex (`(?is)` inline flags, non-greedy
+   * blocks, NO lookaround), so a DuckDB oracle replays the chain
+   * verbatim. Expression-only — zero shuffles. This is the regex
+   * fast-path extractor (trafilatura-class DOM scoring needs a parser,
+   * which belongs behind the same seam as the media codecs).
+   */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", "")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", "")
+    val blocks = regexp_replace(noComment,
+      "(?i)</?(p|div|br|li|tr|h[1-6])\\b[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", "")
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    val sp = regexp_replace(ent, "[ \\t\\r]+", " ")
+    val hug = regexp_replace(sp, " ?\\n ?", "\n")
+    val runs = regexp_replace(hug, "\\n+", "\n")
+    trim(regexp_replace(runs, "^\\n+|\\n+$", ""))
+  }
+
+  /**
    * URL canonicalization for URL-level dedup (the same page crawled five
    * ways must collapse BEFORE text dedup ever runs): a fixed, documented
    * normal form —

@@ -206,6 +206,55 @@ object TextQueries {
       },
       Some(TextOracles.dsirSql(nBuckets = 1024, targetSource = "src0"))),
 
+    // HTML → text extraction: doc text wrapped in a deterministic page
+    // template (head/style/script/comment boilerplate, nav div, entity-
+    // encoded tail), then the fixed strip chain — script/style/comment
+    // removal, block tags → newlines, tag strip, single-pass entity
+    // decode, whitespace normalize. Compared via md5 + length so rows
+    // stay small; the oracle replays template AND chain verbatim
+    "l65_html_strip" -> Q(
+      (s, dir) => {
+        val d = col("doc_id")
+        val html = concat(
+          lit("<html><HEAD><title>T</title><style>body { color: red; }</style></HEAD>\n"),
+          lit("<body><div class=\"nav\">Home | About | Doc "), d.cast("string"),
+          lit("</div><!-- id "), d.cast("string"), lit(" -->\n"),
+          lit("<p>"), col("text"), lit("</p>\n"),
+          lit("<script type=\"text/javascript\">var x = "), d.cast("string"),
+          lit("; if (x < 2) { x = x && 1; }</script>\n"),
+          lit("<p>&quot;tail&quot; &amp; more&nbsp;here</p></body></html>"))
+        td(s, dir, "documents")
+          .select(d, TextOps.stripHtml(html).as("c"))
+          .select(col("doc_id"), md5(col("c").cast("binary")).as("clean_md5"),
+            length(col("c")).cast("long").as("n_chars_clean"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |  '<html><HEAD><title>T</title><style>body { color: red; }</style></HEAD>' || chr(10) ||
+             |  '<body><div class="nav">Home | About | Doc ' || CAST(doc_id AS VARCHAR) ||
+             |  '</div><!-- id ' || CAST(doc_id AS VARCHAR) || ' -->' || chr(10) ||
+             |  '<p>' || text || '</p>' || chr(10) ||
+             |  '<script type="text/javascript">var x = ' || CAST(doc_id AS VARCHAR) ||
+             |  '; if (x < 2) { x = x && 1; }</script>' || chr(10) ||
+             |  '<p>&quot;tail&quot; &amp; more&nbsp;here</p></body></html>' AS html
+             |  FROM documents),
+             |s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', '', 'g') AS t FROM h),
+             |s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style\b[^>]*>.*?</style>', '', 'g') AS t FROM s1),
+             |s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', '', 'g') AS t FROM s2),
+             |s4 AS (SELECT doc_id, regexp_replace(t, '(?i)</?(p|div|br|li|tr|h[1-6])\b[^>]*>', chr(10), 'g') AS t FROM s3),
+             |s5 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', '', 'g') AS t FROM s4),
+             |e1 AS (SELECT doc_id, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM s5),
+             |e2 AS (SELECT doc_id, regexp_replace(t, '&lt;', '<', 'g') AS t FROM e1),
+             |e3 AS (SELECT doc_id, regexp_replace(t, '&gt;', '>', 'g') AS t FROM e2),
+             |e4 AS (SELECT doc_id, regexp_replace(t, '&quot;', '"', 'g') AS t FROM e3),
+             |e5 AS (SELECT doc_id, regexp_replace(t, '&#39;', '''', 'g') AS t FROM e4),
+             |e6 AS (SELECT doc_id, regexp_replace(t, '&amp;', '&', 'g') AS t FROM e5),
+             |w1 AS (SELECT doc_id, regexp_replace(t, '[ \t\r]+', ' ', 'g') AS t FROM e6),
+             |w2 AS (SELECT doc_id, regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t FROM w1),
+             |w3 AS (SELECT doc_id, regexp_replace(t, '\n+', chr(10), 'g') AS t FROM w2),
+             |w4 AS (SELECT doc_id, trim(regexp_replace(t, '^\n+|\n+$', '', 'g')) AS t FROM w3)
+             |SELECT doc_id, md5(t) AS clean_md5,
+             |  CAST(length(t) AS BIGINT) AS n_chars_clean FROM w4""".stripMargin)),
+
     // PII scrubbing: synthetic emails/phones appended from doc_id, then
     // the Java∩RE2 replace chain — redaction + count, exact twin in SQL
     "l26_pii_scrub" -> Q(

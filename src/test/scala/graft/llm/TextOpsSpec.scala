@@ -248,4 +248,26 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       .select(TextOps.canonicalizeUrl(lit(null).cast("string")).as("r")).collect()(0)
     assert(n.isNullAt(0))
   }
+
+  test("stripHtml: blocks, inline tags, entities, whitespace") {
+    def c(h: String) = one[String](TextOps.stripHtml(lit(h)))
+    assert(c("<p>Hello</p>") === "Hello")
+    // script content (including tags and multi-line body) vanishes
+    assert(c("<SCRIPT a=b>var x = '<p>not text</p>';\nmore</script>after") === "after")
+    assert(c("<style>h1 { color: x }</style>ok") === "ok")
+    assert(c("a<!-- hidden\nlines -->b") === "ab")
+    // block tags delimit lines; inline tags just disappear
+    assert(c("<div>one</div><div>two</div>") === "one\ntwo")
+    assert(c("x<br/>y") === "x\ny")
+    assert(c("keep <span>inline</span> words") === "keep inline words")
+    // entity decode, single-pass (&amp;lt; is the text "&lt;")
+    assert(c("&quot;q&quot; &amp; &lt;tag&gt;&nbsp;&#39;s") === "\"q\" & <tag> 's")
+    assert(c("&amp;lt; once") === "&lt; once")
+    // whitespace normalization + trim
+    assert(c("  a   b\t c \n\n d  ") === "a b c\nd")
+    // null propagates
+    val n = Seq(1).toDF("x")
+      .select(TextOps.stripHtml(lit(null).cast("string")).as("r")).collect()(0)
+    assert(n.isNullAt(0))
+  }
 }
