@@ -202,13 +202,13 @@ object ApiQueries {
       Some("""SELECT c_custkey, c_acctbal FROM customer
              |ORDER BY c_acctbal DESC, c_custkey LIMIT 5""".stripMargin), eager = true),
 
-    // event-time window aggregation over the ns-timestamp events table
+    // event-time window aggregation over the events table
     //   (streaming-compatible shape: same plan works under readStream +
     //   watermark; here batch, grouped on the hour window)
     "w2_event_time_window" -> Q(
       (s, dir) => {
-        val e = td(s, dir, "events")
-          .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+        val e = Registry.tdEventsUs(s, dir)
+          .withColumn("ts_us", timestamp_micros(col("ts_us")))
         e.groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).cast("long").as("n"),
             (sum(round(col("value") * 100).cast("long")) / lit(100.0)).as("value_sum"))
@@ -223,7 +223,7 @@ object ApiQueries {
     // time-series gap filling + LOCF: per user, every hour between first
     // and last activity exists in the output — gaps carry the last
     // observed hourly total forward (the dashboard/feature-store densify
-    // step). All-integer hour index (ns div) and exact cents, so the fill
+    // step). All-integer hour index (µs div) and exact cents, so the fill
     // is engine-exact; per-user grid is bounded by the time span, the
     // join and window share one hash partitioning on user
     "w7_gap_fill_locf" -> Q(
@@ -232,9 +232,9 @@ object ApiQueries {
         // FLOOR division, not `div` (truncates toward zero): DuckDB's `//`
         // floors, and the two diverge on pre-epoch timestamps — latent on
         // this fixture but a real-data trap
-        val hrFloor = expr("ts div 3600000000000") -
-          when(expr("ts % 3600000000000") < 0, 1L).otherwise(0L)
-        val actual = td(s, dir, "events")
+        val hrFloor = expr("ts_us div 3600000000") -
+          when(expr("ts_us % 3600000000") < 0, 1L).otherwise(0L)
+        val actual = Registry.tdEventsUs(s, dir)
           .select(col("user_id"), hrFloor.as("hr"),
             round(col("value") * 100).cast("long").as("cents"))
           .groupBy("user_id", "hr").agg(sum(col("cents")).as("cents"))

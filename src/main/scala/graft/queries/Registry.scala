@@ -37,6 +37,28 @@ object Registry {
   def td(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /**
+   * The events table with `ts` canonicalized to an epoch-microseconds
+   * BIGINT column `ts_us`, regardless of the parquet physical type. The
+   * driver has shipped events.ts both as timestamp[ns] (which Spark reads
+   * as a ns-precision LONG under `spark.sql.legacy.parquet.nanosAsLong`)
+   * and as timestamp[us] (read as TIMESTAMP_NTZ; cast to TIMESTAMP is an
+   * identity instant under the UTC session zone). Every ts-consuming query
+   * goes through this accessor so a regeneration in either direction
+   * cannot break analysis again. `div` (integral), not `/1000` + cast: ns
+   * epochs overflow double's exact-integer range.
+   */
+  def tdEventsUs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    import org.apache.spark.sql.types.LongType
+    val e = td(s, dir, "events")
+    val tsUs = e.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case _        => unix_micros(col("ts").cast("timestamp"))
+    }
+    e.withColumn("ts_us", tsUs)
+  }
+
   /** All registered queries, in SURVEY §2 inventory order. */
   def all: Seq[(String, Q)] =
     ProjectionQueries.all ++ JoinQueries.all ++ AggQueries.all ++

@@ -58,8 +58,8 @@ object ScaleQueries {
         val o = td(s, dir, "orders").select(col("o_orderkey"),
           // NTZ → TZ cast is an identity instant under the UTC session zone
           (col("o_custkey") % 20).as("k"), unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
-        val e = td(s, dir, "events")
-          .select((col("user_id") % 20).as("k"), expr("ts div 1000").as("t"), col("event_id"))
+        val e = Registry.tdEventsUs(s, dir)
+          .select((col("user_id") % 20).as("k"), col("ts_us").as("t"), col("event_id"))
           .groupBy("k", "t").agg(max(col("event_id")).as("ev"))
         graft.ops.AsOf.asofBackward(o, e,
             col("k"), col("k"), col("t"), col("t"), Seq("ev" -> col("ev")))
@@ -75,13 +75,13 @@ object ScaleQueries {
     //   oracle keeps the plain range predicate as ground truth
     "j15_range_join" -> Q(
       (s, dir) => {
-        val e = td(s, dir, "events")
+        val e = Registry.tdEventsUs(s, dir)
           .select(col("event_id"), (col("user_id") % 10).as("bucket_id"),
-            expr("ts div 1000").as("t"))
+            col("ts_us").as("t"))
         // synthetic 1-hour windows anchored per bucket (deterministic)
-        val windows = td(s, dir, "events")
+        val windows = Registry.tdEventsUs(s, dir)
           .groupBy((col("user_id") % 10).as("wb"))
-          .agg(min(expr("ts div 1000")).as("ws"))
+          .agg(min(col("ts_us")).as("ws"))
           .select(col("wb"), col("ws"), (col("ws") + 3600L * 1000000L).as("we"))
         graft.ops.AsOf.binnedRangeJoin(e, windows,
             col("t"), col("ws"), col("we"), binSize = 600L * 1000000L)

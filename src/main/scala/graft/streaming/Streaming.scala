@@ -40,12 +40,19 @@ final case class NearDupEvent(doc_id: Long, ts: java.sql.Timestamp,
  */
 object Streaming {
 
-  /** Convert the testdata events frame (ns-long ts) to typed events. */
+  /** Convert the testdata events frame to typed events, accepting `ts` as
+    * either a ns-precision LONG (timestamp[ns] parquet under nanosAsLong)
+    * or a timestamp column (timestamp[us] parquet). */
   def asEvents(raw: DataFrame): Dataset[Event] = {
     import raw.sparkSession.implicits._
     // `div` (integral): ns epochs overflow double's exact-integer range, so
     // `/ 1000` + cast would be off by ±1 µs.
-    raw.select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    raw.select(col("event_id"), tsCol.as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .as[Event]
   }

@@ -54,7 +54,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "l9_ann_bruteforce_topk", "l16_ivf_kmeans_train",
       // l33: per-stratum totals collect (bounded by the mix size) derives
       // the keep rates at construction time — reviewed round 8
-      "l33_domain_balance")
+      "l33_domain_balance",
+      // l63: same shape as l33 — per-source char totals collect (bounded
+      // by the source count) derives the tempered rates — reviewed round 9
+      "l63_tempered_mixture")
     val actual = Registry.all.filter(_._2.eager).map(_._1).toSet
     assert(actual == expected,
       s"eager-set drift — added: ${actual -- expected}, removed: ${expected -- actual}")
