@@ -179,7 +179,7 @@ object Ann {
     * unpinned run-to-run variance. Centroid norms are precomputed in Scala
     * with the same left-fold order as the [[norm]] expression, so scores
     * are bit-identical to the clone formulation. */
-  private def centroidLit(centroids: Seq[Array[Float]]): Column =
+  private[llm] def centroidLit(centroids: Seq[Array[Float]]): Column =
     array(centroids.zipWithIndex.map { case (c, i) =>
       val ds = c.map(_.toDouble)
       struct(lit(i).as("cell"), array(ds.map(lit(_)): _*).as("c"),
@@ -188,7 +188,7 @@ object Ann {
 
   /** Per-centroid (negSim, cellId) structs from a pre-cast vector and its
     * pre-computed norm; array_min = nearest cell, sort+slice = nProbe. */
-  private def scoredCells(centLit: Column)(dvec: Column, na: Column): Column =
+  private[llm] def scoredCells(centLit: Column)(dvec: Column, na: Column): Column =
     transform(centLit, s => {
       val d = dot(dvec, s.getField("c")); val nb = s.getField("nb")
       struct((lit(0.0) - when(na === 0 || nb === 0, lit(0.0))

@@ -139,6 +139,18 @@ object Pq {
   def adcTopK(df: DataFrame, vecCol: String, idCol: String,
               codebooks: Seq[Seq[Array[Float]]], query: Array[Float],
               k: Int): DataFrame = {
+    val dv = df.select(col(idCol).as("id"),
+      transform(col(vecCol), _.cast("double")).as("_dv"))
+    adcScore(dv, Nil, codebooks, query)
+      .orderBy(col("adc_score"), col("id"))
+      .limit(k)
+  }
+
+  /** Shared ADC core: `dv` must carry ("id", "_dv") plus any `carry`
+    * columns, which pass through to the output next to (id, adc_score). */
+  private def adcScore(dv: DataFrame, carry: Seq[String],
+                       codebooks: Seq[Seq[Array[Float]]],
+                       query: Array[Float]): DataFrame = {
     val m = codebooks.size
     val d = codebooks.head.head.length
     require(query.length == m * d, s"query dim ${query.length} != ${m * d}")
@@ -157,21 +169,78 @@ object Pq {
         java.math.BigDecimal.valueOf(acc).setScale(6, java.math.RoundingMode.HALF_UP)
       }
     }
-    val dv = df.select(col(idCol).as("id"),
-      transform(col(vecCol), _.cast("double")).as("_dv"))
     val cells: Seq[Column] = (0 until m).map { j =>
       val sv = slice(col("_dv"), j * d + 1, d)
       array_min(transform(subCodebookLit(codebooks(j)), s =>
         struct(round(sqDist(sv, s.getField("cent")), 6).as("d"),
           s.getField("cell").as("cell")))).getField("cell")
     }
-    val staged = dv.select(col("id") +: cells.zipWithIndex.map {
-      case (c, j) => c.as(s"_c$j") }: _*)
+    val staged = dv.select((col("id") +: carry.map(col)) ++
+      cells.zipWithIndex.map { case (c, j) => c.as(s"_c$j") }: _*)
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)
     val score = (0 until m).map { j =>
       element_at(array(qTables(j).map(v => lit(v).cast(dec)): _*), col(s"_c$j") + 1)
     }.reduce(_ + _)
-    staged.select(col("id"), score.cast("double").as("adc_score"))
+    staged.select(col("id") +: carry.map(col) :+
+      score.cast("double").as("adc_score"): _*)
+  }
+
+  /**
+   * Composed IVF-PQ retrieval — the query path of FAISS's `IndexIVFPQ`
+   * with `by_residual=false` (Jégou et al. 2011 §IV.A call the residual
+   * form IVFADC; the non-residual variant keeps one global codebook and
+   * is what this deterministic, oracle-replayable registry form uses):
+   *
+   *  1. coarse-quantize every corpus vector to its nearest of
+   *     `centroids.size` cells with the SAME deterministic cosine argmin
+   *     as [[Ann.ivfTopK]] (shared `scoredCells` fold — bit-identical
+   *     tie-break),
+   *  2. rank cells against the query DRIVER-side with the identical
+   *     left-fold arithmetic and keep the `nProbe` best (the probe list
+   *     is a handful of ints — no job, no broadcast),
+   *  3. ADC-score only members of probed cells via the per-subspace
+   *     lookup tables and keep the global top `k`.
+   *
+   * Scale shape: cell choice + ADC are expression-only on a corpus scan
+   * filtered to nProbe/nCells of the data, then TakeOrderedAndProject —
+   * zero shuffles end to end. At real scale cells and codes are
+   * precomputed once ([[encode]]) and the filter prunes on a stored cell
+   * column (partition pruning); here both derive in-plan so the oracle
+   * can replay the whole pipeline from the parquet alone.
+   *
+   * Output: (id, cell, adc_score) ascending by (adc_score, id), `k` rows.
+   */
+  def ivfAdcTopK(df: DataFrame, vecCol: String, idCol: String,
+                 centroids: Seq[Array[Float]],
+                 codebooks: Seq[Seq[Array[Float]]],
+                 query: Array[Float], nProbe: Int, k: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.size,
+      s"nProbe=$nProbe out of range for ${centroids.size} cells")
+    // driver-side probe ranking: identical ops in identical order to the
+    // in-plan scorer (left-fold dot, sqrt-of-fold norms, zero-norm guard,
+    // (neg, cell) lexicographic tie-break)
+    val dq = query.map(_.toDouble)
+    val na = {
+      var acc = 0.0; var i = 0
+      while (i < dq.length) { acc += dq(i) * dq(i); i += 1 }
+      math.sqrt(acc)
+    }
+    val probed: Seq[Int] = centroids.zipWithIndex.map { case (c, cell) =>
+      val dc = c.map(_.toDouble)
+      var dot = 0.0; var sq = 0.0; var i = 0
+      while (i < dc.length) { dot += dq(i) * dc(i); sq += dc(i) * dc(i); i += 1 }
+      val nb = math.sqrt(sq)
+      val neg = if (na == 0 || nb == 0) 0.0 else 0.0 - dot / (na * nb)
+      (neg, cell)
+    }.sorted.take(nProbe).map(_._2)
+    val scorer = Ann.scoredCells(Ann.centroidLit(centroids)) _
+    val dv = df.select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("_dv"))
+      .withColumn("cell",
+        array_min(scorer(col("_dv"), Ann.norm(col("_dv"))))
+          .getField("cell").cast("long"))
+      .filter(col("cell").isin(probed.map(_.toLong): _*))
+    adcScore(dv, Seq("cell"), codebooks, query)
       .orderBy(col("adc_score"), col("id"))
       .limit(k)
   }

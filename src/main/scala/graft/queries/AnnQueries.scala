@@ -297,6 +297,45 @@ object AnnQueries {
              |WHERE r.rn = 1 GROUP BY vec_id
              |ORDER BY adc_score, vec_id LIMIT 25""".stripMargin)),
 
+    // composed IVF-PQ retrieval (FAISS IndexIVFPQ, by_residual=false):
+    // coarse cells prune the corpus to nProbe/nCells, then PQ-ADC lookup
+    // tables rank what survives — the billion-vector serving shape with
+    // every stage (cells, probes, codes, tables) derived from the data,
+    // so the oracle replays the full pipeline. Zero shuffles: cell
+    // choice + ADC are expressions, the top-k is TakeOrderedAndProject
+    "l66_ivfpq_topk" -> Q(
+      (s, dir) => {
+        val e = td(s, dir, "embeddings")
+        val cells = Ann.firstKCentroids(e, "embedding", "vec_id", 16)
+        val cbs = graft.llm.Pq.seedCodebooks(e, "embedding", "vec_id", m = 8, k = 16)
+        val query = Ann.firstKCentroids(e, "embedding", "vec_id", 1).head
+        graft.llm.Pq.ivfAdcTopK(e, "embedding", "vec_id", cells, cbs,
+            query, nProbe = 4, k = 25)
+          .select(col("id").as("vec_id"), col("cell"), col("adc_score"))
+      },
+      Some(LshOracles.ivfAdcTopKSql(nCells = 16, nProbe = 4, m = 8,
+        kCodes = 16, dim = 64, topK = 25))),
+
+    // kNN label propagation: seed labels (every 5th doc's lang) spread to
+    // unlabeled docs by sim-weighted vote over the SAME multi-table LSH
+    // neighbor graph as l37 — the semi-supervised corpus-annotation step
+    // (label a small trusted set, a kNN vote labels the rest). Weights
+    // sum 6-dp sims as DECIMAL (exact, order-free); ties break to the
+    // lexicographically smallest label on both engines
+    "l67_knn_label_prop" -> Q(
+      (s, dir) => {
+        val labels = td(s, dir, "documents")
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("id"), col("lang").as("label"))
+        graft.llm.LabelProp.knnLabelVote(td(s, dir, "embeddings"),
+            "embedding", "vec_id", labels, dim = 64, k = 3,
+            nPlanes = 8, nTables = 4)
+          .select(col("id").as("vec_id"), col("pred_label"),
+            col("weight"), col("n_votes"))
+      },
+      Some(LshOracles.knnLabelPropSql(nPlanes = 8, dim = 64, k = 3,
+        cap = 2000, nTables = 4, seedMod = 5))),
+
     // REAL multimodal decode: per-id real BMP/WAV containers built with
     // every header field a function of the id, parsed back by the pure-JVM
     // header decoders. The oracle recomputes the expected decoded values

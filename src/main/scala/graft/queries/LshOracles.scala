@@ -358,6 +358,96 @@ object LshOracles {
        |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, d.did IS NULL AS kept
        |FROM asg a LEFT JOIN drops d ON a.vec_id = d.did""".stripMargin
 
+  /** Exact twin of [[graft.llm.LabelProp.knnLabelVote]] over `embeddings`
+    * with seed labels = lang of every `seedMod`-th document —
+    * l67_knn_label_prop. The neighbor graph is [[lshKnnJoinSql]] verbatim
+    * (wrapped as a derived table); the vote joins seed labels on the
+    * neighbor side, restricts targets to unlabeled ids, sums DECIMAL
+    * weights, and breaks ties by (weight DESC, label ASC). */
+  def knnLabelPropSql(nPlanes: Int, dim: Int, k: Int, cap: Int,
+                      nTables: Int, seedMod: Int): String =
+    s"""WITH nn AS (
+       |  SELECT * FROM (${lshKnnJoinSql(nPlanes, dim, k, cap, nTables)})),
+       |lab AS (SELECT doc_id AS id, lang AS label FROM documents
+       |  WHERE doc_id % $seedMod = 0),
+       |votes AS (
+       |  SELECT nn.id, l.label,
+       |    sum(CAST(nn.cosine_sim AS DECIMAL(16,6))) AS w,
+       |    count(*) AS n
+       |  FROM nn JOIN lab l ON nn.neighbor_id = l.id
+       |  WHERE nn.id NOT IN (SELECT id FROM lab)
+       |  GROUP BY 1, 2),
+       |rk AS (SELECT id, label, w, n, row_number() OVER (
+       |    PARTITION BY id ORDER BY w DESC, label) AS r
+       |  FROM votes)
+       |SELECT id AS vec_id, label AS pred_label,
+       |  CAST(w AS DOUBLE) AS weight, CAST(n AS BIGINT) AS n_votes
+       |FROM rk WHERE r = 1""".stripMargin
+
+  /** Exact twin of [[graft.llm.Pq.ivfAdcTopK]] over `embeddings` with
+    * [[graft.llm.Ann.firstKCentroids]] IVF cells, l52's seed codebooks and
+    * the first vector as query — l66_ivfpq_topk. Cell assignment replays
+    * [[semanticDedupSql]]'s argmax CTE; probe selection ranks the same
+    * cosine per cell; ADC replays l53's lookup tables restricted to
+    * members of probed cells. */
+  def ivfAdcTopKSql(nCells: Int, nProbe: Int, m: Int, kCodes: Int,
+                    dim: Int, topK: Int): String = {
+    val d = dim / m
+    s"""WITH s AS (SELECT unnest(range($m)) AS sub),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
+       |  FROM v ORDER BY vec_id LIMIT $nCells),
+       |sims AS (SELECT v.vec_id, c.cell, ${cosSql("v.e", "c.ce")} AS sim
+       |  FROM v CROSS JOIN c),
+       |asg AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY sim DESC, cell) AS r
+       |    FROM sims) WHERE r = 1),
+       |qv AS (SELECT e AS q FROM v ORDER BY vec_id LIMIT 1),
+       |qc AS (SELECT cell FROM (
+       |    SELECT c.cell, row_number() OVER (
+       |      ORDER BY ${cosSql("qv.q", "c.ce")} DESC, c.cell) AS r
+       |    FROM c CROSS JOIN qv) WHERE r <= $nProbe),
+       |seeds AS (
+       |  SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS code
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $kCodes)),
+       |cb AS (
+       |  SELECT s.sub, seeds.code,
+       |    list_transform(embedding[s.sub*$d+1 : s.sub*$d+$d],
+       |      x -> CAST(x AS DOUBLE)) AS cent
+       |  FROM seeds CROSS JOIN s),
+       |qt AS (
+       |  SELECT cb.sub, cb.code,
+       |    CAST(round(list_sum(list_transform(range(1, ${d + 1}),
+       |      i -> (CAST(q[cb.sub*$d+i] AS DOUBLE)-cent[i])
+       |         * (CAST(q[cb.sub*$d+i] AS DOUBLE)-cent[i]))), 6)
+       |      AS DECIMAL(18,6)) AS qd
+       |  FROM cb CROSS JOIN qv),
+       |vv AS (
+       |  SELECT e2.vec_id, s.sub,
+       |    list_transform(e2.embedding[s.sub*$d+1 : s.sub*$d+$d],
+       |      x -> CAST(x AS DOUBLE)) AS sv
+       |  FROM embeddings e2
+       |  JOIN asg ON e2.vec_id = asg.vec_id
+       |  JOIN qc ON asg.cell = qc.cell
+       |  CROSS JOIN s),
+       |dd AS (
+       |  SELECT vv.vec_id, vv.sub, cb.code,
+       |    round(list_sum(list_transform(range(1, ${d + 1}),
+       |      i -> (sv[i]-cent[i])*(sv[i]-cent[i]))), 6) AS dist
+       |  FROM vv JOIN cb USING (sub)),
+       |r AS (SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code, row_number() OVER (
+       |      PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+       |    FROM dd) WHERE rn = 1)
+       |SELECT r.vec_id, CAST(a2.cell AS BIGINT) AS cell,
+       |  CAST(sum(qt.qd) AS DOUBLE) AS adc_score
+       |FROM r JOIN qt ON r.sub = qt.sub AND r.code = qt.code
+       |JOIN asg a2 ON r.vec_id = a2.vec_id
+       |GROUP BY r.vec_id, a2.cell
+       |ORDER BY adc_score, r.vec_id LIMIT $topK""".stripMargin
+  }
+
   /** Exact twin of [[graft.llm.Dedup.splitLeakage]]: portable banded
     * candidates (capped), hash-split membership recomputed per side, pairs
     * crossing train→test in either orientation. */

@@ -80,6 +80,47 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
       s"trained ADC top-25 recalls only $trainedOverlap/25 of exact top-25")
   }
 
+  test("ivfAdcTopK: equals ADC over probed-cell members; prunes the rest") {
+    val cbs = Pq.seedCodebooks(emb, "embedding", "vec_id", m = 8, k = 16)
+    val cells = Ann.firstKCentroids(emb, "embedding", "vec_id", 16)
+    val query = Ann.firstKCentroids(emb, "embedding", "vec_id", 1).head
+    val got = Pq.ivfAdcTopK(emb, "embedding", "vec_id", cells, cbs, query,
+        nProbe = 4, k = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === 25)
+    // ascending by (score, id); query vector (seed centroid 0) self-retrieves
+    assert(got.sortBy(t => (t._3, t._1)).toSeq === got.toSeq)
+    assert(got.head._1 === 0L && got.head._3 === 0.0)
+    // local replay of the coarse stage: cosine argmin cell per vector,
+    // probe list = query's 4 best cells — every returned row must sit in a
+    // probed cell and carry its locally recomputed cell id
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cd = cells.map(_.map(_.toDouble))
+    val qd = query.map(_.toDouble)
+    val probed = cd.zipWithIndex.map { case (c, i) => (-cos(qd, c), i) }
+      .sorted.take(4).map(_._2).toSet
+    val localCell = emb.collect()
+      .map(r => r.getLong(0) ->
+        cd.zipWithIndex.map { case (c, i) =>
+          (-cos(r.getSeq[Float](1).toArray.map(_.toDouble), c), i) }.min._2)
+      .toMap
+    got.foreach { case (id, cell, _) =>
+      assert(probed.contains(cell.toInt) && localCell(id) === cell.toInt, s"id $id")
+    }
+    // equivalence: the composed form must rank exactly like plain ADC
+    // restricted to the probed-cell membership
+    val members = localCell.collect { case (id, c) if probed.contains(c) => id }.toSet
+    val expected = Pq.adcTopK(emb.filter(org.apache.spark.sql.functions
+          .col("vec_id").isin(members.toSeq: _*)),
+        "embedding", "vec_id", cbs, query, k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(t => (t._1, t._3)).toSeq === expected.toSeq)
+  }
+
   test("Lloyd refinement cuts distortion vs the seed codebook") {
     val seeds = Pq.seedCodebooks(emb, "embedding", "vec_id", m = 8, k = 16)
     val trained = Pq.trainCodebooks(emb, "embedding", "vec_id", m = 8, k = 16, iters = 3)
