@@ -80,6 +80,37 @@ object Ann {
   }
 
   /**
+   * Exact top-k cosine neighbors for EVERY query row — the multi-query
+   * brute-force baseline (ground truth for index-quality evaluation,
+   * [[RetrievalEval]]). The query side rides a BroadcastHashJoin on a
+   * shared non-foldable constant key (the [[joinedCellScores]] device: a
+   * foldable `true` condition would degenerate to a
+   * BroadcastNestedLoopJoin and trip the plan audit), so the corpus is
+   * scanned ONCE and each partition scores its rows against the
+   * broadcast query set — the O(|Q|·N) work brute force genuinely is,
+   * with no shuffle of the corpus. Rank key is the 6-dp-rounded sim
+   * (engine-stable boundary, see [[bruteForceTopK]]).
+   */
+  def bruteForceTopKJoin(corpus: DataFrame, queries: DataFrame,
+                         vecCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"),
+        transform(col(vecCol), _.cast("double")).as("_qv"))
+      .withColumn("_k", pmod(xxhash64(col("query_id")), lit(1)))
+    val c = corpus.select(col(idCol).as("corpus_id"),
+        transform(col(vecCol), _.cast("double")).as("_cv"))
+      .withColumn("_k", pmod(xxhash64(col("corpus_id")), lit(1)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cosine_sim"), 6).desc, col("corpus_id").asc)
+    c.join(broadcast(q), "_k")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("_qv"), col("_cv")).as("cosine_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /**
    * Deterministic pseudo-random unit-free hyperplanes: plane p, dim d →
    * a fixed hash-derived coefficient in [-1, 1). No RNG state — the same
    * plane set on every executor and every run.

@@ -336,6 +336,24 @@ object AnnQueries {
       Some(LshOracles.knnLabelPropSql(nPlanes = 8, dim = 64, k = 3,
         cap = 2000, nTables = 4, seedMod = 5))),
 
+    // retrieval-quality evaluation as a query: per-query recall@5 +
+    // reciprocal rank of the l10 LSH index vs the exact multi-query
+    // brute-force baseline (bruteForceTopKJoin: corpus scanned once,
+    // queries broadcast on a non-foldable constant key — BHJ, never
+    // BNLJ). The CI recall gates SAMPLE; this measures the full corpus
+    // on every build and is itself oracled
+    "l68_retrieval_metrics" -> Q(
+      (s, dir) => {
+        val e = td(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 16)
+        val truth = Ann.bruteForceTopKJoin(e, queries, "embedding", "vec_id", k = 5)
+        val results = Ann.lshTopK(e, queries, "embedding", "vec_id",
+          dim = 64, k = 5, nPlanes = 6, nTables = 8)
+        graft.llm.RetrievalEval.retrievalMetrics(truth, results, k = 5)
+      },
+      Some(LshOracles.retrievalMetricsSql(nPlanes = 6, dim = 64,
+        nQueries = 16, k = 5, nTables = 8))),
+
     // REAL multimodal decode: per-id real BMP/WAV containers built with
     // every header field a function of the id, parsed back by the pure-JVM
     // header decoders. The oracle recomputes the expected decoded values

@@ -358,6 +358,36 @@ object LshOracles {
        |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, d.did IS NULL AS kept
        |FROM asg a LEFT JOIN drops d ON a.vec_id = d.did""".stripMargin
 
+  /** Exact twin of [[graft.llm.RetrievalEval.retrievalMetrics]] over the
+    * l10 configuration — l68_retrieval_metrics. Ground truth is the exact
+    * per-query top-k (all-pairs window, oracle-scale only); the system
+    * side is [[lshTopKSql]] verbatim; ranks recompute from the rounded
+    * key on both sides. */
+  def retrievalMetricsSql(nPlanes: Int, dim: Int, nQueries: Int, k: Int,
+                          nTables: Int): String =
+    s"""WITH res AS (
+       |  SELECT * FROM (${lshTopKSql(nPlanes, dim, nQueries, k, nTables)})),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |tr AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(${cosSql("q.e", "c.e")}, 6) DESC, c.vec_id) AS r
+       |  FROM v q JOIN v c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $nQueries),
+       |truth AS (SELECT query_id, corpus_id FROM tr WHERE r <= $k),
+       |rk AS (SELECT query_id, corpus_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY round(cosine_sim, 6) DESC,
+       |    corpus_id) AS rnk
+       |  FROM res),
+       |h AS (SELECT t.query_id, count(*) AS n_hits, min(rk.rnk) AS fr
+       |  FROM truth t JOIN rk ON t.query_id = rk.query_id
+       |    AND t.corpus_id = rk.corpus_id
+       |  GROUP BY 1)
+       |SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  round(COALESCE(h.n_hits, 0) / $k.0, 6) AS recall_at_k,
+       |  round(CASE WHEN h.fr IS NULL THEN 0.0 ELSE 1.0 / h.fr END, 6) AS rr
+       |FROM (SELECT DISTINCT query_id FROM truth) q
+       |LEFT JOIN h USING (query_id)""".stripMargin
+
   /** Exact twin of [[graft.llm.LabelProp.knnLabelVote]] over `embeddings`
     * with seed labels = lang of every `seedMod`-th document —
     * l67_knn_label_prop. The neighbor graph is [[lshKnnJoinSql]] verbatim
