@@ -253,6 +253,54 @@ object QualityClassifier {
         (col("_m") + size(col("_tk")).cast("long") * biasAdjMicro > 0).as("keep"): _*)
   }
 
+  /**
+   * Calibration / reliability table: bin the corpus into `nBins`
+   * quantiles of the classifier's mean token weight (the monotone logit
+   * surrogate — no exp, engine-stable) and report, per bin, how the
+   * frozen gate's keep decision agrees with an independent reference
+   * label — the "is the classifier actually separating quality?" audit a
+   * curation run ships next to its funnel. A well-behaved classifier
+   * shows agreement rising toward both extreme bins and the keep rate
+   * increasing monotonically in bin rank; a flat table means the gate is
+   * noise.
+   *
+   * `ref` is any boolean Column over `df`'s rows (e.g. the l4 heuristic
+   * at a threshold) — evaluated once, joined back by id.
+   *
+   * Scale note: exact global quantiles need a total order (ntile over an
+   * unpartitioned window — one sort partition). That is the correct
+   * EVALUATION-table trade at audit sizes; at 100 TB run it over a
+   * stratified sample ([[Sampling.stratifiedSample]]) or swap the ntile
+   * for approx_percentile cutoffs — the output contract is unchanged.
+   *
+   * Output: (bin 1..nBins ascending mean weight, n_docs, n_keep,
+   * n_ref_ok, n_agree, agree_rate).
+   */
+  def calibrationTable(df: DataFrame, idCol: String, textCol: String,
+                       model: Model, minLogit: java.math.BigDecimal,
+                       ref: Column, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "nBins must be at least 2")
+    import org.apache.spark.sql.expressions.Window
+    val scored = score(df, idCol, textCol, model, minLogit)
+    val labels = df.select(col(idCol).as("id"), ref.as("ref_ok"))
+    // mean token weight, 6-dp rounded: score_sum is an exact DECIMAL on
+    // both engines, so the quotient and its rounding are bit-identical;
+    // (mw, id) is a total order → deterministic ntile on both sides
+    val w = Window.orderBy(col("_mw"), col("id"))
+    scored.join(labels, "id")
+      .withColumn("_mw", round(col("score_sum") / col("n_tokens"), 6))
+      .withColumn("bin", ntile(nBins).over(w).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_keep"),
+        sum(when(col("ref_ok"), 1L).otherwise(0L)).cast("long").as("n_ref_ok"),
+        sum(when(col("keep") === col("ref_ok"), 1L).otherwise(0L))
+          .cast("long").as("n_agree"))
+      .select(col("bin"), col("n_docs"), col("n_keep"), col("n_ref_ok"),
+        col("n_agree"),
+        round(col("n_agree").cast("double") / col("n_docs"), 6).as("agree_rate"))
+  }
+
   /** Probability form for interactive use (NOT oracle-compared — libm exp
     * differs across engines in the last ulp): sigmoid(score_sum/n + bias). */
   def sigmoid(scoreSum: Column, nTokens: Column, model: Model): Column =

@@ -44,6 +44,55 @@ object ClassifierOracles {
        |  (s + n_tokens * CAST(${biasAdj(model, minLogit)} AS DECIMAL(9,6))) > 0 AS keep
        |FROM g""".stripMargin
 
+  /** Exact twin of [[graft.llm.QualityClassifier.calibrationTable]] with
+    * ref = l4's heuristic quality ≥ `refThreshold` — l69_calibration.
+    * Scoring replays [[scoreSql]]'s CTEs; the bin key is the 6-dp mean
+    * token weight (exact-DECIMAL quotient, identical on both engines)
+    * with id tie-break, so ntile is deterministic. */
+  def calibrationSql(model: Model, minLogit: java.math.BigDecimal,
+                     refThreshold: String, nBins: Int): String =
+    s"""WITH w(bucket, wt) AS (SELECT * FROM (VALUES ${weightValues(model)})),
+       |tk AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id,
+       |    CAST(('0x'||substr(md5(token),1,15))::BIGINT % ${model.nBuckets} AS INTEGER) AS bucket
+       |  FROM tk WHERE length(token) > 0),
+       |j AS (
+       |  SELECT doc_id, COALESCE(wt, CAST(0 AS DECIMAL(9,6))) AS wt0
+       |  FROM t LEFT JOIN w USING (bucket)),
+       |g AS (
+       |  SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens, sum(wt0) AS s
+       |  FROM j GROUP BY 1),
+       |sc AS (
+       |  SELECT id, n_tokens, CAST(s AS DOUBLE) AS score_sum,
+       |    (s + n_tokens * CAST(${biasAdj(model, minLogit)} AS DECIMAL(9,6))) > 0 AS keep
+       |  FROM g),
+       |q AS (SELECT doc_id,
+       |  CAST(length(text) AS DOUBLE) AS n_chars,
+       |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS n_words,
+       |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct
+       |  FROM documents),
+       |ql AS (SELECT doc_id,
+       |  round(least(n_chars/200.0, 1.0) * (1.0 - n_punct/greatest(n_chars, 1.0))
+       |    * (0.5 + 0.5*least((n_chars/greatest(n_words, 1.0))/8.0, 1.0)), 6)
+       |    >= $refThreshold AS ref_ok
+       |  FROM q),
+       |jj AS (
+       |  SELECT sc.id, sc.keep, ql.ref_ok,
+       |    round(sc.score_sum / sc.n_tokens, 6) AS mw
+       |  FROM sc JOIN ql ON sc.id = ql.doc_id),
+       |b AS (SELECT *, ntile($nBins) OVER (ORDER BY mw, id) AS bin FROM jj)
+       |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  CAST(sum(CASE WHEN ref_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ref_ok,
+       |  CAST(sum(CASE WHEN keep = ref_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  round(CAST(sum(CASE WHEN keep = ref_ok THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS agree_rate
+       |FROM b GROUP BY 1""".stripMargin
+
   /** Exact CTE-chain twin of the l51 curation funnel: the l47 normalize
     * chain, the l46 gate (LEFT-join-preserved zero-token docs),
     * opening-fingerprint keep-first dedup among survivors (md5 of the

@@ -402,6 +402,25 @@ object TextQueries {
         minLogit = graft.llm.QualityClassifier.DefaultModel.bias
           .add(new java.math.BigDecimal("0.050000"))))),
 
+    // classifier calibration / reliability table: decile bins of the
+    // frozen gate's mean token weight vs the independent l4 heuristic at
+    // 0.5 — the "is the gate actually separating quality?" audit shipped
+    // next to a curation funnel. Bin key is the exact-DECIMAL quotient
+    // rounded to 6 dp with id tie-break, so ntile agrees across engines
+    "l69_calibration" -> Q(
+      (s, dir) => graft.llm.QualityClassifier.calibrationTable(
+        td(s, dir, "documents"), "doc_id", "text",
+        graft.llm.QualityClassifier.DefaultModel,
+        minLogit = graft.llm.QualityClassifier.DefaultModel.bias
+          .add(new java.math.BigDecimal("0.050000")),
+        ref = graft.llm.TextOps.qualityScore(col("text")) >= 0.5,
+        nBins = 10),
+      Some(ClassifierOracles.calibrationSql(
+        graft.llm.QualityClassifier.DefaultModel,
+        minLogit = graft.llm.QualityClassifier.DefaultModel.bias
+          .add(new java.math.BigDecimal("0.050000")),
+        refThreshold = "0.5", nBins = 10))),
+
     // accent folding for search/match keys (native NFD->strip-marks->NFC
     // expression, DuckDB's strip_accents): doc_id-keyed accented tails
     // (l26/l47 pattern) exercise the fold on the ASCII fixture

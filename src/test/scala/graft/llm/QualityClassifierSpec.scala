@@ -69,6 +69,28 @@ class QualityClassifierSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), plan.take(500))
   }
 
+  test("calibrationTable: bins partition the scored corpus, counts reconcile") {
+    import org.apache.spark.sql.functions._
+    val m = QualityClassifier.DefaultModel
+    val minLogit = m.bias.add(new java.math.BigDecimal("0.050000"))
+    val ref = TextOps.qualityScore(col("text")) >= 0.5
+    val cal = QualityClassifier.calibrationTable(
+        docs, "doc_id", "text", m, minLogit, ref, nBins = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).sortBy(_._1)
+    assert(cal.map(_._1).toSeq === (1L to 10L))
+    val scored = QualityClassifier.score(docs, "doc_id", "text", m, minLogit)
+    assert(cal.map(_._2).sum === scored.count())
+    assert(cal.map(_._3).sum === scored.filter(col("keep")).count())
+    cal.foreach { case (bin, n, nk, nr, na, rate) =>
+      assert(nk <= n && nr <= n && na <= n, s"bin $bin")
+      assert(math.abs(rate - na.toDouble / n) < 1e-6, s"bin $bin rate")
+    }
+    // the gate is monotone in the bin key (mean token weight), so keep
+    // rate must not decrease from the bottom bin to the top bin
+    assert(cal.head._3.toDouble / cal.head._2 <= cal.last._3.toDouble / cal.last._2)
+  }
+
   test("calibrated gate discriminates on the fixture (both classes present)") {
     val m = QualityClassifier.DefaultModel
     val minLogit = m.bias.add(new java.math.BigDecimal("0.050000"))
