@@ -93,6 +93,26 @@ object ScalarFnQueries {
              |CAST(levenshtein(n_name, 'CANADA') AS BIGINT) AS d_canada,
              |CAST(levenshtein(lower(n_name), n_name) AS BIGINT) AS d_case,
              |CAST(levenshtein(n_name, reverse(n_name)) AS BIGINT) AS d_rev
-             |FROM nation""".stripMargin))
+             |FROM nation""".stripMargin)),
+
+    // F7 — semi-structured sidecar extraction over REAL driver data: the
+    //   events table ships a JSON props column (every telemetry pipeline
+    //   has one); extract the typed field and aggregate per event_type.
+    //   The null guard is on the DERIVED field (not scan-pushable by
+    //   nature); one hash-agg on a low-cardinality key
+    "f7_props_json_extract" -> Q(
+      (s, dir) => Registry.td(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("k")).cast("long").as("k_sum"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max")),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |CAST(sum(k) AS BIGINT) AS k_sum, min(k) AS k_min, max(k) AS k_max
+             |FROM (SELECT event_type,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |  FROM events) WHERE k IS NOT NULL GROUP BY 1""".stripMargin))
   )
 }
