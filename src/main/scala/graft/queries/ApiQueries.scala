@@ -261,6 +261,42 @@ object ApiQueries {
              |  last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS value_filled,
              |  cents IS NULL AS was_gap
-             |FROM j""".stripMargin))
+             |FROM j""".stripMargin)),
+
+    // ordered event-sequence funnel over the real events table: per-user
+    // greedy earliest-advance through signup→view→click→purchase (step
+    // i+1 strictly after step i), reported as cumulative conversion.
+    // ONE shuffle + expression fold — no k-pass self-joins; the oracle
+    // replays the equivalent chained per-step-min formulation
+    "w8_event_funnel" -> Q(
+      (s, dir) => graft.ops.Funnel.funnelReport(
+        Registry.tdEventsUs(s, dir), "user_id", "ts_us", "event_id",
+        "event_type", Seq("signup", "view", "click", "purchase")),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
+             |  FROM events
+             |  WHERE event_type IN ('signup','view','click','purchase')),
+             |u1 AS (SELECT user_id, min(tsu) AS t1 FROM e
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |u2 AS (SELECT e.user_id, min(tsu) AS t2 FROM e
+             |  JOIN u1 USING (user_id)
+             |  WHERE event_type = 'view' AND tsu > t1 GROUP BY 1),
+             |u3 AS (SELECT e.user_id, min(tsu) AS t3 FROM e
+             |  JOIN u2 USING (user_id)
+             |  WHERE event_type = 'click' AND tsu > t2 GROUP BY 1),
+             |u4 AS (SELECT e.user_id, min(tsu) AS t4 FROM e
+             |  JOIN u3 USING (user_id)
+             |  WHERE event_type = 'purchase' AND tsu > t3 GROUP BY 1),
+             |b AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM e),
+             |c AS (
+             |  SELECT 1 AS step, 'signup' AS step_name,
+             |    (SELECT count(*) FROM u1) AS n_reached
+             |  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM u2)
+             |  UNION ALL SELECT 3, 'click', (SELECT count(*) FROM u3)
+             |  UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM u4))
+             |SELECT CAST(step AS BIGINT) AS step, step_name,
+             |  CAST(n_reached AS BIGINT) AS n_reached,
+             |  round(CAST(n_reached AS DOUBLE) / n_users, 6) AS conv_rate
+             |FROM c, b""".stripMargin))
   )
 }
