@@ -1,0 +1,72 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-level audit statistics a curation run reports next to its funnel
+ * (reference: the QC/reporting surfaces around the dedup and publish
+ * flows): vocabulary growth (Heaps' law) and duplicate-group structure.
+ *
+ * Both are one-or-two hash-agg shapes whose OUTPUT is tiny (10 rows /
+ * one row per distinct group size), so they ride along a 100 TB run for
+ * the cost of the token/fingerprint aggregation they already share with
+ * dedup — no windows over the corpus, no driver-side iteration.
+ */
+object CorpusStats {
+
+  /**
+   * Heaps-law vocabulary growth: the corpus in `nBuckets` equal id slices,
+   * per slice the number of NEW token types first seen there (plus their
+   * total document frequency), and the cumulative vocabulary size.
+   * `tokens` is any array expression over the doc row — unigram tokens
+   * for classic Heaps, n-gram shingles for a curve that keeps moving on
+   * small fixed vocabularies.
+   *
+   * Shape: (doc,token) distinct → per-token (min first id, df) hash-agg →
+   * bucket groupBy (`nBuckets` rows) → a `nBuckets`-row running sum. The
+   * only per-corpus work is the token aggregation; the final window sorts
+   * `nBuckets` rows, not the corpus.
+   */
+  def vocabGrowth(docs: DataFrame, idCol: String, tokens: org.apache.spark.sql.Column,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val toks = docs.select(col(idCol).as("doc"), explode(tokens).as("tok"))
+      .distinct()
+    val firstSeen = toks.groupBy("tok")
+      .agg(min("doc").as("first_doc"), count(lit(1)).cast("long").as("df"))
+    // id-space size as a broadcast 1-row bound (ids need not be dense:
+    // the curve is over the id RANGE, which both engines replay exactly)
+    val bound = docs.agg((max(col(idCol)) + 1).cast("long").as("n_ids"))
+    val perBucket = firstSeen.crossJoin(broadcast(bound))
+      .select(expr(s"least((first_doc * $nBuckets) div n_ids, ${nBuckets - 1})")
+        .cast("long").as("bucket"), col("df"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("new_types"),
+        sum("df").cast("long").as("new_type_docfreq"))
+    perBucket.withColumn("cum_types",
+      sum("new_types").over(Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+  }
+
+  /**
+   * Duplicate-group size histogram + keep-first dedup savings: one row per
+   * distinct group size with the number of groups, docs, redundant docs,
+   * and the total `weightCol` (e.g. chars or tokens) a keep-smallest-id
+   * dedup would delete. The keeper's weight is selected with `min_by`
+   * (deterministic: `idCol` is unique), so "removable weight" is exact,
+   * not an average approximation.
+   */
+  def dupSizeHistogram(df: DataFrame, keyCol: String, idCol: String,
+      weightCol: String): DataFrame = {
+    val groups = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("group_size"),
+        sum(col(weightCol)).cast("long").as("total_w"),
+        min_by(col(weightCol), col(idCol)).cast("long").as("keeper_w"))
+    groups.groupBy(col("group_size"))
+      .agg(count(lit(1)).cast("long").as("n_groups"),
+        (sum("group_size") - count(lit(1))).cast("long").as("n_redundant_docs"),
+        sum(col("total_w") - col("keeper_w")).cast("long").as("removable_weight"))
+  }
+}

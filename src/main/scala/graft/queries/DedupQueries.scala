@@ -228,5 +228,39 @@ object DedupQueries {
           "text", "doc_id", family = graft.llm.PortableFamily)
       },
       Some(LshOracles.incrementalDedupSql(n = 3, k = 32, bands = 8, mod = 10))),
+
+    // EXACT set-similarity self-join with prefix filtering (AllPairs/
+    // PPJoin): every pair with token-set Jaccard >= 3/5, no banding
+    // probability — the deterministic complement to l5/l6. Registered on
+    // a 1/10 slice: "report every pair" is inherently quadratic inside
+    // the synthetic corpus's template mega-clusters (~71k true pairs at
+    // sf0.01 full-corpus, ~100x that at sf0.1) — the exact form is for
+    // bounded slices (per-source shards, incremental batches, audit
+    // reruns); LSH (l5/l6) remains the full-corpus scale path. Threshold
+    // tested in exact integer arithmetic on both engines
+    "l70_prefix_jaccard_join" -> Q(
+      (s, dir) => graft.llm.SetSimJoin.prefixJaccardJoin(
+        td(s, dir, "documents").filter(col("doc_id") % 10 === 3),
+        "text", "doc_id", tNum = 3, tDen = 5),
+      Some("""WITH toks AS (SELECT DISTINCT doc, tok FROM (
+             |    SELECT doc_id AS doc, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+             |    FROM documents WHERE doc_id % 10 = 3)),
+             |freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY 1),
+             |ord AS (SELECT t.doc, t.tok,
+             |    row_number() OVER (PARTITION BY t.doc ORDER BY f.df, t.tok) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY t.doc) AS BIGINT) AS n
+             |  FROM toks t JOIN freq f USING (tok)),
+             |pref AS (SELECT doc, tok, n FROM ord
+             |  WHERE rn <= n - ((3 * n + 4) // 5) + 1),
+             |cand AS (SELECT DISTINCT a.doc AS id1, b.doc AS id2, a.n AS size1, b.n AS size2
+             |  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc < b.doc
+             |  WHERE greatest(a.n, b.n) * 3 <= least(a.n, b.n) * 5),
+             |i AS (SELECT c.id1, c.id2, c.size1, c.size2, CAST(count(*) AS BIGINT) AS inter
+             |  FROM cand c JOIN toks x ON x.doc = c.id1
+             |  JOIN toks y ON y.doc = c.id2 AND y.tok = x.tok
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT id1, id2, size1, size2, inter,
+             |  round(inter / (size1 + size2 - inter), 6) AS jaccard
+             |FROM i WHERE inter * 5 >= (size1 + size2 - inter) * 3""".stripMargin)),
   )
 }

@@ -78,6 +78,53 @@ object TextQueries {
           sum(when(col("_bad"), 1L).otherwise(0L)).cast("long").as("n_mismatch")),
       Some(BpeOracles.roundTripSql(graft.llm.Bpe.DefaultMerges))),
 
+    // Heaps-law vocabulary growth: per decile of the id range, NEW types
+    // first seen there (+ their df) and cumulative vocabulary — the "is
+    // the corpus still adding types?" audit curve. Types are 3-gram
+    // shingles (the synthetic generator's UNIGRAM vocab saturates in
+    // decile 0 — a 1-row curve; trigram types keep growing, so the hash
+    // check exercises all 10 rows). One token hash-agg; the window sorts
+    // 10 rows, not the corpus
+    "l71_vocab_growth" -> Q(
+      (s, dir) => graft.llm.CorpusStats.vocabGrowth(
+        td(s, dir, "documents"), "doc_id",
+        TextOps.shingles(col("text"), 3), nBuckets = 10),
+      Some("""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             |    FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+             |toks AS (SELECT doc_id AS doc, unnest(list_distinct(list_transform(range(1, len(t)-1),
+             |    i -> array_to_string(t[i:i+2], ' ')))) AS tok FROM tk),
+             |ft AS (SELECT tok, min(doc) AS first_doc, CAST(count(*) AS BIGINT) AS df
+             |  FROM toks GROUP BY 1),
+             |n AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n_ids FROM documents),
+             |pb AS (SELECT CAST(least((first_doc * 10) // n_ids, 9) AS BIGINT) AS bucket,
+             |    CAST(count(*) AS BIGINT) AS new_types, CAST(sum(df) AS BIGINT) AS new_type_docfreq
+             |  FROM ft, n GROUP BY 1)
+             |SELECT bucket, new_types, new_type_docfreq,
+             |  CAST(sum(new_types) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+             |FROM pb""".stripMargin)),
+
+    // duplicate-group size histogram + keep-first dedup savings over the
+    // l1 fingerprint groups: one row per group size with group/doc counts
+    // and the exact chars a keep-smallest-id dedup would delete (keeper
+    // weight via min_by/arg_min — deterministic, ids are unique)
+    "l72_dup_histogram" -> Q(
+      (s, dir) => graft.llm.CorpusStats.dupSizeHistogram(
+        td(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+          Dedup.exactFingerprint(
+            array_join(slice(TextOps.whitespaceTokens(col("text")), 1, 5), " ")).as("fp")),
+        "fp", "doc_id", "n_chars"),
+      Some("""WITH p AS (SELECT doc_id, n_chars,
+             |    md5(array_to_string(regexp_split_to_array(trim(text), '\s+')[1:5], ' ')) AS fp
+             |  FROM documents),
+             |g AS (SELECT fp, CAST(count(*) AS BIGINT) AS group_size,
+             |    CAST(sum(n_chars) AS BIGINT) AS total_w,
+             |    CAST(arg_min(n_chars, doc_id) AS BIGINT) AS keeper_w
+             |  FROM p GROUP BY 1)
+             |SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups,
+             |  CAST(sum(group_size) - count(*) AS BIGINT) AS n_redundant_docs,
+             |  CAST(sum(total_w - keeper_w) AS BIGINT) AS removable_weight
+             |FROM g GROUP BY 1""".stripMargin)),
+
     // one-row corpus HEALTH REPORT (the numbers a pipeline run gates on):
     // doc/blank/token counts, exact-dup docs, mean quality. Mean is summed
     // in DECIMAL(18,6) over per-doc 6-dp-rounded scores (exact arithmetic
