@@ -111,6 +111,40 @@ object Ann {
   }
 
   /**
+   * Hard-negative mining for contrastive training data: per query, the
+   * k most cosine-similar corpus vectors with a DIFFERENT label — the
+   * "looks like the anchor but isn't its class" examples a retrieval /
+   * classifier trainer wants next to each positive.
+   *
+   * Same 100 TB shape as [[bruteForceTopKJoin]]: queries broadcast on a
+   * non-foldable constant key (BroadcastHashJoin, never a
+   * BroadcastNestedLoopJoin), the corpus scanned ONCE with no shuffle;
+   * the label filter prunes before the per-query window. Rank key is the
+   * 6-dp-rounded sim with id tie-break — engine-stable boundaries.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, labelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("query_label"),
+        transform(col(vecCol), _.cast("double")).as("_qv"))
+      .withColumn("_k", pmod(xxhash64(col("query_id")), lit(1)))
+    val c = corpus.select(col(idCol).as("corpus_id"),
+        col(labelCol).as("corpus_label"),
+        transform(col(vecCol), _.cast("double")).as("_cv"))
+      .withColumn("_k", pmod(xxhash64(col("corpus_id")), lit(1)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cosine_sim"), 6).desc, col("corpus_id").asc)
+    c.join(broadcast(q), "_k")
+      .filter(col("query_label") =!= col("corpus_label"))
+      .select(col("query_id"), col("query_label"), col("corpus_id"),
+        col("corpus_label"), cosine(col("_qv"), col("_cv")).as("cosine_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+  }
+
+  /**
    * Deterministic pseudo-random unit-free hyperplanes: plane p, dim d →
    * a fixed hash-derived coefficient in [-1, 1). No RNG state — the same
    * plane set on every executor and every run.

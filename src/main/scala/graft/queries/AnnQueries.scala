@@ -354,6 +354,32 @@ object AnnQueries {
       Some(LshOracles.retrievalMetricsSql(nPlanes = 6, dim = 64,
         nQueries = 16, k = 5, nTables = 8))),
 
+    // hard-negative mining for contrastive training: per query (every
+    // 100th vector), the 5 most-similar corpus vectors with a DIFFERENT
+    // label. Queries broadcast on a constant key (BHJ, corpus scanned
+    // once, no shuffle); rank on 6-dp-rounded sim + id tie-break
+    "l73_hard_negatives" -> Q(
+      (s, dir) => {
+        val e = td(s, dir, "embeddings")
+        Ann.hardNegatives(e, e.filter(col("vec_id") % 100 === 0),
+          "embedding", "vec_id", "label", k = 5)
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+             |    embedding::DOUBLE[] AS qv
+             |  FROM embeddings WHERE vec_id % 100 = 0),
+             |s AS (SELECT q.query_id, q.query_label, e.vec_id AS corpus_id,
+             |    e.label AS corpus_label,
+             |    round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+             |      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+             |         * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+             |  FROM embeddings e, q
+             |  WHERE e.label <> q.query_label),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY sim DESC, corpus_id) AS rank FROM s)
+             |SELECT query_id, query_label, corpus_id, corpus_label,
+             |  sim AS cosine_sim, CAST(rank AS BIGINT) AS rank
+             |FROM r WHERE rank <= 5""".stripMargin)),
+
     // REAL multimodal decode: per-id real BMP/WAV containers built with
     // every header field a function of the id, parsed back by the pure-JVM
     // header decoders. The oracle recomputes the expected decoded values
