@@ -51,6 +51,39 @@ object CorpusStats {
   }
 
   /**
+   * Per-source consecutive-document n-gram overlap — the "is this source
+   * a template mill?" crawl diagnostic: a source whose adjacent documents
+   * (in id order) share most of their shingles is boilerplate-heavy and a
+   * near-dup-cluster factory downstream. Output per source: pair count,
+   * mean adjacent Jaccard (6-dp decimal-summed — engine-exact), and the
+   * count of pairs above `highThreshold`.
+   *
+   * Scale note: one shuffle, partitioned by source — adjacency is the
+   * semantic unit, and the aggregate is a sum/count, so a skewed giant
+   * source can be split into id-range blocks and partial-summed (only
+   * each block-boundary pair needs stitching); the per-source partition
+   * here is the direct form.
+   */
+  def consecutiveOverlap(docs: DataFrame, idCol: String, srcCol: String,
+      textCol: String, n: Int = 3, highThreshold: Double = 0.5): DataFrame = {
+    val w = Window.partitionBy("_src").orderBy("_id")
+    val sh = docs.select(col(idCol).as("_id"), col(srcCol).as("_src"),
+      array_distinct(TextOps.shingles(col(textCol), n)).as("sh"))
+    val pairs = sh.withColumn("psh", lag("sh", 1).over(w))
+      .filter(col("psh").isNotNull && size(col("sh")) > 0 && size(col("psh")) > 0)
+      .withColumn("inter", size(array_intersect(col("sh"), col("psh"))).cast("long"))
+      .withColumn("uni",
+        (size(col("sh")) + size(col("psh"))).cast("long") - col("inter"))
+      .withColumn("j", round(col("inter") / col("uni"), 6))
+    pairs.groupBy(col("_src").as(srcCol))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        round(sum(col("j").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("mean_jaccard"),
+        sum(when(col("j") >= highThreshold, 1L).otherwise(0L))
+          .cast("long").as("n_high"))
+  }
+
+  /**
    * Duplicate-group size histogram + keep-first dedup savings: one row per
    * distinct group size with the number of groups, docs, redundant docs,
    * and the total `weightCol` (e.g. chars or tokens) a keep-smallest-id

@@ -103,6 +103,31 @@ object TextQueries {
              |  CAST(sum(new_types) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
              |FROM pb""".stripMargin)),
 
+    // per-source consecutive-doc trigram overlap: the "template mill"
+    // crawl diagnostic — mean adjacent-doc Jaccard + high-overlap pair
+    // count per source. One shuffle on source; decimal-summed mean
+    "l74_consecutive_overlap" -> Q(
+      (s, dir) => graft.llm.CorpusStats.consecutiveOverlap(
+        td(s, dir, "documents"), "doc_id", "source", "text",
+        n = 3, highThreshold = 0.5),
+      Some("""WITH tk AS (SELECT doc_id, source,
+             |    regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+             |shs AS (SELECT doc_id, source,
+             |    CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(range(1, len(t)-1),
+             |      i -> array_to_string(t[i:i+2], ' '))) ELSE [] END AS sh
+             |  FROM tk),
+             |pr AS (SELECT source, sh,
+             |    lag(sh) OVER (PARTITION BY source ORDER BY doc_id) AS psh FROM shs),
+             |j AS (SELECT source,
+             |    round(CAST(len(list_intersect(sh, psh)) AS DOUBLE)
+             |      / (len(sh) + len(psh) - len(list_intersect(sh, psh))), 6) AS j
+             |  FROM pr WHERE psh IS NOT NULL AND len(sh) > 0 AND len(psh) > 0)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+             |  round(CAST(sum(CAST(j AS DECIMAL(18,6))) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS mean_jaccard,
+             |  CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+             |FROM j GROUP BY 1""".stripMargin)),
+
     // duplicate-group size histogram + keep-first dedup savings over the
     // l1 fingerprint groups: one row per group size with group/doc counts
     // and the exact chars a keep-smallest-id dedup would delete (keeper

@@ -31,6 +31,25 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(m == Map(0L -> 1L, 9L -> 1L))
   }
 
+  test("consecutiveOverlap: identical neighbors score 1, disjoint score 0, singles drop") {
+    val docs = Seq(
+      (1L, "A", "w x y z"),   // shingles {w x y, x y z}
+      (2L, "A", "w x y z"),   // identical -> j = 1 with doc 1
+      (3L, "A", "p q r s"),   // disjoint -> j = 0 with doc 2
+      (4L, "B", "a b c d"),   // only doc in B with a successor...
+      (5L, "B", "a b c e"),   // {a b c, b c d} vs {a b c, b c e} -> j = 1/3
+      (6L, "C", "lone doc here"), // single doc -> no pair row for C? (one doc, no lag)
+      (7L, "D", "x")          // too short for trigrams -> filtered
+    ).toDF("doc_id", "source", "text")
+    val got = CorpusStats.consecutiveOverlap(docs, "doc_id", "source", "text")
+      .select("source", "n_pairs", "mean_jaccard", "n_high")
+      .as[(String, Long, Double, Long)].collect()
+      .map { case (s, a, b, c) => s -> ((a, b, c)) }.toMap
+    assert(got("A") == ((2L, 0.5, 1L)))          // j = 1.0 and 0.0 -> mean 0.5, one high
+    assert(got("B") == ((1L, 0.333333, 0L)))     // 1/3 rounded to 6 dp
+    assert(!got.contains("C") && !got.contains("D"))
+  }
+
   test("dupSizeHistogram: exact removable weight keeps the min-id member") {
     val df = Seq(
       (1L, "k1", 10L), (2L, "k1", 30L), (3L, "k1", 20L), // size 3, keeper w=10, removable 50
