@@ -51,6 +51,31 @@ object CorpusStats {
   }
 
   /**
+   * Per-document n-gram novelty: the fraction of a doc's distinct
+   * n-gram shingles whose FIRST corpus occurrence (by id order) is this
+   * doc — the duplication/memorization audit from the dataset-analysis
+   * literature (a low-novelty doc is mostly recycled text, even when no
+   * single near-dup partner exists). Docs shorter than n tokens have no
+   * shingles and are absent from the output.
+   *
+   * Shape: explode → per-shingle min-id hash-agg → one equi-join back on
+   * the shingle → per-doc hash-agg. Everything partitions on the shingle
+   * or the id — no windows, no all-pairs.
+   */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc"),
+      explode(array_distinct(TextOps.shingles(col(textCol), n))).as("sh"))
+    val first = sh.groupBy("sh").agg(min("doc").as("first_doc"))
+    sh.join(first, "sh")
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("first_doc") === col("doc"), 1L).otherwise(0L))
+          .cast("long").as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") / col("n_shingles"), 6))
+  }
+
+  /**
    * Per-source consecutive-document n-gram overlap — the "is this source
    * a template mill?" crawl diagnostic: a source whose adjacent documents
    * (in id order) share most of their shingles is boilerplate-heavy and a

@@ -103,6 +103,25 @@ object TextQueries {
              |  CAST(sum(new_types) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
              |FROM pb""".stripMargin)),
 
+    // per-doc 8-gram novelty: fraction of a doc's shingles FIRST seen in
+    // that doc — the duplication/memorization audit; low novelty =
+    // recycled text even without a single near-dup partner. Explode →
+    // min-id agg → shingle join → per-doc agg; no windows, no all-pairs
+    "l75_ngram_novelty" -> Q(
+      (s, dir) => graft.llm.CorpusStats.ngramNovelty(
+        td(s, dir, "documents"), "doc_id", "text", n = 8),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+             |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-6),
+             |    i -> array_to_string(t[i:i+7], ' ')))) AS sh
+             |  FROM tk WHERE len(t) >= 8),
+             |f AS (SELECT sh, min(doc_id) AS first_doc FROM shs GROUP BY 1)
+             |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |  round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*), 6) AS novelty
+             |FROM shs s JOIN f USING (sh) GROUP BY 1""".stripMargin)),
+
     // per-source consecutive-doc trigram overlap: the "template mill"
     // crawl diagnostic — mean adjacent-doc Jaccard + high-overlap pair
     // count per source. One shuffle on source; decimal-summed mean

@@ -50,6 +50,23 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.contains("C") && !got.contains("D"))
   }
 
+  test("ngramNovelty: first doc fully novel, copy fully stale, shorts absent") {
+    val docs = Seq(
+      (1L, "a b c d"),   // bigrams (n=2): {a b, b c, c d} all first here -> novelty 1
+      (2L, "a b c d"),   // exact copy -> novelty 0
+      (3L, "c d e f"),   // {c d, d e, e f}: c d seen in doc 1 -> 2/3 novel
+      (4L, "solo")       // 1 token < n -> absent
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.ngramNovelty(docs, "doc_id", "text", n = 2)
+      .select("doc_id", "n_shingles", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((3L, 3L, 1.0)),
+      2L -> ((3L, 0L, 0.0)),
+      3L -> ((3L, 2L, 0.666667))))
+  }
+
   test("dupSizeHistogram: exact removable weight keeps the min-id member") {
     val df = Seq(
       (1L, "k1", 10L), (2L, "k1", 30L), (3L, "k1", 20L), // size 3, keeper w=10, removable 50
