@@ -109,6 +109,27 @@ object CorpusStats {
   }
 
   /**
+   * Per-source log2 token-length histogram — the packing/context-window
+   * planner's input: how sequence lengths distribute per source, and how
+   * many tokens sit in each band. Bucket = floor(log2(tokens)) computed
+   * EXACTLY as binary-digit count (length(bin(t)) - 1, no floating log
+   * at power-of-two boundaries); empty docs land in bucket -1. One
+   * hash-agg over (source, bucket) — map-side partials do the work.
+   */
+  def lengthHistogram(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val t = coalesce(TextOps.tokenCount(col(textCol)), lit(0L))
+    docs.select(col(srcCol), t.as("_t"))
+      .withColumn("bucket",
+        when(col("_t") <= 0, lit(-1L))
+          .otherwise((length(bin(col("_t"))) - 1).cast("long")))
+      .groupBy(col(srcCol), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("_t").cast("long").as("n_tokens"),
+        min("_t").cast("long").as("min_tokens"),
+        max("_t").cast("long").as("max_tokens"))
+  }
+
+  /**
    * Duplicate-group size histogram + keep-first dedup savings: one row per
    * distinct group size with the number of groups, docs, redundant docs,
    * and the total `weightCol` (e.g. chars or tokens) a keep-smallest-id

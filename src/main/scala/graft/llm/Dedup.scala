@@ -404,6 +404,24 @@ object Dedup {
   }
 
   /**
+   * Release / snapshot diff report: [[incrementalDedup]]'s per-doc
+   * verdicts collapsed to the three-row summary a corpus-release review
+   * reads — how much of the new snapshot is carried exact, near-dup
+   * against the old corpus, or genuinely fresh, plus how many distinct
+   * old docs the duplicates trace back to (a few parents = a template
+   * burst; many = broad overlap). Adds one tiny hash-agg on top of the
+   * incremental-dedup shape, so it scales wherever that does.
+   */
+  def snapshotDiffReport(newDf: DataFrame, corpusDf: DataFrame,
+                         textCol: String, idCol: String,
+                         shingleSize: Int = 3, k: Int = 32, bands: Int = 8,
+                         family: MinHashFamily = Xx64Family): DataFrame =
+    incrementalDedup(newDf, corpusDf, textCol, idCol, shingleSize, k, bands, family)
+      .groupBy("verdict")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("dup_of")).cast("long").as("n_distinct_parents"))
+
+  /**
    * Candidate near-dup pairs via MinHash-LSH: shuffle once on
    * (band_id, band_hash), self-join within buckets only (id1 < id2),
    * distinct across bands. `maxBucketSize` caps pathological buckets

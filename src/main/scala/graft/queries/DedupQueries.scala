@@ -229,6 +229,22 @@ object DedupQueries {
       },
       Some(LshOracles.incrementalDedupSql(n = 3, k = 32, bands = 8, mod = 10))),
 
+    // release/snapshot diff: incremental-dedup verdicts (batch = doc_id
+    // % 7 = 0 vs the rest) collapsed to the carried/near-dup/fresh
+    // summary + distinct-parent counts a corpus-release review reads
+    "l76_snapshot_diff" -> Q(
+      (s, dir) => {
+        val docs = td(s, dir, "documents")
+        Dedup.snapshotDiffReport(
+          docs.filter(col("doc_id") % 7 === 0),
+          docs.filter(col("doc_id") % 7 =!= 0),
+          "text", "doc_id", family = PortableFamily)
+      },
+      Some(s"""WITH v AS (${LshOracles.incrementalDedupSql(n = 3, k = 32, bands = 8, mod = 7)})
+              |SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(count(DISTINCT dup_of) AS BIGINT) AS n_distinct_parents
+              |FROM v GROUP BY 1""".stripMargin)),
+
     // EXACT set-similarity self-join with prefix filtering (AllPairs/
     // PPJoin): every pair with token-set Jaccard >= 3/5, no banding
     // probability — the deterministic complement to l5/l6. Registered on

@@ -103,6 +103,25 @@ object TextQueries {
              |  CAST(sum(new_types) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
              |FROM pb""".stripMargin)),
 
+    // per-source log2 token-length histogram: the packing/context-window
+    // planner's input. Bucket = binary-digit count (exact at power-of-two
+    // boundaries, no floating log); one (source,bucket) hash-agg
+    "l78_length_histogram" -> Q(
+      (s, dir) => graft.llm.CorpusStats.lengthHistogram(
+        td(s, dir, "documents"), "source", "text"),
+      Some("""WITH t AS (SELECT source,
+             |    CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+             |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tc
+             |  FROM documents)
+             |SELECT source,
+             |  CAST(CASE WHEN tc <= 0 THEN -1
+             |    ELSE len(format('{:b}', tc)) - 1 END AS BIGINT) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(tc) AS BIGINT) AS n_tokens,
+             |  CAST(min(tc) AS BIGINT) AS min_tokens,
+             |  CAST(max(tc) AS BIGINT) AS max_tokens
+             |FROM t GROUP BY 1, 2""".stripMargin)),
+
     // per-doc 8-gram novelty: fraction of a doc's shingles FIRST seen in
     // that doc — the duplication/memorization audit; low novelty =
     // recycled text even without a single near-dup partner. Explode →

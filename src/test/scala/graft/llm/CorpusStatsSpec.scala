@@ -67,6 +67,27 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
       3L -> ((3L, 2L, 0.666667))))
   }
 
+  test("lengthHistogram: exact power-of-two buckets, empties at -1") {
+    val docs = Seq(
+      ("s1", "a"),                  // 1 token  -> bucket 0
+      ("s1", "a b"),                // 2 tokens -> bucket 1
+      ("s1", "a b c"),              // 3 tokens -> bucket 1
+      ("s1", "a b c d"),            // 4 tokens -> bucket 2 (boundary exact)
+      ("s1", ""),                   // 0 tokens -> bucket -1
+      ("s2", (1 to 8).map(_ => "t").mkString(" ")) // 8 -> bucket 3
+    ).toDF("source", "text")
+    val got = CorpusStats.lengthHistogram(docs, "source", "text")
+      .select("source", "bucket", "n_docs", "n_tokens", "min_tokens", "max_tokens")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got == Map(
+      ("s1", 0L) -> ((1L, 1L, 1L, 1L)),
+      ("s1", 1L) -> ((2L, 5L, 2L, 3L)),
+      ("s1", 2L) -> ((1L, 4L, 4L, 4L)),
+      ("s1", -1L) -> ((1L, 0L, 0L, 0L)),
+      ("s2", 3L) -> ((1L, 8L, 8L, 8L))))
+  }
+
   test("dupSizeHistogram: exact removable weight keeps the min-id member") {
     val df = Seq(
       (1L, "k1", 10L), (2L, "k1", 30L), (3L, "k1", 20L), // size 3, keeper w=10, removable 50
