@@ -119,6 +119,30 @@ object BpeOracles {
        |       ELSE CAST(COALESCE(c.n, 0) AS BIGINT) END AS bpe_tokens
        |FROM documents d LEFT JOIN cnt c USING (doc_id)""".stripMargin
 
+  /** Exact twin of the l77 fertility query: per-language BPE
+    * tokens-per-word and chars-per-token from exact integer sums (the
+    * only doubles are the two final divisions, identical in both
+    * engines; nullif guards a zero denominator). */
+  def fertilitySql(merges: Seq[(String, String)]): String =
+    s"""WITH RECURSIVE
+       |${encodeCtes(merges)},
+       |cnt AS (SELECT t.doc_id, SUM(len(wc.syms)) AS n
+       |        FROM tok t JOIN wc USING (w) GROUP BY 1),
+       |base AS (SELECT d.lang,
+       |    CAST(COALESCE(c.n, 0) AS BIGINT) AS bpe,
+       |    CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+       |      ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END AS BIGINT) AS words,
+       |    CAST(length(d.text) AS BIGINT) AS chars
+       |  FROM documents d LEFT JOIN cnt c USING (doc_id)
+       |  WHERE d.text IS NOT NULL)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(words) AS BIGINT) AS n_words,
+       |  CAST(sum(chars) AS BIGINT) AS n_chars,
+       |  round(CAST(sum(bpe) AS DOUBLE) / CAST(nullif(sum(words), 0) AS DOUBLE), 6) AS tokens_per_word,
+       |  round(CAST(sum(chars) AS DOUBLE) / CAST(nullif(sum(bpe), 0) AS DOUBLE), 6) AS chars_per_token
+       |FROM base GROUP BY 1""".stripMargin
+
   /** Exact twin of the l22 vocab-stats query: token frequencies over the
     * full BPE-encoded corpus, top `k` by (count desc, token asc). */
   def vocabStatsSql(merges: Seq[(String, String)], k: Int): String =

@@ -103,6 +103,29 @@ object TextQueries {
              |  CAST(sum(new_types) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
              |FROM pb""".stripMargin)),
 
+    // per-language tokenizer FERTILITY (tokens/word, chars/token) from
+    // the trained BPE — the "how expensive is each language to tokenize"
+    // table a multilingual data budget is planned around. Exact integer
+    // sums; the only doubles are the two final divisions
+    "l77_bpe_fertility" -> Q(
+      (s, dir) => {
+        val d = td(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("lang"),
+            coalesce(graft.llm.Bpe.countTokens(col("text")), lit(0L)).as("bpe"),
+            TextOps.tokenCount(col("text")).as("words"),
+            length(col("text")).cast("long").as("chars"))
+        d.groupBy("lang").agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum("bpe").cast("long").as("n_bpe_tokens"),
+          sum("words").cast("long").as("n_words"),
+          sum("chars").cast("long").as("n_chars"),
+          round(sum("bpe").cast("double")
+            / nullif(sum("words"), lit(0L)).cast("double"), 6).as("tokens_per_word"),
+          round(sum("chars").cast("double")
+            / nullif(sum("bpe"), lit(0L)).cast("double"), 6).as("chars_per_token"))
+      },
+      Some(BpeOracles.fertilitySql(graft.llm.Bpe.DefaultMerges))),
+
     // per-source log2 token-length histogram: the packing/context-window
     // planner's input. Bucket = binary-digit count (exact at power-of-two
     // boundaries, no floating log); one (source,bucket) hash-agg
