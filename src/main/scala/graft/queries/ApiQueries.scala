@@ -297,6 +297,26 @@ object ApiQueries {
              |SELECT CAST(step AS BIGINT) AS step, step_name,
              |  CAST(n_reached AS BIGINT) AS n_reached,
              |  round(CAST(n_reached AS DOUBLE) / n_users, 6) AS conv_rate
-             |FROM c, b""".stripMargin))
+             |FROM c, b""".stripMargin)),
+
+    // cohort retention triangle over the events table: users grouped by
+    // first-activity day, each later active day counted as day-N
+    // retention. Two user-keyed hash-aggs + a broadcastable cohort-size
+    // join; all-integer day arithmetic (floor-safe µs division)
+    "w9_retention_cohorts" -> Q(
+      (s, dir) => graft.ops.Retention.cohortRetention(
+        Registry.tdEventsUs(s, dir), "user_id", "ts_us"),
+      Some("""WITH ud AS (SELECT DISTINCT user_id,
+             |    epoch_us(ts)//86400000000 AS day FROM events),
+             |f AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1),
+             |cs AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_cohort
+             |  FROM f GROUP BY 1),
+             |act AS (SELECT f.cohort_day, ud.day - f.cohort_day AS day_offset,
+             |    CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_active
+             |  FROM ud JOIN f USING (user_id) GROUP BY 1, 2)
+             |SELECT CAST(act.cohort_day AS BIGINT) AS cohort_day,
+             |  CAST(day_offset AS BIGINT) AS day_offset, n_active, n_cohort,
+             |  round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
+             |FROM act JOIN cs USING (cohort_day)""".stripMargin))
   )
 }
