@@ -191,6 +191,39 @@ object Sampling {
   }
 
   /**
+   * Temperature-flattened TOKEN-BUDGET PLAN (T = 2): per stratum, how
+   * many of `budget` total tokens to draw so output shares are ∝ √wₛ —
+   * the planning table [[temperedMixture]]'s row filter realizes, plus
+   * the repeat factor (allocated/available > 1 ⇒ the stratum runs
+   * multiple epochs; the multilingual up-weighting trade-off made
+   * visible). Unlike the filter, this is FULLY distributed: the isqrt
+   * fix-up runs expression-side per stratum row, the Σr total is a
+   * broadcast 1-row aggregate, and the allocation is exact integer
+   * arithmetic (DECIMAL(38) product, floored division — HUGEINT in the
+   * oracle), so no driver collect bounds the stratum count.
+   */
+  def tokenBudgetPlan(df: DataFrame, stratumCol: String, weightCol: String,
+                      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = df.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("stratum"))
+      .agg(sum(col(weightCol)).cast("long").as("w"))
+    val r0 = floor(sqrt(col("w").cast("double"))).cast("long")
+    val r = w.withColumn("_r0", r0)
+      .withColumn("r",
+        when((col("_r0") + 1) * (col("_r0") + 1) <= col("w"), col("_r0") + 1)
+          .when(col("_r0") * col("_r0") > col("w"), col("_r0") - 1)
+          .otherwise(col("_r0")).cast("long"))
+    val total = r.agg(sum("r").cast("long").as("rsum"))
+    val alloc = floor(lit(budget).cast("decimal(38,0)") * col("r") / col("rsum"))
+      .cast("long")
+    r.crossJoin(broadcast(total))
+      .select(col("stratum"), col("w").as("tokens_available"), col("r"),
+        alloc.as("allocated_tokens"),
+        round(alloc.cast("double") / col("w").cast("double"), 6).as("repeat_factor"))
+  }
+
+  /**
    * Deterministic EPOCH SHUFFLE + shard assignment: the global training
    * order for one epoch as a pure function of (seed, key) — no RNG state,
    * no `orderBy(rand())`. Each row's sort key is `portableHash60(seed ‖

@@ -325,6 +325,26 @@ object TextQueries {
       Some(TextOracles.temperedMixtureSql("source", "n_chars", seed = "t2")),
       eager = true),
 
+    // T=2 token-budget plan: per-source allocation of a 10⁹-token budget
+    // with shares ∝ √w — the planning table l63's filter realizes, plus
+    // repeat factors. Fully distributed (expression-side isqrt fix-up,
+    // broadcast Σr, DECIMAL/HUGEINT exact floored allocation)
+    "l79_token_budget_plan" -> Q(
+      (s, dir) => graft.llm.Sampling.tokenBudgetPlan(
+        td(s, dir, "documents"), "source", "n_chars", budget = 1000000000L),
+      Some("""WITH w AS (SELECT source AS stratum, CAST(SUM(n_chars) AS BIGINT) AS w
+             |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+             |r AS (SELECT stratum, w,
+             |    CASE WHEN (r0+1)*(r0+1) <= w THEN r0+1
+             |         WHEN r0*r0 > w THEN r0-1 ELSE r0 END AS r
+             |  FROM (SELECT stratum, w,
+             |    CAST(floor(sqrt(CAST(w AS DOUBLE))) AS BIGINT) AS r0 FROM w)),
+             |t AS (SELECT CAST(SUM(r) AS BIGINT) AS rsum FROM r)
+             |SELECT stratum, w AS tokens_available, CAST(r AS BIGINT) AS r,
+             |  CAST(CAST(1000000000 AS HUGEINT) * r // rsum AS BIGINT) AS allocated_tokens,
+             |  round(CAST(CAST(1000000000 AS HUGEINT) * r // rsum AS DOUBLE) / w, 6) AS repeat_factor
+             |FROM r, t""".stripMargin)),
+
     // DSIR importance resampling (Xie 2023): raw corpus scored against a
     // target domain (source='src0') via hashed unigram+bigram models —
     // log p_target/p_raw per doc, 6-dp DECIMAL sums, selected = logw>0.

@@ -174,4 +174,29 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       (100L until 150L).map(i => (i, "b", 7L))).toDF("id", "src", "w")
     assert(Sampling.temperedMixture(eq, "id", "src", "w").count() === 100L)
   }
+
+  test("tokenBudgetPlan: sqrt shares, exact floored allocation, repeat factors") {
+    // strata token totals 4 / 9 / 1 -> r = 2 / 3 / 1, rsum = 6
+    val df = Seq(
+      (1L, "a", 4L), (2L, "b", 9L), (3L, "c", 1L)
+    ).toDF("id", "src", "w")
+    val got = Sampling.tokenBudgetPlan(df, "src", "w", budget = 600L)
+      .select("stratum", "tokens_available", "r", "allocated_tokens", "repeat_factor")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      "a" -> ((4L, 2L, 200L, 50.0)),
+      "b" -> ((9L, 3L, 300L, 33.333333)),
+      "c" -> ((1L, 1L, 100L, 100.0))))
+  }
+
+  test("tokenBudgetPlan: isqrt fix-up at non-square totals, floor division") {
+    // w = 15 -> r = 3 (16 > 15); w = 16 -> r = 4; rsum = 7, budget 100
+    val df = Seq((1L, "x", 15L), (2L, "y", 16L)).toDF("id", "src", "w")
+    val got = Sampling.tokenBudgetPlan(df, "src", "w", budget = 100L)
+      .select("stratum", "r", "allocated_tokens")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map("x" -> ((3L, 42L)), "y" -> ((4L, 57L))))
+  }
 }
