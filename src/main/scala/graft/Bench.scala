@@ -142,9 +142,10 @@ object Bench {
     // dev-only filter: SPARK_GRAFT_ONLY=<prefix> limits the run; the driver
     // doesn't set it, so round benches always run the full registry
     val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(n.startsWith))
+      .filter(n => only.forall(_.exists(n.startsWith)))
     // per query: all successful rep times (sec) and their gc deltas (ms).
     // INTERLEAVED passes (round 9): pass p of EVERY query, then pass p+1 —
     // a sustained host-contention window now lands on one pass of many

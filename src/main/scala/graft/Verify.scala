@@ -21,8 +21,9 @@ object Verify {
     // dev-only filter: SPARK_GRAFT_ONLY=<prefix> limits the dump; the driver
     // doesn't set it, so round verifies always dump the full registry
     val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(name.startsWith) }
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -39,7 +39,9 @@ object CorpusStats {
     // id-space size as a broadcast 1-row bound (ids need not be dense:
     // the curve is over the id RANGE, which both engines replay exactly)
     val bound = docs.agg((max(col(idCol)) + 1).cast("long").as("n_ids"))
-    val perBucket = firstSeen.crossJoin(broadcast(bound))
+    // 1-row broadcast attach as a BroadcastHashJoin (crossJoin would plan
+    // a BroadcastNestedLoopJoin, forbidden by the registry plan audit)
+    val perBucket = graft.ops.JoinOps.withScalar(firstSeen, bound)
       .select(expr(s"least((first_doc * $nBuckets) div n_ids, ${nBuckets - 1})")
         .cast("long").as("bucket"), col("df"))
       .groupBy("bucket")

@@ -217,7 +217,9 @@ object Sampling {
     val total = r.agg(sum("r").cast("long").as("rsum"))
     val alloc = floor(lit(budget).cast("decimal(38,0)") * col("r") / col("rsum"))
       .cast("long")
-    r.crossJoin(broadcast(total))
+    // 1-row broadcast attach as a BroadcastHashJoin (crossJoin would plan
+    // a BroadcastNestedLoopJoin, forbidden by the registry plan audit)
+    graft.ops.JoinOps.withScalar(r, total)
       .select(col("stratum"), col("w").as("tokens_available"), col("r"),
         alloc.as("allocated_tokens"),
         round(alloc.cast("double") / col("w").cast("double"), 6).as("repeat_factor"))

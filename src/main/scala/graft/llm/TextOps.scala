@@ -282,9 +282,20 @@ object TextOps {
     * -1 when start > stop), which would emit two bogus shingles. */
   def shingles(text: Column, n: Int): Column = {
     val toks = whitespaceTokens(lower(text))
-    val count = size(toks) - (n - 1)
-    when(count < 1, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), count), i => array_join(slice(toks, i, lit(n)), " ")))
+    if (n == 1) toks  // 1-gram shingles ARE the tokens (space-join of a 1-slice)
+    else {
+      // Let-bind the token array via a 1-element transform: `toks` inlined
+      // directly into the inner lambda would re-run the regex split for
+      // EVERY shingle (O(tokens²) tokenizations per doc); as a bound lambda
+      // variable it is evaluated once and slices are O(n) pointer copies.
+      val perDoc = transform(array(toks), tk => {
+        val count = size(tk) - (n - 1)
+        when(count < 1, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), count),
+            i => array_join(slice(tk, i, lit(n)), " ")))
+      })
+      get(perDoc, lit(0))
+    }
   }
 
   /** Per-token xxhash64 array — materialize this as a column BEFORE calling

@@ -26,6 +26,28 @@ object JoinOps {
     }.reduce(_ unionByName _).distinct()
 
   /**
+   * Attach a 1-row aggregate (a "scalar" frame: grand total, global max,
+   * corpus size) to every row of `df` as a BroadcastHashJoin. The naive
+   * `df.crossJoin(broadcast(scalar))` plans a BroadcastNestedLoopJoin, and
+   * a constant-key equi-join (`lit(1) === lit(1)`) gets folded back to a
+   * cross join by ConstantPropagation, and a key that is constant on
+   * EITHER side gets pushed below the join as a one-sided filter (again
+   * leaving a condition-less cross join) — so BOTH keys are computed
+   * non-foldably from their own side's columns: `pmod(hash(cols), 1) + 1`
+   * is always 1, but no Catalyst rule simplifies a pmod by a literal, so
+   * the condition keeps referencing both sides and the equi-join shape
+   * holds. With a 1-row build side the broadcast is bytes; the probe-side
+   * hash is one extra codegen'd expression per row.
+   */
+  def withScalar(df: DataFrame, scalar: DataFrame): DataFrame = {
+    val one = (cs: Seq[Column]) => pmod(hash(cs: _*), lit(1)) + lit(1)
+    val cols = scalar.columns.map(col).toIndexedSeq
+    val keyed = scalar.select(one(cols).as("_sk") +: cols: _*)
+    df.withColumn("_sk", one(Seq(col(df.columns.head))))
+      .join(broadcast(keyed), "_sk").drop("_sk")
+  }
+
+  /**
    * Skew-salted equi-join: the big (skewed) side gets a deterministic salt
    * in [0, buckets) hashed from its full row; the small side is replicated
    * `buckets`× — the hot key's rows spread over `buckets` tasks instead of
