@@ -20,7 +20,8 @@ import graft.types.TypeSetAgg
  * `graft_simhash_p60(array<string>)`, `graft_phash60(string)`,
  * `graft_hyperplane_bucket(array<float>, nPlanes)`,
  * `graft_type_set(col)` (the one-pass type-inference aggregate),
- * `graft_bpe_count(string)` (BPE token count, default merges table).
+ * `graft_bpe_count(string)` (BPE token count, default merges table);
+ * plus the [[graft.plans.FuseSiblingAggregates]] pre-CBO optimizer rule.
  *
  * The per-object `register` helpers remain for ad-hoc sessions; the Column
  * APIs in [[graft.llm]] work with or without the extension installed.
@@ -76,5 +77,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.llm.BpeCountExpr(_, graft.llm.Bpe.DefaultMerges))
     unary("graft_bpe_encode", "BPE token sequence, space-joined (DefaultMerges table)",
       graft.llm.BpeEncodeExpr(_, graft.llm.Bpe.DefaultMerges))
+
+    // sibling-aggregate fusion (SURVEY §4: collapse repeated same-key
+    // aggregates of one child into one shuffle) — pre-CBO so pruning and
+    // pushdown have already stabilized the aggregate branches it matches
+    ext.injectPreCBORule(_ => graft.plans.FuseSiblingAggregates)
   }
 }

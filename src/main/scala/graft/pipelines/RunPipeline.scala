@@ -114,6 +114,7 @@ object RunPipeline {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val executed = run(spark, StepRunner.parseConfig(configText), sfDir, outRoot)
