@@ -150,4 +150,51 @@ object CorpusStats {
         (sum("group_size") - count(lit(1))).cast("long").as("n_redundant_docs"),
         sum(col("total_w") - col("keeper_w")).cast("long").as("removable_weight"))
   }
+
+  /**
+   * Lexical-diversity report per source: type-token ratio and distinct
+   * n-gram ratio (the "self-repetition" / distinct-n metric — a corpus
+   * slice whose distinct-4gram ratio collapses is template-mill output
+   * even when no two whole docs near-dup). Complements the per-doc
+   * novelty audit ([[ngramNovelty]]) with the per-SOURCE aggregate a mix
+   * planner compares across crawls.
+   *
+   * Shape: one token explode feeds both measures; each is a two-level
+   * hash-agg — (source, gram) distinct-style agg, then source — so the
+   * heavy key is (source, gram), never a corpus-wide distinct. Output is
+   * one row per source. The two ratios are exact-BIGINT divisions rounded
+   * at 6 dp.
+   */
+  def ngramDiversity(docs: DataFrame, srcCol: String, textCol: String,
+      n: Int = 4): DataFrame = {
+    require(n >= 2, "n must be >= 2 (unigrams are the TTR term)")
+    val toks = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(srcCol).as("source"),
+        filter(TextOps.whitespaceTokens(lower(col(textCol))),
+          t => length(t) > 0).as("_tk"))
+      .filter(size(col("_tk")) > 0)
+    val uni = toks.select(col("source"), explode(col("_tk")).as("g"))
+      .groupBy("source", "g").agg(count(lit(1)).cast("long").as("c"))
+      .groupBy("source")
+      .agg(sum("c").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_types"))
+    val grams = toks
+      .filter(size(col("_tk")) >= n)
+      .select(col("source"),
+        explode(transform(
+          sequence(lit(1), size(col("_tk")) - (n - 1)),
+          i => array_join(slice(col("_tk"), i, lit(n)), " "))).as("g"))
+      .groupBy("source", "g").agg(count(lit(1)).cast("long").as("c"))
+      .groupBy("source")
+      .agg(sum("c").cast("long").as("n_ngrams"),
+        count(lit(1)).cast("long").as("n_distinct_ngrams"))
+    uni.join(grams, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_distinct_ngrams"), lit(0L)).as("n_distinct_ngrams"),
+        round(col("n_distinct_ngrams").cast("double") / col("n_ngrams"), 6)
+          .as("distinct_ngram_ratio"))
+  }
 }

@@ -65,4 +65,35 @@ object LangModel {
       .select(col("doc_id"), col("n_bigrams"), col("nll"),
         (col("nll") / col("n_bigrams")).as("avg_nll"))
   }
+
+  /**
+   * CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
+   * 2019 §4.3): per language, rank documents by average surprisal and
+   * split into terciles — "head" (most fluent third) is what the pretrain
+   * mix keeps at full weight, "tail" gets downsampled or dropped. Output
+   * is the per-(lang,bucket) summary the mix planner reads: doc count,
+   * exact token mass, and the mean per-doc avg_nll.
+   *
+   * Scale shape: rides [[bigramSurprisal]]'s one-stream plan, then ONE
+   * window (partition lang, order avg_nll) for NTILE and one hash-agg —
+   * per-language sort is partition-local and spillable. Ties order by
+   * doc_id so tercile boundaries are engine-deterministic; the mean
+   * rounds each double at 6 dp and sums in DECIMAL (registry rule).
+   */
+  def perplexityBuckets(
+      df: DataFrame, idCol: String, textCol: String, langCol: String): DataFrame = {
+    val scored = bigramSurprisal(df, idCol, textCol)
+      .join(df.select(col(idCol).as("doc_id"), col(langCol).as("lang")), "doc_id")
+    val byLang = Window.partitionBy("lang").orderBy(col("avg_nll"), col("doc_id"))
+    scored
+      .withColumn("_t", ntile(3).over(byLang))
+      .withColumn("bucket",
+        element_at(array(lit("head"), lit("middle"), lit("tail")), col("_t")))
+      .groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum("n_bigrams").cast("long").as("n_bigrams"),
+        round(sum(round(col("avg_nll"), 6).cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_avg_nll"))
+  }
 }

@@ -300,8 +300,11 @@ object TextOracles {
     * case is guarded because `tk[1:0]` is NULL in DuckDB, not []. Count
     * windows, the V constant, smoothing arithmetic, and the DECIMAL
     * contribution sum replay the Spark side exactly. */
-  def bigramSurprisalSql: String =
-    s"""WITH t AS (
+  /** The l43 surprisal pipeline as a reusable CTE block (ends at `g`);
+    * shared verbatim by l43 and the l82 perplexity-bucket twin so the two
+    * oracles can never drift on the per-doc scores. */
+  private def surprisalCtes: String =
+    s"""t AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
        |    x -> length(x) > 0) AS tk
        |  FROM documents),
@@ -320,8 +323,32 @@ object TextOracles {
        |  FROM c CROSS JOIN v),
        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        |    CAST(sum(sc) AS DOUBLE) AS nll
-       |  FROM sc GROUP BY 1)
+       |  FROM sc GROUP BY 1)""".stripMargin
+
+  def bigramSurprisalSql: String =
+    s"""WITH $surprisalCtes
        |SELECT doc_id, n_bigrams, nll, nll / n_bigrams AS avg_nll FROM g""".stripMargin
+
+  /** Exact twin of [[graft.llm.LangModel.perplexityBuckets]] —
+    * l82_perplexity_buckets. Rides the SAME surprisal CTEs as l43 (so
+    * per-doc avg_nll is bit-identical by construction), then NTILE(3)
+    * per language ordered (avg_nll, doc_id) and the (lang,bucket)
+    * summary with the DECIMAL-summed mean of 6-dp-rounded doubles. */
+  def perplexityBucketsSql: String =
+    s"""WITH $surprisalCtes,
+       |sc2 AS (SELECT doc_id, n_bigrams, nll / n_bigrams AS avg_nll FROM g),
+       |j AS (SELECT d.lang, sc2.doc_id, sc2.n_bigrams, sc2.avg_nll
+       |  FROM sc2 JOIN documents d USING (doc_id)),
+       |nt AS (SELECT lang, n_bigrams, avg_nll,
+       |    ntile(3) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS t3
+       |  FROM j)
+       |SELECT lang,
+       |  CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+       |  round(CAST(sum(CAST(round(avg_nll, 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |    / count(*), 6) AS mean_avg_nll
+       |FROM nt GROUP BY 1, 2""".stripMargin
 
   /** Exact twin of [[graft.llm.Sketch.cmsHeavyHitters]] over `documents` —
     * l45_cms_heavy_hitters. The portable hash family makes the whole

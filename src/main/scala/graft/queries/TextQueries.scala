@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.llm.{Dedup, TextOps}
-import Registry.td
+import Registry.{td, tdEventsUs}
 
 /**
  * Text-analysis-family registry rows (split from LlmQueries, round 9 —
@@ -867,5 +867,79 @@ object TextQueries {
             (col("norm_text") =!= col("_raw")).as("changed"))
       },
       Some(TextOracles.normalizeTextSql)),
+
+    // conversation/transcript assembly: the events stream becomes one
+    // ordered multi-turn SFT document per user — group → in-group
+    // struct-sort on (ts, event_id) → render; ONE shuffle on the
+    // conversation key, no global sort, no window
+    "l80_dialog_assembly" -> Q(
+      (s, dir) => graft.llm.Dialog.assembleTranscripts(
+        tdEventsUs(s, dir), "user_id", "ts_us", "event_id", "event_type", "props"),
+      Some("""WITH t AS (SELECT user_id, ts, event_id,
+             |    event_type || '=' || coalesce(json_extract_string(props, '$.k'), '?') AS line
+             |  FROM events)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_turns,
+             |  CAST(length(string_agg(line, chr(10) ORDER BY ts, event_id)) AS BIGINT) AS n_chars,
+             |  string_agg(line, chr(10) ORDER BY ts, event_id) AS transcript
+             |FROM t GROUP BY 1""".stripMargin)),
+
+    // char-level near-dup verify for short docs: prefix-blocked
+    // Levenshtein with the LSH-family block cap (rank ≤ 16 by id) so a
+    // boilerplate mega-block can't go quadratic; sim filters on the
+    // 6-dp-rounded value so the boundary is engine-identical
+    "l81_edit_distance_verify" -> Q(
+      (s, dir) => graft.llm.EditSim.prefixBlockedEditVerify(
+        td(s, dir, "documents"), "doc_id", "text",
+        prefixLen = 32, capLen = 400, blockCap = 16, minSim = 0.5),
+      Some("""WITH b AS (SELECT doc_id AS id,
+             |    substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 400) AS t
+             |  FROM documents WHERE text IS NOT NULL),
+             |k AS (SELECT id, t, substr(t, 1, 32) AS blk,
+             |    row_number() OVER (PARTITION BY substr(t, 1, 32) ORDER BY id) AS rk
+             |  FROM b WHERE length(t) >= 1),
+             |c AS (SELECT id, t, blk FROM k WHERE rk <= 16)
+             |SELECT a.id AS doc_a, b2.id AS doc_b,
+             |  CAST(levenshtein(a.t, b2.t) AS BIGINT) AS lev,
+             |  CAST(greatest(length(a.t), length(b2.t)) AS BIGINT) AS max_len,
+             |  round(1.0 - levenshtein(a.t, b2.t) / greatest(length(a.t), length(b2.t)), 6) AS sim
+             |FROM c a JOIN c b2 ON a.blk = b2.blk AND a.id < b2.id
+             |WHERE round(1.0 - levenshtein(a.t, b2.t) / greatest(length(a.t), length(b2.t)), 6) >= 0.5""".stripMargin)),
+
+    // CCNet head/middle/tail perplexity bucketing per language — the mix
+    // planner's fluency terciles over the l43 self-scored surprisal;
+    // oracle rides the SAME CTE block as l43 so per-doc scores cannot
+    // drift between the two rows
+    "l82_perplexity_buckets" -> Q(
+      (s, dir) => graft.llm.LangModel.perplexityBuckets(
+        td(s, dir, "documents"), "doc_id", "text", "lang"),
+      Some(TextOracles.perplexityBucketsSql)),
+
+    // per-source lexical diversity: type-token ratio + distinct-4gram
+    // ratio (self-repetition / distinct-n) — the cross-crawl template-mill
+    // comparator; heavy key is (source, gram), never a corpus distinct
+    "l83_ngram_diversity" -> Q(
+      (s, dir) => graft.llm.CorpusStats.ngramDiversity(
+        td(s, dir, "documents"), "source", "text", n = 4),
+      Some("""WITH tk AS (SELECT source,
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |      x -> length(x) > 0) AS t
+             |  FROM documents WHERE text IS NOT NULL),
+             |tk2 AS (SELECT * FROM tk WHERE len(t) > 0),
+             |u0 AS (SELECT source, unnest(t) AS g FROM tk2),
+             |uni AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+             |    CAST(count(DISTINCT g) AS BIGINT) AS n_types
+             |  FROM u0 GROUP BY 1),
+             |g0 AS (SELECT source, unnest(list_transform(range(1, len(t) - 2),
+             |    i -> array_to_string(t[i:i+3], ' '))) AS g
+             |  FROM tk2 WHERE len(t) >= 4),
+             |gr AS (SELECT source, CAST(count(*) AS BIGINT) AS n_ngrams,
+             |    CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_ngrams
+             |  FROM g0 GROUP BY 1)
+             |SELECT u.source, n_tokens, n_types,
+             |  round(n_types / n_tokens, 6) AS ttr,
+             |  coalesce(n_ngrams, 0) AS n_ngrams,
+             |  coalesce(n_distinct_ngrams, 0) AS n_distinct_ngrams,
+             |  round(n_distinct_ngrams / n_ngrams, 6) AS distinct_ngram_ratio
+             |FROM uni u LEFT JOIN gr USING (source)""".stripMargin)),
   )
 }
