@@ -644,4 +644,56 @@ object Ann {
     assigned.join(dropIds, col("id") === col("_drop_id"), "left")
       .select(col("id"), col("cell"), col("_drop_id").isNull.as("kept"))
   }
+
+  /**
+   * Margin-based bitext mining (Artetxe & Schwenk 2019, public): align
+   * two embedding populations (source vs target language, old vs new
+   * crawl) by MUTUAL nearest neighbors scored with the margin criterion —
+   * `margin(x,y) = cos(x,y) / mean(topK cos of x and of y)` — which
+   * suppresses hub vectors that are "everyone's neighbor" and would
+   * flood a raw-cosine threshold with false pairs.
+   *
+   * Shape: the side-B table rides a broadcast on a non-foldable constant
+   * key (BroadcastHashJoin — the l9/l73 pattern, never a nested-loop),
+   * so side A streams ONCE; then two windows over the scored pairs
+   * (partition a_id, partition b_id) give ranks and top-k means in the
+   * same pass. This registered brute-force form is exact and
+   * oracle-replayable; at 100 TB the pair generation swaps to the
+   * LSH/IVF candidate paths (l10/l12) unchanged downstream, since
+   * ranking/margin only ever see (a_id, b_id, sim) rows. Mean-of-top-k
+   * uses the DECIMAL-exact sum of 6-dp-rounded sims (registry rule), so
+   * margins are bit-identical across engines.
+   */
+  def marginBitextMine(df: DataFrame, vecCol: String, idCol: String,
+      sideCol: Column, k: Int = 4, minMargin: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = df.select(col(idCol).as("id"),
+      transform(col(vecCol), _.cast("double")).as("_v"), sideCol.as("_side"))
+    val a = e.filter(col("_side") === 0)
+      .select(col("id").as("a_id"), col("_v").as("_av"))
+      .withColumn("_k", pmod(xxhash64(col("a_id")), lit(1)))
+    val b = e.filter(col("_side") === 1)
+      .select(col("id").as("b_id"), col("_v").as("_bv"))
+      .withColumn("_k", pmod(xxhash64(col("b_id")), lit(1)))
+    val pairs = a.join(broadcast(b), "_k")
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("_av"), col("_bv")), 6).as("sim"))
+    val wa = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    val wb = Window.partitionBy("b_id").orderBy(col("sim").desc, col("a_id").asc)
+    val ranked = pairs
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+    val aAgg = ranked.filter(col("ra") <= k).groupBy("a_id")
+      .agg(sum(col("sim").cast("decimal(18,6)")).cast("double").as("_sa"),
+        count(lit(1)).cast("long").as("_na"))
+    val bAgg = ranked.filter(col("rb") <= k).groupBy("b_id")
+      .agg(sum(col("sim").cast("decimal(18,6)")).cast("double").as("_sb"),
+        count(lit(1)).cast("long").as("_nb"))
+    ranked.filter(col("ra") === 1 && col("rb") === 1)
+      .join(aAgg, "a_id").join(bAgg, "b_id")
+      .withColumn("margin",
+        round(col("sim") / (lit(0.5) * (col("_sa") / col("_na") + col("_sb") / col("_nb"))), 6))
+      .filter(col("margin") >= minMargin)
+      .select(col("a_id"), col("b_id"), col("sim"), col("margin"))
+  }
 }

@@ -380,6 +380,35 @@ object AnnQueries {
              |  sim AS cosine_sim, CAST(rank AS BIGINT) AS rank
              |FROM r WHERE rank <= 5""".stripMargin)),
 
+    // margin-based bitext mining (Artetxe & Schwenk): mutual top-1 pairs
+    // across the label-parity split, margin = sim / mean(top-4 sims of
+    // both endpoints) — the hub-suppressing criterion; DECIMAL-exact
+    // top-k means so margins replay bit-identically
+    "l84_bitext_margin" -> Q(
+      (s, dir) => Ann.marginBitextMine(td(s, dir, "embeddings"),
+        "embedding", "vec_id", col("label") % 2, k = 4, minMargin = 1.0),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label % 2 AS side
+             |  FROM embeddings),
+             |a AS (SELECT vec_id AS a_id, v FROM e WHERE side = 0),
+             |b AS (SELECT vec_id AS b_id, v FROM e WHERE side = 1),
+             |p AS (SELECT a_id, b_id,
+             |    round(list_dot_product(a.v, b.v)
+             |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+             |  FROM a CROSS JOIN b),
+             |r AS (SELECT a_id, b_id, sim,
+             |    row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS ra,
+             |    row_number() OVER (PARTITION BY b_id ORDER BY sim DESC, a_id) AS rb
+             |  FROM p),
+             |aa AS (SELECT a_id, CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) AS sa,
+             |    CAST(count(*) AS BIGINT) AS na FROM r WHERE ra <= 4 GROUP BY 1),
+             |bb AS (SELECT b_id, CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) AS sb,
+             |    CAST(count(*) AS BIGINT) AS nb FROM r WHERE rb <= 4 GROUP BY 1)
+             |SELECT r.a_id, r.b_id, r.sim,
+             |  round(r.sim / (0.5 * (sa / na + sb / nb)), 6) AS margin
+             |FROM r JOIN aa USING (a_id) JOIN bb USING (b_id)
+             |WHERE ra = 1 AND rb = 1
+             |  AND round(r.sim / (0.5 * (sa / na + sb / nb)), 6) >= 1.0""".stripMargin)),
+
     // REAL multimodal decode: per-id real BMP/WAV containers built with
     // every header field a function of the id, parsed back by the pure-JVM
     // header decoders. The oracle recomputes the expected decoded values

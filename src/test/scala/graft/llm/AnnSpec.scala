@@ -159,4 +159,19 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.contains((0L, 3L)))
     assert(pairs.nonEmpty)
   }
+
+  test("marginBitextMine: mutual top-1 pairs survive, the hub vector does not") {
+    val e = Seq(
+      (1L, Array(1f, 0f), 0),      // side A, aligned with 11
+      (2L, Array(0f, 1f), 0),      // side A, aligned with 12
+      (11L, Array(0.99f, 0.14f), 1),
+      (12L, Array(0.14f, 0.99f), 1),
+      (13L, Array(0.7f, 0.7f), 1)) // hub: close to everything, nobody's best
+      .toDF("vec_id", "embedding", "label")
+    val out = Ann.marginBitextMine(e, "embedding", "vec_id",
+        org.apache.spark.sql.functions.col("label"), k = 2, minMargin = 1.0)
+      .select("a_id", "b_id", "margin").as[(Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet == Set((1L, 11L), (2L, 12L)))
+    assert(out.forall(_._3 > 1.0), s"planted pairs clear the margin: ${out.toSeq}")
+  }
 }
