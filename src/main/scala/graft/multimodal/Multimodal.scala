@@ -21,6 +21,10 @@ final case class MediaDecoded(media_id: Long, container: String,
                               width: Int, height: Int, channels: Int,
                               sample_rate: Int, bits: Int, duration_ms: Long)
 
+/** One output sample of a 2:1 audio decimation (channel 0). */
+final case class ResampledSample(media_id: Long, in_samples: Long,
+                                 out_samples: Long, out_idx: Long, value: Double)
+
 /**
  * Multimodal column handling: image/audio/video as opaque `binary` columns
  * with typed metadata, decoded via per-partition batch functions.
@@ -129,10 +133,11 @@ object Multimodal {
       if (w <= 0 || h == 0 || bpp <= 0) None else Some((w, math.abs(h), bpp))
     }
 
-  /** Walk RIFF/WAVE chunks: "fmt " → (channels, sampleRate, bits),
-    * "data" → size; duration_ms = dataSize·1000 / byteRate (floor). Odd
-    * chunk sizes are padded per the RIFF spec. None when not a PCM WAV. */
-  private[multimodal] def decodeWav(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+  /** Walk RIFF/WAVE chunks: "fmt " → (channels, sampleRate, bits,
+    * byteRate), "data" → (offset, size). Odd chunk sizes are padded per
+    * the RIFF spec. None when not an integer-PCM WAV. */
+  private[multimodal] def decodeWavChunks(
+      b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Long)] = {
     def tag(off: Int, s: String): Boolean =
       off + s.length <= b.length &&
         s.zipWithIndex.forall { case (c, i) => b(off + i) == c.toByte }
@@ -140,6 +145,7 @@ object Multimodal {
     else {
       var off = 12
       var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, byteRate
+      var dataOff = -1
       var dataSize = -1L
       while (off + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
         val size = leInt(b, off + 4).toLong & 0xffffffffL
@@ -150,15 +156,22 @@ object Multimodal {
             leShort(b, off + 8) == 1)
           fmt = Some((leShort(b, off + 10), leInt(b, off + 12),
             leShort(b, off + 22), leInt(b, off + 16)))
-        else if (tag(off, "data")) dataSize = size
+        else if (tag(off, "data")) { dataOff = off + 8; dataSize = size }
         val step = 8L + size + (size & 1L)       // RIFF pads odd chunks
         // malformed/huge declared size: stop the walk instead of looping
         off = if (off + step > b.length.toLong) b.length else off + step.toInt
       }
       for ((ch, rate, bits, byteRate) <- fmt if dataSize >= 0 && byteRate > 0)
-        yield (ch, rate, bits, dataSize * 1000L / byteRate)
+        yield (ch, rate, bits, byteRate, dataOff, dataSize)
     }
   }
+
+  /** (channels, sampleRate, bits, duration_ms); duration floors
+    * dataSize·1000 / byteRate. */
+  private[multimodal] def decodeWav(b: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    decodeWavChunks(b).map { case (ch, rate, bits, byteRate, _, dataSize) =>
+      (ch, rate, bits, dataSize * 1000L / byteRate)
+    }
 
   /**
    * Decode media payloads into typed container features: real BMP/WAV
@@ -179,6 +192,46 @@ object Multimodal {
             case None =>
               MediaDecoded(m.media_id, "unknown", 0, 0, 0, 0, 0, 0L)
           }
+        }
+      }
+    }
+  }
+
+  /**
+   * REAL audio DSP in the codec seam: 2:1 decimation of channel 0 with a
+   * box filter (each output sample = mean of two consecutive inputs) —
+   * the resample/feature-extract stage a speech-data pipeline runs
+   * between ingest and training. PCM is parsed from the actual container
+   * bytes (8-bit unsigned recentered to ±, 16-bit little-endian signed,
+   * frame stride = blockAlign so multi-channel payloads pick channel 0
+   * correctly); non-WAV payloads are skipped (quarantine upstream at m3).
+   *
+   * Same mapPartitions batch shape as [[decodeMedia]] — partition-
+   * parallel, one decoder init per partition, output size ≈ input/2, no
+   * driver materialization. The mean of two ints in /2.0 is exactly
+   * representable, so values replay bit-identically on any engine.
+   */
+  def resampleAudio2x(media: Dataset[MediaRecord]): Dataset[ResampledSample] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        decodeWavChunks(m.payload) match {
+          case Some((ch, _, bits, _, dataOff, dataSize)) if bits == 8 || bits == 16 =>
+            val ba = ch * bits / 8
+            // clamp against truncated payloads: never read past the bytes
+            val avail = math.min(dataSize, (m.payload.length - dataOff).toLong)
+            val n = if (ba > 0) (avail / ba).toInt else 0
+            def sample(s: Int): Int = {
+              val off = dataOff + s * ba
+              if (bits == 8) (m.payload(off) & 0xff) - 128
+              else ((m.payload(off) & 0xff) | (m.payload(off + 1) << 8)).toShort.toInt
+            }
+            val out = n / 2
+            (0 until out).iterator.map { t =>
+              ResampledSample(m.media_id, n.toLong, out.toLong, t.toLong,
+                (sample(2 * t) + sample(2 * t + 1)) / 2.0)
+            }
+          case _ => Iterator.empty
         }
       }
     }

@@ -421,5 +421,19 @@ object AnnQueries {
         Multimodal.decodeMedia(media).toDF()
       },
       Some(MediaOracles.decodeSql)),
+
+    // REAL audio DSP: 2:1 channel-0 box decimation of the PCM bytes in
+    // the same per-id WAV fixtures; the oracle recomputes every sample
+    // from doc_id via the LCG's closed form (A^n·id + C·geo(n) mod 2⁶⁴),
+    // so a wrong data offset / stride / endianness / sign fold in the
+    // decoder shifts every compared value
+    "m4_audio_resample" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = td(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map(id => Multimodal.packMediaById(id))
+        Multimodal.resampleAudio2x(media).toDF()
+      },
+      Some(MediaOracles.resampleSql)),
   )
 }

@@ -69,4 +69,48 @@ object MediaOracles {
        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0
        |       ELSE ((1 + doc_id % 97) * 1000) // (8000 * (1 + doc_id % 3)) END AS BIGINT) AS duration_ms
        |FROM documents""".stripMargin
+
+  /**
+   * Sample-exact oracle for the REAL 2:1 audio decimation (m4). The WAV
+   * data bytes come from the LCG x←x·A+C seeded with the id, and an LCG
+   * has a CLOSED FORM: byte j = top-8-bits of A^(j+2)·id + C·Σ_{i<j+2}A^i
+   * (mod 2⁶⁴) — so the oracle recomputes every PCM sample from doc_id
+   * alone via two precomputed HUGEINT coefficient lists, then replays the
+   * channel-0 extraction (stride = blockAlign), 8-bit recentering /
+   * 16-bit LE sign fold, and the box-filter mean. A wrong data offset,
+   * stride, endianness, or sign handling in the Scala decoder shifts
+   * every compared value.
+   */
+  def resampleSql: String = {
+    val A = BigInt(6364136223846793005L)
+    val C = BigInt(1442695040888963407L)
+    // byte j needs A^(j+2) and C·geo(j+2); max j = 96·4 + 1 = 385
+    val maxN = 388
+    val pows = Iterator.iterate(BigInt(1))(p => (p * A) % TwoPow64)
+      .take(maxN + 2).toIndexedSeq // pows(n) = A^n
+    val geo = pows.scanLeft(BigInt(0))((s, p) => (s + p) % TwoPow64) // geo(n) = Σ_{i<n} A^i
+    val pList = (0 until maxN).map(j => pows(j + 2)).mkString(", ")
+    val qList = (0 until maxN).map(j => (C * geo(j + 2)) % TwoPow64).mkString(", ")
+    def byteE(j: String): String =
+      s"CAST(((p[$j + 1] * media_id + q[$j + 1]) % 18446744073709551616) // 72057594037927936 AS BIGINT)"
+    s"""WITH pq AS (SELECT [$pList]::HUGEINT[] AS p, [$qList]::HUGEINT[] AS q),
+       |w AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |    CAST(1 + doc_id % 97 AS BIGINT) AS ns,
+       |    CAST((1 + (doc_id // 2) % 2) * (8 * (1 + (doc_id // 4) % 2)) // 8 AS BIGINT) AS ba,
+       |    CAST(8 * (1 + (doc_id // 4) % 2) AS BIGINT) AS bits
+       |  FROM documents WHERE doc_id % 2 = 1),
+       |s AS (SELECT media_id, ns, bits, ba, unnest(range(ns)) AS si FROM w),
+       |raw AS (SELECT media_id, ns, bits, si,
+       |    ${byteE("si*ba")} AS lo, ${byteE("si*ba + 1")} AS hi
+       |  FROM s CROSS JOIN pq),
+       |v AS (SELECT media_id, ns, si,
+       |    CASE WHEN bits = 8 THEN lo - 128
+       |         WHEN lo + 256*hi >= 32768 THEN lo + 256*hi - 65536
+       |         ELSE lo + 256*hi END AS val
+       |  FROM raw)
+       |SELECT a.media_id, a.ns AS in_samples, CAST(a.ns // 2 AS BIGINT) AS out_samples,
+       |  CAST(a.si // 2 AS BIGINT) AS out_idx, (a.val + b.val) / 2.0 AS value
+       |FROM v a JOIN v b ON a.media_id = b.media_id AND b.si = a.si + 1
+       |WHERE a.si % 2 = 0""".stripMargin
+  }
 }

@@ -105,4 +105,41 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("resampleAudio2x: channel-0 stride, sign folds, and box means are exact") {
+    // hand-built 16-bit STEREO wav: ch0 samples 1000, -2000, 30000, -30000
+    // interleaved with ch1 junk; expected out = mean of ch0 pairs
+    val samples = Seq(
+      (1000, 7), (-2000, 8), (30000, 9), (-30000, 11))
+    val ba = 4 // 2ch * 16bit
+    val data = new Array[Byte](samples.size * ba)
+    samples.zipWithIndex.foreach { case ((c0, c1), i) =>
+      data(i * ba) = (c0 & 0xff).toByte; data(i * ba + 1) = ((c0 >> 8) & 0xff).toByte
+      data(i * ba + 2) = (c1 & 0xff).toByte; data(i * ba + 3) = ((c1 >> 8) & 0xff).toByte
+    }
+    val header = Multimodal.wavBytes(channels = 2, sampleRate = 8000, bits = 16,
+      nSamples = samples.size, seed = 1L)
+    System.arraycopy(data, 0, header, 44, data.length) // overwrite LCG payload
+    val out = Multimodal.resampleAudio2x(
+        Seq(MediaRecord(5L, "audio", header)).toDS())
+      .collect().sortBy(_.out_idx)
+    assert(out.map(_.value).toSeq == Seq((1000 - 2000) / 2.0, (30000 - 30000) / 2.0))
+    assert(out.forall(r => r.in_samples == 4 && r.out_samples == 2))
+  }
+
+  test("resampleAudio2x: 8-bit recenters at -128 and odd tails drop") {
+    // mono 8-bit, 3 samples: 0 -> -128, 255 -> 127, tail unpaired
+    val wav = Multimodal.wavBytes(channels = 1, sampleRate = 8000, bits = 8,
+      nSamples = 3, seed = 1L)
+    wav(44) = 0; wav(45) = 255.toByte; wav(46) = 10
+    val out = Multimodal.resampleAudio2x(Seq(MediaRecord(1L, "audio", wav)).toDS()).collect()
+    assert(out.length == 1 && out(0).value == (-128 + 127) / 2.0)
+    // truncated payload: declared 3 samples, bytes for 2 -> clamp, 1 pair
+    val trunc = wav.take(46)
+    val out2 = Multimodal.resampleAudio2x(Seq(MediaRecord(2L, "audio", trunc)).toDS()).collect()
+    assert(out2.length == 1 && out2(0).in_samples == 2)
+    // BMP payloads are skipped, not errored
+    val bmp = Multimodal.packMediaById(0L)
+    assert(Multimodal.resampleAudio2x(Seq(bmp).toDS()).collect().isEmpty)
+  }
 }
