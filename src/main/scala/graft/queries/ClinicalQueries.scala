@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.clinical.{Clinical, EntitySpec}
+import graft.clinical.{Clinical, DcfManifest, EntitySpec, PdcClinical}
 import graft.publish.Publish
 import Registry.td
 
@@ -123,6 +123,118 @@ object ClinicalQueries {
              |CASE WHEN c_custkey % 5 IN (0, 1) THEN CAST(c_custkey AS VARCHAR)
              |     WHEN c_custkey % 5 = 4 THEN CAST(c_custkey AS VARCHAR) || 'X' END AS authority_gene_id,
              |CAST(CASE WHEN c_custkey % 5 IN (0, 1, 4) THEN 1 ELSE 0 END AS BIGINT) AS n_records
-             |FROM customer""".stripMargin))
+             |FROM customer""".stripMargin)),
+
+    // C17 — DCF indexd-manifest URL splitter + hg19/hg38 combined file map
+    //   (build_dcf_manifest_bq_tables.py:42-140). Fixture rotates through
+    //   the reference's cases: full 3-url list / gs-only list / s3+https
+    //   list / bare un-bracketed url, crossed with open / phs-controlled /
+    //   controlled ACLs and a "controlled"-named bucket. The oracle derives
+    //   the EXPECTED routing from the same case split — it does not
+    //   re-parse the list literal.
+    "c17_dcf_manifest" -> Q(
+      (s, dir) => {
+        val k = col("k")
+        val id = concat(lit("f"), k.cast("string"))
+        val bucket = when(k % 5 === 0, "gdc-controlled-arch").otherwise("gdc-open-arch")
+        val acl = when(k % 3 === 0, "open")
+          .when(k % 3 === 1, "open,phs000178")
+          .otherwise("controlled")
+        val web = concat(lit("https://api.gdc.example/data/"), id)
+        val gs = concat(lit("gs://"), bucket, lit("/"), id)
+        val s3u = concat(lit("s3://"), bucket, lit("/"), id)
+        val indexd = when(k % 4 === 0,
+            concat(lit("['"), web, lit("', '"), gs, lit("', '"), s3u, lit("']")))
+          .when(k % 4 === 1, concat(lit("['"), gs, lit("']")))
+          .when(k % 4 === 2, concat(lit("['"), s3u, lit("', '"), web, lit("']")))
+          .otherwise(gs)
+        val manifest = td(s, dir, "orders")
+          .select(col("o_orderkey").as("k"))
+          .select(k, id.as("id"), acl.as("acl"), indexd.as("indexd_url"))
+        val legacy = manifest.filter(k % 2 === 1).drop("k") // hg19
+        val active = manifest.filter(k % 2 === 0).drop("k") // hg38
+        DcfManifest.combinedFileMap(legacy, active)
+      },
+      Some("""SELECT 'f' || CAST(o_orderkey AS VARCHAR) AS file_gdc_id,
+             |CASE WHEN o_orderkey % 4 IN (0, 1, 3) AND o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+             |     THEN 'gs://gdc-open-arch/f' || CAST(o_orderkey AS VARCHAR) END AS file_gdc_url,
+             |CASE WHEN o_orderkey % 4 IN (0, 2) AND o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+             |     THEN 's3://gdc-open-arch/f' || CAST(o_orderkey AS VARCHAR) END AS file_gdc_url_aws,
+             |CASE WHEN o_orderkey % 4 IN (0, 2)
+             |     THEN 'https://api.gdc.example/data/f' || CAST(o_orderkey AS VARCHAR) END AS file_gdc_url_web
+             |FROM orders""".stripMargin)),
+
+    // C18 — PDC clinical case assembly: 1:1 demographic merge (dup record →
+    //   deterministic highest-demographic_id winner), diagnoses count per
+    //   case, no-clinical-data exclusion, per-project max-diagnosis shape
+    //   decision with single-diagnosis inlining
+    //   (build_pdc_clinical.py:466-620). Oracle replays the same dict-merge
+    //   semantics as a CTE stack.
+    "c18_pdc_clinical_merge" -> Q(
+      (s, dir) => {
+        val cust = td(s, dir, "customer")
+        val k = col("c_custkey")
+        val caseId = concat(lit("c"), k.cast("string"))
+        val subjId = concat(lit("SUBJ-"), k.cast("string"))
+        val cases = cust.select(
+          caseId.as("case_id"), subjId.as("case_submitter_id"),
+          concat(lit("PDC_N"), col("c_nationkey").cast("string")).as("project_submitter_id"),
+          col("c_mktsegment").as("primary_site"),
+          concat(lit("DT-"), (k % 4).cast("string")).as("disease_type"))
+        val withDemo = cust.filter(k % 7 =!= 0)
+        val demoA = withDemo.select(
+          caseId.as("case_id"), subjId.as("case_submitter_id"),
+          concat(lit("d"), k.cast("string")).as("demographic_id"),
+          when(k % 2 === 0, "female").otherwise("male").as("gender"),
+          concat(lit("R"), (k % 3).cast("string")).as("race"))
+        val demoB = withDemo.filter(k % 11 === 0).select(
+          caseId.as("case_id"), subjId.as("case_submitter_id"),
+          concat(lit("d"), k.cast("string"), lit("z")).as("demographic_id"),
+          lit("unknown").as("gender"), lit("R9").as("race"))
+        val diagnoses = td(s, dir, "orders")
+          .filter(col("o_orderkey") % 5 === 0)
+          .select(
+            concat(lit("c"), col("o_custkey").cast("string")).as("case_id"),
+            concat(lit("SUBJ-"), col("o_custkey").cast("string")).as("case_submitter_id"),
+            concat(lit("PD-"), col("o_orderstatus")).as("primary_diagnosis"))
+        PdcClinical.mergeCaseClinical(
+            cases, demoA.unionByName(demoB), diagnoses, Seq("primary_diagnosis"))
+          .select("project_submitter_id", "case_id", "case_submitter_id",
+            "gender", "race", "diagnosis_count", "project_max_diag",
+            "primary_diagnosis")
+      },
+      Some("""WITH cases AS (
+             |  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS case_id,
+             |         'SUBJ-' || CAST(c_custkey AS VARCHAR) AS case_submitter_id,
+             |         'PDC_N' || CAST(c_nationkey AS VARCHAR) AS project_submitter_id,
+             |         c_custkey AS k
+             |  FROM customer),
+             |demo AS (
+             |  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS case_id,
+             |         CASE WHEN c_custkey % 11 = 0 THEN 'unknown'
+             |              WHEN c_custkey % 2 = 0 THEN 'female' ELSE 'male' END AS gender,
+             |         CASE WHEN c_custkey % 11 = 0 THEN 'R9'
+             |              ELSE 'R' || CAST(c_custkey % 3 AS VARCHAR) END AS race
+             |  FROM customer WHERE c_custkey % 7 <> 0),
+             |diag AS (
+             |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS diagnosis_count,
+             |         max('PD-' || o_orderstatus) AS pd
+             |  FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 1),
+             |f AS (
+             |  SELECT c.project_submitter_id, c.case_id, c.case_submitter_id,
+             |         d.gender, d.race,
+             |         COALESCE(g.diagnosis_count, 0) AS diagnosis_count, g.pd
+             |  FROM cases c
+             |  LEFT JOIN demo d USING (case_id)
+             |  LEFT JOIN diag g ON g.o_custkey = c.k
+             |  WHERE d.gender IS NOT NULL OR COALESCE(g.diagnosis_count, 0) > 0),
+             |pm AS (
+             |  SELECT project_submitter_id, max(diagnosis_count) AS project_max_diag
+             |  FROM f GROUP BY 1)
+             |SELECT f.project_submitter_id, f.case_id, f.case_submitter_id,
+             |       f.gender, f.race, f.diagnosis_count, pm.project_max_diag,
+             |       CASE WHEN pm.project_max_diag = 1 AND f.diagnosis_count = 1
+             |            THEN f.pd END AS primary_diagnosis
+             |FROM f JOIN pm USING (project_submitter_id)""".stripMargin))
   )
 }
