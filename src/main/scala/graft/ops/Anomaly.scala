@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Rolling-window anomaly detection over an event stream — the ingest
+ * data-quality monitor shape: bucket events into hourly counts per key,
+ * compare each hour against the trailing-window mean/variance of the SAME
+ * key, and flag hours whose z-score exceeds a threshold (volume spikes,
+ * dead feeds). The reference's QC layer diffs whole table versions
+ * (ops/Diff.scala / C4); this is the streaming-era equivalent for
+ * append-only logs.
+ *
+ * Exactness: the z-test is evaluated in INTEGER arithmetic only —
+ * `(n·c − s)² · (n−1) > z²·n·(n·q − s²)` with s = Σcount, q = Σcount²
+ * over the trailing frame — so the flag is bit-identical across engines
+ * (no double accumulation order, no sqrt). The frame excludes the current
+ * row (classic trailing baseline) and needs ≥ 2 baseline hours.
+ *
+ * Scale shape: ONE shuffle to the (key, hour) hash-agg — the raw events
+ * never hit a window. The windowed pass runs over the AGGREGATED series
+ * (rows = keys × hours, e.g. a year of hourly buckets is 8 760 rows per
+ * key), so per-key partitions stay tiny no matter how many raw events
+ * back them; a key with pathological hour-cardinality is still bounded by
+ * wall-clock time itself.
+ */
+object Anomaly {
+
+  /**
+   * @param events      input rows
+   * @param keyCol      series key (e.g. event_type)
+   * @param tsUsCol     epoch-microseconds BIGINT column
+   * @param windowHours trailing baseline width W (frame = W previous hours
+   *                    present in the series, current hour excluded)
+   * @param zThresh     integer z threshold (e.g. 3 = 3-sigma)
+   *
+   * Output: (key, hour_idx, cnt, baseline_n, baseline_sum, baseline_sumsq,
+   * is_anomaly∈{0,1}) — all BIGINT; is_anomaly is null-safe 0 when the
+   * baseline is too short (n < 2) or has zero variance with zero deviation.
+   */
+  def rollingCountAnomaly(
+      events: DataFrame,
+      keyCol: String,
+      tsUsCol: String,
+      windowHours: Int,
+      zThresh: Int): DataFrame = {
+    val hourly = events
+      // `div` (integral), not `/`: long ÷ long is a DOUBLE divide in the
+      // column DSL, and µs epochs are near double's exact-integer edge
+      .groupBy(col(keyCol).as("key"),
+        expr(s"`$tsUsCol` div 3600000000").as("hour_idx"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+
+    val w = Window.partitionBy("key").orderBy("hour_idx")
+      .rowsBetween(-windowHours, -1)
+    val n = count(lit(1)).over(w).cast("long")
+    val s = sum(col("cnt")).over(w).cast("long")
+    val q = sum(col("cnt") * col("cnt")).over(w).cast("long")
+
+    def anomaly(n: Column, s: Column, q: Column): Column = {
+      // widen to DECIMAL(38,0) before squaring: hourly counts in the
+      // billions would overflow BIGINT squares (ANSI mode throws); the
+      // oracle side widens to HUGEINT for the same reason
+      val dec = "decimal(38,0)"
+      val dev = (col("cnt") * n - s).cast(dec)      // n·(c − mean), scaled
+      val varN = (n * q).cast(dec) - (s.cast(dec) * s.cast(dec))
+      // (c − mean)² > z²·var_samp  ⇔  dev²·(n−1) > z²·n·varN
+      (dev * dev * (n - 1).cast(dec) >
+        lit(zThresh.toLong * zThresh).cast(dec) * n.cast(dec) * varN)
+        .cast("long")
+    }
+
+    hourly
+      .withColumn("baseline_n", n)
+      .withColumn("baseline_sum", coalesce(s, lit(0L)))
+      .withColumn("baseline_sumsq", coalesce(q, lit(0L)))
+      .withColumn("is_anomaly",
+        when(col("baseline_n") >= 2,
+          anomaly(col("baseline_n"), col("baseline_sum"), col("baseline_sumsq")))
+          .otherwise(lit(0L)))
+      .select(col("key"), col("hour_idx"), col("cnt"), col("baseline_n"),
+        col("baseline_sum"), col("baseline_sumsq"), col("is_anomaly"))
+  }
+}

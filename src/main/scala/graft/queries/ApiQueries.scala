@@ -317,6 +317,38 @@ object ApiQueries {
              |SELECT CAST(act.cohort_day AS BIGINT) AS cohort_day,
              |  CAST(day_offset AS BIGINT) AS day_offset, n_active, n_cohort,
              |  round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
-             |FROM act JOIN cs USING (cohort_day)""".stripMargin))
+             |FROM act JOIN cs USING (cohort_day)""".stripMargin)),
+
+    // w10 — rolling-window volume-anomaly monitor: hourly counts per
+    // event_type vs a trailing-24h baseline, 3-sigma z-test evaluated in
+    // INTEGER arithmetic (dev²·(n−1) > 9·n·(n·Σc²−(Σc)²)) so the flag is
+    // bit-identical across engines. The window runs over the AGGREGATED
+    // hourly series, never the raw events (ops/Anomaly.scala).
+    "w10_rolling_anomaly" -> Q(
+      (s, dir) => graft.ops.Anomaly.rollingCountAnomaly(
+        Registry.tdEventsUs(s, dir), "event_type", "ts_us",
+        windowHours = 24, zThresh = 3),
+      Some("""WITH h AS (SELECT event_type AS key,
+             |    epoch_us(ts)//3600000000 AS hour_idx,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |w AS (SELECT key, hour_idx, cnt,
+             |    CAST(count(*) OVER win AS BIGINT) AS baseline_n,
+             |    CAST(coalesce(sum(cnt) OVER win, 0) AS BIGINT) AS baseline_sum,
+             |    CAST(coalesce(sum(cnt * cnt) OVER win, 0) AS BIGINT) AS baseline_sumsq
+             |  FROM h
+             |  WINDOW win AS (PARTITION BY key ORDER BY hour_idx
+             |                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+             |d AS (SELECT *,
+             |    CAST(cnt * baseline_n - baseline_sum AS HUGEINT) AS dev,
+             |    CAST(baseline_n AS HUGEINT) * baseline_sumsq
+             |      - CAST(baseline_sum AS HUGEINT) * baseline_sum AS varn
+             |  FROM w)
+             |SELECT key, CAST(hour_idx AS BIGINT) AS hour_idx, cnt, baseline_n,
+             |  baseline_sum, baseline_sumsq,
+             |  CAST(CASE WHEN baseline_n >= 2
+             |         AND dev * dev * (baseline_n - 1) > 9 * CAST(baseline_n AS HUGEINT) * varn
+             |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+             |FROM d""".stripMargin))
   )
 }

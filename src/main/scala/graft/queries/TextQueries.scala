@@ -941,5 +941,43 @@ object TextQueries {
              |  coalesce(n_distinct_ngrams, 0) AS n_distinct_ngrams,
              |  round(n_distinct_ngrams / n_ngrams, 6) AS distinct_ngram_ratio
              |FROM uni u LEFT JOIN gr USING (source)""".stripMargin)),
+
+    // RLHF/DPO preference-pair construction: best-vs-worst scored
+    // candidate per prompt, deterministic (score, id) struct-max/min
+    // tiebreak, minimum-gap filter — ONE hash-aggregate on the prompt key
+    // (llm/Preference.scala). Fixture: docs pooled into 100 prompts,
+    // char-length as the integral score.
+    "l85_preference_pairs" -> Q(
+      (s, dir) => {
+        val cands = td(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select((col("doc_id") % 100).as("prompt_id"),
+            col("doc_id").as("cid"),
+            length(col("text")).cast("long").as("score"))
+        graft.llm.Preference.buildPairs(
+          cands, "prompt_id", "cid", "score", minGap = 10)
+      },
+      Some("""WITH c AS (SELECT doc_id % 100 AS prompt_id, doc_id AS cid,
+             |    CAST(length(text) AS BIGINT) AS score
+             |  FROM documents WHERE text IS NOT NULL),
+             |r AS (SELECT prompt_id, cid, score,
+             |    row_number() OVER (PARTITION BY prompt_id
+             |                       ORDER BY score DESC, cid DESC) AS rb,
+             |    row_number() OVER (PARTITION BY prompt_id
+             |                       ORDER BY score ASC, cid ASC) AS rw,
+             |    CAST(count(*) OVER (PARTITION BY prompt_id) AS BIGINT) AS n
+             |  FROM c)
+             |SELECT prompt_id,
+             |  max(CASE WHEN rb = 1 THEN cid END) AS chosen_id,
+             |  max(CASE WHEN rw = 1 THEN cid END) AS rejected_id,
+             |  max(CASE WHEN rb = 1 THEN score END) AS chosen_score,
+             |  max(CASE WHEN rw = 1 THEN score END) AS rejected_score,
+             |  max(CASE WHEN rb = 1 THEN score END)
+             |    - max(CASE WHEN rw = 1 THEN score END) AS gap,
+             |  max(n) AS n_candidates
+             |FROM r GROUP BY 1
+             |HAVING max(n) >= 2
+             |  AND max(CASE WHEN rb = 1 THEN score END)
+             |    - max(CASE WHEN rw = 1 THEN score END) >= 10""".stripMargin)),
   )
 }

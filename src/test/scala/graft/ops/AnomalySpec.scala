@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Rolling integer-arithmetic anomaly monitor (ops/Anomaly.scala). */
+class AnomalySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val HourUs = 3600000000L
+
+  /** one event row per unit of `cnt`, in hour `h` for key `k`. */
+  private def series(k: String, counts: Seq[Int]) =
+    counts.zipWithIndex.flatMap { case (c, h) =>
+      Seq.fill(c)((k, h * HourUs + 1L))
+    }
+
+  private def run(rows: Seq[(String, Long)], w: Int = 24, z: Int = 3) =
+    Anomaly.rollingCountAnomaly(
+        rows.toDF("event_type", "ts_us"), "event_type", "ts_us", w, z)
+      .select("key", "hour_idx", "cnt", "baseline_n", "is_anomaly")
+      .as[(String, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+
+  test("flat baseline then a spike: spike flagged, steady hours not") {
+    // 10,10,10,10,10,11 — baseline var>0 needs a wobble: use 10,12 mix
+    val m = run(series("a", Seq(10, 12, 10, 12, 10, 40)))
+    assert(m(("a", 5L)) === ((40L, 5L, 1L)))   // 40 vs mean 10.8, sd ~1.1
+    assert(m(("a", 4L))._3 === 0L)             // 10 within baseline
+  }
+
+  test("first two hours have short baselines and are never flagged") {
+    val m = run(series("a", Seq(100, 1, 1)))
+    assert(m(("a", 0L)) === ((100L, 0L, 0L)))  // no baseline
+    assert(m(("a", 1L)) === ((1L, 1L, 0L)))    // n=1 < 2
+  }
+
+  test("zero-variance baseline: any deviation flags, exact repeat does not") {
+    val m = run(series("a", Seq(5, 5, 5, 5, 6)) ++ series("b", Seq(5, 5, 5, 5, 5)))
+    assert(m(("a", 4L))._3 === 1L) // sd=0, dev≠0 → infinite z
+    assert(m(("b", 4L))._3 === 0L) // sd=0, dev=0
+  }
+
+  test("baseline window slides: only trailing W hours count") {
+    // w=2: hour 3's baseline is hours 1-2 (100s), so 100 is normal there
+    val m = run(series("a", Seq(1, 100, 100, 100)), w = 2)
+    assert(m(("a", 1L))._3 === 0L) // n=1, unflagged by guard
+    assert(m(("a", 3L))._3 === 0L) // baseline {100,100}, dev=0
+  }
+
+  test("keys are independent series") {
+    val m = run(series("a", Seq(10, 12, 10, 12, 40)) ++ series("b", Seq(40, 40, 40, 40, 40)))
+    assert(m(("a", 4L))._3 === 1L)
+    assert(m(("b", 4L))._3 === 0L)
+  }
+}
