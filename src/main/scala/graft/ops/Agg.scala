@@ -81,4 +81,33 @@ object Agg {
         cols.tail.map(c => first(col(c)).as(c)): _*)
       .drop("_k")
       .select(cols.map(col).toIndexedSeq: _*)
+
+  /**
+   * Per-group robust location/scale: exact median plus median absolute
+   * deviation (MAD = median(|x − median(x)|)) — the outlier-resistant
+   * complement to a20's mean/stddev z-scores (a fat-tailed metric column
+   * makes mean±3σ useless; median±k·MAD is the standard robust gate).
+   *
+   * Two hash-aggregates with a BROADCAST of the tiny per-group median
+   * table between them (the second pass needs each row's group median to
+   * form |x − m|; medians ≤ #groups rows, so the join never shuffles the
+   * data side). Exact `percentile` (not approx) on both passes — values
+   * are per-row arithmetic, no accumulation-order doubles; results round
+   * to 4dp like a14 to absorb interpolation float noise.
+   *
+   * Output: (group, n, med, mad) — n BIGINT, med/mad rounded doubles.
+   */
+  def madByGroup(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val x = col(valCol)
+    val medians = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valCol, 0.5)").as("_med"),
+        count(x).cast("long").as("n"))
+    df.select(col(groupCol), x)
+      .join(broadcast(medians), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        first(col("n")).as("n"),
+        round(first(col("_med")), 4).as("med"),
+        round(expr(s"percentile(abs($valCol - _med), 0.5)"), 4).as("mad"))
+  }
 }

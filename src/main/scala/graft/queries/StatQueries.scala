@@ -30,6 +30,20 @@ object StatQueries {
              |round(quantile_cont(o_totalprice, 0.99), 4) AS p99
              |FROM orders GROUP BY 1""".stripMargin)),
 
+    // robust location/scale: exact per-group median + median absolute
+    // deviation (ops/Agg.madByGroup) — the outlier-resistant complement
+    // to a20's mean/σ z-scores; two hash-aggs + broadcast median join
+    "a21_mad" -> Q(
+      (s, dir) => graft.ops.Agg.madByGroup(
+        td(s, dir, "lineitem"), "l_returnflag", "l_extendedprice"),
+      Some("""WITH m AS (SELECT l_returnflag,
+             |    quantile_cont(l_extendedprice, 0.5) AS med,
+             |    CAST(count(l_extendedprice) AS BIGINT) AS n
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l.l_returnflag, max(m.n) AS n, round(max(m.med), 4) AS med,
+             |  round(quantile_cont(abs(l.l_extendedprice - m.med), 0.5), 4) AS mad
+             |FROM lineitem l JOIN m USING (l_returnflag) GROUP BY 1""".stripMargin)),
+
     // approx-percentile sketch (Greenwald-Khanna): like a15, the sketch
     // value itself is engine-specific, so the OUTPUT is the property the
     // sketch guarantees — the estimate brackets the exact percentile

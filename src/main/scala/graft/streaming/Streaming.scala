@@ -19,6 +19,14 @@ private final case class SessionBuf(start: Long, end: Long, n: Long, sum: Double
 /** One document flowing through the streaming near-dup detector. */
 final case class StreamDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
+/** One finalized hourly bucket flowing into [[Streaming.anomalyStream]]
+  * (the shape [[Streaming.windowedCounts]] emits, hour-bucketed). */
+final case class HourlyCount(key: String, hour_idx: Long, cnt: Long)
+
+/** Verdict for one hourly bucket against its trailing baseline. */
+final case class AnomalyVerdict(key: String, hour_idx: Long, cnt: Long,
+                                baseline_n: Long, is_anomaly: Long)
+
 /** A near-dup verdict: `doc_id` shares an LSH bucket with the earlier
   * keeper `dup_of` (whose event time is `dup_of_ts`). One event per
   * matching bucket — aggregate min by (dup_of_ts, dup_of) per doc for a
@@ -150,6 +158,52 @@ object Streaming {
             catch { case _: IllegalArgumentException => state.remove() }
             out.iterator
           }
+      }
+  }
+
+  /**
+   * Streaming twin of [[graft.ops.Anomaly.rollingCountAnomaly]]: live
+   * volume-spike monitoring over a feed of finalized hourly buckets (the
+   * watermark-closed output of [[windowedCounts]]). One tiny state object
+   * per key — the trailing `windowHours` (hour, count) pairs, ≤ W entries,
+   * so state is bounded by key-cardinality × W regardless of stream
+   * length. The z-test is the SAME integer arithmetic as the batch
+   * operator (BigInt here, DECIMAL there): for in-order feeds the verdicts
+   * are bit-identical to the batch plan over the same buckets
+   * (spec-checked). An out-of-order bucket inside the watermark is judged
+   * against whatever baseline hours are in state — the honest live-monitor
+   * semantics (a monitor cannot retract a page) — and then joins the
+   * baseline for later hours.
+   */
+  def anomalyStream(buckets: Dataset[HourlyCount], windowHours: Int,
+                    zThresh: Int): Dataset[AnomalyVerdict] = {
+    import buckets.sparkSession.implicits._
+    val z2 = BigInt(zThresh.toLong * zThresh)
+    buckets.groupByKey(_.key)
+      .flatMapGroupsWithState[Seq[(Long, Long)], AnomalyVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[HourlyCount], state: GroupState[Seq[(Long, Long)]]) =>
+          var baseline = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyVerdict]
+          it.toSeq.sortBy(b => (b.hour_idx, b.cnt)).foreach { b =>
+            // ROW-based trailing frame (last W observed buckets), matching
+            // the batch operator's ROWS BETWEEN W PRECEDING AND 1 PRECEDING
+            val frame = baseline.filter(_._1 < b.hour_idx).takeRight(windowHours)
+            val n = frame.size.toLong
+            val flag = if (n >= 2) {
+              val s = BigInt(frame.map(_._2).sum)
+              val q = frame.map(c => BigInt(c._2) * c._2).sum
+              val dev = BigInt(b.cnt) * n - s
+              val varN = q * n - s * s
+              if (dev * dev * (n - 1) > z2 * n * varN) 1L else 0L
+            } else 0L
+            out += AnomalyVerdict(key, b.hour_idx, b.cnt, n, flag)
+            // insert + evict hours the widest future frame can never use
+            baseline = (baseline.filterNot(_._1 == b.hour_idx) :+ (b.hour_idx, b.cnt))
+              .sortBy(_._1).takeRight(windowHours)
+          }
+          state.update(baseline)
+          out.iterator
       }
   }
 

@@ -459,4 +459,57 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .select("user_id", "n_events").as[(Long, Long)].collect().toSeq.sorted
     assert(out === Seq((1L, 2L), (1L, 2L), (2L, 1L)))
   }
+
+  test("streaming anomaly monitor matches the batch operator across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val HourUs = 3600000000L
+    // key "a": wobbly baseline then a spike at hour 5; key "b": flat, never flags
+    val buckets = Seq(
+      HourlyCount("a", 0, 10), HourlyCount("a", 1, 12), HourlyCount("a", 2, 10),
+      HourlyCount("a", 3, 12), HourlyCount("a", 4, 10), HourlyCount("a", 5, 40),
+      HourlyCount("b", 0, 7), HourlyCount("b", 1, 7), HourlyCount("b", 2, 7))
+    val (first, second) = buckets.partition(_.hour_idx <= 2)
+
+    val mem = MemoryStream[HourlyCount]
+    val q = Streaming.anomalyStream(mem.toDS(), windowHours = 24, zThresh = 3)
+      .writeStream.format("memory").queryName("anom")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*) // baseline for these lives in STATE from batch 1
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("anom")
+      .select("key", "hour_idx", "cnt", "baseline_n", "is_anomaly")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+
+    // batch twin over raw events expanded from the same buckets
+    val raw = buckets.flatMap(b =>
+      Seq.fill(b.cnt.toInt)((b.key, b.hour_idx * HourUs + 1))).toDF("k", "ts_us")
+    val batch = graft.ops.Anomaly.rollingCountAnomaly(raw, "k", "ts_us", 24, 3)
+      .select("key", "hour_idx", "cnt", "baseline_n", "is_anomaly")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+
+    assert(streamed === batch)
+    assert(streamed.contains(("a", 5L, 40L, 5L, 1L))) // the spike pages
+    assert(streamed.forall(v => v._1 != "b" || v._5 == 0L))
+  }
+
+  test("anomaly monitor state is bounded: old hours evicted from the frame") {
+    implicit val sqlCtx = spark.sqlContext
+    // w=2: hour 3 is judged only against hours 1-2 (both 100) → not anomalous
+    val mem = MemoryStream[HourlyCount]
+    val q = Streaming.anomalyStream(mem.toDS(), windowHours = 2, zThresh = 3)
+      .writeStream.format("memory").queryName("anom_w2")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(HourlyCount("a", 0, 1), HourlyCount("a", 1, 100))
+    q.processAllAvailable()
+    mem.addData(HourlyCount("a", 2, 100), HourlyCount("a", 3, 100))
+    q.processAllAvailable()
+    q.stop()
+    val flags = spark.table("anom_w2")
+      .select("hour_idx", "baseline_n", "is_anomaly")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(flags(3L) === ((2L, 0L))) // hour-0 outlier already out of the frame
+  }
 }
