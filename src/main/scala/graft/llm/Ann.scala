@@ -14,10 +14,16 @@ import org.apache.spark.sql.functions._
  */
 object Ann {
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product in double precision. Native codegen'd
+    * expression ([[DotProductExpr]]): same left-to-right accumulation as
+    * the original `aggregate(zip_with(…))` fold — bit-identical scores —
+    * without the per-evaluation product-array allocation (the hot inner
+    * op of every brute-force / rerank / mining stage). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(DotProductExpr(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+  }
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -484,8 +490,11 @@ object Ann {
     buckets.select(array_sort(col("members")).as("ms"))
       .select(explode(flatten(transform(ms, (a, i) =>
         transform(slice(ms, i + 2, size(ms)), bb => {
-          val d = aggregate(zip_with(a.getField("dv"), bb.getField("dv"),
-            (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+          // native dot (DotProductExpr): inside a HOF lambda everything is
+          // interpreted, so the zip_with form built a product array per
+          // pair and folded it element-by-element; the native loop is one
+          // eval call — same accumulation order, bit-identical sims
+          val d = dot(a.getField("dv"), bb.getField("dv"))
           val sim = when(a.getField("na") === 0 || bb.getField("na") === 0, lit(0.0))
             .otherwise(d / (a.getField("na") * bb.getField("na")))
           struct(a.getField("id").as("id1"), bb.getField("id").as("id2"),
@@ -669,28 +678,37 @@ object Ann {
     import org.apache.spark.sql.expressions.Window
     val e = df.select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("_v"), sideCol.as("_side"))
+    // norms hoisted OUT of the pair loop: cosine's norm(a)/norm(b) would
+    // otherwise re-fold each 64-dim vector per PAIR (|A|·|B| times); here
+    // each row folds its own norm once and the pair stage is a single dot.
+    // d/(na·nb) on the same doubles in the same order — bit-identical sims.
     val a = e.filter(col("_side") === 0)
-      .select(col("id").as("a_id"), col("_v").as("_av"))
+      .select(col("id").as("a_id"), col("_v").as("_av"), norm(col("_v")).as("_na"))
       .withColumn("_k", pmod(xxhash64(col("a_id")), lit(1)))
     val b = e.filter(col("_side") === 1)
-      .select(col("id").as("b_id"), col("_v").as("_bv"))
+      .select(col("id").as("b_id"), col("_v").as("_bv"), norm(col("_v")).as("_nb"))
       .withColumn("_k", pmod(xxhash64(col("b_id")), lit(1)))
+    val sim = when(col("_na") === 0 || col("_nb") === 0, lit(0.0))
+      .otherwise(dot(col("_av"), col("_bv")) / (col("_na") * col("_nb")))
     val pairs = a.join(broadcast(b), "_k")
-      .select(col("a_id"), col("b_id"),
-        round(cosine(col("_av"), col("_bv")), 6).as("sim"))
+      .select(col("a_id"), col("b_id"), round(sim, 6).as("sim"))
+    // one pass over the scored pairs: rank + top-k sum/count ride the SAME
+    // per-side partitioning (two Window ops per exchange, zero groupBy
+    // branches) — the old 3-branch form (rank, aAgg, bAgg, join back)
+    // recomputed the full pair pipeline per branch.
     val wa = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
     val wb = Window.partitionBy("b_id").orderBy(col("sim").desc, col("a_id").asc)
-    val ranked = pairs
+    val pa = Window.partitionBy("a_id")
+    val pb = Window.partitionBy("b_id")
+    val simDec = col("sim").cast("decimal(18,6)")
+    pairs
       .withColumn("ra", row_number().over(wa))
+      .withColumn("_sa", sum(when(col("ra") <= k, simDec)).over(pa).cast("double"))
+      .withColumn("_na", count(when(col("ra") <= k, lit(1))).over(pa))
       .withColumn("rb", row_number().over(wb))
-    val aAgg = ranked.filter(col("ra") <= k).groupBy("a_id")
-      .agg(sum(col("sim").cast("decimal(18,6)")).cast("double").as("_sa"),
-        count(lit(1)).cast("long").as("_na"))
-    val bAgg = ranked.filter(col("rb") <= k).groupBy("b_id")
-      .agg(sum(col("sim").cast("decimal(18,6)")).cast("double").as("_sb"),
-        count(lit(1)).cast("long").as("_nb"))
-    ranked.filter(col("ra") === 1 && col("rb") === 1)
-      .join(aAgg, "a_id").join(bAgg, "b_id")
+      .withColumn("_sb", sum(when(col("rb") <= k, simDec)).over(pb).cast("double"))
+      .withColumn("_nb", count(when(col("rb") <= k, lit(1))).over(pb))
+      .filter(col("ra") === 1 && col("rb") === 1)
       .withColumn("margin",
         round(col("sim") / (lit(0.5) * (col("_sa") / col("_na") + col("_sb") / col("_nb"))), 6))
       .filter(col("margin") >= minMargin)
