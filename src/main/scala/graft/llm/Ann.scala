@@ -34,6 +34,14 @@ object Ann {
     when(na === 0 || nb === 0, lit(0.0)).otherwise(d / (na * nb))
   }
 
+  /** Pair-stage cosine from norms hoisted to the per-ROW preps: identical
+    * arithmetic to [[cosine]] (d/(na·nb), zero-guard, same fold order) but
+    * the pair loop pays ONE native dot instead of re-folding both sides'
+    * norms per candidate pair. Callers compute `na`/`nb` with [[norm]] on
+    * the same vectors at prep time — sims are bit-identical. */
+  def cosinePrepped(a: Column, b: Column, na: Column, nb: Column): Column =
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+
   /** L2-normalize a vector to unit length (zero vectors pass through). */
   def l2Normalize(vec: Column): Column = {
     val n = norm(vec)
@@ -102,16 +110,18 @@ object Ann {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("query_id"),
         transform(col(vecCol), _.cast("double")).as("_qv"))
+      .withColumn("_nq", norm(col("_qv")))
       .withColumn("_k", pmod(xxhash64(col("query_id")), lit(1)))
     val c = corpus.select(col(idCol).as("corpus_id"),
         transform(col(vecCol), _.cast("double")).as("_cv"))
+      .withColumn("_nc", norm(col("_cv")))
       .withColumn("_k", pmod(xxhash64(col("corpus_id")), lit(1)))
     val w = Window.partitionBy("query_id")
       .orderBy(round(col("cosine_sim"), 6).desc, col("corpus_id").asc)
     c.join(broadcast(q), "_k")
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        cosine(col("_qv"), col("_cv")).as("cosine_sim"))
+        cosinePrepped(col("_qv"), col("_cv"), col("_nq"), col("_nc")).as("cosine_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
@@ -134,17 +144,20 @@ object Ann {
     val q = queries.select(col(idCol).as("query_id"),
         col(labelCol).as("query_label"),
         transform(col(vecCol), _.cast("double")).as("_qv"))
+      .withColumn("_nq", norm(col("_qv")))
       .withColumn("_k", pmod(xxhash64(col("query_id")), lit(1)))
     val c = corpus.select(col(idCol).as("corpus_id"),
         col(labelCol).as("corpus_label"),
         transform(col(vecCol), _.cast("double")).as("_cv"))
+      .withColumn("_nc", norm(col("_cv")))
       .withColumn("_k", pmod(xxhash64(col("corpus_id")), lit(1)))
     val w = Window.partitionBy("query_id")
       .orderBy(round(col("cosine_sim"), 6).desc, col("corpus_id").asc)
     c.join(broadcast(q), "_k")
       .filter(col("query_label") =!= col("corpus_label"))
       .select(col("query_id"), col("query_label"), col("corpus_id"),
-        col("corpus_label"), cosine(col("_qv"), col("_cv")).as("cosine_sim"))
+        col("corpus_label"),
+        cosinePrepped(col("_qv"), col("_cv"), col("_nq"), col("_nc")).as("cosine_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .withColumn("cosine_sim", round(col("cosine_sim"), 6))
@@ -207,6 +220,7 @@ object Ann {
         HyperplaneBucket.bucketCol(spark, "cvec", nPlanes, t * nPlanes))
     }
     val cb = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+      .withColumn("_nc", norm(col("cvec"))) // once per row, BEFORE the table explode
       .withColumn("bucket", explode(array(tagged: _*)))
     // query probes: per table, own bucket + each 1-bit flip (XOR touches
     // only the low nPlanes bits — the table tag is preserved). Buckets are
@@ -216,15 +230,18 @@ object Ann {
         HyperplaneBucket.bucketCol(spark, "qvec", nPlanes, t * nPlanes))
     }
     val qbase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("_nq", norm(col("qvec"))) // once per row, before explodes
       .withColumn("qbucket", explode(array(qtagged: _*)))
     val probes = col("qbucket") +: (0 until nPlanes).map(p => col("qbucket").bitwiseXOR(lit(1L << p)))
-    val qb = qbase.select(col("query_id"), col("qvec"),
+    val qb = qbase.select(col("query_id"), col("qvec"), col("_nq"),
         explode(array(probes: _*)).as("bucket"))
+    // native dot widens float elements exactly like the former
+    // transform-cast-per-pair, so sims (and the dedup distinct) are
+    // bit-identical with the per-pair casts and norm folds gone
     val scored = qb.join(cb, "bucket")
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        cosine(transform(col("qvec"), _.cast("double")),
-               transform(col("cvec"), _.cast("double"))).as("cosine_sim"))
+        cosinePrepped(col("qvec"), col("cvec"), col("_nq"), col("_nc")).as("cosine_sim"))
       .distinct()
     // per-query top-k via window rank, keyed on the 6-dp-ROUNDED similarity
     // (engine-stable boundary; see bruteForceTopK)
@@ -361,11 +378,13 @@ object Ann {
              explode(transform(slice(array_sort(scoredCells(col("_dv"), col("_na"))), 1, nProbe),
                _.getField("cell"))).as("cell")))
       }
-    val scored = qb.join(cb, "cell")
+    // per-ROW norms before the cell join (native dot widens floats exactly
+    // like the former per-pair casts — bit-identical sims)
+    val scored = qb.withColumn("_nq", norm(col("qvec")))
+      .join(cb.withColumn("_nc", norm(col("cvec"))), "cell")
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        cosine(transform(col("qvec"), _.cast("double")),
-               transform(col("cvec"), _.cast("double"))).as("cosine_sim"))
+        cosinePrepped(col("qvec"), col("cvec"), col("_nq"), col("_nc")).as("cosine_sim"))
       .distinct()
     import org.apache.spark.sql.expressions.Window
     // rounded rank key — engine-stable boundary (see bruteForceTopK)
