@@ -287,4 +287,48 @@ object Sampling {
       .filter(col("pos") <= maxPerGroup)
       .select(col(keyCol), col(groupCol), col("pos"))
   }
+
+  /**
+   * Curriculum training schedule: phase docs by quality-score THRESHOLDS
+   * (cleanest first — the data-curriculum ordering of Bengio et al. 2009
+   * applied to corpus quality), then within each phase assign a shard and
+   * a dense position by seeded hash — the [[epochShuffle]] shape, so a
+   * 1000-reader job consumes phase 1's shards in parallel, then phase 2's.
+   *
+   * Phases come from FIXED score thresholds, not quantiles: a global
+   * ntile needs a full sort ([[graft.llm.QualityClassifier.calibrationTable]]
+   * documents that trade); thresholds are data-independent, so the phase
+   * assignment is a stateless filter that pushes to the scan and two
+   * corpora curated separately get CONSISTENT phase meanings.
+   *
+   * `thresholds` descending: score >= t(0) → phase 1, score >= t(1) →
+   * phase 2, …, below all → phase thresholds.size + 1.
+   *
+   * Scale shape: one exchange on (phase, shard) + per-partition sort;
+   * parallelism = nPhases × nShards, state O(1) per partition.
+   * Output: (key, phase, shard, pos) — pos dense 1-based per
+   * (phase, shard).
+   */
+  def curriculumSchedule(df: DataFrame, keyCol: String, scoreCol: String,
+                         thresholds: Seq[Double], nShards: Int,
+                         seed: String = "cu1"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted.reverse,
+      "thresholds must be nonempty and descending")
+    require(!seed.contains(SeedSep), "seed must not contain the unit separator")
+    requireStableKeyType(df, keyCol)
+    import org.apache.spark.sql.expressions.Window
+    val h = TextOps.portableHash60(
+      concat(lit(seed + SeedSep), col(keyCol).cast("string")))
+    val phase = thresholds.zipWithIndex.foldRight(
+        lit(thresholds.size + 1).cast("long"): org.apache.spark.sql.Column) {
+      case ((t, i), els) => when(col(scoreCol) >= t, lit(i + 1).cast("long")).otherwise(els)
+    }
+    val w = Window.partitionBy(col("phase"), col("shard"))
+      .orderBy(col("_h"), col(keyCol))
+    df.select(col(keyCol), phase.as("phase"), h.as("_h"))
+      .withColumn("shard", pmod(col("_h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(keyCol), col("phase"), col("shard"), col("pos"))
+  }
 }

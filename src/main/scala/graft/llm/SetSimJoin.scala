@@ -92,4 +92,76 @@ object SetSimJoin {
       .select(col("id1"), col("id2"), col("size1"), col("size2"), col("inter"),
         round(col("inter") / (col("size1") + col("size2") - col("inter")), 6).as("jaccard"))
   }
+
+  /**
+   * EXACT asymmetric CONTAINMENT join over n-gram shingle sets: pairs
+   * where the SMALLER doc's shingles are mostly inside the bigger doc's —
+   * |A∩B| / |A| >= tNum/tDen with |A| <= |B| (id tie-break). Jaccard
+   * (above) misses exactly this case: a paragraph quoted inside a long
+   * article has tiny Jaccard but containment ≈ 1. This is the
+   * quote-extraction / subset-duplicate detector a curation pipeline runs
+   * NEXT TO the symmetric near-dup pass — symmetric dedup keeps both docs,
+   * containment says the small one is redundant.
+   *
+   * Exactness of the prefix filter for containment: doc A's non-prefix
+   * part holds ceil(tau·|A|) − 1 < tau·|A| <= |A∩B| shingles, so a
+   * qualifying intersection can NEVER fit entirely in A's non-prefix —
+   * at least one of A's prefix shingles is in B. Hence candidates =
+   * A-prefix shingles joined against B's FULL shingle index (the container
+   * side cannot be prefix-trimmed: containment does not bound |B|).
+   * Shingle document frequencies govern fan-out — n-gram shingles are
+   * near-unique outside boilerplate, which is what keeps the index join
+   * linear where raw tokens would explode; boilerplate mega-shingles are
+   * exactly what [[Dedup.lineDedup]] removes upstream.
+   *
+   * Hashes are the portable md5 family — the DuckDB oracle replays the
+   * identical check from ground truth (all shared-shingle pairs), which
+   * equals this output because tau > 0 forces >= 1 shared shingle.
+   *
+   * Output: (id_in, id_out, n_in, n_out, inter, containment 6 dp) with
+   * the containment threshold tested in exact integer arithmetic.
+   */
+  def containmentJoin(df: DataFrame, textCol: String, idCol: String,
+      n: Int, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
+
+    // distinct shingle hashes per doc, sorted by (df asc, h asc) — the
+    // rarest-first prefix order realized per row, no global rank
+    val sh = df.select(col(idCol).as("doc"),
+        explode(array_distinct(transform(
+          TextOps.shingles(col(textCol), n),
+          s => TextOps.portableHash60(s)))).as("h"))
+    val freq = sh.groupBy("h").agg(count(lit(1)).cast("long").as("df"))
+    val docSh = sh.join(freq, "h")
+      .groupBy(col("doc"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ord"))
+      .select(col("doc"),
+        transform(col("ord"), e => e.getField("h")).as("hs"),
+        size(col("ord")).cast("long").as("n"))
+
+    // probe side: prefix of length n - ceil(tau*n) + 1 (exact integer ceil)
+    val ceilTauN = ((col("n") * tNum + (tDen - 1)) / tDen).cast("long")
+    val probe = docSh
+      .select(col("doc").as("id_in"), col("n").as("n_in"),
+        explode(slice(col("hs"), lit(1), (col("n") - ceilTauN + 1).cast("int"))).as("h"))
+
+    // index side: ALL shingles of every doc (the container is unbounded)
+    val index = sh.select(col("doc").as("id_out"), col("h"))
+      .join(docSh.select(col("doc").as("id_out"), col("n").as("n_out")), "id_out")
+
+    val cand = probe.join(index,
+        probe("h") === index("h") &&
+          (col("n_in") < col("n_out") ||
+            (col("n_in") === col("n_out") && col("id_in") < col("id_out"))))
+      .select("id_in", "id_out", "n_in", "n_out").distinct()
+
+    // exact verify: pair-local intersection of the two sorted hash arrays
+    val tIn = docSh.select(col("doc").as("id_in"), col("hs").as("hs_in"))
+    val tOut = docSh.select(col("doc").as("id_out"), col("hs").as("hs_out"))
+    cand.join(tIn, "id_in").join(tOut, "id_out")
+      .withColumn("inter", size(array_intersect(col("hs_in"), col("hs_out"))).cast("long"))
+      .filter(col("inter") * tDen >= col("n_in") * tNum)
+      .select(col("id_in"), col("id_out"), col("n_in"), col("n_out"), col("inter"),
+        round(col("inter") / col("n_in"), 6).as("containment"))
+  }
 }

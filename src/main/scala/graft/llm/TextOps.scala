@@ -227,6 +227,102 @@ object TextOps {
         size(col("_kept")).cast("long").as("n_kept"))
   }
 
+  /**
+   * T5-style span corruption (Raffel et al. 2020, public): mask token
+   * spans, replace each masked RUN with one numbered sentinel in the
+   * input, and emit the masked-out tokens behind their sentinels as the
+   * target — the (input, target) pair a seq2seq denoising objective
+   * trains on. [[wordDropout]] deletes tokens; this op RELOCATES them,
+   * which is the difference between an augmentation and a training
+   * objective.
+   *
+   * Corruption decisions are a pure function of (seed, doc, position) —
+   * the l55/l28 determinism contract: the same epoch re-materializes on
+   * any engine, so the DuckDB oracle replays every sentinel boundary
+   * exactly. Masking is iid per token with consecutive masked tokens
+   * collapsing into one span (mean span ≈ 1/(1−p); the T5 paper fixes
+   * mean span length 3 via an RNG the determinism contract disallows —
+   * documented trade).
+   *
+   * Target format: `<extra_id_0> masked… <extra_id_1> masked… <extra_id_K>`
+   * with the final sentinel appended (T5 convention). Unmasked docs emit
+   * their input unchanged with an empty target.
+   *
+   * Scale shape: one posexplode, ONE exchange on the doc key (the lag +
+   * running-sum windows and the rebuild groupBy all share it), sentinel
+   * numbering is a per-doc running sum — no driver state, no second
+   * shuffle.
+   */
+  def spanCorrupt(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, maskPct: Int,
+                  seed: String): org.apache.spark.sql.DataFrame = {
+    require(maskPct >= 0 && maskPct <= 100, "maskPct must be 0-100")
+    require(!seed.contains(Sampling.SeedSep), "seed must not contain the unit separator")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(filter(split(trim(col(textCol)), "\\s+"),
+          t => length(t) > 0)).as(Seq("pos", "tok")))
+    val mask = pmod(portableHash60(concat(lit(seed + Sampling.SeedSep),
+      col("doc_id").cast("string"), lit(":"), col("pos").cast("string"))),
+      lit(100L)) < maskPct
+    val staged = toks.withColumn("m", mask)
+      .withColumn("rs", col("m") && !coalesce(lag(col("m"), 1).over(w), lit(false)))
+      .withColumn("sid",
+        (sum(when(col("rs"), 1L).otherwise(0L)).over(w) - 1).cast("long"))
+    val sentinel = concat(lit("<extra_id_"), col("sid").cast("string"), lit(">"))
+    val inputPiece = when(!col("m"), col("tok")).when(col("rs"), sentinel)
+    val targetPiece = when(col("rs"), concat(sentinel, lit(" "), col("tok")))
+      .when(col("m"), col("tok"))
+    def orderedJoin(piece: Column): Column = array_join(
+      transform(array_sort(collect_list(
+        when(piece.isNotNull, struct(col("pos"), piece.as("p"))))),
+        e => e.getField("p")), " ")
+    staged.groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("m"), 1L).otherwise(0L)).cast("long").as("n_masked"),
+        (max(col("sid")) + 1).cast("long").as("n_spans"),
+        orderedJoin(inputPiece).as("input_text"),
+        orderedJoin(targetPiece).as("_t"))
+      .select(col("doc_id"), col("input_text"),
+        when(col("n_spans") > 0,
+          concat(col("_t"), lit(" <extra_id_"), col("n_spans").cast("string"), lit(">")))
+          .otherwise(lit("")).as("target_text"),
+        col("n_tokens"), col("n_masked"), col("n_spans"))
+  }
+
+  /** Leetspeak/homoglyph substitution map for [[foldObfuscation]] — fixed,
+    * shared with the generated oracle (DuckDB `translate` applies the
+    * identical 1:1 map). Digits/symbols → the letters they impersonate. */
+  val LeetFrom = "0134578@$!"
+  val LeetTo   = "oieastbasi"
+
+  /**
+   * Obfuscation folding for blocklist matching: lowercase, then fold the
+   * standard leet/symbol substitutions (`h4sh` → `hash`, `j0!n` → `join`).
+   * A word-boundary blocklist regex alone misses trivially-obfuscated
+   * terms — spam/abuse filtering folds FIRST, matches SECOND (the
+   * canonical-form trick of [[canonicalizeUrl]] applied to content
+   * policy). Expression-only (`translate` is codegen'd), zero shuffles;
+   * `translate` is in the portable Spark∩DuckDB surface so the fold
+   * replays exactly.
+   */
+  def foldObfuscation(text: Column): Column =
+    translate(lower(text), LeetFrom, LeetTo)
+
+  /**
+   * Count blocklist-term hits in folded text — word-boundary matches
+   * (`\b` is RE2∩Java), summed over terms. Terms must be lowercase
+   * letters only (they become regex literals).
+   */
+  def blocklistHits(folded: Column, terms: Seq[String]): Column = {
+    require(terms.nonEmpty && terms.forall(_.matches("[a-z]+")),
+      "blocklist terms must be nonempty lowercase words")
+    terms.map(t => regexp_count(folded, lit("\\b" + t + "\\b")))
+      .reduce(_ + _).cast("long")
+  }
+
   /** Role markers for [[renderSftTemplate]]. Fixed strings, shared with
     * the generated oracle SQL so the span arithmetic can never skew. */
   val SftSystemTag = "<|system|>\n"

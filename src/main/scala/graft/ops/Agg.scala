@@ -110,4 +110,66 @@ object Agg {
         round(first(col("_med")), 4).as("med"),
         round(expr(s"percentile(abs($valCol - _med), 0.5)"), 4).as("mad"))
   }
+
+  /**
+   * One-vs-rest Welch two-sample location test per group, in EXACT
+   * integer/decimal arithmetic: for each group g, is mean(x | g)
+   * significantly different from mean(x | not g) at |t| > tCrit? The
+   * drift gate a pipeline runs per ingest source — "is src7 sending
+   * shorter documents than everyone else?" — next to the w10 volume
+   * monitor and a21's robust spreads.
+   *
+   * The trick is the w10 one again, scaled up to Welch's statistic:
+   * t² > tCrit² is a polynomial inequality in the per-group integer
+   * sufficient statistics (n, Σx, Σx²), evaluated in DECIMAL(38,0) —
+   * products reach ~10²⁵ at sf1, far past BIGINT but exact in 128-bit
+   * decimal on both engines — so the flag is bit-identical everywhere,
+   * with no libm sqrt/division in any compared column:
+   *
+   *   (ΣA·nB − ΣB·nA)²·(nA−1)·(nB−1)
+   *     > tCrit² · [ (nA·QA − ΣA²)·nB²·(nB−1) + (nB·QB − ΣB²)·nA²·(nA−1) ]
+   *
+   * (both sides are the t² inequality multiplied by (nA·nB)²(nA−1)(nB−1);
+   * QA = Σx² over A). Means are reported as exact floor micro-units.
+   *
+   * Scale shape: ONE corpus scan → per-group (n, Σ, Σ²) partials; the
+   * "rest" side of every test is derived by subtracting the group row
+   * from the broadcast one-row global totals — the one-vs-rest family
+   * costs the same as one aggregation, not |G| scans. Groups with < 2
+   * rows on either side emit flag = false (variance undefined).
+   *
+   * Output: (group, n, mean_micro, rest_mean_micro, significant).
+   */
+  def welchOneVsRest(df: DataFrame, groupCol: String, valCol: String,
+                     tCritNum: Long = 2L, tCritDen: Long = 1L): DataFrame = {
+    require(tCritNum > 0 && tCritDen > 0, "tCrit must be positive")
+    val d38 = "decimal(38,0)"
+    val g = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).cast("long").as("na"),
+        sum(col(valCol).cast("long")).cast("long").as("sa"),
+        sum((col(valCol).cast(d38)) * col(valCol).cast(d38)).cast(d38).as("qa"))
+    val tot = g.agg(sum(col("na")).cast("long").as("n_tot"),
+        sum(col("sa")).cast("long").as("s_tot"),
+        sum(col("qa")).cast(d38).as("q_tot"))
+      .withColumn("_k", lit(1))
+    val j = g.withColumn("_k", lit(1))
+      .join(broadcast(tot), "_k")
+      .withColumn("nb", (col("n_tot") - col("na")).cast("long"))
+      .withColumn("sb", (col("s_tot") - col("sa")).cast("long"))
+      .withColumn("qb", (col("q_tot") - col("qa")).cast(d38))
+    def dec(c: Column): Column = c.cast(d38)
+    val diff = dec(col("sa")) * dec(col("nb")) - dec(col("sb")) * dec(col("na"))
+    val varTermA = (dec(col("na")) * col("qa") - dec(col("sa")) * dec(col("sa"))) *
+      dec(col("nb")) * dec(col("nb")) * dec(col("nb") - 1)
+    val varTermB = (dec(col("nb")) * col("qb") - dec(col("sb")) * dec(col("sb"))) *
+      dec(col("na")) * dec(col("na")) * dec(col("na") - 1)
+    val lhs = diff * diff * dec(col("na") - 1) * dec(col("nb") - 1) *
+      lit(tCritDen * tCritDen).cast(d38)
+    val rhs = lit(tCritNum * tCritNum).cast(d38) * (varTermA + varTermB)
+    j.select(col("grp").as(groupCol),
+      col("na").as("n"),
+      expr("(sa * 1000000L) div na").cast("long").as("mean_micro"),
+      expr("(sb * 1000000L) div nb").cast("long").as("rest_mean_micro"),
+      (col("na") >= 2 && col("nb") >= 2 && lhs > rhs).as("significant"))
+  }
 }

@@ -278,5 +278,36 @@ object DedupQueries {
              |SELECT id1, id2, size1, size2, inter,
              |  round(inter / (size1 + size2 - inter), 6) AS jaccard
              |FROM i WHERE inter * 5 >= (size1 + size2 - inter) * 3""".stripMargin)),
+
+    // EXACT asymmetric CONTAINMENT join over 5-gram shingle sets: the
+    // quote/subset-duplicate detector Jaccard structurally misses (a
+    // paragraph inside a long article has tiny Jaccard, containment ≈ 1).
+    // Prefix filter is exact for containment (a qualifying intersection
+    // can't fit in the probe's non-prefix); the container side indexes
+    // ALL its shingles. Same 1/10-slice registration as l70 — exact
+    // pair reporting is for bounded slices; LSH is the full-corpus path.
+    // The oracle computes ground truth from all shared-shingle pairs,
+    // which equals the prefix-filtered output because tau > 0
+    "l87_containment_join" -> Q(
+      (s, dir) => graft.llm.SetSimJoin.containmentJoin(
+        td(s, dir, "documents").filter(col("doc_id") % 10 === 7),
+        "text", "doc_id", n = 5, tNum = 1, tDen = 2),
+      Some("""WITH shs AS (
+             |  SELECT doc_id AS doc, list_distinct(list_transform(range(1, len(t)-3),
+             |    i -> ('0x'||substr(md5(array_to_string(t[i:i+4], ' ')),1,15))::BIGINT)) AS sh
+             |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             |        FROM documents WHERE doc_id % 10 = 7)
+             |  WHERE len(t) >= 5),
+             |e AS (SELECT doc, unnest(sh) AS h FROM shs),
+             |n AS (SELECT doc, CAST(len(sh) AS BIGINT) AS n FROM shs),
+             |p AS (SELECT a.doc AS id_in, b.doc AS id_out, CAST(count(*) AS BIGINT) AS inter
+             |  FROM e a JOIN e b ON a.h = b.h AND a.doc <> b.doc GROUP BY 1, 2),
+             |j AS (SELECT p.id_in, p.id_out, na.n AS n_in, nb.n AS n_out, p.inter
+             |  FROM p JOIN n na ON na.doc = p.id_in JOIN n nb ON nb.doc = p.id_out)
+             |SELECT id_in, id_out, n_in, n_out, inter,
+             |  round(inter / n_in, 6) AS containment
+             |FROM j
+             |WHERE (n_in < n_out OR (n_in = n_out AND id_in < id_out))
+             |  AND inter * 2 >= n_in * 1""".stripMargin)),
   )
 }

@@ -186,6 +186,37 @@ object StatQueries {
              |t AS (SELECT case_id, gene_id, max(cn) AS tumor_cn FROM m WHERE sample_kind='tumor' GROUP BY 1,2),
              |n AS (SELECT case_id, gene_id, max(cn) AS normal_cn FROM m WHERE sample_kind='normal' GROUP BY 1,2)
              |SELECT t.case_id, t.gene_id, t.tumor_cn, COALESCE(n.normal_cn, -1) AS normal_cn
-             |FROM t LEFT JOIN n ON t.case_id = n.case_id AND t.gene_id = n.gene_id""".stripMargin))
+             |FROM t LEFT JOIN n ON t.case_id = n.case_id AND t.gene_id = n.gene_id""".stripMargin)),
+
+    // one-vs-rest Welch two-sample location test per ingest source, in
+    // EXACT integer/decimal arithmetic (the w10 strategy scaled to
+    // Welch's t): is source X sending documents with different mean
+    // length than everyone else? ONE corpus scan — every group's "rest"
+    // derives from the broadcast global totals; |t| > 2 evaluated as a
+    // DECIMAL(38,0)/HUGEINT polynomial inequality, bit-identical on
+    // both engines, no sqrt anywhere
+    "a22_welch_drift" -> Q(
+      (s, dir) => graft.ops.Agg.welchOneVsRest(
+        td(s, dir, "documents"), "source", "n_chars"),
+      Some("""WITH g AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS na,
+             |    CAST(sum(n_chars) AS BIGINT) AS sa,
+             |    CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS qa
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT CAST(sum(na) AS BIGINT) AS n_tot,
+             |    CAST(sum(sa) AS BIGINT) AS s_tot,
+             |    CAST(sum(qa) AS HUGEINT) AS q_tot FROM g),
+             |j AS (SELECT g.*, t.n_tot - g.na AS nb, t.s_tot - g.sa AS sb,
+             |    t.q_tot - g.qa AS qb FROM g, t)
+             |SELECT grp AS source, na AS n,
+             |  CAST((sa * 1000000) // na AS BIGINT) AS mean_micro,
+             |  CAST((sb * 1000000) // nb AS BIGINT) AS rest_mean_micro,
+             |  (na >= 2 AND nb >= 2 AND
+             |    (CAST(sa AS HUGEINT)*nb - CAST(sb AS HUGEINT)*na)
+             |      * (CAST(sa AS HUGEINT)*nb - CAST(sb AS HUGEINT)*na)
+             |      * (na - 1) * (nb - 1)
+             |    > 4 * ((na*qa - CAST(sa AS HUGEINT)*sa) * nb * nb * (nb - 1)
+             |         + (nb*qb - CAST(sb AS HUGEINT)*sb) * na * na * (na - 1))
+             |  ) AS significant
+             |FROM j""".stripMargin))
   )
 }

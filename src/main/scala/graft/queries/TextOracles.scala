@@ -509,4 +509,144 @@ object TextOracles {
        |  CAST(length(resp) AS BIGINT) AS mask_len
        |FROM r""".stripMargin
   }
+
+  /** Exact twin of [[graft.llm.Sketch.bloomDecontaminate]] with corpus =
+    * `doc_id % benchMod <> 0`, bench = `doc_id % benchMod = 0` (the l25
+    * split): the same portable-hash Bloom positions, so every per-doc
+    * flagged count — INCLUDING the filter's false positives — replays
+    * exactly. */
+  def bloomDecontaminateSql(n: Int, benchMod: Int, k: Int, m: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |shs AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-${n - 2}),
+       |    i -> array_to_string(t[i:i+${n - 1}], ' '))) AS sh
+       |  FROM toks WHERE len(t) >= $n),
+       |cs AS (SELECT doc_id, unnest(sh) AS s FROM shs WHERE doc_id % $benchMod <> 0),
+       |bs AS (SELECT DISTINCT unnest(sh) AS s FROM shs WHERE doc_id % $benchMod = 0),
+       |bbits AS (SELECT DISTINCT
+       |    ('0x'||substr(md5('bloom'||t.r||chr(31)||s),1,15))::BIGINT % $m AS pos
+       |  FROM bs CROSS JOIN range(0, $k) t(r)),
+       |arms AS (SELECT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT AS h,
+       |    ('0x'||substr(md5('bloom'||t.r||chr(31)||s),1,15))::BIGINT % $m AS pos
+       |  FROM cs CROSS JOIN range(0, $k) t(r)),
+       |per AS (SELECT doc_id, h,
+       |    min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS hit
+       |  FROM arms a LEFT JOIN bbits b ON a.pos = b.pos GROUP BY 1, 2)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(hit) AS BIGINT) AS n_flagged
+       |FROM per GROUP BY 1""".stripMargin
+
+  /** Exact twin of [[graft.llm.TextOps.spanCorrupt]]: the same
+    * (seed, doc, position) mask decisions, lag-based run starts,
+    * running-sum sentinel numbering, and ordered rebuild — every
+    * sentinel boundary replays bit-for-bit. */
+  def spanCorruptSql(maskPct: Int, seed: String): String = {
+    val s = esc(seed)
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |    x -> length(x) > 0) AS tk
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(tk) AS w, unnest(range(len(tk))) AS pos FROM t),
+       |mk AS (SELECT doc_id, w, pos,
+       |    (('0x'||substr(md5('$s'||chr(31)||CAST(doc_id AS VARCHAR)
+       |      ||':'||CAST(pos AS VARCHAR)),1,15))::BIGINT % 100 < $maskPct) AS m
+       |  FROM tok),
+       |rn AS (SELECT *, m AND NOT coalesce(
+       |    lag(m) OVER (PARTITION BY doc_id ORDER BY pos), false) AS rs FROM mk),
+       |sd AS (SELECT *, CAST(sum(CASE WHEN rs THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS sid FROM rn),
+       |pieces AS (SELECT doc_id, pos, m, rs, sid,
+       |    CASE WHEN NOT m THEN w
+       |         WHEN rs THEN '<extra_id_'||sid||'>' END AS ip,
+       |    CASE WHEN rs THEN '<extra_id_'||sid||'> '||w
+       |         WHEN m THEN w END AS tp
+       |  FROM sd),
+       |agg AS (SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       |    CAST(max(sid) + 1 AS BIGINT) AS n_spans,
+       |    string_agg(ip, ' ' ORDER BY pos) AS itext,
+       |    string_agg(tp, ' ' ORDER BY pos) AS ttext
+       |  FROM pieces GROUP BY 1)
+       |SELECT doc_id, COALESCE(itext, '') AS input_text,
+       |  CASE WHEN n_spans > 0 THEN ttext||' <extra_id_'||n_spans||'>'
+       |       ELSE '' END AS target_text,
+       |  n_tokens, n_masked, n_spans
+       |FROM agg""".stripMargin
+  }
+
+  /** Exact twin of the l89 registry row: the deterministic doc→domain
+    * link synthesis plus [[graft.ops.Graph.pageRankInt]]'s integer
+    * iterations unrolled as chained CTEs — floor arithmetic end to end,
+    * so all `iters` rounds replay bit-for-bit. */
+  def domainPageRankSql(iters: Int, nDomains: Int, dampNum: Long,
+                        dampDen: Long): String = {
+    val baseMicro = ((dampDen - dampNum) * 1000000L) / dampDen
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |    CAST($baseMicro + ($dampNum * COALESCE(c.infl, 0)) // $dampDen AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r${i - 1}.r // od.od) AS infl
+         |    FROM e JOIN od USING (src) JOIN r${i - 1} ON r${i - 1}.node = e.src
+         |    GROUP BY 1) c ON n.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH arms AS (
+       |  SELECT source AS src,
+       |    'src' || CAST(('0x'||substr(md5('link'||t.r||chr(31)
+       |      ||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % $nDomains AS VARCHAR) AS dst
+       |  FROM documents CROSS JOIN range(0, 2) t(r)),
+       |e AS (SELECT src, dst FROM arms WHERE src <> dst),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY 1),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$iterCtes
+       |SELECT node, r AS rank_micro FROM r$iters""".stripMargin
+  }
+
+  /** Exact twin of the l90 registry row: the l4 quality score feeding
+    * fixed-threshold phases, hash shards, and dense per-(phase, shard)
+    * positions ([[graft.llm.Sampling.curriculumSchedule]]). */
+  def curriculumSql(thresholds: Seq[Double], nShards: Int, seed: String): String = {
+    val s = esc(seed)
+    val phaseCase = thresholds.zipWithIndex
+      .map { case (t, i) => s"WHEN q >= $t THEN ${i + 1}" }
+      .mkString(" ")
+    s"""WITH t AS (SELECT doc_id,
+       |  CAST(length(text) AS DOUBLE) AS n_chars,
+       |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS n_words,
+       |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct
+       |  FROM documents),
+       |q AS (SELECT doc_id, round(least(n_chars/200.0, 1.0) * (1.0 - n_punct/greatest(n_chars, 1.0))
+       |  * (0.5 + 0.5*least((n_chars/greatest(n_words, 1.0))/8.0, 1.0)), 6) AS q FROM t),
+       |ph AS (SELECT doc_id,
+       |    CAST(CASE $phaseCase ELSE ${thresholds.size + 1} END AS BIGINT) AS phase,
+       |    ('0x'||substr(md5('$s'||chr(31)||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h
+       |  FROM q)
+       |SELECT doc_id, phase, CAST(h % $nShards AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY phase, h % $nShards
+       |    ORDER BY h, doc_id) AS BIGINT) AS pos
+       |FROM ph""".stripMargin
+  }
+
+  /** Exact twin of the l91 registry row: deterministic obfuscated-term
+    * augmentation, the shared leet `translate` fold, and word-boundary
+    * blocklist counts (patterns in the Java∩RE2 subset). */
+  def obfuscationBlocklistSql(terms: Seq[String]): String = {
+    val from = esc(graft.llm.TextOps.LeetFrom)
+    val to = esc(graft.llm.TextOps.LeetTo)
+    val hitSum = terms.map(t =>
+      s"len(regexp_extract_all(folded, '\\b${esc(t)}\\b'))").mkString(" + ")
+    s"""WITH aug AS (SELECT doc_id, text || ' ' ||
+       |    CASE CAST(doc_id % 4 AS INTEGER)
+       |      WHEN 0 THEN 'j01n h4sh' WHEN 1 THEN '$$can t4ble'
+       |      WHEN 2 THEN 'gr0up 0rder' ELSE 'plain r0w' END AS raw
+       |  FROM documents),
+       |f AS (SELECT doc_id, translate(lower(raw), '$from', '$to') AS folded FROM aug)
+       |SELECT doc_id, md5(folded) AS folded_md5,
+       |  CAST($hitSum AS BIGINT) AS n_hits
+       |FROM f""".stripMargin
+  }
 }

@@ -979,5 +979,82 @@ object TextQueries {
              |HAVING max(n) >= 2
              |  AND max(CASE WHEN rb = 1 THEN score END)
              |    - max(CASE WHEN rw = 1 THEN score END) >= 10""".stripMargin)),
+
+    // Bloom-filter decontamination: the constant-memory scale path for
+    // l25/l31 — the bench side reduces to ≤ k·|shingles| set bits
+    // (broadcast, an m-bit array in deployment) instead of the full hash
+    // set; one-sided error (no false negatives). Portable-hash positions
+    // ⇒ the oracle replays every count INCLUDING the false positives.
+    // m = 65536 keeps the sf0.1 bench slice at ~37% occupancy (FP ≈ 5%)
+    "l86_bloom_decontaminate" -> Q(
+      (s, dir) => {
+        val docs = td(s, dir, "documents")
+        graft.llm.Sketch.bloomDecontaminate(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "text", "doc_id", n = 5, k = 3, m = 65536)
+      },
+      Some(TextOracles.bloomDecontaminateSql(n = 5, benchMod = 50, k = 3, m = 65536))),
+
+    // T5-style span corruption: deterministic iid token masks collapsed
+    // into sentinel-numbered spans, (input, target) emitted per doc —
+    // the seq2seq denoising objective; one posexplode + ONE exchange
+    // (lag/running-sum windows and the rebuild groupBy share the doc key)
+    "l88_span_corruption" -> Q(
+      (s, dir) => graft.llm.TextOps.spanCorrupt(
+        td(s, dir, "documents"), "doc_id", "text", maskPct = 15, seed = "sc1"),
+      Some(TextOracles.spanCorruptSql(maskPct = 15, seed = "sc1"))),
+
+    // domain-graph PageRank (integer micro-units, 5 iterations, damping
+    // 0.85): crawl-quality ranking over the doc→domain link graph
+    // (deterministic hash-synthesized outlinks — the fixture stand-in for
+    // a real crawl's hyperlinks, the l50 synthetic-URL precedent); every
+    // iteration is floor arithmetic, so all 5 rounds oracle-replay exactly
+    "l89_domain_pagerank" -> Q(
+      (s, dir) => {
+        val arms = td(s, dir, "documents").select(col("source").as("src"),
+          explode(array((0 until 2).map(r =>
+            concat(lit("src"), pmod(TextOps.portableHash60(
+              concat(lit("link" + r + graft.llm.Sampling.SeedSep),
+                col("doc_id").cast("string"))), lit(20L)).cast("string"))): _*)).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        graft.ops.Graph.pageRankInt(arms, "src", "dst", iters = 5)
+      },
+      Some(TextOracles.domainPageRankSql(iters = 5, nDomains = 20,
+        dampNum = 85L, dampDen = 100L))),
+
+    // curriculum training schedule: quality-threshold phases (cleanest
+    // first), hash shards + dense positions within each phase — the
+    // epoch-shuffle shape with a curriculum axis; thresholds not
+    // quantiles, so no global sort and phase meanings stay consistent
+    // across separately-curated corpora
+    "l90_curriculum_schedule" -> Q(
+      (s, dir) => graft.llm.Sampling.curriculumSchedule(
+        td(s, dir, "documents")
+          .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q")),
+        "doc_id", "q", thresholds = Seq(0.5, 0.25), nShards = 8, seed = "cu1"),
+      Some(TextOracles.curriculumSql(Seq(0.5, 0.25), nShards = 8, seed = "cu1"))),
+
+    // obfuscation folding + blocklist: leet/homoglyph translate fold,
+    // THEN word-boundary blocklist counts — catches the trivially-
+    // obfuscated terms a raw regex misses (deterministic doc_id-keyed
+    // obfuscated augmentation, the l47/l50 fixture pattern); the corpus
+    // vocabulary itself also hits the blocklist, so counts mix natural
+    // and planted matches
+    "l91_obfuscation_blocklist" -> Q(
+      (s, dir) => {
+        val terms = Seq("join", "hash", "scan", "table", "group", "order")
+        val aug = td(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" "),
+            element_at(array(lit("j01n h4sh"), lit("$can t4ble"),
+              lit("gr0up 0rder"), lit("plain r0w")),
+              (col("doc_id") % 4).cast("int") + 1)).as("raw"))
+        aug.select(col("doc_id"),
+            TextOps.foldObfuscation(col("raw")).as("folded"))
+          .select(col("doc_id"), md5(col("folded")).as("folded_md5"),
+            TextOps.blocklistHits(col("folded"), terms).as("n_hits"))
+      },
+      Some(TextOracles.obfuscationBlocklistSql(
+        Seq("join", "hash", "scan", "table", "group", "order")))),
   )
 }

@@ -199,4 +199,39 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got == Map("x" -> ((3L, 42L)), "y" -> ((4L, 57L))))
   }
+
+  // --- curriculumSchedule ---
+
+  test("curriculumSchedule: thresholds partition phases; positions dense per (phase, shard)") {
+    val df = Seq(
+      (1L, 0.9), (2L, 0.8), (3L, 0.5),  // phase 1 (>= 0.5, boundary in)
+      (4L, 0.4), (5L, 0.25),            // phase 2 (>= 0.25)
+      (6L, 0.1), (7L, 0.0)              // phase 3
+    ).toDF("id", "score")
+    val got = Sampling.curriculumSchedule(df, "id", "score",
+        thresholds = Seq(0.5, 0.25), nShards = 2, seed = "cu1")
+      .as[(Long, Long, Long, Long)].collect()
+    val phaseOf = got.map(r => r._1 -> r._2).toMap
+    assert(phaseOf === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L,
+      6L -> 3L, 7L -> 3L))
+    // dense 1-based positions within each (phase, shard)
+    got.groupBy(r => (r._2, r._3)).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length).map(_.toLong))
+    }
+    assert(got.forall(r => r._3 >= 0 && r._3 < 2))
+    // deterministic
+    val again = Sampling.curriculumSchedule(df, "id", "score",
+      Seq(0.5, 0.25), 2, "cu1").as[(Long, Long, Long, Long)].collect()
+    assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("curriculumSchedule: rejects non-descending thresholds and bad shard counts") {
+    val df = Seq((1L, 0.5)).toDF("id", "score")
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumSchedule(df, "id", "score", Seq(0.25, 0.5), 2)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumSchedule(df, "id", "score", Seq(0.5), 0)
+    }
+  }
 }

@@ -53,4 +53,38 @@ class SetSimJoinSpec extends AnyFunSuite with SparkTestBase {
     val df = Seq(1L -> "a b c", 2L -> "d e f", 3L -> "g h i").toDF("doc_id", "text")
     assert(SetSimJoin.prefixJaccardJoin(df, "text", "doc_id", 3, 5).count() == 0L)
   }
+
+  // --- containmentJoin ---
+
+  test("containment finds the quoted-paragraph pair Jaccard misses") {
+    // doc 2 IS a contiguous slice of doc 1: every 2-gram shingle of doc 2
+    // occurs in doc 1 -> containment 1.0; Jaccard is only 4/13 (< 0.6)
+    val df = Seq(
+      1L -> "a b c d e f g h i j k l m n",
+      2L -> "d e f g h",
+      3L -> "x y z w q r"
+    ).toDF("doc_id", "text")
+    val got = SetSimJoin.containmentJoin(df, "text", "doc_id", n = 2, tNum = 1, tDen = 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.length === 1)
+    val (idIn, idOut, nIn, nOut, inter, cont) = got.head
+    assert(idIn === 2L && idOut === 1L, "direction: smaller doc is the contained one")
+    assert(nIn === 4L && nOut === 13L && inter === 4L && cont === 1.0)
+    // the same pair does NOT clear symmetric Jaccard at the same threshold
+    assert(SetSimJoin.prefixJaccardJoin(df, "text", "doc_id", 1, 2).count() === 0L)
+  }
+
+  test("containment threshold is exact-integer: boundary included, below excluded") {
+    // doc 1 has 4 2-gram shingles, exactly 2 of them in doc 2 -> 1/2 boundary
+    val df = Seq(
+      1L -> "a b c x p",      // shingles: ab bc cx xp
+      2L -> "a b c d e f g"   // shingles: ab bc cd de ef fg (shares ab, bc)
+    ).toDF("doc_id", "text")
+    val atHalf = SetSimJoin.containmentJoin(df, "text", "doc_id", 2, 1, 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(atHalf.length === 1 && atHalf.head._1 === 1L && atHalf.head._5 === 2L)
+    val aboveHalf = SetSimJoin.containmentJoin(df, "text", "doc_id", 2, 3, 5)
+      .count()
+    assert(aboveHalf === 0L, "2/4 = 0.5 < 3/5: pair must be excluded above the boundary")
+  }
 }

@@ -32,4 +32,52 @@ class SketchSpec extends AnyFunSuite with SparkTestBase {
     assert(est("a") === 14L)
     assert(est("nope") === 14L) // everything collides: max overestimate, never under
   }
+
+  // --- bloomDecontaminate ---
+
+  private def bloomCorpus = Seq(
+    (1L, "one two three four five six seven"), // shares "three four five" 3-gram run with bench
+    (2L, "alpha beta gamma delta epsilon"),    // disjoint from bench
+    (3L, "three four five six seven eight")    // shares a longer run
+  ).toDF("doc_id", "text")
+  private def bloomBench = Seq(
+    (100L, "zero three four five six seven nine")
+  ).toDF("doc_id", "text")
+
+  test("bloom decontamination never misses a truly shared shingle (no false negatives)") {
+    val exact = Decontaminate.contaminationScore(
+        bloomCorpus, bloomBench, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val bloom = Sketch.bloomDecontaminate(
+        bloomCorpus, bloomBench, "text", "doc_id", n = 3, k = 3, m = 65536)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(bloom.keySet === exact.keySet)
+    exact.foreach { case (doc, (nSh, nShared)) =>
+      assert(bloom(doc)._1 === nSh, s"doc $doc shingle count")
+      // one-sided error: flagged >= truly shared, always
+      assert(bloom(doc)._2 >= nShared, s"doc $doc missed a shared shingle")
+    }
+    // at m=65536 with ~5 bench shingles the filter is near-empty: no FPs,
+    // so the counts are EXACT here — pins the hash family like the CMS test
+    assert(bloom(1L)._2 === exact(1L)._2)
+    assert(bloom(2L)._2 === 0L)
+    assert(bloom(3L)._2 === exact(3L)._2)
+  }
+
+  test("tiny bloom filter saturates into false positives but still never under-flags") {
+    val exact = Decontaminate.contaminationScore(
+        bloomCorpus, bloomBench, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val bloom = Sketch.bloomDecontaminate(
+        bloomCorpus, bloomBench, "text", "doc_id", n = 3, k = 2, m = 8)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    bloom.foreach { case (doc, flagged) =>
+      assert(flagged >= exact(doc), s"doc $doc under-flagged at tiny m")
+    }
+    // 2 arms × ~5 shingles into 8 bits: saturation must produce at least
+    // one false positive somewhere (doc 2 shares nothing yet gets flags)
+    assert(bloom(2L) > 0L, "expected saturation false positives at m=8")
+  }
 }

@@ -270,4 +270,77 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       .select(TextOps.stripHtml(lit(null).cast("string")).as("r")).collect()(0)
     assert(n.isNullAt(0))
   }
+
+  test("spanCorrupt: splicing target spans back into input sentinels restores the doc") {
+    val docs = Seq.tabulate(20)(i =>
+      (i.toLong, (0 until 30).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
+    val out = TextOps.spanCorrupt(docs, "doc_id", "text", maskPct = 30, seed = "t1")
+      .as[(Long, String, String, Long, Long, Long)].collect()
+    assert(out.length === 20)
+    out.foreach { case (id, input, target, nTokens, nMasked, nSpans) =>
+      assert(nTokens === 30L)
+      val sentinel = "<extra_id_(\\d+)>".r
+      // parse target into span map: sentinel id -> masked tokens
+      val spans = if (nSpans == 0) Map.empty[Int, Seq[String]] else {
+        val parts = sentinel.split(target).toSeq.map(_.trim)
+        val ids = sentinel.findAllMatchIn(target).map(_.group(1).toInt).toSeq
+        // final sentinel closes the list: ids = 0..nSpans, last part empty
+        assert(ids === (0 to nSpans.toInt).toSeq, s"doc $id sentinel numbering")
+        ids.dropRight(1).zip(parts.drop(1))
+          .map { case (k, body) => k -> body.split(" ").toSeq }.toMap
+      }
+      assert(spans.values.map(_.size).sum.toLong === nMasked, s"doc $id masked count")
+      // reconstruct: replace each input sentinel with its span
+      val rebuilt = input.split(" ").toSeq.flatMap { tok =>
+        sentinel.findFirstMatchIn(tok) match {
+          case Some(m) => spans(m.group(1).toInt)
+          case None    => Seq(tok)
+        }
+      }
+      assert(rebuilt.mkString(" ") === (0 until 30).map(j => s"w$j").mkString(" "),
+        s"doc $id reconstruction")
+    }
+    // at 30% over 600 tokens some doc must actually have a multi-token span
+    assert(out.map(_._5).sum > 0, "nothing was masked at 30%")
+    assert(out.exists(r => r._5 > r._6), "no run of length >= 2 across 20 docs")
+  }
+
+  test("spanCorrupt: maskPct 0 passes text through; 100 masks everything as one span") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val zero = TextOps.spanCorrupt(docs, "doc_id", "text", 0, "t1")
+      .as[(Long, String, String, Long, Long, Long)].head()
+    assert(zero === ((1L, "a b c d e", "", 5L, 0L, 0L)))
+    val full = TextOps.spanCorrupt(docs, "doc_id", "text", 100, "t1")
+      .as[(Long, String, String, Long, Long, Long)].head()
+    assert(full === ((1L, "<extra_id_0>", "<extra_id_0> a b c d e <extra_id_1>", 5L, 5L, 1L)))
+  }
+
+  test("spanCorrupt: deterministic in seed; different seed moves masks") {
+    val docs = Seq.tabulate(10)(i =>
+      (i.toLong, (0 until 40).map(j => s"t$j").mkString(" "))).toDF("doc_id", "text")
+    val a = TextOps.spanCorrupt(docs, "doc_id", "text", 15, "s1").collect().toSeq
+    val b = TextOps.spanCorrupt(docs, "doc_id", "text", 15, "s1").collect().toSeq
+    assert(a.map(_.toString).sorted === b.map(_.toString).sorted)
+    val c = TextOps.spanCorrupt(docs, "doc_id", "text", 15, "s2")
+      .as[(Long, String, String, Long, Long, Long)].collect()
+    assert(c.map(_._2).toSet !== a.map(_.getString(1)).toSet, "seed must matter")
+  }
+
+  test("foldObfuscation + blocklistHits: leet variants count as matches") {
+    val df = Seq(
+      (1L, "J01N the h4sh t4ble"),   // join, hash, table after folding
+      (2L, "nothing to see here"),
+      (3L, "$can gr0up 0rder scan")  // scan x2, group, order
+    ).toDF("doc_id", "text")
+    val terms = Seq("join", "hash", "scan", "table", "group", "order")
+    val got = df.select(col("doc_id"),
+        TextOps.blocklistHits(TextOps.foldObfuscation(col("text")), terms).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 0L, 3L -> 4L))
+    // folding is idempotent and word boundaries hold (no substring hits)
+    val sub = df.sparkSession.range(1).select(
+      TextOps.blocklistHits(lit("joinery hashed"), Seq("join", "hash")).as("n"))
+      .as[Long].head()
+    assert(sub === 0L, "\\b must prevent substring matches")
+  }
 }

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class WelchSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("welchOneVsRest flags a clearly-shifted group and not a homogeneous one") {
+    // groups a/b/c ~ 100±small, group d shifted to ~200
+    val rows =
+      (1 to 30).map(i => ("a", 95L + (i % 11))) ++
+      (1 to 30).map(i => ("b", 98L + (i % 7))) ++
+      (1 to 30).map(i => ("c", 97L + (i % 9))) ++
+      (1 to 30).map(i => ("d", 195L + (i % 11)))
+    val got = Agg.welchOneVsRest(rows.toDF("src", "v"), "src", "v")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("d")._5, "shifted group must be significant")
+    assert(got.size === 4)
+    // the rest-mean seen from d is ~ the a/b/c level and vice versa
+    assert(got("d")._3 > 190L * 1000000L && got("d")._4 < 110L * 1000000L)
+    // a/b/c vs rest: their "rest" includes d, pulling the rest mean up —
+    // each of them also differs from its rest (by construction of the
+    // one-vs-rest design), so check against the exact scalar replay below
+    // rather than asserting false here.
+  }
+
+  test("welchOneVsRest matches an exact BigInt replay of the inequality") {
+    val rows = (1 to 25).map(i => ("x", (50 + 3 * (i % 5)).toLong)) ++
+      (1 to 40).map(i => ("y", (60 + 2 * (i % 7)).toLong)) ++
+      (1 to 15).map(i => ("z", (54 + (i % 3)).toLong))
+    val df = rows.toDF("src", "v")
+    val got = Agg.welchOneVsRest(df, "src", "v")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+
+    val all = rows.map { case (g, v) => (g, BigInt(v)) }
+    def stats(p: ((String, BigInt)) => Boolean) = {
+      val xs = all.filter(p).map(_._2)
+      (BigInt(xs.size), xs.sum, xs.map(x => x * x).sum)
+    }
+    for (g <- Seq("x", "y", "z")) {
+      val (na, sa, qa) = stats(_._1 == g)
+      val (nb, sb, qb) = stats(_._1 != g)
+      val diff = sa * nb - sb * na
+      val lhs = diff * diff * (na - 1) * (nb - 1)
+      val rhs = 4 * ((na * qa - sa * sa) * nb * nb * (nb - 1) +
+        (nb * qb - sb * sb) * na * na * (na - 1))
+      val expectSig = na >= 2 && nb >= 2 && lhs > rhs
+      assert(got(g)._5 === expectSig, s"group $g flag")
+      assert(BigInt(got(g)._2) === na)
+      assert(BigInt(got(g)._3) === (sa * 1000000) / na, s"group $g mean_micro")
+      assert(BigInt(got(g)._4) === (sb * 1000000) / nb, s"group $g rest mean")
+    }
+  }
+
+  test("identical groups are not significant") {
+    val rows = (1 to 40).flatMap(i => Seq(("p", (i % 10).toLong), ("q", (i % 10).toLong)))
+    val got = Agg.welchOneVsRest(rows.toDF("src", "v"), "src", "v")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(got.forall(!_._5), "identical distributions must not flag")
+  }
+}
