@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -196,5 +196,58 @@ object CorpusStats {
         coalesce(col("n_distinct_ngrams"), lit(0L)).as("n_distinct_ngrams"),
         round(col("n_distinct_ngrams").cast("double") / col("n_ngrams"), 6)
           .as("distinct_ngram_ratio"))
+  }
+
+  /**
+   * Corpus-level CLIPPED n-gram precision (the BLEU-1/BLEU-2 core,
+   * Papineni et al. 2002) between each doc and its predecessor in the
+   * same source — the MULTISET-counting eval twin of
+   * [[consecutiveOverlap]]'s distinct-set Jaccard: clipped counts credit
+   * a candidate n-gram only up to its count in the reference, which is
+   * what makes "the the the the" score 2/4 against "the cat the dog"
+   * instead of 4/4. The same function evaluates generation output against
+   * references when the pair column IS (candidate, reference); the
+   * adjacent-doc registration is the self-supervised crawl diagnostic.
+   *
+   * Corpus-level = Σ clipped / Σ candidate n-grams per source (BLEU's
+   * aggregation — NOT the mean of per-pair ratios, which over-weights
+   * short docs). Exact integer numerators/denominators are emitted next
+   * to the 6-dp ratios so the oracle compares integers, not float sums.
+   *
+   * Scale shape: ONE exchange on the source key (the lag window), then
+   * pair-local array lambdas — clipping never joins or re-shuffles; the
+   * per-source rollup reuses the window's partitioning. Clipping is
+   * O(|distinct grams| · |doc|) per pair on bound array columns (no
+   * re-tokenization inside lambdas).
+   */
+  def ngramPrecisionEval(docs: DataFrame, idCol: String, srcCol: String,
+                         textCol: String): DataFrame = {
+    val w = Window.partitionBy("_src").orderBy("_id")
+    // multiset token/bigram arrays (duplicates preserved — BLEU is
+    // multiset counting, array_distinct would change the metric)
+    val toks = TextOps.whitespaceTokens(lower(col(textCol)))
+    val base = docs.select(col(idCol).as("_id"), col(srcCol).as("_src"),
+      toks.as("t1"), TextOps.shingles(col(textCol), 2).as("t2"))
+    val pairs = base
+      .withColumn("r1", lag("t1", 1).over(w))
+      .withColumn("r2", lag("t2", 1).over(w))
+      .filter(col("r1").isNotNull && size(col("t1")) > 0 && size(col("r1")) > 0)
+    def clipped(cand: Column, ref: Column): Column =
+      aggregate(array_distinct(cand), lit(0L), (acc, g) =>
+        acc + least(size(filter(cand, x => x === g)),
+          size(filter(ref, x => x === g))).cast("long"))
+    pairs
+      .select(col("_src"),
+        clipped(col("t1"), col("r1")).as("c1"), size(col("t1")).cast("long").as("d1"),
+        clipped(col("t2"), col("r2")).as("c2"), size(col("t2")).cast("long").as("d2"))
+      .groupBy(col("_src").as(srcCol))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum("c1").cast("long").as("p1_num"), sum("d1").cast("long").as("p1_den"),
+        sum("c2").cast("long").as("p2_num"), sum("d2").cast("long").as("p2_den"))
+      .select(col(srcCol), col("n_pairs"),
+        col("p1_num"), col("p1_den"), col("p2_num"), col("p2_den"),
+        round(col("p1_num").cast("double") / col("p1_den"), 6).as("p1"),
+        when(col("p2_den") > 0,
+          round(col("p2_num").cast("double") / col("p2_den"), 6)).as("p2"))
   }
 }

@@ -25,6 +25,11 @@ final case class MediaDecoded(media_id: Long, container: String,
 final case class ResampledSample(media_id: Long, in_samples: Long,
                                  out_samples: Long, out_idx: Long, value: Double)
 
+/** One output pixel of a 2:1 nearest-neighbor image downsample
+  * (top-down coordinates; b/g/r are unsigned byte values 0-255). */
+final case class DownsampledPixel(media_id: Long, out_w: Int, out_h: Int,
+                                  x: Int, y: Int, b: Int, g: Int, r: Int)
+
 /**
  * Multimodal column handling: image/audio/video as opaque `binary` columns
  * with typed metadata, decoded via per-partition batch functions.
@@ -231,6 +236,50 @@ object Multimodal {
               ResampledSample(m.media_id, n.toLong, out.toLong, t.toLong,
                 (sample(2 * t) + sample(2 * t + 1)) / 2.0)
             }
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
+  /**
+   * REAL image DSP in the codec seam: 2:1 nearest-neighbor downsample of
+   * a 24bpp BMP — the resize/thumbnail stage an image-data pipeline runs
+   * before feature extraction (vision encoders consume fixed small
+   * resolutions, not crawl-native ones). Pixels are read from the actual
+   * container bytes: data offset from the file header (offset 10), 4-byte
+   * row padding, BOTTOM-UP row order folded to top-down coordinates,
+   * B-G-R channel order — any one of these misread shifts every output
+   * value, which is exactly what the closed-form oracle checks. Output
+   * pixel (x, y) samples source pixel (2x, 2y); odd dimensions keep
+   * their last row/column (ceil semantics). Non-BMP / non-24bpp payloads
+   * are skipped (quarantine upstream at m3).
+   *
+   * Same mapPartitions batch shape as [[resampleAudio2x]]; output ≈ ¼ of
+   * the input pixels, no driver materialization.
+   */
+  def downsampleImage2x(media: Dataset[MediaRecord]): Dataset[DownsampledPixel] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        decodeBmp(m.payload) match {
+          case Some((w, h, 24)) =>
+            val dataOff = leInt(m.payload, 10)
+            val rowSize = ((w * 3 + 3) / 4) * 4
+            val outW = (w + 1) / 2
+            val outH = (h + 1) / 2
+            // clamp against truncated payloads (same guard as the audio path)
+            def pix(tx: Int, ty: Int): Option[(Int, Int, Int)] = {
+              val off = dataOff + (h - 1 - ty) * rowSize + tx * 3
+              if (off + 2 >= m.payload.length) None
+              else Some(((m.payload(off) & 0xff),
+                (m.payload(off + 1) & 0xff), (m.payload(off + 2) & 0xff)))
+            }
+            for {
+              y <- (0 until outH).iterator
+              x <- (0 until outW).iterator
+              (bb, gg, rr) <- pix(2 * x, 2 * y).iterator
+            } yield DownsampledPixel(m.media_id, outW, outH, x, y, bb, gg, rr)
           case _ => Iterator.empty
         }
       }

@@ -83,4 +83,46 @@ object Anomaly {
       .select(col("key"), col("hour_idx"), col("cnt"), col("baseline_n"),
         col("baseline_sum"), col("baseline_sumsq"), col("is_anomaly"))
   }
+
+  /**
+   * Chi-square independence/drift table over a two-way contingency — "is
+   * the event-type mix independent of the day-of-week?" / "did this
+   * week's category distribution drift from the corpus baseline?" — the
+   * categorical complement to [[rollingAnomaly]]'s volume z-test and
+   * a22's location test.
+   *
+   * Exactness: each cell's chi² contribution (O−E)²/E is algebraically
+   * (N·O − rT·cT)² / (N·rT·cT) with rT/cT the row/column totals — the
+   * numerator and denominator are INTEGER products, so the contribution
+   * is emitted as exact floor micro-units `(num·10⁶) div den` in
+   * DECIMAL(38,0) (numerators reach ~10²⁴ at sf1 — past BIGINT, exact in
+   * 128-bit). No float division anywhere ⇒ bit-identical on any engine;
+   * the statistic itself is Σ contrib_micro / 10⁶.
+   *
+   * Scale shape: ONE scan to the (row, col) cell hash-agg; row totals,
+   * column totals, and N all derive from the TINY cell table (|rows|·|cols|
+   * entries) via broadcast joins — the raw data is never touched again.
+   *
+   * Output: (rowKey, colKey, o, e_micro, contrib_micro), one row per
+   * observed cell. (Unobserved cells contribute rT·cT/N each; a drift
+   * gate sums the observed table — document the structural-zero caveat.)
+   */
+  def chiSquareDrift(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.groupBy(col(rowCol).as("rk"), col(colCol).as("ck"))
+      .agg(count(lit(1)).cast("long").as("o"))
+    val rowTot = cells.groupBy("rk").agg(sum("o").cast("long").as("rt"))
+    val colTot = cells.groupBy("ck").agg(sum("o").cast("long").as("ct"))
+    val nTot = cells.agg(sum("o").cast("long").as("n")).withColumn("_k", lit(1))
+    cells.join(broadcast(rowTot), "rk")
+      .join(broadcast(colTot), "ck")
+      .withColumn("_k", lit(1)).join(broadcast(nTot), "_k")
+      .withColumn("_num",
+        (col("n").cast(dec) * col("o") - col("rt").cast(dec) * col("ct")))
+      .select(col("rk").as(rowCol), col("ck").as(colCol), col("o"),
+        expr(s"CAST((CAST(rt AS $dec) * ct * 1000000) div (CAST(n AS $dec)) AS LONG)")
+          .as("e_micro"),
+        expr(s"CAST((_num * _num * 1000000) div (CAST(n AS $dec) * rt * ct) AS LONG)")
+          .as("contrib_micro"))
+  }
 }

@@ -435,5 +435,18 @@ object AnnQueries {
         Multimodal.resampleAudio2x(media).toDF()
       },
       Some(MediaOracles.resampleSql)),
+
+    // REAL image DSP: 2:1 nearest-neighbor downsample of the 24bpp BMP
+    // fixtures — every output pixel's B/G/R recomputed by the oracle from
+    // doc_id via the LCG closed form; a wrong data offset, row padding,
+    // bottom-up fold, or channel order shifts every compared byte
+    "m5_image_downsample" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = td(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map(id => Multimodal.packMediaById(id))
+        Multimodal.downsampleImage2x(media).toDF()
+      },
+      Some(MediaOracles.downsampleSql)),
   )
 }

@@ -133,6 +133,26 @@ object IoQueries {
         Io.ctasParquet(s, agg, path)
       },
       Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt
-             |FROM lineitem GROUP BY 1""".stripMargin), eager = true)
+             |FROM lineitem GROUP BY 1""".stripMargin), eager = true),
+
+    // S21 — Hive-style partitioned layout + partition PRUNING: write the
+    //   corpus partitioned by source, read ONE partition back. At 100 TB
+    //   this is the difference between scanning one directory and the
+    //   whole lake — the filter must become a PartitionFilter (asserted
+    //   in IoSpec), never a post-scan predicate over all files
+    "s21_partitioned_pruning" -> Q(
+      (s, dir) => {
+        val path = s"$FixtureRoot/s21_${new java.io.File(dir).getName}"
+        td(s, dir, "documents").write.partitionBy("source")
+          .mode("overwrite").parquet(path)
+        s.read.parquet(path).filter(col("source") === "src7")
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("n_chars").cast("long").as("n_chars"))
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |CAST(sum(n_chars) AS BIGINT) AS n_chars
+             |FROM documents WHERE source = 'src7' GROUP BY 1""".stripMargin),
+      eager = true)
   )
 }

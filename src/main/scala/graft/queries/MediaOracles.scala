@@ -113,4 +113,41 @@ object MediaOracles {
        |FROM v a JOIN v b ON a.media_id = b.media_id AND b.si = a.si + 1
        |WHERE a.si % 2 = 0""".stripMargin
   }
+
+  /**
+   * Pixel-exact oracle for the 2:1 BMP downsample (m5): the same LCG
+   * closed form as [[resampleSql]], applied at the IMAGE byte layout —
+   * data byte j of the fixture for output pixel (x, y) sits at
+   * j = (h−1−2y)·rowSize + 2x·3 (+0/1/2 for B/G/R): bottom-up rows
+   * folded to top-down coordinates, rows padded to 4 bytes, ceil output
+   * dims. A wrong stride, padding, row order, or channel order in the
+   * Scala decoder shifts every compared byte.
+   */
+  def downsampleSql: String = {
+    val A = BigInt(6364136223846793005L)
+    val C = BigInt(1442695040888963407L)
+    // max byte index: (h−1)·rowSize + (w−1)·3 + 2 ≤ 8·48 + 45 + 2 = 431
+    val maxN = 432
+    val pows = Iterator.iterate(BigInt(1))(p => (p * A) % TwoPow64)
+      .take(maxN + 2).toIndexedSeq
+    val geo = pows.scanLeft(BigInt(0))((s, p) => (s + p) % TwoPow64)
+    val pList = (0 until maxN).map(j => pows(j + 2)).mkString(", ")
+    val qList = (0 until maxN).map(j => (C * geo(j + 2)) % TwoPow64).mkString(", ")
+    def byteE(j: String): String =
+      s"CAST(((p[$j + 1] * media_id + q[$j + 1]) % 18446744073709551616) // 72057594037927936 AS INTEGER)"
+    s"""WITH pq AS (SELECT [$pList]::HUGEINT[] AS p, [$qList]::HUGEINT[] AS q),
+       |b AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |    CAST(1 + doc_id % 16 AS BIGINT) AS w, CAST(1 + doc_id % 9 AS BIGINT) AS h
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |d AS (SELECT media_id, w, h, ((3*w + 3) // 4) * 4 AS rs,
+       |    (w + 1) // 2 AS ow, (h + 1) // 2 AS oh FROM b),
+       |xs AS (SELECT media_id, w, h, rs, ow, oh, unnest(range(ow)) AS x FROM d),
+       |ys AS (SELECT media_id, w, h, rs, ow, oh, x, unnest(range(oh)) AS y FROM xs),
+       |o AS (SELECT media_id, ow, oh, x, y,
+       |    (h - 1 - 2*y)*rs + 2*x*3 AS j FROM ys)
+       |SELECT media_id, CAST(ow AS INTEGER) AS out_w, CAST(oh AS INTEGER) AS out_h,
+       |  CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+       |  ${byteE("j")} AS b, ${byteE("j + 1")} AS g, ${byteE("j + 2")} AS r
+       |FROM o CROSS JOIN pq""".stripMargin
+  }
 }

@@ -217,6 +217,35 @@ object StatQueries {
              |    > 4 * ((na*qa - CAST(sa AS HUGEINT)*sa) * nb * nb * (nb - 1)
              |         + (nb*qb - CAST(sb AS HUGEINT)*sb) * na * na * (na - 1))
              |  ) AS significant
-             |FROM j""".stripMargin))
+             |FROM j""".stripMargin)),
+
+    // chi-square drift table: event_type x day-of-week contingency with
+    // exact floor-micro-unit expected counts and chi2 contributions —
+    // the categorical-mix complement to a22's location test and w10's
+    // volume z-test; integer arithmetic only (no float division), so
+    // every cell replays bit-for-bit
+    "a23_chi2_drift" -> Q(
+      (s, dir) => {
+        val e = Registry.tdEventsUs(s, dir)
+          .select(col("event_type"),
+            expr("(ts_us div 86400000000 + 4) % 7").cast("long").as("dow"))
+        graft.ops.Anomaly.chiSquareDrift(e, "event_type", "dow")
+      },
+      Some("""WITH base AS (SELECT event_type,
+             |    CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow
+             |  FROM events),
+             |cells AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+             |  FROM base GROUP BY 1, 2),
+             |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+             |ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+             |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+             |SELECT c.event_type, c.dow, c.o,
+             |  CAST((CAST(rt.rt AS HUGEINT) * ct.ct * 1000000) // nt.n AS BIGINT) AS e_micro,
+             |  CAST(((CAST(nt.n AS HUGEINT)*c.o - CAST(rt.rt AS HUGEINT)*ct.ct)
+             |      * (CAST(nt.n AS HUGEINT)*c.o - CAST(rt.rt AS HUGEINT)*ct.ct)
+             |      * 1000000) // (CAST(nt.n AS HUGEINT) * rt.rt * ct.ct) AS BIGINT)
+             |    AS contrib_micro
+             |FROM cells c
+             |JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN nt""".stripMargin))
   )
 }

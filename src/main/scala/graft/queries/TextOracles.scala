@@ -631,6 +631,46 @@ object TextOracles {
        |FROM ph""".stripMargin
   }
 
+  /** Exact twin of [[graft.llm.CorpusStats.ngramPrecisionEval]] over
+    * `documents` — l92: per-source corpus-level clipped unigram/bigram
+    * precision between each doc and its same-source predecessor, multiset
+    * clipping replayed with list lambdas. */
+  val ngramPrecisionSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, source,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |      x -> length(x) > 0) AS t1
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, source, t1,
+      |    CASE WHEN len(t1) >= 2
+      |      THEN list_transform(range(1, len(t1)), i -> t1[i] || ' ' || t1[i+1])
+      |      ELSE [] END AS t2
+      |  FROM tk),
+      |pairs AS (
+      |  SELECT source, doc_id, t1, t2,
+      |    lag(t1) OVER (PARTITION BY source ORDER BY doc_id) AS r1,
+      |    lag(t2) OVER (PARTITION BY source ORDER BY doc_id) AS r2
+      |  FROM bg),
+      |scored AS (
+      |  SELECT source,
+      |    list_sum(list_transform(list_distinct(t1), g ->
+      |      least(len(list_filter(t1, x -> x = g)),
+      |            len(list_filter(r1, x -> x = g))))) AS c1,
+      |    len(t1) AS d1,
+      |    coalesce(list_sum(list_transform(list_distinct(t2), g ->
+      |      least(len(list_filter(t2, x -> x = g)),
+      |            len(list_filter(r2, x -> x = g))))), 0) AS c2,
+      |    len(t2) AS d2
+      |  FROM pairs WHERE r1 IS NOT NULL AND len(t1) > 0 AND len(r1) > 0)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(c1) AS BIGINT) AS p1_num, CAST(sum(d1) AS BIGINT) AS p1_den,
+      |  CAST(sum(c2) AS BIGINT) AS p2_num, CAST(sum(d2) AS BIGINT) AS p2_den,
+      |  round(CAST(sum(c1) AS DOUBLE) / sum(d1), 6) AS p1,
+      |  CASE WHEN sum(d2) > 0
+      |    THEN round(CAST(sum(c2) AS DOUBLE) / sum(d2), 6) END AS p2
+      |FROM scored GROUP BY 1""".stripMargin
+
   /** Exact twin of the l91 registry row: deterministic obfuscated-term
     * augmentation, the shared leet `translate` fold, and word-boundary
     * blocklist counts (patterns in the Java∩RE2 subset). */

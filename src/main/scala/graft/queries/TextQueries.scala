@@ -1056,5 +1056,15 @@ object TextQueries {
       },
       Some(TextOracles.obfuscationBlocklistSql(
         Seq("join", "hash", "scan", "table", "group", "order")))),
+
+    // corpus-level clipped n-gram precision (BLEU-1/BLEU-2 core) between
+    // adjacent same-source docs: MULTISET counting — a candidate n-gram
+    // scores only up to its count in the reference — vs l74's
+    // distinct-set Jaccard; integer numerators/denominators emitted so
+    // the oracle compares exact counts, 6-dp ratios alongside
+    "l92_ngram_precision_eval" -> Q(
+      (s, dir) => graft.llm.CorpusStats.ngramPrecisionEval(
+        td(s, dir, "documents"), "doc_id", "source", "text"),
+      Some(TextOracles.ngramPrecisionSql)),
   )
 }

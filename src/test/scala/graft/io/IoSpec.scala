@@ -110,4 +110,22 @@ class IoSpec extends AnyFunSuite with SparkTestBase {
         org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
     assert(back.as[(Long, Option[String])].collect().toSet === Set((1L, Some("x")), (2L, None)))
   }
+
+  test("partitioned write + read prunes partitions (filter is a PartitionFilter, not a scan predicate)") {
+    val dir = tmp()
+    val src = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "c", 40L))
+      .toDF("id", "part", "v")
+    src.write.partitionBy("part").mode("overwrite").parquet(s"$dir/t")
+    val pruned = spark.read.parquet(s"$dir/t").filter(col("part") === "a")
+    assert(pruned.select("id").as[Long].collect().toSet === Set(1L, 2L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the partition filter must bind at planning time: PartitionFilters
+    // non-empty and the predicate NOT pushed as a data filter over files
+    assert(plan.contains("PartitionFilters: [isnotnull(part"),
+      s"expected a bound PartitionFilter in:\n$plan")
+    // scanning only partition a: file listing excludes b and c directories
+    val files = pruned.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.toString.linesIterator.find(_.contains("Location")))
+    assert(!plan.contains("part=b"), "pruned partition directory leaked into the plan")
+  }
 }

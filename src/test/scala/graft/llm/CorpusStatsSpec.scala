@@ -99,4 +99,28 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == Set((3L, 1L, 2L, 50L), (2L, 1L, 1L, 5L), (1L, 1L, 0L, 0L)))
   }
+
+  test("ngramPrecisionEval: clipping caps repeated candidate grams at the reference count") {
+    val df = Seq(
+      (1L, "s", "the cat the dog"),   // reference for doc 2
+      (2L, "s", "the the the the"),   // cand: clipped unigram = min(4, 2) = 2 of 4
+      (3L, "s", "a cat sat here"),    // vs doc 2: 'the' absent -> 0 of 4... cand=doc3 ref=doc2: none of a/cat/sat/here in ref -> 0
+      (4L, "t", "x y z")              // first in its source: no pair
+    ).toDF("doc_id", "source", "text")
+    val got = CorpusStats.ngramPrecisionEval(df, "doc_id", "source", "text")
+      .select("source", "n_pairs", "p1_num", "p1_den", "p2_num", "p2_den")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // source s: pair (2 vs 1): c1 = clip(the x4 -> 2) = 2, d1 = 4;
+    //   bigrams cand = [the the x3], ref = [the cat, cat the, the dog] -> c2 = 0, d2 = 3
+    // pair (3 vs 2): c1 = 0, d1 = 4; bigrams share nothing -> c2 = 0, d2 = 3
+    assert(got("s") === (("s", 2L, 2L, 8L, 0L, 6L)))
+    assert(!got.contains("t"), "single-doc source has no pairs")
+    // identical adjacent docs score perfect precision
+    val ident = Seq((1L, "u", "a b a c"), (2L, "u", "a b a c"))
+      .toDF("doc_id", "source", "text")
+    val p = CorpusStats.ngramPrecisionEval(ident, "doc_id", "source", "text")
+      .select("p1", "p2").as[(Double, Double)].head()
+    assert(p === ((1.0, 1.0)))
+  }
 }

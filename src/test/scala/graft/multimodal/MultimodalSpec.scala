@@ -142,4 +142,33 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val bmp = Multimodal.packMediaById(0L)
     assert(Multimodal.resampleAudio2x(Seq(bmp).toDS()).collect().isEmpty)
   }
+
+  test("downsampleImage2x: bottom-up fold, row padding, channel order, odd dims") {
+    // hand-built 3x3 24bpp BMP: header + bottom-up padded rows; paint pixel
+    // (x, y in TOP-DOWN coords) as B=x, G=y, R=10x+y so any axis mixup shows
+    val w = 3; val h = 3
+    val rowSize = ((w * 3 + 3) / 4) * 4 // 12
+    val bytes = Multimodal.bmpBytes(w, h, seed = 1L)
+    for (ty <- 0 until h; x <- 0 until w) {
+      val off = 54 + (h - 1 - ty) * rowSize + x * 3
+      bytes(off) = x.toByte; bytes(off + 1) = ty.toByte; bytes(off + 2) = (10 * x + ty).toByte
+    }
+    val out = Multimodal.downsampleImage2x(
+        Seq(MediaRecord(7L, "image", bytes)).toDS()).collect()
+      .map(p => (p.x, p.y) -> p).toMap
+    // ceil dims: 3x3 -> 2x2; output (x,y) samples source (2x, 2y)
+    assert(out.size === 4 && out.values.forall(p => p.out_w == 2 && p.out_h == 2))
+    for (x <- 0 to 1; y <- 0 to 1) {
+      val p = out((x, y))
+      assert((p.b, p.g, p.r) === ((2 * x, 2 * y, 10 * (2 * x) + 2 * y)),
+        s"pixel ($x,$y)")
+    }
+    // WAV payloads are skipped, not errored
+    val wavRec = Multimodal.packMediaById(1L)
+    assert(Multimodal.downsampleImage2x(Seq(wavRec).toDS()).collect().isEmpty)
+    // truncated payload: pixels past the clamp are dropped, not thrown
+    val trunc = MediaRecord(8L, "image", bytes.take(54 + rowSize)) // only bottom row
+    val tout = Multimodal.downsampleImage2x(Seq(trunc).toDS()).collect()
+    assert(tout.forall(p => p.y == 1), "only the bottom source row survives truncation")
+  }
 }

@@ -53,4 +53,33 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
     assert(m(("a", 4L))._3 === 1L)
     assert(m(("b", 4L))._3 === 0L)
   }
+
+  test("chiSquareDrift: exact floor micro-units match a BigInt replay; independence -> 0") {
+    import spark.implicits._
+    // dependent table: row r1 concentrates in col c1
+    val rows = Seq.fill(30)(("r1", "c1")) ++ Seq.fill(5)(("r1", "c2")) ++
+      Seq.fill(5)(("r2", "c1")) ++ Seq.fill(30)(("r2", "c2"))
+    val got = Anomaly.chiSquareDrift(rows.toDF("rk", "ck"), "rk", "ck")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val counts = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = BigInt(rows.size)
+    def rt(r: String) = BigInt(rows.count(_._1 == r))
+    def ct(c: String) = BigInt(rows.count(_._2 == c))
+    for (((r, c), (o, eMicro, contribMicro)) <- got) {
+      assert(o === counts((r, c)))
+      assert(BigInt(eMicro) === rt(r) * ct(c) * 1000000 / n)
+      val num = n * o - rt(r) * ct(c)
+      assert(BigInt(contribMicro) === num * num * 1000000 / (n * rt(r) * ct(c)),
+        s"cell ($r,$c)")
+    }
+    // the dependent fixture's statistic is large (exact: chi2 ~ 25.7)
+    assert(got.values.map(_._3).sum > 20L * 1000000L)
+    // an exactly-independent table scores 0 in every cell
+    val indep = (for (r <- Seq("a", "b"); c <- Seq("x", "y"); _ <- 1 to 10)
+      yield (r, c)).toDF("rk", "ck")
+    val z = Anomaly.chiSquareDrift(indep, "rk", "ck")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(z.forall(_._5 === 0L))
+  }
 }
