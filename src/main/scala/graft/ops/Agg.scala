@@ -148,11 +148,15 @@ object Agg {
       .agg(count(lit(1)).cast("long").as("na"),
         sum(col(valCol).cast("long")).cast("long").as("sa"),
         sum((col(valCol).cast(d38)) * col(valCol).cast(d38)).cast(d38).as("qa"))
+    // one-row totals ride a NON-FOLDABLE-key broadcast (xxhash64 % 1 = 0
+    // on both sides): a foldable lit key would constant-fold into a
+    // cross-join condition and plan a BroadcastNestedLoopJoin (the
+    // Ann.joinedCellScores trick; the registry-wide plan audit enforces it)
     val tot = g.agg(sum(col("na")).cast("long").as("n_tot"),
         sum(col("sa")).cast("long").as("s_tot"),
         sum(col("qa")).cast(d38).as("q_tot"))
-      .withColumn("_k", lit(1))
-    val j = g.withColumn("_k", lit(1))
+      .withColumn("_k", pmod(xxhash64(col("n_tot")), lit(1)))
+    val j = g.withColumn("_k", pmod(xxhash64(col("na")), lit(1)))
       .join(broadcast(tot), "_k")
       .withColumn("nb", (col("n_tot") - col("na")).cast("long"))
       .withColumn("sb", (col("s_tot") - col("sa")).cast("long"))

@@ -113,10 +113,15 @@ object Anomaly {
       .agg(count(lit(1)).cast("long").as("o"))
     val rowTot = cells.groupBy("rk").agg(sum("o").cast("long").as("rt"))
     val colTot = cells.groupBy("ck").agg(sum("o").cast("long").as("ct"))
-    val nTot = cells.agg(sum("o").cast("long").as("n")).withColumn("_k", lit(1))
+    // N rides a NON-FOLDABLE-key one-row broadcast (xxhash64 % 1): a
+    // foldable key would fold into a cross-join condition and plan a
+    // BroadcastNestedLoopJoin (Ann.joinedCellScores trick, plan-audited)
+    val nTot = cells.agg(sum("o").cast("long").as("n"))
+      .withColumn("_k", pmod(xxhash64(col("n")), lit(1)))
     cells.join(broadcast(rowTot), "rk")
       .join(broadcast(colTot), "ck")
-      .withColumn("_k", lit(1)).join(broadcast(nTot), "_k")
+      .withColumn("_k", pmod(xxhash64(col("o")), lit(1)))
+      .join(broadcast(nTot), "_k")
       .withColumn("_num",
         (col("n").cast(dec) * col("o") - col("rt").cast(dec) * col("ct")))
       .select(col("rk").as(rowCol), col("ck").as(colCol), col("o"),

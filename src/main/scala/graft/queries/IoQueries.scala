@@ -153,6 +153,34 @@ object IoQueries {
       Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              |CAST(sum(n_chars) AS BIGINT) AS n_chars
              |FROM documents WHERE source = 'src7' GROUP BY 1""".stripMargin),
+      eager = true),
+
+    // S22 — schema EVOLUTION across parquet batches: an early batch
+    //   without a column + a later batch with it, read back as one table
+    //   under mergeSchema — the lake reality that a 100 TB corpus is
+    //   written over months by evolving jobs; missing columns must read
+    //   as NULL, not fail or silently drop
+    "s22_schema_evolution" -> Q(
+      (s, dir) => {
+        val path = s"$FixtureRoot/s22_${new java.io.File(dir).getName}"
+        val docs = td(s, dir, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("source"))
+          .write.mode("overwrite").parquet(s"$path/batch=old")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("source"), col("lang"))
+          .write.mode("overwrite").parquet(s"$path/batch=new")
+        s.read.option("mergeSchema", "true").parquet(path)
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(when(col("lang").isNull, 1L).otherwise(0L)).cast("long")
+              .as("n_missing_lang"),
+            countDistinct(col("lang")).cast("long").as("n_langs"))
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_lang,
+             |CAST(count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END) AS BIGINT) AS n_langs
+             |FROM documents GROUP BY 1""".stripMargin),
       eager = true)
   )
 }

@@ -671,6 +671,50 @@ object TextOracles {
       |    THEN round(CAST(sum(c2) AS DOUBLE) / sum(d2), 6) END AS p2
       |FROM scored GROUP BY 1""".stripMargin
 
+  /**
+   * Exact twin of [[graft.llm.Unigram.segmentCost]] — l93: the unigram-LM
+   * Viterbi DP replayed as a recursive CTE over character positions, one
+   * packed-long dp list per word, the SAME interpolated vocabulary/cost
+   * table, and the same `coalesce(…, BIG)` infeasible-candidate sentinel —
+   * so every per-doc (cost, pieces) pair replays bit-for-bit, including
+   * tie-breaks (the packed value makes (cost, pieces) lexicographic min a
+   * numeric min on both engines).
+   */
+  def unigramSegmentSql(vocab: Seq[(String, Long)], unkCost: Long,
+                        maxLen: Int): String = {
+    val big = graft.llm.Unigram.Big
+    def costCase(k: Int): String = {
+      val entries = vocab.filter(_._1.length == k)
+      val whens = entries.map { case (p, c) => s"WHEN '${esc(p)}' THEN $c" }.mkString(" ")
+      val els = if (k == 1) unkCost.toString else "NULL"
+      if (entries.isEmpty) els
+      else s"CASE substr(w, i - ${k - 1}, $k) $whens ELSE $els END"
+    }
+    val cands = (1 to maxLen).map { k =>
+      s"COALESCE(CASE WHEN i >= $k THEN dp[i - ${k - 1}] + CAST(${costCase(k)} AS BIGINT) * 2048 + 1 END, CAST($big AS BIGINT))"
+    }.mkString(",\n      ")
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |    x -> length(x) > 0) AS ws
+       |  FROM documents),
+       |words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS wi FROM t),
+       |seg AS (
+       |  SELECT doc_id, wi, w, length(w) AS n, 1 AS i, [CAST(0 AS BIGINT)] AS dp
+       |  FROM words
+       |  UNION ALL
+       |  SELECT doc_id, wi, w, n, i + 1,
+       |    list_append(dp, least($cands))
+       |  FROM seg WHERE i <= n),
+       |fin AS (SELECT doc_id, dp[n + 1] AS packed FROM seg WHERE i = n + 1),
+       |agg AS (SELECT doc_id, CAST(sum(packed >> 11) AS BIGINT) AS cost_micro,
+       |    CAST(sum(packed & 2047) AS BIGINT) AS n_pieces
+       |  FROM fin GROUP BY 1)
+       |SELECT t.doc_id, COALESCE(agg.cost_micro, 0) AS cost_micro,
+       |  COALESCE(agg.n_pieces, 0) AS n_pieces,
+       |  CAST(COALESCE(len(t.ws), 0) AS BIGINT) AS n_words
+       |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin
+  }
+
   /** Exact twin of the l91 registry row: deterministic obfuscated-term
     * augmentation, the shared leet `translate` fold, and word-boundary
     * blocklist counts (patterns in the Java∩RE2 subset). */

@@ -1066,5 +1066,17 @@ object TextQueries {
       (s, dir) => graft.llm.CorpusStats.ngramPrecisionEval(
         td(s, dir, "documents"), "doc_id", "source", "text"),
       Some(TextOracles.ngramPrecisionSql)),
+
+    // unigram-LM (SentencePiece-style) Viterbi segmentation: the second
+    // real tokenizer family next to BPE — global-min-cost subword split
+    // per word under an integer micro-nat cost model, the WHOLE DP a
+    // Catalyst expression fold (zero shuffles, no UDF); the oracle
+    // replays the DP as a recursive CTE with the same packed-long cells
+    "l93_unigram_segment" -> Q(
+      (s, dir) => graft.llm.Unigram.segmentCost(
+        td(s, dir, "documents"), "doc_id", "text"),
+      Some(TextOracles.unigramSegmentSql(
+        graft.llm.Unigram.DefaultVocab, graft.llm.Unigram.UnkCostMicro,
+        graft.llm.Unigram.MaxPieceLen))),
   )
 }

@@ -57,7 +57,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "l33_domain_balance",
       // l63: same shape as l33 — per-source char totals collect (bounded
       // by the source count) derives the tempered rates — reviewed round 9
-      "l63_tempered_mixture")
+      "l63_tempered_mixture",
+      // s21/s22: partitioned/evolving parquet FIXTURE WRITES at
+      // construction (the s19/s20 round-trip shape) — reviewed round 9
+      "s21_partitioned_pruning", "s22_schema_evolution")
     val actual = Registry.all.filter(_._2.eager).map(_._1).toSet
     assert(actual == expected,
       s"eager-set drift — added: ${actual -- expected}, removed: ${expected -- actual}")
