@@ -119,14 +119,24 @@ object Unigram {
                   maxLen: Int = MaxPieceLen): DataFrame = {
     require(maxLen >= 1 && vocab.forall(_._1.length <= maxLen),
       "vocab pieces must fit maxLen")
-    import org.apache.spark.sql.GraftExpressionBridge._
-    val seg = column(UnigramSegmentExpr(
-      expression(coalesce(col(textCol), lit(""))), vocab, unkCost, maxLen))
-    df.select(col(idCol), seg.as("_s"))
+    df.select(col(idCol),
+        segmentArray(col(textCol), vocab, unkCost, maxLen).as("_s"))
       .select(col(idCol),
         element_at(col("_s"), 1).as("cost_micro"),
         element_at(col("_s"), 2).as("n_pieces"),
         element_at(col("_s"), 3).as("n_words"))
+  }
+
+  /** The native segmentation triple `[cost_micro, n_pieces, n_words]` as
+    * a composable Column (null text → zeros) — for registry rows that
+    * combine it with other per-doc columns in one scan. */
+  def segmentArray(text: Column,
+                   vocab: Seq[(String, Long)] = DefaultVocab,
+                   unkCost: Long = UnkCostMicro,
+                   maxLen: Int = MaxPieceLen): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge._
+    column(UnigramSegmentExpr(
+      expression(coalesce(text, lit(""))), vocab, unkCost, maxLen))
   }
 
   /** Expression-fold (HOF) twin of [[segmentCost]] — the independent

@@ -50,7 +50,7 @@ object BpeOracles {
   /** Shared recursive-encode CTE block ending in `wc(w, syms)` — final
     * symbol lists per distinct word — plus `tok(doc_id, w, pos)` with
     * in-document word positions (parallel unnests zip row-wise). */
-  private def encodeCtes(merges: Seq[(String, String)]): String =
+  private[queries] def encodeCtes(merges: Seq[(String, String)]): String =
     s"""ml AS (SELECT ${mergeListSql(merges)} AS m),
        |toks AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t

@@ -680,8 +680,14 @@ object TextOracles {
    * tie-breaks (the packed value makes (cost, pieces) lexicographic min a
    * numeric min on both engines).
    */
-  def unigramSegmentSql(vocab: Seq[(String, Long)], unkCost: Long,
-                        maxLen: Int): String = {
+  /** Shared unigram-DP CTE block (ut → uw → useg → ufin → uagg) ending in
+    * `uagg(doc_id, cost_micro, n_pieces, n_words_seg)` — one hand-
+    * maintained copy of the recursive Viterbi replay, consumed by both
+    * [[unigramSegmentSql]] and [[tokenizerComparisonSql]] so the two can
+    * never desynchronize (the BpeOracles.encodeCtes pattern). CTE names
+    * are u-prefixed to coexist with the BPE block in one WITH RECURSIVE. */
+  private def unigramDpCtes(vocab: Seq[(String, Long)], unkCost: Long,
+                            maxLen: Int): String = {
     val big = graft.llm.Unigram.Big
     def costCase(k: Int): String = {
       val entries = vocab.filter(_._1.length == k)
@@ -693,27 +699,66 @@ object TextOracles {
     val cands = (1 to maxLen).map { k =>
       s"COALESCE(CASE WHEN i >= $k THEN dp[i - ${k - 1}] + CAST(${costCase(k)} AS BIGINT) * 2048 + 1 END, CAST($big AS BIGINT))"
     }.mkString(",\n      ")
-    s"""WITH RECURSIVE t AS (
+    s"""ut AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
        |    x -> length(x) > 0) AS ws
        |  FROM documents),
-       |words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS wi FROM t),
-       |seg AS (
+       |uw AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS wi FROM ut),
+       |useg AS (
        |  SELECT doc_id, wi, w, length(w) AS n, 1 AS i, [CAST(0 AS BIGINT)] AS dp
-       |  FROM words
+       |  FROM uw
        |  UNION ALL
        |  SELECT doc_id, wi, w, n, i + 1,
        |    list_append(dp, least($cands))
-       |  FROM seg WHERE i <= n),
-       |fin AS (SELECT doc_id, dp[n + 1] AS packed FROM seg WHERE i = n + 1),
-       |agg AS (SELECT doc_id, CAST(sum(packed >> 11) AS BIGINT) AS cost_micro,
-       |    CAST(sum(packed & 2047) AS BIGINT) AS n_pieces
-       |  FROM fin GROUP BY 1)
-       |SELECT t.doc_id, COALESCE(agg.cost_micro, 0) AS cost_micro,
-       |  COALESCE(agg.n_pieces, 0) AS n_pieces,
-       |  CAST(COALESCE(len(t.ws), 0) AS BIGINT) AS n_words
-       |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin
+       |  FROM useg WHERE i <= n),
+       |ufin AS (SELECT doc_id, dp[n + 1] AS packed FROM useg WHERE i = n + 1),
+       |uagg AS (SELECT doc_id, CAST(sum(packed >> 11) AS BIGINT) AS cost_micro,
+       |    CAST(sum(packed & 2047) AS BIGINT) AS n_pieces,
+       |    CAST(count(*) AS BIGINT) AS n_words_seg
+       |  FROM ufin GROUP BY 1)""".stripMargin
   }
+
+  def unigramSegmentSql(vocab: Seq[(String, Long)], unkCost: Long,
+                        maxLen: Int): String =
+    s"""WITH RECURSIVE ${unigramDpCtes(vocab, unkCost, maxLen)}
+       |SELECT ut.doc_id, COALESCE(uagg.cost_micro, 0) AS cost_micro,
+       |  COALESCE(uagg.n_pieces, 0) AS n_pieces,
+       |  CAST(COALESCE(len(ut.ws), 0) AS BIGINT) AS n_words
+       |FROM ut LEFT JOIN uagg USING (doc_id)""".stripMargin
+
+  /**
+   * Exact twin of the l94 tokenizer family comparison: per language, the
+   * BPE token count (BpeOracles' recursive merge replay) NEXT TO the
+   * unigram piece count (the recursive Viterbi replay) over the same
+   * docs — both tokenizer families in ONE WITH RECURSIVE block, exact
+   * integer sums, the only doubles the two final per-word ratios.
+   */
+  def tokenizerComparisonSql(merges: Seq[(String, String)],
+                             vocab: Seq[(String, Long)], unkCost: Long,
+                             maxLen: Int): String =
+    s"""WITH RECURSIVE
+       |${BpeOracles.encodeCtes(merges)},
+       |cnt AS (SELECT t.doc_id, SUM(len(wc.syms)) AS n
+       |        FROM tok t JOIN wc USING (w) GROUP BY 1),
+       |${unigramDpCtes(vocab, unkCost, maxLen)},
+       |base AS (SELECT d.lang,
+       |    CAST(COALESCE(c.n, 0) AS BIGINT) AS bpe,
+       |    COALESCE(u.n_pieces, 0) AS pieces,
+       |    CAST(COALESCE(len(ut.ws), 0) AS BIGINT) AS words
+       |  FROM documents d
+       |  LEFT JOIN cnt c USING (doc_id)
+       |  LEFT JOIN uagg u USING (doc_id)
+       |  LEFT JOIN ut USING (doc_id)
+       |  WHERE d.text IS NOT NULL)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(words) AS BIGINT) AS n_words,
+       |  CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(pieces) AS BIGINT) AS n_unigram_pieces,
+       |  round(CAST(sum(bpe) AS DOUBLE) / CAST(nullif(sum(words), 0) AS DOUBLE), 6)
+       |    AS bpe_per_word,
+       |  round(CAST(sum(pieces) AS DOUBLE) / CAST(nullif(sum(words), 0) AS DOUBLE), 6)
+       |    AS unigram_per_word
+       |FROM base GROUP BY 1""".stripMargin
 
   /** Exact twin of the l91 registry row: deterministic obfuscated-term
     * augmentation, the shared leet `translate` fold, and word-boundary

@@ -1078,5 +1078,48 @@ object TextQueries {
       Some(TextOracles.unigramSegmentSql(
         graft.llm.Unigram.DefaultVocab, graft.llm.Unigram.UnkCostMicro,
         graft.llm.Unigram.MaxPieceLen))),
+
+    // tokenizer FAMILY comparison: per language, BPE tokens-per-word vs
+    // unigram pieces-per-word over the same docs in ONE scan — the table
+    // a tokenizer rollout decision reads (which family compresses which
+    // language better); both recursive replays share one oracle block
+    "l94_tokenizer_comparison" -> Q(
+      (s, dir) => {
+        val d = td(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("lang"),
+            coalesce(graft.llm.Bpe.countTokens(col("text")), lit(0L)).as("bpe"),
+            graft.llm.Unigram.segmentArray(col("text")).as("_s"))
+          .select(col("lang"), col("bpe"),
+            element_at(col("_s"), 2).as("pieces"),
+            element_at(col("_s"), 3).as("words"))
+        d.groupBy("lang").agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum("words").cast("long").as("n_words"),
+          sum("bpe").cast("long").as("n_bpe_tokens"),
+          sum("pieces").cast("long").as("n_unigram_pieces"),
+          round(sum("bpe").cast("double")
+            / nullif(sum("words"), lit(0L)).cast("double"), 6).as("bpe_per_word"),
+          round(sum("pieces").cast("double")
+            / nullif(sum("words"), lit(0L)).cast("double"), 6).as("unigram_per_word"))
+      },
+      Some(TextOracles.tokenizerComparisonSql(
+        graft.llm.Bpe.DefaultMerges, graft.llm.Unigram.DefaultVocab,
+        graft.llm.Unigram.UnkCostMicro, graft.llm.Unigram.MaxPieceLen))),
+
+    // language-ID CONFUSION MATRIX: the l24 trigram classifier's
+    // predictions against the corpus's labeled lang column — the
+    // (true, predicted, count) cells every classifier eval reports;
+    // one scan + one hash-agg, prediction expression-side
+    "l95_langid_confusion" -> Q(
+      (s, dir) => td(s, dir, "documents")
+        .select(col("lang"),
+          graft.llm.NgramLangId.langIdNgram(col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).cast("long").as("n_docs")),
+      Some(s"""SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+              |FROM documents d JOIN (
+              |${TextOracles.langIdNgramSql}
+              |) p USING (doc_id)
+              |GROUP BY 1, 2""".stripMargin)),
   )
 }
