@@ -224,8 +224,13 @@ object CorpusStats {
                          textCol: String): DataFrame = {
     val w = Window.partitionBy("_src").orderBy("_id")
     // multiset token/bigram arrays (duplicates preserved — BLEU is
-    // multiset counting, array_distinct would change the metric)
-    val toks = TextOps.whitespaceTokens(lower(col(textCol)))
+    // multiset counting, array_distinct would change the metric).
+    // FILTERED split, not raw whitespaceTokens: a blank doc must be an
+    // empty array the size>0 guard excludes, not the [""] split artifact
+    // (which would count phantom ""-gram pairs the oracle's list_filter
+    // drops)
+    val toks = filter(split(trim(lower(col(textCol))), "\\s+"),
+      t => length(t) > 0)
     val base = docs.select(col(idCol).as("_id"), col(srcCol).as("_src"),
       toks.as("t1"), TextOps.shingles(col(textCol), 2).as("t2"))
     val pairs = base

@@ -246,7 +246,10 @@ object TextOps {
    *
    * Target format: `<extra_id_0> masked… <extra_id_1> masked… <extra_id_K>`
    * with the final sentinel appended (T5 convention). Unmasked docs emit
-   * their input unchanged with an empty target.
+   * their input unchanged with an empty target; docs with NO tokens
+   * (empty/blank/null text) are ABSENT from the output — a denoising
+   * objective has nothing to train on there, and the upstream curation
+   * gate drops them anyway (the oracle drops them identically).
    *
    * Scale shape: one posexplode, ONE exchange on the doc key (the lag +
    * running-sum windows and the rebuild groupBy all share it), sentinel

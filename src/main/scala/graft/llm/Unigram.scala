@@ -41,6 +41,12 @@ object Unigram {
   /** Packing factor: dp value = cost·2048 + pieces (pieces < 2048). */
   val Pack = 2048L
 
+  /** Words are capped at this many chars before the DP (all three paths —
+    * native, HOF, oracle — identically): pieces ≤ word length < Pack, so
+    * the 11 piece bits can never overflow into the cost. Real tokens this
+    * long are binary blobs/URLs a curation pipeline drops upstream. */
+  val MaxWordChars = 2047
+
   /** Infeasible-candidate sentinel — far above any real packed cost but
     * safe to add another candidate cost to without overflow. */
   val Big = Long.MaxValue / 4
@@ -152,10 +158,13 @@ object Unigram {
         // list_filter(…, length > 0) twin
         coalesce(filter(split(trim(lower(col(textCol))), "\\s+"),
           t => length(t) > 0), array().cast("array<string>")).as("_w"))
-      // materialize the per-word packed costs ONCE (bound-column rule)
+      // materialize the per-word packed costs ONCE (bound-column rule);
+      // MaxWordChars cap mirrors the native path and the oracle
       .select(col(idCol),
         size(col("_w")).cast("long").as("n_words"),
-        transform(col("_w"), w => wordPacked(w, vocab, unkCost, maxLen)).as("_p"))
+        transform(col("_w"), w =>
+          wordPacked(substring(w, 1, MaxWordChars.toInt), vocab, unkCost, maxLen))
+          .as("_p"))
       .select(col(idCol),
         // Pack = 2^11: unpack with shift/mask — exact integer ops with
         // the same spelling (>> / &) in the DuckDB oracle

@@ -74,17 +74,26 @@ final class UnigramTable(val vocab: Seq[(String, Long)], val unkCost: Long,
   /** Whole-doc segmentation: [cost_micro, n_pieces, n_words] over the
     * lowercased whitespace words of `text` (blank/empty → zeros). Words
     * are maximal runs of non-`\s` chars — identical to the registry-wide
-    * `filter(split(trim(lower(text)), "\\s+"), length > 0)` definition. */
+    * `filter(split(trim(lower(text)), "\\s+"), length > 0)` definition.
+    * Lowercasing is the SIMPLE per-code-point mapping
+    * ([[NgramLangId.simpleLower]] — what DuckDB's `lower()` does): Java's
+    * full-mapping `toLowerCase` would grow 'İ' into two chars and shift
+    * every DP index vs the oracle. Words are CAPPED at
+    * [[Unigram.MaxWordChars]] chars before the DP (identically in the HOF
+    * twin and the oracle) so the packed `cost·2048 + pieces` cell can
+    * never overflow its 11 piece bits — a 3 000-char base64 blob scores
+    * its first 2 047 chars instead of silently corrupting the cost. */
   def segment(text: String): GenericArrayData = {
     var cost = 0L; var pieces = 0L; var words = 0L
-    val t = text.toLowerCase(java.util.Locale.ROOT)
+    val t = NgramLangId.simpleLower(text)
     var start = 0
     val len = t.length
     while (start < len) {
       var end = start
       while (end < len && !isRegexSpace(t.charAt(end))) end += 1
       if (end > start) {
-        val packed = wordPacked(t.substring(start, end))
+        val capped = math.min(end, start + Unigram.MaxWordChars)
+        val packed = wordPacked(t.substring(start, capped))
         cost += packed >> 11
         pieces += packed & (Unigram.Pack - 1)
         words += 1

@@ -132,6 +132,13 @@ object Agg {
    * (both sides are the t² inequality multiplied by (nA·nB)²(nA−1)(nB−1);
    * QA = Σx² over A). Means are reported as exact floor micro-units.
    *
+   * DOMAIN BOUND (since the polynomial is degree ~7 in the inputs): the
+   * lhs is ~ (Σ·n)²·n², so DECIMAL(38,0) holds up to roughly n ≈ 10⁶ rows
+   * per side with values ≤ 10⁴ (lhs ≈ 10³⁴); at larger corpora normalize
+   * units first (scale values down by a constant — the t statistic is
+   * scale-invariant) or run per-shard. ANSI mode makes an overflow a loud
+   * NUMERIC_VALUE_OUT_OF_RANGE, never a silent wrap.
+   *
    * Scale shape: ONE corpus scan → per-group (n, Σ, Σ²) partials; the
    * "rest" side of every test is derived by subtracting the group row
    * from the broadcast one-row global totals — the one-vs-rest family
@@ -173,7 +180,10 @@ object Agg {
     j.select(col("grp").as(groupCol),
       col("na").as("n"),
       expr("(sa * 1000000L) div na").cast("long").as("mean_micro"),
-      expr("(sb * 1000000L) div nb").cast("long").as("rest_mean_micro"),
+      // nb = 0 when the input has a single group: no "rest" exists —
+      // null mean, flag false (CASE is lazy, so ANSI div never sees the 0)
+      when(col("nb") > 0, expr("(sb * 1000000L) div nb").cast("long"))
+        .as("rest_mean_micro"),
       (col("na") >= 2 && col("nb") >= 2 && lhs > rhs).as("significant"))
   }
 }

@@ -178,7 +178,7 @@ object IoQueries {
             countDistinct(col("lang")).cast("long").as("n_langs"))
       },
       Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-             |CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_lang,
+             |CAST(sum(CASE WHEN doc_id % 2 = 0 OR lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_lang,
              |CAST(count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END) AS BIGINT) AS n_langs
              |FROM documents GROUP BY 1""".stripMargin),
       eager = true)

@@ -703,7 +703,8 @@ object TextOracles {
        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
        |    x -> length(x) > 0) AS ws
        |  FROM documents),
-       |uw AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS wi FROM ut),
+       |uw AS (SELECT doc_id, substr(w, 1, ${graft.llm.Unigram.MaxWordChars}) AS w, wi
+       |  FROM (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS wi FROM ut)),
        |useg AS (
        |  SELECT doc_id, wi, w, length(w) AS n, 1 AS i, [CAST(0 AS BIGINT)] AS dp
        |  FROM uw

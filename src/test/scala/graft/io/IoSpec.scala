@@ -123,9 +123,13 @@ class IoSpec extends AnyFunSuite with SparkTestBase {
     // non-empty and the predicate NOT pushed as a data filter over files
     assert(plan.contains("PartitionFilters: [isnotnull(part"),
       s"expected a bound PartitionFilter in:\n$plan")
-    // scanning only partition a: file listing excludes b and c directories
-    val files = pruned.queryExecution.executedPlan.collectLeaves()
-      .flatMap(_.toString.linesIterator.find(_.contains("Location")))
-    assert(!plan.contains("part=b"), "pruned partition directory leaked into the plan")
+    // scanning only partition a: the scan's resolved file list must
+    // exclude the b and c directories entirely
+    val scanFiles = pruned.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.toPartitionArray.map(_.filePath.toString).toSeq
+      }.flatten
+    assert(scanFiles.nonEmpty && scanFiles.forall(_.contains("part=a")),
+      s"scan must read only part=a files, got: $scanFiles")
   }
 }

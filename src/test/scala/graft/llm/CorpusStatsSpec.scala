@@ -123,4 +123,16 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
       .select("p1", "p2").as[(Double, Double)].head()
     assert(p === ((1.0, 1.0)))
   }
+
+  test("ngramPrecisionEval: blank docs are excluded, not counted as a phantom empty gram") {
+    val df = Seq(
+      (1L, "s", "a b c"),
+      (2L, "s", "   "),    // blank: must not form a pair in either role
+      (3L, "s", "a b c"),  // its reference is the BLANK doc 2 -> excluded
+      (4L, "s", "a b d")   // reference doc 3 -> counted
+    ).toDF("doc_id", "source", "text")
+    val got = CorpusStats.ngramPrecisionEval(df, "doc_id", "source", "text")
+      .select("n_pairs", "p1_num", "p1_den").as[(Long, Long, Long)].head()
+    assert(got === ((1L, 2L, 3L)), "only the (4 vs 3) pair survives")
+  }
 }

@@ -74,6 +74,19 @@ class UnigramSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("words past MaxWordChars are capped: piece bits can never overflow into cost") {
+    val blob = "z" * 5000 // 5000-char unbroken token (base64-blob shape)
+    val got = Unigram.segmentCost(Seq((1L, blob)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Long, Long)].head()
+    // scored on the first 2047 chars, all UNK singles: pieces stays < 2048
+    assert(got === ((1L, 2047L * Unigram.UnkCostMicro, 2047L, 1L)))
+    // native and HOF agree on the capped form too
+    val hof = Unigram.segmentCostHof(Seq((1L, blob)).toDF("doc_id", "text"),
+      "doc_id", "text").as[(Long, Long, Long, Long)].head()
+    assert(got === hof)
+  }
+
   test("native expression path is bit-identical to the HOF expression fold") {
     val docs = Seq(
       (1L, "the thermal reorder aggregation can be unmentionable"),
