@@ -326,6 +326,56 @@ object TextOps {
       .reduce(_ + _).cast("long")
   }
 
+  /**
+   * Content-defined chunking (Rabin/CDC family — Muthitacharoen et al.
+   * 2001 LBFS, public): chunk boundaries where the rolling hash of the
+   * last `k` tokens lands ≡ 0 (mod m), so boundaries are a function of
+   * LOCAL CONTENT, not absolute position. The property that matters for
+   * dedup: inserting a sentence near the top of a doc re-chunks only the
+   * chunks it touches — every later boundary re-synchronizes within k
+   * tokens — so chunk-level dedup still matches the unchanged tail.
+   * Fixed-stride chunking ([[slidingWindows]]) loses ALL alignment after
+   * one insertion; this is the storage/dedup-grade alternative
+   * (production CDC adds min/max chunk bounds via a sequential fold —
+   * same boundary hash, stateful cut; documented trade for the
+   * window-free shuffle shape here).
+   *
+   * Deterministic: the boundary hash is the portable md5 family over the
+   * space-joined k-token window, so the DuckDB oracle replays every cut.
+   * Expected chunk length = m tokens.
+   *
+   * Scale shape: one posexplode + ONE exchange on the doc key — the
+   * k-token window rides `lag`, the chunk id is a running sum over the
+   * SAME sort, and the chunk rebuild groupBy reuses the partitioning
+   * (the l88 profile).
+   *
+   * Output: (doc_id, chunk_idx 0-based, n_tokens, chunk_md5).
+   */
+  def cdcChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, k: Int = 3,
+                m: Int = 16): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && m >= 1, "need k >= 1 and m >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = df.select(col(idCol).as("doc_id"),
+      posexplode(filter(split(trim(col(textCol)), "\\s+"),
+        t => length(t) > 0)).as(Seq("pos", "tok")))
+    val windowStr = concat_ws(" ",
+      ((k - 1) to 1 by -1).map(j => lag(col("tok"), j).over(w)) :+ col("tok"): _*)
+    val boundary = col("pos") >= (k - 1) &&
+      pmod(portableHash60(windowStr), lit(m.toLong)) === 0
+    val staged = toks.withColumn("bnd", boundary)
+      .withColumn("chunk_idx",
+        coalesce(sum(when(col("bnd"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .cast("long"))
+    staged.groupBy("doc_id", "chunk_idx")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        md5(org.apache.spark.sql.functions.encode(
+          graft.ops.Agg.stringAggOrderedBy(col("tok"), col("pos"), " "),
+          "UTF-8")).as("chunk_md5"))
+  }
+
   /** Role markers for [[renderSftTemplate]]. Fixed strings, shared with
     * the generated oracle SQL so the span arithmetic can never skew. */
   val SftSystemTag = "<|system|>\n"

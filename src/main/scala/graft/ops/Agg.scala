@@ -186,4 +186,81 @@ object Agg {
         .as("rest_mean_micro"),
       (col("na") >= 2 && col("nb") >= 2 && lhs > rhs).as("significant"))
   }
+
+  /**
+   * One-vs-rest Mann–Whitney U test per group, in EXACT integer
+   * arithmetic — the NONPARAMETRIC complement to [[welchOneVsRest]]: no
+   * normality assumption, robust to the heavy tails and outliers real
+   * ingest metrics have (a few giant documents shift a mean but barely
+   * move ranks). A drift gate runs both; disagreement between them IS the
+   * "distribution changed shape, not location" signal.
+   *
+   * Exactness via DOUBLED ranks: tie-averaged ranks are half-integers, so
+   * everything carries 2·rank — integers throughout. With
+   * U2 = 2·(ΣR_g) − na(na+1), the tie-corrected normal test |z| > zCrit
+   * is the integer polynomial inequality
+   *
+   *   3·n·(n−1)·(U2 − na·nb)² > zCrit²·na·nb·((n³−n) − Σ(t³−t))
+   *
+   * (both sides the z² inequality with denominators cleared; t = per-value
+   * tie counts), evaluated in DECIMAL(38,0) — no sqrt, no float division,
+   * bit-identical flags on any engine. Also emits the rank-biserial
+   * effect size r = 1 − 2U/(na·nb) as exact floor micro-units.
+   *
+   * Scale shape: ONE value-histogram shuffle (distinct (group, value)
+   * counts), a window over the VALUE histogram (rows = distinct values,
+   * not the corpus) for cumulative ranks, a broadcast rank join back to
+   * per-group aggregates, and the a22-style broadcast one-row totals for
+   * the "rest" side. The corpus is never globally sorted — ranks come
+   * from the tiny per-value table.
+   *
+   * Output: (group, n, u2, effect_micro, significant).
+   */
+  def mannWhitneyOneVsRest(df: DataFrame, groupCol: String, valCol: String,
+                           zCritNum: Long = 2L): DataFrame = {
+    require(zCritNum > 0, "zCrit must be positive")
+    val d38 = "decimal(38,0)"
+    import org.apache.spark.sql.expressions.Window
+    // per-value counts (value histogram — the only corpus-wide shuffle)
+    val gv = df.groupBy(col(groupCol).as("grp"), col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val vh = gv.groupBy("v").agg(sum("c").cast("long").as("t"))
+    // doubled average rank per value: 2·rank = 2·cumBefore + t + 1
+    val wv = Window.orderBy("v")
+    val ranks = vh
+      .withColumn("cumBefore",
+        coalesce(sum("t").over(wv.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("v"), col("t"),
+        (lit(2L) * col("cumBefore") + col("t") + 1L).as("r2"))
+    // per-group doubled rank sums + n; tie term rides the same rows
+    val g = gv.join(broadcast(ranks), "v")
+      .groupBy("grp")
+      .agg(sum("c").cast("long").as("na"),
+        sum(col("c").cast(d38) * col("r2")).cast(d38).as("sr2"))
+    val tieTerm = ranks.agg(
+        sum(col("t").cast(d38) * col("t") * col("t") - col("t").cast(d38))
+          .cast(d38).as("ties"),
+        sum("t").cast("long").as("n_tot"))
+      .withColumn("_k", pmod(xxhash64(col("n_tot")), lit(1)))
+    val j = g.withColumn("_k", pmod(xxhash64(col("na")), lit(1)))
+      .join(broadcast(tieTerm), "_k")
+      .withColumn("nb", (col("n_tot") - col("na")).cast("long"))
+    def dec(c: Column): Column = c.cast(d38)
+    // U2 = 2·U = sr2 − na(na+1)
+    val u2 = col("sr2") - dec(col("na")) * (col("na") + 1)
+    val nTot = dec(col("n_tot"))
+    val diff = u2 - dec(col("na")) * col("nb")
+    val lhs = lit(3L).cast(d38) * nTot * (nTot - 1) * diff * diff
+    val rhs = lit(zCritNum * zCritNum).cast(d38) * dec(col("na")) * col("nb") *
+      ((nTot * nTot * nTot - nTot) - col("ties"))
+    j.select(col("grp").as(groupCol),
+      col("na").as("n"),
+      u2.cast("long").as("u2"),
+      when(col("nb") > 0,
+        expr(s"CAST(((CAST(na AS $d38) * nb - (sr2 - CAST(na AS $d38) * (na + 1)))" +
+          s" * 1000000) div (CAST(na AS $d38) * nb) AS LONG)"))
+        .as("effect_micro"),
+      (col("na") >= 2 && col("nb") >= 2 && lhs > rhs).as("significant"))
+  }
 }

@@ -246,6 +246,48 @@ object StatQueries {
              |      * 1000000) // (CAST(nt.n AS HUGEINT) * rt.rt * ct.ct) AS BIGINT)
              |    AS contrib_micro
              |FROM cells c
-             |JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN nt""".stripMargin))
+             |JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN nt""".stripMargin)),
+
+    // one-vs-rest Mann-Whitney U per source (nonparametric complement to
+    // a22's Welch test — rank-based, outlier-robust): doubled tie-averaged
+    // ranks keep everything integer; the tie-corrected |z| > 2 test is a
+    // cleared-denominator polynomial inequality; rank-biserial effect
+    // size in floor micro-units with explicit TRUNCATING division
+    // (Spark div truncates, DuckDB // floors — the oracle spells
+    // sign-split floor-of-abs so negatives can't diverge)
+    "a24_mann_whitney" -> Q(
+      (s, dir) => graft.ops.Agg.mannWhitneyOneVsRest(
+        td(s, dir, "documents"), "source", "n_chars"),
+      Some("""WITH gv AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |vh AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM gv GROUP BY 1),
+             |rk AS (SELECT v, t,
+             |    2 * CAST(coalesce(sum(t) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |      + t + 1 AS r2
+             |  FROM vh),
+             |g AS (SELECT grp, CAST(sum(c) AS BIGINT) AS na,
+             |    CAST(sum(CAST(c AS HUGEINT) * r2) AS HUGEINT) AS sr2
+             |  FROM gv JOIN rk USING (v) GROUP BY 1),
+             |tt AS (SELECT CAST(sum(CAST(t AS HUGEINT)*t*t - t) AS HUGEINT) AS ties,
+             |    CAST(sum(t) AS BIGINT) AS n_tot FROM rk),
+             |j AS (SELECT g.grp, g.na, g.sr2, tt.ties, tt.n_tot,
+             |    tt.n_tot - g.na AS nb FROM g, tt),
+             |u AS (SELECT grp, na, nb, n_tot, ties,
+             |    sr2 - CAST(na AS HUGEINT) * (na + 1) AS u2h,
+             |    CAST(na AS HUGEINT) * nb AS nanb
+             |  FROM j)
+             |SELECT grp AS source, na AS n, CAST(u2h AS BIGINT) AS u2,
+             |  CASE WHEN nb > 0 THEN
+             |    CASE WHEN nanb - u2h >= 0
+             |      THEN CAST(((nanb - u2h) * 1000000) // nanb AS BIGINT)
+             |      ELSE -CAST(((u2h - nanb) * 1000000) // nanb AS BIGINT)
+             |    END END AS effect_micro,
+             |  (na >= 2 AND nb >= 2 AND
+             |    3 * CAST(n_tot AS HUGEINT) * (n_tot - 1) * (u2h - nanb) * (u2h - nanb)
+             |    > 4 * nanb * ((CAST(n_tot AS HUGEINT)*n_tot*n_tot - n_tot) - ties)
+             |  ) AS significant
+             |FROM u""".stripMargin))
   )
 }

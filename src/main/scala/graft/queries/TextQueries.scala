@@ -1121,5 +1121,38 @@ object TextQueries {
               |${TextOracles.langIdNgramSql}
               |) p USING (doc_id)
               |GROUP BY 1, 2""".stripMargin)),
+
+    // content-defined chunking (Rabin/CDC, LBFS 2001): boundaries where
+    // the rolling 3-token hash ≡ 0 (mod 16) — boundaries follow CONTENT,
+    // so an insertion re-synchronizes within k tokens and chunk-level
+    // dedup keeps matching the unchanged tail (fixed-stride l32 loses all
+    // alignment after one insertion); one posexplode + ONE doc-key
+    // exchange, portable-hash cuts replay exactly
+    "l96_cdc_chunking" -> Q(
+      (s, dir) => graft.llm.TextOps.cdcChunks(
+        td(s, dir, "documents"), "doc_id", "text", k = 3, m = 16),
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |      x -> length(x) > 0) AS tk
+             |  FROM documents),
+             |tok AS (SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos FROM t),
+             |ws AS (SELECT doc_id, tok, pos,
+             |    concat_ws(' ',
+             |      lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos),
+             |      lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+             |      tok) AS wstr
+             |  FROM tok),
+             |b AS (SELECT doc_id, tok, pos,
+             |    (pos >= 2 AND ('0x'||substr(md5(wstr),1,15))::BIGINT % 16 = 0) AS bnd
+             |  FROM ws),
+             |c AS (SELECT doc_id, tok, pos,
+             |    CAST(coalesce(sum(CASE WHEN bnd THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |      AS chunk_idx
+             |  FROM b)
+             |SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+             |FROM c GROUP BY 1, 2""".stripMargin)),
   )
 }

@@ -326,6 +326,30 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(c.map(_._2).toSet !== a.map(_.getString(1)).toSet, "seed must matter")
   }
 
+  test("cdcChunks: content-defined boundaries re-synchronize after an insertion") {
+    val base = (0 until 200).map(j => s"w${j % 37}x$j").mkString(" ")
+    val shifted = "INSERTED " + base // one-token insertion at the front
+    val df = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val got = TextOps.cdcChunks(df, "doc_id", "text", k = 3, m = 16)
+      .as[(Long, Long, Long, String)].collect()
+    val c1 = got.filter(_._1 == 1L).sortBy(_._2)
+    val c2 = got.filter(_._1 == 2L).sortBy(_._2)
+    // chunks partition each doc
+    assert(c1.map(_._3).sum === 200L && c2.map(_._3).sum === 201L)
+    // the CDC property: every chunk of doc 1 except its FIRST also
+    // appears (same md5) in doc 2 — boundaries re-synchronized within k
+    // tokens of the insertion; fixed-stride chunking shares NOTHING here
+    val tail1 = c1.drop(1).map(_._4).toSet
+    val md2 = c2.map(_._4).toSet
+    assert(tail1.subsetOf(md2),
+      s"unshared tail chunks: ${tail1.diff(md2).size} of ${tail1.size}")
+    assert(c1.length > 5, "fixture must produce several chunks")
+    // deterministic
+    val again = TextOps.cdcChunks(df, "doc_id", "text", 3, 16)
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.sortBy(r => (r._1, r._2)).toSeq === again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("foldObfuscation + blocklistHits: leet variants count as matches") {
     val df = Seq(
       (1L, "J01N the h4sh t4ble"),   // join, hash, table after folding

@@ -61,4 +61,56 @@ class WelchSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Long, Long, Long, Boolean)].collect()
     assert(got.forall(!_._5), "identical distributions must not flag")
   }
+
+  // --- mannWhitneyOneVsRest ---
+
+  test("mannWhitney matches an exact BigInt replay (doubled tie-averaged ranks)") {
+    val rows = (1 to 25).map(i => ("x", (50 + 3 * (i % 5)).toLong)) ++
+      (1 to 40).map(i => ("y", (60 + 2 * (i % 7)).toLong)) ++
+      (1 to 15).map(i => ("z", (54 + (i % 3)).toLong))
+    val got = Agg.mannWhitneyOneVsRest(rows.toDF("src", "v"), "src", "v")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+
+    // reference: doubled average ranks over the sorted multiset
+    val sorted = rows.map(_._2).sorted
+    val r2ByValue = sorted.distinct.map { v =>
+      val before = sorted.count(_ < v); val t = sorted.count(_ == v)
+      v -> (BigInt(2) * before + t + 1)
+    }.toMap
+    val n = BigInt(rows.size)
+    val ties = sorted.distinct.map { v =>
+      val t = BigInt(sorted.count(_ == v)); t * t * t - t }.sum
+    for (g <- Seq("x", "y", "z")) {
+      val mine = rows.filter(_._1 == g).map(_._2)
+      val na = BigInt(mine.size); val nb = n - na
+      val u2 = mine.map(r2ByValue).sum - na * (na + 1)
+      assert(BigInt(got(g)._3) === u2, s"group $g u2")
+      val diff = u2 - na * nb
+      val expectSig = na >= 2 && nb >= 2 &&
+        3 * n * (n - 1) * diff * diff > 4 * na * nb * ((n * n * n - n) - ties)
+      assert(got(g)._5 === expectSig, s"group $g flag")
+      val num = (na * nb - u2) * 1000000
+      val expectEffect = num / (na * nb) // BigInt / truncates toward zero
+      assert(BigInt(got(g)._4) === expectEffect, s"group $g effect")
+    }
+  }
+
+  test("mannWhitney: rank-shifted group flags with the right effect sign; identical does not") {
+    val rows = (1 to 30).map(i => ("lo", (i % 10).toLong)) ++
+      (1 to 30).map(i => ("hi", (100 + i % 10).toLong))
+    val got = Agg.mannWhitneyOneVsRest(rows.toDF("src", "v"), "src", "v")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("hi")._5 && got("lo")._5)
+    // hi stochastically dominates its rest: U large -> effect negative;
+    // lo is dominated -> effect positive; complete separation -> |r| = 1
+    assert(got("hi")._4 === -1000000L)
+    assert(got("lo")._4 === 1000000L)
+    val same = (1 to 40).flatMap(i => Seq(("p", (i % 10).toLong), ("q", (i % 10).toLong)))
+    val z = Agg.mannWhitneyOneVsRest(same.toDF("src", "v"), "src", "v")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(z.forall(!_._5))
+    assert(z.forall(_._4 === 0L), "identical ranks give zero effect")
+  }
 }
