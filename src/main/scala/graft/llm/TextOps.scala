@@ -194,6 +194,15 @@ object TextOps {
     column(StripAccentsExpr(expression(text)))
   }
 
+  /** Mojibake repair (ftfy `fix_encoding` core): undo UTF-8-read-as-Latin-1
+    * double encoding via the native strictly-gated [[MojibakeRepairExpr]] —
+    * "Ã©" → "é", "â€¦"-style runs → "…"; legitimate Latin-1 ("café") and
+    * non-Latin-1 text pass through unchanged. */
+  def repairMojibake(text: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge._
+    column(MojibakeRepairExpr(expression(text)))
+  }
+
   /**
    * Seeded word-dropout augmentation: drop `dropPct`% of tokens, the
    * keep-decision a pure function of (seed, doc id, token position) — the

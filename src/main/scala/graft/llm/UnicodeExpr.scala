@@ -58,6 +58,73 @@ object UnicodeNormalize {
   }
 }
 
+/**
+ * Mojibake repair (the ftfy core heuristic, Speer 2019): text that was
+ * UTF-8 encoded but decoded as Latin-1 renders each multi-byte sequence as
+ * a run of Latin-1 chars ("é" → "Ã©", "—" → "â€”"-style). The repair is the
+ * inverse transcode — reinterpret the chars as Latin-1 bytes and decode
+ * them as UTF-8 — applied ONLY when it parses cleanly:
+ *
+ *  - any char > U+00FF → not a Latin-1 rendering at all → unchanged;
+ *  - pure ASCII → transcode is the identity → unchanged (fast path, no
+ *    allocation);
+ *  - strict UTF-8 decode (malformed/unmappable → REPORT, never replace)
+ *    fails → legitimate Latin-1 text like "café" (E9 is no UTF-8 lead) →
+ *    unchanged. Only a clean parse — which for non-ASCII bytes is vastly
+ *    more likely for genuine double-encoding than for real prose — yields
+ *    the repaired string.
+ *
+ * One pass, no regexp gates; the residual ambiguity (Latin-1 prose that
+ * happens to be valid UTF-8, e.g. a literal "Ã©") is inherent to the
+ * problem and resolved the same way ftfy resolves it (fix_encoding).
+ */
+object MojibakeRepair {
+  /** Static helper shared by interpreted eval and generated code (public
+    * for the same Janino static-forwarder reason as [[UnicodeNormalize]]). */
+  def fix(s: UTF8String): UTF8String = {
+    val j = s.toString
+    var hasHigh = false
+    var i = 0
+    while (i < j.length) {
+      val c = j.charAt(i)
+      if (c > 0xFF) return s
+      if (c >= 0x80) hasHigh = true
+      i += 1
+    }
+    if (!hasHigh) return s
+    val bytes = new Array[Byte](j.length)
+    i = 0
+    while (i < j.length) { bytes(i) = j.charAt(i).toByte; i += 1 }
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try UTF8String.fromString(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+    catch { case _: java.nio.charset.CharacterCodingException => s }
+  }
+}
+
+/** Native mojibake repair ([[MojibakeRepair.fix]]) — Latin-1-rendered
+  * UTF-8 re-decoded, strictly gated on a clean parse. */
+case class MojibakeRepairExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_fix_mojibake requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_fix_mojibake"
+
+  override def nullSafeEval(input: Any): Any =
+    MojibakeRepair.fix(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.llm.MojibakeRepair.fix($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MojibakeRepairExpr =
+    copy(child = newChild)
+}
+
 case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -1154,5 +1154,73 @@ object TextQueries {
              |SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_tokens,
              |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
              |FROM c GROUP BY 1, 2""".stripMargin)),
+
+    // mojibake repair (ftfy fix_encoding core): docs get deterministic
+    // non-ASCII plants (2-byte accents / 3-byte punctuation), are then
+    // REALLY double-encoded via UTF-8 encode → Latin-1 decode (Spark
+    // built-ins — the actual corruption every crawl pipeline sees), and
+    // repaired by the native strictly-gated inverse transcode. The oracle
+    // replays corruption AND repair as replace-chains over the finite
+    // planted alphabet — exact because the base corpus is pure ASCII, so
+    // every suspicious sequence is a planted one. `restored` asserting
+    // repaired == planted rides in the output: a half-decoded or
+    // over-eager repair flips it
+    "l97_mojibake_repair" -> Q(
+      (s, dir) => {
+        val mojibakePair = "[\u00C2-\u00F4][\u0080-\u00BF]"
+        td(s, dir, "documents")
+          .withColumn("planted",
+            when(col("doc_id") % 3 === 0, translate(col("text"), "aeou", "áéöú"))
+              .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" — fin…")))
+              .otherwise(col("text")))
+          .withColumn("ctext",
+            when(col("doc_id") % 3 === 2, col("planted"))
+              .otherwise(decode(encode(col("planted"), "UTF-8"), "ISO-8859-1")))
+          .withColumn("rtext", TextOps.repairMojibake(col("ctext")))
+          .select(col("doc_id"),
+            when(col("rtext") =!= col("ctext"), lit("repaired"))
+              .otherwise(lit("clean")).as("status"),
+            size(regexp_extract_all(col("ctext"), lit(mojibakePair), lit(0)))
+              .cast("long").as("n_bad"),
+            length(col("ctext")).cast("long").as("len_corrupt"),
+            length(col("rtext")).cast("long").as("len_repaired"),
+            (col("rtext") === col("planted")).as("restored"),
+            md5(col("rtext").cast("binary")).as("text_md5"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN doc_id % 3 = 0 THEN translate(text, 'aeou', 'áéöú')
+             |         WHEN doc_id % 3 = 1 THEN text || ' — fin…'
+             |         ELSE text END AS planted
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, planted,
+             |    CASE WHEN doc_id % 3 = 2 THEN planted ELSE
+             |      replace(replace(replace(replace(replace(replace(planted,
+             |        'á', 'Ã' || chr(161)), 'é', 'Ã' || chr(169)),
+             |        'ö', 'Ã' || chr(182)), 'ú', 'Ã' || chr(186)),
+             |        '—', 'â' || chr(128) || chr(148)),
+             |        '…', 'â' || chr(128) || chr(166))
+             |    END AS ctext
+             |  FROM p),
+             |r AS (
+             |  SELECT doc_id, planted, ctext,
+             |    CASE WHEN doc_id % 3 = 2 THEN ctext ELSE
+             |      replace(replace(replace(replace(replace(replace(ctext,
+             |        'Ã' || chr(161), 'á'), 'Ã' || chr(169), 'é'),
+             |        'Ã' || chr(182), 'ö'), 'Ã' || chr(186), 'ú'),
+             |        'â' || chr(128) || chr(148), '—'),
+             |        'â' || chr(128) || chr(166), '…')
+             |    END AS rtext
+             |  FROM c)
+             |SELECT doc_id,
+             |  CASE WHEN rtext <> ctext THEN 'repaired' ELSE 'clean' END AS status,
+             |  CAST(len(regexp_extract_all(ctext,
+             |    '[\x{00C2}-\x{00F4}][\x{0080}-\x{00BF}]')) AS BIGINT) AS n_bad,
+             |  CAST(length(ctext) AS BIGINT) AS len_corrupt,
+             |  CAST(length(rtext) AS BIGINT) AS len_repaired,
+             |  rtext = planted AS restored,
+             |  md5(rtext) AS text_md5
+             |FROM r""".stripMargin)),
   )
 }

@@ -176,6 +176,36 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("repairMojibake: strictly-gated inverse transcode") {
+    def fix(s: String): String = one[String](TextOps.repairMojibake(lit(s)))
+    // 2-byte repair: "é" (C3 A9) read as Latin-1 renders "Ã©"
+    assert(fix("cafÃ© break") === "café break")
+    // 3-byte repair: "—" (E2 80 94) renders "â" U+0080 U+0094
+    assert(fix("a\u00E2\u0080\u0094b") === "a\u2014b")
+    // legitimate Latin-1 is NOT valid UTF-8 → unchanged (the ftfy gate)
+    assert(fix("café") === "café")
+    // chars above U+00FF can't be a Latin-1 rendering → unchanged
+    assert(fix("漢字 Ã©") === "漢字 Ã©")
+    // pure ASCII → identity (fast path)
+    assert(fix("plain ascii") === "plain ascii")
+    // repair is idempotent on its own output: the repaired "é" alone is
+    // not valid UTF-8 bytes, so a second pass leaves it alone
+    assert(fix(fix("cafÃ©")) === "café")
+    // round-trip: corrupt with the real transcode, repair restores
+    val planted = "naïve … façade — café"
+    import spark.implicits._
+    val rt = Seq(planted).toDF("t")
+      .select(TextOps.repairMojibake(
+        decode(encode($"t", "UTF-8"), "ISO-8859-1")).as("r"))
+      .as[String].collect()(0)
+    assert(rt === planted)
+    // null in, null out
+    val n = Seq(1).toDF("x")
+      .select(TextOps.repairMojibake(lit(null).cast("string")).as("r"))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("foldAccents: composed and decomposed accents fold; ASCII fast path") {
     // composed e-acute and decomposed e + U+0301 both fold to plain e
     assert(one[String](TextOps.foldAccents(lit("caf\u00E9"))) === "cafe")
