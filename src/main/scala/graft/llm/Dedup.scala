@@ -721,6 +721,22 @@ object Dedup {
     simhashBlockPairs(withSim, idCol, maxHamming, blocks, maxBucketSize, dropStats)
   }
 
+  /**
+   * Near-dup pairs over an ARBITRARY precomputed 64-bit fingerprint column
+   * (SimHash, image dHash, audio fingerprint, …): the
+   * [[simhashNearDups]] block-bucket tail exposed for callers that bring
+   * their own fingerprints — e.g. [[graft.multimodal.Multimodal.imageDHash]]
+   * feeding image near-dup dedup (m6). Same semantics and scale shape:
+   * one shuffle on (block_id, slice), capped buckets, pigeonhole-exact
+   * banding iff `blocks > maxHamming`.
+   */
+  def fingerprintNearDups(df: DataFrame, idCol: String, fpCol: String,
+                          maxHamming: Int = 3, blocks: Int = 4,
+                          maxBucketSize: Int = 1000,
+                          dropStats: Option[DropStats] = None): DataFrame =
+    simhashBlockPairs(df.select(col(idCol), col(fpCol).as("simhash")), idCol,
+      maxHamming, blocks, maxBucketSize, dropStats)
+
   /** Shared block-bucket pairing tail: slice the 64-bit fingerprint into
     * `blocks` bands, shuffle once on (block_id, slice), pair within capped
     * buckets, verify hamming ≤ maxHamming. */

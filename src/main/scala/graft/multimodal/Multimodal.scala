@@ -30,6 +30,9 @@ final case class ResampledSample(media_id: Long, in_samples: Long,
 final case class DownsampledPixel(media_id: Long, out_w: Int, out_h: Int,
                                   x: Int, y: Int, b: Int, g: Int, r: Int)
 
+/** 64-bit perceptual difference hash of one image payload. */
+final case class ImageHash(media_id: Long, dhash: Long)
+
 /**
  * Multimodal column handling: image/audio/video as opaque `binary` columns
  * with typed metadata, decoded via per-partition batch functions.
@@ -286,6 +289,59 @@ object Multimodal {
     }
   }
 
+  /**
+   * REAL perceptual hashing in the codec seam: 64-bit difference hash
+   * (dHash, the aHash/pHash family's gradient variant) of a 24bpp BMP —
+   * the image analogue of SimHash, feeding image NEAR-dup dedup the way
+   * [[graft.llm.Dedup.simhashNearDups]] feeds text. The image is resized
+   * to a (gridW+1)×gridH grid by nearest-neighbor sampling of the REAL
+   * container bytes (same offset/padding/bottom-up/BGR layout as
+   * [[downsampleImage2x]]); gray = b+g+r (scale cancels in comparisons);
+   * bit gy·gridW+gx is set iff gray brightens left→right between
+   * horizontally adjacent grid cells. Comparing GRADIENTS, not values,
+   * is what buys the robustness: re-encodes, small noise, and uniform
+   * brightness shifts flip few bits, so near-dup images land within a
+   * small Hamming radius while distinct images are ~32/64 apart.
+   *
+   * Nearest sampling (not block averaging) keeps every output bit an
+   * exact function of two container bytes — replayable by an external
+   * oracle — and is resolution-invariant for smooth content (the spec
+   * proves a gradient hashes identically at 16×16 and 32×32). Non-BMP /
+   * non-24bpp / truncated payloads are skipped (quarantine at m3).
+   */
+  def imageDHash(media: Dataset[MediaRecord],
+                 gridW: Int = 8, gridH: Int = 8): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        decodeBmp(m.payload) match {
+          case Some((w, h, 24)) =>
+            val dataOff = leInt(m.payload, 10)
+            val rowSize = ((w * 3 + 3) / 4) * 4
+            def gray(tx: Int, ty: Int): Option[Int] = {
+              val off = dataOff + (h - 1 - ty) * rowSize + tx * 3
+              if (off + 2 >= m.payload.length) None
+              else Some((m.payload(off) & 0xff) + (m.payload(off + 1) & 0xff) +
+                (m.payload(off + 2) & 0xff))
+            }
+            val sx = (0 to gridW).map(gx => gx * w / (gridW + 1))
+            val sy = (0 until gridH).map(gy => gy * h / gridH)
+            val bits = for {
+              gy <- 0 until gridH
+              gx <- 0 until gridW
+              a <- gray(sx(gx), sy(gy))
+              b <- gray(sx(gx + 1), sy(gy))
+            } yield if (b > a) 1L << (gy * gridW + gx) else 0L
+            // a truncated payload loses samples: skip, don't mis-hash
+            if (bits.length == gridW * gridH)
+              Iterator.single(ImageHash(m.media_id, bits.foldLeft(0L)(_ | _)))
+            else Iterator.empty
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
   // ---- deterministic real-container generators (dev fixtures) ---------
 
   /** A real 24bpp bottom-up BMP (54-byte header + padded pixel rows);
@@ -334,6 +390,64 @@ object Multimodal {
     }
     bb.array()
   }
+
+  /** A real 24bpp bottom-up BMP whose pixels come from `f(x, y)` in
+    * TOP-DOWN coordinates (gray 0-255, written to all three channels) —
+    * the structured-content sibling of [[bmpBytes]] for perceptual-hash
+    * fixtures, where noise images would carry no gradients to hash. */
+  private[multimodal] def bmpPatternBytes(width: Int, height: Int,
+                                          f: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val bb = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    bb.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // bottom-up row order, 4-byte row padding, B=G=R=gray
+    var y = height - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val g = f(x, y).toByte
+        bb.put(g).put(g).put(g)
+        x += 1
+      }
+      var pad = rowSize - width * 3
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    bb.array()
+  }
+
+  /** dHash fixture side: 16×16 per-image size. */
+  val PatternDim = 16
+
+  /** Gray value of the structured dHash fixture at (x, y), top-down: a
+    * low-degree polynomial of the pixel position with id-derived
+    * coefficients (mod 251 keeps +noise below 256), plus a sparse +2
+    * perturbation on the v=1 variant — the "re-encoded copy" whose hash
+    * must land within a small Hamming radius of the v=0 original. Pure
+    * closed form so the oracle recomputes every sampled gray from
+    * (id, v, x, y) alone. */
+  private[multimodal] def patternGray(id: Long, v: Int, x: Int, y: Int): Int = {
+    val base = (((1 + id % 7) * x + (1 + id % 3) * x * x + (2 + id % 11) * y +
+      (id % 5) * x * y + id % 13) % 251).toInt
+    val noise = if (v == 1 && (x + 3L * y + id) % 11 == 0) 2 else 0
+    base + noise
+  }
+
+  /** Two REAL BMPs per id: media_id = 2·id (original) and 2·id+1 (the
+    * perturbed re-encode) — the planted near-dup pair for m6. */
+  def packImagePairById(id: Long): Seq[MediaRecord] =
+    Seq(0, 1).map { v =>
+      MediaRecord(2 * id + v, "image",
+        bmpPatternBytes(PatternDim, PatternDim, (x, y) => patternGray(id, v, x, y)))
+    }
 
   /** Deterministic per-id media fixture: even ids → a real BMP, odd ids →
     * a real PCM WAV, with every header field a pure function of the id —

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.llm.Ann
+import graft.llm.{Ann, Dedup}
 import graft.multimodal.Multimodal
 import Registry.td
 
@@ -448,5 +448,28 @@ object AnnQueries {
         Multimodal.downsampleImage2x(media).toDF()
       },
       Some(MediaOracles.downsampleSql)),
+
+    // MULTIMODAL near-dup dedup: 64-bit perceptual dHash of real BMP
+    // bytes (gradient bits over a 9×8 nearest-sampled grid) + the
+    // simhash block-bucket Hamming join — each id plants an original +
+    // perturbed re-encode pair; the oracle recomputes every hash bit
+    // from the closed-form pixel pattern and replays banding + verify.
+    // maxBucketSize=4000 ≥ the total image count at every oracle SF
+    // (2500 at sf0.1), so the cap provably cannot bind where the oracle
+    // runs — it exists for the sf1+ bench path (a degenerate slice
+    // bucket is dropped whole, the capped-LSH semantics)
+    "m6_image_dhash_pairs" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = td(s, dir, "documents")
+          .filter(col("doc_id") % 4 === 0).select(col("doc_id")).as[Long]
+          .flatMap(id => Multimodal.packImagePairById(id))
+        val hashes = Multimodal.imageDHash(media).toDF()
+        Dedup.fingerprintNearDups(hashes, "media_id", "dhash",
+            maxHamming = 3, blocks = 4, maxBucketSize = 4000)
+          .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"),
+            (expr("id1 div 2") === expr("id2 div 2")).as("same_doc"))
+      },
+      Some(MediaOracles.dhashPairsSql())),
   )
 }

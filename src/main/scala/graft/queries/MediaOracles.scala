@@ -123,6 +123,66 @@ object MediaOracles {
    * dims. A wrong stride, padding, row order, or channel order in the
    * Scala decoder shifts every compared byte.
    */
+  /**
+   * Bit-exact oracle for the perceptual-dHash near-dup pairs (m6): the
+   * fixture's gray values are a closed-form polynomial of (id, variant,
+   * x, y) — `Multimodal.patternGray` — so the oracle recomputes all 72
+   * sampled grays per image, rebuilds every one of the 64 gradient bits,
+   * sign-folds the HUGEINT hash to a Java long, and replays the banded
+   * candidate join (16-bit slices, zipped unnest) plus the Hamming ≤
+   * maxHamming verify. A wrong data offset, row-padding stride,
+   * bottom-up fold, grid-sample position, or bit order in the Scala path
+   * flips compared pairs in or out.
+   */
+  def dhashPairsSql(maxHamming: Int = 3): String = {
+    val dim = graft.multimodal.Multimodal.PatternDim
+    val gridW = 8
+    val gridH = 8
+    val sxs = (0 to gridW).map(gx => gx * dim / (gridW + 1))
+    def grayE(xv: Int, yv: Int): String =
+      s"((ax*$xv + bx*${xv * xv} + ay*$yv + axy*${xv * yv} + c0) % 251" +
+        s" + CASE WHEN v = 1 AND (${xv + 3 * yv} + id) % 11 = 0 THEN 2 ELSE 0 END)"
+    val bitTerms = (for {
+      gy <- 0 until gridH
+      gx <- 0 until gridW
+    } yield {
+      val sy = gy * dim / gridH
+      val p = BigInt(1) << (gy * gridW + gx)
+      s"CASE WHEN ${grayE(sxs(gx + 1), sy)} > ${grayE(sxs(gx), sy)}" +
+        s" THEN CAST('$p' AS HUGEINT) ELSE CAST('0' AS HUGEINT) END"
+    }).mkString("\n      + ")
+    s"""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id % 4 = 0),
+       |par AS (
+       |  SELECT id, unnest([0, 1]) AS v, 1 + id % 7 AS ax, 1 + id % 3 AS bx,
+       |    2 + id % 11 AS ay, id % 5 AS axy, id % 13 AS c0
+       |  FROM ids),
+       |h AS (
+       |  SELECT id * 2 + v AS media_id,
+       |    ($bitTerms) AS uh
+       |  FROM par),
+       |hb AS (
+       |  SELECT media_id, uh,
+       |    CAST(CASE WHEN uh >= CAST('$TwoPow63' AS HUGEINT)
+       |      THEN uh - CAST('$TwoPow64' AS HUGEINT) ELSE uh END AS BIGINT) AS dh
+       |  FROM h),
+       |sl AS (
+       |  SELECT media_id, dh,
+       |    unnest([CAST(0 AS BIGINT), 1, 2, 3]) AS blk,
+       |    unnest([CAST(uh % 65536 AS BIGINT),
+       |            CAST((uh // 65536) % 65536 AS BIGINT),
+       |            CAST((uh // 4294967296) % 65536 AS BIGINT),
+       |            CAST((uh // 281474976710656) % 65536 AS BIGINT)]) AS slice
+       |  FROM hb),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS id1, b.media_id AS id2, a.dh AS dh1, b.dh AS dh2
+       |  FROM sl a JOIN sl b ON a.blk = b.blk AND a.slice = b.slice
+       |    AND a.media_id < b.media_id)
+       |SELECT id1, id2,
+       |  CAST(bit_count(xor(dh1, dh2)) AS BIGINT) AS hamming,
+       |  (id1 // 2 = id2 // 2) AS same_doc
+       |FROM cand WHERE bit_count(xor(dh1, dh2)) <= $maxHamming""".stripMargin
+  }
+
   def downsampleSql: String = {
     val A = BigInt(6364136223846793005L)
     val C = BigInt(1442695040888963407L)

@@ -171,4 +171,58 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val tout = Multimodal.downsampleImage2x(Seq(trunc).toDS()).collect()
     assert(tout.forall(p => p.y == 1), "only the bottom source row survives truncation")
   }
+
+  test("imageDHash: hand-computed bits, hand-verified sampling grid") {
+    // 18x8 horizontal sawtooth: gray rises by 10 per column up to x=8 then
+    // falls — so resized columns brighten left->right exactly while
+    // sampled x < 8, and the expected bit pattern is computable by hand
+    def tooth(x: Int, y: Int): Int = if (x <= 8) 10 * x else 10 * (16 - x)
+    val img = MediaRecord(1L, "image", Multimodal.bmpPatternBytes(18, 8, tooth))
+    val got = Multimodal.imageDHash(Seq(img).toDS()).collect()(0).dhash
+    // grid samples at sx = gx*18/9 = 2*gx, sy = gy (h = gridH = 8);
+    // bit set iff tooth(2(gx+1)) > tooth(2gx): rises for gx=0..3, falls after
+    val expect = (for {
+      gy <- 0 until 8; gx <- 0 until 8
+      if tooth(2 * (gx + 1), gy) > tooth(2 * gx, gy)
+    } yield 1L << (gy * 8 + gx)).foldLeft(0L)(_ | _)
+    assert(got === expect)
+    assert(java.lang.Long.bitCount(got) === 32) // 4 rising of 8 per row
+  }
+
+  test("imageDHash: resolution-invariant for smooth gradients") {
+    // the same normalized horizontal gradient rendered at 16x16 and 32x32:
+    // dHash compares left->right brightening, which survives the resize
+    def grad(w: Int)(x: Int, y: Int): Int = x * 255 / (w - 1)
+    val small = MediaRecord(1L, "image",
+      Multimodal.bmpPatternBytes(16, 16, grad(16)))
+    val big = MediaRecord(2L, "image",
+      Multimodal.bmpPatternBytes(32, 32, grad(32)))
+    val h = Multimodal.imageDHash(Seq(small, big).toDS()).collect()
+      .map(r => r.media_id -> r.dhash).toMap
+    assert(h(1L) === h(2L))
+    assert(h(1L) === -1L) // every column brightens: all 64 bits set
+  }
+
+  test("imageDHash pairs: planted re-encode found near, distinct ids far") {
+    import graft.llm.Dedup
+    val media = Seq(100L, 101L, 102L).flatMap(Multimodal.packImagePairById).toDS()
+    val hashes = Multimodal.imageDHash(media).toDF()
+    val hs = hashes.as[(Long, Long)].collect().toMap
+    // planted perturbation flips few gradient bits; distinct patterns many
+    for (id <- Seq(100L, 101L, 102L)) {
+      val d = java.lang.Long.bitCount(hs(2 * id) ^ hs(2 * id + 1))
+      assert(d <= 3, s"planted pair of id $id at hamming $d")
+    }
+    assert(java.lang.Long.bitCount(hs(200L) ^ hs(202L)) > 10)
+    // the banded Hamming join surfaces exactly the planted pairs here
+    val pairs = Dedup.fingerprintNearDups(hashes, "media_id", "dhash",
+        maxHamming = 3, blocks = 4, maxBucketSize = 1000)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    assert(Seq(100L, 101L, 102L).forall(id => pairs.contains((2 * id, 2 * id + 1))))
+    // non-BMP and truncated payloads are skipped, not errored
+    val wav = Multimodal.packMediaById(1L)
+    val truncated = MediaRecord(9L, "image",
+      Multimodal.packImagePairById(100L).head.payload.take(60))
+    assert(Multimodal.imageDHash(Seq(wav, truncated).toDS()).collect().isEmpty)
+  }
 }
