@@ -67,6 +67,74 @@ object LangModel {
   }
 
   /**
+   * Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+   * Goodman 1998's interpolated form) — the smoothing family KenLM
+   * implements, i.e. the ACTUAL model behind CCNet's perplexity gate,
+   * next to [[bigramSurprisal]]'s add-one strawman. Absolute discount
+   * `D` off every seen bigram, mass re-spent on the CONTINUATION
+   * unigram (how many distinct contexts a word follows — "Francisco"
+   * is frequent but only ever follows "San", so its continuation
+   * probability is tiny):
+   *
+   *   P(w|prev) = (max(c(prev,w) − D, 0) + D·N1+(prev·)·Pcont(w)) / c(prev)
+   *   Pcont(w)  = N1+(·w) / N1+(··)
+   *
+   * Per `prev`, the probabilities sum to exactly 1 over the vocabulary
+   * (spec-checked) — a PROPER distribution, unlike add-one's V-inflated
+   * denominators. Self-scoring keeps every scored bigram seen (c ≥ 1),
+   * so no OOV path is needed.
+   *
+   * Determinism: all inputs to each term are exact corpus-wide longs;
+   * the float expression is mirrored operation-for-operation by the
+   * oracle (IEEE +,−,×,÷ are correctly rounded on both engines), each
+   * term rounds to 6 dp into DECIMAL(18,6), and sums are exact.
+   *
+   * Scale shape: the one exploded bigram stream carries all count
+   * windows — (prev,w) types/counts, prev totals, w continuation counts
+   * — with the distinct-type flag a row_number==1 marker (no
+   * countDistinct window, which Spark lacks); N1+(··) is a one-row agg
+   * joined on a non-foldable key (BHJ). Four exchanges total
+   * ((prev,w) → prev → w → doc), all token-keyed and spillable.
+   */
+  def kneserNeyScores(df: DataFrame, idCol: String, textCol: String,
+                      discount: Double = 0.75): DataFrame = {
+    val tk = filter(split(trim(lower(col(textCol))), "\\s+"), t => length(t) > 0)
+    val prevArr = concat(array(lit(Bos)), slice(col("_tk"), lit(1), greatest(size(col("_tk")) - 1, lit(0))))
+    val stream = df
+      .select(col(idCol).as("doc_id"), tk.as("_tk"))
+      .filter(size(col("_tk")) > 0)
+      .select(col("doc_id"), explode(arrays_zip(prevArr.as("prev"), col("_tk").as("w"))).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.w").as("w"))
+    // one distinct-type marker per (prev,w): which row wins the tie is
+    // nondeterministic, but the n1p/n1c SUMS over the markers are not
+    val counted = stream
+      .withColumn("c2", count(lit(1)).over(Window.partitionBy("prev", "w")).cast("long"))
+      .withColumn("_first",
+        when(row_number().over(Window.partitionBy("prev", "w").orderBy("doc_id")) === 1, 1L)
+          .otherwise(0L))
+      .withColumn("c1", count(lit(1)).over(Window.partitionBy("prev")).cast("long"))
+      .withColumn("n1p", sum(col("_first")).over(Window.partitionBy("prev")).cast("long"))
+      .withColumn("n1c", sum(col("_first")).over(Window.partitionBy("w")).cast("long"))
+    val tot = stream.select(col("prev"), col("w")).distinct()
+      .agg(count(lit(1)).cast("long").as("nt"))
+      .withColumn("_k", pmod(xxhash64(col("nt")), lit(1)))
+    val disc = greatest(col("c2").cast("double") - lit(discount), lit(0.0))
+    val cont = lit(discount) * col("n1p").cast("double") * col("n1c").cast("double") /
+      col("nt").cast("double")
+    val p = (disc + cont) / col("c1").cast("double")
+    counted
+      .withColumn("_k", pmod(xxhash64(col("doc_id")), lit(1)))
+      .join(broadcast(tot), "_k")
+      .select(col("doc_id"),
+        round(lit(0.0) - log(p), 6).cast("decimal(18,6)").as("_s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(col("_s")).cast("double").as("kn_nll"))
+      .select(col("doc_id"), col("n_bigrams"), col("kn_nll"),
+        (col("kn_nll") / col("n_bigrams")).as("avg_kn_nll"))
+  }
+
+  /**
    * CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
    * 2019 §4.3): per language, rank documents by average surprisal and
    * split into terciles — "head" (most fluent third) is what the pretrain

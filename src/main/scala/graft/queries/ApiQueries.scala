@@ -349,6 +349,52 @@ object ApiQueries {
              |  CAST(CASE WHEN baseline_n >= 2
              |         AND dev * dev * (baseline_n - 1) > 9 * CAST(baseline_n AS HUGEINT) * varn
              |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
-             |FROM d""".stripMargin))
+             |FROM d""".stripMargin)),
+
+    // w11 — last-touch click attribution: each click joins the views of
+    // the SAME user inside the trailing 30-min window (equi key user_id
+    // drives the shuffle, the time range is a post-join filter — SMJ,
+    // never a cross product), then ONE hash-agg picks the latest view
+    // (max struct (view_us, view_id): deterministic ts→id tiebreak).
+    // Unattributed clicks keep a NULL view (left join). The streaming
+    // form of the same pair join — both sides unbounded, watermark-
+    // bounded state — is Streaming.attributionPairs, spec'd in
+    // StreamingSpec; exact µs integer arithmetic throughout
+    "w11_click_attribution" -> Q(
+      (s, dir) => {
+        val e = Registry.tdEventsUs(s, dir)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts_us").as("click_us"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+            col("ts_us").as("view_us"))
+        val windowUs = 30L * 60 * 1000000
+        clicks.join(views,
+            col("user_id") === col("v_user") &&
+              col("view_us") <= col("click_us") &&
+              col("view_us") > col("click_us") - windowUs,
+            "left")
+          .groupBy("click_id", "user_id", "click_us")
+          .agg(max(struct(col("view_us"), col("view_id"))).as("_best"))
+          .select(col("click_id"), col("user_id"),
+            col("_best.view_id").as("view_id"),
+            (col("click_us") - col("_best.view_us")).as("gap_us"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+             |  FROM events),
+             |c AS (SELECT event_id AS click_id, user_id, us AS click_us
+             |  FROM ev WHERE event_type = 'click'),
+             |v AS (SELECT event_id AS view_id, user_id, us AS view_us
+             |  FROM ev WHERE event_type = 'view'),
+             |j AS (SELECT c.click_id, c.user_id, c.click_us, v.view_id, v.view_us
+             |  FROM c LEFT JOIN v ON c.user_id = v.user_id
+             |    AND v.view_us <= c.click_us
+             |    AND v.view_us > c.click_us - 1800000000),
+             |r AS (SELECT click_id, user_id, view_id, click_us - view_us AS gap_us,
+             |    row_number() OVER (PARTITION BY click_id
+             |      ORDER BY view_us DESC NULLS LAST, view_id DESC) AS rn
+             |  FROM j)
+             |SELECT click_id, user_id, view_id, gap_us FROM r WHERE rn = 1""".stripMargin))
   )
 }

@@ -303,7 +303,9 @@ object TextOracles {
   /** The l43 surprisal pipeline as a reusable CTE block (ends at `g`);
     * shared verbatim by l43 and the l82 perplexity-bucket twin so the two
     * oracles can never drift on the per-doc scores. */
-  private def surprisalCtes: String =
+  /** The BOS-prepended bigram stream (CTEs t + s) shared by every bigram
+    * LM oracle (l43/l82/l98) — one definition, no cross-oracle drift. */
+  private def bigramStreamCtes: String =
     s"""t AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
        |    x -> length(x) > 0) AS tk
@@ -312,7 +314,10 @@ object TextOracles {
        |    unnest(CASE WHEN len(tk) = 1 THEN [chr(2)]
        |           ELSE list_prepend(chr(2), tk[1:len(tk)-1]) END) AS prev,
        |    unnest(tk) AS w
-       |  FROM t WHERE len(tk) > 0),
+       |  FROM t WHERE len(tk) > 0)""".stripMargin
+
+  private def surprisalCtes: String =
+    s"""$bigramStreamCtes,
        |c AS (SELECT doc_id,
        |    count(*) OVER (PARTITION BY prev, w) AS c2,
        |    count(*) OVER (PARTITION BY prev) AS c1
@@ -328,6 +333,32 @@ object TextOracles {
   def bigramSurprisalSql: String =
     s"""WITH $surprisalCtes
        |SELECT doc_id, n_bigrams, nll, nll / n_bigrams AS avg_nll FROM g""".stripMargin
+
+  /** Exact twin of [[graft.llm.LangModel.kneserNeyScores]] —
+    * l98_kneser_ney. Shares the l43/l82 bigram-stream CTEs; type/context/
+    * continuation counts come from the distinct-bigram table (exactly the
+    * sums Spark's windows compute), the one-row N1+(··) total cross-joins,
+    * and the float probability mirrors the Spark expression operation for
+    * operation (every input cast to DOUBLE first; IEEE +,−,×,÷ are
+    * correctly rounded on both engines), rounded to 6 dp into DECIMAL. */
+  def kneserNeySql(discount: String = "0.75"): String =
+    s"""WITH $bigramStreamCtes,
+       |ty AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS c2 FROM s GROUP BY 1, 2),
+       |cp AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1,
+       |    CAST(count(*) AS BIGINT) AS n1p FROM ty GROUP BY 1),
+       |cw AS (SELECT w, CAST(count(*) AS BIGINT) AS n1c FROM ty GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM ty),
+       |sc AS (SELECT doc_id,
+       |    CAST(round(0.0 - ln(
+       |      (greatest(CAST(c2 AS DOUBLE) - $discount, 0.0)
+       |        + $discount * CAST(n1p AS DOUBLE) * CAST(n1c AS DOUBLE) / CAST(nt AS DOUBLE))
+       |      / CAST(c1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS sc
+       |  FROM s JOIN ty USING (prev, w) JOIN cp USING (prev) JOIN cw USING (w)
+       |    CROSS JOIN tot)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(sc) AS DOUBLE) AS kn_nll,
+       |  CAST(sum(sc) AS DOUBLE) / count(*) AS avg_kn_nll
+       |FROM sc GROUP BY 1""".stripMargin
 
   /** Exact twin of [[graft.llm.LangModel.perplexityBuckets]] —
     * l82_perplexity_buckets. Rides the SAME surprisal CTEs as l43 (so

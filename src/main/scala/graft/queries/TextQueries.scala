@@ -1222,5 +1222,17 @@ object TextQueries {
              |  rtext = planted AS restored,
              |  md5(rtext) AS text_md5
              |FROM r""".stripMargin)),
+
+    // interpolated Kneser-Ney bigram scoring — the KenLM smoothing family
+    // behind CCNet's actual perplexity gate (l43's add-one model is the
+    // strawman twin): absolute discount + continuation-unigram backoff,
+    // a PROPER per-context distribution (sums to 1 over the vocab,
+    // spec-checked). One exploded bigram stream carries all count
+    // windows; the oracle rebuilds the same counts from the distinct-
+    // bigram table and mirrors the float expression op-for-op
+    "l98_kneser_ney" -> Q(
+      (s, dir) => graft.llm.LangModel.kneserNeyScores(
+        td(s, dir, "documents"), "doc_id", "text"),
+      Some(TextOracles.kneserNeySql())),
   )
 }

@@ -81,6 +81,40 @@ object Streaming {
         col("n"), col("value_sum"))
 
   /**
+   * Stream-STREAM interval join: pair each click with every view
+   * impression by the same user inside the attribution window
+   * `(click.ts − windowMs, click.ts]` — the ad-tech/funnel primitive
+   * Structured Streaming runs with BOTH sides unbounded. The equi key
+   * (user) drives the shuffle; the time-range predicate plus the two
+   * watermarks bound each side's join state, so it runs indefinitely:
+   * a view older than `click watermark − windowMs` can never match a
+   * future click and is evicted. Last-touch selection stays downstream
+   * (batch w11 does max-by; a streaming consumer picks per click id) —
+   * inner pair emission is what append mode supports without dropping
+   * late re-pairings.
+   *
+   * Batch/stream-agnostic like every transform here: the same plan runs
+   * under `spark.read`, where the watermarks are no-ops (the w11 batch
+   * twin is this join + last-touch, DuckDB-oracled).
+   */
+  def attributionPairs(views: Dataset[Event], clicks: Dataset[Event],
+                       windowMs: Long, watermarkDelay: String): DataFrame = {
+    val v = views.toDF()
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermarkDelay)
+    val c = clicks.toDF()
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    c.join(v, expr(
+        s"""v_user = c_user AND view_ts <= click_ts
+           |AND view_ts > click_ts - INTERVAL $windowMs MILLISECONDS""".stripMargin))
+      .select(col("click_id"), col("c_user").as("user_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
+  /**
    * Streaming exact dedup: drop events whose key was already seen, with
    * watermark-bounded state (`dropDuplicatesWithinWatermark`) — the
    * streaming twin of the batch exact-dedup operator; state for keys older

@@ -36,4 +36,56 @@ class LangModelSpec extends AnyFunSuite with SparkTestBase {
     // every repeated fluent doc scores identically (pure function of text)
     assert(fluent.map(f => scores(f._1)).distinct.size === 1)
   }
+
+  /** Independent naive interpolated-KN over a token corpus: returns
+    * P(w|prev) for ANY (prev, w) with prev seen — including unseen
+    * bigrams (the backoff path the operator's self-scoring never hits
+    * but the proper-distribution property needs). */
+  private def naiveKn(docs: Seq[Seq[String]], d: Double): (String, String) => Double = {
+    val bigrams = docs.filter(_.nonEmpty)
+      .flatMap(tk => (LangModel.Bos +: tk.dropRight(1)).zip(tk))
+    val c2 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1p = c2.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1c = c2.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nt = c2.size.toLong
+    (prev, w) =>
+      (math.max(c2.getOrElse((prev, w), 0L) - d, 0.0) +
+        d * n1p(prev) * n1c.getOrElse(w, 0L) / nt) / c1(prev)
+  }
+
+  test("kneserNeyScores: matches a naive KN replay; distribution sums to 1") {
+    val texts = Map(
+      0L -> "san francisco is big", 1L -> "san francisco bay",
+      2L -> "the bay is big", 3L -> "the big dog", 4L -> "is big san francisco")
+    val docs = (texts.toSeq :+ (9L -> "   ")).toDF("doc_id", "text")
+    val toks = texts.values.map(_.split(" ").toSeq).toSeq
+    val p = naiveKn(toks, 0.75)
+    val out = LangModel.kneserNeyScores(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(9L))
+    texts.foreach { case (id, text) =>
+      val tk = text.split(" ").toSeq
+      val expect = (LangModel.Bos +: tk.dropRight(1)).zip(tk)
+        .map { case (a, b) =>
+          BigDecimal(-math.log(p(a, b))).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }.sum.toDouble
+      val (_, n, nll, avg) = out(id)
+      assert(n === tk.size.toLong)
+      assert(math.abs(nll - expect) < 1e-9, s"doc $id: $nll vs $expect")
+      assert(math.abs(avg - nll / n) < 1e-12)
+    }
+    // interpolated KN is a PROPER distribution: for every seen context,
+    // P sums to exactly 1 over the full vocabulary (incl. unseen pairs)
+    val vocab = toks.flatten.distinct
+    val contexts = LangModel.Bos +: toks.flatMap(_.dropRight(1)).distinct
+    contexts.distinct.foreach { prev =>
+      val mass = vocab.map(w => p(prev, w)).sum
+      assert(math.abs(mass - 1.0) < 1e-12, s"context '$prev' mass $mass")
+    }
+    // "francisco" only ever follows "san": its continuation probability is
+    // minimal, so KN penalizes it in a NOVEL context far more than add-one
+    // count ratios would suggest — the signature Kneser-Ney behavior
+    assert(p("the", "francisco") < p("the", "is"))
+  }
 }

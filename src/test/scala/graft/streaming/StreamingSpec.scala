@@ -35,6 +35,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(batch.exists { case (_, t, n, _) => t == "click" && n == 2 }) // 0-60s window, user1
   }
 
+  test("stream-stream attribution join: cross-batch pairing, window bounds, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = Seq(
+      ev(10, 100, 1, "view"), ev(11, 200, 1, "view"),
+      ev(12, 150, 2, "view"), ev(13, 5000, 3, "view"))
+    val clicks = Seq(
+      ev(20, 210, 1), // in-window for views 10 (110s back) and 11 (10s back)
+      ev(21, 2000, 2), // 1850 s after view 12 — outside the 30-min (1800 s) window
+      ev(22, 5100, 3)) // pairs with view 13
+
+    val vMem = MemoryStream[Event]
+    val cMem = MemoryStream[Event]
+    // views arrive FIRST, the matching click in a LATER micro-batch —
+    // cross-batch state buffering is what makes it a stream-stream join
+    vMem.addData(views: _*)
+    val out = Streaming.attributionPairs(vMem.toDS(), cMem.toDS(),
+      windowMs = 30L * 60 * 1000, watermarkDelay = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    cMem.addData(clicks: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("attr")
+      .select("click_id", "view_id").as[(Long, Long)].collect().toSet
+    // click 20 pairs with BOTH in-window views; click 21's view is 1850 s
+    // stale (> 30 min) and must not pair; click 22 pairs across users? no —
+    // only its own user's view
+    assert(streamed === Set((20L, 10L), (20L, 11L), (22L, 13L)))
+
+    // the same plan over batch frames (watermarks no-op) agrees
+    val batch = Streaming.attributionPairs(views.toDS(), clicks.toDS(),
+        30L * 60 * 1000, "10 seconds")
+      .select("click_id", "view_id").as[(Long, Long)].collect().toSet
+    assert(batch === streamed)
+  }
+
   private def doc(id: Long, tSec: Long, text: String) =
     StreamDoc(id, new java.sql.Timestamp(tSec * 1000), text)
 
