@@ -235,6 +235,43 @@ object ClinicalQueries {
              |       f.gender, f.race, f.diagnosis_count, pm.project_max_diag,
              |       CASE WHEN pm.project_max_diag = 1 AND f.diagnosis_count = 1
              |            THEN f.pd END AS primary_diagnosis
-             |FROM f JOIN pm USING (project_submitter_id)""".stripMargin))
+             |FROM f JOIN pm USING (project_submitter_id)""".stripMargin)),
+
+    // C19 — SCD2 dimension maintenance (Kimball type-2 MERGE-with-history):
+    //   history = customer dimension at valid_from=0; the update batch
+    //   mixes changed attributes (%5: segment renamed → close + reopen),
+    //   NO-OP updates (%3 minus the %5 overlap: identical segment → row
+    //   untouched, no spurious version), and brand-new keys (+1000000 for
+    //   %7: open rows). The oracle derives every branch from the same
+    //   residue split — it never replays the join
+    "c19_scd2_history" -> Q(
+      (s, dir) => {
+        val cust = td(s, dir, "customer")
+        val hist = cust.select(col("c_custkey").as("k"),
+          col("c_mktsegment").as("segment"),
+          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+          lit(true).as("is_current"))
+        val changedU = cust.filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey").as("k"),
+            concat(col("c_mktsegment"), lit("-NEW")).as("segment"))
+        val noopU = cust.filter(col("c_custkey") % 3 === 0 && col("c_custkey") % 5 =!= 0)
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"))
+        val freshU = cust.filter(col("c_custkey") % 7 === 0)
+          .select((col("c_custkey") + 1000000L).as("k"), lit("FRESH").as("segment"))
+        val updates = changedU.unionByName(noopU).unionByName(freshU)
+        graft.ops.Scd.scd2Apply(hist, updates, "k", Seq("segment"), batchTs = 100L)
+      },
+      Some("""WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer)
+             |SELECT k, seg AS segment,
+             |  CAST(0 AS BIGINT) AS valid_from,
+             |  CAST(CASE WHEN k % 5 = 0 THEN 100 END AS BIGINT) AS valid_to,
+             |  k % 5 <> 0 AS is_current
+             |FROM c
+             |UNION ALL
+             |SELECT k, seg || '-NEW', CAST(100 AS BIGINT), CAST(NULL AS BIGINT), true
+             |FROM c WHERE k % 5 = 0
+             |UNION ALL
+             |SELECT k + 1000000, 'FRESH', CAST(100 AS BIGINT), CAST(NULL AS BIGINT), true
+             |FROM c WHERE k % 7 = 0""".stripMargin))
   )
 }

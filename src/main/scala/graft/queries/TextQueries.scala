@@ -1234,5 +1234,53 @@ object TextQueries {
       (s, dir) => graft.llm.LangModel.kneserNeyScores(
         td(s, dir, "documents"), "doc_id", "text"),
       Some(TextOracles.kneserNeySql())),
+
+    // dataset card (Gebru et al. 2021): one long-form (section, dim,
+    // metric, value) table of corpus composition — overall / per-lang /
+    // per-source counts, token mass, exact-dup share, mean quality —
+    // composed from the same primitives l1/l2/l4 oracle individually
+    "l99_dataset_card" -> Q(
+      (s, dir) => graft.llm.DatasetCard.datasetCard(
+        td(s, dir, "documents"), "doc_id", "text", "lang", "source"),
+      Some("""WITH t AS (SELECT doc_id, lang, source, text,
+             |    CAST(length(text) AS DOUBLE) AS nc,
+             |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS nw,
+             |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) AS np
+             |  FROM documents),
+             |base AS (SELECT doc_id, lang, source,
+             |    CAST(nw AS BIGINT) AS n_tok, CAST(nc AS BIGINT) AS n_chr,
+             |    round(least(nc/200.0, 1.0) * (1.0 - np/greatest(nc, 1.0))
+             |      * (0.5 + 0.5*least((nc/greatest(nw, 1.0))/8.0, 1.0)), 6) AS q,
+             |    md5(text) AS fp
+             |  FROM t),
+             |d AS (SELECT *, CASE WHEN count(*) OVER (PARTITION BY fp) > 1
+             |    THEN 1 ELSE 0 END AS is_dup FROM base),
+             |c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |    CAST(sum(n_chr) AS BIGINT) AS n_chars,
+             |    round(CAST(sum(is_dup) AS DOUBLE)/count(*), 6) AS dup_share,
+             |    round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE)/count(*), 6) AS mean_q
+             |  FROM d),
+             |lg AS (SELECT lang AS dim, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |    round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE)/count(*), 6) AS mean_q
+             |  FROM d GROUP BY 1),
+             |sr AS (SELECT source AS dim, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |    round(CAST(sum(is_dup) AS DOUBLE)/count(*), 6) AS dup_share
+             |  FROM d GROUP BY 1)
+             |SELECT 'corpus' AS section, 'all' AS dim, 'n_docs' AS metric,
+             |  CAST(n_docs AS DOUBLE) AS value FROM c
+             |UNION ALL SELECT 'corpus', 'all', 'n_tokens', CAST(n_tokens AS DOUBLE) FROM c
+             |UNION ALL SELECT 'corpus', 'all', 'n_chars', CAST(n_chars AS DOUBLE) FROM c
+             |UNION ALL SELECT 'corpus', 'all', 'dup_doc_share', dup_share FROM c
+             |UNION ALL SELECT 'corpus', 'all', 'mean_quality', mean_q FROM c
+             |UNION ALL SELECT 'lang', dim, 'n_docs', CAST(n_docs AS DOUBLE) FROM lg
+             |UNION ALL SELECT 'lang', dim, 'n_tokens', CAST(n_tokens AS DOUBLE) FROM lg
+             |UNION ALL SELECT 'lang', dim, 'mean_quality', mean_q FROM lg
+             |UNION ALL SELECT 'source', dim, 'n_docs', CAST(n_docs AS DOUBLE) FROM sr
+             |UNION ALL SELECT 'source', dim, 'n_tokens', CAST(n_tokens AS DOUBLE) FROM sr
+             |UNION ALL SELECT 'source', dim, 'dup_doc_share', dup_share FROM sr""".stripMargin)),
   )
 }

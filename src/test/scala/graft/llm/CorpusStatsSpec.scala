@@ -135,4 +135,35 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
       .select("n_pairs", "p1_num", "p1_den").as[(Long, Long, Long)].head()
     assert(got === ((1L, 2L, 3L)), "only the (4 vs 3) pair survives")
   }
+
+  test("datasetCard: sections reconcile, dup share counts fingerprint groups") {
+    val df = Seq(
+      (0L, "en", "web", "alpha beta gamma"),
+      (1L, "en", "web", "alpha beta gamma"), // exact dup of 0
+      (2L, "en", "book", "delta epsilon"),
+      (3L, "de", "web", "zeta eta theta iota")
+    ).toDF("doc_id", "lang", "source", "text")
+    val card = DatasetCard.datasetCard(df, "doc_id", "text", "lang", "source")
+      .as[(String, String, String, Double)].collect()
+    def v(sec: String, dim: String, m: String): Double =
+      card.collect { case (s, d, mm, x) if s == sec && d == dim && mm == m => x }.head
+    assert(v("corpus", "all", "n_docs") === 4.0)
+    assert(v("corpus", "all", "n_tokens") === (3 + 3 + 2 + 4).toDouble)
+    // both copies of the duplicated text count toward the dup share
+    assert(v("corpus", "all", "dup_doc_share") === 0.5)
+    assert(v("lang", "en", "n_docs") === 3.0 && v("lang", "de", "n_docs") === 1.0)
+    assert(v("source", "web", "dup_doc_share") === round6(2.0 / 3.0))
+    assert(v("source", "book", "dup_doc_share") === 0.0)
+    // sections partition the corpus: lang and source doc counts both sum
+    // to the corpus total, token mass reconciles across all three views
+    for (sec <- Seq("lang", "source")) {
+      val docs = card.collect { case (s, _, "n_docs", x) if s == sec => x }.sum
+      val toks = card.collect { case (s, _, "n_tokens", x) if s == sec => x }.sum
+      assert(docs === v("corpus", "all", "n_docs"), sec)
+      assert(toks === v("corpus", "all", "n_tokens"), sec)
+    }
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class ScdSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private type Row5 = (Long, String, Long, Option[Long], Boolean)
+
+  private def hist(rows: Row5*) =
+    rows.toDF("k", "seg", "valid_from", "valid_to", "is_current")
+
+  test("scd2Apply: change closes + reopens, no-op untouched, insert opens, chained batches") {
+    val h0 = hist((1L, "A", 0L, None, true), (2L, "B", 0L, None, true),
+      (3L, "C", 0L, None, true))
+    val u1 = Seq((1L, "A2"), (2L, "B"), (4L, "D")).toDF("k", "seg")
+    val h1 = Scd.scd2Apply(h0, u1, "k", Seq("seg"), batchTs = 10L)
+      .as[Row5].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(h1 === Seq(
+      (1L, "A", 0L, Some(10L), false), // changed: closed…
+      (1L, "A2", 10L, None, true),     // …and reopened
+      (2L, "B", 0L, None, true),       // no-op update: NOT versioned
+      (3L, "C", 0L, None, true),       // untouched key
+      (4L, "D", 10L, None, true)))     // brand-new key
+    // chaining a second batch versions on top of the new current rows and
+    // never rewrites closed history
+    val u2 = Seq((1L, "A3"), (3L, "C2")).toDF("k", "seg")
+    val h2 = Scd.scd2Apply(hist(h1: _*), u2, "k", Seq("seg"), batchTs = 20L)
+      .as[Row5].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(h2 === Seq(
+      (1L, "A", 0L, Some(10L), false),
+      (1L, "A2", 10L, Some(20L), false),
+      (1L, "A3", 20L, None, true),
+      (2L, "B", 0L, None, true),
+      (3L, "C", 0L, Some(20L), false),
+      (3L, "C2", 20L, None, true),
+      (4L, "D", 10L, None, true)))
+    // per-key invariants: exactly one current row, validity intervals chain
+    h2.groupBy(_._1).foreach { case (k, rows) =>
+      assert(rows.count(_._5) === 1, s"key $k current rows")
+      val sorted = rows.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4.contains(b._3), s"key $k interval chain")
+        case _ =>
+      }
+      assert(sorted.last._4.isEmpty)
+    }
+  }
+
+  test("scd2Apply: null-safe attribute comparison") {
+    val h0 = Seq((1L, Option.empty[String], 0L, Option.empty[Long], true),
+      (2L, Option("X"), 0L, Option.empty[Long], true))
+      .toDF("k", "seg", "valid_from", "valid_to", "is_current")
+    val u = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "seg")
+    val out = Scd.scd2Apply(h0, u, "k", Seq("seg"), 5L)
+      .as[(Long, Option[String], Long, Option[Long], Boolean)].collect()
+    // NULL → NULL is unchanged; X → NULL is a change
+    assert(out.count(_._1 == 1L) === 1)
+    assert(out.count(_._1 == 2L) === 2)
+    assert(out.filter(_._1 == 2L).count(_._5) === 1)
+  }
+}
