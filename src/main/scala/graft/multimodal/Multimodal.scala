@@ -33,6 +33,9 @@ final case class DownsampledPixel(media_id: Long, out_w: Int, out_h: Int,
 /** 64-bit perceptual difference hash of one image payload. */
 final case class ImageHash(media_id: Long, dhash: Long)
 
+/** 64-bit energy-envelope fingerprint of one audio payload. */
+final case class AudioFp(media_id: Long, afp: Long)
+
 /**
  * Multimodal column handling: image/audio/video as opaque `binary` columns
  * with typed metadata, decoded via per-partition batch functions.
@@ -342,6 +345,64 @@ object Multimodal {
     }
   }
 
+  /**
+   * REAL audio perceptual hashing in the codec seam: 64-bit
+   * energy-envelope fingerprint of a PCM WAV (the sign-of-gradient core
+   * of Haitsma & Kalker 2002's audio fingerprint, on frame ENERGY
+   * instead of per-band spectra — no FFT library in this container, and
+   * the envelope alone already survives small-amplitude noise): channel
+   * 0 is cut into `nBits+1` frames of `frameSize` samples, each frame's
+   * energy is the exact integer Σ s², and bit f is set iff the envelope
+   * rises frame f → f+1. Comparing energy GRADIENTS (like [[imageDHash]]
+   * for pixels) makes re-encodes land within a small Hamming radius
+   * while unrelated audio is ~32/64 away — the audio half of multimodal
+   * near-dup dedup, feeding [[graft.llm.Dedup.fingerprintNearDups]].
+   *
+   * PCM is parsed from the actual container bytes (blockAlign stride,
+   * 8-bit recenter / 16-bit LE sign fold — the [[resampleAudio2x]]
+   * conventions); payloads shorter than `(nBits+1)·frameSize` frames of
+   * channel-0 samples, or non-integer-PCM, are skipped (quarantine at
+   * m3).
+   */
+  def audioFingerprint(media: Dataset[MediaRecord], frameSize: Int = 4,
+                       nBits: Int = 64): Dataset[AudioFp] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        decodeWavChunks(m.payload) match {
+          case Some((ch, _, bits, _, dataOff, dataSize)) if bits == 8 || bits == 16 =>
+            val ba = ch * bits / 8
+            val avail = math.min(dataSize, (m.payload.length - dataOff).toLong)
+            val n = if (ba > 0) (avail / ba).toInt else 0
+            if (n < (nBits + 1) * frameSize) Iterator.empty
+            else {
+              def sample(s: Int): Int = {
+                val off = dataOff + s * ba
+                if (bits == 8) (m.payload(off) & 0xff) - 128
+                else ((m.payload(off) & 0xff) | (m.payload(off + 1) << 8)).toShort.toInt
+              }
+              val energy = Array.tabulate(nBits + 1) { f =>
+                var e = 0L
+                var i = f * frameSize
+                while (i < (f + 1) * frameSize) {
+                  val s = sample(i); e += s.toLong * s; i += 1
+                }
+                e
+              }
+              var fp = 0L
+              var f = 0
+              while (f < nBits) {
+                if (energy(f + 1) > energy(f)) fp |= 1L << f
+                f += 1
+              }
+              Iterator.single(AudioFp(m.media_id, fp))
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
   // ---- deterministic real-container generators (dev fixtures) ---------
 
   /** A real 24bpp bottom-up BMP (54-byte header + padded pixel rows);
@@ -447,6 +508,44 @@ object Multimodal {
     Seq(0, 1).map { v =>
       MediaRecord(2 * id + v, "image",
         bmpPatternBytes(PatternDim, PatternDim, (x, y) => patternGray(id, v, x, y)))
+    }
+
+  /** A real mono 16-bit PCM WAV whose samples come from `f(i)` — the
+    * structured-content sibling of [[wavBytes]] for the audio
+    * fingerprint fixtures. */
+  private[multimodal] def wavPatternBytes(nSamples: Int, f: Int => Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * nSamples)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * nSamples)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(2 * nSamples)
+    (0 until nSamples).foreach(i => bb.putShort(f(i).toShort))
+    bb.array()
+  }
+
+  /** m7 fixture length: (64+1) frames × 4 samples. */
+  val AudioSamples = 260
+
+  /** Channel-0 sample i of the audio-fingerprint fixture: a per-frame
+    * quadratic walk (mod 1999, recentred to ±999 so it always fits
+    * 16-bit PCM) plus a sparse +1 perturbation on the v=1 re-encode —
+    * energy gradients survive it, exact sample values do not. Closed
+    * form so the oracle recomputes every PCM sample from (id, v, i). */
+  private[multimodal] def patternSample(id: Long, v: Int, i: Int): Int = {
+    val u = i / 4
+    val base = (((3 + id % 11) * u + (1 + id % 7) * u * u + (id % 5) * i) % 1999).toInt - 999
+    val noise = if (v == 1 && (i + id) % 17 == 0) 1 else 0
+    base + noise
+  }
+
+  /** Two REAL WAVs per id: media_id = 2·id and 2·id+1 (the perturbed
+    * re-encode) — the planted near-dup pair for m7. */
+  def packAudioPairById(id: Long): Seq[MediaRecord] =
+    Seq(0, 1).map { v =>
+      MediaRecord(2 * id + v, "audio",
+        wavPatternBytes(AudioSamples, i => patternSample(id, v, i)))
     }
 
   /** Deterministic per-id media fixture: even ids → a real BMP, odd ids →

@@ -471,5 +471,23 @@ object AnnQueries {
             (expr("id1 div 2") === expr("id2 div 2")).as("same_doc"))
       },
       Some(MediaOracles.dhashPairsSql())),
+
+    // the audio half of multimodal near-dup dedup: 64-bit energy-envelope
+    // fingerprint (Haitsma-Kalker sign-of-gradient core) of real PCM WAV
+    // bytes + the same banded Hamming tail as m6; ids %4==1 (disjoint
+    // from m6's image slice), original + perturbed re-encode per id
+    "m7_audio_fp_pairs" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = td(s, dir, "documents")
+          .filter(col("doc_id") % 4 === 1).select(col("doc_id")).as[Long]
+          .flatMap(id => Multimodal.packAudioPairById(id))
+        val fps = Multimodal.audioFingerprint(media).toDF()
+        Dedup.fingerprintNearDups(fps, "media_id", "afp",
+            maxHamming = 3, blocks = 4, maxBucketSize = 4000)
+          .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"),
+            (expr("id1 div 2") === expr("id2 div 2")).as("same_doc"))
+      },
+      Some(MediaOracles.audioFpPairsSql())),
   )
 }

@@ -183,6 +183,56 @@ object MediaOracles {
        |FROM cand WHERE bit_count(xor(dh1, dh2)) <= $maxHamming""".stripMargin
   }
 
+  /**
+   * Bit-exact oracle for the audio-fingerprint near-dup pairs (m7): the
+   * fixture's PCM samples are the closed-form
+   * `Multimodal.patternSample(id, v, i)`, so the oracle recomputes all
+   * 260 samples per payload, the 65 exact frame energies, every one of
+   * the 64 envelope-gradient bits, the sign-folded hash, and the banded
+   * candidate join + Hamming verify (the m6 tail). A wrong data offset,
+   * stride, sign fold, or frame boundary in the Scala decoder flips
+   * compared pairs in or out.
+   */
+  def audioFpPairsSql(maxHamming: Int = 3): String = {
+    val pows = (0 until 64).map(f => s"CAST('${BigInt(1) << f}' AS HUGEINT)").mkString(", ")
+    s"""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id % 4 = 1),
+       |par AS (SELECT id, unnest([0, 1]) AS v FROM ids),
+       |smp AS (SELECT id, v, unnest(range(${graft.multimodal.Multimodal.AudioSamples})) AS i FROM par),
+       |sv AS (SELECT id, v, i // 4 AS f,
+       |    ((3 + id % 11) * (i // 4) + (1 + id % 7) * (i // 4) * (i // 4)
+       |      + (id % 5) * i) % 1999 - 999
+       |      + CASE WHEN v = 1 AND (i + id) % 17 = 0 THEN 1 ELSE 0 END AS s
+       |  FROM smp),
+       |en AS (SELECT id, v, f, CAST(sum(s * s) AS BIGINT) AS e FROM sv GROUP BY 1, 2, 3),
+       |pw AS (SELECT unnest(range(64)) AS f, unnest([$pows]) AS p),
+       |h AS (SELECT a.id * 2 + a.v AS media_id,
+       |    sum(CASE WHEN b.e > a.e THEN pw.p ELSE CAST('0' AS HUGEINT) END) AS uh
+       |  FROM en a JOIN en b ON b.id = a.id AND b.v = a.v AND b.f = a.f + 1
+       |    JOIN pw ON pw.f = a.f
+       |  GROUP BY 1),
+       |hb AS (
+       |  SELECT media_id, uh,
+       |    CAST(CASE WHEN uh >= CAST('$TwoPow63' AS HUGEINT)
+       |      THEN uh - CAST('$TwoPow64' AS HUGEINT) ELSE uh END AS BIGINT) AS dh
+       |  FROM h),
+       |sl AS (
+       |  SELECT media_id, dh,
+       |    unnest([CAST(0 AS BIGINT), 1, 2, 3]) AS blk,
+       |    unnest([CAST(uh % 65536 AS BIGINT),
+       |            CAST((uh // 65536) % 65536 AS BIGINT),
+       |            CAST((uh // 4294967296) % 65536 AS BIGINT),
+       |            CAST((uh // 281474976710656) % 65536 AS BIGINT)]) AS slice
+       |  FROM hb),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS id1, b.media_id AS id2, a.dh AS dh1, b.dh AS dh2
+       |  FROM sl a JOIN sl b ON a.blk = b.blk AND a.slice = b.slice
+       |    AND a.media_id < b.media_id)
+       |SELECT id1, id2,
+       |  CAST(bit_count(xor(dh1, dh2)) AS BIGINT) AS hamming,
+       |  (id1 // 2 = id2 // 2) AS same_doc
+       |FROM cand WHERE bit_count(xor(dh1, dh2)) <= $maxHamming""".stripMargin
+  }
+
   def downsampleSql: String = {
     val A = BigInt(6364136223846793005L)
     val C = BigInt(1442695040888963407L)

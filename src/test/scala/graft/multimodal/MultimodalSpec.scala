@@ -225,4 +225,36 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       Multimodal.packImagePairById(100L).head.payload.take(60))
     assert(Multimodal.imageDHash(Seq(wav, truncated).toDS()).collect().isEmpty)
   }
+
+  test("audioFingerprint: hand-computed envelope bits; quarantine semantics") {
+    // 260 samples whose frame energy alternates LOW (frames 0,2,4,…: all 0)
+    // and HIGH (odd frames: all 100): bit f = [E(f+1) > E(f)] = [f even]
+    val alt = Multimodal.wavPatternBytes(260,
+      i => if ((i / 4) % 2 == 1) 100 else 0)
+    val got = Multimodal.audioFingerprint(
+      Seq(MediaRecord(1L, "audio", alt)).toDS()).collect()(0).afp
+    val expect = (0 until 64 by 2).map(1L << _).foldLeft(0L)(_ | _)
+    assert(got === expect)
+    // too-short payloads and non-WAV payloads are skipped, not errored
+    val short = Multimodal.wavPatternBytes(100, _ => 1)
+    val bmp = Multimodal.packMediaById(0L)
+    assert(Multimodal.audioFingerprint(
+      Seq(MediaRecord(2L, "audio", short), bmp).toDS()).collect().isEmpty)
+  }
+
+  test("audioFingerprint pairs: planted re-encode near, distinct ids far") {
+    import graft.llm.Dedup
+    val media = Seq(7L, 8L, 9L).flatMap(Multimodal.packAudioPairById).toDS()
+    val fps = Multimodal.audioFingerprint(media).toDF()
+    val hs = fps.as[(Long, Long)].collect().toMap
+    for (id <- Seq(7L, 8L, 9L)) {
+      val d = java.lang.Long.bitCount(hs(2 * id) ^ hs(2 * id + 1))
+      assert(d <= 3, s"planted pair of id $id at hamming $d")
+    }
+    assert(java.lang.Long.bitCount(hs(14L) ^ hs(16L)) > 10)
+    val pairs = Dedup.fingerprintNearDups(fps, "media_id", "afp",
+        maxHamming = 3, blocks = 4, maxBucketSize = 1000)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    assert(Seq(7L, 8L, 9L).forall(id => pairs.contains((2 * id, 2 * id + 1))))
+  }
 }
