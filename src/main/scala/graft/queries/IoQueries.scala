@@ -181,6 +181,32 @@ object IoQueries {
              |CAST(sum(CASE WHEN doc_id % 2 = 0 OR lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_lang,
              |CAST(count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END) AS BIGINT) AS n_langs
              |FROM documents GROUP BY 1""".stripMargin),
-      eager = true)
+      eager = true),
+
+    // S23 — Z-order (Morton) clustering key: the Delta/Iceberg ZORDER BY
+    //   layout primitive — bit-interleaved (custkey, price-dollar) so
+    //   min/max footer pruning works on BOTH dimensions (ZOrderSpec
+    //   measures the skipping on real parquet footers vs a linear sort).
+    //   floor() before the long cast on BOTH sides: Spark's double→long
+    //   cast truncates, DuckDB's ROUNDS — floor makes them agree
+    "s23_zorder_key" -> Q(
+      (s, dir) => {
+        val pb = floor(col("o_totalprice")).cast("long")
+        td(s, dir, "orders").select(col("o_orderkey"),
+          pb.as("price_bucket"),
+          graft.ops.ZOrder.zValue(col("o_custkey"), pb).as("zval"))
+      },
+      Some {
+        // joined on ONE line: a "\n | " separator would be eaten by the
+        // surrounding stripMargin
+        val terms = (0 until 21).flatMap(i => Seq(
+          s"(((o_custkey >> $i) & 1) << ${2 * i})",
+          s"(((pb >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+        s"""WITH t AS (SELECT o_orderkey, o_custkey,
+           |    CAST(floor(o_totalprice) AS BIGINT) AS pb FROM orders)
+           |SELECT o_orderkey, pb AS price_bucket,
+           |  CAST($terms AS BIGINT) AS zval
+           |FROM t""".stripMargin
+      })
   )
 }

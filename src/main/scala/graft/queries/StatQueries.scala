@@ -288,6 +288,22 @@ object StatQueries {
              |    3 * CAST(n_tot AS HUGEINT) * (n_tot - 1) * (u2h - nanb) * (u2h - nanb)
              |    > 4 * nanb * ((CAST(n_tot AS HUGEINT)*n_tot*n_tot - n_tot) - ties)
              |  ) AS significant
-             |FROM u""".stripMargin))
+             |FROM u""".stripMargin)),
+
+    // k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
+    // al. 2007) — the release-gate governance table next to the PII scrub
+    // (l26): one row per quasi-identifier class (nation, segment) with
+    // its size, sensitive-value (acctbal) diversity, and both violation
+    // flags; ONE hash-agg, no joins
+    "l100_k_anonymity" -> Q(
+      (s, dir) => graft.ops.Anonymity.kAnonymityAudit(
+        td(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
+        "c_acctbal", k = 5, l = 3),
+      Some("""SELECT c_nationkey, c_mktsegment,
+             |  CAST(count(*) AS BIGINT) AS class_n,
+             |  CAST(count(DISTINCT c_acctbal) AS BIGINT) AS sensitive_distinct,
+             |  count(*) < 5 AS violates_k,
+             |  count(DISTINCT c_acctbal) < 3 AS violates_l
+             |FROM customer GROUP BY 1, 2""".stripMargin))
   )
 }
