@@ -636,6 +636,45 @@ object TextOracles {
        |SELECT node, r AS rank_micro FROM r$iters""".stripMargin
   }
 
+  /** Exact twin of [[graft.ops.Graph.triangleCounts]] over the l89
+    * synthesized domain link graph — l101_triangle_count. Same arms CTE
+    * as the PageRank oracle, then the full degree-oriented wedge
+    * construction replayed relationally: undirected dedupe, (degree,
+    * node)-lexicographic orientation, value-ordered wedge pairs, the
+    * both-directions closing join, per-corner unpivot, and the
+    * floor-arithmetic clustering coefficient. */
+  def triangleCountSql(nDomains: Int): String =
+    s"""WITH arms AS (
+       |  SELECT source AS src,
+       |    'src' || CAST(('0x'||substr(md5('link'||t.r||chr(31)
+       |      ||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % $nDomains AS VARCHAR) AS dst
+       |  FROM documents CROSS JOIN range(0, 2) t(r)),
+       |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM arms WHERE src <> dst),
+       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+       |    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+       |wd AS (SELECT e0.a, e0.b, da.degree AS da, db.degree AS db
+       |  FROM e0 JOIN deg da ON da.node = e0.a JOIN deg db ON db.node = e0.b),
+       |o AS (SELECT
+       |    CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS lo,
+       |    CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS hi
+       |  FROM wd),
+       |wg AS (SELECT w1.lo, w1.hi AS x, w2.hi AS y
+       |  FROM o w1 JOIN o w2 USING (lo) WHERE w1.hi < w2.hi),
+       |cl AS (SELECT lo AS x, hi AS y FROM o UNION ALL SELECT hi, lo FROM o),
+       |tr AS (SELECT wg.lo AS n1, wg.x AS n2, wg.y AS n3
+       |  FROM wg JOIN cl ON cl.x = wg.x AND cl.y = wg.y),
+       |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+       |    SELECT n1 AS node FROM tr UNION ALL SELECT n2 FROM tr
+       |    UNION ALL SELECT n3 FROM tr) GROUP BY 1)
+       |SELECT deg.node, deg.degree,
+       |  CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles,
+       |  CAST(CASE WHEN deg.degree >= 2
+       |    THEN (2 * COALESCE(pn.triangles, 0) * 1000000)
+       |      // (deg.degree * (deg.degree - 1))
+       |    ELSE 0 END AS BIGINT) AS lcc_micro
+       |FROM deg LEFT JOIN pn USING (node)""".stripMargin
+
   /** Exact twin of the l90 registry row: the l4 quality score feeding
     * fixed-threshold phases, hash shards, and dense per-(phase, shard)
     * positions ([[graft.llm.Sampling.curriculumSchedule]]). */

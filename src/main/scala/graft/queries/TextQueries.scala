@@ -1023,6 +1023,21 @@ object TextQueries {
       Some(TextOracles.domainPageRankSql(iters = 5, nDomains = 20,
         dampNum = 85L, dampDen = 100L))),
 
+    // exact triangle counting + local clustering coefficient over the
+    // SAME synthesized domain link graph as l89: the density/link-farm
+    // signal next to centrality. Degree-oriented wedges (hub-safe O(√m)
+    // fan-out), one closing equi-join, floor-arithmetic coefficient
+    "l101_triangle_count" -> Q(
+      (s, dir) => {
+        val arms = td(s, dir, "documents").select(col("source").as("src"),
+          explode(array((0 until 2).map(r =>
+            concat(lit("src"), pmod(TextOps.portableHash60(
+              concat(lit("link" + r + graft.llm.Sampling.SeedSep),
+                col("doc_id").cast("string"))), lit(20L)).cast("string"))): _*)).as("dst"))
+        graft.ops.Graph.triangleCounts(arms, "src", "dst")
+      },
+      Some(TextOracles.triangleCountSql(nDomains = 20))),
+
     // curriculum training schedule: quality-threshold phases (cleanest
     // first), hash shards + dense positions within each phase — the
     // epoch-shuffle shape with a curriculum axis; thresholds not

@@ -43,4 +43,31 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Long)].collect().toMap
     assert(r === again)
   }
+
+  test("triangleCounts: hand-computed triangles, clustering coefficients, degenerate cases") {
+    import spark.implicits._
+    // K4 minus edge {a,b}: triangles acd + bcd → a:1 b:1 c:2 d:2
+    val k4m = Seq(("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"))
+      .toDF("s", "d")
+    val got = Graph.triangleCounts(k4m, "s", "d")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("a") === (("a", 2L, 1L, 1000000L)))
+    assert(got("b") === (("b", 2L, 1L, 1000000L)))
+    assert(got("c") === (("c", 3L, 2L, 666666L)))
+    assert(got("d") === (("d", 3L, 2L, 666666L)))
+    // a path has no triangles; duplicate / reversed / self-loop edges
+    // must not create any
+    val path = Seq(("p", "q"), ("q", "p"), ("q", "r"), ("q", "r"), ("r", "r"))
+      .toDF("s", "d")
+    val pg = Graph.triangleCounts(path, "s", "d")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(pg.values.forall(_._3 === 0L))
+    assert(pg("q")._2 === 2L && pg("p")._2 === 1L) // deduped degrees
+    // K5: every node in C(4,2)=6 triangles at lcc exactly 1
+    val k5 = (for { i <- 0 until 5; j <- i + 1 until 5 } yield (s"n$i", s"n$j"))
+      .toDF("s", "d")
+    val kg = Graph.triangleCounts(k5, "s", "d")
+      .as[(String, Long, Long, Long)].collect()
+    assert(kg.forall(r => r._2 == 4L && r._3 == 6L && r._4 == 1000000L))
+  }
 }
