@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -104,5 +104,48 @@ object Curation {
           .when(col("verdict") === "unique", lit("admitted"))
           .otherwise(col("verdict")).as("verdict"),
         col("dup_of"))
+  }
+
+  /**
+   * Filter-overlap ablation matrix: for a set of named reject conditions,
+   * how many docs fail each PAIR (and how many ONLY that filter) — the
+   * redundancy diagnostic a curation team reads before spending compute
+   * on a rule ("everything the entropy rule rejects, the quality
+   * classifier already rejects" ⇒ drop the rule; "filter X uniquely
+   * removes 0 docs" ⇒ it's dead weight). The ablation-table habit of the
+   * Gopher/RefinedWeb rule studies, as a query.
+   *
+   * Output rows (filter_a, filter_b, n_docs):
+   *  - diagonal a = b: total docs failing the filter;
+   *  - a before b in the DECLARED order: docs failing both;
+   *  - (a, "__only__"): docs failing a and nothing else.
+   *
+   * Scale shape: each doc emits its ≤ k(k+1)/2 failed-pair structs
+   * expression-side (k = #filters, a constant) and ONE hash-agg counts
+   * them — no self-joins, no windows; 100 TB reduces to ≤ k²+k rows.
+   */
+  def filterOverlapMatrix(docs: DataFrame,
+                          filters: Seq[(String, Column)]): DataFrame = {
+    val names = filters.map(_._1)
+    require(names.distinct.size == names.size, "filter names must be unique")
+    val marked = array(filters.map { case (n, c) =>
+      when(coalesce(c, lit(false)), lit(n)).otherwise(lit(null))
+    }: _*)
+    val flagged = docs
+      .select(filter(marked, x => x.isNotNull).as("fails"))
+      .filter(size(col("fails")) > 0)
+    // (a, a), (a, every later b) per doc — declared order, diagonal incl.
+    val pairs = flagged.select(
+      explode(flatten(transform(col("fails"), (a, i) =>
+        transform(slice(col("fails"), i + 1, size(col("fails"))),
+          b => struct(a.as("filter_a"), b.as("filter_b")))))).as("p"),
+      (size(col("fails")) === 1).as("_solo"))
+    val matrix = pairs.groupBy(col("p.filter_a"), col("p.filter_b"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val only = pairs.filter(col("_solo"))
+      .groupBy(col("p.filter_a").as("filter_a"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .select(col("filter_a"), lit("__only__").as("filter_b"), col("n_docs"))
+    matrix.unionByName(only)
   }
 }

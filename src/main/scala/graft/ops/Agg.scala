@@ -263,4 +263,60 @@ object Agg {
         .as("effect_micro"),
       (col("na") >= 2 && col("nb") >= 2 && lhs > rhs).as("significant"))
   }
+
+  /**
+   * Exact per-group ordinary least squares over a daily series — the
+   * volume-TREND monitor next to the level drift tests (a21-a24): fit
+   * count ~ day per key and report slope, intercept, and R² in integer
+   * micro-units, all floor arithmetic on exact integer sums so the fit is
+   * bit-identical on any engine (floating-point OLS is
+   * summation-order-dependent).
+   *
+   *   slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²),  x centered to day − min(day)
+   *   R²    = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+   *
+   * Products run in DECIMAL(38,0) (longs overflow at the ·10⁶ step);
+   * slope/intercept sign-split so Spark's truncating `div` and DuckDB's
+   * flooring `//` agree on negatives (the a24 rule). Constant-x or
+   * constant-y degenerate groups yield NULL slope / R².
+   *
+   * Scale shape: events reduce to one (key, day) row via a hash-agg, the
+   * window min for centering runs over that TINY daily table, and the
+   * regression is ONE more hash-agg — 100 TB of events never sort.
+   */
+  def olsTrend(df: DataFrame, keyCol: String, tsUsCol: String): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    val daily = df
+      .groupBy(col(keyCol).as("key"), expr(s"$tsUsCol div 86400000000").as("day"))
+      .agg(count(lit(1)).cast("long").as("y"))
+    val centered = daily
+      .withColumn("x", col("day") -
+        min(col("day")).over(org.apache.spark.sql.expressions.Window.partitionBy("key")))
+    val g = centered.groupBy("key").agg(
+      count(lit(1)).cast("long").as("n"),
+      sum("x").cast(d38).as("sx"),
+      sum("y").cast(d38).as("sy"),
+      sum(col("x").cast(d38) * col("y")).cast(d38).as("sxy"),
+      sum(col("x").cast(d38) * col("x")).cast(d38).as("sxx"),
+      sum(col("y").cast(d38) * col("y")).cast(d38).as("syy"))
+    g.withColumn("num", expr(s"CAST(n AS $d38) * sxy - sx * sy"))
+      .withColumn("den", expr(s"CAST(n AS $d38) * sxx - sx * sx"))
+      .withColumn("deny", expr(s"CAST(n AS $d38) * syy - sy * sy"))
+      // sign-split floor-of-abs (truncating div == flooring // on ≥ 0)
+      .withColumn("slope_micro", expr(
+        """CASE WHEN den > 0 THEN
+          |  CASE WHEN num >= 0 THEN CAST((num * 1000000) div den AS LONG)
+          |       ELSE -CAST(((-num) * 1000000) div den AS LONG) END
+          |END""".stripMargin))
+      .withColumn("icnum", expr(s"sy * 1000000 - CAST(slope_micro AS $d38) * sx"))
+      .withColumn("intercept_micro", expr(
+        """CASE WHEN den > 0 THEN
+          |  CASE WHEN icnum >= 0 THEN CAST(icnum div n AS LONG)
+          |       ELSE -CAST((-icnum) div n AS LONG) END
+          |END""".stripMargin))
+      .withColumn("r2_micro", expr(
+        "CASE WHEN den > 0 AND deny > 0 THEN CAST((num * num * 1000000) div (den * deny) AS LONG) END"))
+      .select(col("key").as(keyCol), col("n").as("n_days"),
+        col("slope_micro"), col("intercept_micro"), col("r2_micro"))
+  }
 }

@@ -290,6 +290,44 @@ object StatQueries {
              |  ) AS significant
              |FROM u""".stripMargin)),
 
+    // a25 — exact per-key OLS volume trend over the daily event series:
+    // the TREND monitor next to the level drift tests (a21-a24); slope /
+    // intercept / R² in integer micro-units from exact integer sums,
+    // DECIMAL(38,0)·HUGEINT products, sign-split floor division (the a24
+    // rule). Events reduce to one (key, day) row before any window
+    "a25_ols_trend" -> Q(
+      (s, dir) => graft.ops.Agg.olsTrend(
+        Registry.tdEventsUs(s, dir), "event_type", "ts_us"),
+      Some("""WITH daily AS (SELECT event_type AS key,
+             |    epoch_us(ts)//86400000000 AS day, CAST(count(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2),
+             |c AS (SELECT key, day - min(day) OVER (PARTITION BY key) AS x, y FROM daily),
+             |g AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+             |  FROM c GROUP BY 1),
+             |t AS (SELECT key, n,
+             |    CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+             |    CAST(n AS HUGEINT) * sxx - sx * sx AS den,
+             |    CAST(n AS HUGEINT) * syy - sy * sy AS deny,
+             |    sx, sy FROM g),
+             |sl AS (SELECT *, CASE WHEN den > 0 THEN
+             |    CASE WHEN num >= 0 THEN CAST((num * 1000000) // den AS BIGINT)
+             |         ELSE -CAST(((-num) * 1000000) // den AS BIGINT) END
+             |  END AS slope_micro FROM t),
+             |ic AS (SELECT *, sy * 1000000 - CAST(slope_micro AS HUGEINT) * sx AS icnum FROM sl)
+             |SELECT key AS event_type, n AS n_days, slope_micro,
+             |  CASE WHEN den > 0 THEN
+             |    CASE WHEN icnum >= 0 THEN CAST(icnum // n AS BIGINT)
+             |         ELSE -CAST((-icnum) // n AS BIGINT) END
+             |  END AS intercept_micro,
+             |  CASE WHEN den > 0 AND deny > 0
+             |    THEN CAST((num * num * 1000000) // (den * deny) AS BIGINT)
+             |  END AS r2_micro
+             |FROM ic""".stripMargin)),
+
     // k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
     // al. 2007) — the release-gate governance table next to the PII scrub
     // (l26): one row per quasi-identifier class (nation, segment) with

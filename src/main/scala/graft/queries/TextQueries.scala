@@ -1038,6 +1038,57 @@ object TextQueries {
       },
       Some(TextOracles.triangleCountSql(nDomains = 20))),
 
+    // filter-overlap ablation matrix (the Gopher/RefinedWeb rule-study
+    // table as a query): per filter PAIR, docs failing both; per filter,
+    // docs ONLY it catches — the "is this rule redundant / dead weight"
+    // diagnostic. Five replayable reject rules over documents; expression-
+    // side pair explosion + ONE hash-agg
+    "l102_filter_overlap" -> Q(
+      (s, dir) => {
+        val docs = td(s, dir, "documents")
+          .withColumn("_q", TextOps.qualityScore(col("text")))
+          .withColumn("_fpc",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(graft.llm.Dedup.exactFingerprint(col("text")))))
+        graft.llm.Curation.filterOverlapMatrix(docs, Seq(
+          "short" -> (length(col("text")) < 200),
+          "low_quality" -> (col("_q") < 0.3),
+          "pii" -> (TextOps.piiCount(col("text")) > 0),
+          "exact_dup" -> (col("_fpc") > 1),
+          "non_en" -> not(col("lang") <=> lit("en"))))
+      },
+      Some {
+        val names = Seq("short", "low_quality", "pii", "exact_dup", "non_en")
+        val pairSelects = (for {
+          i <- names.indices; j <- i until names.size
+        } yield
+          s"""SELECT '${names(i)}' AS filter_a, '${names(j)}' AS filter_b,
+             |  CAST(count(*) AS BIGINT) AS n_docs
+             |FROM flags WHERE f_${names(i)} AND f_${names(j)} HAVING count(*) > 0""".stripMargin)
+        val onlySelects = names.map { n =>
+          val others = names.filter(_ != n).map(o => s"NOT f_$o").mkString(" AND ")
+          s"""SELECT '$n', '__only__', CAST(count(*) AS BIGINT)
+             |FROM flags WHERE f_$n AND $others HAVING count(*) > 0""".stripMargin
+        }
+        s"""WITH t AS (SELECT doc_id, lang, text,
+           |    CAST(length(text) AS DOUBLE) AS nc,
+           |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS nw,
+           |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS np,
+           |    count(*) OVER (PARTITION BY md5(text)) AS fpc
+           |  FROM documents),
+           |flags AS (SELECT
+           |    length(text) < 200 AS f_short,
+           |    round(least(nc/200.0, 1.0) * (1.0 - np/greatest(nc, 1.0))
+           |      * (0.5 + 0.5*least((nc/greatest(nw, 1.0))/8.0, 1.0)), 6) < 0.3 AS f_low_quality,
+           |    len(regexp_extract_all(text, '${graft.llm.TextOps.EmailPattern}'))
+           |      + len(regexp_extract_all(text, '${graft.llm.TextOps.PhonePattern}')) > 0 AS f_pii,
+           |    fpc > 1 AS f_exact_dup,
+           |    lang IS DISTINCT FROM 'en' AS f_non_en
+           |  FROM t)
+           |${(pairSelects ++ onlySelects).mkString("\nUNION ALL\n")}""".stripMargin
+      }),
+
     // curriculum training schedule: quality-threshold phases (cleanest
     // first), hash shards + dense positions within each phase — the
     // epoch-shuffle shape with a curriculum axis; thresholds not

@@ -40,4 +40,33 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(fin._4 === 1L) // one survivor
     assert(fin._5 === t1.split("\\s+").length.toLong) // doc 2 (lower id) kept
   }
+
+  test("filterOverlapMatrix: pair intersections, only-counts, null conditions") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, 10, true),   // fails A (x<20) and B (flag)
+      (2L, 10, false),  // fails ONLY A
+      (3L, 50, true),   // fails ONLY B
+      (4L, 50, false),  // fails nothing → contributes nowhere
+      (5L, 10, true)    // fails A and B
+    ).toDF("id", "x", "flag")
+    val got = Curation.filterOverlapMatrix(df, Seq(
+        "A" -> (col("x") < 20),
+        "B" -> col("flag"),
+        "C" -> (col("x") > 1000)))        // never fires → absent entirely
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("A", "A")) === 3L)        // diagonal = total fails
+    assert(got(("B", "B")) === 3L)
+    assert(got(("A", "B")) === 2L)        // docs 1 and 5
+    assert(got(("A", "__only__")) === 1L) // doc 2
+    assert(got(("B", "__only__")) === 1L) // doc 3
+    assert(!got.keys.exists(_._1 == "C") && !got.keys.exists(_._2 == "C"))
+    assert(!got.contains(("B", "A")), "pairs keep declared order")
+    // NULL condition values count as not-failing, not as errors
+    val withNull = Seq((1L, Some(true)), (2L, None)).toDF("id", "f")
+    val g2 = Curation.filterOverlapMatrix(withNull, Seq("N" -> col("f")))
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(g2(("N", "N")) === 1L)
+  }
 }

@@ -113,4 +113,28 @@ class WelchSpec extends AnyFunSuite with SparkTestBase {
     assert(z.forall(!_._5))
     assert(z.forall(_._4 === 0L), "identical ranks give zero effect")
   }
+
+  test("olsTrend: exact fits, degenerate groups, day centering") {
+    val dayUs = 86400000000L
+    // "up": perfect line y = 2x + 3 over days 100..104 → slope 2, R² = 1
+    // "flat": constant y = 7 → slope 0, deny = 0 → NULL R²
+    // "one": a single day → den = 0 → NULL slope
+    def ev(key: String, day: Long, n: Int) =
+      (0 until n).map(i => (key, day * dayUs + i)) // i µs apart, same day
+    val rows = (0 until 5).flatMap(d => ev("up", 100 + d, 3 + 2 * d)) ++
+      (0 until 4).flatMap(d => ev("flat", 200 + d, 7)) ++
+      ev("one", 300, 5)
+    val df = rows.toDF("event_type", "ts_us")
+    val got = Agg.olsTrend(df, "event_type", "ts_us")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("up") === (("up", 5L, Some(2000000L), Some(3000000L), Some(1000000L))))
+    assert(got("flat") === (("flat", 4L, Some(0L), Some(7000000L), None)))
+    assert(got("one") === (("one", 1L, None, None, None)))
+    // negative slope floors toward −∞ consistently: y = −3x + 10
+    val down = (0 until 4).flatMap(d => ev("down", 50 + d, 10 - 3 * d)).toDF("event_type", "ts_us")
+    val gd = Agg.olsTrend(down, "event_type", "ts_us")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])].collect()(0)
+    assert(gd._3 === Some(-3000000L) && gd._5 === Some(1000000L))
+  }
 }
