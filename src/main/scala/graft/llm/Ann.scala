@@ -127,6 +127,40 @@ object Ann {
   }
 
   /**
+   * Matryoshka truncation evaluation (Kusupati et al. 2022, MRL — the
+   * embedding-deployment question every retrieval stack now asks: how
+   * much recall does serving the FIRST d dimensions cost?): for each
+   * candidate prefix length, rank by cosine over the truncated vectors
+   * and measure overlap@k against the full-dimension ranking. The output
+   * is the dim-vs-recall table that picks the serving dimension.
+   *
+   * Exact integers out (hit counts; mean recall in floor micro-units) —
+   * rankings use the 6-dp-rounded sim + id tie-break (engine-stable, the
+   * l9 rule). Scale shape: one [[bruteForceTopKJoin]] per dim (queries
+   * broadcast, corpus scanned once per dim, no shuffle); an eval-set
+   * operator — per-query cost is O(N·d), run it on the eval slice, not
+   * the corpus.
+   */
+  def matryoshkaEval(emb: DataFrame, vecCol: String, idCol: String,
+                     dims: Seq[Int], k: Int, nQueries: Int): DataFrame = {
+    val queries = emb.filter(col(idCol) < nQueries)
+    val truth = bruteForceTopKJoin(emb, queries, vecCol, idCol, k)
+      .select(col("query_id"), col("corpus_id"))
+    dims.map { d =>
+      val sliced = emb.select(col(idCol), slice(col(vecCol), 1, d).as("_mv"))
+      val top = bruteForceTopKJoin(sliced, sliced.filter(col(idCol) < nQueries),
+        "_mv", idCol, k)
+      top.join(truth, Seq("query_id", "corpus_id"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("sum_hits"))
+        .select(lit(d.toLong).as("dim"),
+          lit(nQueries.toLong).as("n_queries"),
+          col("sum_hits"),
+          expr(s"(sum_hits * 1000000L) div (${nQueries.toLong}L * ${k}L)")
+            .cast("long").as("mean_recall_micro"))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
    * Hard-negative mining for contrastive training data: per query, the
    * k most cosine-similar corpus vectors with a DIFFERENT label — the
    * "looks like the anchor but isn't its class" examples a retrieval /

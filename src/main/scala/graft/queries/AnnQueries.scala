@@ -489,5 +489,36 @@ object AnnQueries {
             (expr("id1 div 2") === expr("id2 div 2")).as("same_doc"))
       },
       Some(MediaOracles.audioFpPairsSql())),
+
+    // Matryoshka truncation eval (Kusupati et al. 2022): overlap@5 of
+    // truncated-dim cosine rankings vs the full 64-dim ranking, per
+    // candidate serving dimension — the dim-vs-recall table that decides
+    // how much of each stored vector retrieval actually reads. Exact
+    // integer hits; 6-dp-rounded rank keys (the l9 rule) on both engines
+    "l103_matryoshka_eval" -> Q(
+      (s, dir) => Ann.matryoshkaEval(td(s, dir, "embeddings"),
+        "embedding", "vec_id", dims = Seq(64, 32, 16, 8), k = 5, nQueries = 16),
+      Some {
+        def top(name: String, vq: String, vc: String) =
+          s"""$name AS (SELECT query_id, corpus_id FROM (
+             |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY round(list_dot_product($vc, $vq)
+             |          / (sqrt(list_dot_product($vq, $vq)) * sqrt(list_dot_product($vc, $vc))), 6) DESC,
+             |          c.vec_id) AS rk
+             |    FROM ec c CROSS JOIN eq q WHERE c.vec_id <> q.vec_id) WHERE rk <= 5)""".stripMargin
+        val dims = Seq(64, 32, 16, 8)
+        val dimCtes = dims.map(d => top(s"t$d", s"q.v[1:$d]", s"c.v[1:$d]"))
+        val hits = dims.map(d =>
+          s"""SELECT CAST($d AS BIGINT) AS dim, CAST(16 AS BIGINT) AS n_queries,
+             |  CAST(count(*) AS BIGINT) AS sum_hits,
+             |  CAST((count(*) * 1000000) // 80 AS BIGINT) AS mean_recall_micro
+             |FROM t$d JOIN truth USING (query_id, corpus_id)""".stripMargin)
+        s"""WITH eq AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 16),
+           |ec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |${top("truth", "q.v", "c.v")},
+           |${dimCtes.mkString(",\n")}
+           |${hits.mkString("\nUNION ALL\n")}""".stripMargin
+      }),
   )
 }

@@ -183,6 +183,57 @@ object IoQueries {
              |FROM documents GROUP BY 1""".stripMargin),
       eager = true),
 
+    // S24 — corrupt-record QUARANTINE on JSONL ingest: a fixture where
+    //   every %7 line is truncated mid-object, read back in PERMISSIVE
+    //   mode with columnNameOfCorruptRecord — parseable rows load typed,
+    //   broken rows land whole in the quarantine column (raw bytes
+    //   preserved for replay/debugging), and the job NEVER dies mid-scan
+    //   (FAILFAST on 100 TB of crawl JSONL is an outage, not a policy).
+    //   The oracle rebuilds the exact line strings and the portable-hash
+    //   sum of the quarantined ones
+    "s24_corrupt_quarantine" -> Q(
+      (s, dir) => {
+        val path = s"$FixtureRoot/s24_${new java.io.File(dir).getName}"
+        val line = concat(lit("{\"doc_id\": "), col("doc_id"),
+          lit(", \"source\": \""), col("source"),
+          lit("\", \"n_chars\": "), col("n_chars"), lit("}"))
+        td(s, dir, "documents")
+          .withColumn("_l", line)
+          .select(when(col("doc_id") % 7 === 0,
+              expr("substring(_l, 1, length(_l) - 1)"))
+            .otherwise(col("_l")).as("value"))
+          .write.mode("overwrite").text(path)
+        val back = s.read
+          .schema("doc_id LONG, source STRING, n_chars LONG, _corrupt_record STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(path)
+        back.groupBy(when(col("_corrupt_record").isNull, "good")
+            .otherwise("quarantined").as("status"))
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum("n_chars").cast("long").as("n_chars_sum"),
+            sum(when(col("_corrupt_record").isNotNull,
+              graft.llm.TextOps.portableHash60(col("_corrupt_record")))
+              .cast("decimal(38,0)")).cast("decimal(38,0)").cast("string")
+              .as("line_hash_sum"))
+      },
+      Some("""WITH l AS (SELECT doc_id, n_chars,
+             |    '{"doc_id": ' || CAST(doc_id AS VARCHAR) || ', "source": "'
+             |      || source || '", "n_chars": ' || CAST(n_chars AS VARCHAR) || '}' AS line
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_chars,
+             |    CASE WHEN doc_id % 7 = 0
+             |      THEN substring(line, 1, length(line) - 1) ELSE line END AS line,
+             |    doc_id % 7 = 0 AS bad
+             |  FROM l)
+             |SELECT CASE WHEN bad THEN 'quarantined' ELSE 'good' END AS status,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(CASE WHEN NOT bad THEN sum(n_chars) END AS BIGINT) AS n_chars_sum,
+             |  CASE WHEN bad THEN CAST(sum(('0x'||substr(md5(line),1,15))::BIGINT::HUGEINT) AS VARCHAR)
+             |  END AS line_hash_sum
+             |FROM c GROUP BY bad""".stripMargin),
+      eager = true),
+
     // S23 — Z-order (Morton) clustering key: the Delta/Iceberg ZORDER BY
     //   layout primitive — bit-interleaved (custkey, price-dollar) so
     //   min/max footer pruning works on BOTH dimensions (ZOrderSpec

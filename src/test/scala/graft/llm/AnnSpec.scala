@@ -174,4 +174,21 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(r => (r._1, r._2)).toSet == Set((1L, 11L), (2L, 12L)))
     assert(out.forall(_._3 > 1.0), s"planted pairs clear the margin: ${out.toSeq}")
   }
+
+  test("matryoshkaEval: full dim is identity recall; informative prefix survives truncation") {
+    import org.apache.spark.sql.functions.col
+    // vectors whose FIRST 2 dims carry all the structure (the MRL training
+    // premise): truncating to 2 dims preserves the ranking exactly, while
+    // dims 3-4 are a constant that cannot reorder anything
+    val e = (0L until 20L).map { i =>
+      (i, Array((i % 5).toFloat + 1f, (i % 7).toFloat + 1f, 1f, 1f))
+    }.toDF("vec_id", "embedding")
+    val out = Ann.matryoshkaEval(e, "embedding", "vec_id",
+        dims = Seq(4, 2), k = 3, nQueries = 4)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(4L) === ((4L, 4L, 12L, 1000000L))) // full dim ≡ truth
+    // 2-dim prefix: same relative geometry up to the constant tail — high
+    // overlap (ties broken identically by the rounded-sim + id rule)
+    assert(out(2L)._4 >= 500000L, s"2-dim recall ${out(2L)._4}")
+  }
 }
