@@ -64,6 +64,7 @@ object Registry {
     ProjectionQueries.all ++ JoinQueries.all ++ AggQueries.all ++
       WindowSortSetQueries.all ++ ScalarFnQueries.all ++
       DedupQueries.all ++ AnnQueries.all ++ TextQueries.all ++
+      CurationQueries.all ++ TextEvalQueries.all ++
       IoQueries.all ++ CompositeQueries.all ++
       ClinicalQueries.all ++ ApiQueries.all ++ StreamingQueries.all ++
       PipelineQueries.all ++ ScaleQueries.all ++ StatQueries.all

@@ -672,681 +672,5 @@ object TextQueries {
              |  CAST(sum(term) AS DOUBLE) < 3.0 AS low_entropy
              |FROM t GROUP BY 1""".stripMargin)),
 
-    // COMPOSED curation pipeline: normalize (l47) -> learned quality gate
-    // (l46) -> md5 keep-first dedup (l1 family) -> per-source funnel
-    // report. The operators prove they compose; the oracle is the same
-    // CTE chain end to end and stays exact
-    // COMPOSED incremental ingest admission — the streaming foreachBatch
-    // tail (Curation.admitIncrement) run as a batch: normalize (l47) →
-    // streaming-safe gate (l46 micros scorer) over the doc_id%10=0 new
-    // batch → l56 incremental-dedup verdicts vs the standing corpus,
-    // mapped to admitted / rejected_quality / exact_dup / near_dup.
-    // Portable family + the oracle's normalize+gate+banded CTE chain
-    // make the whole composition exact end to end
-    "l60_admit_increment" -> Q(
-      (s, dir) => {
-        val model = graft.llm.QualityClassifier.DefaultModel
-        val minLogit = model.bias.add(new java.math.BigDecimal("0.050000"))
-        val docs = td(s, dir, "documents")
-        val norm = docs.filter(col("doc_id") % 10 === 0)
-          .select(col("doc_id"), TextOps.normalizeText(col("text")).as("norm"))
-        val gated = graft.llm.QualityClassifier.scoreStreamable(
-            norm, "doc_id", "norm", model, minLogit, carry = Seq("norm"))
-          .withColumnRenamed("id", "doc_id")
-        graft.llm.Curation.admitIncrement(gated,
-          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
-          family = graft.llm.PortableFamily)
-      },
-      Some(ClassifierOracles.admitIncrementSql(
-        graft.llm.QualityClassifier.DefaultModel,
-        minLogit = graft.llm.QualityClassifier.DefaultModel.bias
-          .add(new java.math.BigDecimal("0.050000")),
-        mod = 10))),
-
-    "l51_curation_funnel" -> Q(
-      (s, dir) => graft.llm.Curation.curationFunnel(
-        td(s, dir, "documents"), "doc_id", "text", "source",
-        graft.llm.QualityClassifier.DefaultModel,
-        minLogit = graft.llm.QualityClassifier.DefaultModel.bias
-          .add(new java.math.BigDecimal("0.050000"))),
-      Some(ClassifierOracles.curationFunnelSql(
-        graft.llm.QualityClassifier.DefaultModel,
-        minLogit = graft.llm.QualityClassifier.DefaultModel.bias
-          .add(new java.math.BigDecimal("0.050000"))))),
-
-    // domain-level URL filtering: synthetic doc_id-keyed URLs (l26
-    // pattern), hosts extracted with a Java∩RE2 regex, aggregated per
-    // domain with a blocklist flag — the corpus-curation step that drops
-    // ad/tracker/spam domains wholesale
-    "l50_url_domain_filter" -> Q(
-      (s, dir) => {
-        val doms = array(lit("ads.example.com"), lit("docs.example.org"),
-          lit("spam.click.net"), lit("data.example.io"),
-          lit("tracker.bad.site"), lit("wiki.example.edu"))
-        val aug = concat(col("text"),
-          lit(" see https://"), element_at(doms, (col("doc_id") % 6).cast("int") + 1),
-          lit("/p/"), col("doc_id").cast("string"),
-          when(col("doc_id") % 3 === 0, lit(" and http://mirror.example.net/x"))
-            .otherwise(lit("")))
-        td(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(graft.llm.TextOps.extractUrlDomains(aug)).as("domain"))
-          .groupBy("domain")
-          .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_urls"))
-          .withColumn("blocked", col("domain")
-            .isin("spam.click.net", "tracker.bad.site"))
-      },
-      Some("""WITH aug AS (
-             |  SELECT doc_id, text || ' see https://' ||
-             |    CASE CAST(doc_id % 6 AS INTEGER)
-             |      WHEN 0 THEN 'ads.example.com' WHEN 1 THEN 'docs.example.org'
-             |      WHEN 2 THEN 'spam.click.net' WHEN 3 THEN 'data.example.io'
-             |      WHEN 4 THEN 'tracker.bad.site' ELSE 'wiki.example.edu' END
-             |    || '/p/' || CAST(doc_id AS VARCHAR) ||
-             |    CASE WHEN doc_id % 3 = 0 THEN ' and http://mirror.example.net/x' ELSE '' END AS t
-             |  FROM documents),
-             |d AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
-             |  FROM aug)
-             |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-             |  CAST(count(*) AS BIGINT) AS n_urls,
-             |  domain IN ('spam.click.net', 'tracker.bad.site') AS blocked
-             |FROM d GROUP BY 1""".stripMargin)),
-
-    // URL canonicalization + canonical-URL dedup: synthetic doc_id-keyed
-    // URLs with case noise, www/default-port variants, tracking params,
-    // optional trailing slash + fragment; canonical groups collapse the
-    // crawl-variant dimensions (case, :443/:80, utm/fbclid, slash, #frag)
-    // while keeping the real `id=` param — the pre-text-dedup URL step.
-    // The oracle replays the synth AND the whole regex chain verbatim
-    "l62_url_canonicalize" -> Q(
-      (s, dir) => {
-        val d = col("doc_id")
-        val url = concat(
-          when(d % 3 === 0, lit("HTTPS")).otherwise(lit("http")), lit("://"),
-          when(d % 2 === 0, lit("WWW.")).otherwise(lit("")),
-          lit("Example"), (d % 10).cast("string"), lit(".COM"),
-          when(d % 3 === 0, lit(":443"))
-            .when(d % 3 === 1, lit(":80")).otherwise(lit("")),
-          lit("/Path/"), (d % 20).cast("string"),
-          when(d % 4 === 0, lit("/")).otherwise(lit("")),
-          lit("?utm_source=feed&id="), (d % 5).cast("string"),
-          lit("&fbclid=x"), d.cast("string"),
-          when(d % 6 === 0, lit("#Sec")).otherwise(lit("")))
-        td(s, dir, "documents")
-          .select(d, TextOps.canonicalizeUrl(url).as("canonical_url"))
-          .groupBy("canonical_url")
-          .agg(count(lit(1)).cast("long").as("n_urls"),
-            min(col("doc_id")).as("keep_doc"))
-      },
-      Some("""WITH u0 AS (SELECT doc_id,
-             |  (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
-             |  (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
-             |  'Example' || CAST(doc_id % 10 AS VARCHAR) || '.COM' ||
-             |  (CASE WHEN doc_id % 3 = 0 THEN ':443'
-             |        WHEN doc_id % 3 = 1 THEN ':80' ELSE '' END) ||
-             |  '/Path/' || CAST(doc_id % 20 AS VARCHAR) ||
-             |  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
-             |  '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR) ||
-             |  '&fbclid=x' || CAST(doc_id AS VARCHAR) ||
-             |  (CASE WHEN doc_id % 6 = 0 THEN '#Sec' ELSE '' END) AS url
-             |  FROM documents),
-             |f AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u0),
-             |sp AS (SELECT doc_id, u,
-             |  regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS sh FROM f),
-             |lc AS (SELECT doc_id,
-             |  regexp_replace(
-             |    regexp_replace(
-             |      regexp_replace(lower(sh), '^([a-z][a-z0-9+.-]*://)www\.', '\1'),
-             |      '^(http://.*):80$', '\1'),
-             |    '^(https://.*):443$', '\1') AS sh2,
-             |  regexp_replace(substr(u, length(sh)+1),
-             |    '([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref|ref_src)=[^&#]*',
-             |    '\1', 'g') AS r1
-             |  FROM sp),
-             |c AS (SELECT doc_id,
-             |  regexp_replace(
-             |    regexp_replace(
-             |      regexp_replace(
-             |        regexp_replace(sh2 || r1, '(\?|&)&+', '\1', 'g'),
-             |        '/\?', '?'),
-             |      '[?&]+$', ''),
-             |    '/$', '') AS canonical_url
-             |  FROM lc)
-             |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
-             |  CAST(min(doc_id) AS BIGINT) AS keep_doc
-             |FROM c GROUP BY 1""".stripMargin)),
-
-    // SFT chat-template rendering with the loss-mask span: fixture docs
-    // become (prompt = first 8 tokens, response = rest); the compared
-    // columns are the rendered-string md5 (l29 pattern) plus the EXACT
-    // code-point mask offsets SFT loss depends on
-    "l49_sft_template" -> Q(
-      (s, dir) => {
-        val tk = split(trim(col("text")), "\\s+")
-        val d = td(s, dir, "documents").select(col("doc_id"),
-          array_join(slice(tk, 1, 8), " ").as("prompt"),
-          array_join(slice(tk, 9, 1 << 20), " ").as("resp"))
-        graft.llm.TextOps.renderSftTemplate(
-            d, "doc_id", "prompt", "resp", "You are a helpful assistant.")
-          .select(col("id").as("doc_id"), md5(col("rendered")).as("rendered_md5"),
-            col("mask_start"), col("mask_len"))
-      },
-      Some(TextOracles.sftTemplateSql("You are a helpful assistant."))),
-
-    // per-source cap: at most 15 docs per source, hash-chosen — the
-    // C4-style "don't let one over-crawled site dominate the mix" ceiling;
-    // one exchange on source + per-group sort, engine-reproducible
-    "l48_source_cap" -> Q(
-      (s, dir) => graft.llm.Sampling.capPerGroup(
-        td(s, dir, "documents"), "doc_id", "source", maxPerGroup = 15),
-      Some("""WITH h AS (SELECT doc_id, source,
-             |    ('0x'||substr(md5('c1' || chr(31) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS hv
-             |  FROM documents)
-             |SELECT doc_id, source, pos FROM (
-             |  SELECT doc_id, source,
-             |    CAST(row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS BIGINT) AS pos
-             |  FROM h) WHERE pos <= 15""".stripMargin)),
-
-    // Unicode ingestion normalization: NFC composition (native codegen'd
-    // expression — Spark has no built-in) + control strip + whitespace
-    // collapse. Fixture text is clean ASCII, so the row augments it with
-    // doc_id-keyed decomposed/control/clean tails (the l26 pattern) to
-    // exercise every path; the oracle replays via DuckDB nfc_normalize
-    "l47_unicode_normalize" -> Q(
-      (s, dir) => {
-        val suffix = element_at(array(
-          lit("cafe\u0301 touche\u0301"),
-          lit("A\u030Angstro\u0308m"),
-          lit("bad\u0007ctl\u001Ftail"),
-          lit("plain tail")), (col("doc_id") % 4).cast("int") + 1)
-        val raw = concat_ws(" ", col("text"), suffix)
-        td(s, dir, "documents")
-          .select(col("doc_id"), raw.as("_raw"))
-          .withColumn("norm_text", graft.llm.TextOps.normalizeText(col("_raw")))
-          .select(col("doc_id"), col("norm_text"),
-            (col("norm_text") =!= col("_raw")).as("changed"))
-      },
-      Some(TextOracles.normalizeTextSql)),
-
-    // conversation/transcript assembly: the events stream becomes one
-    // ordered multi-turn SFT document per user — group → in-group
-    // struct-sort on (ts, event_id) → render; ONE shuffle on the
-    // conversation key, no global sort, no window
-    "l80_dialog_assembly" -> Q(
-      (s, dir) => graft.llm.Dialog.assembleTranscripts(
-        tdEventsUs(s, dir), "user_id", "ts_us", "event_id", "event_type", "props"),
-      Some("""WITH t AS (SELECT user_id, ts, event_id,
-             |    event_type || '=' || coalesce(json_extract_string(props, '$.k'), '?') AS line
-             |  FROM events)
-             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_turns,
-             |  CAST(length(string_agg(line, chr(10) ORDER BY ts, event_id)) AS BIGINT) AS n_chars,
-             |  string_agg(line, chr(10) ORDER BY ts, event_id) AS transcript
-             |FROM t GROUP BY 1""".stripMargin)),
-
-    // char-level near-dup verify for short docs: prefix-blocked
-    // Levenshtein with the LSH-family block cap (rank ≤ 16 by id) so a
-    // boilerplate mega-block can't go quadratic; sim filters on the
-    // 6-dp-rounded value so the boundary is engine-identical
-    "l81_edit_distance_verify" -> Q(
-      (s, dir) => graft.llm.EditSim.prefixBlockedEditVerify(
-        td(s, dir, "documents"), "doc_id", "text",
-        prefixLen = 32, capLen = 400, blockCap = 16, minSim = 0.5),
-      Some("""WITH b AS (SELECT doc_id AS id,
-             |    substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 400) AS t
-             |  FROM documents WHERE text IS NOT NULL),
-             |k AS (SELECT id, t, substr(t, 1, 32) AS blk,
-             |    row_number() OVER (PARTITION BY substr(t, 1, 32) ORDER BY id) AS rk
-             |  FROM b WHERE length(t) >= 1),
-             |c AS (SELECT id, t, blk FROM k WHERE rk <= 16)
-             |SELECT a.id AS doc_a, b2.id AS doc_b,
-             |  CAST(levenshtein(a.t, b2.t) AS BIGINT) AS lev,
-             |  CAST(greatest(length(a.t), length(b2.t)) AS BIGINT) AS max_len,
-             |  round(1.0 - levenshtein(a.t, b2.t) / greatest(length(a.t), length(b2.t)), 6) AS sim
-             |FROM c a JOIN c b2 ON a.blk = b2.blk AND a.id < b2.id
-             |WHERE round(1.0 - levenshtein(a.t, b2.t) / greatest(length(a.t), length(b2.t)), 6) >= 0.5""".stripMargin)),
-
-    // CCNet head/middle/tail perplexity bucketing per language — the mix
-    // planner's fluency terciles over the l43 self-scored surprisal;
-    // oracle rides the SAME CTE block as l43 so per-doc scores cannot
-    // drift between the two rows
-    "l82_perplexity_buckets" -> Q(
-      (s, dir) => graft.llm.LangModel.perplexityBuckets(
-        td(s, dir, "documents"), "doc_id", "text", "lang"),
-      Some(TextOracles.perplexityBucketsSql)),
-
-    // per-source lexical diversity: type-token ratio + distinct-4gram
-    // ratio (self-repetition / distinct-n) — the cross-crawl template-mill
-    // comparator; heavy key is (source, gram), never a corpus distinct
-    "l83_ngram_diversity" -> Q(
-      (s, dir) => graft.llm.CorpusStats.ngramDiversity(
-        td(s, dir, "documents"), "source", "text", n = 4),
-      Some("""WITH tk AS (SELECT source,
-             |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-             |      x -> length(x) > 0) AS t
-             |  FROM documents WHERE text IS NOT NULL),
-             |tk2 AS (SELECT * FROM tk WHERE len(t) > 0),
-             |u0 AS (SELECT source, unnest(t) AS g FROM tk2),
-             |uni AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
-             |    CAST(count(DISTINCT g) AS BIGINT) AS n_types
-             |  FROM u0 GROUP BY 1),
-             |g0 AS (SELECT source, unnest(list_transform(range(1, len(t) - 2),
-             |    i -> array_to_string(t[i:i+3], ' '))) AS g
-             |  FROM tk2 WHERE len(t) >= 4),
-             |gr AS (SELECT source, CAST(count(*) AS BIGINT) AS n_ngrams,
-             |    CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_ngrams
-             |  FROM g0 GROUP BY 1)
-             |SELECT u.source, n_tokens, n_types,
-             |  round(n_types / n_tokens, 6) AS ttr,
-             |  coalesce(n_ngrams, 0) AS n_ngrams,
-             |  coalesce(n_distinct_ngrams, 0) AS n_distinct_ngrams,
-             |  round(n_distinct_ngrams / n_ngrams, 6) AS distinct_ngram_ratio
-             |FROM uni u LEFT JOIN gr USING (source)""".stripMargin)),
-
-    // RLHF/DPO preference-pair construction: best-vs-worst scored
-    // candidate per prompt, deterministic (score, id) struct-max/min
-    // tiebreak, minimum-gap filter — ONE hash-aggregate on the prompt key
-    // (llm/Preference.scala). Fixture: docs pooled into 100 prompts,
-    // char-length as the integral score.
-    "l85_preference_pairs" -> Q(
-      (s, dir) => {
-        val cands = td(s, dir, "documents")
-          .filter(col("text").isNotNull)
-          .select((col("doc_id") % 100).as("prompt_id"),
-            col("doc_id").as("cid"),
-            length(col("text")).cast("long").as("score"))
-        graft.llm.Preference.buildPairs(
-          cands, "prompt_id", "cid", "score", minGap = 10)
-      },
-      Some("""WITH c AS (SELECT doc_id % 100 AS prompt_id, doc_id AS cid,
-             |    CAST(length(text) AS BIGINT) AS score
-             |  FROM documents WHERE text IS NOT NULL),
-             |r AS (SELECT prompt_id, cid, score,
-             |    row_number() OVER (PARTITION BY prompt_id
-             |                       ORDER BY score DESC, cid DESC) AS rb,
-             |    row_number() OVER (PARTITION BY prompt_id
-             |                       ORDER BY score ASC, cid ASC) AS rw,
-             |    CAST(count(*) OVER (PARTITION BY prompt_id) AS BIGINT) AS n
-             |  FROM c)
-             |SELECT prompt_id,
-             |  max(CASE WHEN rb = 1 THEN cid END) AS chosen_id,
-             |  max(CASE WHEN rw = 1 THEN cid END) AS rejected_id,
-             |  max(CASE WHEN rb = 1 THEN score END) AS chosen_score,
-             |  max(CASE WHEN rw = 1 THEN score END) AS rejected_score,
-             |  max(CASE WHEN rb = 1 THEN score END)
-             |    - max(CASE WHEN rw = 1 THEN score END) AS gap,
-             |  max(n) AS n_candidates
-             |FROM r GROUP BY 1
-             |HAVING max(n) >= 2
-             |  AND max(CASE WHEN rb = 1 THEN score END)
-             |    - max(CASE WHEN rw = 1 THEN score END) >= 10""".stripMargin)),
-
-    // Bloom-filter decontamination: the constant-memory scale path for
-    // l25/l31 — the bench side reduces to ≤ k·|shingles| set bits
-    // (broadcast, an m-bit array in deployment) instead of the full hash
-    // set; one-sided error (no false negatives). Portable-hash positions
-    // ⇒ the oracle replays every count INCLUDING the false positives.
-    // m = 65536 keeps the sf0.1 bench slice at ~37% occupancy (FP ≈ 5%)
-    "l86_bloom_decontaminate" -> Q(
-      (s, dir) => {
-        val docs = td(s, dir, "documents")
-        graft.llm.Sketch.bloomDecontaminate(
-          docs.filter(col("doc_id") % 50 =!= 0),
-          docs.filter(col("doc_id") % 50 === 0),
-          "text", "doc_id", n = 5, k = 3, m = 65536)
-      },
-      Some(TextOracles.bloomDecontaminateSql(n = 5, benchMod = 50, k = 3, m = 65536))),
-
-    // T5-style span corruption: deterministic iid token masks collapsed
-    // into sentinel-numbered spans, (input, target) emitted per doc —
-    // the seq2seq denoising objective; one posexplode + ONE exchange
-    // (lag/running-sum windows and the rebuild groupBy share the doc key)
-    "l88_span_corruption" -> Q(
-      (s, dir) => graft.llm.TextOps.spanCorrupt(
-        td(s, dir, "documents"), "doc_id", "text", maskPct = 15, seed = "sc1"),
-      Some(TextOracles.spanCorruptSql(maskPct = 15, seed = "sc1"))),
-
-    // domain-graph PageRank (integer micro-units, 5 iterations, damping
-    // 0.85): crawl-quality ranking over the doc→domain link graph
-    // (deterministic hash-synthesized outlinks — the fixture stand-in for
-    // a real crawl's hyperlinks, the l50 synthetic-URL precedent); every
-    // iteration is floor arithmetic, so all 5 rounds oracle-replay exactly
-    "l89_domain_pagerank" -> Q(
-      (s, dir) => {
-        val arms = td(s, dir, "documents").select(col("source").as("src"),
-          explode(array((0 until 2).map(r =>
-            concat(lit("src"), pmod(TextOps.portableHash60(
-              concat(lit("link" + r + graft.llm.Sampling.SeedSep),
-                col("doc_id").cast("string"))), lit(20L)).cast("string"))): _*)).as("dst"))
-          .filter(col("src") =!= col("dst"))
-        graft.ops.Graph.pageRankInt(arms, "src", "dst", iters = 5)
-      },
-      Some(TextOracles.domainPageRankSql(iters = 5, nDomains = 20,
-        dampNum = 85L, dampDen = 100L))),
-
-    // exact triangle counting + local clustering coefficient over the
-    // SAME synthesized domain link graph as l89: the density/link-farm
-    // signal next to centrality. Degree-oriented wedges (hub-safe O(√m)
-    // fan-out), one closing equi-join, floor-arithmetic coefficient
-    "l101_triangle_count" -> Q(
-      (s, dir) => {
-        val arms = td(s, dir, "documents").select(col("source").as("src"),
-          explode(array((0 until 2).map(r =>
-            concat(lit("src"), pmod(TextOps.portableHash60(
-              concat(lit("link" + r + graft.llm.Sampling.SeedSep),
-                col("doc_id").cast("string"))), lit(20L)).cast("string"))): _*)).as("dst"))
-        graft.ops.Graph.triangleCounts(arms, "src", "dst")
-      },
-      Some(TextOracles.triangleCountSql(nDomains = 20))),
-
-    // filter-overlap ablation matrix (the Gopher/RefinedWeb rule-study
-    // table as a query): per filter PAIR, docs failing both; per filter,
-    // docs ONLY it catches — the "is this rule redundant / dead weight"
-    // diagnostic. Five replayable reject rules over documents; expression-
-    // side pair explosion + ONE hash-agg
-    "l102_filter_overlap" -> Q(
-      (s, dir) => {
-        val docs = td(s, dir, "documents")
-          .withColumn("_q", TextOps.qualityScore(col("text")))
-          .withColumn("_fpc",
-            count(lit(1)).over(org.apache.spark.sql.expressions.Window
-              .partitionBy(graft.llm.Dedup.exactFingerprint(col("text")))))
-        graft.llm.Curation.filterOverlapMatrix(docs, Seq(
-          "short" -> (length(col("text")) < 200),
-          "low_quality" -> (col("_q") < 0.3),
-          "pii" -> (TextOps.piiCount(col("text")) > 0),
-          "exact_dup" -> (col("_fpc") > 1),
-          "non_en" -> not(col("lang") <=> lit("en"))))
-      },
-      Some {
-        val names = Seq("short", "low_quality", "pii", "exact_dup", "non_en")
-        val pairSelects = (for {
-          i <- names.indices; j <- i until names.size
-        } yield
-          s"""SELECT '${names(i)}' AS filter_a, '${names(j)}' AS filter_b,
-             |  CAST(count(*) AS BIGINT) AS n_docs
-             |FROM flags WHERE f_${names(i)} AND f_${names(j)} HAVING count(*) > 0""".stripMargin)
-        val onlySelects = names.map { n =>
-          val others = names.filter(_ != n).map(o => s"NOT f_$o").mkString(" AND ")
-          s"""SELECT '$n', '__only__', CAST(count(*) AS BIGINT)
-             |FROM flags WHERE f_$n AND $others HAVING count(*) > 0""".stripMargin
-        }
-        s"""WITH t AS (SELECT doc_id, lang, text,
-           |    CAST(length(text) AS DOUBLE) AS nc,
-           |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-           |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS nw,
-           |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS np,
-           |    count(*) OVER (PARTITION BY md5(text)) AS fpc
-           |  FROM documents),
-           |flags AS (SELECT
-           |    length(text) < 200 AS f_short,
-           |    round(least(nc/200.0, 1.0) * (1.0 - np/greatest(nc, 1.0))
-           |      * (0.5 + 0.5*least((nc/greatest(nw, 1.0))/8.0, 1.0)), 6) < 0.3 AS f_low_quality,
-           |    len(regexp_extract_all(text, '${graft.llm.TextOps.EmailPattern}'))
-           |      + len(regexp_extract_all(text, '${graft.llm.TextOps.PhonePattern}')) > 0 AS f_pii,
-           |    fpc > 1 AS f_exact_dup,
-           |    lang IS DISTINCT FROM 'en' AS f_non_en
-           |  FROM t)
-           |${(pairSelects ++ onlySelects).mkString("\nUNION ALL\n")}""".stripMargin
-      }),
-
-    // curriculum training schedule: quality-threshold phases (cleanest
-    // first), hash shards + dense positions within each phase — the
-    // epoch-shuffle shape with a curriculum axis; thresholds not
-    // quantiles, so no global sort and phase meanings stay consistent
-    // across separately-curated corpora
-    "l90_curriculum_schedule" -> Q(
-      (s, dir) => graft.llm.Sampling.curriculumSchedule(
-        td(s, dir, "documents")
-          .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q")),
-        "doc_id", "q", thresholds = Seq(0.5, 0.25), nShards = 8, seed = "cu1"),
-      Some(TextOracles.curriculumSql(Seq(0.5, 0.25), nShards = 8, seed = "cu1"))),
-
-    // obfuscation folding + blocklist: leet/homoglyph translate fold,
-    // THEN word-boundary blocklist counts — catches the trivially-
-    // obfuscated terms a raw regex misses (deterministic doc_id-keyed
-    // obfuscated augmentation, the l47/l50 fixture pattern); the corpus
-    // vocabulary itself also hits the blocklist, so counts mix natural
-    // and planted matches
-    "l91_obfuscation_blocklist" -> Q(
-      (s, dir) => {
-        val terms = Seq("join", "hash", "scan", "table", "group", "order")
-        val aug = td(s, dir, "documents").select(col("doc_id"),
-          concat(col("text"), lit(" "),
-            element_at(array(lit("j01n h4sh"), lit("$can t4ble"),
-              lit("gr0up 0rder"), lit("plain r0w")),
-              (col("doc_id") % 4).cast("int") + 1)).as("raw"))
-        aug.select(col("doc_id"),
-            TextOps.foldObfuscation(col("raw")).as("folded"))
-          .select(col("doc_id"), md5(col("folded")).as("folded_md5"),
-            TextOps.blocklistHits(col("folded"), terms).as("n_hits"))
-      },
-      Some(TextOracles.obfuscationBlocklistSql(
-        Seq("join", "hash", "scan", "table", "group", "order")))),
-
-    // corpus-level clipped n-gram precision (BLEU-1/BLEU-2 core) between
-    // adjacent same-source docs: MULTISET counting — a candidate n-gram
-    // scores only up to its count in the reference — vs l74's
-    // distinct-set Jaccard; integer numerators/denominators emitted so
-    // the oracle compares exact counts, 6-dp ratios alongside
-    "l92_ngram_precision_eval" -> Q(
-      (s, dir) => graft.llm.CorpusStats.ngramPrecisionEval(
-        td(s, dir, "documents"), "doc_id", "source", "text"),
-      Some(TextOracles.ngramPrecisionSql)),
-
-    // unigram-LM (SentencePiece-style) Viterbi segmentation: the second
-    // real tokenizer family next to BPE — global-min-cost subword split
-    // per word under an integer micro-nat cost model, the WHOLE DP a
-    // Catalyst expression fold (zero shuffles, no UDF); the oracle
-    // replays the DP as a recursive CTE with the same packed-long cells
-    "l93_unigram_segment" -> Q(
-      (s, dir) => graft.llm.Unigram.segmentCost(
-        td(s, dir, "documents"), "doc_id", "text"),
-      Some(TextOracles.unigramSegmentSql(
-        graft.llm.Unigram.DefaultVocab, graft.llm.Unigram.UnkCostMicro,
-        graft.llm.Unigram.MaxPieceLen))),
-
-    // tokenizer FAMILY comparison: per language, BPE tokens-per-word vs
-    // unigram pieces-per-word over the same docs in ONE scan — the table
-    // a tokenizer rollout decision reads (which family compresses which
-    // language better); both recursive replays share one oracle block
-    "l94_tokenizer_comparison" -> Q(
-      (s, dir) => {
-        val d = td(s, dir, "documents").filter(col("text").isNotNull)
-          .select(col("lang"),
-            coalesce(graft.llm.Bpe.countTokens(col("text")), lit(0L)).as("bpe"),
-            graft.llm.Unigram.segmentArray(col("text")).as("_s"))
-          .select(col("lang"), col("bpe"),
-            element_at(col("_s"), 2).as("pieces"),
-            element_at(col("_s"), 3).as("words"))
-        d.groupBy("lang").agg(
-          count(lit(1)).cast("long").as("n_docs"),
-          sum("words").cast("long").as("n_words"),
-          sum("bpe").cast("long").as("n_bpe_tokens"),
-          sum("pieces").cast("long").as("n_unigram_pieces"),
-          round(sum("bpe").cast("double")
-            / nullif(sum("words"), lit(0L)).cast("double"), 6).as("bpe_per_word"),
-          round(sum("pieces").cast("double")
-            / nullif(sum("words"), lit(0L)).cast("double"), 6).as("unigram_per_word"))
-      },
-      Some(TextOracles.tokenizerComparisonSql(
-        graft.llm.Bpe.DefaultMerges, graft.llm.Unigram.DefaultVocab,
-        graft.llm.Unigram.UnkCostMicro, graft.llm.Unigram.MaxPieceLen))),
-
-    // language-ID CONFUSION MATRIX: the l24 trigram classifier's
-    // predictions against the corpus's labeled lang column — the
-    // (true, predicted, count) cells every classifier eval reports;
-    // one scan + one hash-agg, prediction expression-side
-    "l95_langid_confusion" -> Q(
-      (s, dir) => td(s, dir, "documents")
-        .select(col("lang"),
-          graft.llm.NgramLangId.langIdNgram(col("text")).as("pred_lang"))
-        .groupBy("lang", "pred_lang")
-        .agg(count(lit(1)).cast("long").as("n_docs")),
-      Some(s"""SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
-              |FROM documents d JOIN (
-              |${TextOracles.langIdNgramSql}
-              |) p USING (doc_id)
-              |GROUP BY 1, 2""".stripMargin)),
-
-    // content-defined chunking (Rabin/CDC, LBFS 2001): boundaries where
-    // the rolling 3-token hash ≡ 0 (mod 16) — boundaries follow CONTENT,
-    // so an insertion re-synchronizes within k tokens and chunk-level
-    // dedup keeps matching the unchanged tail (fixed-stride l32 loses all
-    // alignment after one insertion); one posexplode + ONE doc-key
-    // exchange, portable-hash cuts replay exactly
-    "l96_cdc_chunking" -> Q(
-      (s, dir) => graft.llm.TextOps.cdcChunks(
-        td(s, dir, "documents"), "doc_id", "text", k = 3, m = 16),
-      Some("""WITH t AS (SELECT doc_id,
-             |    list_filter(regexp_split_to_array(trim(text), '\s+'),
-             |      x -> length(x) > 0) AS tk
-             |  FROM documents),
-             |tok AS (SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos FROM t),
-             |ws AS (SELECT doc_id, tok, pos,
-             |    concat_ws(' ',
-             |      lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos),
-             |      lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
-             |      tok) AS wstr
-             |  FROM tok),
-             |b AS (SELECT doc_id, tok, pos,
-             |    (pos >= 2 AND ('0x'||substr(md5(wstr),1,15))::BIGINT % 16 = 0) AS bnd
-             |  FROM ws),
-             |c AS (SELECT doc_id, tok, pos,
-             |    CAST(coalesce(sum(CASE WHEN bnd THEN 1 ELSE 0 END)
-             |      OVER (PARTITION BY doc_id ORDER BY pos
-             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-             |      AS chunk_idx
-             |  FROM b)
-             |SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_tokens,
-             |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
-             |FROM c GROUP BY 1, 2""".stripMargin)),
-
-    // mojibake repair (ftfy fix_encoding core): docs get deterministic
-    // non-ASCII plants (2-byte accents / 3-byte punctuation), are then
-    // REALLY double-encoded via UTF-8 encode → Latin-1 decode (Spark
-    // built-ins — the actual corruption every crawl pipeline sees), and
-    // repaired by the native strictly-gated inverse transcode. The oracle
-    // replays corruption AND repair as replace-chains over the finite
-    // planted alphabet — exact because the base corpus is pure ASCII, so
-    // every suspicious sequence is a planted one. `restored` asserting
-    // repaired == planted rides in the output: a half-decoded or
-    // over-eager repair flips it
-    "l97_mojibake_repair" -> Q(
-      (s, dir) => {
-        val mojibakePair = "[\u00C2-\u00F4][\u0080-\u00BF]"
-        td(s, dir, "documents")
-          .withColumn("planted",
-            when(col("doc_id") % 3 === 0, translate(col("text"), "aeou", "áéöú"))
-              .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" — fin…")))
-              .otherwise(col("text")))
-          .withColumn("ctext",
-            when(col("doc_id") % 3 === 2, col("planted"))
-              .otherwise(decode(encode(col("planted"), "UTF-8"), "ISO-8859-1")))
-          .withColumn("rtext", TextOps.repairMojibake(col("ctext")))
-          .select(col("doc_id"),
-            when(col("rtext") =!= col("ctext"), lit("repaired"))
-              .otherwise(lit("clean")).as("status"),
-            size(regexp_extract_all(col("ctext"), lit(mojibakePair), lit(0)))
-              .cast("long").as("n_bad"),
-            length(col("ctext")).cast("long").as("len_corrupt"),
-            length(col("rtext")).cast("long").as("len_repaired"),
-            (col("rtext") === col("planted")).as("restored"),
-            md5(col("rtext").cast("binary")).as("text_md5"))
-      },
-      Some("""WITH p AS (
-             |  SELECT doc_id, text,
-             |    CASE WHEN doc_id % 3 = 0 THEN translate(text, 'aeou', 'áéöú')
-             |         WHEN doc_id % 3 = 1 THEN text || ' — fin…'
-             |         ELSE text END AS planted
-             |  FROM documents),
-             |c AS (
-             |  SELECT doc_id, planted,
-             |    CASE WHEN doc_id % 3 = 2 THEN planted ELSE
-             |      replace(replace(replace(replace(replace(replace(planted,
-             |        'á', 'Ã' || chr(161)), 'é', 'Ã' || chr(169)),
-             |        'ö', 'Ã' || chr(182)), 'ú', 'Ã' || chr(186)),
-             |        '—', 'â' || chr(128) || chr(148)),
-             |        '…', 'â' || chr(128) || chr(166))
-             |    END AS ctext
-             |  FROM p),
-             |r AS (
-             |  SELECT doc_id, planted, ctext,
-             |    CASE WHEN doc_id % 3 = 2 THEN ctext ELSE
-             |      replace(replace(replace(replace(replace(replace(ctext,
-             |        'Ã' || chr(161), 'á'), 'Ã' || chr(169), 'é'),
-             |        'Ã' || chr(182), 'ö'), 'Ã' || chr(186), 'ú'),
-             |        'â' || chr(128) || chr(148), '—'),
-             |        'â' || chr(128) || chr(166), '…')
-             |    END AS rtext
-             |  FROM c)
-             |SELECT doc_id,
-             |  CASE WHEN rtext <> ctext THEN 'repaired' ELSE 'clean' END AS status,
-             |  CAST(len(regexp_extract_all(ctext,
-             |    '[\x{00C2}-\x{00F4}][\x{0080}-\x{00BF}]')) AS BIGINT) AS n_bad,
-             |  CAST(length(ctext) AS BIGINT) AS len_corrupt,
-             |  CAST(length(rtext) AS BIGINT) AS len_repaired,
-             |  rtext = planted AS restored,
-             |  md5(rtext) AS text_md5
-             |FROM r""".stripMargin)),
-
-    // interpolated Kneser-Ney bigram scoring — the KenLM smoothing family
-    // behind CCNet's actual perplexity gate (l43's add-one model is the
-    // strawman twin): absolute discount + continuation-unigram backoff,
-    // a PROPER per-context distribution (sums to 1 over the vocab,
-    // spec-checked). One exploded bigram stream carries all count
-    // windows; the oracle rebuilds the same counts from the distinct-
-    // bigram table and mirrors the float expression op-for-op
-    "l98_kneser_ney" -> Q(
-      (s, dir) => graft.llm.LangModel.kneserNeyScores(
-        td(s, dir, "documents"), "doc_id", "text"),
-      Some(TextOracles.kneserNeySql())),
-
-    // dataset card (Gebru et al. 2021): one long-form (section, dim,
-    // metric, value) table of corpus composition — overall / per-lang /
-    // per-source counts, token mass, exact-dup share, mean quality —
-    // composed from the same primitives l1/l2/l4 oracle individually
-    "l99_dataset_card" -> Q(
-      (s, dir) => graft.llm.DatasetCard.datasetCard(
-        td(s, dir, "documents"), "doc_id", "text", "lang", "source"),
-      Some("""WITH t AS (SELECT doc_id, lang, source, text,
-             |    CAST(length(text) AS DOUBLE) AS nc,
-             |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-             |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS nw,
-             |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) AS np
-             |  FROM documents),
-             |base AS (SELECT doc_id, lang, source,
-             |    CAST(nw AS BIGINT) AS n_tok, CAST(nc AS BIGINT) AS n_chr,
-             |    round(least(nc/200.0, 1.0) * (1.0 - np/greatest(nc, 1.0))
-             |      * (0.5 + 0.5*least((nc/greatest(nw, 1.0))/8.0, 1.0)), 6) AS q,
-             |    md5(text) AS fp
-             |  FROM t),
-             |d AS (SELECT *, CASE WHEN count(*) OVER (PARTITION BY fp) > 1
-             |    THEN 1 ELSE 0 END AS is_dup FROM base),
-             |c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-             |    CAST(sum(n_chr) AS BIGINT) AS n_chars,
-             |    round(CAST(sum(is_dup) AS DOUBLE)/count(*), 6) AS dup_share,
-             |    round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE)/count(*), 6) AS mean_q
-             |  FROM d),
-             |lg AS (SELECT lang AS dim, CAST(count(*) AS BIGINT) AS n_docs,
-             |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-             |    round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE)/count(*), 6) AS mean_q
-             |  FROM d GROUP BY 1),
-             |sr AS (SELECT source AS dim, CAST(count(*) AS BIGINT) AS n_docs,
-             |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-             |    round(CAST(sum(is_dup) AS DOUBLE)/count(*), 6) AS dup_share
-             |  FROM d GROUP BY 1)
-             |SELECT 'corpus' AS section, 'all' AS dim, 'n_docs' AS metric,
-             |  CAST(n_docs AS DOUBLE) AS value FROM c
-             |UNION ALL SELECT 'corpus', 'all', 'n_tokens', CAST(n_tokens AS DOUBLE) FROM c
-             |UNION ALL SELECT 'corpus', 'all', 'n_chars', CAST(n_chars AS DOUBLE) FROM c
-             |UNION ALL SELECT 'corpus', 'all', 'dup_doc_share', dup_share FROM c
-             |UNION ALL SELECT 'corpus', 'all', 'mean_quality', mean_q FROM c
-             |UNION ALL SELECT 'lang', dim, 'n_docs', CAST(n_docs AS DOUBLE) FROM lg
-             |UNION ALL SELECT 'lang', dim, 'n_tokens', CAST(n_tokens AS DOUBLE) FROM lg
-             |UNION ALL SELECT 'lang', dim, 'mean_quality', mean_q FROM lg
-             |UNION ALL SELECT 'source', dim, 'n_docs', CAST(n_docs AS DOUBLE) FROM sr
-             |UNION ALL SELECT 'source', dim, 'n_tokens', CAST(n_tokens AS DOUBLE) FROM sr
-             |UNION ALL SELECT 'source', dim, 'dup_doc_share', dup_share FROM sr""".stripMargin)),
   )
 }
