@@ -319,4 +319,89 @@ object Agg {
       .select(col("key").as(keyCol), col("n").as("n_days"),
         col("slope_micro"), col("intercept_micro"), col("r2_micro"))
   }
+
+  /**
+   * One-vs-rest two-sample Kolmogorov–Smirnov test per group, in EXACT
+   * integer arithmetic — the DISTRIBUTION-SHAPE complement that closes the
+   * drift-test family: Welch (a22) tests location under normality,
+   * Mann–Whitney (a24) tests stochastic dominance by ranks, chi-square
+   * (a23) tests categorical mix; KS is sensitive to ANY ECDF difference
+   * (spread, modality, tails) between group g and the pooled rest.
+   *
+   * Exactness: with cumG(v) = #{group ≤ v}, cumTot(v) = #{pooled ≤ v},
+   * ng = |group|, nb = n − ng, the scaled deviation at pooled value v is
+   *
+   *   f(v) = cumG(v)·n − cumTot(v)·ng   ( = (F_g − F_rest)·ng·nb·n/(…) numerator )
+   *
+   * because cumG·nb − (cumTot−cumG)·ng = cumG·n − cumTot·ng. D's numerator
+   * D_num = max over pooled v of |f(v)| need only be evaluated SPARSELY at
+   * each group's own value points: between two consecutive group points
+   * cumG is constant and f is monotone in cumTot, so the supremum over the
+   * interval is attained at its endpoints — candidate A (at the group
+   * point: cumG_i·n − cumTot_i·ng) and candidate B (just before the group
+   * point: (cumG_i − c_i)·n − (cumTot_i − t_i)·ng, which is the right
+   * endpoint of the PREVIOUS interval). The head interval (cumG = 0) is
+   * candidate B of the first row; the tail decays to 0. No group×values
+   * densification, no global sort of the corpus — the evaluation table is
+   * exactly the sparse (group, value) histogram.
+   *
+   * Significance at level α: D > c(α)·√((na+nb)/(na·nb)) (two-sample
+   * Smirnov bound; c(α) = √(−ln(α/2)/2), c(0.05)² ≈ 1.84444). Squared and
+   * denominator-cleared to the integer inequality
+   *
+   *   10⁶ · D_num² > c2Micro · n · ng · nb
+   *
+   * in DECIMAL(38,0) — no sqrt, no float, bit-identical on any engine.
+   * Exact range: |D_num| ≤ ng·nb < n², so the lhs needs n⁴·10⁶ < 10³⁸,
+   * i.e. n ≲ 10⁸ per comparison — ample for per-day/per-source monitor
+   * slices; shard the monitor window before the sum at larger n.
+   *
+   * Scale shape: ONE corpus-wide shuffle (the (group, value) histogram),
+   * a single-partition window over the pooled VALUE histogram (rows =
+   * distinct values, broadcast back), and per-group windows + final max
+   * that share one exchange on the group key. Same cost envelope as a24.
+   *
+   * Output: (group, n, d_micro = ⌊10⁶·D/(ng·nb)⌋… i.e. ⌊10⁶·D_num/(ng·nb)⌋,
+   * significant).
+   */
+  def ksOneVsRest(df: DataFrame, groupCol: String, valCol: String,
+                  c2Micro: Long = 1844440L): DataFrame = {
+    require(c2Micro > 0, "c2Micro must be positive")
+    val d38 = "decimal(38,0)"
+    import org.apache.spark.sql.expressions.Window
+    // sparse (group, value) histogram — the only corpus-wide shuffle
+    val gv = df.groupBy(col(groupCol).as("grp"), col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    // pooled value histogram with cumulative totals (rows = distinct values)
+    val wv = Window.orderBy("v")
+    val vh = gv.groupBy("v").agg(sum("c").cast("long").as("t"))
+      .withColumn("cumTot",
+        sum("t").over(wv.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+    // per-group cumulative + totals ride one exchange on grp
+    val wg = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wga = Window.partitionBy("grp")
+    val rows = gv.join(broadcast(vh), "v")
+      .withColumn("cumG", sum("c").over(wg).cast("long"))
+      .withColumn("ng", sum("c").over(wga).cast("long"))
+    // n rides a one-row broadcast on a NON-FOLDABLE key (BHJ, not BNLJ)
+    val tot = vh.agg(sum("t").cast("long").as("n_tot"))
+      .withColumn("_k", pmod(xxhash64(col("n_tot")), lit(1)))
+    val cand = rows.withColumn("_k", pmod(xxhash64(col("ng")), lit(1)))
+      .join(broadcast(tot), "_k")
+      .withColumn("candA", expr(
+        s"abs(CAST(cumG AS $d38) * n_tot - CAST(cumTot AS $d38) * ng)"))
+      .withColumn("candB", expr(
+        s"abs(CAST(cumG - c AS $d38) * n_tot - CAST(cumTot - t AS $d38) * ng)"))
+    cand.groupBy("grp")
+      .agg(max("ng").as("ng"), max("n_tot").as("n_tot"),
+        max(greatest(col("candA"), col("candB"))).as("dnum"))
+      .withColumn("nb", expr("n_tot - ng"))
+      .select(col("grp").as(groupCol),
+        col("ng").as("n"),
+        expr(s"CASE WHEN nb > 0 THEN CAST((dnum * 1000000) div (CAST(ng AS $d38) * nb) AS LONG) END")
+          .as("d_micro"),
+        expr(s"ng >= 1 AND nb >= 1 AND dnum * dnum * 1000000 > " +
+          s"CAST($c2Micro AS $d38) * n_tot * ng * nb").as("significant"))
+  }
 }

@@ -328,6 +328,44 @@ object StatQueries {
              |  END AS r2_micro
              |FROM ic""".stripMargin)),
 
+    // a26 — one-vs-rest two-sample Kolmogorov–Smirnov per source, exact
+    // integer ECDF arithmetic: closes the drift family (a22 location /
+    // a23 categorical mix / a24 ranks / a26 full distribution shape).
+    // D's numerator is evaluated SPARSELY at each group's own value
+    // points + just-before points (provably covers the supremum — cumG
+    // is constant and f monotone between group points); the Smirnov
+    // threshold is the cleared-denominator integer inequality
+    // 1e6·D_num² > c²micro·n·ng·nb — no sqrt, no float, replays exactly
+    "a26_ks_drift" -> Q(
+      (s, dir) => graft.ops.Agg.ksOneVsRest(
+        td(s, dir, "documents"), "source", "n_chars"),
+      Some("""WITH gv AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |vh AS (SELECT v, CAST(sum(c) AS BIGINT) AS t,
+             |    CAST(sum(sum(c)) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumtot
+             |  FROM gv GROUP BY 1),
+             |r AS (SELECT gv.grp, gv.v, gv.c, vh.t, vh.cumtot,
+             |    CAST(sum(gv.c) OVER (PARTITION BY gv.grp ORDER BY gv.v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumg,
+             |    CAST(sum(gv.c) OVER (PARTITION BY gv.grp) AS BIGINT) AS ng
+             |  FROM gv JOIN vh USING (v)),
+             |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM gv),
+             |cand AS (SELECT r.grp, r.ng, t.n_tot,
+             |    abs(CAST(r.cumg AS HUGEINT) * t.n_tot - CAST(r.cumtot AS HUGEINT) * r.ng) AS canda,
+             |    abs(CAST(r.cumg - r.c AS HUGEINT) * t.n_tot - CAST(r.cumtot - r.t AS HUGEINT) * r.ng) AS candb
+             |  FROM r, t),
+             |m AS (SELECT grp, max(ng) AS ng, max(n_tot) AS n_tot,
+             |    max(greatest(canda, candb)) AS dnum FROM cand GROUP BY 1)
+             |SELECT grp AS source, ng AS n,
+             |  CASE WHEN n_tot - ng > 0
+             |    THEN CAST((dnum * 1000000) // (CAST(ng AS HUGEINT) * (n_tot - ng)) AS BIGINT) END AS d_micro,
+             |  (ng >= 1 AND n_tot - ng >= 1 AND
+             |    dnum * dnum * 1000000 > CAST(1844440 AS HUGEINT) * n_tot * ng * (n_tot - ng)
+             |  ) AS significant
+             |FROM m""".stripMargin)),
+
     // k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
     // al. 2007) — the release-gate governance table next to the PII scrub
     // (l26): one row per quasi-identifier class (nation, segment) with
