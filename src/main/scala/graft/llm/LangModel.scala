@@ -164,4 +164,60 @@ object LangModel {
         round(sum(round(col("avg_nll"), 6).cast("decimal(18,6)")).cast("double")
           / count(lit(1)), 6).as("mean_avg_nll"))
   }
+
+  /**
+   * PMI collocation mining (Church & Hanks 1990, public): the corpus's
+   * most-associated adjacent word pairs — multiword expressions, named
+   * entities, templated boilerplate phrases — ranked by pointwise mutual
+   * information over the bigram event space:
+   *
+   *   PMI(x,y) = ln( p(x,y) / (p(x,·)·p(·,y)) )
+   *            = ln( c(x,y)·N / (c(x,·)·c(·,y)) )
+   *
+   * with BOTH marginals taken from the joint bigram table itself (first-
+   * position and second-position counts), so joint and marginals live on
+   * one event space — the contingency-table form, no separate unigram
+   * pass. A `minCount` support cutoff kills the PMI-loves-rare-pairs
+   * pathology; ties on the 6-dp value break lexically so top-K is total.
+   *
+   * Scale shape: ONE corpus-wide shuffle (the exploded bigram stream →
+   * (w1,w2) hash-agg); marginals are windows over the PAIR table (rows
+   * bounded by distinct-bigram count, not corpus size); N is a one-row
+   * aggregate joined on a NON-FOLDABLE key (BHJ); top-K plans as
+   * TakeOrderedAndProject — no global sort materializes. Determinism: all
+   * ln inputs are exact longs (products exact in double < 2^53; shard
+   * windows before the count at trillion-bigram scale), rounded to 6 dp.
+   *
+   * Output: top-K (w1, w2, c_pair, pmi) — pmi DECIMAL(18,6).
+   */
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "minCount and topK must be positive")
+    val tk = filter(split(trim(lower(col(textCol))), "\\s+"), t => length(t) > 0)
+    val prevArr = slice(col("_tk"), lit(1), greatest(size(col("_tk")) - 1, lit(0)))
+    val nextArr = slice(col("_tk"), lit(2), greatest(size(col("_tk")) - 1, lit(0)))
+    val pairs = df
+      .select(tk.as("_tk"))
+      .filter(size(col("_tk")) >= 2)
+      .select(explode(arrays_zip(prevArr.as("w1"), nextArr.as("w2"))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).cast("long").as("c_pair"))
+    val cx = Window.partitionBy("w1")
+    val cy = Window.partitionBy("w2")
+    val marg = pairs
+      .withColumn("c_x", sum("c_pair").over(cx).cast("long"))
+      .withColumn("c_y", sum("c_pair").over(cy).cast("long"))
+    val tot = pairs.agg(sum("c_pair").cast("long").as("n_tot"))
+      .withColumn("_k", pmod(xxhash64(col("n_tot")), lit(1)))
+    marg
+      .filter(col("c_pair") >= minCount)
+      .withColumn("_k", pmod(xxhash64(col("c_pair")), lit(1)))
+      .join(broadcast(tot), "_k")
+      .select(col("w1"), col("w2"), col("c_pair"),
+        round(log((col("c_pair") * col("n_tot")).cast("double")
+          / (col("c_x") * col("c_y")).cast("double")), 6)
+          .cast("decimal(18,6)").as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

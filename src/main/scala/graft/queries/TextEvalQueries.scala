@@ -497,5 +497,30 @@ object TextEvalQueries {
              |UNION ALL SELECT 'source', dim, 'n_docs', CAST(n_docs AS DOUBLE) FROM sr
              |UNION ALL SELECT 'source', dim, 'n_tokens', CAST(n_tokens AS DOUBLE) FROM sr
              |UNION ALL SELECT 'source', dim, 'dup_doc_share', dup_share FROM sr""".stripMargin)),
+
+    // l104 — PMI collocation mining (Church & Hanks 1990): top adjacent
+    // word pairs by pointwise mutual information, both marginals taken
+    // from the joint bigram table (contingency form — no separate
+    // unigram pass); min-count cutoff kills rare-pair PMI inflation,
+    // 6-dp ties break lexically so the top-K is a total order. One
+    // corpus shuffle; marginals are windows over the pair table only
+    "l104_pmi_collocations" -> Q(
+      (s, dir) => graft.llm.LangModel.pmiCollocations(
+        td(s, dir, "documents"), "doc_id", "text", minCount = 5L, topK = 50),
+      Some("""WITH t AS (SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |    x -> length(x) > 0) AS tk FROM documents),
+             |s AS (SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+             |  FROM t WHERE len(tk) >= 2),
+             |p AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair FROM s GROUP BY 1, 2),
+             |m AS (SELECT w1, w2, c_pair,
+             |    CAST(sum(c_pair) OVER (PARTITION BY w1) AS BIGINT) AS c_x,
+             |    CAST(sum(c_pair) OVER (PARTITION BY w2) AS BIGINT) AS c_y
+             |  FROM p),
+             |tot AS (SELECT CAST(sum(c_pair) AS BIGINT) AS n_tot FROM p)
+             |SELECT w1, w2, c_pair,
+             |  CAST(round(ln(CAST(c_pair * n_tot AS DOUBLE) / CAST(c_x * c_y AS DOUBLE)), 6)
+             |    AS DECIMAL(18,6)) AS pmi
+             |FROM m CROSS JOIN tot WHERE c_pair >= 5
+             |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin)),
   )
 }

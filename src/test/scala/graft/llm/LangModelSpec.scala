@@ -88,4 +88,36 @@ class LangModelSpec extends AnyFunSuite with SparkTestBase {
     // count ratios would suggest — the signature Kneser-Ney behavior
     assert(p("the", "francisco") < p("the", "is"))
   }
+
+  test("pmiCollocations: exact naive replay (joint + marginals + ln), minCount, tie order") {
+    // "san francisco" always co-occurs (perfect collocation); "the" pairs
+    // with everything (low PMI); rare pair "odd ball" sits below minCount
+    val texts = (0L until 12L).map(i => (i, "the san francisco bay near the big dog")) ++
+      Seq((20L, "odd ball the san francisco"), (21L, "the dog"))
+    val docs = texts.toDF("doc_id", "text")
+    val got = LangModel.pmiCollocations(docs, "doc_id", "text", minCount = 5L, topK = 10)
+      .as[(String, String, Long, BigDecimal)].collect()
+
+    // naive replay
+    val pairs = texts.flatMap { case (_, t) =>
+      val tk = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      tk.dropRight(1).zip(tk.drop(1))
+    }
+    val c2 = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cxm = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cym = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = pairs.size.toLong
+    val expect = c2.filter(_._2 >= 5L).map { case ((x, y), c) =>
+      val pmi = BigDecimal(math.log(c.toDouble * n / (cxm(x).toDouble * cym(y))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      (x, y, c, pmi)
+    }.toSeq.sortBy(t => (-t._4, t._1, t._2)).take(10)
+
+    assert(got.toSeq.map(t => (t._1, t._2, t._3, t._4)) === expect)
+    assert(!got.exists(r => r._1 == "odd"), "below-minCount pair must be cut")
+    // the deterministic-1:1 pair outranks the promiscuous stopword pair:
+    // "the" opens three different bigrams, so (the, san) dilutes its PMI
+    val rank = got.zipWithIndex.map { case (r, i) => (r._1, r._2) -> i }.toMap
+    assert(rank(("san", "francisco")) < rank(("the", "san")))
+  }
 }
