@@ -258,6 +258,46 @@ object IoQueries {
            |SELECT o_orderkey, pb AS price_bucket,
            |  CAST($terms AS BIGINT) AS zval
            |FROM t""".stripMargin
-      })
+      }),
+
+    // S25 — per-file Bloom-filter index audit: the EQUALITY-probe
+    //   file-skipping complement to s21/s23's min/max range pruning
+    //   (parquet column blooms / Delta file stats). Portable-md5 bit
+    //   positions, 60-bit words (DuckDB's << throws on 1<<63), one
+    //   (file, word) bit_or hash-agg; the audit table proves no false
+    //   negatives and prices the false-positive rate at the chosen
+    //   (k=4, m=16380). Real-file skipping is measured in BloomIndexSpec
+    "s25_bloom_file_index" -> Q(
+      (s, dir) => graft.ops.BloomIndex.probeAudit(
+        td(s, dir, "orders"), col("o_orderkey") % 16, col("o_custkey"),
+        probes = Seq(7L, 42L, 701L, -12345L)),
+      Some("""WITH base AS (SELECT o_orderkey % 16 AS file_id,
+             |    CAST(o_custkey AS BIGINT) AS k FROM orders),
+             |pos AS (SELECT file_id, k, unnest([0, 1, 2, 3]) AS i FROM base),
+             |pb AS (SELECT file_id,
+             |    ('0x'||substr(md5('bf'||i||'|'||CAST(k AS VARCHAR)),1,15))::BIGINT % 16380 AS p
+             |  FROM pos),
+             |idx AS (SELECT file_id, CAST(p // 60 AS INTEGER) AS word,
+             |    bit_or(1::BIGINT << CAST(p % 60 AS INTEGER)) AS bits
+             |  FROM pb GROUP BY 1, 2),
+             |pr AS (SELECT unnest([7, 42, 701, -12345]::BIGINT[]) AS probe),
+             |ppos AS (SELECT probe, unnest([0, 1, 2, 3]) AS i FROM pr),
+             |ph AS (SELECT probe,
+             |    ('0x'||substr(md5('bf'||i||'|'||CAST(probe AS VARCHAR)),1,15))::BIGINT % 16380 AS p
+             |  FROM ppos),
+             |pp AS (SELECT probe, CAST(p // 60 AS INTEGER) AS word,
+             |    1::BIGINT << CAST(p % 60 AS INTEGER) AS mask FROM ph),
+             |cand AS (SELECT probe, file_id,
+             |    (count(*) = 4 AND bool_and((bits & mask) = mask)) AS candidate
+             |  FROM pp JOIN idx USING (word) GROUP BY 1, 2),
+             |pres AS (SELECT DISTINCT k AS probe, file_id, true AS present
+             |  FROM base WHERE k IN (7, 42, 701, -12345))
+             |SELECT COALESCE(cand.probe, pres.probe) AS probe,
+             |  COALESCE(cand.file_id, pres.file_id) AS file_id,
+             |  COALESCE(candidate, false) AS candidate,
+             |  COALESCE(present, false) AS present,
+             |  (COALESCE(candidate, false) AND NOT COALESCE(present, false)) AS false_positive
+             |FROM cand FULL OUTER JOIN pres
+             |  ON cand.probe = pres.probe AND cand.file_id = pres.file_id""".stripMargin))
   )
 }
