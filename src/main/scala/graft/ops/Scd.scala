@@ -52,4 +52,41 @@ object Scd {
         lit(true).as("is_current")): _*)
     past.unionByName(keptOrClosed).unionByName(opened)
   }
+
+  /**
+   * Type-1 keyed MERGE — the `MERGE INTO target USING source ON key`
+   * current-state upsert (no history, the complement to [[scd2Apply]]):
+   * matched rows take the source's attributes, matched rows whose source
+   * op is `delete` disappear, unmatched target rows pass through, and
+   * unmatched non-delete source rows insert. A delete for an absent key
+   * is a no-op (MERGE's semantics — not an error).
+   *
+   * Contract: `source` carries at most one row per key (same rule as
+   * [[scd2Apply]]); `opCol` holds `"D"` for deletes, anything else
+   * upserts. Emits an `action` audit column (`kept`/`updated`/
+   * `inserted`) so a load can assert its expected mix.
+   *
+   * Scale shape: ONE key-partitioned full-outer join, then a single
+   * filter-projection — no union arms, no second shuffle. At 100 TB the
+   * target stays partitioned by key and only the batch reshuffles; with
+   * a bucketed target the join is shuffle-free on the target side.
+   */
+  def mergeUpsert(target: DataFrame, source: DataFrame, keyCol: String,
+                  attrCols: Seq[String], opCol: String): DataFrame = {
+    val s = source.select(
+      col(keyCol).as("_sk") +: col(opCol).as("_op") +:
+        attrCols.map(c => col(c).as(s"_s_$c")): _*)
+    val joined = target.join(s, col(keyCol) === col("_sk"), "full")
+    val isDelete = col("_op") === "D"
+    val matched = col(keyCol).isNotNull && col("_sk").isNotNull
+    joined
+      .filter(!coalesce(isDelete, lit(false)))
+      .select(
+        coalesce(col(keyCol), col("_sk")).as(keyCol) +:
+          attrCols.map(c =>
+            when(col("_sk").isNotNull, col(s"_s_$c")).otherwise(col(c)).as(c)) :+
+          when(col("_sk").isNull, lit("kept"))
+            .when(matched, lit("updated"))
+            .otherwise(lit("inserted")).as("action"): _*)
+  }
 }

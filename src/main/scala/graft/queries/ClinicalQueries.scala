@@ -272,6 +272,43 @@ object ClinicalQueries {
              |FROM c WHERE k % 5 = 0
              |UNION ALL
              |SELECT k + 1000000, 'FRESH', CAST(100 AS BIGINT), CAST(NULL AS BIGINT), true
-             |FROM c WHERE k % 7 = 0""".stripMargin))
+             |FROM c WHERE k % 7 = 0""".stripMargin)),
+
+    // c20 — type-1 keyed MERGE (MERGE INTO … WHEN MATCHED UPDATE/DELETE
+    // WHEN NOT MATCHED INSERT): the current-state upsert next to c19's
+    // history-keeping SCD2. One full-outer join + one projection; the
+    // oracle is the CLOSED FORM of the disjoint update/delete/insert
+    // batches (k%3 update, k%7 delete, k%5 spawns a new key), exact
+    // integer cents for the balance
+    "c20_merge_upsert" -> Q(
+      (s, dir) => {
+        val cust = td(s, dir, "customer")
+        val target = cust.select(col("c_custkey").as("k"),
+          col("c_mktsegment").as("segment"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        val updates = cust.filter(col("c_custkey") % 3 === 0 && col("c_custkey") % 7 =!= 0)
+          .select(col("c_custkey").as("k"), lit("U").as("op"),
+            concat(col("c_mktsegment"), lit("-U")).as("segment"),
+            (round(col("c_acctbal") * 100).cast("long") + 100L).as("bal_cents"))
+        val deletes = cust.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey").as("k"), lit("D").as("op"),
+            lit(null).cast("string").as("segment"), lit(null).cast("long").as("bal_cents"))
+        val inserts = cust.filter(col("c_custkey") % 5 === 0)
+          .select((col("c_custkey") + 1000000L).as("k"), lit("U").as("op"),
+            lit("INS").as("segment"), lit(0L).as("bal_cents"))
+        val source = updates.unionByName(deletes).unionByName(inserts)
+        graft.ops.Scd.mergeUpsert(target, source, "k",
+          Seq("segment", "bal_cents"), opCol = "op")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+             |    CAST(round(c_acctbal*100) AS BIGINT) AS bal FROM customer)
+             |SELECT k,
+             |  CASE WHEN k % 3 = 0 THEN seg || '-U' ELSE seg END AS segment,
+             |  CASE WHEN k % 3 = 0 THEN bal + 100 ELSE bal END AS bal_cents,
+             |  CASE WHEN k % 3 = 0 THEN 'updated' ELSE 'kept' END AS action
+             |FROM c WHERE k % 7 <> 0
+             |UNION ALL
+             |SELECT k + 1000000, 'INS', CAST(0 AS BIGINT), 'inserted'
+             |FROM c WHERE k % 5 = 0""".stripMargin))
   )
 }

@@ -61,4 +61,29 @@ class ScdSpec extends AnyFunSuite with SparkTestBase {
     assert(out.count(_._1 == 2L) === 2)
     assert(out.filter(_._1 == 2L).count(_._5) === 1)
   }
+
+  test("mergeUpsert: update / delete / insert / keep, delete-absent no-op, action audit") {
+    val target = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "seg", "bal")
+    val source = Seq(
+      (1L, "U", "a2", 11L),  // matched update
+      (2L, "D", null, 0L),   // matched delete
+      (4L, "U", "d", 40L),   // unmatched insert
+      (9L, "D", null, 0L))   // delete of an absent key: MERGE no-op
+      .toDF("k", "op", "seg", "bal")
+    val out = Scd.mergeUpsert(target, source, "k", Seq("seg", "bal"), "op")
+      .as[(Long, String, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, "a2", 11L, "updated"),
+      (3L, "c", 30L, "kept"),
+      (4L, "d", 40L, "inserted")))
+  }
+
+  test("mergeUpsert: NULL source attribute overwrites (type-1 takes the source verbatim)") {
+    val target = Seq((1L, Option("x"))).toDF("k", "seg")
+    val source = Seq((1L, "U", Option.empty[String])).toDF("k", "op", "seg")
+    val out = Scd.mergeUpsert(target, source, "k", Seq("seg"), "op")
+      .as[(Long, Option[String], String)].collect().toSeq
+    assert(out === Seq((1L, None, "updated")))
+  }
 }
