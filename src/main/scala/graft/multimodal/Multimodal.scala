@@ -36,6 +36,11 @@ final case class ImageHash(media_id: Long, dhash: Long)
 /** 64-bit energy-envelope fingerprint of one audio payload. */
 final case class AudioFp(media_id: Long, afp: Long)
 
+/** PNG IHDR decode result with CRC32 validation verdict. */
+final case class PngDecoded(media_id: Long, is_png: Boolean, width: Int,
+                            height: Int, bit_depth: Int, color_type: Int,
+                            crc_ok: Boolean)
+
 /**
  * Multimodal column handling: image/audio/video as opaque `binary` columns
  * with typed metadata, decoded via per-partition batch functions.
@@ -562,4 +567,103 @@ object Multimodal {
           sampleRate = 8000 * (1 + (id % 3).toInt),
           bits = 8 * (1 + ((id >> 2) % 2).toInt),
           nSamples = 1 + (id % 97).toInt, seed = id))
+
+  // ---- PNG: big-endian chunked container with per-chunk CRC32 ----------
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def crc32(b: Array[Byte], off: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(b, off, len)
+    c.getValue
+  }
+
+  /** A real minimal PNG: signature, IHDR (13-byte payload, true CRC32),
+    * one LCG-filled IDAT, IEND. Every chunk carries its spec CRC — the
+    * validation path in [[decodePng]] has something real to check. */
+  private[multimodal] def pngBytes(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig, 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val arr = bb.array()
+      bb.putInt(crc32(arr, 4, 4 + data.length).toInt)
+      out.write(bb.array(), 0, arr.length)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.BIG_ENDIAN)
+      .putInt(width).putInt(height)
+      .put(8.toByte)   // bit depth
+      .put(2.toByte)   // color type: truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression, filter, interlace
+      .array()
+    chunk("IHDR", ihdr)
+    var x = seed
+    chunk("IDAT", Array.fill(16) {
+      x = x * 6364136223846793005L + 1442695040888963407L; (x >>> 56).toByte
+    })
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Corrupt a PNG's IHDR CRC in place (last CRC byte flipped) — the
+    * fixture for the must-reject validation path. */
+  private[multimodal] def corruptIhdrCrc(png: Array[Byte]): Array[Byte] = {
+    val b = png.clone()
+    val crcOff = 8 + 4 + 4 + 13 + 3 // sig, len, type, data, last CRC byte
+    b(crcOff) = (b(crcOff) ^ 0xff).toByte
+    b
+  }
+
+  /** Parse + validate a PNG IHDR: signature, first-chunk rule, big-endian
+    * dims, CRC32 over type+data verified against the stored CRC. None when
+    * the container isn't PNG at all; `crcOk = false` when it is a PNG whose
+    * IHDR fails its checksum (corrupt-in-transit — quarantine, not trust). */
+  private[multimodal] def decodePng(b: Array[Byte]): Option[(Int, Int, Int, Int, Boolean)] =
+    if (b.length < 33 || !b.take(8).sameElements(PngSig) ||
+        beInt(b, 8) != 13 || new String(b, 12, 4, "US-ASCII") != "IHDR") None
+    else {
+      val w = beInt(b, 16)
+      val h = beInt(b, 20)
+      val bitDepth = b(24) & 0xff
+      val colorType = b(25) & 0xff
+      val stored = beInt(b, 29).toLong & 0xffffffffL
+      val crcOk = crc32(b, 12, 17) == stored
+      if (w <= 0 || h <= 0) None else Some((w, h, bitDepth, colorType, crcOk))
+    }
+
+  /** Decode a PNG media batch: per-partition loop, one output row per
+    * record — `is_png = false` rows are the quarantine lane (schema keeps
+    * them visible instead of dropping or killing the job). */
+  def decodePngMedia(media: Dataset[MediaRecord]): Dataset[PngDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      decodePng(r.payload) match {
+        case Some((w, h, depth, ct, crcOk)) =>
+          PngDecoded(r.media_id, is_png = true, w, h, depth, ct, crcOk)
+        case None => PngDecoded(r.media_id, is_png = false, 0, 0, 0, 0, crc_ok = false)
+      }
+    })
+  }
+
+  /** Deterministic per-id PNG fixture: dims are pure functions of the id,
+    * `id % 11 == 0` ships a non-PNG payload (quarantine lane), and
+    * `id % 5 == 0` (not quarantined) ships a corrupted IHDR CRC — every
+    * decoded field and flag is oracle-checkable from the id alone. */
+  def packPngById(id: Long): MediaRecord = {
+    val payload =
+      if (id % 11 == 0) s"not a png $id".getBytes("UTF-8")
+      else {
+        val png = pngBytes(width = 8 + (id % 16).toInt, height = 4 + (id % 8).toInt,
+          seed = id)
+        if (id % 5 == 0) corruptIhdrCrc(png) else png
+      }
+    MediaRecord(id, "image", payload)
+  }
 }

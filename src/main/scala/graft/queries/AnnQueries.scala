@@ -490,6 +490,27 @@ object AnnQueries {
       },
       Some(MediaOracles.audioFpPairsSql())),
 
+    // m8 — PNG header decode + CRC32 validation over REAL container bytes
+    // (big-endian chunked layout, java.util.zip CRC): every field is a
+    // closed-form function of the id, id%11 ships a non-PNG payload
+    // (quarantine lane), id%5 a corrupted IHDR CRC — a misread offset,
+    // endianness, or a skipped checksum flips the compared flags
+    "m8_png_decode" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = td(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map(id => Multimodal.packPngById(id))
+        Multimodal.decodePngMedia(media).toDF()
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  doc_id % 11 <> 0 AS is_png,
+             |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 8 + doc_id % 16 END AS INTEGER) AS width,
+             |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 4 + doc_id % 8 END AS INTEGER) AS height,
+             |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 8 END AS INTEGER) AS bit_depth,
+             |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 2 END AS INTEGER) AS color_type,
+             |  (doc_id % 11 <> 0 AND doc_id % 5 <> 0) AS crc_ok
+             |FROM documents""".stripMargin)),
+
     // Matryoshka truncation eval (Kusupati et al. 2022): overlap@5 of
     // truncated-dim cosine rankings vs the full 64-dim ranking, per
     // candidate serving dimension — the dim-vs-recall table that decides

@@ -257,4 +257,42 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
     assert(Seq(7L, 8L, 9L).forall(id => pairs.contains((2 * id, 2 * id + 1))))
   }
+
+  test("PNG round-trip: generated chunks parse back; corrupt CRC detected; non-PNG refused") {
+    val png = Multimodal.pngBytes(width = 13, height = 7, seed = 42L)
+    assert(Multimodal.decodePng(png) === Some((13, 7, 8, 2, true)))
+    assert(Multimodal.decodePng(Multimodal.corruptIhdrCrc(png))
+      === Some((13, 7, 8, 2, false)), "flipped CRC byte must fail validation, not parsing")
+    assert(Multimodal.decodePng("GIF89a not a png".getBytes("UTF-8")) === None)
+    assert(Multimodal.decodePng(Array[Byte](0x89.toByte, 'P', 'N')) === None)
+  }
+
+  test("PNG parser agrees with the JDK's OWN ImageIO encoder (independent of our generator)") {
+    val img = new java.awt.image.BufferedImage(21, 9,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 9).foreach(y => (0 until 21).foreach(x => img.setRGB(x, y, x * 31 + y)))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    val got = Multimodal.decodePng(out.toByteArray)
+    assert(got.isDefined, "real ImageIO PNG must parse")
+    val (w, h, depth, _, crcOk) = got.get
+    assert((w, h, depth, crcOk) === (21, 9, 8, true))
+  }
+
+  test("decodePngMedia + packPngById: m8 oracle formulas hold, quarantine lane routed") {
+    val ids = (1L to 60L)
+    val media = ids.map(Multimodal.packPngById).toDS()
+    val out = Multimodal.decodePngMedia(media)
+      .as[(Long, Boolean, Int, Int, Int, Int, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    ids.foreach { id =>
+      val (_, isPng, w, h, depth, ct, crcOk) = out(id)
+      if (id % 11 == 0) assert((isPng, w, h, depth, ct, crcOk) === (false, 0, 0, 0, 0, false))
+      else {
+        assert((isPng, w, h, depth, ct) ===
+          (true, 8 + (id % 16).toInt, 4 + (id % 8).toInt, 8, 2))
+        assert(crcOk === (id % 5 != 0), s"id $id crc flag")
+      }
+    }
+  }
 }
