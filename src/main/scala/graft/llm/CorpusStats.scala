@@ -255,4 +255,49 @@ object CorpusStats {
         when(col("p2_den") > 0,
           round(col("p2_num").cast("double") / col("p2_den"), 6)).as("p2"))
   }
+
+  /**
+   * ROUGE-L (Lin 2004, public) per source over the SAME adjacent
+   * candidate/reference pairing as [[ngramPrecisionEval]] — the
+   * subsequence-based eval next to BLEU-style clipped n-gram precision:
+   * LCS rewards in-order coverage without requiring contiguity, so
+   * reordered-but-faithful text scores where bigram precision collapses.
+   *
+   * LCS runs in the native [[LcsLen]] expression (codegen'd O(m·n) DP —
+   * a HOF fold cannot carry the DP row's left neighbor), over sequences
+   * TRUNCATED to `maxTokens` (prefix-ROUGE, the documented eval-cost cap:
+   * the DP is quadratic, so the cap — not the corpus — bounds per-row
+   * work; the oracle replays the same truncation). Micro-averaged per
+   * source: P = ΣLCS/Σ|cand|, R = ΣLCS/Σ|ref|, F = 2ΣLCS/(Σ|cand|+Σ|ref|),
+   * all from exact integer sums rounded to 6 dp.
+   *
+   * Scale shape: one window shuffle on the source key (the lag pairing),
+   * then a partial-agg rollup on the same key — no joins, no second
+   * shuffle; per-row cost is capped at maxTokens². Output: one row per
+   * source.
+   */
+  def rougeLBySource(docs: DataFrame, idCol: String, srcCol: String,
+                     textCol: String, maxTokens: Int = 40): DataFrame = {
+    require(maxTokens >= 1, "maxTokens must be positive")
+    val w = Window.partitionBy("_src").orderBy("_id")
+    val toks = slice(filter(split(trim(lower(col(textCol))), "\\s+"),
+      t => length(t) > 0), 1, maxTokens)
+    val base = docs.select(col(idCol).as("_id"), col(srcCol).as("_src"), toks.as("t"))
+    val pairs = base.withColumn("r", lag("t", 1).over(w))
+      .filter(col("r").isNotNull && size(col("t")) > 0 && size(col("r")) > 0)
+    import org.apache.spark.sql.GraftExpressionBridge._
+    val lcs = column(LcsLen(expression(col("t")), expression(col("r"))))
+    pairs
+      .select(col("_src"), lcs.cast("long").as("lcs"),
+        size(col("t")).cast("long").as("clen"), size(col("r")).cast("long").as("rlen"))
+      .groupBy(col("_src").as(srcCol))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum("lcs").cast("long").as("lcs_sum"),
+        sum("clen").cast("long").as("cand_sum"),
+        sum("rlen").cast("long").as("ref_sum"))
+      .select(col(srcCol), col("n_pairs"), col("lcs_sum"), col("cand_sum"), col("ref_sum"),
+        round(col("lcs_sum").cast("double") / col("cand_sum"), 6).as("rouge_p"),
+        round(col("lcs_sum").cast("double") / col("ref_sum"), 6).as("rouge_r"),
+        round(lit(2.0) * col("lcs_sum") / (col("cand_sum") + col("ref_sum")), 6).as("rouge_f"))
+  }
 }

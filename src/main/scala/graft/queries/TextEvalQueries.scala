@@ -522,5 +522,49 @@ object TextEvalQueries {
              |    AS DECIMAL(18,6)) AS pmi
              |FROM m CROSS JOIN tot WHERE c_pair >= 5
              |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin)),
+
+    // l105 — ROUGE-L per source over the l92 adjacent candidate/reference
+    // pairing: LCS in the native codegen'd LcsLen expression (a HOF fold
+    // can't carry the DP row's left neighbor), sequences truncated to 40
+    // tokens (prefix-ROUGE — the quadratic DP is capped by config, not
+    // corpus). The oracle replays the DP as a recursive CTE whose step is
+    // the tentative-row + prefix-max reformulation (newdp = running max
+    // of [match ? dp[j-1]+1 : dp[j]]), exactly the native loop's algebra
+    "l105_rouge_l" -> Q(
+      (s, dir) => graft.llm.CorpusStats.rougeLBySource(
+        td(s, dir, "documents"), "doc_id", "source", "text", maxTokens = 40),
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, source,
+             |    (list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |      x -> length(x) > 0))[1:40] AS tk
+             |  FROM documents),
+             |p AS (SELECT source, doc_id, tk AS c,
+             |    lag(tk) OVER (PARTITION BY source ORDER BY doc_id) AS r
+             |  FROM t),
+             |pr AS (SELECT source, doc_id, c, r FROM p
+             |  WHERE r IS NOT NULL AND len(c) > 0 AND len(r) > 0),
+             |seg AS (
+             |  SELECT source, doc_id, c, r, len(c) AS m, 1 AS i,
+             |    list_transform(range(len(r) + 1), x -> CAST(0 AS BIGINT)) AS dp
+             |  FROM pr
+             |  UNION ALL
+             |  SELECT source, doc_id, c, r, m, i + 1,
+             |    list_transform(range(1, len(r) + 2), j -> list_max(
+             |      list_transform(range(1, j + 1), j2 -> CASE
+             |        WHEN j2 = 1 THEN CAST(0 AS BIGINT)
+             |        WHEN c[i] = r[j2 - 1] THEN dp[j2 - 1] + 1
+             |        ELSE dp[j2] END)))
+             |  FROM seg WHERE i <= m),
+             |fin AS (SELECT source, dp[len(r) + 1] AS lcs, len(c) AS clen, len(r) AS rlen
+             |  FROM seg WHERE i = m + 1),
+             |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+             |    CAST(sum(lcs) AS BIGINT) AS lcs_sum,
+             |    CAST(sum(clen) AS BIGINT) AS cand_sum,
+             |    CAST(sum(rlen) AS BIGINT) AS ref_sum
+             |  FROM fin GROUP BY 1)
+             |SELECT source, n_pairs, lcs_sum, cand_sum, ref_sum,
+             |  round(CAST(lcs_sum AS DOUBLE) / cand_sum, 6) AS rouge_p,
+             |  round(CAST(lcs_sum AS DOUBLE) / ref_sum, 6) AS rouge_r,
+             |  round(2.0 * lcs_sum / (cand_sum + ref_sum), 6) AS rouge_f
+             |FROM g""".stripMargin)),
   )
 }

@@ -166,4 +166,63 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
 
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Textbook quadratic LCS — the independent reference the native
+    * rolling-row expression is checked against. */
+  private def naiveLcs(a: Seq[String], b: Seq[String]): Int = {
+    val dp = Array.ofDim[Int](a.size + 1, b.size + 1)
+    for (i <- 1 to a.size; j <- 1 to b.size)
+      dp(i)(j) =
+        if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+        else math.max(dp(i - 1)(j), dp(i)(j - 1))
+    dp(a.size)(b.size)
+  }
+
+  test("LcsLen matches the textbook DP on seeded random token pairs, empties included") {
+    val rnd = new scala.util.Random(7)
+    val fixtures = (0 until 60).map { i =>
+      val vocab = Seq("a", "b", "c", "d", "e")
+      def seq(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, seq(rnd.nextInt(12)), seq(rnd.nextInt(12)))
+    } ++ Seq((100L, Seq.empty[String], Seq("a")), (101L, Seq("a"), Seq.empty[String]))
+    val got = fixtures.toDF("id", "c", "r")
+      .select(col("id"), LcsLen.lcsCol(spark, col("c"), col("r")).as("lcs"))
+      .as[(Long, Int)].collect().toMap
+    fixtures.foreach { case (id, c, r) =>
+      assert(got(id) === naiveLcs(c, r), s"id=$id c=$c r=$r")
+    }
+  }
+
+  test("rougeLBySource: closed-form adjacent pairing with truncation") {
+    val docs = Seq(
+      (1L, "s", "the cat sat on the mat"),
+      (2L, "s", "the cat stood on a mat"),  // vs doc1: LCS(the cat,on,mat)=5? checked below
+      (3L, "s", "completely different words here"),
+      (10L, "t", "x y z"),
+      (11L, "t", "x q z")).toDF("doc_id", "source", "text")
+    val out = CorpusStats.rougeLBySource(docs, "doc_id", "source", "text", maxTokens = 40)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // source s pairs: (2 vs 1) LCS=naive, (3 vs 2) LCS=naive
+    val l21 = naiveLcs("the cat stood on a mat".split(" "), "the cat sat on the mat".split(" "))
+    val l32 = naiveLcs("completely different words here".split(" "), "the cat stood on a mat".split(" "))
+    val (cs, rs) = (6L + 4L, 6L + 6L)
+    val lcsSum = (l21 + l32).toLong
+    assert(out("s")._2 === 2L && out("s")._3 === lcsSum)
+    assert(out("s")._6 === round6(lcsSum.toDouble / cs))
+    assert(out("s")._7 === round6(lcsSum.toDouble / rs))
+    assert(out("s")._8 === round6(2.0 * lcsSum / (cs + rs)))
+    // source t: one pair, LCS(x q z, x y z) = 2
+    assert(out("t")._2 === 1L && out("t")._3 === 2L)
+  }
+
+  test("rougeLBySource truncates to maxTokens before the DP") {
+    val docs = Seq(
+      (1L, "s", (1 to 50).map(i => s"w$i").mkString(" ")),
+      (2L, "s", (1 to 50).map(i => s"w$i").mkString(" "))).toDF("doc_id", "source", "text")
+    val out = CorpusStats.rougeLBySource(docs, "doc_id", "source", "text", maxTokens = 8)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)].collect().head
+    assert(out._3 === 8L && out._4 === 8L && out._5 === 8L, "identical docs cap at maxTokens")
+    assert(out._8 === 1.0)
+  }
 }
