@@ -298,6 +298,38 @@ object IoQueries {
              |  COALESCE(present, false) AS present,
              |  (COALESCE(candidate, false) AND NOT COALESCE(present, false)) AS false_positive
              |FROM cand FULL OUTER JOIN pres
-             |  ON cand.probe = pres.probe AND cand.file_id = pres.file_id""".stripMargin))
+             |  ON cand.probe = pres.probe AND cand.file_id = pres.file_id""".stripMargin)),
+
+    // S26 — fixed-width text round-trip (COBOL/mainframe layout): write
+    //   customer as right-aligned numbers + left-aligned strings with
+    //   all-blank NULL fields, read back through the offset/trim/cast
+    //   chain (codegen'd, no UDF). The oracle is the CLOSED FORM of the
+    //   source projection — any off-by-one offset, pad side, or blank
+    //   handling flips rows
+    "s26_fixed_width" -> Q(
+      (s, dir) => {
+        val path = s"$FixtureRoot/s26_${new java.io.File(dir).getName}"
+        val spec = Seq(
+          graft.io.Io.FixedWidthCol("k", 10, "long"),
+          graft.io.Io.FixedWidthCol("name", 20, "string"),
+          graft.io.Io.FixedWidthCol("nation", 4, "long"),
+          graft.io.Io.FixedWidthCol("bal_cents", 12, "long"),
+          graft.io.Io.FixedWidthCol("segment", 10, "string"))
+        val src = td(s, dir, "customer").select(
+          col("c_custkey").cast("long").as("k"),
+          col("c_name").as("name"),
+          col("c_nationkey").cast("long").as("nation"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+          when(col("c_custkey") % 5 === 0, lit(null).cast("string"))
+            .otherwise(col("c_mktsegment")).as("segment"))
+        graft.io.Io.writeFixedWidth(src, path, spec)
+        graft.io.Io.readFixedWidth(s, path, spec)
+      },
+      Some("""SELECT c_custkey AS k, c_name AS name,
+             |  CAST(c_nationkey AS BIGINT) AS nation,
+             |  CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents,
+             |  CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS segment
+             |FROM customer""".stripMargin),
+      eager = true)
   )
 }

@@ -132,4 +132,35 @@ class IoSpec extends AnyFunSuite with SparkTestBase {
     assert(scanFiles.nonEmpty && scanFiles.forall(_.contains("part=a")),
       s"scan must read only part=a files, got: $scanFiles")
   }
+
+  test("fixed-width round-trip: alignment, adjacent fields, all-blank NULLs, negative numbers") {
+    val dir = tmp() + "/fw"
+    val spec = Seq(Io.FixedWidthCol("id", 5, "long"),
+      Io.FixedWidthCol("name", 8, "string"),
+      Io.FixedWidthCol("bal", 7, "long"))
+    val src = Seq((1L, Option("ab c"), Option(-42L)),   // inner space preserved
+      (22L, None, Option(7L)),                          // NULL string field
+      (333L, Option("x"), None))                        // NULL numeric field
+      .toDF("id", "name", "bal")
+    Io.writeFixedWidth(src, dir, spec)
+    // raw layout check: number right-aligned, string left-aligned, no separators
+    val lines = spark.read.text(dir).as[String].collect().sortBy(_.trim)
+    assert(lines.exists(_ == "    1ab c        -42"))
+    assert(lines.exists(_ == "   22              7"))
+    assert(lines.exists(_ == "  333x              "))
+    val back = Io.readFixedWidth(spark, dir, spec)
+      .as[(Long, Option[String], Option[Long])].collect().toSet
+    assert(back === Set((1L, Some("ab c"), Some(-42L)),
+      (22L, None, Some(7L)), (333L, Some("x"), None)))
+  }
+
+  test("fixed-width writer refuses values wider than their field") {
+    val dir = tmp() + "/fw_over"
+    val spec = Seq(Io.FixedWidthCol("name", 3, "string"))
+    val ex = intercept[Exception] {
+      Io.writeFixedWidth(Seq(Tuple1("toolong")).toDF("name"), dir, spec)
+    }
+    assert(ex.getMessage.contains("fixed-width overflow") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("fixed-width overflow"))
+  }
 }

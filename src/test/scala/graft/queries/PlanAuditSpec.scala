@@ -63,7 +63,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "s21_partitioned_pruning", "s22_schema_evolution",
       // s24: corrupted-JSONL fixture write + PERMISSIVE read-back at
       // construction (same shape) — reviewed round 9
-      "s24_corrupt_quarantine")
+      "s24_corrupt_quarantine",
+      // s26: fixed-width text fixture write + offset-parse read-back at
+      // construction (the s19/s20 round-trip shape) — reviewed round 9
+      "s26_fixed_width")
     val actual = Registry.all.filter(_._2.eager).map(_._1).toSet
     assert(actual == expected,
       s"eager-set drift — added: ${actual -- expected}, removed: ${expected -- actual}")
