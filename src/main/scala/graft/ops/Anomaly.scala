@@ -130,4 +130,52 @@ object Anomaly {
         expr(s"CAST((_num * _num * 1000000) div (CAST(n AS $dec) * rt * ct) AS LONG)")
           .as("contrib_micro"))
   }
+
+  /** Benford micro-proportions: ⌊10⁶·log₁₀(1+1/d)⌋ rounded — the nine
+    * values sum to EXACTLY 10⁶ (the log telescopes to log₁₀(10)), so the
+    * expected counts partition n with no remainder drift. */
+  val BenfordMicro: Seq[Long] =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /**
+   * Benford's-law first-digit audit (Newcomb 1881; Benford 1938; the
+   * standard forensic screen for fabricated or truncated numeric feeds):
+   * the leading significant digit of a naturally-spread positive measure
+   * follows P(d) = log₁₀(1+1/d). A data feed whose amounts were invented,
+   * clipped, or unit-mangled shows digit-1 excess or digit-9 holes long
+   * before summary stats move.
+   *
+   * Exactness: values enter as positive integers (the caller pre-scales —
+   * e.g. cents), the leading digit is the first character of the decimal
+   * string (identical on any engine), expected counts are n·p_micro with
+   * the micro-proportions above (they sum to exactly 10⁶), and each
+   * chi-square contribution is the cleared-denominator integer
+   * ((10⁶·o − n·p)²) div (10⁶·n·p) in DECIMAL(38,0) — a27's micro-chi²,
+   * replayed bit-for-bit.
+   *
+   * Scale shape: ONE hash-agg over the measure (9 output groups); the
+   * digit frame (1..9) EXPLODES from the one-row total (no join), and the
+   * observed counts broadcast back onto it so absent digits still emit
+   * rows (o = 0).
+   *
+   * Output: (digit, o, e_micro, contrib_micro), 9 rows.
+   */
+  def benfordAudit(df: DataFrame, valCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val obs = df.select(col(valCol).cast("long").as("_v"))
+      .filter(col("_v") > 0)
+      .select(substring(col("_v").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).cast("long").as("o"))
+    val digits = obs.agg(sum("o").cast("long").as("n"))
+      .select(col("n"), explode(sequence(lit(1L), lit(9L))).as("digit"))
+      .withColumn("p_micro",
+        element_at(array(BenfordMicro.map(lit(_)): _*), col("digit").cast("int")))
+    digits.join(broadcast(obs), Seq("digit"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("_d", expr(s"CAST(1000000 AS $dec) * o - CAST(n AS $dec) * p_micro"))
+      .select(col("digit"), col("o"),
+        (col("n") * col("p_micro")).cast("long").as("e_micro"),
+        expr(s"CAST((_d * _d) div (CAST(1000000 AS $dec) * n * p_micro) AS LONG)")
+          .as("contrib_micro"))
+  }
 }

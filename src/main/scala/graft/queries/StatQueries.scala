@@ -366,6 +366,34 @@ object StatQueries {
              |  ) AS significant
              |FROM m""".stripMargin)),
 
+    // a27 — Benford's-law first-digit audit over exact price cents: the
+    // forensic screen for fabricated/truncated numeric feeds next to the
+    // drift tests. Micro-proportions of log10(1+1/d) sum to exactly 1e6,
+    // so expected counts and the per-digit micro-chi2 contributions are
+    // pure integer arithmetic; leading digit = first character of the
+    // decimal string (engine-identical); absent digits still emit o=0
+    "a27_benford" -> Q(
+      (s, dir) => graft.ops.Anomaly.benfordAudit(
+        td(s, dir, "lineitem")
+          .select(round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        "cents"),
+      Some("""WITH v AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS v
+             |  FROM lineitem WHERE CAST(round(l_extendedprice*100) AS BIGINT) > 0),
+             |obs AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             |    CAST(count(*) AS BIGINT) AS o FROM v GROUP BY 1),
+             |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+             |p AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+             |    (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+             |    (9, 45757)) t(digit, pm)),
+             |d AS (SELECT CAST(p.digit AS BIGINT) AS digit, CAST(p.pm AS HUGEINT) AS pm,
+             |    n.n, COALESCE(obs.o, 0) AS o
+             |  FROM p CROSS JOIN n LEFT JOIN obs ON obs.digit = p.digit)
+             |SELECT digit, o, CAST(n * pm AS BIGINT) AS e_micro,
+             |  CAST(((1000000::HUGEINT * o - CAST(n AS HUGEINT) * pm)
+             |      * (1000000::HUGEINT * o - CAST(n AS HUGEINT) * pm))
+             |    // (1000000::HUGEINT * n * pm) AS BIGINT) AS contrib_micro
+             |FROM d""".stripMargin)),
+
     // k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
     // al. 2007) — the release-gate governance table next to the PII scrub
     // (l26): one row per quasi-identifier class (nation, segment) with

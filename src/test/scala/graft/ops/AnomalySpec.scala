@@ -82,4 +82,27 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
       .as[(String, String, Long, Long, Long)].collect()
     assert(z.forall(_._5 === 0L))
   }
+
+  test("BenfordMicro partitions one million exactly (the log telescope)") {
+    assert(Anomaly.BenfordMicro.sum === 1000000L)
+    assert(Anomaly.BenfordMicro.size === 9)
+  }
+
+  test("benfordAudit matches a BigInt replay; absent digits emit o=0; non-positives drop") {
+    // digits present: 1 (×5: 1,10,12,150,19), 2 (×2: 2, 25), 7 (×1: 700);
+    // no 3,4,5,6,8,9; zero and negative values must be ignored
+    val vals = Seq(1L, 10L, 12L, 150L, 19L, 2L, 25L, 700L, 0L, -5L)
+    val got = Anomaly.benfordAudit(vals.toDF("v"), "v")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val counts = Map(1L -> 5L, 2L -> 2L, 7L -> 1L)
+    val n = BigInt(8)
+    assert(got.map(_._1) === (1L to 9L))
+    got.foreach { case (d, o, eMicro, contrib) =>
+      val p = BigInt(Anomaly.BenfordMicro(d.toInt - 1))
+      assert(o === counts.getOrElse(d, 0L), s"digit $d count")
+      assert(BigInt(eMicro) === n * p, s"digit $d e_micro")
+      val diff = BigInt(1000000) * o - n * p
+      assert(BigInt(contrib) === diff * diff / (BigInt(1000000) * n * p), s"digit $d chi2")
+    }
+  }
 }
