@@ -36,6 +36,34 @@ object StreamingQueries {
              |CAST(max(epoch_us(ts)) AS BIGINT) AS end_us,
              |CAST(count(*) AS BIGINT) AS n_events,
              |CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS value_sum
-             |FROM s GROUP BY user_id, sid""".stripMargin))
+             |FROM s GROUP BY user_id, sid""".stripMargin)),
+
+    // w12 — stream-static dimension enrichment (events × customer
+    // segment dim, LEFT join, dim BROADCAST so the stream side never
+    // shuffles): only custkey < 100 enters the dim, so users 100+ land
+    // in the null quarantine lane the left join keeps visible. Batch
+    // twin of the StreamingSpec stream-equivalence proof; rolled up per
+    // segment lane with exact integer cents
+    "w12_stream_static_enrich" -> Q(
+      (s, dir) => {
+        val events = Streaming.asEvents(td(s, dir, "events"))
+        val dim = td(s, dir, "customer").filter(col("c_custkey") < 100)
+          .select(col("c_custkey").cast("long").as("user_key"),
+            col("c_mktsegment").as("segment"))
+        Streaming.enrichWithDim(events, dim, "user_key", Seq("segment"))
+          .groupBy(coalesce(col("segment"), lit("UNMATCHED")).as("segment"))
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            countDistinct(col("user_id")).cast("long").as("n_users"),
+            sum(round(col("value") * 100).cast("long")).cast("long").as("value_cents"))
+      },
+      Some("""WITH d AS (SELECT c_custkey AS user_key, c_mktsegment AS segment
+             |  FROM customer WHERE c_custkey < 100),
+             |j AS (SELECT COALESCE(d.segment, 'UNMATCHED') AS segment,
+             |    e.user_id, CAST(round(e.value*100) AS BIGINT) AS cents
+             |  FROM events e LEFT JOIN d ON e.user_id = d.user_key)
+             |SELECT segment, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  CAST(sum(cents) AS BIGINT) AS value_cents
+             |FROM j GROUP BY 1""".stripMargin))
   )
 }

@@ -115,6 +115,24 @@ object Streaming {
   }
 
   /**
+   * Stream-static dimension enrichment — the lookup-join every streaming
+   * ingest runs (events × user/account/catalog dimension): a LEFT join so
+   * unmatched events survive into a quarantine-visible null lane instead
+   * of silently dropping, with the dimension BROADCAST so the stream
+   * never shuffles (per micro-batch the static side ships to executors;
+   * the stateless join keeps no store, needs no watermark, and runs
+   * indefinitely). Batch/stream-agnostic: the same plan under
+   * `spark.read` is the w12 DuckDB-oracled twin; the streaming run is
+   * proven batch-equivalent in StreamingSpec.
+   */
+  def enrichWithDim(events: Dataset[Event], dim: DataFrame, dimKey: String,
+                    dimCols: Seq[String]): DataFrame = {
+    val d = dim.select(col(dimKey).as("_dk") +: dimCols.map(col): _*)
+    events.toDF().join(broadcast(d), col("user_id") === col("_dk"), "left")
+      .drop("_dk")
+  }
+
+  /**
    * Streaming exact dedup: drop events whose key was already seen, with
    * watermark-bounded state (`dropDuplicatesWithinWatermark`) — the
    * streaming twin of the batch exact-dedup operator; state for keys older

@@ -548,4 +548,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(flags(3L) === ((2L, 0L))) // hour-0 outlier already out of the frame
   }
+
+  test("stream-static enrichment: dim lookup joins across micro-batches, null lane kept, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("user_key", "segment")
+    val events = Seq(ev(1, 10, 1), ev(2, 20, 2), ev(3, 30, 9), ev(4, 40, 1))
+
+    val mem = MemoryStream[Event]
+    mem.addData(events.take(2): _*)                       // two micro-batches:
+    val q = Streaming.enrichWithDim(mem.toDS(), dim, "user_key", Seq("segment"))
+      .writeStream.format("memory").queryName("enrich").outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    mem.addData(events.drop(2): _*)                       // dim must re-serve batch 2
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("enrich")
+      .select("event_id", "user_id", "segment")
+      .as[(Long, Long, Option[String])].collect().toSet
+
+    val batch = Streaming.enrichWithDim(events.toDS(), dim, "user_key", Seq("segment"))
+      .select("event_id", "user_id", "segment")
+      .as[(Long, Long, Option[String])].collect().toSet
+
+    assert(streamed === batch)
+    assert(streamed === Set((1L, 1L, Some("GOLD")), (2L, 2L, Some("SILVER")),
+      (3L, 9L, None), (4L, 1L, Some("GOLD"))), "unmatched user stays as the null lane")
+  }
 }
