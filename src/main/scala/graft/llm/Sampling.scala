@@ -64,6 +64,41 @@ object Sampling {
   }
 
   /**
+   * Weighted sampling WITHOUT replacement, top-k (Efraimidis & Spirakis
+   * 2006's A-ES, public): each row draws the deterministic uniform
+   * u = (hash60(seed·key)+1)/2⁶⁰ ∈ (0,1] and ranks by u^(1/w) — here in
+   * the equivalent, overflow-free log form score = ln(u)/w (larger is
+   * better); the global top-k is a weighted sample without replacement
+   * with inclusion odds ∝ weight. This is THE one-pass distributed
+   * weighted reservoir: no per-stratum rates to precompute (l33's shape),
+   * no sequential state — any engine that agrees on the hash agrees on
+   * the sample.
+   *
+   * Determinism across engines: u's division is IEEE-correctly-rounded
+   * from the same integer on both sides; the compared score rounds to
+   * 6 dp with the key as tie-break, so the (score, key) order — and
+   * therefore the top-k — replays exactly (the registry-wide ln rule).
+   *
+   * Scale shape: expression-only per row + `TakeOrderedAndProject` for
+   * the top-k (per-partition heaps, no global sort, no shuffle of the
+   * corpus). Zero-weight rows are excluded (A-ES is undefined there).
+   */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String, k: Int,
+                     seed: String = "s1"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(!seed.contains(SeedSep), "seed must not contain the unit separator")
+    requireStableKeyType(df, keyCol)
+    val u = (TextOps.portableHash60(
+        concat(lit(seed + SeedSep), col(keyCol).cast("string"))) + 1)
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    df.filter(col(weightCol) > 0)
+      .select(col(keyCol), col(weightCol),
+        round(log(u) / col(weightCol).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col(keyCol))
+      .limit(k)
+  }
+
+  /**
    * Stratified deterministic sample: per-stratum keep percentages;
    * strata absent from `rates` are dropped (rate 0). The rates map rides
    * the plan as ONE map literal (`typedlit`, not per-entry CASE nodes).

@@ -566,5 +566,20 @@ object TextEvalQueries {
              |  round(CAST(lcs_sum AS DOUBLE) / ref_sum, 6) AS rouge_r,
              |  round(2.0 * lcs_sum / (cand_sum + ref_sum), 6) AS rouge_f
              |FROM g""".stripMargin)),
+
+    // l106 — weighted sampling without replacement (Efraimidis-Spirakis
+    // A-ES): rank by ln(u)/w with the deterministic hash-uniform u — the
+    // one-pass distributed weighted reservoir (inclusion odds ∝ n_chars).
+    // Expression-only + TakeOrderedAndProject; 6-dp score with doc_id
+    // tie-break makes the top-k replay exactly on both engines
+    "l106_weighted_sample" -> Q(
+      (s, dir) => graft.llm.Sampling.weightedSample(
+        td(s, dir, "documents"), "doc_id", "n_chars", k = 100, seed = "ws"),
+      Some("""WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             |    (('0x'||substr(md5('ws' || chr(31) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT + 1)
+             |      / 1152921504606846976.0 AS u
+             |  FROM documents WHERE n_chars > 0)
+             |SELECT doc_id, n_chars, round(ln(u)/n_chars, 6) AS score
+             |FROM t ORDER BY score DESC, doc_id LIMIT 100""".stripMargin)),
   )
 }

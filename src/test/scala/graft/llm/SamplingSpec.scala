@@ -234,4 +234,41 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       Sampling.curriculumSchedule(df, "id", "score", Seq(0.5), 0)
     }
   }
+
+  /** JVM replay of the A-ES score: md5-hash60("<seed>\u001f<key>"), +1,
+    * /2^60, ln, /w, 6-dp HALF_UP. */
+  private def jvmScore(seed: String, key: Long, w: Long): BigDecimal = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$seed\u001f$key".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 1152921504606846976.0
+    BigDecimal(math.log(u) / w).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+  }
+
+  test("weightedSample matches the exact A-ES replay (scores, order, cut)") {
+    val rows = (1L to 200L).map(k => (k, 1L + k % 17))
+    val got = Sampling.weightedSample(rows.toDF("k", "w"), "k", "w", k = 25, seed = "t1")
+      .as[(Long, Long, Double)].collect().toSeq
+    val expect = rows.map { case (k, w) => (k, w, jvmScore("t1", k, w)) }
+      .sortBy { case (k, _, sc) => (-sc, k) }.take(25)
+      .map { case (k, w, sc) => (k, w, sc.toDouble) }
+    assert(got === expect)
+  }
+
+  test("weightedSample: inclusion follows weight; zero weights excluded; seeds independent") {
+    // 10 heavy keys (w=1e9) vs 200 light (w=1): ln(u)/1e9 is within a
+    // hair of 0 for ANY u, so every heavy key outranks every light key
+    // unless a light key draws u astronomically close to 1
+    val rows = (1L to 10L).map(k => (k, 1000000000L)) ++
+      (100L to 299L).map(k => (k, 1L)) ++ Seq((999L, 0L))
+    val top = Sampling.weightedSample(rows.toDF("k", "w"), "k", "w", k = 10, seed = "t2")
+      .as[(Long, Long, Double)].collect().map(_._1).toSet
+    assert(top === (1L to 10L).toSet)
+    val other = Sampling.weightedSample(rows.toDF("k", "w"), "k", "w", k = 50, seed = "t3")
+      .as[(Long, Long, Double)].collect().map(_._1).toSet
+    assert(!other.contains(999L), "zero-weight key must never be sampled")
+    val same = Sampling.weightedSample(rows.toDF("k", "w"), "k", "w", k = 50, seed = "t2")
+      .as[(Long, Long, Double)].collect().map(_._1).toSet
+    assert(other != same, "different seeds must pick different light-key tails")
+  }
 }
