@@ -122,6 +122,33 @@ object ScaleQueries {
              |WHERE abs(length(m.m_name) - length(n.n_name)) <= 1
              |  AND levenshtein(m.m_name, n.n_name) <= 1""".stripMargin)),
 
+    // J17 — Jaro–Winkler fuzzy record linkage at part scale (20k–200k
+    //   rows, vs j16's 25-row nation demo): a swap-corrupted twin of every
+    //   part name is resolved back against the full part registry through
+    //   a (2-char prefix, length) blocking equi-join, scored by the native
+    //   exact-rational JaroWinklerMicro expression (micro-units, DuckDB
+    //   jaro_winkler_similarity as the oracle), levenshtein kept for audit
+    "j17_jw_linkage" -> Q(
+      (s, dir) => {
+        val part = td(s, dir, "part")
+        val mangled = part.select(col("p_partkey").as("m_key"),
+          graft.ops.Linkage.swap34(col("p_name"), "p_name").as("m_name"))
+        graft.ops.Linkage.jwBlockedLinkage(s,
+          mangled, "m_key", "m_name",
+          part, "p_partkey", "p_name",
+          minJwMicro = 900000L)
+      },
+      Some("""WITH m AS (SELECT p_partkey AS m_key,
+             |  substr(p_name, 1, 2) || substr(p_name, 4, 1) || substr(p_name, 3, 1) || substr(p_name, 5) AS m_name
+             |  FROM part)
+             |SELECT m.m_key, p.p_partkey AS cand_key,
+             |  CAST(round(jaro_winkler_similarity(m.m_name, p.p_name) * 1000000) AS BIGINT) AS jw_micro,
+             |  CAST(levenshtein(m.m_name, p.p_name) AS BIGINT) AS dist
+             |FROM m JOIN part p
+             |  ON substr(m.m_name, 1, 2) = substr(p.p_name, 1, 2)
+             | AND length(m.m_name) = length(p.p_name)
+             |WHERE round(jaro_winkler_similarity(m.m_name, p.p_name) * 1000000) >= 900000""".stripMargin)),
+
     // C12 — null-column pruning pre-pass (A2-driven,
     //   create_tables_clinical_gdc.py:155-244): the all-null column must
     //   vanish from the output schema
