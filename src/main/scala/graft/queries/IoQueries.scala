@@ -330,6 +330,36 @@ object IoQueries {
              |  CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents,
              |  CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS segment
              |FROM customer""".stripMargin),
+      eager = true),
+
+    // S27 — bucketed-table layout (Spark bucketBy; the engine-level twin
+    //   of the reference's CLUSTER BY table layouts): orders + customer
+    //   are written bucketed by custkey ONCE, then the repeated join they
+    //   exist for runs as a sort-merge join with ZERO Exchange on either
+    //   side (BucketingSpec asserts the plan; at 100 TB this converts the
+    //   per-query fact-table shuffle into a one-time write cost). The
+    //   registered query is the post-join segment rollup; its only
+    //   exchange is the final 5-group agg
+    "s27_bucketed_join" -> Q(
+      (s, dir) => {
+        val sf = new java.io.File(dir).getName
+        val path = s"$FixtureRoot/s27_$sf"
+        graft.io.Bucketing.writeBucketed(td(s, dir, "orders"),
+          s"graft_s27_orders_${sf.replace('.', '_')}", "o_custkey", 8, s"$path/orders")
+        graft.io.Bucketing.writeBucketed(td(s, dir, "customer"),
+          s"graft_s27_customer_${sf.replace('.', '_')}", "c_custkey", 8, s"$path/customer")
+        graft.io.Bucketing.bucketedJoin(s,
+            s"graft_s27_orders_${sf.replace('.', '_')}", "o_custkey",
+            s"graft_s27_customer_${sf.replace('.', '_')}", "c_custkey")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      },
+      Some("""SELECT c_mktsegment,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin),
       eager = true)
   )
 }

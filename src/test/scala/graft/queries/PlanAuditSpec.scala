@@ -66,7 +66,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "s24_corrupt_quarantine",
       // s26: fixed-width text fixture write + offset-parse read-back at
       // construction (the s19/s20 round-trip shape) — reviewed round 9
-      "s26_fixed_width")
+      "s26_fixed_width",
+      // s27: bucketed saveAsTable writes at construction; the returned
+      // join plan itself is exchange-free (BucketingSpec) — reviewed r9
+      "s27_bucketed_join")
     val actual = Registry.all.filter(_._2.eager).map(_._1).toSet
     assert(actual == expected,
       s"eager-set drift — added: ${actual -- expected}, removed: ${expected -- actual}")
