@@ -581,5 +581,23 @@ object TextEvalQueries {
              |  FROM documents WHERE n_chars > 0)
              |SELECT doc_id, n_chars, round(ln(u)/n_chars, 6) AS score
              |FROM t ORDER BY score DESC, doc_id LIMIT 100""".stripMargin)),
+
+    // l107 — Aho-Corasick multi-pattern blocklist: ALL patterns matched in
+    // ONE automaton pass per document (vs l91's per-term word-boundary
+    // regex family — this is the P-doesn't-multiply-scans substring form;
+    // at 100 TB a P-term LIKE stack scans the corpus P times). Counts are
+    // all-occurrence (nested hits fire too: every "scan" also hits "can");
+    // the oracle's replace-count formula equals that exactly because the
+    // pattern set is border-free — AhoCorasickSpec asserts the property,
+    // and "can"⊂"scan" / "bat"⊂"batch" keep the nested lane honest
+    "l107_ac_blocklist" -> Q(
+      (s, dir) => graft.llm.AhoCorasick.blocklistHits(
+        s, td(s, dir, "documents"), "doc_id", "text",
+        Seq("scan", "can", "merge", "bat", "spark", "row")),
+      Some("""WITH p AS (SELECT unnest(['scan', 'can', 'merge', 'bat', 'spark', 'row']) AS pattern),
+             |c AS (SELECT doc_id, pattern,
+             |    CAST((length(text) - length(replace(text, pattern, ''))) / length(pattern) AS BIGINT) AS n_hits
+             |  FROM documents CROSS JOIN p)
+             |SELECT doc_id, pattern, n_hits FROM c WHERE n_hits > 0""".stripMargin)),
   )
 }
