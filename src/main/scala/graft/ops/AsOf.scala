@@ -53,6 +53,60 @@ object AsOf {
   }
 
   /**
+   * Nearest-event join — the BIDIRECTIONAL as-of (sensor alignment /
+   * log-correlation shape): for every left row, attach the right row with
+   * the smallest |right-time − left-time| within the same key, either
+   * direction, ties broken toward the prior (≤) side. Same scale
+   * technique as [[asofBackward]]: one tagged union, one shuffle on the
+   * key, a backward `last(ignoreNulls)` carry and a forward
+   * `first(ignoreNulls)` carry over the SAME sorted partition — never a
+   * per-key loop or range cross-product. Right rows must be unique per
+   * (key, time) for deterministic results (dedupe first).
+   *
+   * Output: left columns + `__near` (the chosen payload struct, null when
+   * the key has no right rows at all) + `__dt` = right-time − left-time
+   * (signed: ≤ 0 backward, > 0 forward, null when `__near` is null).
+   */
+  def nearestJoin(left: DataFrame, right: DataFrame,
+                  leftKey: Column, rightKey: Column,
+                  leftTime: Column, rightTime: Column,
+                  rightPayload: Seq[(String, Column)]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = struct((rightPayload :+ ("__rt" -> rightTime)).map { case (n, c) => c.as(n) }: _*)
+    val payloadType = right.select(payload).schema.fields(0).dataType
+    val lrowType = left.select(struct(leftCols.map(col): _*)).schema.fields(0).dataType
+
+    val l = left.select(
+      leftKey.as("__k"), leftTime.as("__t"), lit(1).as("__src"),
+      struct(leftCols.map(col): _*).as("__lrow"),
+      lit(null).cast(payloadType).as("__rrow"))
+    val r = right.select(
+      rightKey.as("__k"), rightTime.as("__t"), lit(0).as("__src"),
+      lit(null).cast(lrowType).as("__lrow"),
+      payload.as("__rrow"))
+
+    // right rows sort BEFORE left at equal time: the backward frame
+    // includes the Δt=0 row, the forward frame starts strictly after it
+    val ord = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__src"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val dtB = col("__t") - col("__b.__rt")
+    val dtF = col("__f.__rt") - col("__t")
+    val chooseBack = col("__f").isNull || (col("__b").isNotNull && dtB <= dtF)
+    val near = when(chooseBack, col("__b")).otherwise(col("__f"))
+
+    l.unionByName(r)
+      .withColumn("__b", last(col("__rrow"), ignoreNulls = true).over(back))
+      .withColumn("__f", first(col("__rrow"), ignoreNulls = true).over(fwd))
+      .filter(col("__src") === 1)
+      .withColumn("__chosen", near)
+      .select(leftCols.map(c => col(s"__lrow.$c").as(c)) ++ Seq(
+        col("__chosen").dropFields("__rt").as("__near"),
+        (col("__chosen.__rt") - col("__t")).as("__dt")): _*)
+  }
+
+  /**
    * Binned range join — the scale path for point-in-interval joins, which
    * planners otherwise nested-loop: intervals explode to the time bins they
    * cover, points map to their single bin, both sides hash-join on the bin,

@@ -149,6 +149,42 @@ object ScaleQueries {
              | AND length(m.m_name) = length(p.p_name)
              |WHERE round(jaro_winkler_similarity(m.m_name, p.p_name) * 1000000) >= 900000""".stripMargin)),
 
+    // J18 — nearest-event join (BIDIRECTIONAL as-of; sensor-alignment /
+    //   log-correlation shape): each click attaches its |Δt|-closest view
+    //   by the same user, either direction, ties to the prior side. One
+    //   tagged-union shuffle on the user key (AsOf.nearestJoin) — the
+    //   oracle replays it as a pairwise rank, which the engine must never
+    //   do at scale. Views deduped to one per (user, ts) first (the
+    //   operator's determinism contract)
+    "j18_nearest_event" -> Q(
+      (s, dir) => {
+        val e = Registry.tdEventsUs(s, dir)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts_us").as("click_us"))
+        val views = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id").as("v_user"), col("ts_us").as("view_us"))
+          .agg(min(col("event_id")).as("view_id"))
+        graft.ops.AsOf.nearestJoin(clicks, views,
+            col("user_id"), col("v_user"), col("click_us"), col("view_us"),
+            Seq("view_id" -> col("view_id")))
+          .select(col("click_id"), col("user_id"),
+            col("__near.view_id").as("view_id"), col("__dt").as("dt_us"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+             |  FROM events),
+             |c AS (SELECT event_id AS click_id, user_id, us AS click_us
+             |  FROM ev WHERE event_type = 'click'),
+             |v AS (SELECT user_id, us AS view_us, CAST(min(event_id) AS BIGINT) AS view_id
+             |  FROM ev WHERE event_type = 'view' GROUP BY 1, 2),
+             |j AS (SELECT c.click_id, c.user_id, c.click_us, v.view_id, v.view_us
+             |  FROM c LEFT JOIN v ON c.user_id = v.user_id),
+             |r AS (SELECT click_id, user_id, view_id, view_us - click_us AS dt_us,
+             |    row_number() OVER (PARTITION BY click_id
+             |      ORDER BY abs(view_us - click_us) NULLS LAST, view_us - click_us) AS rn
+             |  FROM j)
+             |SELECT click_id, user_id, view_id, dt_us FROM r WHERE rn = 1""".stripMargin)),
+
     // C12 — null-column pruning pre-pass (A2-driven,
     //   create_tables_clinical_gdc.py:155-244): the all-null column must
     //   vanish from the output schema
