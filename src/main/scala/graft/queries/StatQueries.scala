@@ -408,6 +408,47 @@ object StatQueries {
              |  CAST(count(DISTINCT c_acctbal) AS BIGINT) AS sensitive_distinct,
              |  count(*) < 5 AS violates_k,
              |  count(DISTINCT c_acctbal) < 3 AS violates_l
-             |FROM customer GROUP BY 1, 2""".stripMargin))
+             |FROM customer GROUP BY 1, 2""".stripMargin)),
+
+    // Kaplan-Meier survival curves (Kaplan & Meier 1958) — the clinical-
+    // outcomes estimator over the reference's days_to_event/vital_status
+    // shapes (clinical/Survival.scala). Cohort derived from orders:
+    // arm = o_orderpriority, follow-up = day-of-year of o_orderdate,
+    // event = status F (O/P censored). Exact integer micro-unit per-step
+    // floor recursion S_k = floor(S_{k-1}·(n_k-d_k)/n_k) — the oracle
+    // replays it as an ordered recursive CTE with `//`; the per-time
+    // table is calendar-bounded, never subject-bounded
+    "a28_kaplan_meier" -> Q(
+      (s, dir) => graft.clinical.Survival.kaplanMeier(
+        td(s, dir, "orders").select(
+          col("o_orderpriority").as("grp"),
+          dayofyear(col("o_orderdate")).as("t"),
+          when(col("o_orderstatus") === "F", 1).otherwise(0).as("ev")),
+        "grp", "t", "ev"),
+      Some("""WITH RECURSIVE base AS (SELECT o_orderpriority AS grp,
+             |    CAST(dayofyear(o_orderdate) AS BIGINT) AS t,
+             |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+             |  FROM orders),
+             |pt AS (SELECT grp, t, CAST(sum(ev) AS BIGINT) AS d,
+             |    CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+             |r AS (SELECT grp, t, d,
+             |    CAST(sum(c) OVER (PARTITION BY grp)
+             |      - COALESCE(sum(c) OVER (PARTITION BY grp ORDER BY t
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS n_risk
+             |  FROM pt),
+             |e AS (SELECT grp, t, d, n_risk,
+             |    row_number() OVER (PARTITION BY grp ORDER BY t) AS rn
+             |  FROM r WHERE d > 0),
+             |km AS (
+             |  SELECT grp, t, d, n_risk, rn,
+             |    (CAST(1000000 AS BIGINT) * (n_risk - d)) // n_risk AS surv
+             |  FROM e WHERE rn = 1
+             |  UNION ALL
+             |  SELECT e.grp, e.t, e.d, e.n_risk, e.rn,
+             |    (km.surv * (e.n_risk - e.d)) // e.n_risk
+             |  FROM km JOIN e ON e.grp = km.grp AND e.rn = km.rn + 1)
+             |SELECT grp, t, n_risk, d AS d_events, surv AS surv_micro
+             |FROM km""".stripMargin))
   )
 }
