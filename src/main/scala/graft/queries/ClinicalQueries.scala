@@ -309,6 +309,27 @@ object ClinicalQueries {
              |FROM c WHERE k % 7 <> 0
              |UNION ALL
              |SELECT k + 1000000, 'INS', CAST(0 AS BIGINT), 'inserted'
-             |FROM c WHERE k % 5 = 0""".stripMargin))
+             |FROM c WHERE k % 5 = 0""".stripMargin)),
+
+    // ontology ancestor closure (ops/Graph.ancestorClosure): hierarchical
+    // clinical codings roll cases up to EVERY ancestor term. Synthetic
+    // forest over part: child k ≥ 8 points to parent k div 8 (roots 1..7),
+    // ~log₈ n deep. Pointer doubling closes it in ⌈log₂ depth⌉ rounds of
+    // two equi-joins; the oracle walks the same edges one level per
+    // recursive-CTE step. eager: localCheckpoint materializes per round
+    "c21_hierarchy_closure" -> Q(
+      (s, dir) => graft.ops.Graph.ancestorClosure(
+        td(s, dir, "part").filter(col("p_partkey") >= 8)
+          .select(col("p_partkey").as("c"), expr("p_partkey div 8").as("p")),
+        "c", "p", maxDepth = 16),
+      Some("""WITH RECURSIVE e AS (SELECT p_partkey AS node,
+             |    p_partkey // 8 AS anc FROM part WHERE p_partkey >= 8),
+             |cl AS (
+             |  SELECT node, anc, CAST(1 AS BIGINT) AS dist FROM e
+             |  UNION ALL
+             |  SELECT cl.node, e.anc, cl.dist + 1
+             |  FROM cl JOIN e ON cl.anc = e.node WHERE cl.dist < 16)
+             |SELECT node, anc, dist FROM cl""".stripMargin),
+      eager = true)
   )
 }

@@ -70,4 +70,41 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Long, Long, Long)].collect()
     assert(kg.forall(r => r._2 == 4L && r._3 == 6L && r._4 == 1000000L))
   }
+
+  test("ancestorClosure: deep chain closes completely with no duplicates") {
+    import spark.implicits._
+    // chain 1→2→3→…→13 (child points to child+1): node 1 has 12 ancestors
+    val chain = (1 to 12).map(i => (i.toLong, i.toLong + 1)).toDF("c", "p")
+    val cl = Graph.ancestorClosure(chain, "c", "p", maxDepth = 16)
+      .as[(Long, Long, Long)].collect()
+    // exact expectation: node i reaches ancestor j>i at dist j−i
+    val expected = (for { i <- 1L to 12L; j <- i + 1 to 13L }
+      yield (i, j, j - i)).toSet
+    assert(cl.toSet === expected)
+    assert(cl.length === expected.size, "no duplicate closure rows")
+  }
+
+  test("ancestorClosure: forest with multiple roots, maxDepth truncates") {
+    import spark.implicits._
+    val forest = Seq((10L, 1L), (11L, 1L), (20L, 2L), (21L, 20L), (22L, 21L))
+      .toDF("c", "p")
+    val cl = Graph.ancestorClosure(forest, "c", "p", maxDepth = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cl === Set((10L, 1L, 1L), (11L, 1L, 1L), (20L, 2L, 1L),
+      (21L, 20L, 1L), (21L, 2L, 2L), (22L, 21L, 1L), (22L, 20L, 2L),
+      (22L, 2L, 3L)))
+    // maxDepth=2 drops only the dist-3 row
+    val cut = Graph.ancestorClosure(forest, "c", "p", maxDepth = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cut === cl.filter(_._3 <= 2L))
+  }
+
+  test("ancestorClosure: round count is logarithmic in maxDepth") {
+    import spark.implicits._
+    // depth 40 chain under maxDepth 64 → 6 doubling rounds must suffice
+    val chain = (1 to 40).map(i => (i.toLong, i.toLong + 1)).toDF("c", "p")
+    val cl = Graph.ancestorClosure(chain, "c", "p", maxDepth = 64)
+    assert(cl.filter($"node" === 1L).count() === 40L)
+    assert(cl.filter($"node" === 1L && $"dist" === 40L).count() === 1L)
+  }
 }
