@@ -94,6 +94,54 @@ object Ann {
   }
 
   /**
+   * Maximum-inner-product top-k via norm AUGMENTATION (Bachrach et al.
+   * 2014, "Speeding up the Xbox recommender system using a euclidean
+   * transformation"; Neyshabur & Srebro 2015, asymmetric LSH for MIPS) —
+   * the retrieval problem unnormalized embeddings pose: rank by ⟨q,x⟩,
+   * which has no locality-sensitive family of its own. The transform
+   * x̂ = [x; √(M² − ‖x‖²)] with M = max corpus norm and q̂ = [q; 0]
+   * makes every augmented corpus vector length exactly M, so
+   * cos(q̂, x̂) = ⟨q,x⟩ / (‖q‖·M) is MONOTONE in the inner product and
+   * the whole cosine index stack (LSH / IVF / PQ) serves MIPS unchanged.
+   *
+   * Engine-stability: ⟨q̂,x̂⟩ ≡ ⟨q,x⟩ bit-exactly (the appended component
+   * multiplies the query's literal 0.0, and adding +0.0 to a running
+   * double sum is the identity), so the rank key is the 6-dp-rounded
+   * inner product — the [[bruteForceTopK]] convention — while
+   * `aug_cosine` carries the reduced score an index would bucket on,
+   * computed from the ACTUAL augmented vectors (same formula an oracle
+   * replays: append, dot, divide).
+   *
+   * Scale shape: M² is a one-row aggregate that rides a
+   * BroadcastHashJoin on a non-foldable constant key (the
+   * [[joinedCellScores]] device) — two corpus scans, zero collects,
+   * TakeOrderedAndProject keeps k. The augmentation column itself is
+   * what a 100 TB deployment would precompute once at ingest; here it is
+   * inlined so the operator is self-contained.
+   */
+  def mipsTopK(df: DataFrame, vecCol: String, idCol: String,
+               query: Array[Float], k: Int,
+               excludeId: Option[Long] = None): DataFrame = {
+    val base0 = excludeId.map(id => df.filter(col(idCol) =!= id)).getOrElse(df)
+    val base = base0.select(col(idCol),
+      transform(col(vecCol), _.cast("double")).as("_v"))
+    val m2 = base.agg(max(dot(col("_v"), col("_v"))).as("_m2"))
+      .withColumn("_k", pmod(xxhash64(col("_m2")), lit(1)))
+    val q = array(query.map(v => lit(v.toDouble)) :+ lit(0.0): _*)
+    base.withColumn("_k", pmod(xxhash64(col(idCol)), lit(1)))
+      .join(broadcast(m2), "_k")
+      .select(col(idCol),
+        cosine(concat(col("_v"),
+          array(sqrt(greatest(lit(0.0), col("_m2") - dot(col("_v"), col("_v")))))),
+          q).as("aug_cosine"),
+        dot(col("_v"), array(query.map(v => lit(v.toDouble)): _*)).as("inner_product"))
+      .select(col(idCol), round(col("inner_product"), 6).as("inner_product"),
+        round(col("aug_cosine"), 6).as("aug_cosine"))
+      .orderBy(col("inner_product").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
    * Exact top-k cosine neighbors for EVERY query row — the multi-query
    * brute-force baseline (ground truth for index-quality evaluation,
    * [[RetrievalEval]]). The query side rides a BroadcastHashJoin on a

@@ -541,5 +541,37 @@ object AnnQueries {
            |${dimCtes.mkString(",\n")}
            |${hits.mkString("\nUNION ALL\n")}""".stripMargin
       }),
+
+    // MIPS top-k via norm augmentation (Ann.mipsTopK — Bachrach 2014 /
+    // Neyshabur-Srebro 2015): x̂=[x;√(M²−‖x‖²)], q̂=[q;0] reduces
+    // max-inner-product to cosine so the whole ANN stack serves it.
+    // Rank key = 6-dp-rounded raw inner product (identical to ⟨q̂,x̂⟩ —
+    // the appended term multiplies the query's 0); aug_cosine replayed
+    // by the oracle from the same augmented lists
+    "l108_mips_topk" -> Q(
+      (s, dir) => {
+        val e = td(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select("embedding")
+          .collect()(0).getSeq[Float](0).toArray
+        Ann.mipsTopK(e, "embedding", "vec_id", q, k = 10, excludeId = Some(0L))
+      },
+      Some("""WITH q AS (SELECT list_append(embedding::DOUBLE[], 0.0) AS qa
+             |  FROM embeddings WHERE vec_id = 0),
+             |m AS (SELECT max(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS m2
+             |  FROM embeddings WHERE vec_id <> 0),
+             |a AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+             |    list_append(e.embedding::DOUBLE[],
+             |      sqrt(greatest(0.0, m.m2
+             |        - list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))) AS va
+             |  FROM embeddings e, m WHERE e.vec_id <> 0),
+             |s AS (SELECT a.vec_id,
+             |    round(list_dot_product(a.va, q.qa), 6) AS inner_product,
+             |    round(list_dot_product(a.va, q.qa)
+             |      / (sqrt(list_dot_product(a.va, a.va))
+             |         * sqrt(list_dot_product(q.qa, q.qa))), 6) AS aug_cosine
+             |  FROM a, q)
+             |SELECT vec_id, inner_product, aug_cosine FROM s
+             |ORDER BY inner_product DESC, vec_id LIMIT 10""".stripMargin),
+      eager = true),
   )
 }

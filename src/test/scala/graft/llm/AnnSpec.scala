@@ -22,6 +22,38 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(top === Seq(1L, 2L))
   }
 
+  test("mipsTopK ranks by inner product, not cosine, and the reduction is monotone") {
+    // id 1 has HIGH cosine to the query but small norm; id 5 points away
+    // in angle but its large norm wins the inner product — MIPS and
+    // cosine must disagree on this fixture, and mipsTopK must side with
+    // the inner product
+    val df = Seq(
+      (1L, Array(0.1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),   // ip 0.1, cos 1.0
+      (5L, Array(3f, 4f, 0f, 0f, 0f, 0f, 0f, 0f)),     // ip 3.0, cos 0.6
+      (6L, Array(1f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)),     // ip 1.0
+      (7L, Array(-5f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))     // ip -5 (largest norm!)
+    ).toDF("vec_id", "embedding")
+    val q = Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val got = Ann.mipsTopK(df, "embedding", "vec_id", q, k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq === Seq(5L, 6L, 1L, 7L))
+    assert(got.map(_._2).toSeq === Seq(3.0, 1.0, 0.1, -5.0))
+    // monotone reduction: aug_cosine order == inner-product order, even
+    // though raw cosine order (1,6,5,7) differs
+    assert(got.sortBy(-_._3).map(_._1).toSeq === got.map(_._1).toSeq)
+    // closed form: aug_cosine = ip / (‖q‖·M), M = 5 (id 7's norm), ‖q‖=1
+    got.foreach { case (_, ip, ac) =>
+      assert(math.abs(ac - ip / 5.0) < 1e-6, s"aug_cosine $ac vs ${ip / 5.0}")
+    }
+  }
+
+  test("mipsTopK excludeId and k bound the result") {
+    val top = Ann.mipsTopK(vecs, "embedding", "vec_id",
+      Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), k = 2, excludeId = Some(0L))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top === Seq(1L, 2L))   // ip 0.9 then 0.8; id 0 excluded
+  }
+
   test("LSH top-k finds same-cluster neighbors without crossJoin") {
     val res = Ann.lshTopK(vecs, vecs.filter($"vec_id" === 0L), "embedding", "vec_id",
       dim = 8, k = 2, nPlanes = 6)
