@@ -1,0 +1,90 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Small-file compaction — the table-maintenance operator every long-lived
+ * 100 TB lake needs (the reference's pipelines append per-batch outputs;
+ * left alone, a year of daily loads is tens of thousands of KB-scale
+ * files whose listing + task-scheduling overhead dominates scans; cf.
+ * Delta Lake's OPTIMIZE and Iceberg's rewrite_data_files, both public).
+ *
+ * The planner is ORDER-PRESERVING contiguous bin packing: rows (one per
+ * file / micro-partition) are kept in their given order and cut into
+ * bins of ~`targetBytes` by `bin = floor(preceding_cumsum / target)`.
+ * Order preservation is deliberate — compaction must not destroy the
+ * clustering (partition ranges, Z-order) the layout was written with,
+ * which rules out size-sorted first-fit-decreasing; the cumsum cut is
+ * also exactly replayable by any engine with a window SUM, unlike greedy
+ * bin packing whose state is not SQL-expressible.
+ *
+ * Scale note: the planner windows over a GLOBAL order, i.e. a
+ * single-partition window — correct here and only here, because its
+ * input is one row per FILE (a metadata snapshot, bounded by file count,
+ * millions at the extreme), never per data row. The data itself moves in
+ * [[compactDir]] via one shuffle keyed by bin.
+ */
+object Compaction {
+
+  /**
+   * Assign a contiguous compaction bin to each row.
+   *
+   * @param df          one row per file / micro-partition
+   * @param orderCols   the layout order to preserve (path, or partition
+   *                    key columns)
+   * @param sizeCol     bytes per row (long)
+   * @param targetBytes target bin size; every bin except possibly the
+   *                    last straddles the target by at most one row
+   */
+  def planBins(df: DataFrame, orderCols: Seq[String], sizeCol: String,
+               targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val w = Window.orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = coalesce(sum(col(sizeCol).cast("long")).over(w), lit(0L))
+    df.withColumn("_cum", cum)
+      .withColumn("bin_id",
+        ((col("_cum") - pmod(col("_cum"), lit(targetBytes))) / targetBytes)
+          .cast("long"))
+      .drop("_cum")
+  }
+
+  /** List the data files of a parquet directory as (file, bytes), sorted
+    * by name — the metadata snapshot [[planBins]] consumes. */
+  def listDataFiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(s => (s.getPath.getName, s.getLen))
+      .sortBy(_._1)
+    import spark.implicits._
+    rows.toDF("file", "bytes")
+  }
+
+  /**
+   * Physically compact a parquet directory: plan bins over the REAL file
+   * sizes, then rewrite in ONE job — each input row joins its file's bin
+   * via a broadcast of the (file → bin) plan on `input_file_name`, a
+   * repartition keyed by bin co-locates every bin in one task, and
+   * `partitionBy` emits exactly one data file per bin directory.
+   * Returns the plan that was executed.
+   */
+  def compactDir(spark: SparkSession, dir: String, targetBytes: Long,
+                 outDir: String): DataFrame = {
+    val plan = planBins(listDataFiles(spark, dir), Seq("file"), "bytes",
+      targetBytes)
+    val nBins = (plan.agg(max("bin_id")).collect()(0).getLong(0) + 1).toInt
+    spark.read.parquet(dir)
+      .withColumn("file", substring_index(input_file_name(), "/", -1))
+      .join(broadcast(plan.select("file", "bin_id")), "file")
+      .drop("file")
+      .repartition(nBins, col("bin_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bin_id").parquet(outDir)
+    plan
+  }
+}

@@ -360,6 +360,34 @@ object IoQueries {
              |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment""".stripMargin),
-      eager = true)
+      eager = true),
+
+    // small-file compaction planner (io/Compaction.planBins): order-
+    // preserving contiguous bin packing — bin = preceding-cumsum div
+    // target — over a micro-partition metadata snapshot (here: lineitem
+    // ship-month cells at 64 B/row estimate; in production: the real file
+    // listing, see CompactionSpec's physical rewrite). Cumsum-cut, not
+    // greedy first-fit: replayable by any window SUM and preserves the
+    // layout's clustering order. Metadata-bounded global window
+    "s28_compaction_plan" -> Q(
+      (s, dir) => graft.io.Compaction.planBins(
+        td(s, dir, "lineitem").groupBy(
+            year(col("l_shipdate")).cast("long").as("yr"),
+            month(col("l_shipdate")).cast("long").as("mo"),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg((count(lit(1)) * 64).cast("long").as("est_bytes")),
+        Seq("yr", "mo", "l_returnflag", "l_linestatus"),
+        "est_bytes", targetBytes = 262144L),
+      Some("""WITH mp AS (SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+             |    CAST(month(l_shipdate) AS BIGINT) AS mo,
+             |    l_returnflag, l_linestatus,
+             |    CAST(count(*) * 64 AS BIGINT) AS est_bytes
+             |  FROM lineitem GROUP BY 1, 2, 3, 4)
+             |SELECT yr, mo, l_returnflag, l_linestatus, est_bytes,
+             |  CAST(COALESCE(sum(est_bytes) OVER (
+             |      ORDER BY yr, mo, l_returnflag, l_linestatus
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    // 262144 AS BIGINT) AS bin_id
+             |FROM mp""".stripMargin))
   )
 }
