@@ -101,4 +101,63 @@ object Survival {
       col("step.d_events").as("d_events"),
       col("step.surv_micro").as("surv_micro"))
   }
+
+  /**
+   * Log-rank test (Mantel 1966; Peto & Peto 1972) — the hypothesis test
+   * that goes with [[kaplanMeier]]: does arm `armA`'s survival differ
+   * from everyone else's? At each event time t_k with n_k at risk
+   * (n1_k in arm A), d_k events (d1_k in arm A), the arm-A expectation
+   * under H₀ is d_k·n1_k/n_k and the hypergeometric variance is
+   * d_k·(n_k−d_k)·n1_k·(n_k−n1_k) / (n_k²·(n_k−1)); the statistic is
+   * (O₁−E₁)²/V ~ χ²(1).
+   *
+   * Exactness contract: every per-time term is a floor-divided integer in
+   * MICRO-UNITS — e_k = (d·n1·10⁶) div n (fits a long),
+   * v_k = (d·(n−d)·n1·(n−n1)·10⁶) div (n²·(n−1)) computed in
+   * DECIMAL(38,0) (the intermediate reaches ~10²¹; DuckDB replays it in
+   * HUGEINT with `//`), v_k ≡ 0 at n ≤ 1 on both engines. Sums of exact
+   * longs are order-free, so unlike the KM curve NO sequential recursion
+   * is needed: one hash-agg + one calendar-bounded window + one final
+   * agg — fully distributed.
+   *
+   * Output (single row): o1, e1_micro, v_micro, chi2_micro, n_times.
+   */
+  def logRank(df: DataFrame, groupCol: String, timeCol: String,
+              eventCol: String, armA: String): DataFrame = {
+    val a1 = (col(groupCol) === armA).cast("long")
+    val perTime = df
+      .filter(col(timeCol).isNotNull)
+      .groupBy(col(timeCol).cast("long").as("t"))
+      .agg(sum(col(eventCol).cast("long")).as("d"),
+           count(lit(1)).as("c"),
+           sum(col(eventCol).cast("long") * a1).as("d1"),
+           sum(a1).as("c1"))
+    val wAll  = Window.partitionBy(lit(1))
+    val wPrev = Window.partitionBy(lit(1)).orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val terms = perTime
+      .withColumn("n",
+        sum("c").over(wAll) - coalesce(sum("c").over(wPrev), lit(0L)))
+      .withColumn("n1",
+        sum("c1").over(wAll) - coalesce(sum("c1").over(wPrev), lit(0L)))
+      .filter(col("d") > 0)
+      .select(
+        col("d1"),
+        expr("(d * n1 * 1000000L) div n").as("e_micro"),
+        when(col("n") > 1, expr(
+          """(CAST(d AS DECIMAL(19,0)) * (n - d) * n1 * (n - n1) * 1000000)
+            | div (CAST(n AS DECIMAL(19,0)) * n * (n - 1))""".stripMargin))
+          .otherwise(lit(0L)).as("v_micro"))
+    terms.agg(
+        sum("d1").cast("long").as("o1"),
+        sum("e_micro").cast("long").as("e1_micro"),
+        sum("v_micro").cast("long").as("v_micro"),
+        count(lit(1)).as("n_times"))
+      .select(col("o1"), col("e1_micro"), col("v_micro"),
+        when(col("v_micro") > 0, expr(
+          """CAST(o1 * 1000000L - e1_micro AS DECIMAL(19,0))
+            | * (o1 * 1000000L - e1_micro) div v_micro""".stripMargin))
+          .otherwise(lit(0L)).as("chi2_micro"),
+        col("n_times"))
+  }
 }

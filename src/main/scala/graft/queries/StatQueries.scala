@@ -449,6 +449,52 @@ object StatQueries {
              |    (km.surv * (e.n_risk - e.d)) // e.n_risk
              |  FROM km JOIN e ON e.grp = km.grp AND e.rn = km.rn + 1)
              |SELECT grp, t, n_risk, d AS d_events, surv AS surv_micro
-             |FROM km""".stripMargin))
+             |FROM km""".stripMargin)),
+
+    // log-rank test (Mantel 1966) over the a28 cohort: URGENT arm vs
+    // rest. Every per-time O/E/V term is floor-divided integer micro-
+    // arithmetic (variance in DECIMAL(38,0) ↔ HUGEINT — the intermediate
+    // reaches ~10²¹); sums of exact longs need no recursion, so unlike
+    // a28 this is one hash-agg + one calendar-bounded window + one agg
+    "a29_logrank" -> Q(
+      (s, dir) => graft.clinical.Survival.logRank(
+        td(s, dir, "orders").select(
+          col("o_orderpriority").as("grp"),
+          dayofyear(col("o_orderdate")).as("t"),
+          when(col("o_orderstatus") === "F", 1).otherwise(0).as("ev")),
+        "grp", "t", "ev", armA = "1-URGENT"),
+      Some("""WITH base AS (SELECT CAST(dayofyear(o_orderdate) AS BIGINT) AS t,
+             |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev,
+             |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a1
+             |  FROM orders),
+             |pt AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+             |    CAST(count(*) AS BIGINT) AS c,
+             |    CAST(sum(ev * a1) AS BIGINT) AS d1,
+             |    CAST(sum(a1) AS BIGINT) AS c1
+             |  FROM base GROUP BY 1),
+             |r AS (SELECT t, d, d1,
+             |    CAST(sum(c) OVER () - COALESCE(sum(c) OVER (ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS n,
+             |    CAST(sum(c1) OVER () - COALESCE(sum(c1) OVER (ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS n1
+             |  FROM pt),
+             |terms AS (SELECT d1, (d * n1 * 1000000) // n AS e_micro,
+             |    CASE WHEN n > 1 THEN CAST(
+             |      (d::HUGEINT * (n - d) * n1 * (n - n1) * 1000000)
+             |        // (n::HUGEINT * n * (n - 1)) AS BIGINT)
+             |      ELSE 0 END AS v_micro
+             |  FROM r WHERE d > 0),
+             |s AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+             |    CAST(sum(e_micro) AS BIGINT) AS e1_micro,
+             |    CAST(sum(v_micro) AS BIGINT) AS v_micro,
+             |    CAST(count(*) AS BIGINT) AS n_times FROM terms)
+             |SELECT o1, e1_micro, v_micro,
+             |  CASE WHEN v_micro > 0 THEN CAST(
+             |    ((o1 * 1000000 - e1_micro)::HUGEINT * (o1 * 1000000 - e1_micro))
+             |      // v_micro AS BIGINT) ELSE 0 END AS chi2_micro,
+             |  n_times
+             |FROM s""".stripMargin))
   )
 }

@@ -62,4 +62,35 @@ class SurvivalSpec extends AnyFunSuite with SparkTestBase {
       .toDF("grp", "t", "ev")
     assert(Survival.kaplanMeier(df, "grp", "t", "ev").count() === 0)
   }
+
+  test("logRank: symmetric arms give chi2 = 0 with hand-checked O/E/V terms") {
+    // A: (1,ev)(2,cens)(3,ev)  B: (1,cens)(2,ev)(3,ev) — mirror images
+    val df = Seq(("A", 1, 1), ("A", 2, 0), ("A", 3, 1),
+      ("B", 1, 0), ("B", 2, 1), ("B", 3, 1)).toDF("grp", "t", "ev")
+    val r = Survival.logRank(df, "grp", "t", "ev", "A").collect().head
+    // t=1: e=(1·3·1e6)//6=500000, v=(1·5·3·3·1e6)//180=250000
+    // t=2: e=(1·2·1e6)//4=500000, v=(1·3·2·2·1e6)//48=250000
+    // t=3: e=(2·1·1e6)//2=1e6,    v=0 (n=d)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((2L, 2000000L, 500000L, 0L, 3L)))
+  }
+
+  test("logRank: early-event arm vs late-event arm gives chi2 ≈ 3") {
+    val df = Seq(("A", 1, 1), ("A", 1, 1), ("B", 5, 1), ("B", 5, 1))
+      .toDF("grp", "t", "ev")
+    val r = Survival.logRank(df, "grp", "t", "ev", "A").collect().head
+    // t=1: n=4,n1=2,d=2,d1=2 → e=1e6, v=(2·2·2·2·1e6)//(16·3)=333333
+    // t=5: n=2,n1=0,d=2 → e=0, v=0
+    // chi2 = (2e6−1e6)² // 333333 = 3000003 micro (true value 3)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((2L, 1000000L, 333333L, 3000003L, 2L)))
+  }
+
+  test("logRank: single-subject times (n=1 guard) contribute zero variance") {
+    val df = Seq(("A", 1, 1), ("B", 9, 1)).toDF("grp", "t", "ev")
+    val r = Survival.logRank(df, "grp", "t", "ev", "A").collect().head
+    // t=1: n=2,n1=1,d=1 → v=(1·1·1·1·1e6)//(4·1)=250000; t=9: n=1 → v=0
+    assert(r.getLong(2) === 250000L)
+    assert(r.getLong(4) === 2L)
+  }
 }
