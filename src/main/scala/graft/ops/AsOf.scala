@@ -131,4 +131,57 @@ object AsOf {
       .filter(pointCol >= col("__s") && pointCol <= col("__e"))
       .drop("__bin", "__s", "__e")
   }
+
+  /**
+   * Reciprocal-overlap INTERVAL-interval join — the genomic intersection
+   * shape (bedtools `intersect -f F -r`, public; the reference's variant/
+   * annotation builds join MAF coordinates against feature intervals this
+   * way): keep pairs on the same key whose overlap covers at least
+   * `minOverlapBp` basis points of BOTH intervals. Intervals are
+   * half-open `[start, end)` on NON-NEGATIVE integer coordinates.
+   *
+   * Scale shape: both sides explode to the fixed-width bins they touch
+   * and hash-join on (key, bin) — candidate work is proportional to
+   * genuinely co-binned intervals, never |A|×|B|. A pair spanning
+   * several shared bins would surface once per bin; it is kept only in
+   * the FIRST bin both occupy (`bin == max(sa, sb) div binSize` — the
+   * standard dedup device for binned interval joins), so no distinct
+   * shuffle is ever needed. The reciprocal test is pure long
+   * arithmetic: `ov·10⁴ ≥ minOverlapBp · len` on each side.
+   *
+   * Column contract: `a` and `b` must not share column names; the output
+   * is every a-column, every b-column, and `overlap_len`.
+   */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+                          keyA: Column, keyB: Column,
+                          startA: Column, endA: Column,
+                          startB: Column, endB: Column,
+                          binSize: Long, minOverlapBp: Long): DataFrame = {
+    require(binSize > 0, s"binSize must be positive, got $binSize")
+    require(minOverlapBp >= 0 && minOverlapBp <= 10000,
+      s"minOverlapBp must be in [0, 10000], got $minOverlapBp")
+    val aa = a
+      .withColumn("__k", keyA.cast("long"))
+      .withColumn("__sa", startA.cast("long"))
+      .withColumn("__ea", endA.cast("long"))
+      .withColumn("__bin", explode(sequence(
+        expr("__sa div " + binSize),
+        expr("(__ea - 1) div " + binSize))))
+    val bb = b
+      .withColumn("__k", keyB.cast("long"))
+      .withColumn("__sb", startB.cast("long"))
+      .withColumn("__eb", endB.cast("long"))
+      .withColumn("__bin", explode(sequence(
+        expr("__sb div " + binSize),
+        expr("(__eb - 1) div " + binSize))))
+    val ov = least(col("__ea"), col("__eb")) - greatest(col("__sa"), col("__sb"))
+    aa.join(bb, Seq("__k", "__bin"))
+      .filter(col("__bin") ===
+        greatest(expr("__sa div " + binSize), expr("__sb div " + binSize)))
+      .withColumn("overlap_len", ov)
+      .filter(col("overlap_len") > 0 &&
+        col("overlap_len") * 10000 >= lit(minOverlapBp) * (col("__ea") - col("__sa")) &&
+        col("overlap_len") * 10000 >= lit(minOverlapBp) * (col("__eb") - col("__sb")))
+      .drop("__k", "__bin", "__sa", "__ea", "__sb", "__eb")
+  }
 }

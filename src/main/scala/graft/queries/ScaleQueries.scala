@@ -122,6 +122,44 @@ object ScaleQueries {
              |WHERE abs(length(m.m_name) - length(n.n_name)) <= 1
              |  AND levenshtein(m.m_name, n.n_name) <= 1""".stripMargin)),
 
+    // J19 — reciprocal-overlap interval join (AsOf.intervalOverlapJoin —
+    //   the bedtools intersect -f -r genomic shape): 20-day order windows
+    //   vs 14-day shipment windows on a shared key, keep pairs whose
+    //   overlap covers ≥50% of BOTH. Candidates from a (key, bin)
+    //   equi-join with first-shared-bin dedup (no distinct shuffle); the
+    //   oracle is the naive theta join — ground truth the binning must
+    //   reproduce exactly
+    "j19_interval_overlap" -> Q(
+      (s, dir) => {
+        val a = td(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey").as("a_id"), (col("o_custkey") % 5).as("ka"),
+            datediff(col("o_orderdate"), lit("1990-01-01")).cast("long").as("sa"))
+          .withColumn("ea", col("sa") + 20L)
+        val b = td(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+          .select((col("l_orderkey") * 10 + col("l_linenumber")).as("b_id"),
+            (col("l_suppkey") % 5).as("kb"),
+            datediff(col("l_shipdate"), lit("1990-01-01")).cast("long").as("sb"))
+          .withColumn("eb", col("sb") + 14L)
+        graft.ops.AsOf.intervalOverlapJoin(a, b, col("ka"), col("kb"),
+            col("sa"), col("ea"), col("sb"), col("eb"),
+            binSize = 16L, minOverlapBp = 5000L)
+          .select(col("a_id"), col("b_id"), col("overlap_len"))
+      },
+      Some("""WITH a AS (SELECT o_orderkey AS a_id, o_custkey % 5 AS k,
+             |    CAST(date_diff('day', DATE '1990-01-01', o_orderdate::DATE) AS BIGINT) AS s
+             |  FROM orders WHERE o_orderkey % 100 = 0),
+             |b AS (SELECT l_orderkey * 10 + l_linenumber AS b_id, l_suppkey % 5 AS k,
+             |    CAST(date_diff('day', DATE '1990-01-01', l_shipdate::DATE) AS BIGINT) AS s
+             |  FROM lineitem WHERE l_orderkey % 10 = 0)
+             |SELECT a.a_id, b.b_id,
+             |  least(a.s + 20, b.s + 14) - greatest(a.s, b.s) AS overlap_len
+             |FROM a JOIN b ON a.k = b.k
+             |WHERE least(a.s + 20, b.s + 14) - greatest(a.s, b.s) > 0
+             |  AND (least(a.s + 20, b.s + 14) - greatest(a.s, b.s)) * 10000
+             |        >= 5000 * 20
+             |  AND (least(a.s + 20, b.s + 14) - greatest(a.s, b.s)) * 10000
+             |        >= 5000 * 14""".stripMargin)),
+
     // J17 — Jaro–Winkler fuzzy record linkage at part scale (20k–200k
     //   rows, vs j16's 25-row nation demo): a swap-corrupted twin of every
     //   part name is resolved back against the full part registry through

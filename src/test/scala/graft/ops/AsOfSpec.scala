@@ -78,4 +78,44 @@ class AsOfSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
   }
+
+  test("intervalOverlapJoin: reciprocal threshold, bin dedup, key separation") {
+    // a1 [0,100) and b1 [50,150): ov=50 = 50% of both → kept at 5000 bp.
+    // a2 [0,100) and b2 [90,100): ov=10 = 100% of b2 but 10% of a2 →
+    //   RECIPROCAL test kills it.
+    // a3 [200,210) and b3 [205,215): ov=5, 50% of both → kept; spans are
+    //   within one bin.
+    // b4 on key 2 overlaps a1's coordinates but not its key.
+    val a = Seq((1L, 1L, 0L, 100L), (2L, 1L, 0L, 100L), (3L, 1L, 200L, 210L))
+      .toDF("a_id", "ka", "sa", "ea")
+    val b = Seq((1L, 1L, 50L, 150L), (2L, 1L, 90L, 100L), (3L, 1L, 205L, 215L),
+      (4L, 2L, 0L, 100L)).toDF("b_id", "kb", "sb", "eb")
+    def run(bin: Long) = AsOf.intervalOverlapJoin(
+      a.filter($"a_id" =!= 2L), b, col("ka"), col("kb"),
+      col("sa"), col("ea"), col("sb"), col("eb"),
+      binSize = bin, minOverlapBp = 5000)
+      .select($"a_id", $"b_id", $"overlap_len").as[(Long, Long, Long)]
+      .collect().toSet
+    val expected = Set((1L, 1L, 50L), (3L, 3L, 5L))
+    // tiny bins: the (a1,b1) pair shares MANY bins — must still appear once
+    assert(run(7L) === expected)
+    assert(run(1000L) === expected)
+    // a2 vs b2: one-sided containment fails the reciprocal test
+    val asym = AsOf.intervalOverlapJoin(a.filter($"a_id" === 2L),
+      b.filter($"b_id" === 2L), col("ka"), col("kb"),
+      col("sa"), col("ea"), col("sb"), col("eb"), 50L, 5000L)
+    assert(asym.count() === 0)
+    // but at 10% reciprocal it passes
+    val loose = AsOf.intervalOverlapJoin(a.filter($"a_id" === 2L),
+      b.filter($"b_id" === 2L), col("ka"), col("kb"),
+      col("sa"), col("ea"), col("sb"), col("eb"), 50L, 1000L)
+    assert(loose.select($"overlap_len").as[Long].collect().toSeq === Seq(10L))
+  }
+
+  test("intervalOverlapJoin: touching half-open intervals do not overlap") {
+    val a = Seq((1L, 1L, 0L, 10L)).toDF("a_id", "ka", "sa", "ea")
+    val b = Seq((1L, 1L, 10L, 20L)).toDF("b_id", "kb", "sb", "eb")
+    assert(AsOf.intervalOverlapJoin(a, b, col("ka"), col("kb"),
+      col("sa"), col("ea"), col("sb"), col("eb"), 5L, 0L).count() === 0)
+  }
 }
