@@ -1,6 +1,7 @@
 package graft.pipelines
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Agg
 
@@ -86,4 +87,42 @@ object StagedBuilds {
       .join(broadcast(runMetaToAliquot), Seq("aliquot_run_metadata_id"))
       .join(broadcast(aliquotToSample), Seq("aliquot_id"))
       .join(broadcast(sampleToCase), Seq("sample_id"))
+
+  /**
+   * Quantile normalization (Bolstad et al. 2003, Bioinformatics — the
+   * cross-sample distribution equalizer every expression-matrix build
+   * runs before comparing samples): rank each sample's values, build the
+   * REFERENCE distribution as the per-rank mean across samples, and
+   * replace every value by the reference value at its rank.
+   *
+   * Determinism contract: the within-sample rank is a row_number over
+   * the TOTAL order (value, gene) — ties broken by gene id, so every
+   * engine assigns identical ranks (the mean-of-tied-ranks variant
+   * averages over an engine-dependent tie set; this one is exactly
+   * replayable). The reference value is integer micro-units:
+   * (Σ value · 10⁶) div (samples present at that rank) — samples with
+   * fewer genes simply stop contributing past their depth, matching the
+   * ragged-matrix behavior of the melt (c5) this feeds on.
+   *
+   * Scale shape: one per-sample sort window (partitioned by sample — the
+   * matrix's natural parallelism), one skinny hash-agg on rank (rank
+   * cardinality = genes-per-sample, not matrix size), one equi-join back
+   * on rank. No driver state, no collect.
+   *
+   * Input: one row per (sample, gene) with an exact integer value
+   * (cents). Output: (sample, gene, rk, ref_micro).
+   */
+  def quantileNormalize(df: DataFrame, sampleCol: String, geneCol: String,
+                        valueCol: String): DataFrame = {
+    val ranked = df.select(col(sampleCol).as("sample_id"),
+        col(geneCol).as("gene_id"), col(valueCol).cast("long").as("v"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("sample_id").orderBy(col("v"), col("gene_id")))
+        .cast("long"))
+    val ref = ranked.groupBy("rk")
+      .agg(sum(col("v")).cast("long").as("s"), count(lit(1)).as("m"))
+      .select(col("rk"), expr("(s * 1000000L) div m").as("ref_micro"))
+    ranked.join(ref, "rk")
+      .select(col("sample_id"), col("gene_id"), col("rk"), col("ref_micro"))
+  }
 }

@@ -119,6 +119,32 @@ object CompositeQueries {
              |SELECT l_orderkey, l_linenumber,
              |string_agg(DISTINCT v, '|' ORDER BY v) AS merged,
              |CAST(count(DISTINCT caller) AS BIGINT) AS n_callers
-             |FROM u GROUP BY 1, 2""".stripMargin))
+             |FROM u GROUP BY 1, 2""".stripMargin)),
+
+    // C22 — quantile normalization (Bolstad 2003; StagedBuilds
+    //   .quantileNormalize): equalize per-sample value distributions in
+    //   the quant matrix the c5 melt produces. Sample = returnflag ×
+    //   linestatus, gene = partkey, value = exact max cents. Total-order
+    //   ranks (value, gene) → per-rank integer-micro mean → join back;
+    //   one per-sample sort, one rank-skinny agg, one rank equi-join
+    "c22_quantile_normalize" -> Q(
+      (s, dir) => graft.pipelines.StagedBuilds.quantileNormalize(
+        td(s, dir, "lineitem")
+          .groupBy(concat(col("l_returnflag"), col("l_linestatus")).as("sample_id"),
+            col("l_partkey").as("gene_id"))
+          .agg(max(round(col("l_extendedprice") * 100)).cast("long").as("cents")),
+        "sample_id", "gene_id", "cents"),
+      Some("""WITH m AS (SELECT l_returnflag || l_linestatus AS sample_id,
+             |    l_partkey AS gene_id,
+             |    CAST(max(round(l_extendedprice * 100)) AS BIGINT) AS v
+             |  FROM lineitem GROUP BY 1, 2),
+             |r AS (SELECT sample_id, gene_id, v,
+             |    CAST(row_number() OVER (PARTITION BY sample_id
+             |      ORDER BY v, gene_id) AS BIGINT) AS rk FROM m),
+             |d AS (SELECT rk, CAST(sum(v) AS BIGINT) AS sv,
+             |    CAST(count(*) AS BIGINT) AS m FROM r GROUP BY 1)
+             |SELECT r.sample_id, r.gene_id, r.rk,
+             |  CAST((d.sv * 1000000) // d.m AS BIGINT) AS ref_micro
+             |FROM r JOIN d USING (rk)""".stripMargin))
   )
 }

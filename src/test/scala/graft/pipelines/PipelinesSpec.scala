@@ -1,6 +1,7 @@
 package graft.pipelines
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, collect_set, size}
 import graft.SparkTestBase
 import graft.io.TableRef
 
@@ -119,6 +120,36 @@ class PipelinesSpec extends AnyFunSuite with SparkTestBase {
     // second run with identical data: diff gate must skip republishing
     RunPipeline.run(spark, cfg, "/root/testdata/sf0.001", outRoot)
     assert(graft.publish.Publish.latestVersion(s"$outRoot/published", "clinical") === 1)
+  }
+
+  test("quantileNormalize: hand-computed reference distribution, ragged samples") {
+    // A: 2,4,6  B: 3,5,100 — rank means 2.5 / 4.5 / 53
+    val m = Seq(("A", "g1", 2L), ("A", "g2", 4L), ("A", "g3", 6L),
+      ("B", "g1", 3L), ("B", "g2", 5L), ("B", "g3", 100L))
+      .toDF("s", "g", "v")
+    val qn = StagedBuilds.quantileNormalize(m, "s", "g", "v")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(qn === Set(
+      ("A", "g1", 1L, 2500000L), ("B", "g1", 1L, 2500000L),
+      ("A", "g2", 2L, 4500000L), ("B", "g2", 2L, 4500000L),
+      ("A", "g3", 3L, 53000000L), ("B", "g3", 3L, 53000000L)))
+    // both samples now share one distribution — the operator's whole point
+    val perSample = StagedBuilds.quantileNormalize(m, "s", "g", "v")
+      .groupBy("sample_id")
+      .agg(collect_set(col("ref_micro")).as("dist"))
+      .select(size(col("dist"))).as[Int].collect()
+    assert(perSample.toSeq === Seq(3, 3))
+    // ragged: a 1-gene sample joins rank 1's mean only
+    val ragged = m.unionByName(Seq(("C", "g9", 10L)).toDF("s", "g", "v"))
+    val r1 = StagedBuilds.quantileNormalize(ragged, "s", "g", "v")
+      .filter(col("rk") === 1L).select("ref_micro").distinct()
+      .as[Long].collect()
+    assert(r1.toSeq === Seq(5000000L))   // (2+3+10)·1e6 div 3
+    // ranks within a sample break value ties by gene id — deterministic
+    val tied = Seq(("A", "g1", 7L), ("A", "g0", 7L)).toDF("s", "g", "v")
+    val rk = StagedBuilds.quantileNormalize(tied, "s", "g", "v")
+      .select("gene_id", "rk").as[(String, Long)].collect().toMap
+    assert(rk === Map("g0" -> 1L, "g1" -> 2L))
   }
 
   test("clusterWrite orders rows within partitions") {
