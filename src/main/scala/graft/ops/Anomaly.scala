@@ -178,4 +178,60 @@ object Anomaly {
         expr(s"CAST((_d * _d) div (CAST(1000000 AS $dec) * n * p_micro) AS LONG)")
           .as("contrib_micro"))
   }
+
+  /**
+   * EWMA trend smoothing per series (Roberts 1959, the EWMA control
+   * chart; Hunter 1986) — the trend companion to [[rollingCountAnomaly]]:
+   * where the rolling z flags spikes against a FLAT trailing window, the
+   * exponentially weighted mean tracks drifting levels (its whole point:
+   * small persistent shifts move the EWMA long before any single hour
+   * trips a z test).
+   *
+   * Exactness contract: the recursion runs in integer MICRO-UNITS with a
+   * per-step floor — s₁ = x₁·10⁶, then
+   * s_k = (α_bp·x_k·10⁶ + (10⁴−α_bp)·s_{k−1}) div 10⁴ — so any engine
+   * replaying the same ordered recursion (a DuckDB recursive CTE with
+   * `//`) matches bit for bit; `dev_micro = x_k·10⁶ − s_{k−1}` is the
+   * surprise vs the PRIOR smoothed level (0 for the seed row).
+   *
+   * Scale shape: one hash-agg to per-(key, t) values, then a per-key
+   * sorted-array fold (`aggregate` HOF — the kaplanMeier convention):
+   * the fold state is one long, the array is the series' time axis —
+   * calendar-bounded, never event-bounded. No driver state.
+   *
+   * Output: (key, t, x, ewma_micro, dev_micro), all BIGINT.
+   */
+  def ewmaTrend(df: DataFrame, keyCol: String, timeCol: String,
+                valueCol: String, alphaBp: Long): DataFrame = {
+    require(alphaBp > 0 && alphaBp <= 10000,
+      s"alphaBp must be in (0, 10000], got $alphaBp")
+    val perT = df.groupBy(col(keyCol).as("key"),
+        col(timeCol).cast("long").as("t"))
+      .agg(sum(col(valueCol).cast("long")).as("x"))
+    val accT = "struct<last:bigint,out:array<struct<t:bigint,x:bigint," +
+               "ewma_micro:bigint,dev_micro:bigint>>>"
+    perT.groupBy("key")
+      .agg(array_sort(collect_list(struct(col("t"), col("x")))).as("steps"))
+      .select(col("key"), explode(aggregate(
+        col("steps"),
+        expr(s"cast(named_struct('last', -1L, 'out', array()) as $accT)"),
+        (acc, s) => {
+          val xm = s.getField("x") * 1000000L
+          val seeded = acc.getField("last") >= 0L
+          val num = lit(alphaBp) * xm +
+            lit(10000L - alphaBp) * acc.getField("last")
+          val next = when(seeded,
+            ((num - pmod(num, lit(10000L))) / 10000L).cast("long"))
+            .otherwise(xm)
+          val dev = when(seeded, xm - acc.getField("last")).otherwise(lit(0L))
+          struct(next.as("last"),
+            concat(acc.getField("out"), array(struct(
+              s.getField("t").as("t"), s.getField("x").as("x"),
+              next.as("ewma_micro"), dev.as("dev_micro")))).as("out"))
+        },
+        acc => acc.getField("out"))).as("step"))
+      .select(col("key"), col("step.t").as("t"), col("step.x").as("x"),
+        col("step.ewma_micro").as("ewma_micro"),
+        col("step.dev_micro").as("dev_micro"))
+  }
 }

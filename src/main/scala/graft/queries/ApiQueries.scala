@@ -351,6 +351,36 @@ object ApiQueries {
              |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
              |FROM d""".stripMargin)),
 
+    // w13 — EWMA trend smoothing (Roberts 1959 control chart) per
+    // event_type over DAILY counts: the drift detector next to w10's
+    // spike test (a small persistent level shift moves the EWMA long
+    // before any hour trips 3-sigma). Integer micro-unit per-step floor
+    // recursion s_k = (α·x_k·10⁶ + (10⁴−α)·s_{k−1}) div 10⁴ replayed by
+    // an ordered recursive CTE; per-key array fold is calendar-bounded
+    "w13_ewma_trend" -> Q(
+      (s, dir) => graft.ops.Anomaly.ewmaTrend(
+        Registry.tdEventsUs(s, dir)
+          .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
+            lit(1L).as("one")),
+        "event_type", "day", "one", alphaBp = 3000L),
+      Some("""WITH RECURSIVE pt AS (SELECT event_type AS key,
+             |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS t,
+             |    CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1, 2),
+             |e AS (SELECT key, t, x,
+             |    row_number() OVER (PARTITION BY key ORDER BY t) AS rn FROM pt),
+             |r AS (
+             |  SELECT key, t, x, rn, x * 1000000 AS ewma,
+             |    CAST(0 AS BIGINT) AS dev
+             |  FROM e WHERE rn = 1
+             |  UNION ALL
+             |  SELECT e.key, e.t, e.x, e.rn,
+             |    (3000 * e.x * 1000000 + 7000 * r.ewma) // 10000,
+             |    e.x * 1000000 - r.ewma
+             |  FROM r JOIN e ON e.key = r.key AND e.rn = r.rn + 1)
+             |SELECT key, t, x, ewma AS ewma_micro, dev AS dev_micro
+             |FROM r""".stripMargin)),
+
     // w11 — last-touch click attribution: each click joins the views of
     // the SAME user inside the trailing 30-min window (equi key user_id
     // drives the shuffle, the time range is a post-join filter — SMJ,

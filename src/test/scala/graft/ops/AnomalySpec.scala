@@ -105,4 +105,31 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
       assert(BigInt(contrib) === diff * diff / (BigInt(1000000) * n * p), s"digit $d chi2")
     }
   }
+
+  test("ewmaTrend: hand recursion at alpha=0.5, seed row, drop-to-zero") {
+    val df = Seq(("A", 1L, 10L), ("A", 2L, 20L), ("A", 3L, 20L), ("A", 4L, 0L))
+      .toDF("k", "t", "x")
+    val got = Anomaly.ewmaTrend(df, "k", "t", "x", alphaBp = 5000L)
+      .orderBy("t").as[(String, Long, Long, Long, Long)].collect().toSeq
+    // s1=10e6 dev 0; s2=(.5·20e6+.5·10e6)=15e6 dev +10e6;
+    // s3=17.5e6 dev +5e6; s4=8.75e6 dev −17.5e6
+    assert(got === Seq(
+      ("A", 1L, 10L, 10000000L, 0L),
+      ("A", 2L, 20L, 15000000L, 10000000L),
+      ("A", 3L, 20L, 17500000L, 5000000L),
+      ("A", 4L, 0L, 8750000L, -17500000L)))
+  }
+
+  test("ewmaTrend: per-step floor matches the integer recursion exactly") {
+    val df = Seq(("B", 1L, 10L), ("B", 2L, 20L)).toDF("k", "t", "x")
+    val got = Anomaly.ewmaTrend(df, "k", "t", "x", alphaBp = 3333L)
+      .orderBy("t").as[(String, Long, Long, Long, Long)].collect()
+    // (3333·20e6 + 6667·10e6) div 10⁴ = 13333000
+    assert(got(1)._4 === 13333000L)
+    // keys are independent series; pre-aggregation sums same-t values
+    val multi = df.unionByName(Seq(("C", 1L, 3L), ("C", 1L, 4L)).toDF("k", "t", "x"))
+    val c = Anomaly.ewmaTrend(multi, "k", "t", "x", alphaBp = 3333L)
+      .filter($"key" === "C").as[(String, Long, Long, Long, Long)].collect()
+    assert(c.toSeq === Seq(("C", 1L, 7L, 7000000L, 0L)))
+  }
 }
