@@ -388,6 +388,40 @@ object IoQueries {
              |      ORDER BY yr, mo, l_returnflag, l_linestatus
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              |    // 262144 AS BIGINT) AS bin_id
-             |FROM mp""".stripMargin))
+             |FROM mp""".stripMargin)),
+
+    // incremental watermark scan (io/Io.readSince): an append-only dir is
+    // read only for files NEWER than the checkpointed watermark — the
+    // file-level twin of l56's row-level incremental dedup. Fixture:
+    // even orders land as batch 1 (mtime T0), odd orders appended as
+    // batch 2 (T0+5s); scanning since T0 must surface exactly batch 2,
+    // which the oracle states directly over orders
+    "s29_incremental_scan" -> Q(
+      (s, dir) => {
+        import org.apache.hadoop.fs.Path
+        val sf = new java.io.File(dir).getName
+        val path = s"$FixtureRoot/s29_$sf"
+        val orders = td(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        val fs = new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+        def names: Set[String] =
+          if (!fs.exists(new Path(path))) Set.empty
+          else fs.listStatus(new Path(path))
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+            .map(_.getPath.getName).toSet
+        val t0 = 1700000000000L
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .write.mode("overwrite").parquet(path)
+        val batch1 = names
+        batch1.foreach(n => fs.setTimes(new Path(s"$path/$n"), t0, -1))
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .write.mode("append").parquet(path)
+        (names -- batch1).foreach(n =>
+          fs.setTimes(new Path(s"$path/$n"), t0 + 5000L, -1))
+        graft.io.Io.readSince(s, path, t0)._1
+      },
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+             |WHERE o_orderkey % 2 = 1""".stripMargin),
+      eager = true)
   )
 }

@@ -163,4 +163,38 @@ class IoSpec extends AnyFunSuite with SparkTestBase {
     assert(ex.getMessage.contains("fixed-width overflow") ||
       ex.getCause != null && ex.getCause.getMessage.contains("fixed-width overflow"))
   }
+
+  test("readSince: only files newer than the watermark are scanned; watermark advances") {
+    import org.apache.hadoop.fs.Path
+    val dir = "/root/repo/target/io_spec/since"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def setMtimes(skip: Set[String], t: Long): Unit =
+      fs.listStatus(new Path(dir))
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .filterNot(s => skip.contains(s.getPath.getName))
+        .foreach(s => fs.setTimes(s.getPath, t, -1))
+    def names: Set[String] = fs.listStatus(new Path(dir))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).toSet
+
+    val t0 = 1700000000000L
+    Seq(2L, 4L, 6L).toDF("id").write.mode("overwrite").parquet(dir)
+    val batch1 = names
+    setMtimes(Set.empty, t0)
+    Seq(1L, 3L).toDF("id").write.mode("append").parquet(dir)
+    setMtimes(batch1, t0 + 5000L)
+
+    val (all, wmAll) = Io.readSince(spark, dir, 0L)
+    assert(all.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L, 6L))
+    assert(wmAll === t0 + 5000L)
+
+    val (inc, wmInc) = Io.readSince(spark, dir, t0)
+    assert(inc.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    assert(wmInc === t0 + 5000L)
+
+    val (none, wmNone) = Io.readSince(spark, dir, t0 + 5000L)
+    assert(none.count() === 0L)
+    assert(none.schema.fieldNames.toSeq === Seq("id"))
+    assert(wmNone === t0 + 5000L)
+  }
 }
