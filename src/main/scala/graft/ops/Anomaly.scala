@@ -234,4 +234,61 @@ object Anomaly {
         col("step.ewma_micro").as("ewma_micro"),
         col("step.dev_micro").as("dev_micro"))
   }
+
+  /**
+   * One-sided upper CUSUM change-point detection per series (Page 1954)
+   * — the third leg of the monitoring stack: [[rollingCountAnomaly]]
+   * catches spikes, [[ewmaTrend]] tracks drifting levels, CUSUM is the
+   * sequential test that ACCUMULATES small exceedances and alarms on a
+   * sustained shift with provably minimal detection delay (its whole
+   * design goal): c_k = max(0, c_{k−1} + x_k·10⁶ − ref − slack).
+   *
+   * Reference and thresholds are series-relative and exactly integer:
+   * ref_micro = (Σx·10⁶) div n over the key's own time buckets,
+   * slack = slackBp·ref div 10⁴, alarm when c_k > thresholdBp·ref div
+   * 10⁴ (classic k = 0.5σ / h = 4σ tunings translate to basis points of
+   * the mean here — σ would need a sqrt, which no engine replays
+   * exactly). Per-step max(0, ·) floors are replayed by an ordered
+   * recursive CTE.
+   *
+   * Non-negative inputs assumed (counts). Same scale shape as
+   * [[ewmaTrend]]: per-(key, t) hash-agg, key-mean join, calendar-
+   * bounded per-key array fold.
+   *
+   * Output: (key, t, x, ref_micro, cusum_micro, alarm∈{0,1}).
+   */
+  def cusum(df: DataFrame, keyCol: String, timeCol: String,
+            valueCol: String, slackBp: Long, thresholdBp: Long): DataFrame = {
+    require(slackBp >= 0 && thresholdBp > 0,
+      s"need slackBp >= 0 and thresholdBp > 0, got $slackBp/$thresholdBp")
+    val perT = df.groupBy(col(keyCol).as("key"),
+        col(timeCol).cast("long").as("t"))
+      .agg(sum(col(valueCol).cast("long")).as("x"))
+    val ref = perT.groupBy("key")
+      .agg(expr("(sum(x) * 1000000L) div count(1)").as("ref_micro"))
+    val accT = "struct<last:bigint,out:array<struct<t:bigint,x:bigint," +
+               "cusum_micro:bigint>>>"
+    perT.join(ref, "key")
+      .groupBy("key", "ref_micro")
+      .agg(array_sort(collect_list(struct(col("t"), col("x")))).as("steps"))
+      .select(col("key"), col("ref_micro"), explode(aggregate(
+        col("steps"),
+        expr(s"cast(named_struct('last', 0L, 'out', array()) as $accT)"),
+        (acc, s) => {
+          val slack = expr(s"($slackBp * ref_micro) div 10000")
+          val next = greatest(lit(0L),
+            acc.getField("last") + s.getField("x") * 1000000L -
+              col("ref_micro") - slack)
+          struct(next.as("last"),
+            concat(acc.getField("out"), array(struct(
+              s.getField("t").as("t"), s.getField("x").as("x"),
+              next.as("cusum_micro")))).as("out"))
+        },
+        acc => acc.getField("out"))).as("step"))
+      .select(col("key"), col("step.t").as("t"), col("step.x").as("x"),
+        col("ref_micro"),
+        col("step.cusum_micro").as("cusum_micro"),
+        (col("step.cusum_micro") >
+          expr(s"($thresholdBp * ref_micro) div 10000")).cast("long").as("alarm"))
+  }
 }

@@ -381,6 +381,42 @@ object ApiQueries {
              |SELECT key, t, x, ewma AS ewma_micro, dev AS dev_micro
              |FROM r""".stripMargin)),
 
+    // a30 — CUSUM change-point detection (Page 1954) per event_type over
+    // daily counts: accumulates exceedance above mean+slack, floors at
+    // zero, alarms past h — the sustained-shift test beside w10 (spikes)
+    // and w13 (drift). Series-relative integer thresholds in basis
+    // points of the key's own mean; ordered recursive-CTE oracle
+    "a30_cusum" -> Q(
+      (s, dir) => graft.ops.Anomaly.cusum(
+        Registry.tdEventsUs(s, dir)
+          .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
+            lit(1L).as("one")),
+        "event_type", "day", "one", slackBp = 1000L, thresholdBp = 5000L),
+      Some("""WITH RECURSIVE pt AS (SELECT event_type AS key,
+             |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS t,
+             |    CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1, 2),
+             |ref AS (SELECT key,
+             |    CAST((sum(x) * 1000000) // count(*) AS BIGINT) AS ref_micro
+             |  FROM pt GROUP BY 1),
+             |e AS (SELECT pt.key, t, x, ref_micro,
+             |    row_number() OVER (PARTITION BY pt.key ORDER BY t) AS rn
+             |  FROM pt JOIN ref USING (key)),
+             |r AS (
+             |  SELECT key, t, x, ref_micro, rn,
+             |    CAST(greatest(0, x * 1000000 - ref_micro
+             |      - (1000 * ref_micro) // 10000) AS BIGINT) AS c
+             |  FROM e WHERE rn = 1
+             |  UNION ALL
+             |  SELECT e.key, e.t, e.x, e.ref_micro, e.rn,
+             |    CAST(greatest(0, r.c + e.x * 1000000 - e.ref_micro
+             |      - (1000 * e.ref_micro) // 10000) AS BIGINT)
+             |  FROM r JOIN e ON e.key = r.key AND e.rn = r.rn + 1)
+             |SELECT key, t, x, ref_micro, c AS cusum_micro,
+             |  CAST(CASE WHEN c > (5000 * ref_micro) // 10000
+             |       THEN 1 ELSE 0 END AS BIGINT) AS alarm
+             |FROM r""".stripMargin)),
+
     // w11 — last-touch click attribution: each click joins the views of
     // the SAME user inside the trailing 30-min window (equi key user_id
     // drives the shuffle, the time range is a post-join filter — SMJ,

@@ -132,4 +132,32 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
       .filter($"key" === "C").as[(String, Long, Long, Long, Long)].collect()
     assert(c.toSeq === Seq(("C", 1L, 7L, 7000000L, 0L)))
   }
+
+  test("cusum: accumulates only sustained exceedance, floors at zero, alarms past h") {
+    // x = 10,10,10,20,20 → ref = 14e6; slack 10% = 1.4e6
+    val df = Seq(("A", 1L, 10L), ("A", 2L, 10L), ("A", 3L, 10L),
+      ("A", 4L, 20L), ("A", 5L, 20L)).toDF("k", "t", "x")
+    val got = Anomaly.cusum(df, "k", "t", "x", slackBp = 1000L,
+        thresholdBp = 5000L)
+      .orderBy("t").as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // c: 0,0,0, max(0, 20e6−14e6−1.4e6)=4.6e6, 9.2e6; h = 7e6 → alarm last
+    assert(got === Seq(
+      ("A", 1L, 10L, 14000000L, 0L, 0L),
+      ("A", 2L, 10L, 14000000L, 0L, 0L),
+      ("A", 3L, 10L, 14000000L, 0L, 0L),
+      ("A", 4L, 20L, 14000000L, 4600000L, 0L),
+      ("A", 5L, 20L, 14000000L, 9200000L, 1L)))
+  }
+
+  test("cusum: a single spike decays back to zero instead of alarming") {
+    // x = 10,25,10,10 → ref = 13.75e6, slack 0
+    val df = Seq(("B", 1L, 10L), ("B", 2L, 25L), ("B", 3L, 10L), ("B", 4L, 10L))
+      .toDF("k", "t", "x")
+    val got = Anomaly.cusum(df, "k", "t", "x", slackBp = 0L, thresholdBp = 10000L)
+      .orderBy("t").as[(String, Long, Long, Long, Long, Long)].collect()
+    // c2 = 25e6−13.75e6 = 11.25e6 (no alarm at h=13.75e6); c3 = max(0,
+    // 11.25e6 + 10e6 − 13.75e6) = 7.5e6; c4 = 3.75e6 — decays, never alarms
+    assert(got.map(_._5).toSeq === Seq(0L, 11250000L, 7500000L, 3750000L))
+    assert(got.forall(_._6 === 0L))
+  }
 }
