@@ -404,4 +404,40 @@ object Agg {
         expr(s"ng >= 1 AND nb >= 1 AND dnum * dnum * 1000000 > " +
           s"CAST($c2Micro AS $d38) * n_tot * ng * nb").as("significant"))
   }
+
+  /**
+   * Exact Gini coefficient per group (Gini 1912, the sorted-rank form:
+   * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over x ascending) — the corpus-
+   * balance audit next to the source-cap/balance samplers (llm/Sampling):
+   * how concentrated is token/byte mass across a group's members? G=0 is
+   * perfectly even, G→1 is one-member dominance.
+   *
+   * Exactness: ranks are a row_number over ascending value; tied values
+   * contribute the same xᵢ under ANY rank permutation, so Σ i·xᵢ — and
+   * hence G — is tie-order invariant, no tiebreak column needed. The
+   * quotient is one floor division in micro-units computed in
+   * DECIMAL(38,0) (Σ i·x reaches n²·max(x); DuckDB replays in HUGEINT).
+   *
+   * Scale shape: one per-group sort window + one hash-agg. Negative
+   * values are the caller's contract violation (Gini is defined on
+   * non-negative quantities).
+   *
+   * Output: (key, n, total, gini_micro); gini_micro NULL when total = 0.
+   */
+  def giniByGroup(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df.select(col(keyCol).as("key"),
+        col(valueCol).cast("long").as("x"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy("key").orderBy("x")).cast("long"))
+    ranked.groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        sum("x").cast("long").as("total"),
+        sum(col("i") * col("x")).cast("long").as("ix"))
+      .select(col("key"), col("n"), col("total"),
+        expr("""CASE WHEN total > 0 THEN
+               |  CAST((CAST(2 AS DECIMAL(38,0)) * ix - (n + 1) * total)
+               |    * 1000000 div (CAST(n AS DECIMAL(38,0)) * total) AS LONG)
+               |END""".stripMargin).as("gini_micro"))
+  }
 }

@@ -495,6 +495,26 @@ object StatQueries {
              |    ((o1 * 1000000 - e1_micro)::HUGEINT * (o1 * 1000000 - e1_micro))
              |      // v_micro AS BIGINT) ELSE 0 END AS chi2_micro,
              |  n_times
-             |FROM s""".stripMargin))
+             |FROM s""".stripMargin)),
+
+    // exact Gini concentration per source (ops/Agg.giniByGroup): how
+    // unevenly is character mass distributed across each source's docs —
+    // the inequality audit beside the balance samplers (l33/l48).
+    // Sorted-rank closed form, tie-invariant, one DECIMAL(38,0)/HUGEINT
+    // floor division in micro-units
+    "a31_gini" -> Q(
+      (s, dir) => graft.ops.Agg.giniByGroup(
+        td(s, dir, "documents").select(col("source"), col("n_chars")),
+        "source", "n_chars"),
+      Some("""WITH r AS (SELECT source AS key, CAST(n_chars AS BIGINT) AS x,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars) AS BIGINT) AS i
+             |  FROM documents)
+             |SELECT key, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(x) AS BIGINT) AS total,
+             |  CAST(CASE WHEN sum(x) > 0 THEN
+             |    ((2::HUGEINT * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000)
+             |      // (count(*)::HUGEINT * sum(x)) END AS BIGINT) AS gini_micro
+             |FROM r GROUP BY 1""".stripMargin))
   )
 }
