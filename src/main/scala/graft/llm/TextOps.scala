@@ -599,4 +599,37 @@ object TextOps {
         lit("<MID>"), array_join(slice(col("_tk"), col("_lo").cast("int") + 1,
           (col("_hi") - col("_lo")).cast("int")), " ")).cast("binary")).as("fim_md5"))
   }
+
+  /**
+   * Feature hashing — the hashing-trick text vectorizer (Weinberger et
+   * al. 2009, ICML, public): token → dimension `portableHash60(tok) mod
+   * dim`, with a SIGN bit from an independent hash
+   * (`portableHash60("sgn:"+tok) mod 2 → ±1`) so collisions cancel in
+   * expectation instead of biasing upward — the fixed-memory,
+   * vocabulary-free featurizer that feeds linear classifiers (the l46
+   * quality gate) without any trained vocabulary to ship.
+   *
+   * Output is the SPARSE form (doc_id, idx, w), zero weights dropped —
+   * the join-friendly layout at corpus scale (a dense array column of
+   * mostly zeros is dim× the storage for no information). One explode +
+   * one hash-agg on (doc, idx); both hashes are the md5-derived portable
+   * family, so any SQL engine replays them bit for bit.
+   */
+  def featureHashSparse(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, dim: Int): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val toks = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(filter(whitespaceTokens(col(textCol)),
+          t => length(t) > 0)).as("tok"))
+    toks
+      .select(col("doc_id"),
+        pmod(portableHash60(col("tok")), lit(dim.toLong)).as("idx"),
+        (pmod(portableHash60(concat(lit("sgn:"), col("tok"))), lit(2L)) * 2L - 1L)
+          .as("sgn"))
+      .groupBy("doc_id", "idx")
+      .agg(sum(col("sgn")).cast("long").as("w"))
+      .filter(col("w") =!= 0L)
+  }
 }

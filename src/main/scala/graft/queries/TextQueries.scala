@@ -672,5 +672,26 @@ object TextQueries {
              |  CAST(sum(term) AS DOUBLE) < 3.0 AS low_entropy
              |FROM t GROUP BY 1""".stripMargin)),
 
+    // feature hashing (TextOps.featureHashSparse — Weinberger 2009): the
+    // vocabulary-free signed hashing-trick vectorizer, sparse (doc, idx,
+    // w) output with zero weights dropped. Both hashes are the portable
+    // md5 family, replayed bit for bit by the oracle; one explode + one
+    // (doc, idx) hash-agg
+    "l109_feature_hashing" -> Q(
+      (s, dir) => graft.llm.TextOps.featureHashSparse(
+        td(s, dir, "documents"), "doc_id", "text", dim = 16),
+      Some("""WITH t AS (SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |      x -> length(x) > 0)) AS tok
+             |  FROM documents WHERE text IS NOT NULL),
+             |h AS (SELECT doc_id,
+             |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 16 AS idx,
+             |    CASE WHEN ('0x' || substr(md5('sgn:' || tok), 1, 15))::BIGINT % 2 = 1
+             |         THEN 1 ELSE -1 END AS sgn
+             |  FROM t)
+             |SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+             |  CAST(sum(sgn) AS BIGINT) AS w
+             |FROM h GROUP BY 1, 2 HAVING sum(sgn) <> 0""".stripMargin)),
+
   )
 }

@@ -397,4 +397,35 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       .as[Long].head()
     assert(sub === 0L, "\\b must prevent substring matches")
   }
+
+  test("featureHashSparse matches an independent JVM md5 replay; zeros dropped") {
+    import spark.implicits._
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def expected(docs: Seq[(Long, String)], dim: Int): Set[(Long, Long, Long)] =
+      docs.flatMap { case (id, text) =>
+        text.trim.split("\\s+").filter(_.nonEmpty).map { t =>
+          (id, h60(t) % dim, if (h60("sgn:" + t) % 2 == 1) 1L else -1L)
+        }
+      }.groupBy(x => (x._1, x._2)).map { case ((id, i), xs) =>
+        (id, i, xs.map(_._3).sum)
+      }.filter(_._3 != 0L).toSet
+
+    val docs = Seq((1L, "alpha beta beta gamma"), (2L, "  alpha   alpha "),
+      (3L, ""), (4L, "delta epsilon zeta eta theta iota"))
+    val df = docs.toDF("doc_id", "text")
+    for (dim <- Seq(4, 16)) {
+      val got = TextOps.featureHashSparse(df, "doc_id", "text", dim)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === expected(docs, dim), s"dim=$dim")
+      assert(got.forall(r => r._2 >= 0 && r._2 < dim))
+    }
+    // blank doc contributes nothing; repeated token weight magnitude = count
+    val w2 = TextOps.featureHashSparse(df.filter($"doc_id" === 2L),
+      "doc_id", "text", 16).as[(Long, Long, Long)].collect()
+    assert(w2.length === 1 && math.abs(w2.head._3) === 2L)
+  }
 }
