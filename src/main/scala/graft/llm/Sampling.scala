@@ -366,4 +366,40 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col(keyCol), col("phase"), col("shard"), col("pos"))
   }
+
+  /**
+   * Leakage-safe train/val/test split: the split bucket is hashed from
+   * the document's CONTENT fingerprint (TextOps.portableDocFingerprint),
+   * not its id — byte-identical documents land in the SAME split no
+   * matter how many times or under how many ids they occur, closing the
+   * classic eval-inflation hole where one copy of a duplicated document
+   * trains while its twin is tested (Lee et al. 2021 measure exactly
+   * this leak; the l59 split-leakage audit DETECTS it after the fact —
+   * this constructor prevents it for exact dups, and composing with the
+   * l13 cluster ids instead of the fingerprint extends the guarantee to
+   * near-dups).
+   *
+   * Deterministic by the registry's seeded portable-hash convention:
+   * bucket = hash60(seed·fingerprint) mod 100 → train < trainPct ≤ val <
+   * trainPct+valPct ≤ test. Expression-only, one pass, no shuffle.
+   *
+   * Output: (doc_id, fingerprint, split).
+   */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       trainPct: Int, valPct: Int,
+                       seed: String = "sp1"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need 0 < trainPct, 0 <= valPct, trainPct+valPct < 100; " +
+        s"got $trainPct/$valPct")
+    require(!seed.contains(SeedSep), "seed must not contain the unit separator")
+    val fp = TextOps.portableDocFingerprint(col(textCol))
+    val bucket = pmod(TextOps.portableHash60(
+      concat(lit(seed + SeedSep), col("fingerprint").cast("string"))), lit(100L))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), fp.as("fingerprint"))
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
 }

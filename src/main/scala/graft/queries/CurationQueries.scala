@@ -209,5 +209,33 @@ object CurationQueries {
             (col("norm_text") =!= col("_raw")).as("changed"))
       },
       Some(TextOracles.normalizeTextSql)),
+
+    // leakage-safe split (Sampling.leakageSafeSplit): train/val/test
+    // buckets hashed from the CONTENT fingerprint, so byte-identical
+    // docs can never straddle splits (the eval-inflation hole l59
+    // audits; this constructor closes it for exact dups). Oracle replays
+    // the l8p fingerprint fold + the seeded bucket hash
+    "l110_leakage_safe_split" -> Q(
+      (s, dir) => graft.llm.Sampling.leakageSafeSplit(
+        td(s, dir, "documents"), "doc_id", "text", trainPct = 90, valPct = 5),
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+             |  FROM documents WHERE text IS NOT NULL),
+             |f(doc_id, i, acc) AS (
+             |  SELECT doc_id, 0, CAST(0 AS BIGINT) FROM toks
+             |  UNION ALL
+             |  SELECT f.doc_id, f.i + 1,
+             |    (f.acc*8191 + ('0x'||substr(md5(t[f.i+1]),1,15))::BIGINT) % 2147483647
+             |  FROM f JOIN toks USING (doc_id) WHERE f.i < len(t)),
+             |fp AS (SELECT f.doc_id, f.acc AS fingerprint
+             |  FROM f JOIN toks USING (doc_id) WHERE f.i = len(t)),
+             |b AS (SELECT doc_id, fingerprint,
+             |    ('0x'||substr(md5('sp1' || chr(31) || CAST(fingerprint AS VARCHAR)),1,15))::BIGINT
+             |      % 100 AS bk
+             |  FROM fp)
+             |SELECT doc_id, fingerprint,
+             |  CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM b""".stripMargin)),
   )
 }

@@ -271,4 +271,32 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Double)].collect().map(_._1).toSet
     assert(other != same, "different seeds must pick different light-key tails")
   }
+
+  test("leakageSafeSplit: exact dups share a split; ratios and determinism hold") {
+    val distinct = (1L to 300L).map(i => (i, s"unique document number $i with words"))
+    // ids 1001/1002/1003 are byte-identical copies of doc 7's text
+    val dups = Seq(1001L, 1002L, 1003L).map(id => (id, distinct(6)._2))
+    val df = (distinct ++ dups).toDF("doc_id", "text")
+    val out = Sampling.leakageSafeSplit(df, "doc_id", "text",
+      trainPct = 90, valPct = 5)
+    val rows = out.as[(Long, Long, String)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    // all copies carry doc 7's fingerprint AND its split
+    val (fp7, sp7) = (byId(7L)._2, byId(7L)._3)
+    Seq(1001L, 1002L, 1003L).foreach { id =>
+      assert(byId(id)._2 === fp7 && byId(id)._3 === sp7, s"dup $id leaked")
+    }
+    // rough ratios over the 300 distinct docs (hash-uniform, wide bounds)
+    val splits = distinct.map(d => byId(d._1)._3)
+    val train = splits.count(_ == "train")
+    assert(train > 240 && train < 295, s"train=$train of 300")
+    assert(splits.toSet === Set("train", "val", "test"))
+    // deterministic per seed; a different seed moves some docs
+    val again = Sampling.leakageSafeSplit(df, "doc_id", "text", 90, 5)
+      .as[(Long, Long, String)].collect().toSet
+    assert(again === rows.toSet)
+    val reseeded = Sampling.leakageSafeSplit(df, "doc_id", "text", 90, 5,
+      seed = "sp2").as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(distinct.exists(d => reseeded(d._1) != byId(d._1)._3))
+  }
 }
