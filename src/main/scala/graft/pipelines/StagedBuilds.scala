@@ -107,7 +107,13 @@ object StagedBuilds {
    * Scale shape: one per-sample sort window (partitioned by sample — the
    * matrix's natural parallelism), one skinny hash-agg on rank (rank
    * cardinality = genes-per-sample, not matrix size), one equi-join back
-   * on rank. No driver state, no collect.
+   * on rank — the ref side is rank-cardinality, so it BROADCASTS and the
+   * ranked matrix never re-shuffles for the join. No driver state, no
+   * collect. The ranked frame feeds both the ref build and the probe
+   * side, so the lazy plan scans the input twice; at real matrix scale
+   * persist/checkpoint `ranked` between the two uses (the registry
+   * entry keeps the pure two-scan form — at oracle scale the second
+   * scan is cheaper than a materialization).
    *
    * Input: one row per (sample, gene) with an exact integer value
    * (cents). Output: (sample, gene, rk, ref_micro).
