@@ -424,6 +424,59 @@ object Agg {
    *
    * Output: (key, n, total, gini_micro); gini_micro NULL when total = 0.
    */
+  /**
+   * Exact lag-k autocorrelation per series (the sample ACF estimator,
+   * Box & Jenkins form with the global mean) — the SEASONALITY detector
+   * next to the level (a21-a24), trend (a25), and change-point (a30)
+   * monitors: lag-7 autocorrelation of daily volumes is the weekly-
+   * rhythm signal, and its absence on a feed that should have one is an
+   * ingest bug.
+   *
+   * Exactness: clear the mean's denominator — with S = Σx over the
+   * key's n buckets, r_k = Σ(n·xᵢ−S)(n·xᵢ₊ₖ−S) / Σ(n·xᵢ−S)², every
+   * term an exact long product; the final quotient is the registry's
+   * sign-split floor-of-abs micro division (truncating `div` ≡ flooring
+   * `//` on non-negatives, so both engines agree on NEGATIVE
+   * correlations too — the a25 rule). Lags are TIME offsets, not row
+   * offsets: a pair exists only when both t and t+k exist, so gaps
+   * shrink n_pairs instead of silently pairing across holes.
+   *
+   * Scale shape: one (key, t) hash-agg, one tiny per-key stats agg
+   * joined back broadcast-size, one self-equi-join of the per-time
+   * table on (key, t+k) per requested lag (exploded once, single
+   * shuffle) — everything after the first agg is calendar-bounded.
+   *
+   * Output: (key, lag, n_pairs, r_micro); r_micro NULL for a
+   * zero-variance series.
+   */
+  def autocorr(df: DataFrame, keyCol: String, timeCol: String,
+               valueCol: String, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ > 0), s"lags must be positive: $lags")
+    val perT = df.groupBy(col(keyCol).as("key"),
+        col(timeCol).cast("long").as("t"))
+      .agg(sum(col(valueCol).cast("long")).as("x"))
+    val st = perT.groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("x").cast("long").as("s"))
+    val withDev = perT.join(st, "key")
+      .withColumn("dev", col("n") * col("x") - col("s"))
+    val den = withDev.groupBy("key")
+      .agg(sum(col("dev") * col("dev")).cast("long").as("den"))
+    val a = withDev.select(col("key"), col("t"), col("dev").as("dev_a"))
+      .withColumn("lag", explode(array(lags.map(k => lit(k.toLong)): _*)))
+    val b = withDev.select(col("key"), col("t").as("tb"), col("dev").as("dev_b"))
+    a.join(b, a("key") === b("key") && col("tb") === col("t") + col("lag"))
+      .drop(b("key"))
+      .groupBy("key", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("dev_a") * col("dev_b")).cast("long").as("num"))
+      .join(den, "key")
+      .select(col("key"), col("lag"), col("n_pairs"),
+        expr("""CASE WHEN den > 0 THEN
+               |  CASE WHEN num >= 0 THEN CAST((num * 1000000) div den AS LONG)
+               |       ELSE -CAST(((-num) * 1000000) div den AS LONG) END
+               |END""".stripMargin).as("r_micro"))
+  }
+
   def giniByGroup(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ranked = df.select(col(keyCol).as("key"),

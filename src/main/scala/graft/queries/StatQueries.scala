@@ -515,6 +515,41 @@ object StatQueries {
              |  CAST(CASE WHEN sum(x) > 0 THEN
              |    ((2::HUGEINT * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000)
              |      // (count(*)::HUGEINT * sum(x)) END AS BIGINT) AS gini_micro
-             |FROM r GROUP BY 1""".stripMargin))
+             |FROM r GROUP BY 1""".stripMargin)),
+
+    // exact lag-k autocorrelation per event_type over daily volumes
+    // (Agg.autocorr): lag 7 is the weekly-rhythm signal beside the
+    // level/trend/change-point monitors. Cleared-denominator integer
+    // products, time-offset pairing (gaps shrink n_pairs), sign-split
+    // floor-of-abs micro quotient — the a25 rule
+    "a32_autocorr" -> Q(
+      (s, dir) => graft.ops.Agg.autocorr(
+        Registry.tdEventsUs(s, dir)
+          .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
+            lit(1L).as("one")),
+        "event_type", "day", "one", lags = Seq(1, 2, 7)),
+      Some("""WITH pt AS (SELECT event_type AS key,
+             |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS t,
+             |    CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1, 2),
+             |st AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS s FROM pt GROUP BY 1),
+             |d AS (SELECT pt.key, t, n * x - s AS dev
+             |  FROM pt JOIN st USING (key)),
+             |den AS (SELECT key, CAST(sum(dev * dev) AS BIGINT) AS den
+             |  FROM d GROUP BY 1),
+             |lg AS (SELECT a.key, l.k AS lag,
+             |    CAST(count(*) AS BIGINT) AS n_pairs,
+             |    CAST(sum(a.dev * b.dev) AS BIGINT) AS num
+             |  FROM d a
+             |  CROSS JOIN (VALUES (1), (2), (7)) l(k)
+             |  JOIN d b ON a.key = b.key AND b.t = a.t + l.k
+             |  GROUP BY 1, 2)
+             |SELECT lg.key, CAST(lag AS BIGINT) AS lag, n_pairs,
+             |  CAST(CASE WHEN den > 0 THEN
+             |    CASE WHEN num >= 0 THEN (num * 1000000) // den
+             |         ELSE -(((-num) * 1000000) // den) END
+             |  END AS BIGINT) AS r_micro
+             |FROM lg JOIN den USING (key)""".stripMargin))
   )
 }

@@ -36,4 +36,26 @@ class GiniSpec extends AnyFunSuite with SparkTestBase {
     val b = gini(Seq("t" -> 1L, "t" -> 7L, "t" -> 7L, "t" -> 7L))
     assert(a === b)
   }
+
+  test("autocorr: alternating series lag signs, hand values, sign-split floor") {
+    // x = 1,2,1,2,1,2: dev = 6x−9 = ±3; den = 54
+    // lag1: 5 pairs of −9 → r = −floor(45e6/54) = −833333 (sign-split)
+    // lag2: 4 pairs of +9 → r = floor(36e6/54) = 666666
+    val df = (1L to 6L).map(t => ("A", t, if (t % 2 == 1) 1L else 2L))
+      .toDF("k", "t", "x")
+    val got = Agg.autocorr(df, "k", "t", "x", Seq(1, 2))
+      .orderBy("lag").as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(got === Seq(("A", 1L, 5L, Some(-833333L)),
+      ("A", 2L, 4L, Some(666666L))))
+  }
+
+  test("autocorr: time gaps shrink the pair set; constant series is NULL") {
+    val df = Seq(("B", 1L, 5L), ("B", 2L, 7L), ("B", 4L, 9L),
+      ("C", 1L, 3L), ("C", 2L, 3L)).toDF("k", "t", "x")
+    val got = Agg.autocorr(df, "k", "t", "x", Seq(1))
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("B")._3 === 1L, "only (1,2) pairs — never across the t=3 hole")
+    assert(got("C")._4 === None, "zero variance → NULL")
+  }
 }
