@@ -41,6 +41,12 @@ final case class PngDecoded(media_id: Long, is_png: Boolean, width: Int,
                             height: Int, bit_depth: Int, color_type: Int,
                             crc_ok: Boolean)
 
+/** GIF container decode result: logical-screen fields + a full block walk
+  * (frame count, trailer verdict). */
+final case class GifDecoded(media_id: Long, is_gif: Boolean, width: Int,
+                            height: Int, gct_entries: Int, n_frames: Int,
+                            trailer_ok: Boolean)
+
 /**
  * Multimodal column handling: image/audio/video as opaque `binary` columns
  * with typed metadata, decoded via per-partition batch functions.
@@ -650,6 +656,114 @@ object Multimodal {
         case None => PngDecoded(r.media_id, is_png = false, 0, 0, 0, 0, crc_ok = false)
       }
     })
+  }
+
+  /**
+   * Build real GIF89a bytes: little-endian logical screen descriptor,
+   * global color table, per-frame graphic-control extension + image
+   * descriptor with LZW data sub-blocks, 0x3B trailer. Odd frames carry
+   * a LOCAL color table and every frame ships TWO data sub-blocks, so a
+   * decoder that miscounts either skip is caught. (The GIF87a/89a layout
+   * is public — CompuServe 1989 spec / RFC-adjacent W3C note.)
+   */
+  private[multimodal] def gifBytes(width: Int, height: Int, gctBits: Int,
+                                   frames: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && gctBits >= 0 && gctBits <= 7 && frames >= 1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(width); le16(height)
+    out.write(0x80 | (1 << 4) | gctBits) // GCT flag, color res 1, size bits
+    out.write(0); out.write(0)           // bg index, aspect
+    var x = seed
+    def lcgByte(): Int = { x = x * 6364136223846793005L + 1442695040888963407L; (x >>> 56).toInt & 0xff }
+    (0 until 3 * (1 << (gctBits + 1))).foreach(_ => out.write(lcgByte()))
+    (0 until frames).foreach { f =>
+      out.write(0x21); out.write(0xf9); out.write(4)       // GCE
+      out.write(0); le16(10 * f); out.write(0); out.write(0)
+      out.write(0x2c)                                      // image descriptor
+      le16(0); le16(0); le16(width); le16(height)
+      val lct = f % 2 == 1
+      out.write(if (lct) 0x80 | 1 else 0)                  // LCT flag, 4 entries
+      if (lct) (0 until 3 * 4).foreach(_ => out.write(lcgByte()))
+      out.write(2)                                         // LZW min code size
+      out.write(3); out.write(lcgByte()); out.write(lcgByte()); out.write(lcgByte())
+      out.write(2); out.write(lcgByte()); out.write(lcgByte())
+      out.write(0)                                         // sub-block terminator
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** Parse a GIF: signature + LE logical screen, then a FULL block walk —
+    * extensions skipped by sub-block lengths, image descriptors counted
+    * (local color tables skipped), trailer byte checked. None when the
+    * container isn't GIF; `trailer_ok = false` when the walk runs off the
+    * end or hits an unknown block (truncated-in-transit — quarantine). */
+  private[multimodal] def decodeGif(b: Array[Byte]): Option[(Int, Int, Int, Int, Boolean)] = {
+    if (b.length < 13) return None
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF89a" && sig != "GIF87a") return None
+    val w = leShort(b, 6)
+    val h = leShort(b, 8)
+    val packed = b(10) & 0xff
+    val entries = if ((packed & 0x80) != 0) 1 << ((packed & 7) + 1) else 0
+    var p = 13 + 3 * entries
+    var frames = 0
+    var trailerOk = false
+    var done = false
+    def skipSubBlocks(): Boolean = {
+      while (p < b.length && (b(p) & 0xff) != 0) p += 1 + (b(p) & 0xff)
+      if (p < b.length) { p += 1; true } else false
+    }
+    while (!done && p < b.length) {
+      (b(p) & 0xff) match {
+        case 0x21 =>
+          p += 2 // introducer + label
+          if (!skipSubBlocks()) done = true
+        case 0x2c =>
+          if (p + 10 > b.length) { done = true }
+          else {
+            val ip = b(p + 9) & 0xff
+            p += 10
+            if ((ip & 0x80) != 0) p += 3 * (1 << ((ip & 7) + 1))
+            p += 1 // LZW min code size
+            if (p <= b.length && skipSubBlocks()) frames += 1 else done = true
+          }
+        case 0x3b => trailerOk = true; done = true
+        case _ => done = true
+      }
+    }
+    if (w <= 0 || h <= 0) None else Some((w, h, entries, frames, trailerOk))
+  }
+
+  /** Decode a GIF media batch — the quarantine-lane shape of
+    * [[decodePngMedia]]: non-GIF rows surface as `is_gif = false`. */
+  def decodeGifMedia(media: Dataset[MediaRecord]): Dataset[GifDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      decodeGif(r.payload) match {
+        case Some((w, h, gct, frames, ok)) =>
+          GifDecoded(r.media_id, is_gif = true, w, h, gct, frames, ok)
+        case None => GifDecoded(r.media_id, is_gif = false, 0, 0, 0, 0,
+          trailer_ok = false)
+      }
+    })
+  }
+
+  /** Deterministic per-id GIF fixture: every decoded field is a pure
+    * function of the id; `id % 11 == 0` ships a non-GIF payload
+    * (quarantine), `id % 7 == 0` (not quarantined) drops the 0x3B
+    * trailer — frames before the cut still count, the verdict flags. */
+  def packGifById(id: Long): MediaRecord = {
+    val payload =
+      if (id % 11 == 0) s"not a gif $id".getBytes("UTF-8")
+      else {
+        val g = gifBytes(width = 4 + (id % 12).toInt, height = 3 + (id % 9).toInt,
+          gctBits = (id % 3).toInt, frames = 1 + (id % 3).toInt, seed = id)
+        if (id % 7 == 0) g.dropRight(1) else g
+      }
+    MediaRecord(id, "image", payload)
   }
 
   /** Deterministic per-id PNG fixture: dims are pure functions of the id,

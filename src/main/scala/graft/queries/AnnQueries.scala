@@ -511,6 +511,33 @@ object AnnQueries {
              |  (doc_id % 11 <> 0 AND doc_id % 5 <> 0) AS crc_ok
              |FROM documents""".stripMargin)),
 
+    // m9 — GIF container decode over REAL bytes: the LITTLE-endian
+    // sub-block complement to m8's big-endian chunks — LE logical-screen
+    // dims, global color table size, and a FULL block walk counting
+    // frames past graphic-control extensions, local color tables, and
+    // multi-sub-block LZW data; id%11 non-GIF quarantine, id%7 dropped
+    // trailer (frames still counted, verdict flags)
+    "m9_gif_decode" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = td(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map(id => Multimodal.packGifById(id))
+        Multimodal.decodeGifMedia(media).toDF()
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  doc_id % 11 <> 0 AS is_gif,
+             |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+             |       ELSE 4 + doc_id % 12 END AS INTEGER) AS width,
+             |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+             |       ELSE 3 + doc_id % 9 END AS INTEGER) AS height,
+             |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+             |       ELSE CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4
+             |            ELSE 8 END END AS INTEGER) AS gct_entries,
+             |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+             |       ELSE 1 + doc_id % 3 END AS INTEGER) AS n_frames,
+             |  (doc_id % 11 <> 0 AND doc_id % 7 <> 0) AS trailer_ok
+             |FROM documents""".stripMargin)),
+
     // Matryoshka truncation eval (Kusupati et al. 2022): overlap@5 of
     // truncated-dim cosine rankings vs the full 64-dim ranking, per
     // candidate serving dimension — the dim-vs-recall table that decides

@@ -295,4 +295,38 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("GIF decode: LE dims, GCT size, frame walk past LCTs and multi-sub-blocks") {
+    // direct parser checks on hand-built containers
+    val g = Multimodal.gifBytes(width = 300, height = 7, gctBits = 2,
+      frames = 3, seed = 99L)
+    // width 300 exercises the LE high byte; gctBits 2 → 8 entries; frame 1
+    // carries a local color table; every frame has two data sub-blocks
+    assert(Multimodal.decodeGif(g) === Some((300, 7, 8, 3, true)))
+    assert(Multimodal.decodeGif(g.dropRight(1)) === Some((300, 7, 8, 3, false)))
+    // truncation mid-frame loses that frame AND the trailer
+    val cut = Multimodal.decodeGif(g.take(g.length - 9)).get
+    assert(cut._4 < 3 && !cut._5, "mid-frame cut drops the frame and the verdict")
+    assert(Multimodal.decodeGif("GIF90x?????????????".getBytes("US-ASCII")) === None)
+    assert(Multimodal.decodeGif(Array[Byte](1, 2, 3)) === None)
+  }
+
+  test("GIF media batch: per-id closed forms and quarantine lanes hold") {
+    import spark.implicits._
+    val ids = (1L to 80L)
+    val out = Multimodal.decodeGifMedia(ids.toDS().map(Multimodal.packGifById))
+      .collect().map(r => r.media_id -> r).toMap
+    ids.foreach { id =>
+      val r = out(id)
+      if (id % 11 == 0)
+        assert((r.is_gif, r.width, r.n_frames, r.trailer_ok) === (false, 0, 0, false))
+      else {
+        assert((r.is_gif, r.width, r.height) ===
+          (true, 4 + (id % 12).toInt, 3 + (id % 9).toInt))
+        assert(r.gct_entries === (1 << ((id % 3).toInt + 1)))
+        assert(r.n_frames === 1 + (id % 3).toInt, s"id $id frames")
+        assert(r.trailer_ok === (id % 7 != 0), s"id $id trailer")
+      }
+    }
+  }
 }
