@@ -693,5 +693,35 @@ object TextQueries {
              |  CAST(sum(sgn) AS BIGINT) AS w
              |FROM h GROUP BY 1, 2 HAVING sum(sgn) <> 0""".stripMargin)),
 
+    // prefix-cache-aware serving order (Packing.prefixCacheOrder — the
+    // vLLM/RadixAttention batch-scheduling step): order requests by
+    // k-token prefix within first-token buckets so shared prompts run
+    // adjacently; est_cached_tokens = exact token-LCP with the
+    // predecessor via monotone slice-equality indicators. The window
+    // partitions by first token — never a global sort
+    "l111_prefix_cache_order" -> Q(
+      (s, dir) => graft.llm.Packing.prefixCacheOrder(
+        td(s, dir, "documents"), "doc_id", "text", k = 4),
+      Some("""WITH b AS (SELECT doc_id,
+             |    (list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |      x -> length(x) > 0))[1:4] AS pk
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+             |w AS (SELECT doc_id, pk[1] AS bucket,
+             |    CAST(row_number() OVER win AS BIGINT) AS pos,
+             |    lag(pk) OVER win AS prev, pk
+             |  FROM b
+             |  WINDOW win AS (PARTITION BY pk[1]
+             |    ORDER BY array_to_string(pk, ' '), doc_id))
+             |SELECT doc_id, bucket, pos,
+             |  CAST(len(pk) AS BIGINT) AS n_prefix_tokens,
+             |  CAST(CASE WHEN prev IS NULL THEN 0 ELSE
+             |    (CASE WHEN pk[1:1] = prev[1:1] THEN 1 ELSE 0 END) +
+             |    (CASE WHEN pk[1:2] = prev[1:2] THEN 1 ELSE 0 END) +
+             |    (CASE WHEN pk[1:3] = prev[1:3] THEN 1 ELSE 0 END) +
+             |    (CASE WHEN pk[1:4] = prev[1:4] THEN 1 ELSE 0 END)
+             |  END AS BIGINT) AS est_cached_tokens
+             |FROM w""".stripMargin)),
+
   )
 }

@@ -76,4 +76,29 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(packed.length === 200)
   }
+
+  test("prefixCacheOrder: shared-prefix docs run adjacently with exact token LCP") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "sys prompt A task one"),
+      (2L, "sys prompt A task two"),
+      (3L, "sys prompt B other job"),
+      (4L, "unique start here"),
+      (5L, "sys"),                 // 1-token doc, prefix of the others
+      (6L, "   "), (7L, null.asInstanceOf[String])) // dropped
+      .toDF("doc_id", "text")
+    val out = Packing.prefixCacheOrder(docs, "doc_id", "text", k = 4)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size === 5)
+    // bucket "sys" order: "sys" (5) < "sys prompt A task one" (1) <
+    // "… two" (2) < "sys prompt B …" (3)
+    assert(out(5L)._3 === 1L && out(5L)._5 === 0L && out(5L)._4 === 1L)
+    assert(out(1L)._3 === 2L && out(1L)._5 === 1L)   // vs "sys": LCP 1
+    assert(out(2L)._3 === 3L && out(2L)._5 === 4L)   // sys prompt A task
+    assert(out(3L)._3 === 4L && out(3L)._5 === 2L)   // sys prompt
+    assert(out(4L)._2 === "unique" && out(4L)._3 === 1L && out(4L)._5 === 0L)
+    // cache win is real: 7 of the sys-bucket's scanned prefix tokens re-use
+    assert(Seq(1L, 2L, 3L, 5L).map(out(_)._5).sum === 7L)
+  }
 }
