@@ -69,7 +69,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "s26_fixed_width",
       // s27: bucketed saveAsTable writes at construction; the returned
       // join plan itself is exchange-free (BucketingSpec) — reviewed r9
-      "s27_bucketed_join")
+      "s27_bucketed_join",
+      // l108: query-vector collect (1 row, the l9 shape) — reviewed r9
+      "l108_mips_topk",
+      // c21: pointer-doubling rounds localCheckpoint at construction
+      // (the l13 iterative shape) — reviewed r9
+      "c21_hierarchy_closure",
+      // s29: two-batch mtime-pinned fixture write at construction (the
+      // s19/s20 round-trip shape) — reviewed r9
+      "s29_incremental_scan")
     val actual = Registry.all.filter(_._2.eager).map(_._1).toSet
     assert(actual == expected,
       s"eager-set drift — added: ${actual -- expected}, removed: ${expected -- actual}")
