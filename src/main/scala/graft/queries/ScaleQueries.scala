@@ -162,30 +162,40 @@ object ScaleQueries {
 
     // J17 — Jaro–Winkler fuzzy record linkage at part scale (20k–200k
     //   rows, vs j16's 25-row nation demo): a swap-corrupted twin of every
-    //   part name is resolved back against the full part registry through
-    //   a (2-char prefix, length) blocking equi-join, scored by the native
-    //   exact-rational JaroWinklerMicro expression (micro-units, DuckDB
-    //   jaro_winkler_similarity as the oracle), levenshtein kept for audit
+    //   part record resolves to its BEST registry match. Scored once per
+    //   DISTINCT name pair (the fixture's names repeat up to 347×; the
+    //   r9 pair-level form's output grew quadratically in that duplication
+    //   — 6.3M rows at sf0.1 — and benched a 27.7× ×10-data hop), then
+    //   fanned back to records by one name equi-join. Native exact-rational
+    //   JaroWinklerMicro scoring, DuckDB jaro_winkler_similarity oracle,
+    //   levenshtein kept for audit. Output: one row per resolved record.
     "j17_jw_linkage" -> Q(
       (s, dir) => {
         val part = td(s, dir, "part")
         val mangled = part.select(col("p_partkey").as("m_key"),
           graft.ops.Linkage.swap34(col("p_name"), "p_name").as("m_name"))
-        graft.ops.Linkage.jwBlockedLinkage(s,
+        graft.ops.Linkage.jwResolveBest(s,
           mangled, "m_key", "m_name",
           part, "p_partkey", "p_name",
           minJwMicro = 900000L)
       },
       Some("""WITH m AS (SELECT p_partkey AS m_key,
              |  substr(p_name, 1, 2) || substr(p_name, 4, 1) || substr(p_name, 3, 1) || substr(p_name, 5) AS m_name
-             |  FROM part)
-             |SELECT m.m_key, p.p_partkey AS cand_key,
-             |  CAST(round(jaro_winkler_similarity(m.m_name, p.p_name) * 1000000) AS BIGINT) AS jw_micro,
-             |  CAST(levenshtein(m.m_name, p.p_name) AS BIGINT) AS dist
-             |FROM m JOIN part p
-             |  ON substr(m.m_name, 1, 2) = substr(p.p_name, 1, 2)
-             | AND length(m.m_name) = length(p.p_name)
-             |WHERE round(jaro_winkler_similarity(m.m_name, p.p_name) * 1000000) >= 900000""".stripMargin)),
+             |  FROM part),
+             |dm AS (SELECT DISTINCT m_name FROM m),
+             |dr AS (SELECT p_name AS cand_name, min(p_partkey) AS cand_key FROM part GROUP BY p_name),
+             |scored AS (SELECT dm.m_name, dr.cand_name, dr.cand_key,
+             |    CAST(round(jaro_winkler_similarity(dm.m_name, dr.cand_name) * 1000000) AS BIGINT) AS jw_micro
+             |  FROM dm JOIN dr
+             |    ON substr(dm.m_name, 1, 2) = substr(dr.cand_name, 1, 2)
+             |   AND length(dm.m_name) = length(dr.cand_name)
+             |  WHERE round(jaro_winkler_similarity(dm.m_name, dr.cand_name) * 1000000) >= 900000),
+             |best AS (SELECT m_name, cand_key, jw_micro,
+             |    CAST(levenshtein(m_name, cand_name) AS BIGINT) AS dist,
+             |    row_number() OVER (PARTITION BY m_name ORDER BY jw_micro DESC, cand_key) AS rn
+             |  FROM scored)
+             |SELECT m.m_key, b.cand_key, b.jw_micro, b.dist
+             |FROM m JOIN best b ON m.m_name = b.m_name AND b.rn = 1""".stripMargin)),
 
     // J18 — nearest-event join (BIDIRECTIONAL as-of; sensor-alignment /
     //   log-correlation shape): each click attaches its |Δt|-closest view

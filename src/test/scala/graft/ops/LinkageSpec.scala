@@ -153,6 +153,49 @@ class LinkageSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("jwResolveBest: one row per resolved record, each to its source name's min key") {
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val mangled = part.select(col("p_partkey").as("m_key"),
+      Linkage.swap34(col("p_name"), "p_name").as("m_name"))
+    val out = Linkage.jwResolveBest(spark,
+      mangled, "m_key", "m_name", part, "p_partkey", "p_name", minJwMicro = 900000L).cache()
+    assert(out.columns.toSeq === Seq("m_key", "cand_key", "jw_micro", "dist"))
+    // linear output: exactly one verdict per left record (all resolve here)
+    val n = part.count()
+    assert(out.count() === n)
+    assert(out.select("m_key").distinct().count() === n)
+    // each record's best match is the min registry key of its OWN source
+    // name group (a 3<->4 transposition scores above any cross-name pair
+    // on this fixture — asserted as a strict argmax, no tie-break rescue)
+    val expected = part
+      .join(part.groupBy(col("p_name")).agg(min(col("p_partkey")).as("want_key")), "p_name")
+      .select(col("p_partkey").as("m_key"), col("want_key"))
+    val wrong = out.join(expected, "m_key")
+      .filter(col("cand_key") =!= col("want_key")).count()
+    assert(wrong === 0L)
+    assert(out.filter(col("jw_micro") < 900000L).count() === 0L)
+    out.unpersist()
+  }
+
+  test("jwResolveBest scales in distinct names, not record duplication") {
+    // duplicate every left record 8x: scoring input (distinct names) is
+    // unchanged, output grows exactly 8x (linear fan-back, never pairs)
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val mangled = part.select(col("p_partkey").as("m_key"),
+      Linkage.swap34(col("p_name"), "p_name").as("m_name"))
+    val dup = mangled
+      .select(col("m_key"), col("m_name"), explode(sequence(lit(0), lit(7))).as("id"))
+      .select((col("m_key") * 8 + col("id")).as("m_key"), col("m_name"))
+    val base = Linkage.jwResolveBest(spark,
+      mangled, "m_key", "m_name", part, "p_partkey", "p_name", 900000L).count()
+    val out = Linkage.jwResolveBest(spark,
+      dup, "m_key", "m_name", part, "p_partkey", "p_name", 900000L)
+    assert(out.count() === base * 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("graft_jaro_winkler_micro registered SQL function + null propagation") {
     JaroWinklerMicro.register(spark)
     val r = spark.sql(
