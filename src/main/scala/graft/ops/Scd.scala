@@ -89,4 +89,49 @@ object Scd {
             .when(matched, lit("updated"))
             .otherwise(lit("inserted")).as("action"): _*)
   }
+
+  /**
+   * CDC changelog COMPACTION — the step between a change stream and
+   * [[mergeUpsert]]: a changelog carries MANY ordered ops per key
+   * (op ∈ I/U/D, a per-key strictly monotone sequence — the Debezium /
+   * Delta-change-data-feed shape, both public), and only each key's
+   * LATEST op matters for the next snapshot. Keeps that op's payload plus
+   * audit columns (`n_ops` folded, `last_seq` applied) so a load can
+   * assert how much history each batch collapsed.
+   *
+   * Scale shape: ONE hash aggregation on the key — `max_by` over a
+   * `(op, attrs…)` struct keyed by the sequence, partial-aggregated
+   * map-side (no per-key window sort, no shuffle beyond the groupBy).
+   * Equal sequences for one key are a changelog-production bug upstream;
+   * the contract here is strict per-key monotonicity.
+   */
+  def compactChangelog(changelog: DataFrame, keyCol: String, seqCol: String,
+                       opCol: String, attrCols: Seq[String]): DataFrame = {
+    val payload = struct(col(opCol).as("_op") +: attrCols.map(col): _*)
+    changelog.groupBy(col(keyCol))
+      .agg(max_by(payload, col(seqCol)).as("_last"),
+        count(lit(1)).as("n_ops"),
+        max(col(seqCol)).cast("long").as("last_seq"))
+      .select(col(keyCol) +: col("_last._op").as(opCol) +:
+        attrCols.map(c => col(s"_last.$c").as(c)) :+
+        col("n_ops") :+ col("last_seq"): _*)
+  }
+
+  /**
+   * Apply a raw multi-op changelog to a current-state target:
+   * [[compactChangelog]] (latest op per key) piped into [[mergeUpsert]] —
+   * the compacted batch holds ≤ one row per key BY CONSTRUCTION, so the
+   * merge's uniqueness contract is satisfied structurally, not by caller
+   * discipline. A key whose latest op is `D` disappears (even if earlier
+   * ops in the same batch inserted it); a delete for an absent key stays
+   * a no-op. Two shuffles total: the compaction groupBy and the merge's
+   * full-outer join (co-partitioned on the same key, so AQE/bucketing can
+   * collapse the second at scale).
+   */
+  def cdcApply(target: DataFrame, changelog: DataFrame, keyCol: String,
+               seqCol: String, opCol: String, attrCols: Seq[String]): DataFrame = {
+    val compacted = compactChangelog(changelog, keyCol, seqCol, opCol, attrCols)
+      .select(col(keyCol) +: col(opCol) +: attrCols.map(col): _*)
+    mergeUpsert(target, compacted, keyCol, attrCols, opCol)
+  }
 }

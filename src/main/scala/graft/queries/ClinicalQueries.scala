@@ -330,6 +330,57 @@ object ClinicalQueries {
              |  SELECT cl.node, e.anc, cl.dist + 1
              |  FROM cl JOIN e ON cl.anc = e.node WHERE cl.dist < 16)
              |SELECT node, anc, dist FROM cl""".stripMargin),
-      eager = true)
+      eager = true),
+
+    // c23 — CDC changelog apply (Scd.cdcApply): a MULTI-op change stream
+    // (I, then up to two Us, then maybe a D per key — strictly monotone
+    // seq) compacts to each key's latest op in ONE max_by hash-agg (no
+    // window sort), then folds into the current-state target with c20's
+    // merge semantics. Lanes: k%9 two-update chain (latest wins over
+    // middle), k%3 one update, k%5 delete (kills keys the SAME batch
+    // inserted), k%7 absent from the changelog (target rows pass through
+    // as 'kept'), even keys absent from the target ('inserted'). The
+    // oracle is the closed form of those disjoint lanes — exact integer
+    // cents throughout
+    "c23_cdc_apply" -> Q(
+      (s, dir) => {
+        val o = td(s, dir, "orders").select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("st"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val chgKeys = o.filter(col("k") % 7 =!= 0)
+        val ins = chgKeys.select(col("k"), lit(1L).as("seq"), lit("I").as("op"),
+          col("st").as("status"), col("cents").as("total_cents"))
+        val upA = chgKeys.filter(col("k") % 3 === 0)
+          .select(col("k"), lit(2L).as("seq"), lit("U").as("op"),
+            concat(col("st"), lit("-A")).as("status"),
+            (col("cents") + 500L).as("total_cents"))
+        val upB = chgKeys.filter(col("k") % 9 === 0)
+          .select(col("k"), lit(3L).as("seq"), lit("U").as("op"),
+            concat(col("st"), lit("-B")).as("status"),
+            (col("cents") + 700L).as("total_cents"))
+        val del = chgKeys.filter(col("k") % 5 === 0)
+          .select(col("k"), lit(4L).as("seq"), lit("D").as("op"),
+            lit(null).cast("string").as("status"),
+            lit(null).cast("long").as("total_cents"))
+        val changelog = ins.unionByName(upA).unionByName(upB).unionByName(del)
+        val target = o.filter(col("k") % 2 === 1)
+          .select(col("k"), col("st").as("status"), col("cents").as("total_cents"))
+        graft.ops.Scd.cdcApply(target, changelog, "k", "seq", "op",
+          Seq("status", "total_cents"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+             |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+             |chg AS (SELECT k,
+             |    CASE WHEN k%9=0 THEN st || '-B'
+             |         WHEN k%3=0 THEN st || '-A' ELSE st END AS status,
+             |    CASE WHEN k%9=0 THEN cents+700
+             |         WHEN k%3=0 THEN cents+500 ELSE cents END AS total_cents
+             |  FROM o WHERE k%7<>0 AND k%5<>0)
+             |SELECT k, status, total_cents,
+             |  CASE WHEN k%2=1 THEN 'updated' ELSE 'inserted' END AS action
+             |FROM chg
+             |UNION ALL
+             |SELECT k, st AS status, cents AS total_cents, 'kept' AS action
+             |FROM o WHERE k%2=1 AND k%7=0""".stripMargin))
   )
 }

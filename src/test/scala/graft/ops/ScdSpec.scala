@@ -86,4 +86,39 @@ class ScdSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Option[String], String)].collect().toSeq
     assert(out === Seq((1L, None, "updated")))
   }
+
+  test("compactChangelog: latest op per key wins, audit counts, single hash-agg plan") {
+    val chg = Seq(
+      (1L, 1L, "I", "a"), (1L, 2L, "U", "a2"), (1L, 3L, "U", "a3"), // update chain
+      (2L, 1L, "I", "b"), (2L, 5L, "D", null),                      // insert then delete
+      (3L, 7L, "I", "c"))                                           // lone insert
+      .toDF("k", "seq", "op", "seg")
+    val out = Scd.compactChangelog(chg, "k", "seq", "op", Seq("seg"))
+    assert(out.columns.toSeq === Seq("k", "op", "seg", "n_ops", "last_seq"))
+    val rows = out.as[(Long, String, Option[String], Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows === Seq(
+      (1L, "U", Some("a3"), 3L, 3L),
+      (2L, "D", None, 2L, 5L),
+      (3L, "I", Some("c"), 1L, 7L)))
+    // one aggregation, no window sort in the physical plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "compaction must not plan a window sort")
+  }
+
+  test("cdcApply: delete kills a same-batch insert; update chain lands the latest; audit lanes") {
+    val target = Seq((1L, "t1", 100L), (5L, "t5", 500L)).toDF("k", "seg", "bal")
+    val chg = Seq(
+      (1L, 1L, "U", "u1", 110L), (1L, 2L, "U", "u1b", 111L), // matched update chain
+      (2L, 1L, "I", "n2", 200L),                             // fresh insert
+      (3L, 1L, "I", "n3", 300L), (3L, 2L, "D", null, 0L),    // insert then delete: never lands
+      (9L, 4L, "D", null, 0L))                               // delete of absent key: no-op
+      .toDF("k", "seq", "op", "seg", "bal")
+    val out = Scd.cdcApply(target, chg, "k", "seq", "op", Seq("seg", "bal"))
+      .as[(Long, String, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, "u1b", 111L, "updated"),
+      (2L, "n2", 200L, "inserted"),
+      (5L, "t5", 500L, "kept")))
+  }
 }
