@@ -47,6 +47,12 @@ final case class GifDecoded(media_id: Long, is_gif: Boolean, width: Int,
                             height: Int, gct_entries: Int, n_frames: Int,
                             trailer_ok: Boolean)
 
+/** JPEG marker-walk decode result: SOF frame-header fields (dims,
+  * component count, baseline vs progressive) + end-of-image verdict. */
+final case class JpegDecoded(media_id: Long, is_jpeg: Boolean, width: Int,
+                             height: Int, n_components: Int,
+                             progressive: Boolean, eoi_ok: Boolean)
+
 /**
  * Multimodal column handling: image/audio/video as opaque `binary` columns
  * with typed metadata, decoded via per-partition batch functions.
@@ -777,6 +783,158 @@ object Multimodal {
         val png = pngBytes(width = 8 + (id % 16).toInt, height = 4 + (id % 8).toInt,
           seed = id)
         if (id % 5 == 0) corruptIhdrCrc(png) else png
+      }
+    MediaRecord(id, "image", payload)
+  }
+
+  // ---- JPEG: big-endian marker/segment stream + entropy-coded scan -----
+
+  /**
+   * Build real JPEG-structured bytes (ITU-T T.81 / JFIF layout, public):
+   * SOI, APP0-JFIF, COM, DQT, SOF0 or SOF2 (baseline vs progressive),
+   * DHT, then SOS followed by an ENTROPY-CODED section with spec byte
+   * stuffing (every data 0xFF is written 0xFF 0x00) and one RST0 restart
+   * marker mid-stream, closed by EOI. A parser that trusts segment
+   * lengths inside the scan, or stops at the first raw 0xFF, misreads
+   * this fixture — the entropy walk is the part real JPEG parsers get
+   * wrong.
+   */
+  private[multimodal] def jpegBytes(width: Int, height: Int, components: Int,
+                                    progressive: Boolean, seed: Long): Array[Byte] = {
+    require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff)
+    require(components == 1 || components == 3)
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int): Unit = { out.write(0xff); out.write(marker) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def seg(marker: Int, data: Array[Byte]): Unit = {
+      m(marker); be16(2 + data.length); out.write(data, 0, data.length)
+    }
+    var x = seed
+    def lcgByte(): Int = { x = x * 6364136223846793005L + 1442695040888963407L; (x >>> 56).toInt & 0xff }
+    m(0xd8) // SOI
+    seg(0xe0, "JFIF\u0000".getBytes("US-ASCII") ++
+      Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0)) // version 1.1, density 1×1, no thumb
+    seg(0xfe, s"seed $seed".getBytes("US-ASCII")) // COM
+    seg(0xdb, Array(0.toByte) ++ Array.fill(64)(lcgByte().toByte)) // DQT
+    val sofData = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(8) // precision
+      b.write((height >> 8) & 0xff); b.write(height & 0xff)
+      b.write((width >> 8) & 0xff); b.write(width & 0xff)
+      b.write(components)
+      (1 to components).foreach { c => b.write(c); b.write(0x11); b.write(0) }
+      b.toByteArray
+    }
+    seg(if (progressive) 0xc2 else 0xc0, sofData)
+    seg(0xc4, Array(0.toByte) ++ Array.tabulate(16)(i => (if (i == 1) 1 else 0).toByte)
+      ++ Array(0.toByte)) // DHT: one 2-bit code
+    val sosData = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(components)
+      (1 to components).foreach { c => b.write(c); b.write(0) }
+      b.write(0); b.write(63); b.write(0)
+      b.toByteArray
+    }
+    seg(0xda, sosData)
+    // entropy-coded bytes: stuff every 0xFF; drop a restart marker midway
+    (0 until 24).foreach { i =>
+      if (i == 12) { m(0xd0) } // RST0
+      else {
+        val v = if (i % 6 == 5) 0xff else lcgByte() // guaranteed stuffing cases
+        out.write(v)
+        if (v == 0xff) out.write(0x00)
+      }
+    }
+    m(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /**
+   * Parse a JPEG by walking the marker stream: SOI check, fill-byte
+   * tolerance (0xFF padding before a marker is legal), big-endian segment
+   * lengths, SOFn recognition (C0–CF minus DHT C4 / JPG C8 / DAC CC;
+   * `progressive` = SOF2), and — the hard part — the post-SOS
+   * entropy-coded scan, which has NO length field: it ends at the first
+   * 0xFF followed by anything other than 0x00 (stuffing) or D0–D7
+   * (restart). None when the payload isn't JPEG; `eoi_ok = false` when
+   * the walk never reaches EOI (truncated-in-transit — quarantine). */
+  private[multimodal] def decodeJpeg(b: Array[Byte]): Option[(Int, Int, Int, Boolean, Boolean)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    def be16(off: Int): Int = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    var p = 2
+    var w = 0; var h = 0; var ncomp = 0
+    var sofSeen = false; var progressive = false
+    var eoiOk = false; var done = false
+    while (!done && p + 1 < b.length) {
+      if ((b(p) & 0xff) != 0xff) { done = true } // marker expected: corrupt
+      else {
+        while (p + 1 < b.length && (b(p + 1) & 0xff) == 0xff) p += 1 // fill bytes
+        if (p + 1 >= b.length) done = true
+        else (b(p + 1) & 0xff) match {
+          case 0xd9 => eoiOk = true; done = true
+          case mk if mk == 0x01 || (mk >= 0xd0 && mk <= 0xd7) => p += 2 // standalone
+          case mk =>
+            if (p + 3 >= b.length) { done = true }
+            else {
+              val len = be16(p + 2)
+              if (len < 2 || p + 2 + len > b.length) { done = true }
+              else {
+                if (mk >= 0xc0 && mk <= 0xcf && mk != 0xc4 && mk != 0xc8 && mk != 0xcc) {
+                  if (p + 9 < b.length) {
+                    h = be16(p + 5); w = be16(p + 7); ncomp = b(p + 9) & 0xff
+                    sofSeen = true; progressive = mk == 0xc2
+                  }
+                  p += 2 + len
+                } else if (mk == 0xda) {
+                  p += 2 + len
+                  // entropy scan: no length — walk to the next real marker
+                  var inScan = true
+                  while (inScan && p < b.length) {
+                    if ((b(p) & 0xff) != 0xff) p += 1
+                    else if (p + 1 >= b.length) { p += 1; inScan = false }
+                    else {
+                      val nx = b(p + 1) & 0xff
+                      if (nx == 0x00 || (nx >= 0xd0 && nx <= 0xd7)) p += 2 // stuffed / restart
+                      else inScan = false // real marker: outer loop handles it
+                    }
+                  }
+                } else p += 2 + len
+              }
+            }
+        }
+      }
+    }
+    if (!sofSeen || w <= 0 || h <= 0) None
+    else Some((w, h, ncomp, progressive, eoiOk))
+  }
+
+  /** Decode a JPEG media batch — the quarantine-lane shape of
+    * [[decodePngMedia]]: non-JPEG (or SOF-less) rows surface as
+    * `is_jpeg = false`, truncated scans as `eoi_ok = false`. */
+  def decodeJpegMedia(media: Dataset[MediaRecord]): Dataset[JpegDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      decodeJpeg(r.payload) match {
+        case Some((w, h, nc, prog, eoi)) =>
+          JpegDecoded(r.media_id, is_jpeg = true, w, h, nc, prog, eoi)
+        case None => JpegDecoded(r.media_id, is_jpeg = false, 0, 0, 0,
+          progressive = false, eoi_ok = false)
+      }
+    })
+  }
+
+  /** Deterministic per-id JPEG fixture: every decoded field is a pure
+    * function of the id; `id % 11 == 0` ships a non-JPEG payload
+    * (quarantine), `id % 7 == 0` (not quarantined) drops the EOI marker —
+    * the scan walk still finds SOF dims, the verdict flags. */
+  def packJpegById(id: Long): MediaRecord = {
+    val payload =
+      if (id % 11 == 0) s"not a jpeg $id".getBytes("UTF-8")
+      else {
+        val j = jpegBytes(width = 5 + (id % 13).toInt, height = 3 + (id % 10).toInt,
+          components = if (id % 2 == 0) 3 else 1,
+          progressive = id % 3 == 0, seed = id)
+        if (id % 7 == 0) j.dropRight(2) else j
       }
     MediaRecord(id, "image", payload)
   }

@@ -538,6 +538,32 @@ object AnnQueries {
              |  (doc_id % 11 <> 0 AND doc_id % 7 <> 0) AS trailer_ok
              |FROM documents""".stripMargin)),
 
+    // m10 — JPEG marker-walk decode over REAL bytes (ITU-T T.81/JFIF):
+    // big-endian segment lengths like m8's PNG but with the part neither
+    // m8 nor m9 has — the post-SOS ENTROPY-CODED scan, which carries no
+    // length field and ends only at a 0xFF not followed by 0x00 stuffing
+    // or a D0–D7 restart marker (the fixture plants both). SOF0 vs SOF2
+    // distinguishes baseline from progressive; id%11 non-JPEG quarantine,
+    // id%7 dropped EOI (dims still decode, verdict flags)
+    "m10_jpeg_decode" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = td(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map(id => Multimodal.packJpegById(id))
+        Multimodal.decodeJpegMedia(media).toDF()
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  doc_id % 11 <> 0 AS is_jpeg,
+             |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+             |       ELSE 5 + doc_id % 13 END AS INTEGER) AS width,
+             |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+             |       ELSE 3 + doc_id % 10 END AS INTEGER) AS height,
+             |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+             |       WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INTEGER) AS n_components,
+             |  (doc_id % 11 <> 0 AND doc_id % 3 = 0) AS progressive,
+             |  (doc_id % 11 <> 0 AND doc_id % 7 <> 0) AS eoi_ok
+             |FROM documents""".stripMargin)),
+
     // Matryoshka truncation eval (Kusupati et al. 2022): overlap@5 of
     // truncated-dim cosine rankings vs the full 64-dim ranking, per
     // candidate serving dimension — the dim-vs-recall table that decides

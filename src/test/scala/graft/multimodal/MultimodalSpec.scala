@@ -329,4 +329,52 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("JPEG decode: marker walk, entropy scan past stuffing + restarts, SOF2 flag") {
+    val j = Multimodal.jpegBytes(width = 300, height = 7, components = 3,
+      progressive = false, seed = 99L)
+    // width 300 exercises the BE high byte; the fixture plants stuffed
+    // 0xFF 0x00 pairs and an RST0 inside the scan — both must be walked over
+    assert(Multimodal.decodeJpeg(j) === Some((300, 7, 3, false, true)))
+    assert(Multimodal.decodeJpeg(j.dropRight(2)) === Some((300, 7, 3, false, false)),
+      "dropped EOI: dims decode, verdict flags")
+    val prog = Multimodal.jpegBytes(width = 5, height = 4, components = 1,
+      progressive = true, seed = 7L)
+    assert(Multimodal.decodeJpeg(prog) === Some((5, 4, 1, true, true)))
+    assert(Multimodal.decodeJpeg("RIFF not a jpeg".getBytes("US-ASCII")) === None)
+    assert(Multimodal.decodeJpeg(Array[Byte](0xff.toByte, 0xd8.toByte)) === None,
+      "SOI alone has no SOF: refuse, don't fabricate dims")
+  }
+
+  test("JPEG parser agrees with the JDK's OWN ImageIO encoder (independent of our generator)") {
+    val img = new java.awt.image.BufferedImage(21, 9,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 9).foreach(y => (0 until 21).foreach(x => img.setRGB(x, y, x * 31 + y)))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out))
+    val got = Multimodal.decodeJpeg(out.toByteArray)
+    assert(got.isDefined, "real ImageIO JPEG must parse")
+    val (w, h, ncomp, _, eoiOk) = got.get
+    assert((w, h, ncomp, eoiOk) === (21, 9, 3, true))
+  }
+
+  test("JPEG media batch: per-id closed forms and quarantine lanes hold") {
+    import spark.implicits._
+    val ids = (1L to 80L)
+    val out = Multimodal.decodeJpegMedia(ids.toDS().map(Multimodal.packJpegById))
+      .collect().map(r => r.media_id -> r).toMap
+    ids.foreach { id =>
+      val r = out(id)
+      if (id % 11 == 0)
+        assert((r.is_jpeg, r.width, r.height, r.n_components, r.progressive, r.eoi_ok)
+          === (false, 0, 0, 0, false, false))
+      else {
+        assert((r.is_jpeg, r.width, r.height) ===
+          (true, 5 + (id % 13).toInt, 3 + (id % 10).toInt), s"id $id dims")
+        assert(r.n_components === (if (id % 2 == 0) 3 else 1), s"id $id comps")
+        assert(r.progressive === (id % 3 == 0), s"id $id sof kind")
+        assert(r.eoi_ok === (id % 7 != 0), s"id $id eoi")
+      }
+    }
+  }
 }
