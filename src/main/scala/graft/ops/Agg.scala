@@ -493,4 +493,44 @@ object Agg {
                |    * 1000000 div (CAST(n AS DECIMAL(38,0)) * total) AS LONG)
                |END""".stripMargin).as("gini_micro"))
   }
+
+  /**
+   * Exact LOWER weighted median per group: the smallest value v with
+   * 2·W(≤v) ≥ W_total — the robust center a14's unweighted percentile
+   * can't give when rows carry unequal mass (price median weighted by
+   * quantity, latency median weighted by request count). Pure integer
+   * selection, no interpolation: bit-identical across engines by
+   * construction.
+   *
+   * Shape: one value-ordered window per group (RANGE frame, so equal
+   * values always share one cumulative mass — tie order can't move the
+   * crossing), the group total riding the SAME partitioning (no second
+   * shuffle), then a skinny min-per-group of the crossing rows. At 100 TB
+   * this is one sort-shuffle of the (group, value, weight) projection —
+   * the exact-selection floor; a histogram/t-digest two-pass trades that
+   * exactness for a scan when the sort is too hot.
+   *
+   * Contract: weights ≥ 0 (zero-weight rows can never cross the half
+   * mass and cannot become the median); an all-zero-weight group
+   * degenerates to its min value.
+   *
+   * Output: (group, n, total_weight, wmedian) — all BIGINT.
+   */
+  def weightedMedianByGroup(df: DataFrame, groupCol: String, valCol: String,
+                            weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col(groupCol))
+    df.select(col(groupCol), col(valCol).cast("long").as("_v"),
+        col(weightCol).cast("long").as("_w"))
+      .withColumn("_cum", sum(col("_w")).over(byVal))
+      .withColumn("_tot", sum(col("_w")).over(all))
+      .withColumn("_n", count(lit(1)).over(all))
+      .filter(col("_cum") * 2 >= col("_tot"))
+      .groupBy(col(groupCol))
+      .agg(first(col("_n")).cast("long").as("n"),
+        first(col("_tot")).cast("long").as("total_weight"),
+        min(col("_v")).as("wmedian"))
+  }
 }

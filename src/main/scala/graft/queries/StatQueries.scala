@@ -550,6 +550,32 @@ object StatQueries {
              |    CASE WHEN num >= 0 THEN (num * 1000000) // den
              |         ELSE -(((-num) * 1000000) // den) END
              |  END AS BIGINT) AS r_micro
-             |FROM lg JOIN den USING (key)""".stripMargin))
+             |FROM lg JOIN den USING (key)""".stripMargin)),
+
+    // a33 — exact lower WEIGHTED median (Agg.weightedMedianByGroup):
+    // price center per return flag where each line item counts with its
+    // quantity's mass, not once — the unequal-row-mass complement to
+    // a14's percentile and a21's MAD. Pure integer selection (smallest v
+    // with 2·W(≤v) ≥ W_total), RANGE-frame cumulative so tie order can't
+    // move the crossing; one value-ordered window + a skinny min
+    "a33_weighted_median" -> Q(
+      (s, dir) => graft.ops.Agg.weightedMedianByGroup(
+        td(s, dir, "lineitem").select(col("l_returnflag").as("grp"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+          col("l_quantity").cast("long").as("qty")),
+        "grp", "price_cents", "qty"),
+      Some("""WITH r AS (SELECT l_returnflag AS grp,
+             |    CAST(round(l_extendedprice*100) AS BIGINT) AS v,
+             |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+             |c AS (SELECT grp, v, w,
+             |    sum(w) OVER (PARTITION BY grp ORDER BY v
+             |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(w) OVER (PARTITION BY grp) AS tot,
+             |    count(*) OVER (PARTITION BY grp) AS cnt
+             |  FROM r)
+             |SELECT grp, CAST(min(cnt) AS BIGINT) AS n,
+             |  CAST(min(tot) AS BIGINT) AS total_weight,
+             |  CAST(min(v) AS BIGINT) AS wmedian
+             |FROM c WHERE 2*cum >= tot GROUP BY 1""".stripMargin))
   )
 }
