@@ -516,6 +516,45 @@ object Agg {
    *
    * Output: (group, n, total_weight, wmedian) — all BIGINT.
    */
+  /**
+   * Spearman rank correlation per group — the monotone-association
+   * complement to a18's Pearson `corr`: rank both variables (AVERAGE
+   * ranks over ties, the standard Spearman treatment) and correlate the
+   * ranks. Robust to outliers and nonlinear-but-monotone relations, which
+   * is why drift monitors prefer it for heavy-tailed metrics.
+   *
+   * Average rank = rank() + (|ties| − 1)/2 — an exact multiple of ½, so
+   * the rank columns are noise-free in double on every engine; the final
+   * `corr` is 6-dp-rounded exactly like a18/a20 to absorb accumulation
+   * order. Groups need ≥ 2 rows and nonzero rank variance on both sides
+   * or rho is NULL (undefined, not 0).
+   *
+   * Shape: one exchange on the group key reused by both rank windows
+   * (same partitioning, two in-partition sorts), then a hash-agg. No
+   * joins, no global sort.
+   */
+  def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
+                      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = col(groupCol)
+    def avgRank(c: String): Column =
+      rank().over(Window.partitionBy(g).orderBy(col(c))) +
+        (count(lit(1)).over(Window.partitionBy(g, col(c))) - 1) / 2.0
+    df.select(g, avgRank(xCol).as("_rx"), avgRank(yCol).as("_ry"))
+      .groupBy(g)
+      .agg(covar_samp(col("_rx"), col("_ry")).as("_cov"),
+        stddev_samp(col("_rx")).as("_sx"), stddev_samp(col("_ry")).as("_sy"),
+        count(lit(1)).as("n"))
+      // corr as the guarded quotient: Spark 4's ANSI `corr` THROWS on a
+      // zero-variance side, where the statistic is undefined — a constant
+      // column must yield NULL (the DuckDB behavior), never kill the scan.
+      // CaseWhen evaluates its branch lazily, so the division can't fire.
+      .select(g,
+        when(col("_sx") > 0 && col("_sy") > 0,
+          round(col("_cov") / (col("_sx") * col("_sy")), 6)).as("rho"),
+        col("n"))
+  }
+
   def weightedMedianByGroup(df: DataFrame, groupCol: String, valCol: String,
                             weightCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -576,6 +576,25 @@ object StatQueries {
              |SELECT grp, CAST(min(cnt) AS BIGINT) AS n,
              |  CAST(min(tot) AS BIGINT) AS total_weight,
              |  CAST(min(v) AS BIGINT) AS wmedian
-             |FROM c WHERE 2*cum >= tot GROUP BY 1""".stripMargin))
+             |FROM c WHERE 2*cum >= tot GROUP BY 1""".stripMargin)),
+
+    // a34 — Spearman rank correlation (Agg.spearmanByGroup): monotone
+    // association per return flag, robust where a18's Pearson bends to
+    // outliers. Average ranks over ties are exact multiples of 1/2
+    // (noise-free in double); the rank corr rounds to 6 dp — the a18 rule
+    "a34_spearman" -> Q(
+      (s, dir) => graft.ops.Agg.spearmanByGroup(
+        td(s, dir, "lineitem").select(col("l_returnflag").as("grp"),
+          col("l_quantity"), col("l_extendedprice")),
+        "grp", "l_quantity", "l_extendedprice"),
+      Some("""WITH rk AS (SELECT l_returnflag AS grp,
+             |    rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+             |      + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1)/2.0 AS rx,
+             |    rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+             |      + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1)/2.0 AS ry
+             |  FROM lineitem)
+             |SELECT grp, round(corr(rx, ry), 6) AS rho,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM rk GROUP BY 1""".stripMargin))
   )
 }
