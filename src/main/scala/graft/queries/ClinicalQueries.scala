@@ -381,6 +381,62 @@ object ClinicalQueries {
              |FROM chg
              |UNION ALL
              |SELECT k, st AS status, cents AS total_cents, 'kept' AS action
-             |FROM o WHERE k%2=1 AND k%7=0""".stripMargin))
+             |FROM o WHERE k%2=1 AND k%7=0""".stripMargin)),
+
+    // c24 — config-driven expectation gate (ops/Expectations.gate): the
+    // declarative pre-publish QC table (dbt-test / Great-Expectations
+    // core vocabulary) evaluated in ONE scan — every rule is one
+    // conditional aggregate in a single hash-agg; uniqueness rides the
+    // same pass via a distinct count. Mixed pass/fail lanes on orders:
+    // the key is unique (pass), custkey is not (fail with the exact
+    // duplicate count), a deliberately tight price range and a
+    // two-priority regex fail with counts the oracle recomputes from
+    // the table, status accepted-set counts the 'P' rows
+    "c24_expectation_gate" -> Q(
+      (s, dir) => {
+        import graft.ops.Expectations._
+        gate(
+          td(s, dir, "orders").withColumn("total_cents",
+            round(col("o_totalprice") * 100).cast("long")),
+          Seq(
+            ExpectNotNull("r1_date_present", "o_orderdate"),
+            ExpectUnique("r2_key_unique", "o_orderkey"),
+            ExpectUnique("r3_cust_unique", "o_custkey"),
+            ExpectInRange("r4_price_cap", "total_cents", 0L, 20000000L),
+            ExpectMatches("r5_prio_12", "o_orderpriority", "^[12]-"),
+            ExpectInSet("r6_status_of", "o_orderstatus", Seq("O", "F"))))
+      },
+      Some("""WITH o AS (SELECT *, CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
+             |  FROM orders),
+             |v AS (
+             |  SELECT 'r1_date_present' AS rule_id, 'not_null' AS kind,
+             |    'o_orderdate' AS col_name,
+             |    CAST(count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS BIGINT) AS violations
+             |  FROM o
+             |  UNION ALL
+             |  SELECT 'r2_key_unique', 'unique', 'o_orderkey',
+             |    CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) FROM o
+             |  UNION ALL
+             |  SELECT 'r3_cust_unique', 'unique', 'o_custkey',
+             |    CAST(count(o_custkey) - count(DISTINCT o_custkey) AS BIGINT) FROM o
+             |  UNION ALL
+             |  SELECT 'r4_price_cap', 'in_range', 'total_cents',
+             |    CAST(count(CASE WHEN total_cents IS NOT NULL
+             |      AND (total_cents < 0 OR total_cents > 20000000) THEN 1 END) AS BIGINT)
+             |  FROM o
+             |  UNION ALL
+             |  SELECT 'r5_prio_12', 'matches', 'o_orderpriority',
+             |    CAST(count(CASE WHEN o_orderpriority IS NOT NULL
+             |      AND NOT regexp_matches(o_orderpriority, '^[12]-') THEN 1 END) AS BIGINT)
+             |  FROM o
+             |  UNION ALL
+             |  SELECT 'r6_status_of', 'in_set', 'o_orderstatus',
+             |    CAST(count(CASE WHEN o_orderstatus IS NOT NULL
+             |      AND o_orderstatus NOT IN ('O', 'F') THEN 1 END) AS BIGINT)
+             |  FROM o)
+             |SELECT rule_id, kind, col_name, violations,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM o) AS n,
+             |  violations = 0 AS pass
+             |FROM v""".stripMargin))
   )
 }
