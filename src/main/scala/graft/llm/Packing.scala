@@ -137,4 +137,69 @@ object Packing {
         size(col("_pk")).cast("long").as("n_prefix_tokens"),
         when(col("_prev").isNull, 0L).otherwise(lcp).as("est_cached_tokens"))
   }
+
+  /**
+   * Deterministic STRIDE-SCHEDULED interleave of a weighted source
+   * mixture (Waldspurger–Weihl stride scheduling, OSDI '94 — public):
+   * source s with weight wₛ serves its i-th item (1-based rank by id) at
+   * virtual time vt = i·mₛ, mₛ = lcm(weights)/wₛ; the epoch streams in vt
+   * order, ties broken by source name order then id. Every window of W
+   * consecutive positions then carries ≈ W·wₛ/Σw items of source s — the
+   * "every batch mixed to the target ratio" property a training data
+   * loader wants, with no RNG and no shuffle buffer.
+   *
+   * The point of this formulation: the global 0-based position is a
+   * CLOSED FORM, not a sort —
+   *
+   *   pos(s,i) = Σ_t min(⌊(vt−1)/m_t⌋, n_t)
+   *            + Σ_{t with idx(t) < idx(s)} [vt mod m_t = 0 ∧ vt/m_t ≤ n_t]
+   *
+   * (the first sum counts every item of every source — including s's own
+   * i−1 — with strictly earlier virtual time, capped by that source's
+   * actual item count n_t; the second counts same-vt items of sources
+   * that win the tie). Each row computes its position from per-source
+   * totals alone: one rank window per SOURCE partition plus a
+   * driver-collected count map bounded by the mixture size — never a
+   * global ordering shuffle. The DuckDB oracle replays the order with an
+   * actual global sort, independently validating the closed form.
+   *
+   * Sources absent from `weights` are excluded (a mixture spec names its
+   * members). Output: (id, source, src_rank, vt, position) — position is
+   * a permutation of 0..N−1.
+   */
+  def mixtureInterleave(docs: DataFrame, idCol: String, sourceCol: String,
+                        weights: Map[String, Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val sources = weights.keys.toSeq.sorted
+    @annotation.tailrec def gcd(a: Long, b: Long): Long =
+      if (b == 0) a else gcd(b, a % b)
+    val lcmAll = weights.values.map(_.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val m: Map[String, Long] = weights.map { case (s, w) => s -> lcmAll / w }
+    val filtered = docs
+      .filter(col(sourceCol).isin(sources: _*))
+      .select(col(idCol).cast("long").as("_id"), col(sourceCol).as("source"))
+    // per-source totals: bounded by the mixture size (the l33/l63 shape)
+    val counts: Map[String, Long] = filtered.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+    val siMap: Map[String, Long] =
+      sources.zipWithIndex.map { case (s, j) => s -> j.toLong }.toMap
+    val rank = row_number().over(
+      Window.partitionBy(col("source")).orderBy(col("_id"))).cast("long")
+    val posTerms = sources.zipWithIndex.map { case (t, j) =>
+      val mt = m(t); val nt = counts(t)
+      s"least((vt - 1) div ${mt}L, ${nt}L)" +
+        s" + (CASE WHEN _si > $j AND vt % ${mt}L = 0 AND vt div ${mt}L <= ${nt}L" +
+        s" THEN 1L ELSE 0L END)"
+    }.mkString(" + ")
+    filtered
+      .withColumn("src_rank", rank)
+      .withColumn("vt", col("src_rank") * element_at(typedlit(m), col("source")))
+      .withColumn("_si", element_at(typedlit(siMap), col("source")))
+      .withColumn("position", expr(posTerms).cast("long"))
+      .select(col("_id").as(idCol), col("source"), col("src_rank"),
+        col("vt"), col("position"))
+  }
 }

@@ -723,5 +723,36 @@ object TextQueries {
              |  END AS BIGINT) AS est_cached_tokens
              |FROM w""".stripMargin)),
 
+    // l112 — stride-scheduled mixture interleave (Packing
+    // .mixtureInterleave — Waldspurger-Weihl stride scheduling): the
+    // deterministic epoch order that serves a 5:3:2 source mix evenly in
+    // EVERY batch window, no RNG, no shuffle buffer. The global position
+    // is a closed form over per-source totals (one rank window per source
+    // partition + a mixture-sized count collect — never a global sort);
+    // the oracle replays the order with an ACTUAL global sort, so the
+    // hash compare independently proves the closed form. eager: the
+    // per-source count map collects at construction (the l33/l63 shape)
+    "l112_mixture_interleave" -> Q(
+      (s, dir) => graft.llm.Packing.mixtureInterleave(
+        td(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 5, "src1" -> 3, "src2" -> 2)),
+      Some("""WITH d AS (SELECT doc_id, source FROM documents
+             |  WHERE source IN ('src0', 'src1', 'src2')),
+             |r AS (SELECT doc_id, source,
+             |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+             |      AS BIGINT) AS src_rank
+             |  FROM d),
+             |v AS (SELECT doc_id, source, src_rank,
+             |    src_rank * (CASE source WHEN 'src0' THEN 6
+             |                WHEN 'src1' THEN 10 ELSE 15 END) AS vt,
+             |    (CASE source WHEN 'src0' THEN 0
+             |     WHEN 'src1' THEN 1 ELSE 2 END) AS si
+             |  FROM r)
+             |SELECT doc_id, source, src_rank, CAST(vt AS BIGINT) AS vt,
+             |  CAST(row_number() OVER (ORDER BY vt, si, doc_id) - 1
+             |    AS BIGINT) AS position
+             |FROM v""".stripMargin),
+      eager = true),
+
   )
 }

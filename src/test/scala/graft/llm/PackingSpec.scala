@@ -101,4 +101,35 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     // cache win is real: 7 of the sys-bucket's scanned prefix tokens re-use
     assert(Seq(1L, 2L, 3L, 5L).map(out(_)._5).sum === 7L)
   }
+
+  test("mixtureInterleave: 2:1 stride pattern, tie order, positions a permutation") {
+    import spark.implicits._
+    // A weight 2, B weight 1 → L=2, m_A=1, m_B=2: expected epoch A A B A A B
+    val docs = Seq((10L, "A"), (11L, "A"), (12L, "A"), (13L, "A"),
+      (20L, "B"), (21L, "B"), (99L, "Z")) // Z not in the mixture: excluded
+      .toDF("doc_id", "source")
+    val out = Packing.mixtureInterleave(docs, "doc_id", "source",
+        Map("A" -> 2, "B" -> 1))
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._5)
+    assert(out.map(_._5).toSeq === (0L until 6L), "positions must be 0..N-1")
+    assert(out.map(_._2).mkString === "AABAAB")
+    assert(out.map(_._1).toSeq === Seq(10L, 11L, 20L, 12L, 13L, 21L))
+  }
+
+  test("mixtureInterleave: closed-form positions equal a real global sort (with count caps)") {
+    import spark.implicits._
+    // uneven totals force the n_t caps to bind: A exhausts early
+    val docs = (1L to 3L).map(i => (i, "A")) ++ (1L to 17L).map(i => (100 + i, "B")) ++
+      (1L to 9L).map(i => (200 + i, "C"))
+    val out = Packing.mixtureInterleave(docs.toDF("doc_id", "source"),
+        "doc_id", "source", Map("A" -> 3, "B" -> 4, "C" -> 2))
+      .as[(Long, String, Long, Long, Long)].collect()
+    // replay with an actual sort: (vt, source index, id)
+    val si = Map("A" -> 0, "B" -> 1, "C" -> 2)
+    val sorted = out.sortBy(r => (r._4, si(r._2), r._1)).zipWithIndex
+    sorted.foreach { case (r, i) =>
+      assert(r._5 === i.toLong, s"row $r expected position $i")
+    }
+    assert(out.map(_._5).sorted.toSeq === (0L until out.length.toLong))
+  }
 }

@@ -77,7 +77,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "c21_hierarchy_closure",
       // s29: two-batch mtime-pinned fixture write at construction (the
       // s19/s20 round-trip shape) — reviewed r9
-      "s29_incremental_scan")
+      "s29_incremental_scan",
+      // l112: per-source count collect (bounded by the mixture size, the
+      // l33/l63 shape) feeds the closed-form positions — reviewed r9
+      "l112_mixture_interleave")
     val actual = Registry.all.filter(_._2.eager).map(_._1).toSet
     assert(actual == expected,
       s"eager-set drift — added: ${actual -- expected}, removed: ${expected -- actual}")
