@@ -517,6 +517,29 @@ object Agg {
    * Output: (group, n, total_weight, wmedian) — all BIGINT.
    */
   /**
+   * Exact MODE per group with deterministic ties: the most frequent
+   * value, ties resolved to the SMALLEST value — `mode()` alone is
+   * nondeterministic under parallel aggregation, which makes it
+   * unusable in a replayed pipeline. Two hash aggregations, no window
+   * sort: count per (group, value), then `min` over a `(−count, value)`
+   * struct whose lexicographic order IS "highest count, then smallest
+   * value". Map-side partials apply to both; the second shuffle carries
+   * one row per distinct (group, value).
+   *
+   * Output: (group, mode_value, mode_count, n_distinct) — value/count
+   * BIGINT, n_distinct the group's distinct value count.
+   */
+  def modeByGroup(df: DataFrame, groupCol: String, valCol: String): DataFrame =
+    df.select(col(groupCol), col(valCol).cast("long").as("_v"))
+      .groupBy(col(groupCol), col("_v"))
+      .agg(count(lit(1)).as("_cnt"))
+      .groupBy(col(groupCol))
+      .agg(min(struct((-col("_cnt")).as("_nc"), col("_v"))).as("_best"),
+        count(lit(1)).as("n_distinct"))
+      .select(col(groupCol), col("_best._v").as("mode_value"),
+        (-col("_best._nc")).as("mode_count"), col("n_distinct"))
+
+  /**
    * Spearman rank correlation per group — the monotone-association
    * complement to a18's Pearson `corr`: rank both variables (AVERAGE
    * ranks over ties, the standard Spearman treatment) and correlate the

@@ -94,4 +94,72 @@ object BloomIndex {
         coalesce(col("present"), lit(false)).as("present"))
       .withColumn("false_positive", col("candidate") && !col("present"))
   }
+
+  /**
+   * Bloom PRE-FILTERED semi join — the shuffle-volume cutter for a
+   * selective fact⋈dim join (the runtime-filter idea Spark's AQE applies
+   * to broadcast joins, here as an explicit operator that also covers
+   * shuffle joins): build ONE Bloom filter over all dim keys (a bit_or
+   * hash-agg down to ⌈mBits/60⌉ words, collected to the driver — bounded
+   * by mBits, independent of dim row count), apply it to the fact side
+   * as an EXPRESSION-ONLY pre-filter that pushes to the scan, then run
+   * the real semi join to drop the false positives.
+   *
+   * Output ≡ `fact LEFT SEMI JOIN dim` exactly: Bloom filters have no
+   * false negatives, and every false positive dies in the verifying
+   * join — the filter changes WHERE rows are dropped (before the
+   * exchange instead of after), never WHICH. At 100 TB that is the
+   * difference between shuffling the whole fact table and shuffling
+   * `match-rate + ε` of it (ε = the false-positive mass, ~(1−e^(−kn/m))^k).
+   *
+   * Positions use xxhash64 (no oracle needs to replay them — the output
+   * is oracle-checked against the plain semi join); the filter build is
+   * one skinny shuffle of dim key positions.
+   */
+  private def xxPositions(c: Column, k: Int, mBits: Int): Seq[Column] =
+    (0 until k).map(i => pmod(xxhash64(c, lit(i)), lit(mBits)))
+
+  /** Fold a dim key column into one Bloom filter: ⌈mBits/60⌉ packed words
+    * via a bit_or hash-agg, collected to the driver (bounded by mBits,
+    * never by dim row count). */
+  def buildFilterWords(dim: DataFrame, dimKey: String,
+                       k: Int = 4, mBits: Int = 16380): Seq[Long] = {
+    require(k >= 1 && mBits >= BitsPerWord && mBits % BitsPerWord == 0,
+      s"mBits must be a positive multiple of $BitsPerWord")
+    val wordRows = dim
+      .select(explode(array(xxPositions(col(dimKey), k, mBits): _*)).as("pos"))
+      .select((col("pos") / BitsPerWord).cast("int").as("word"),
+        expr(s"shiftleft(1L, cast(pos % $BitsPerWord as int))").as("mask"))
+      .groupBy("word").agg(expr("bit_or(mask)").cast("long").as("bits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until mBits / BitsPerWord).map(w => wordRows.getOrElse(w, 0L))
+  }
+
+  /** Expression-only might-contain test against a built filter: pushes to
+    * the scan, no false negatives. The packed words expand to one
+    * mBits-long boolean array riding the plan as a single reference
+    * object (the l107 goto-table pattern) — `shiftright` can't take a
+    * column shift amount, and an element_at probe is one codegen'd array
+    * access per hash anyway. */
+  def mightContain(key: Column, words: Seq[Long],
+                   k: Int = 4, mBits: Int = 16380): Column = {
+    require(words.length == mBits / BitsPerWord,
+      s"filter has ${words.length} words, expected ${mBits / BitsPerWord}")
+    val bits: Seq[Boolean] = (0 until mBits).map { p =>
+      (words(p / BitsPerWord) >> (p % BitsPerWord) & 1L) == 1L
+    }
+    val bitsLit = typedlit(bits)
+    xxPositions(key, k, mBits)
+      .map(p => element_at(bitsLit, p.cast("int") + 1))
+      .reduce(_ && _)
+  }
+
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame,
+                    factKey: String, dimKey: String,
+                    k: Int = 4, mBits: Int = 16380): DataFrame = {
+    val words = buildFilterWords(dim, dimKey, k, mBits)
+    fact.filter(mightContain(col(factKey), words, k, mBits))
+      .join(dim.select(col(dimKey).as("_dk")).distinct(),
+        col(factKey) === col("_dk"), "left_semi")
+  }
 }

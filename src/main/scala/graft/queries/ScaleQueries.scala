@@ -160,6 +160,28 @@ object ScaleQueries {
              |  AND (least(a.s + 20, b.s + 14) - greatest(a.s, b.s)) * 10000
              |        >= 5000 * 14""".stripMargin)),
 
+    // J20 — Bloom pre-filtered semi join (BloomIndex.bloomSemiJoin): a
+    //   ~1%-selective dim (every 97th part key) probes lineitem; the dim
+    //   keys fold into one bit_or Bloom whose might-contain test filters
+    //   the fact side BEFORE the join exchange — the explicit form of
+    //   AQE's runtime filter, and at 100 TB the difference between
+    //   shuffling the whole fact table and shuffling ~1% of it. Output is
+    //   EXACTLY the plain semi join (no false negatives; false positives
+    //   die in the verifying join), which is what the oracle replays —
+    //   the Bloom changes where rows drop, never which. eager: the
+    //   ⌈mBits/60⌉-word filter collects at construction
+    "j20_bloom_semi_join" -> Q(
+      (s, dir) => graft.ops.BloomIndex.bloomSemiJoin(
+        td(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+          col("l_quantity").cast("long").as("qty")),
+        td(s, dir, "part").filter(col("p_partkey") % 97 === 0),
+        "l_partkey", "p_partkey"),
+      Some("""SELECT l_orderkey, l_partkey, CAST(l_quantity AS BIGINT) AS qty
+             |FROM lineitem
+             |WHERE l_partkey IN (SELECT p_partkey FROM part
+             |                    WHERE p_partkey % 97 = 0)""".stripMargin),
+      eager = true),
+
     // J17 — Jaro–Winkler fuzzy record linkage at part scale (20k–200k
     //   rows, vs j16's 25-row nation demo): a swap-corrupted twin of every
     //   part record resolves to its BEST registry match. Scored once per

@@ -595,6 +595,29 @@ object StatQueries {
              |  FROM lineitem)
              |SELECT grp, round(corr(rx, ry), 6) AS rho,
              |  CAST(count(*) AS BIGINT) AS n
-             |FROM rk GROUP BY 1""".stripMargin))
+             |FROM rk GROUP BY 1""".stripMargin)),
+
+    // a35 — exact mode with deterministic ties (Agg.modeByGroup): the
+    // most frequent quantity per return flag, ties to the smallest
+    // value — engine-native mode() is tie-nondeterministic under
+    // parallelism, so replayed pipelines need this pinned form. Two
+    // hash-aggs via a (−count, value) struct min; no window sort
+    "a35_mode" -> Q(
+      (s, dir) => graft.ops.Agg.modeByGroup(
+        td(s, dir, "lineitem").select(col("l_returnflag").as("grp"),
+          col("l_quantity")),
+        "grp", "l_quantity"),
+      Some("""WITH c AS (SELECT l_returnflag AS grp,
+             |    CAST(l_quantity AS BIGINT) AS v,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM lineitem GROUP BY 1, 2),
+             |r AS (SELECT grp, v, cnt,
+             |    row_number() OVER (PARTITION BY grp
+             |      ORDER BY cnt DESC, v) AS rn,
+             |    count(*) OVER (PARTITION BY grp) AS nd
+             |  FROM c)
+             |SELECT grp, v AS mode_value, cnt AS mode_count,
+             |  CAST(nd AS BIGINT) AS n_distinct
+             |FROM r WHERE rn = 1""".stripMargin))
   )
 }

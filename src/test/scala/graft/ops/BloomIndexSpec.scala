@@ -75,4 +75,29 @@ class BloomIndexSpec extends AnyFunSuite with SparkTestBase {
     info(s"probe=$probe: ${cand.length}/16 candidate files (truth ${truth.length}), " +
       s"${16 - cand.length} files skipped")
   }
+
+  test("bloomSemiJoin: output equals the plain semi join; pre-filter alone cuts most fact rows") {
+    import org.apache.spark.sql.functions._
+    val fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val dim = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .filter(col("p_partkey") % 97 === 0)
+    val out = BloomIndex.bloomSemiJoin(fact, dim, "l_partkey", "p_partkey")
+    val plain = fact.join(dim.select(col("p_partkey")),
+      col("l_partkey") === col("p_partkey"), "left_semi")
+    // identical row multiset: no false negatives, false positives all die
+    assert(out.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(out).count() === 0L)
+    // the expression pre-filter ALONE (what runs before the exchange) must
+    // pass every true match and cut the fact side hard
+    val words = BloomIndex.buildFilterWords(dim, "p_partkey")
+    val total = fact.count()
+    val matches = plain.count()
+    val passed = fact.filter(BloomIndex.mightContain(col("l_partkey"), words)).count()
+    assert(passed >= matches, "no false negatives before the join")
+    assert(passed <= total / 2,
+      s"pre-filter must cut the fact side: passed $passed of $total (matches $matches)")
+    info(s"bloom pre-filter: $passed of $total fact rows enter the join " +
+      f"(true matches $matches; fp mass ${(passed - matches).toDouble / total}%.4f)")
+  }
 }

@@ -80,7 +80,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "s29_incremental_scan",
       // l112: per-source count collect (bounded by the mixture size, the
       // l33/l63 shape) feeds the closed-form positions — reviewed r9
-      "l112_mixture_interleave")
+      "l112_mixture_interleave",
+      // j20: the ⌈mBits/60⌉-word Bloom filter collects at construction
+      // (bounded by mBits, never by dim rows) — reviewed r9
+      "j20_bloom_semi_join")
     val actual = Registry.all.filter(_._2.eager).map(_._1).toSet
     assert(actual == expected,
       s"eager-set drift — added: ${actual -- expected}, removed: ${expected -- actual}")
