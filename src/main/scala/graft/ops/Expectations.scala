@@ -77,6 +77,48 @@ object Expectations {
         .otherwise(0L))
   }
 
+  /** One referential-integrity rule: every non-null value of `column`
+    * must exist in `parent.parentKey` (the dbt `relationships` test).
+    * Key columns must be equality-compatible types. */
+  final case class ExpectForeignKey(id: String, column: String,
+                                    parent: DataFrame, parentKey: String) {
+    val kind = "foreign_key"
+  }
+
+  /**
+   * Referential-integrity audit — [[gate]]'s cross-table complement,
+   * same output schema so suites union. ONE scan of the child table:
+   * each rule left-joins its DISTINCT parent key set (skinny —
+   * broadcastable at any realistic dimension count) and contributes one
+   * conditional aggregate to a single hash-agg; a child row violates
+   * rule r iff its key is NON-NULL and unmatched (null ownership stays
+   * with not_null, exactly as in [[gate]]).
+   */
+  def refGate(df: DataFrame, rules: Seq[ExpectForeignKey]): DataFrame = {
+    require(rules.nonEmpty, "no foreign-key rules given")
+    require(rules.map(_.id).distinct.size == rules.size, "duplicate rule ids")
+    val withMarks = rules.zipWithIndex.foldLeft(df) { case (acc, (r, i)) =>
+      val p = broadcast(r.parent.select(col(r.parentKey).as(s"_pk$i")).distinct())
+      acc.join(p, col(r.column) === col(s"_pk$i"), "left")
+    }
+    val aggs = rules.zipWithIndex.map { case (r, i) =>
+      sum(when(col(r.column).isNotNull && col(s"_pk$i").isNull, 1L)
+        .otherwise(0L)).as(s"_v$i")
+    } :+ count(lit(1)).as("_n")
+    val one = withMarks.agg(aggs.head, aggs.tail: _*)
+    val rows = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.id).as("rule_id"), lit(r.kind).as("kind"),
+        lit(r.column).as("col_name"),
+        coalesce(col(s"_v$i"), lit(0L)).as("violations"))
+    }
+    one.select(explode(array(rows: _*)).as("_r"), col("_n"))
+      .select(col("_r.rule_id").as("rule_id"), col("_r.kind").as("kind"),
+        col("_r.col_name").as("col_name"),
+        col("_r.violations").as("violations"),
+        col("_n").cast("long").as("n"),
+        (col("_r.violations") === 0L).as("pass"))
+  }
+
   def gate(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
     require(rules.nonEmpty, "no expectations given")
     require(rules.map(_.id).distinct.size == rules.size, "duplicate rule ids")

@@ -437,6 +437,41 @@ object ClinicalQueries {
              |SELECT rule_id, kind, col_name, violations,
              |  (SELECT CAST(count(*) AS BIGINT) FROM o) AS n,
              |  violations = 0 AS pass
+             |FROM v""".stripMargin)),
+
+    // c25 — referential-integrity audit (Expectations.refGate): the dbt
+    // `relationships` test over lineitem in ONE child scan — each rule
+    // left-joins its broadcast distinct parent key set and feeds one
+    // conditional aggregate. Lanes: orderkey→orders and suppkey→supplier
+    // hold (pass); partkey checked against a deliberately truncated part
+    // subset (p_partkey % 3 = 0) counts the orphans exactly
+    "c25_fk_audit" -> Q(
+      (s, dir) => {
+        import graft.ops.Expectations._
+        refGate(td(s, dir, "lineitem"), Seq(
+          ExpectForeignKey("fk_order", "l_orderkey", td(s, dir, "orders"), "o_orderkey"),
+          ExpectForeignKey("fk_part_subset", "l_partkey",
+            td(s, dir, "part").filter(col("p_partkey") % 3 === 0), "p_partkey"),
+          ExpectForeignKey("fk_supp", "l_suppkey", td(s, dir, "supplier"), "s_suppkey")))
+      },
+      Some("""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+             |v AS (
+             |  SELECT 'fk_order' AS rule_id, 'l_orderkey' AS col_name,
+             |    CAST(count(CASE WHEN l_orderkey IS NOT NULL AND l_orderkey NOT IN
+             |      (SELECT o_orderkey FROM orders) THEN 1 END) AS BIGINT) AS violations
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'fk_part_subset', 'l_partkey',
+             |    CAST(count(CASE WHEN l_partkey IS NOT NULL AND l_partkey NOT IN
+             |      (SELECT p_partkey FROM part WHERE p_partkey % 3 = 0) THEN 1 END) AS BIGINT)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'fk_supp', 'l_suppkey',
+             |    CAST(count(CASE WHEN l_suppkey IS NOT NULL AND l_suppkey NOT IN
+             |      (SELECT s_suppkey FROM supplier) THEN 1 END) AS BIGINT)
+             |  FROM lineitem)
+             |SELECT rule_id, 'foreign_key' AS kind, col_name, violations,
+             |  (SELECT n FROM n) AS n, violations = 0 AS pass
              |FROM v""".stripMargin))
   )
 }

@@ -45,6 +45,30 @@ class ExpectationsSpec extends AnyFunSuite with SparkTestBase {
     assert(empty.forall(r => r._4 === 0L && r._5 === 0L && r._6))
   }
 
+  test("refGate: orphans counted, null keys owned by not_null, dup parents don't double-count") {
+    val child = Seq((1L, Option(10L)), (2L, Option(20L)), (3L, Option(99L)),
+      (4L, None)).toDF("k", "fk")
+    // parent carries key 10 TWICE: the distinct inside refGate must keep
+    // the child scan 1:1 (a dup parent key must not duplicate child rows)
+    val parent = Seq(10L, 10L, 20L).toDF("pk")
+    val out = refGate(child, Seq(ExpectForeignKey("fk1", "fk", parent, "pk")))
+      .as[(String, String, String, Long, Long, Boolean)].collect()
+    assert(out.toSeq === Seq(("fk1", "foreign_key", "fk", 1L, 4L, false)))
+  }
+
+  test("refGate: multiple rules in one pass, all-pass verdict") {
+    val child = Seq((1L, 10L, 100L), (2L, 20L, 100L)).toDF("k", "a", "b")
+    val pa = Seq(10L, 20L).toDF("pk")
+    val pb = Seq(100L).toDF("pk")
+    val out = refGate(child, Seq(
+      ExpectForeignKey("ra", "a", pa, "pk"),
+      ExpectForeignKey("rb", "b", pb, "pk")))
+      .as[(String, String, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("ra")._6 && out("rb")._6)
+    assert(out.values.forall(_._5 === 2L))
+  }
+
   test("one scan for the whole suite (rules are expressions, not jobs)") {
     val dir = java.nio.file.Files.createTempDirectory("expect").toString
     df.write.mode("overwrite").parquet(s"$dir/t")
