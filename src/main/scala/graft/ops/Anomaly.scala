@@ -291,4 +291,30 @@ object Anomaly {
         (col("step.cusum_micro") >
           expr(s"($thresholdBp * ref_micro) div 10000")).cast("long").as("alarm"))
   }
+
+  /**
+   * OHLC resample bars — the classic time-series downsample (tick →
+   * candle; metric → hourly bar): per (key, bucket) the first value
+   * (open), extremes (high/low), last value (close), row count (volume)
+   * and an exact decimal sum. ONE hash aggregation, no window sort:
+   * open/close ride `min_by`/`max_by` over a `(time, id)` struct, which
+   * stays deterministic when timestamps collide (the id breaks the tie) —
+   * the property a raw `first()` never has under parallel scan order.
+   * High/low/open/close are pure selections (bit-exact doubles); the sum
+   * accumulates in DECIMAL so it is order-independent.
+   */
+  def ohlcBars(df: DataFrame, keyCol: String, timeCol: String, idCol: String,
+               valCol: String, bucketSize: Long): DataFrame = {
+    require(bucketSize > 0)
+    val t = col(timeCol)
+    val ord = struct(t, col(idCol))
+    df.groupBy(col(keyCol), expr(s"$timeCol div ${bucketSize}L").as("bucket"))
+      .agg(
+        min_by(col(valCol), ord).as("open"),
+        max(col(valCol)).as("high"),
+        min(col(valCol)).as("low"),
+        max_by(col(valCol), ord).as("close"),
+        count(lit(1)).as("volume"),
+        sum(col(valCol).cast("decimal(18,6)")).cast("double").as("vsum"))
+  }
 }

@@ -357,6 +357,35 @@ object ApiQueries {
     // before any hour trips 3-sigma). Integer micro-unit per-step floor
     // recursion s_k = (α·x_k·10⁶ + (10⁴−α)·s_{k−1}) div 10⁴ replayed by
     // an ordered recursive CTE; per-key array fold is calendar-bounded
+    // w14 — OHLC resample bars (Anomaly.ohlcBars): per (event_type, hour)
+    // candles over the raw value stream in ONE hash aggregation —
+    // open/close ride min_by/max_by over a (ts, event_id) struct, so
+    // colliding timestamps still resolve deterministically (first()'s
+    // scan-order trap). Selections are bit-exact; the sum is decimal.
+    // The oracle replays open/close with rank-1 window rows
+    "w14_ohlc_bars" -> Q(
+      (s, dir) => graft.ops.Anomaly.ohlcBars(
+        Registry.tdEventsUs(s, dir)
+          .select(col("event_type"), col("ts_us"), col("event_id"), col("value")),
+        "event_type", "ts_us", "event_id", "value",
+        bucketSize = 3600L * 1000000L),
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id, value
+             |  FROM events),
+             |r AS (SELECT event_type,
+             |    ts_us // 3600000000 AS bucket, value,
+             |    row_number() OVER (PARTITION BY event_type, ts_us // 3600000000
+             |      ORDER BY ts_us, event_id) AS ra,
+             |    row_number() OVER (PARTITION BY event_type, ts_us // 3600000000
+             |      ORDER BY ts_us DESC, event_id DESC) AS rd
+             |  FROM e)
+             |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+             |  max(CASE WHEN ra = 1 THEN value END) AS open,
+             |  max(value) AS high, min(value) AS low,
+             |  max(CASE WHEN rd = 1 THEN value END) AS close,
+             |  CAST(count(*) AS BIGINT) AS volume,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vsum
+             |FROM r GROUP BY 1, 2""".stripMargin)),
+
     "w13_ewma_trend" -> Q(
       (s, dir) => graft.ops.Anomaly.ewmaTrend(
         Registry.tdEventsUs(s, dir)

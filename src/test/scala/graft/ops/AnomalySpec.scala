@@ -160,4 +160,25 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._5).toSeq === Seq(0L, 11250000L, 7500000L, 3750000L))
     assert(got.forall(_._6 === 0L))
   }
+
+  test("ohlcBars: open/close by (time, id), duplicate-timestamp ties deterministic, one agg") {
+    import spark.implicits._
+    val df = Seq(
+      // key a, bucket 0 (t in [0, 10)): open at t=1 id=2 (5.0), close at
+      // t=9 (1.0); high 9.0 low 1.0. The two t=1 rows tie: smaller id wins open
+      ("a", 1L, 2L, 5.0), ("a", 1L, 3L, 7.0), ("a", 4L, 1L, 9.0), ("a", 9L, 5L, 1.0),
+      // key a, bucket 1: singleton
+      ("a", 12L, 6L, 4.0),
+      // key b, bucket 0: close tie at t=5 → larger id wins close
+      ("b", 5L, 10L, 2.0), ("b", 5L, 11L, 8.0))
+      .toDF("k", "t", "id", "v")
+    val out = Anomaly.ohlcBars(df, "k", "t", "id", "v", bucketSize = 10L)
+    val rows = out.as[(String, Long, Double, Double, Double, Double, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(rows(("a", 0L)) === (("a", 0L, 5.0, 9.0, 1.0, 1.0, 4L, 22.0)))
+    assert(rows(("a", 1L)) === (("a", 1L, 4.0, 4.0, 4.0, 4.0, 1L, 4.0)))
+    assert(rows(("b", 0L)) === (("b", 0L, 2.0, 8.0, 2.0, 8.0, 2L, 10.0)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "bars must not plan a window sort")
+  }
 }
