@@ -53,6 +53,12 @@ final case class JpegDecoded(media_id: Long, is_jpeg: Boolean, width: Int,
                              height: Int, n_components: Int,
                              progressive: Boolean, eoi_ok: Boolean)
 
+/** ID3v2 tag decode result: header fields + a frame walk with a padding
+  * verdict. */
+final case class Id3Decoded(media_id: Long, is_id3: Boolean, version: Int,
+                            n_frames: Int, tag_size: Int,
+                            has_title: Boolean, padding_ok: Boolean)
+
 /**
  * Multimodal column handling: image/audio/video as opaque `binary` columns
  * with typed metadata, decoded via per-partition batch functions.
@@ -937,5 +943,116 @@ object Multimodal {
         if (id % 7 == 0) j.dropRight(2) else j
       }
     MediaRecord(id, "image", payload)
+  }
+
+  // ---- ID3v2: syncsafe integers + tag frame walk ------------------------
+
+  private val Id3FrameIds = IndexedSeq("TIT2", "TPE1", "TALB")
+
+  /** SYNCSAFE 28-bit integer (ID3v2.4 §6.2, public): 4 bytes of 7 bits
+    * each, high bit always clear — sizes can't fake an MPEG sync word.
+    * Decoding one as plain big-endian is the classic ID3 parser bug
+    * (off by up to 2×7 bits once the size passes 127). */
+  private def syncsafe(v: Int): Array[Byte] = {
+    require(v >= 0 && v < (1 << 28))
+    Array((v >> 21) & 0x7f, (v >> 14) & 0x7f, (v >> 7) & 0x7f, v & 0x7f)
+      .map(_.toByte)
+  }
+
+  private def readSyncsafe(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0x7f) << 21) | ((b(off + 1) & 0x7f) << 14) |
+      ((b(off + 2) & 0x7f) << 7) | (b(off + 3) & 0x7f)
+
+  /** Build a real ID3v2.4 tag: header with a SYNCSAFE declared size,
+    * `nFrames` text frames rotating through TIT2/TPE1/TALB from `start`
+    * (each a syncsafe-sized UTF-8 payload), then `padding` zero bytes.
+    * `corruptPadding` plants one non-zero byte mid-padding — a walk that
+    * blindly trusts the next non-zero byte as a frame id must flag it. */
+  private[multimodal] def id3Bytes(nFrames: Int, start: Int, padding: Int,
+                                   corruptPadding: Boolean, seed: Long): Array[Byte] = {
+    require(nFrames >= 1 && nFrames <= 3 && start >= 0 && padding >= 8)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("ID3".getBytes("US-ASCII"))
+    out.write(4); out.write(0) // version 2.4.0
+    out.write(0)               // flags
+    val frameBytes = (0 until nFrames).map { j =>
+      val fid = Id3FrameIds((start + j) % 3)
+      val payload = (0x03.toChar + f"v${(seed * 31 + j) % 1000000}%07d").getBytes("UTF-8")
+      val fb = new java.io.ByteArrayOutputStream()
+      fb.write(fid.getBytes("US-ASCII"))
+      fb.write(syncsafe(payload.length))
+      fb.write(0); fb.write(0) // frame flags
+      fb.write(payload)
+      fb.toByteArray
+    }
+    val size = frameBytes.map(_.length).sum + padding
+    out.write(syncsafe(size))
+    frameBytes.foreach(out.write)
+    val pad = new Array[Byte](padding)
+    if (corruptPadding) pad(padding / 2) = 0xee.toByte
+    out.write(pad)
+    out.toByteArray
+  }
+
+  /** Parse an ID3v2 tag: magic + version, SYNCSAFE declared size, then a
+    * frame walk — ids must be [A-Z0-9]{4} (anything else inside the
+    * declared span is corruption, not a frame), sizes syncsafe, and the
+    * run after the last frame must be all-zero padding (`padding_ok`).
+    * None when the payload has no ID3 header at all. */
+  private[multimodal] def decodeId3(b: Array[Byte]): Option[(Int, Int, Int, Boolean, Boolean)] = {
+    if (b.length < 10 || b(0) != 'I' || b(1) != 'D' || b(2) != '3') return None
+    val version = b(3) & 0xff
+    val size = readSyncsafe(b, 6)
+    val end = math.min(10 + size, b.length)
+    var p = 10
+    var frames = 0
+    var hasTitle = false
+    var paddingOk = true
+    var inFrames = true
+    def frameIdOk(off: Int): Boolean = (0 until 4).forall { i =>
+      val c = b(off + i).toChar; (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+    }
+    while (inFrames && p + 10 <= end && b(p) != 0) {
+      if (!frameIdOk(p)) { paddingOk = false; inFrames = false }
+      else {
+        val fid = new String(b, p, 4, "US-ASCII")
+        val fsize = readSyncsafe(b, p + 4)
+        if (p + 10 + fsize > end) { paddingOk = false; inFrames = false }
+        else {
+          frames += 1
+          if (fid == "TIT2") hasTitle = true
+          p += 10 + fsize
+        }
+      }
+    }
+    // everything left inside the declared size must be zero padding
+    while (paddingOk && p < end) { if (b(p) != 0) paddingOk = false; p += 1 }
+    Some((version, frames, size, hasTitle, paddingOk))
+  }
+
+  /** Decode an ID3 media batch — the quarantine-lane shape of
+    * [[decodePngMedia]]: non-ID3 rows surface as `is_id3 = false`. */
+  def decodeId3Media(media: Dataset[MediaRecord]): Dataset[Id3Decoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      decodeId3(r.payload) match {
+        case Some((ver, frames, size, title, padOk)) =>
+          Id3Decoded(r.media_id, is_id3 = true, ver, frames, size, title, padOk)
+        case None => Id3Decoded(r.media_id, is_id3 = false, 0, 0, 0,
+          has_title = false, padding_ok = false)
+      }
+    })
+  }
+
+  /** Deterministic per-id ID3 fixture: frame count/rotation/padding are
+    * pure functions of the id (declared sizes always exceed 127, so a
+    * plain big-endian size read fails loudly); `id % 11 == 0` ships a
+    * non-ID3 payload, `id % 7 == 0` plants a corrupt byte mid-padding. */
+  def packId3ById(id: Long): MediaRecord = {
+    val payload =
+      if (id % 11 == 0) s"not an id3 tag $id".getBytes("UTF-8")
+      else id3Bytes(nFrames = 1 + (id % 3).toInt, start = (id % 3).toInt,
+        padding = 120 + (id % 17).toInt, corruptPadding = id % 7 == 0, seed = id)
+    MediaRecord(id, "audio", payload)
   }
 }

@@ -564,6 +564,32 @@ object AnnQueries {
              |  (doc_id % 11 <> 0 AND doc_id % 7 <> 0) AS eoi_ok
              |FROM documents""".stripMargin)),
 
+    // m11 — ID3v2.4 tag decode over REAL bytes: the SYNCSAFE-integer
+    // container (7-bit size bytes — the classic ID3 parser bug is reading
+    // them big-endian, off once sizes pass 127, which every fixture size
+    // does by construction). Frame walk validates [A-Z0-9]{4} ids,
+    // rotates TIT2/TPE1/TALB so has_title varies, and checks the
+    // declared span's padding is all zeros; id%11 non-ID3 quarantine,
+    // id%7 plants a corrupt byte mid-padding (frames still counted)
+    "m11_id3_decode" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = td(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map(id => Multimodal.packId3ById(id))
+        Multimodal.decodeId3Media(media).toDF()
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  doc_id % 11 <> 0 AS is_id3,
+             |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 4 END AS INTEGER) AS version,
+             |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+             |       ELSE 1 + doc_id % 3 END AS INTEGER) AS n_frames,
+             |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+             |       ELSE 19 * (1 + doc_id % 3) + 120 + doc_id % 17
+             |       END AS INTEGER) AS tag_size,
+             |  (doc_id % 11 <> 0 AND doc_id % 3 <> 1) AS has_title,
+             |  (doc_id % 11 <> 0 AND doc_id % 7 <> 0) AS padding_ok
+             |FROM documents""".stripMargin)),
+
     // Matryoshka truncation eval (Kusupati et al. 2022): overlap@5 of
     // truncated-dim cosine rankings vs the full 64-dim ranking, per
     // candidate serving dimension — the dim-vs-recall table that decides

@@ -358,6 +358,39 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert((w, h, ncomp, eoiOk) === (21, 9, 3, true))
   }
 
+  test("ID3v2: syncsafe sizes, frame rotation, corrupt-padding flag") {
+    // declared size 2*19 + 128 = 166 > 127: a big-endian size read would
+    // see 0x01 0x26 as 294, not syncsafe 166 — round-trip catches it
+    val t = Multimodal.id3Bytes(nFrames = 2, start = 0, padding = 128,
+      corruptPadding = false, seed = 5L)
+    assert(Multimodal.decodeId3(t) === Some((4, 2, 166, true, true)))
+    // start=1, n=2 → TPE1, TALB: no title frame
+    val noTitle = Multimodal.id3Bytes(2, 1, 128, corruptPadding = false, 5L)
+    assert(Multimodal.decodeId3(noTitle) === Some((4, 2, 166, false, true)))
+    // corrupt padding byte: frames counted, verdict flags
+    val bad = Multimodal.id3Bytes(2, 0, 128, corruptPadding = true, 5L)
+    assert(Multimodal.decodeId3(bad) === Some((4, 2, 166, true, false)))
+    assert(Multimodal.decodeId3("RIFF not id3".getBytes("US-ASCII")) === None)
+  }
+
+  test("ID3 media batch: per-id closed forms and quarantine lanes hold") {
+    import spark.implicits._
+    val ids = (1L to 80L)
+    val out = Multimodal.decodeId3Media(ids.toDS().map(Multimodal.packId3ById))
+      .collect().map(r => r.media_id -> r).toMap
+    ids.foreach { id =>
+      val r = out(id)
+      if (id % 11 == 0)
+        assert((r.is_id3, r.version, r.n_frames, r.tag_size) === (false, 0, 0, 0))
+      else {
+        assert((r.is_id3, r.version, r.n_frames) === (true, 4, 1 + (id % 3).toInt))
+        assert(r.tag_size === 19 * (1 + (id % 3).toInt) + 120 + (id % 17).toInt, s"id $id size")
+        assert(r.has_title === (id % 3 != 1), s"id $id title")
+        assert(r.padding_ok === (id % 7 != 0), s"id $id padding")
+      }
+    }
+  }
+
   test("JPEG media batch: per-id closed forms and quarantine lanes hold") {
     import spark.implicits._
     val ids = (1L to 80L)
