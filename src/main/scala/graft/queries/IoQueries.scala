@@ -422,6 +422,42 @@ object IoQueries {
       },
       Some("""SELECT o_orderkey, o_orderstatus FROM orders
              |WHERE o_orderkey % 2 = 1""".stripMargin),
+      eager = true),
+
+    // S30 — RFC-4180 quoted-CSV round-trip: the s1 TSV reader's hostile
+    //   cousin — values carrying the delimiter, DOUBLED double quotes,
+    //   and EMBEDDED NEWLINES must survive write → read byte-identical.
+    //   Writer escapes quotes RFC-style (escape = quote, not backslash);
+    //   reader runs multiLine (records span lines, so files can't split —
+    //   the documented cost of newline-bearing CSV at scale: prefer
+    //   parquet, this exists for interchange) with an explicit schema.
+    //   NULLs stay distinguishable from the quoted empty string
+    "s30_csv_quoted_roundtrip" -> Q(
+      (s, dir) => {
+        val path = s"$FixtureRoot/s30_${new java.io.File(dir).getName}"
+        val src = td(s, dir, "customer").select(
+          col("c_custkey"),
+          concat(lit("a,\"b\"\n "), col("c_name"), lit(", x")).as("tricky"),
+          when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("c_mktsegment")).as("seg"))
+        src.write.mode("overwrite")
+          .option("header", "true")
+          .option("escape", "\"") // RFC 4180: "" inside quoted fields
+          .csv(path)
+        s.read
+          .option("header", "true")
+          .option("escape", "\"")
+          .option("multiLine", "true")
+          .schema(StructType(Seq(
+            StructField("c_custkey", LongType),
+            StructField("tricky", StringType),
+            StructField("seg", StringType))))
+          .csv(path)
+      },
+      Some("""SELECT c_custkey,
+             |  'a,"b"' || chr(10) || ' ' || c_name || ', x' AS tricky,
+             |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
+             |FROM customer""".stripMargin),
       eager = true)
   )
 }

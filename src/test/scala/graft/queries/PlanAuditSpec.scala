@@ -83,7 +83,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "l112_mixture_interleave",
       // j20: the ⌈mBits/60⌉-word Bloom filter collects at construction
       // (bounded by mBits, never by dim rows) — reviewed r9
-      "j20_bloom_semi_join")
+      "j20_bloom_semi_join",
+      // s30: quoted-CSV fixture write at construction (the s19/s20
+      // round-trip shape) — reviewed r9
+      "s30_csv_quoted_roundtrip")
     val actual = Registry.all.filter(_._2.eager).map(_._1).toSet
     assert(actual == expected,
       s"eager-set drift — added: ${actual -- expected}, removed: ${expected -- actual}")
