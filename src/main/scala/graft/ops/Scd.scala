@@ -134,4 +134,34 @@ object Scd {
       .select(col(keyCol) +: col(opCol) +: attrCols.map(col): _*)
     mergeUpsert(target, compacted, keyCol, attrCols, opCol)
   }
+
+  /**
+   * TEMPORAL dimension join — "which version of the dimension was
+   * current when this fact happened": each fact row joins the [[scd2Apply]]
+   * history version whose `[valid_from, valid_to)` interval contains the
+   * fact's time (open `valid_to` = still current). The point-in-time
+   * enrichment every warehouse fact load runs against an SCD2 dimension.
+   *
+   * Scale shape: this is deliberately a KEY equi-join plus an interval
+   * FILTER, not a range join — the dimension key carries all the
+   * selectivity (each key holds a handful of versions; the filter prunes
+   * within the joined key group), so the plan is the ordinary
+   * hash/broadcast join and never needs j15's interval binning, which
+   * exists for joins with NO equi key. Facts with no covering version
+   * (before the key's first version, or an unknown key) are dropped —
+   * inner semantics; LEFT-join upstream if absence must surface.
+   *
+   * Column contract: fact and history must not share column names apart
+   * from the join key itself.
+   */
+  def temporalJoin(facts: DataFrame, history: DataFrame,
+                   factKey: String, factTimeCol: String,
+                   histKey: String, validFromCol: String = "valid_from",
+                   validToCol: String = "valid_to"): DataFrame = {
+    val t = col(factTimeCol)
+    facts.join(history,
+      col(factKey) === col(histKey) &&
+        t >= col(validFromCol) &&
+        (col(validToCol).isNull || t < col(validToCol)))
+  }
 }

@@ -182,6 +182,39 @@ object ScaleQueries {
              |                    WHERE p_partkey % 97 = 0)""".stripMargin),
       eager = true),
 
+    // J21 — TEMPORAL dimension join (Scd.temporalJoin): each fact picks
+    //   the SCD2 version current AT ITS TIME — key equi-join + interval
+    //   filter, deliberately NOT a range join (the key carries the
+    //   selectivity; versions per key are a handful). Two-version fixture:
+    //   k%3 keys re-versioned at t=50 with half-open boundary semantics
+    //   (a fact AT t=50 sees the new version); oracle derives the expected
+    //   segment from the same closed-form version split
+    "j21_temporal_dim_join" -> Q(
+      (s, dir) => {
+        val c = td(s, dir, "customer")
+        val v1 = c.select(col("c_custkey").as("k"),
+          col("c_mktsegment").as("seg"), lit(0L).as("valid_from"),
+          when(col("c_custkey") % 3 === 0, lit(50L)).otherwise(lit(null).cast("long"))
+            .as("valid_to"))
+        val v2 = c.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey").as("k"),
+            concat(col("c_mktsegment"), lit("-U")).as("seg"),
+            lit(50L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+        val history = v1.unionByName(v2)
+        val facts = td(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey").as("ck"), (col("o_orderkey") % 100).as("t"))
+        graft.ops.Scd.temporalJoin(facts, history, "ck", "t", "k")
+          .select(col("o_orderkey"), col("ck"), col("t").cast("long").as("t"),
+            col("seg"))
+      },
+      Some("""SELECT f.o_orderkey, f.ck, CAST(f.t AS BIGINT) AS t,
+             |  CASE WHEN c.c_custkey % 3 = 0 AND f.t >= 50
+             |       THEN c.c_mktsegment || '-U'
+             |       ELSE c.c_mktsegment END AS seg
+             |FROM (SELECT o_orderkey, o_custkey AS ck, o_orderkey % 100 AS t
+             |      FROM orders) f
+             |JOIN customer c ON f.ck = c.c_custkey""".stripMargin)),
+
     // J17 — Jaro–Winkler fuzzy record linkage at part scale (20k–200k
     //   rows, vs j16's 25-row nation demo): a swap-corrupted twin of every
     //   part record resolves to its BEST registry match. Scored once per

@@ -106,6 +106,24 @@ class ScdSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Window"), "compaction must not plan a window sort")
   }
 
+  test("temporalJoin: version picked by fact time, half-open boundary, uncovered facts dropped") {
+    val history = Seq(
+      (1L, "A", 0L, Option(10L)), (1L, "A2", 10L, Option(20L)), (1L, "A3", 20L, None),
+      (2L, "B", 5L, None)) // key 2 has no version before t=5
+      .toDF("k", "seg", "valid_from", "valid_to")
+    val facts = Seq(
+      (100L, 1L, 0L),   // first instant of v1
+      (101L, 1L, 10L),  // boundary: v1 closes AT 10 → v2 wins (half-open)
+      (102L, 1L, 19L),  // last instant of v2
+      (103L, 1L, 99L),  // open current version
+      (104L, 2L, 3L),   // before key 2's first version: dropped
+      (105L, 9L, 1L))   // unknown key: dropped
+      .toDF("fid", "fk", "t")
+    val out = Scd.temporalJoin(facts, history, "fk", "t", "k")
+      .select("fid", "seg").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((100L, "A"), (101L, "A2"), (102L, "A2"), (103L, "A3")))
+  }
+
   test("cdcApply: delete kills a same-batch insert; update chain lands the latest; audit lanes") {
     val target = Seq((1L, "t1", 100L), (5L, "t5", 500L)).toDF("k", "seg", "bal")
     val chg = Seq(
