@@ -458,6 +458,39 @@ object IoQueries {
              |  'a,"b"' || chr(10) || ' ' || c_name || ', x' AS tricky,
              |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
              |FROM customer""".stripMargin),
+      eager = true),
+
+    // S31 — DYNAMIC partition pruning: s21 prunes on a literal predicate
+    //   at plan time; here the pruning values are only known at RUNTIME —
+    //   they come from the dim side of a join (month dimension filtered
+    //   to one quarter). Spark plants a dynamicpruning subquery into the
+    //   fact scan's PartitionFilters (asserted in IoSpec), so only 3 of
+    //   12 month partitions are read — on a date-partitioned 100 TB fact
+    //   table this is THE lever that makes dim-filtered joins feasible
+    "s31_dynamic_partition_pruning" -> Q(
+      (s, dir) => {
+        val path = s"$FixtureRoot/s31_${new java.io.File(dir).getName}"
+        td(s, dir, "lineitem")
+          .withColumn("ship_month", month(col("l_shipdate")))
+          .write.partitionBy("ship_month").mode("overwrite").parquet(path)
+        val fact = s.read.parquet(path)
+        val dim = td(s, dir, "lineitem")
+          .select(month(col("l_shipdate")).as("m")).distinct()
+          .withColumn("quarter", expr("(m - 1) div 3 + 1"))
+        fact.join(broadcast(dim.filter(col("quarter") === 2)),
+            col("ship_month") === col("m"))
+          .groupBy(col("ship_month"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"))
+          .select(col("ship_month").cast("long").as("ship_month"),
+            col("n"), col("rev_cents"))
+      },
+      Some("""SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+             |FROM lineitem
+             |WHERE (month(l_shipdate) - 1) // 3 + 1 = 2
+             |GROUP BY 1""".stripMargin),
       eager = true)
   )
 }

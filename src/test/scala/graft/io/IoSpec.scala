@@ -133,6 +133,32 @@ class IoSpec extends AnyFunSuite with SparkTestBase {
       s"scan must read only part=a files, got: $scanFiles")
   }
 
+  test("DYNAMIC partition pruning: runtime dim-filter values prune the fact scan") {
+    // the s31 shape at sf0.001: DPP's benefit heuristic compares the fact
+    // scan's size against the dim subquery's, so the fact side must be a
+    // real table, not a toy literal frame (a 6-row fixture plans NO
+    // dynamicpruning filter — verified, that's the heuristic working)
+    val dir = tmp()
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .withColumn("ship_month", month(col("l_shipdate")))
+      .write.partitionBy("ship_month").mode("overwrite").parquet(s"$dir/t")
+    val fact = spark.read.parquet(s"$dir/t")
+    val dim = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(month(col("l_shipdate")).as("m")).distinct()
+      .withColumn("quarter", expr("(m - 1) div 3 + 1"))
+    val joined = fact.join(broadcast(dim.filter(col("quarter") === 2)),
+      col("ship_month") === col("m"))
+    // the fact scan must carry a dynamicpruning expression in its
+    // partition filters — the pruning values exist only at runtime
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter in:\n$plan")
+    // correctness: exactly the Q2 months survive
+    val months = joined.select("ship_month").distinct()
+      .as[Int].collect().toSet
+    assert(months.subsetOf(Set(4, 5, 6)) && months.nonEmpty, s"got months $months")
+  }
+
   test("fixed-width round-trip: alignment, adjacent fields, all-blank NULLs, negative numbers") {
     val dir = tmp() + "/fw"
     val spec = Seq(Io.FixedWidthCol("id", 5, "long"),

@@ -86,7 +86,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "j20_bloom_semi_join",
       // s30: quoted-CSV fixture write at construction (the s19/s20
       // round-trip shape) — reviewed r9
-      "s30_csv_quoted_roundtrip")
+      "s30_csv_quoted_roundtrip",
+      // s31: month-partitioned fixture write at construction (the s21
+      // shape); the returned join plan carries the dynamicpruning
+      // partition filter (IoSpec) — reviewed r9
+      "s31_dynamic_partition_pruning")
     val actual = Registry.all.filter(_._2.eager).map(_._1).toSet
     assert(actual == expected,
       s"eager-set drift — added: ${actual -- expected}, removed: ${expected -- actual}")
