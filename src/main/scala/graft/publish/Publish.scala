@@ -133,6 +133,53 @@ object Publish {
   def readVersion(spark: SparkSession, root: String, name: String, v: Int): DataFrame =
     spark.read.parquet(s"$root/${name}_v$v")
 
+  /** One retention decision of [[vacuumPlan]]. */
+  final case class VacuumDecision(version: Int, action: String, reason: String)
+
+  /**
+   * Retention plan for a published family — the Delta-style VACUUM split
+   * into pure PLAN and destructive APPLY so the deletion list is
+   * auditable before anything disappears. A version is KEPT when it is
+   * (precedence order) the one "current" resolves to, among the
+   * `keepLast` highest versions, or younger than `minAgeMs` (version-dir
+   * mtime vs `nowMs` — the time-travel grace window); everything else is
+   * `delete/expired`. Versions are immutable, so the plan is a pure
+   * function of the directory listing.
+   */
+  def vacuumPlan(root: String, name: String, keepLast: Int,
+                 minAgeMs: Long, nowMs: Long): Seq[VacuumDecision] = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val latest = latestVersion(root, name)
+    val cur = currentVersion(root, name)
+    (1 to latest).flatMap { v =>
+      val dir = new java.io.File(s"$root/${name}_v$v")
+      if (!dir.exists()) None
+      else Some {
+        if (v == cur) VacuumDecision(v, "keep", "current")
+        else if (v > latest - keepLast) VacuumDecision(v, "keep", "last-n")
+        else if (nowMs - dir.lastModified() < minAgeMs)
+          VacuumDecision(v, "keep", "age")
+        else VacuumDecision(v, "delete", "expired")
+      }
+    }
+  }
+
+  /** Apply a [[vacuumPlan]]: delete every `delete/expired` version dir
+    * (plus its metadata sidecar) and return the decisions. Never touches
+    * `name_current` (copy families keep reading it) or the pointer. */
+  def vacuum(root: String, name: String, keepLast: Int,
+             minAgeMs: Long, nowMs: Long): Seq[VacuumDecision] = {
+    val plan = vacuumPlan(root, name, keepLast, minAgeMs, nowMs)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    plan.filter(_.action == "delete").foreach { d =>
+      rm(new java.io.File(s"$root/${name}_v${d.version}"))
+      new java.io.File(s"$root/${name}_v${d.version}.metadata.json").delete()
+    }
+    plan
+  }
+
   /**
    * C8 — `{---tag-key---}` substitution into a metadata template
    * (create_modify.py:525-711; tags schema.py:372-491).

@@ -472,6 +472,46 @@ object ClinicalQueries {
              |  FROM lineitem)
              |SELECT rule_id, 'foreign_key' AS kind, col_name, violations,
              |  (SELECT n FROM n) AS n, violations = 0 AS pass
-             |FROM v""".stripMargin))
+             |FROM v""".stripMargin)),
+
+    // c26 — retention VACUUM for the publish lifecycle (Publish
+    // .vacuumPlan/vacuum — the Delta-VACUUM shape split into auditable
+    // pure PLAN + destructive APPLY): 4 pointer-mode publishes, then
+    // keepLast=2 with no age grace — v1/v2 expire and are deleted from
+    // disk, v3 keeps as last-n, v4 keeps as current (pointer precedence
+    // over last-n). The query asserts post-vacuum readability of the
+    // survivors and the deletion of the expired dirs, then returns the
+    // decision table; eager: publishes + deletes run at construction
+    "c26_publish_vacuum" -> Q(
+      (s, dir) => {
+        import graft.publish.Publish
+        val root = s"/root/repo/target/vacuum_${new java.io.File(dir).getName}"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(new java.io.File(root))
+        val base = td(s, dir, "orders").groupBy("o_orderstatus")
+          .agg(count(lit(1)).cast("long").as("cnt"))
+        (1 to 4).foreach { i =>
+          Publish.publish(s, base.withColumn("cnt", col("cnt") + i),
+            root, "census", Publish.PointerCurrent)
+        }
+        val plan = Publish.vacuum(root, "census", keepLast = 2,
+          minAgeMs = 0L, nowMs = System.currentTimeMillis())
+        assert(!new java.io.File(s"$root/census_v1").exists(), "v1 must be gone")
+        assert(!new java.io.File(s"$root/census_v2").exists(), "v2 must be gone")
+        assert(Publish.readVersion(s, root, "census", 3).count() > 0, "v3 time travel")
+        assert(Publish.readCurrent(s, root, "census").count() > 0, "current intact")
+        import s.implicits._
+        plan.map(d => (d.version.toLong, d.action, d.reason))
+          .toDF("version", "action", "reason")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), 'delete', 'expired'),
+             |  (CAST(2 AS BIGINT), 'delete', 'expired'),
+             |  (CAST(3 AS BIGINT), 'keep', 'last-n'),
+             |  (CAST(4 AS BIGINT), 'keep', 'current'))
+             |t(version, action, reason)""".stripMargin),
+      eager = true)
   )
 }

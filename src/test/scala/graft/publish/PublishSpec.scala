@@ -153,4 +153,30 @@ class PublishSpec extends AnyFunSuite with SparkTestBase {
       Map("name" -> "{---rel---} table"), Map("rel" -> "r9"))
     assert(meta("name") === "r9 table")
   }
+
+  test("vacuum: age grace keeps young versions, keepLast floor, survivors stay readable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("vac").toString
+    val t = Seq((1L, "a")).toDF("k", "v")
+    (1 to 3).foreach(i => Publish.publish(spark, t.withColumn("k", col("k") + i),
+      root, "fam", Publish.PointerCurrent))
+    // all three dirs were just written: a 1-hour grace keeps everything
+    // even with keepLast = 1
+    val now = System.currentTimeMillis()
+    val graced = Publish.vacuumPlan(root, "fam", keepLast = 1,
+      minAgeMs = 3600L * 1000, nowMs = now)
+    assert(graced.map(d => d.version -> (d.action, d.reason)).toMap ===
+      Map(1 -> ("keep", "age"), 2 -> ("keep", "age"), 3 -> ("keep", "current")))
+    // no grace: v1 expires, v2 survives only as last-n? keepLast=2 → keep
+    val applied = Publish.vacuum(root, "fam", keepLast = 2, minAgeMs = 0L, nowMs = now)
+    assert(applied.map(d => d.version -> d.action).toMap ===
+      Map(1 -> "delete", 2 -> "keep", 3 -> "keep"))
+    assert(!new java.io.File(s"$root/fam_v1").exists())
+    assert(Publish.readVersion(spark, root, "fam", 2).count() === 1L)
+    assert(Publish.readCurrent(spark, root, "fam").count() === 1L)
+    intercept[IllegalArgumentException] {
+      Publish.vacuumPlan(root, "fam", keepLast = 0, minAgeMs = 0L, nowMs = now)
+    }
+  }
 }

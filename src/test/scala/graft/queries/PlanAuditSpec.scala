@@ -90,7 +90,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // s31: month-partitioned fixture write at construction (the s21
       // shape); the returned join plan carries the dynamicpruning
       // partition filter (IoSpec) — reviewed r9
-      "s31_dynamic_partition_pruning")
+      "s31_dynamic_partition_pruning",
+      // c26: publishes + vacuum deletions run at construction (the c3
+      // lifecycle shape); returns a literal decision table — reviewed r9
+      "c26_publish_vacuum")
     val actual = Registry.all.filter(_._2.eager).map(_._1).toSet
     assert(actual == expected,
       s"eager-set drift — added: ${actual -- expected}, removed: ${expected -- actual}")
