@@ -293,6 +293,39 @@ object Anomaly {
   }
 
   /**
+   * Seasonal profile + residual — the de-seasonalizing first step every
+   * calendar-rhythmed monitor needs: per (key, season = t mod period)
+   * the exact integer-micro mean over the series' history, and each
+   * point's residual against its own season. Weekly traffic has a
+   * built-in dow rhythm that w10's trailing z-test and a30's CUSUM read
+   * as perpetual drift; subtracting the season mean first is the
+   * standard fix (period 7 for daily data with a weekly cycle).
+   *
+   * Exact arithmetic throughout: season_micro = ⌊10⁶·Σx / n⌋ (counts are
+   * non-negative, floor division replays in any engine), residual in
+   * micro units. One exchange on the key side: both season windows ride
+   * the same (key, season) partitioning.
+   *
+   * Input: pre-aggregated (key, t, x) series points (the a30/a32 shape).
+   * Output: (key, t, x, season, season_micro, resid_micro).
+   */
+  def seasonalProfile(df: DataFrame, keyCol: String, timeCol: String,
+                      valCol: String, period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val w = Window.partitionBy(col(keyCol), col("season"))
+    df.select(col(keyCol), col(timeCol).cast("long").as("t"),
+        col(valCol).cast("long").as("x"))
+      .withColumn("season", pmod(col("t"), lit(period.toLong)))
+      .withColumn("_sx", sum(col("x")).over(w))
+      .withColumn("_n", count(lit(1)).over(w))
+      // integer `div`, never Column./ (double division floors differently
+      // at ulp boundaries than DuckDB's `//` on big sums)
+      .withColumn("season_micro", expr("(1000000L * _sx) div _n"))
+      .withColumn("resid_micro", col("x") * 1000000L - col("season_micro"))
+      .drop("_sx", "_n")
+  }
+
+  /**
    * OHLC resample bars — the classic time-series downsample (tick →
    * candle; metric → hourly bar): per (key, bucket) the first value
    * (open), extremes (high/low), last value (close), row count (volume)

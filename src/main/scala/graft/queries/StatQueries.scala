@@ -618,6 +618,32 @@ object StatQueries {
              |  FROM c)
              |SELECT grp, v AS mode_value, cnt AS mode_count,
              |  CAST(nd AS BIGINT) AS n_distinct
-             |FROM r WHERE rn = 1""".stripMargin))
+             |FROM r WHERE rn = 1""".stripMargin)),
+
+    // a36 — seasonal profile + residual (Anomaly.seasonalProfile): the
+    // weekly-rhythm baseline per (event_type, day-of-period) that w10's
+    // trailing z-test and a30's CUSUM would otherwise read as perpetual
+    // drift. Exact ⌊10⁶·Σx/n⌋ season means (integer div, engine-exact),
+    // residuals in micro units; both season windows share one
+    // (key, season) exchange
+    "a36_seasonal_profile" -> Q(
+      (s, dir) => graft.ops.Anomaly.seasonalProfile(
+        Registry.tdEventsUs(s, dir)
+          .groupBy(col("event_type").as("key"),
+            expr("ts_us div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x")),
+        "key", "day", "x", period = 7),
+      Some("""WITH pt AS (SELECT event_type AS key,
+             |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS t,
+             |    CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1, 2)
+             |SELECT key, t, x, CAST(t % 7 AS BIGINT) AS season,
+             |  CAST((1000000 * sum(x) OVER w) // (count(*) OVER w) AS BIGINT)
+             |    AS season_micro,
+             |  CAST(x * 1000000
+             |    - (1000000 * sum(x) OVER w) // (count(*) OVER w) AS BIGINT)
+             |    AS resid_micro
+             |FROM pt
+             |WINDOW w AS (PARTITION BY key, t % 7)""".stripMargin))
   )
 }

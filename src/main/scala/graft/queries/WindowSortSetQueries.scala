@@ -60,6 +60,25 @@ object WindowSortSetQueries {
       Some("""SELECT doc_id, source, CAST(CASE WHEN lang IN ('en','de') THEN 0 ELSE 1 END AS INTEGER) AS lang_class
              |FROM documents ORDER BY 3, length(source) DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // O7 — KEYSET (cursor) pagination (Paging.keysetPage): the outbound
+    //   page-serving shape for any large-table export API — "first 50
+    //   rows strictly after the cursor (date, key)" as a lexicographic
+    //   tuple predicate that pushes to the scan + one
+    //   TakeOrderedAndProject, O(page) per call where OFFSET re-sorts and
+    //   discards N·page rows. (o_orderdate, o_orderkey) is a unique total
+    //   order, so pages can't skip or repeat at duplicate-date boundaries
+    "o7_keyset_pagination" -> Q(
+      (s, dir) => graft.ops.Paging.keysetPage(
+        td(s, dir, "orders").select(col("o_orderdate"), col("o_orderkey"),
+          col("o_orderstatus")),
+        Seq("o_orderdate" -> lit("1995-06-15").cast("timestamp"),
+          "o_orderkey" -> lit(0L)),
+        pageSize = 50),
+      Some("""SELECT o_orderdate, o_orderkey, o_orderstatus FROM orders
+             |WHERE o_orderdate > TIMESTAMP '1995-06-15'
+             |   OR (o_orderdate = TIMESTAMP '1995-06-15' AND o_orderkey > 0)
+             |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin)),
+
     // O6 — the LITERAL Swiss-Prot id-age rule (quant_data_matrix_pdc.py:
     //   237-330): accession validator filters a protein list, then the
     //   age comparator (6-char before 10-char, letter class P<Q<O<A..N<R..Z,

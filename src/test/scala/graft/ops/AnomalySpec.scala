@@ -161,6 +161,22 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
     assert(got.forall(_._6 === 0L))
   }
 
+  test("seasonalProfile: per-season exact micro means, residuals, period wrap") {
+    import spark.implicits._
+    // period 3: t=0,3 share season 0 (x 10, 16 → mean 13); t=1,4 season 1
+    // (x 7, 8 → floor-mean 7.5 → 7500000); t=2 season 2 alone
+    val pts = Seq(("k", 0L, 10L), ("k", 1L, 7L), ("k", 2L, 99L),
+      ("k", 3L, 16L), ("k", 4L, 8L)).toDF("key", "t", "x")
+    val out = Anomaly.seasonalProfile(pts, "key", "t", "x", period = 3)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(out(0L) === (("k", 0L, 10L, 0L, 13000000L, -3000000L)))
+    assert(out(3L) === (("k", 3L, 16L, 0L, 13000000L, 3000000L)))
+    assert(out(1L) === (("k", 1L, 7L, 1L, 7500000L, -500000L)))
+    assert(out(4L) === (("k", 4L, 8L, 1L, 7500000L, 500000L)))
+    assert(out(2L) === (("k", 2L, 99L, 2L, 99000000L, 0L)))
+  }
+
   test("ohlcBars: open/close by (time, id), duplicate-timestamp ties deterministic, one agg") {
     import spark.implicits._
     val df = Seq(
