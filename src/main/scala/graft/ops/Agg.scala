@@ -517,6 +517,42 @@ object Agg {
    * Output: (group, n, total_weight, wmedian) — all BIGINT.
    */
   /**
+   * Theil–Sen robust slope per key — the median of all pairwise slopes
+   * (Theil 1950 / Sen 1968, public): the trend estimator that shrugs off
+   * the outliers a25's least-squares OLS chases (breakdown point ~29%
+   * vs 0%). Slopes are SIGN-SPLIT floor micro-quotients (the a25/a32
+   * rule — `div` floors toward −∞ which would skew negative slopes), and
+   * the reported value is the LOWER median (rank ⌈n/2⌉ of the sorted
+   * slopes) so selection is pure and engine-exact — no interpolation.
+   *
+   * Contract: input is a PRE-AGGREGATED series (key, t, x) — the a30/a32
+   * monitor shape, hundreds of points per key — because pairwise slopes
+   * are O(n²) per key by definition; this is the bounded-series robust
+   * trend, not a raw-event operator.
+   *
+   * Output: (key, n_pairs, slope_micro).
+   */
+  def theilSen(df: DataFrame, keyCol: String, timeCol: String,
+               valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = df.select(col(keyCol).as("key"),
+      col(timeCol).cast("long").as("ta"), col(valCol).cast("long").as("xa"))
+    val b = df.select(col(keyCol).as("key"),
+      col(timeCol).cast("long").as("tb"), col(valCol).cast("long").as("xb"))
+    val pairs = a.join(b, Seq("key")).filter(col("tb") > col("ta"))
+      .withColumn("s_micro", expr(
+        """CASE WHEN xb >= xa THEN ((xb - xa) * 1000000L) div (tb - ta)
+          |ELSE -(((xa - xb) * 1000000L) div (tb - ta)) END""".stripMargin))
+    pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("s_micro"))))
+      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy(col("key"))))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("key"), col("n_pairs").cast("long").as("n_pairs"),
+        col("s_micro").as("slope_micro"))
+  }
+
+  /**
    * Exact MODE per group with deterministic ties: the most frequent
    * value, ties resolved to the SMALLEST value — `mode()` alone is
    * nondeterministic under parallel aggregation, which makes it

@@ -184,4 +184,39 @@ object AsOf {
         col("overlap_len") * 10000 >= lit(minOverlapBp) * (col("__eb") - col("__sb")))
       .drop("__k", "__bin", "__sa", "__ea", "__sb", "__eb")
   }
+
+  /**
+   * Interval COVERAGE histogram — the `bedtools genomecov` shape (public;
+   * the reference's variant builds summarize caller coverage the same
+   * way): given half-open `[start, end)` integer intervals per key, the
+   * total covered length at EACH stacking depth. Sweep-line as a plan:
+   * intervals explode to (+1 at start, −1 at end) boundary events,
+   * same-position deltas merge in a hash-agg (so abutting intervals never
+   * materialize a zero-length segment), one per-key position-ordered
+   * running sum yields the depth of the segment starting at each
+   * boundary, and `lead` closes the segment. Cost is O(interval
+   * endpoints), never O(covered bases) — per-base explode at genome scale
+   * is the classic blowup this shape exists to avoid. One window shuffle
+   * on the key.
+   *
+   * Output: (key, depth, covered_len) for every depth ≥ 1.
+   */
+  def intervalCoverage(df: DataFrame, keyCol: Column,
+                       startCol: Column, endCol: Column): DataFrame = {
+    val ev = df.select(keyCol.cast("long").as("k"),
+        explode(array(
+          struct(startCol.cast("long").as("pos"), lit(1L).as("d")),
+          struct(endCol.cast("long").as("pos"), lit(-1L).as("d")))).as("e"))
+      .select(col("k"), col("e.pos").as("pos"), col("e.d").as("d"))
+    val pts = ev.groupBy(col("k"), col("pos")).agg(sum(col("d")).as("dd"))
+    val w = Window.partitionBy(col("k")).orderBy(col("pos"))
+    pts
+      .withColumn("depth", sum(col("dd")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("next", lead(col("pos"), 1).over(w))
+      .filter(col("next").isNotNull && col("depth") > 0)
+      .groupBy(col("k"), col("depth"))
+      .agg(sum(col("next") - col("pos")).cast("long").as("covered_len"))
+      .select(col("k"), col("depth").cast("long").as("depth"), col("covered_len"))
+  }
 }

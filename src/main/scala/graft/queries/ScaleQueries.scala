@@ -182,6 +182,36 @@ object ScaleQueries {
              |                    WHERE p_partkey % 97 = 0)""".stripMargin),
       eager = true),
 
+    // J22 — interval COVERAGE histogram (AsOf.intervalCoverage — the
+    //   bedtools genomecov sweep-line): 20-day order windows per customer
+    //   bucket stack into per-depth covered lengths. Boundary events
+    //   (+1/−1) merge per position, ONE key-ordered running sum + lead
+    //   closes segments — O(endpoints), never O(covered bases); the
+    //   per-base explode this avoids is the classic genome-scale blowup
+    "j22_interval_coverage" -> Q(
+      (s, dir) => {
+        val iv = td(s, dir, "orders").filter(col("o_orderkey") % 10 === 0)
+          .select((col("o_custkey") % 5).as("k"),
+            datediff(col("o_orderdate"), lit("1990-01-01")).cast("long").as("sa"))
+          .withColumn("ea", col("sa") + 20L)
+        graft.ops.AsOf.intervalCoverage(iv, col("k"), col("sa"), col("ea"))
+      },
+      Some("""WITH iv AS (SELECT o_custkey % 5 AS k,
+             |    datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS sa
+             |  FROM orders WHERE o_orderkey % 10 = 0),
+             |ev AS (SELECT k, sa AS pos, 1 AS d FROM iv
+             |       UNION ALL SELECT k, sa + 20, -1 FROM iv),
+             |pts AS (SELECT k, pos, sum(d) AS dd FROM ev GROUP BY 1, 2),
+             |seg AS (SELECT k, pos,
+             |    sum(dd) OVER (PARTITION BY k ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth,
+             |    lead(pos) OVER (PARTITION BY k ORDER BY pos) AS next
+             |  FROM pts)
+             |SELECT k, CAST(depth AS BIGINT) AS depth,
+             |  CAST(sum(next - pos) AS BIGINT) AS covered_len
+             |FROM seg WHERE next IS NOT NULL AND depth > 0
+             |GROUP BY 1, 2""".stripMargin)),
+
     // J21 — TEMPORAL dimension join (Scd.temporalJoin): each fact picks
     //   the SCD2 version current AT ITS TIME — key equi-join + interval
     //   filter, deliberately NOT a range join (the key carries the

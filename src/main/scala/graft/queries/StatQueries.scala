@@ -644,6 +644,36 @@ object StatQueries {
              |    - (1000000 * sum(x) OVER w) // (count(*) OVER w) AS BIGINT)
              |    AS resid_micro
              |FROM pt
-             |WINDOW w AS (PARTITION BY key, t % 7)""".stripMargin))
+             |WINDOW w AS (PARTITION BY key, t % 7)""".stripMargin)),
+
+    // a37 — Theil–Sen robust slope (Agg.theilSen): median of all
+    // pairwise slopes of the daily-volume series per event_type — the
+    // outlier-proof trend beside a25's OLS (breakdown ~29% vs 0%).
+    // Sign-split floor micro slopes (the a25/a32 rule), LOWER median by
+    // pure rank selection; pairwise is O(n²) in SERIES points (bounded
+    // monitor series), never in raw events
+    "a37_theil_sen" -> Q(
+      (s, dir) => graft.ops.Agg.theilSen(
+        Registry.tdEventsUs(s, dir)
+          .groupBy(col("event_type").as("key"),
+            expr("ts_us div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x")),
+        "key", "day", "x"),
+      Some("""WITH pt AS (SELECT event_type AS key,
+             |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS t,
+             |    CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1, 2),
+             |p AS (SELECT a.key,
+             |    CASE WHEN b.x >= a.x
+             |      THEN ((b.x - a.x) * 1000000) // (b.t - a.t)
+             |      ELSE -(((a.x - b.x) * 1000000) // (b.t - a.t)) END AS s
+             |  FROM pt a JOIN pt b ON a.key = b.key AND b.t > a.t),
+             |r AS (SELECT key, s,
+             |    row_number() OVER (PARTITION BY key ORDER BY s) AS rn,
+             |    count(*) OVER (PARTITION BY key) AS n
+             |  FROM p)
+             |SELECT key, CAST(n AS BIGINT) AS n_pairs,
+             |  CAST(s AS BIGINT) AS slope_micro
+             |FROM r WHERE rn = (n + 1) // 2""".stripMargin))
   )
 }

@@ -118,4 +118,25 @@ class AsOfSpec extends AnyFunSuite with SparkTestBase {
     assert(AsOf.intervalOverlapJoin(a, b, col("ka"), col("kb"),
       col("sa"), col("ea"), col("sb"), col("eb"), 5L, 0L).count() === 0)
   }
+
+  test("intervalCoverage: stacked depths, abutting intervals merge, per-key isolation") {
+    // key 1: [0,10) [5,15) [5,8)  →  depth profile:
+    //   [0,5)=1, [5,8)=3, [8,10)=2, [10,15)=1  ⇒ d1: 5+5=10, d2: 2, d3: 3
+    // key 2: [0,5) [5,10) abut → ONE depth-1 run of 10, no zero-length seam
+    val iv = Seq((1L, 0L, 10L), (1L, 5L, 15L), (1L, 5L, 8L),
+      (2L, 0L, 5L), (2L, 5L, 10L)).toDF("k", "s", "e")
+    val out = AsOf.intervalCoverage(iv, col("k"), col("s"), col("e"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out === Map((1L, 1L) -> 10L, (1L, 2L) -> 2L, (1L, 3L) -> 3L,
+      (2L, 1L) -> 10L))
+  }
+
+  test("intervalCoverage: identical intervals stack; disjoint gaps emit nothing") {
+    val iv = Seq((1L, 3L, 7L), (1L, 3L, 7L), (1L, 20L, 22L)).toDF("k", "s", "e")
+    val out = AsOf.intervalCoverage(iv, col("k"), col("s"), col("e"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // [3,7) at depth 2 (both copies), [20,22) at depth 1; the [7,20) gap
+    // has depth 0 and must not appear
+    assert(out === Map((1L, 2L) -> 4L, (1L, 1L) -> 2L))
+  }
 }
