@@ -517,6 +517,43 @@ object Agg {
    * Output: (group, n, total_weight, wmedian) — all BIGINT.
    */
   /**
+   * Exact TRIMMED mean per group — the robust location between the mean
+   * (breakdown 0%) and the median (discards all order information):
+   * drop the lowest and highest ⌊n·trimBp/10⁴⌋ values by rank, average
+   * the rest in pure integer micro units (⌊10⁶·Σkept / n_kept⌋). Rank
+   * ties are interchangeable for a SUM — equal values dropped from
+   * either end contribute identically — so the result is deterministic
+   * even though row_number breaks value ties arbitrarily.
+   *
+   * One value-ordered window per group + a hash-agg; trimBp < 5000
+   * guarantees at least one survivor per group.
+   *
+   * Output: (group, n, n_trim_each, trimmed_mean_micro) — all BIGINT.
+   */
+  def trimmedMeanByGroup(df: DataFrame, groupCol: String, valCol: String,
+                         trimBp: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trimBp >= 0 && trimBp < 5000, s"trimBp must be in [0, 5000), got $trimBp")
+    val g = col(groupCol)
+    df.select(g, col(valCol).cast("long").as("_v"))
+      .withColumn("_rn", row_number().over(Window.partitionBy(g).orderBy(col("_v"))))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(g)))
+      .withColumn("_k", expr(s"(_n * $trimBp) div 10000"))
+      .filter(col("_rn") > col("_k") && col("_rn") <= col("_n") - col("_k"))
+      .groupBy(g)
+      .agg(first(col("_n")).cast("long").as("n"),
+        first(col("_k")).cast("long").as("n_trim_each"),
+        // sign-split floor-of-abs (the a25/a32 rule): Spark `div`
+        // truncates toward zero while DuckDB `//` floors toward −∞, so a
+        // negative sum must route through its absolute value on BOTH
+        // engines for bit parity
+        expr("""CASE WHEN sum(_v) >= 0
+               |  THEN (1000000L * sum(_v)) div count(1)
+               |  ELSE -((1000000L * -sum(_v)) div count(1))
+               |END""".stripMargin).as("trimmed_mean_micro"))
+  }
+
+  /**
    * Theil–Sen robust slope per key — the median of all pairwise slopes
    * (Theil 1950 / Sen 1968, public): the trend estimator that shrugs off
    * the outliers a25's least-squares OLS chases (breakdown point ~29%

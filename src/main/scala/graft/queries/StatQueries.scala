@@ -674,6 +674,32 @@ object StatQueries {
              |  FROM p)
              |SELECT key, CAST(n AS BIGINT) AS n_pairs,
              |  CAST(s AS BIGINT) AS slope_micro
-             |FROM r WHERE rn = (n + 1) // 2""".stripMargin))
+             |FROM r WHERE rn = (n + 1) // 2""".stripMargin)),
+
+    // a38 — exact trimmed mean (Agg.trimmedMeanByGroup): 5%-each-side
+    // trimmed price center per return flag — the robust location between
+    // mean and median. Rank ties are interchangeable for a SUM so the
+    // arbitrary row_number tie-break cannot move the result; micro mean
+    // via sign-split floor-of-abs (the a25/a32 div-vs-// rule)
+    "a38_trimmed_mean" -> Q(
+      (s, dir) => graft.ops.Agg.trimmedMeanByGroup(
+        td(s, dir, "lineitem").select(col("l_returnflag").as("grp"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        "grp", "cents", trimBp = 500L),
+      Some("""WITH r AS (SELECT l_returnflag AS grp,
+             |    CAST(round(l_extendedprice*100) AS BIGINT) AS v FROM lineitem),
+             |w AS (SELECT grp, v,
+             |    row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+             |    count(*) OVER (PARTITION BY grp) AS n
+             |  FROM r),
+             |kept AS (SELECT grp, v, n, (n * 500) // 10000 AS k FROM w
+             |  WHERE rn > (n * 500) // 10000 AND rn <= n - (n * 500) // 10000)
+             |SELECT grp, CAST(min(n) AS BIGINT) AS n,
+             |  CAST(min(k) AS BIGINT) AS n_trim_each,
+             |  CAST(CASE WHEN sum(v) >= 0
+             |    THEN (1000000 * sum(v)) // count(*)
+             |    ELSE -((1000000 * -sum(v)) // count(*)) END AS BIGINT)
+             |    AS trimmed_mean_micro
+             |FROM kept GROUP BY 1""".stripMargin))
   )
 }
