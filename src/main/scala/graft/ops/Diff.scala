@@ -102,4 +102,31 @@ object Diff {
       .select(keys.map(col) :+ col("__a").as(s"${concatCol}_old") :+
         col("__b").as(s"${concatCol}_new"): _*)
   }
+
+  /**
+   * SCHEMA diff between two table versions — the column-level gate the
+   * reference's publish-compare runs BEFORE any row diff (a type change
+   * or dropped column is a breaking release even when every surviving
+   * row matches): one row per column name with `added` / `removed` /
+   * `type_changed` / `unchanged` status and both catalog type strings.
+   * Pure metadata — schemas are bounded driver objects, so this is a
+   * LocalTableScan, never a data job. Names compare exactly (Spark's
+   * resolution is case-preserving; normalize upstream if a source is
+   * case-sloppy).
+   */
+  def schemaDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val ta = a.schema.map(f => f.name -> f.dataType.catalogString).toMap
+    val tb = b.schema.map(f => f.name -> f.dataType.catalogString).toMap
+    val rows = (ta.keySet ++ tb.keySet).toSeq.sorted.map { n =>
+      (ta.get(n), tb.get(n)) match {
+        case (Some(x), Some(y)) if x == y => (n, "unchanged", x, y)
+        case (Some(x), Some(y))           => (n, "type_changed", x, y)
+        case (Some(x), None)              => (n, "removed", x, null)
+        case (None, Some(y))              => (n, "added", null, y)
+        case (None, None)                 => throw new IllegalStateException(n)
+      }
+    }
+    import a.sparkSession.implicits._
+    rows.toDF("col_name", "status", "type_old", "type_new")
+  }
 }

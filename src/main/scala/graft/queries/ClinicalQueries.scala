@@ -512,6 +512,28 @@ object ClinicalQueries {
              |  (CAST(3 AS BIGINT), 'keep', 'last-n'),
              |  (CAST(4 AS BIGINT), 'keep', 'current'))
              |t(version, action, reason)""".stripMargin),
-      eager = true)
+      eager = true),
+
+    // c27 — SCHEMA diff (Diff.schemaDiff): the column-level publish gate
+    // the reference's compare runs before any row diff — a dropped column
+    // or type change is a breaking release even when surviving rows
+    // match. Pure metadata (LocalTableScan, no data job); fixture evolves
+    // orders by dropping, adding, and type-widening one column each
+    "c27_schema_diff" -> Q(
+      (s, dir) => {
+        val base = td(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+        val next = base.drop("o_orderpriority")
+          .withColumn("o_totalprice", col("o_totalprice").cast("string"))
+          .withColumn("o_tags", lit("x"))
+        graft.ops.Diff.schemaDiff(base, next)
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('o_orderkey', 'unchanged', 'bigint', 'bigint'),
+             |  ('o_orderpriority', 'removed', 'string', NULL),
+             |  ('o_orderstatus', 'unchanged', 'string', 'string'),
+             |  ('o_tags', 'added', NULL, 'string'),
+             |  ('o_totalprice', 'type_changed', 'double', 'string'))
+             |t(col_name, status, type_old, type_new)""".stripMargin))
   )
 }

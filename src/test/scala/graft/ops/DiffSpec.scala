@@ -49,4 +49,23 @@ class DiffSpec extends AnyFunSuite with SparkTestBase {
     // id 1 is the same set in different order → NOT a diff; id 2 differs
     assert(diff.select("id").as[Long].collect().toSet === Set(2L))
   }
+
+  test("schemaDiff: added/removed/type_changed/unchanged, identical schemas all-unchanged") {
+    import org.apache.spark.sql.functions._
+    val base = Seq((1L, "a", 1.5)).toDF("k", "s", "p")
+    val next = base.drop("s")
+      .withColumn("p", col("p").cast("decimal(10,2)"))
+      .withColumn("extra", lit(7))
+    val out = Diff.schemaDiff(base, next)
+      .as[(String, String, Option[String], Option[String])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("k") === (("k", "unchanged", Some("bigint"), Some("bigint"))))
+    assert(out("s") === (("s", "removed", Some("string"), None)))
+    assert(out("p") === (("p", "type_changed", Some("double"), Some("decimal(10,2)"))))
+    assert(out("extra") === (("extra", "added", None, Some("int"))))
+    // identical schemas: every row unchanged, plan is metadata-only
+    val same = Diff.schemaDiff(base, base)
+    assert(same.filter(col("status") =!= "unchanged").count() === 0L)
+    assert(same.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
 }
