@@ -178,17 +178,25 @@ object LangModel {
    * position and second-position counts), so joint and marginals live on
    * one event space — the contingency-table form, no separate unigram
    * pass. A `minCount` support cutoff kills the PMI-loves-rare-pairs
-   * pathology; ties on the 6-dp value break lexically so top-K is total.
+   * pathology; ties break lexically so top-K is total.
+   *
+   * Cross-engine exactness: `ln` is MONOTONE, so ranking by PMI equals
+   * ranking by the rational `c(x,y)·N / (c(x,·)·c(·,y))` — emitted as the
+   * exact integer micro-quotient `pmi_ratio_micro = (10⁶·c_pair·n_tot)
+   * div (c_x·c_y)` in DECIMAL(38,0) intermediates (no overflow to ~10¹⁶
+   * bigrams, vs 2⁵³ for the double path). No libm call anywhere: a
+   * `round(ln(x),6)` compare column flips a digit when two libm builds
+   * disagree by one ULP at a rounding boundary — this bit the round-9
+   * driver run. Callers who want nats apply `ln(micro/1e6)` downstream;
+   * order and cut are already fixed by the rational.
    *
    * Scale shape: ONE corpus-wide shuffle (the exploded bigram stream →
    * (w1,w2) hash-agg); marginals are windows over the PAIR table (rows
    * bounded by distinct-bigram count, not corpus size); N is a one-row
    * aggregate joined on a NON-FOLDABLE key (BHJ); top-K plans as
-   * TakeOrderedAndProject — no global sort materializes. Determinism: all
-   * ln inputs are exact longs (products exact in double < 2^53; shard
-   * windows before the count at trillion-bigram scale), rounded to 6 dp.
+   * TakeOrderedAndProject — no global sort materializes.
    *
-   * Output: top-K (w1, w2, c_pair, pmi) — pmi DECIMAL(18,6).
+   * Output: top-K (w1, w2, c_pair, pmi_ratio_micro) — micro BIGINT.
    */
   def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
                       minCount: Long = 5L, topK: Int = 50): DataFrame = {
@@ -214,10 +222,10 @@ object LangModel {
       .withColumn("_k", pmod(xxhash64(col("c_pair")), lit(1)))
       .join(broadcast(tot), "_k")
       .select(col("w1"), col("w2"), col("c_pair"),
-        round(log((col("c_pair") * col("n_tot")).cast("double")
-          / (col("c_x") * col("c_y")).cast("double")), 6)
-          .cast("decimal(18,6)").as("pmi"))
-      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        expr("""CAST((CAST(c_pair AS DECIMAL(38,0)) * n_tot * 1000000)
+                div (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)""")
+          .as("pmi_ratio_micro"))
+      .orderBy(col("pmi_ratio_micro").desc, col("w1"), col("w2"))
       .limit(topK)
   }
 }

@@ -74,10 +74,12 @@ object Sampling {
    * no sequential state — any engine that agrees on the hash agrees on
    * the sample.
    *
-   * Determinism across engines: u's division is IEEE-correctly-rounded
-   * from the same integer on both sides; the compared score rounds to
-   * 6 dp with the key as tie-break, so the (score, key) order — and
-   * therefore the top-k — replays exactly (the registry-wide ln rule).
+   * Determinism: u's division is IEEE-correctly-rounded from the same
+   * integer, but the score itself is a libm `ln` — reproducible within
+   * ONE JVM (spec-replayed in SamplingSpec), NOT guaranteed bit-equal
+   * across engines/libm builds at 6-dp rounding boundaries. The
+   * cross-engine-oracled registry row is [[weightedSamplePriority]],
+   * the all-integer order-sampling form of the same πps target.
    *
    * Scale shape: expression-only per row + `TakeOrderedAndProject` for
    * the top-k (per-partition heaps, no global sort, no shuffle of the
@@ -95,6 +97,45 @@ object Sampling {
       .select(col(keyCol), col(weightCol),
         round(log(u) / col(weightCol).cast("double"), 6).as("score"))
       .orderBy(col("score").desc, col(keyCol))
+      .limit(k)
+  }
+
+  /**
+   * Weighted sampling without replacement, exact-INTEGER order form
+   * (Ohlsson 1998's "sequential Poisson sampling", public): each row
+   * draws the deterministic 60-bit integer u_int = hash60(seed·key)+1
+   * and ranks ASCENDING by the floored order variable
+   * `priority = u_int div w` — the fixed-point analogue of Ohlsson's
+   * ξ = u/p, whose k smallest form a without-replacement sample with
+   * inclusion odds ∝ weight (the same πps target [[weightedSample]]'s
+   * A-ES hits via ln(u)/w).
+   *
+   * Why this variant is the ORACLED registry row: the A-ES score is a
+   * libm `ln`, and a round(ln(x),6) compare column can flip a digit
+   * across libm builds at a rounding boundary (the l104 round-9
+   * lesson). Here everything is int64 arithmetic — hash, +1, floor
+   * div — so any engine replays the order, tie-break, and cut
+   * bit-for-bit. Floor quantization is harmless: u_int spans 2⁶⁰, so
+   * 60−log₂(w) priority bits remain (≥ 40 even for million-token
+   * weights); exact collisions break on the key, both engines alike.
+   *
+   * Scale shape: expression-only per row + TakeOrderedAndProject
+   * (per-partition heaps) — no corpus shuffle, no global sort. Weights
+   * are cast to BIGINT (integer weights: chars, tokens, bytes);
+   * zero/negative weights are excluded (the order variable is
+   * undefined there, as in A-ES).
+   */
+  def weightedSamplePriority(df: DataFrame, keyCol: String, weightCol: String,
+                             k: Int, seed: String = "s1"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(!seed.contains(SeedSep), "seed must not contain the unit separator")
+    requireStableKeyType(df, keyCol)
+    df.filter(col(weightCol) > 0)
+      .withColumn("_u", TextOps.portableHash60(
+        concat(lit(seed + SeedSep), col(keyCol).cast("string"))) + 1)
+      .select(col(keyCol), col(weightCol),
+        expr(s"_u div CAST(`$weightCol` AS BIGINT)").as("priority"))
+      .orderBy(col("priority"), col(keyCol))
       .limit(k)
   }
 

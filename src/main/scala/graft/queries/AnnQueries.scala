@@ -76,9 +76,13 @@ object AnnQueries {
       (s, dir) => {
         val e = td(s, dir, "embeddings")
           .select(col("vec_id"), Ann.l2Normalize(col("embedding")).as("unit"))
+        // compare the SQUARED norm: the left-to-right dot-product fold is
+        // identical IEEE arithmetic on both engines (+,·,/ are correctly
+        // rounded by the standard), while sqrt-then-round belongs to the
+        // round-of-math-fn pattern the registry bans since the l104 ULP flip
         e.select(col("vec_id"),
           array_join(transform(Ann.quantizeInt8(col("unit")), _.cast("string")), ",").as("q8_csv"),
-          round(Ann.norm(col("unit")), 6).as("unit_norm"))
+          round(Ann.dot(col("unit"), col("unit")), 6).as("unit_norm_sq"))
       },
       Some("""WITH u AS (SELECT vec_id,
              |  CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0
@@ -89,7 +93,7 @@ object AnnQueries {
              |SELECT vec_id,
              |array_to_string(list_transform(unit,
              |  x -> CAST(CAST(round(greatest(-1.0, least(1.0, x)) * 127) AS BIGINT) AS VARCHAR)), ',') AS q8_csv,
-             |round(sqrt(list_dot_product(unit, unit)), 6) AS unit_norm FROM u""".stripMargin)),
+             |round(list_dot_product(unit, unit), 6) AS unit_norm_sq FROM u""".stripMargin)),
 
     // multimodal plumbing: binary payload → typed feature extraction via
     // per-partition batch decode (decode itself is a deterministic stub);

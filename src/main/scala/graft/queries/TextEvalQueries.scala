@@ -501,9 +501,11 @@ object TextEvalQueries {
     // l104 — PMI collocation mining (Church & Hanks 1990): top adjacent
     // word pairs by pointwise mutual information, both marginals taken
     // from the joint bigram table (contingency form — no separate
-    // unigram pass); min-count cutoff kills rare-pair PMI inflation,
-    // 6-dp ties break lexically so the top-K is a total order. One
-    // corpus shuffle; marginals are windows over the pair table only
+    // unigram pass); min-count cutoff kills rare-pair PMI inflation.
+    // ln is monotone, so the ranking rides the exact integer
+    // micro-quotient (10⁶·c_pair·n_tot) div (c_x·c_y) — ULP-robust
+    // across libm builds (round(ln(x),6) flipped a digit in round 9).
+    // One corpus shuffle; marginals are windows over the pair table only
     "l104_pmi_collocations" -> Q(
       (s, dir) => graft.llm.LangModel.pmiCollocations(
         td(s, dir, "documents"), "doc_id", "text", minCount = 5L, topK = 50),
@@ -518,10 +520,10 @@ object TextEvalQueries {
              |  FROM p),
              |tot AS (SELECT CAST(sum(c_pair) AS BIGINT) AS n_tot FROM p)
              |SELECT w1, w2, c_pair,
-             |  CAST(round(ln(CAST(c_pair * n_tot AS DOUBLE) / CAST(c_x * c_y AS DOUBLE)), 6)
-             |    AS DECIMAL(18,6)) AS pmi
+             |  CAST((c_pair::HUGEINT * n_tot * 1000000) // (c_x::HUGEINT * c_y) AS BIGINT)
+             |    AS pmi_ratio_micro
              |FROM m CROSS JOIN tot WHERE c_pair >= 5
-             |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin)),
+             |ORDER BY pmi_ratio_micro DESC, w1, w2 LIMIT 50""".stripMargin)),
 
     // l105 — ROUGE-L per source over the l92 adjacent candidate/reference
     // pairing: LCS in the native codegen'd LcsLen expression (a HOF fold
@@ -567,20 +569,22 @@ object TextEvalQueries {
              |  round(2.0 * lcs_sum / (cand_sum + ref_sum), 6) AS rouge_f
              |FROM g""".stripMargin)),
 
-    // l106 — weighted sampling without replacement (Efraimidis-Spirakis
-    // A-ES): rank by ln(u)/w with the deterministic hash-uniform u — the
-    // one-pass distributed weighted reservoir (inclusion odds ∝ n_chars).
-    // Expression-only + TakeOrderedAndProject; 6-dp score with doc_id
-    // tie-break makes the top-k replay exactly on both engines
+    // l106 — weighted sampling without replacement (Ohlsson 1998
+    // sequential Poisson order sampling, the exact-integer sibling of
+    // Efraimidis-Spirakis A-ES — that ln(u)/w form stays spec-replayed
+    // in SamplingSpec): k smallest of priority = (hash60+1) div w,
+    // inclusion odds ∝ n_chars. All-int64 hash/div so order, tie-break
+    // and cut replay bit-for-bit across engines (no libm ln in the
+    // compare — the l104 round-9 lesson). Expression-only +
+    // TakeOrderedAndProject
     "l106_weighted_sample" -> Q(
-      (s, dir) => graft.llm.Sampling.weightedSample(
+      (s, dir) => graft.llm.Sampling.weightedSamplePriority(
         td(s, dir, "documents"), "doc_id", "n_chars", k = 100, seed = "ws"),
       Some("""WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-             |    (('0x'||substr(md5('ws' || chr(31) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT + 1)
-             |      / 1152921504606846976.0 AS u
+             |    ('0x'||substr(md5('ws' || chr(31) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT + 1 AS u_int
              |  FROM documents WHERE n_chars > 0)
-             |SELECT doc_id, n_chars, round(ln(u)/n_chars, 6) AS score
-             |FROM t ORDER BY score DESC, doc_id LIMIT 100""".stripMargin)),
+             |SELECT doc_id, n_chars, u_int // n_chars AS priority
+             |FROM t ORDER BY priority, doc_id LIMIT 100""".stripMargin)),
 
     // l107 — Aho-Corasick multi-pattern blocklist: ALL patterns matched in
     // ONE automaton pass per document (vs l91's per-term word-boundary

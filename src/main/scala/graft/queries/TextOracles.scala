@@ -135,12 +135,14 @@ object TextOracles {
 
   /** Twin of [[graft.llm.Dsir.importanceWeights]] with target =
     * `source = '<targetSource>'`: hashed unigram+bigram buckets
-    * (portable md5 hash mod B), add-one smoothed target/raw models, one
-    * `ln` per feature of an exactly-computed double ratio, 6-dp DECIMAL
-    * sums. */
+    * (portable md5 hash mod B), add-one smoothed target/raw models, and
+    * the per-bucket base-2 log-ratio replayed in the EXACT int64
+    * fixed-point recurrence of [[graft.llm.Log2Micro]] (a recursive CTE
+    * over the ≤4B distinct factors) — no libm `ln` anywhere, so the
+    * compare columns are bit-identical across engines. */
   def dsirSql(nBuckets: Int, targetSource: String): String = {
     val src = OracleSqlUtil.esc(targetSource)
-    s"""WITH tk AS (SELECT doc_id, source,
+    s"""WITH RECURSIVE tk AS (SELECT doc_id, source,
        |    regexp_split_to_array(trim(lower(text)), '\\s+') AS t
        |  FROM documents WHERE length(trim(text)) > 0),
        |fe AS (
@@ -155,13 +157,22 @@ object TextOracles {
        |tt AS (SELECT count(*) AS tot FROM fb WHERE source = '$src'),
        |rm AS (SELECT b, count(*) AS cr FROM fb GROUP BY 1),
        |rt AS (SELECT count(*) AS tot FROM fb),
-       |sc AS (SELECT fb.doc_id,
-       |    round(ln( ((COALESCE(tm.ct, 0) + 1)::DOUBLE * (rt.tot + $nBuckets)::DOUBLE)
-       |            / ((rm.cr + 1)::DOUBLE * (tt.tot + $nBuckets)::DOUBLE) ), 6)::DECIMAL(18,6) AS s
-       |  FROM fb LEFT JOIN tm USING (b) JOIN rm USING (b), tt, rt)
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-       |  CAST(sum(s) AS DOUBLE) AS logw, sum(s) > 0 AS selected
-       |FROM sc GROUP BY 1""".stripMargin
+       |mdl AS (SELECT rm.b, CAST(COALESCE(tm.ct, 0) + 1 AS BIGINT) AS ct1,
+       |    CAST(rm.cr + 1 AS BIGINT) AS cr1,
+       |    CAST(rt.tot + $nBuckets AS BIGINT) AS rb,
+       |    CAST(tt.tot + $nBuckets AS BIGINT) AS tb
+       |  FROM rm LEFT JOIN tm USING (b), tt, rt),
+       |ns AS (SELECT DISTINCT n FROM (
+       |    SELECT ct1 AS n FROM mdl UNION ALL SELECT cr1 FROM mdl
+       |    UNION ALL SELECT rb FROM mdl UNION ALL SELECT tb FROM mdl) u),
+       |${graft.llm.Log2Micro.duckSqlCtes("ns")},
+       |sc2 AS (SELECT mdl.b, l1.l2m - l2.l2m + l3.l2m - l4.l2m AS s2
+       |  FROM mdl
+       |  JOIN lg l1 ON l1.n = mdl.ct1 JOIN lg l2 ON l2.n = mdl.cr1
+       |  JOIN lg l3 ON l3.n = mdl.rb  JOIN lg l4 ON l4.n = mdl.tb)
+       |SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |  CAST(sum(s2) AS BIGINT) AS logw2_micro, sum(s2) > 0 AS selected
+       |FROM fb JOIN sc2 USING (b) GROUP BY 1""".stripMargin
   }
 
   /** Twin of the l34 repeated-span scrub: same string shingles, DF

@@ -347,9 +347,10 @@ object TextQueries {
 
     // DSIR importance resampling (Xie 2023): raw corpus scored against a
     // target domain (source='src0') via hashed unigram+bigram models —
-    // log p_target/p_raw per doc, 6-dp DECIMAL sums, selected = logw>0.
-    // Models are B-bounded broadcasts; the oracle replays hash, smoothing,
-    // and the single-ln-per-feature arithmetic exactly
+    // log2 p_target/p_raw per doc in EXACT int64 fixed-point micro-units
+    // (graft_log2micro; no libm ln — the l104 round-9 ULP lesson),
+    // selected = logw2_micro>0. Models are B-bounded broadcasts; the
+    // oracle replays the identical integer recurrence as a recursive CTE
     "l64_dsir_importance" -> Q(
       (s, dir) => {
         val docs = td(s, dir, "documents")

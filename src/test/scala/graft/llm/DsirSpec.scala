@@ -19,7 +19,7 @@ class DsirSpec extends AnyFunSuite with SparkTestBase {
 
   test("target-like docs outrank off-target docs; feature count is exact") {
     val out = Dsir.importanceWeights(raw, target, "doc_id", "text", nBuckets = 512)
-      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
     // 3 tokens → 3 unigrams + 2 bigrams
     assert(out(0L)._2 === 5L)
     assert(out(1L)._2 === 7L)
@@ -35,9 +35,9 @@ class DsirSpec extends AnyFunSuite with SparkTestBase {
     val rawWithBlank = raw.union(Seq((3L, "   "), (4L, null.asInstanceOf[String]))
       .toDF("doc_id", "text"))
     val a = Dsir.importanceWeights(rawWithBlank, target, "doc_id", "text", nBuckets = 512)
-      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
     val b = Dsir.importanceWeights(rawWithBlank, target, "doc_id", "text", nBuckets = 512)
-      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
     assert(a.toSeq === b.toSeq)
     assert(a.map(_._1).toSet === Set(0L, 1L, 2L))
   }
@@ -45,12 +45,42 @@ class DsirSpec extends AnyFunSuite with SparkTestBase {
   test("a doc identical to the whole target corpus scores maximal among raw") {
     val r2 = raw.union(Seq((9L, "alpha beta gamma delta")).toDF("doc_id", "text"))
     val out = Dsir.importanceWeights(r2, target, "doc_id", "text", nBuckets = 512)
-      .as[(Long, Long, Double, Boolean)].collect()
+      .as[(Long, Long, Long, Boolean)].collect()
     val best = out.maxBy(_._3)
     assert(best._1 === 9L || best._1 === 0L) // both pure target-vocab docs lead
     // the full-target doc always outranks the off-vocab doc (absolute sign
     // is not asserted: with a tiny fixture add-one smoothing can push every
     // score negative — ranking is the invariant)
     assert(out.find(_._1 == 9L).get._3 > out.find(_._1 == 1L).get._3)
+  }
+
+  test("Log2Micro: exact at powers of two, monotone, close to true log2, poison on n<=0") {
+    // powers of two are exact by construction: L = e0·2^20, frac bits all 0
+    (0 to 62).foreach { e =>
+      assert(Log2Micro.compute(1L << e) === (e.toLong << 20) * 1000000L >> 20,
+        s"2^$e")
+    }
+    assert(Log2Micro.compute(1L) === 0L)
+    // monotone nondecreasing over a boundary-heavy probe set
+    val probes = (1L to 2048L) ++ Seq((1L << 31) - 1, 1L << 31, (1L << 31) + 1,
+      (1L << 52) + 12345L, Long.MaxValue - 1, Long.MaxValue)
+    probes.sliding(2).foreach { case Seq(a, b) =>
+      assert(Log2Micro.compute(a) <= Log2Micro.compute(b), s"monotone at $a,$b")
+    }
+    // tracks true 10^6·log2(n) within the documented quantization (the
+    // 30-bit squaring truncation costs a few micro-units at most)
+    probes.foreach { n =>
+      val ideal = 1e6 * math.log(n.toDouble) / math.log(2.0)
+      assert(math.abs(Log2Micro.compute(n) - ideal) <= 8.0, s"accuracy at $n")
+    }
+    assert(Log2Micro.compute(0L) === Long.MinValue)
+    assert(Log2Micro.compute(-7L) === Long.MinValue)
+  }
+
+  test("graft_log2micro registers and evaluates as a column expression") {
+    Log2Micro.register(spark)
+    val got = spark.range(1, 100).selectExpr("id", "graft_log2micro(id) AS l2m")
+      .as[(Long, Long)].collect()
+    got.foreach { case (n, v) => assert(v === Log2Micro.compute(n), s"n=$n") }
   }
 }

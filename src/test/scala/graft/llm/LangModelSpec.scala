@@ -89,16 +89,17 @@ class LangModelSpec extends AnyFunSuite with SparkTestBase {
     assert(p("the", "francisco") < p("the", "is"))
   }
 
-  test("pmiCollocations: exact naive replay (joint + marginals + ln), minCount, tie order") {
+  test("pmiCollocations: exact naive replay (joint + marginals + micro-quotient), minCount, tie order") {
     // "san francisco" always co-occurs (perfect collocation); "the" pairs
     // with everything (low PMI); rare pair "odd ball" sits below minCount
     val texts = (0L until 12L).map(i => (i, "the san francisco bay near the big dog")) ++
       Seq((20L, "odd ball the san francisco"), (21L, "the dog"))
     val docs = texts.toDF("doc_id", "text")
     val got = LangModel.pmiCollocations(docs, "doc_id", "text", minCount = 5L, topK = 10)
-      .as[(String, String, Long, BigDecimal)].collect()
+      .as[(String, String, Long, Long)].collect()
 
-    // naive replay
+    // naive replay — the exact integer micro-quotient (10⁶·c·n) div (cx·cy),
+    // in BigInt so the replay is floor-exact like the engine's DECIMAL div
     val pairs = texts.flatMap { case (_, t) =>
       val tk = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
       tk.dropRight(1).zip(tk.drop(1))
@@ -108,9 +109,8 @@ class LangModelSpec extends AnyFunSuite with SparkTestBase {
     val cym = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     val n = pairs.size.toLong
     val expect = c2.filter(_._2 >= 5L).map { case ((x, y), c) =>
-      val pmi = BigDecimal(math.log(c.toDouble * n / (cxm(x).toDouble * cym(y))))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-      (x, y, c, pmi)
+      val micro = (BigInt(c) * n * 1000000 / (BigInt(cxm(x)) * cym(y))).toLong
+      (x, y, c, micro)
     }.toSeq.sortBy(t => (-t._4, t._1, t._2)).take(10)
 
     assert(got.toSeq.map(t => (t._1, t._2, t._3, t._4)) === expect)

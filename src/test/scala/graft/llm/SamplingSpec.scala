@@ -272,6 +272,38 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(other != same, "different seeds must pick different light-key tails")
   }
 
+  private def jvmPriority(seed: String, key: Long, w: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$seed\u001f$key".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) + 1) / w
+  }
+
+  test("weightedSamplePriority matches the exact integer replay (priorities, order, cut)") {
+    val rows = (1L to 200L).map(k => (k, 1L + k % 17))
+    val got = Sampling.weightedSamplePriority(rows.toDF("k", "w"), "k", "w", k = 25, seed = "t1")
+      .as[(Long, Long, Long)].collect().toSeq
+    val expect = rows.map { case (k, w) => (k, w, jvmPriority("t1", k, w)) }
+      .sortBy { case (k, _, p) => (p, k) }.take(25)
+    assert(got === expect)
+  }
+
+  test("weightedSamplePriority: inclusion follows weight; zero weights excluded; seeded") {
+    // priority = u_int div w: a 10¹²-weight key lands in [0, ~1.15·10⁶]
+    // while a unit-weight key needs u_int below that — odds ~10⁻¹²
+    val rows = (1L to 10L).map(k => (k, 1000000000000L)) ++
+      (100L to 299L).map(k => (k, 1L)) ++ Seq((999L, 0L))
+    val top = Sampling.weightedSamplePriority(rows.toDF("k", "w"), "k", "w", k = 10, seed = "t2")
+      .as[(Long, Long, Long)].collect().map(_._1).toSet
+    assert(top === (1L to 10L).toSet)
+    val other = Sampling.weightedSamplePriority(rows.toDF("k", "w"), "k", "w", k = 50, seed = "t3")
+      .as[(Long, Long, Long)].collect().map(_._1).toSet
+    assert(!other.contains(999L), "zero-weight key must never be sampled")
+    val same = Sampling.weightedSamplePriority(rows.toDF("k", "w"), "k", "w", k = 50, seed = "t3")
+      .as[(Long, Long, Long)].collect().map(_._1).toSet
+    assert(other === same, "same seed must replay the same sample")
+  }
+
   test("leakageSafeSplit: exact dups share a split; ratios and determinism hold") {
     val distinct = (1L to 300L).map(i => (i, s"unique document number $i with words"))
     // ids 1001/1002/1003 are byte-identical copies of doc 7's text
