@@ -73,14 +73,26 @@ object Compaction {
    * repartition keyed by bin co-locates every bin in one task, and
    * `partitionBy` emits exactly one data file per bin directory.
    * Returns the plan that was executed.
+   *
+   * Join-key fidelity (round-9 advisor finding): `input_file_name()` is
+   * URI-ENCODED while `listStatus` names are raw, so a file name with a
+   * space/percent/non-ASCII char would miss the inner join and its rows
+   * silently vanish from the rewrite. The scan-side key is therefore
+   * url-decoded — with '+' pre-escaped to %2B first, because URI path
+   * encoding leaves a literal '+' as-is while form-decoding would turn
+   * it into a space. An EMPTY directory short-circuits to the empty plan
+   * (no rewrite) instead of dereferencing a null max(bin_id).
    */
   def compactDir(spark: SparkSession, dir: String, targetBytes: Long,
                  outDir: String): DataFrame = {
     val plan = planBins(listDataFiles(spark, dir), Seq("file"), "bytes",
       targetBytes)
-    val nBins = (plan.agg(max("bin_id")).collect()(0).getLong(0) + 1).toInt
+    val maxBin = plan.agg(max("bin_id")).collect()(0)
+    if (maxBin.isNullAt(0)) return plan
+    val nBins = (maxBin.getLong(0) + 1).toInt
     spark.read.parquet(dir)
-      .withColumn("file", substring_index(input_file_name(), "/", -1))
+      .withColumn("file", expr(
+        "url_decode(replace(substring_index(input_file_name(), '/', -1), '+', '%2B'))"))
       .join(broadcast(plan.select("file", "bin_id")), "file")
       .drop("file")
       .repartition(nBins, col("bin_id"))

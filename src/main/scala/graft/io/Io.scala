@@ -148,24 +148,44 @@ object Io {
    * (publish/CasPublish), which this API deliberately mirrors: callers
    * persist the returned watermark, not file sets.
    *
-   * Returns (rows from new files only, new watermark). With no new
-   * files, an EMPTY frame with the directory's full schema and the
-   * unchanged watermark.
+   * Boundary correctness (round-9 advisor finding): mtime has
+   * millisecond granularity, so a file committed in the SAME millisecond
+   * as the returned watermark — or landing while the listing runs with
+   * an mtime equal to an already-consumed file's — would be permanently
+   * skipped by a strict `mtime > watermark` filter. The admission rule
+   * is therefore `mtime > watermark OR (mtime == watermark AND name ∉
+   * consumedAtWatermark)`, and the checkpoint the caller persists is the
+   * PAIR (watermark, names consumed AT that watermark) — exactly the
+   * (ts, keys-at-ts) cursor shape of keyset pagination (o7). The name
+   * set is bounded by files sharing one millisecond, not corpus size.
+   *
+   * Returns (rows from new files only, new watermark, names consumed at
+   * the new watermark). With no new files, an EMPTY frame with the
+   * directory's full schema and the unchanged checkpoint.
    */
-  def readSince(spark: SparkSession, dir: String,
-                watermarkMillis: Long): (DataFrame, Long) = {
+  def readSince(spark: SparkSession, dir: String, watermarkMillis: Long,
+                consumedAtWatermark: Set[String] = Set.empty)
+      : (DataFrame, Long, Set[String]) = {
     import org.apache.hadoop.fs.Path
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(p).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
         && !s.getPath.getName.startsWith("."))
-    val fresh = files.filter(_.getModificationTime > watermarkMillis)
+    val fresh = files.filter(s =>
+      s.getModificationTime > watermarkMillis ||
+        (s.getModificationTime == watermarkMillis &&
+          !consumedAtWatermark.contains(s.getPath.getName)))
     val newWm = (watermarkMillis +: fresh.map(_.getModificationTime)).max
+    // every file AT the new watermark is consumed after this read —
+    // including ones admitted in a previous run when newWm == watermark
+    val atBoundary = files.filter(_.getModificationTime == newWm)
+      .map(_.getPath.getName).toSet ++
+      (if (newWm == watermarkMillis) consumedAtWatermark else Set.empty)
     val df =
       if (fresh.isEmpty) spark.read.parquet(dir).limit(0)
       else spark.read.parquet(fresh.map(_.getPath.toString): _*)
-    (df, newWm)
+    (df, newWm, atBoundary)
   }
 
   /** S9 — table copy (create_modify.py:355-380), parquet-dir flavored. */

@@ -135,7 +135,14 @@ object Packing {
       .withColumn("_prev", lag(col("_pk"), 1).over(w))
       .select(col("doc_id"), col("bucket"), col("pos"),
         size(col("_pk")).cast("long").as("n_prefix_tokens"),
-        when(col("_prev").isNull, 0L).otherwise(lcp).as("est_cached_tokens"))
+        // cap at the shorter array: slice(a, 1, j) with j > size(a)
+        // returns the WHOLE array, so identical prompts shorter than k
+        // would otherwise fire all k indicators and report an LCP larger
+        // than the tokens that exist (round-9 advisor finding)
+        when(col("_prev").isNull, 0L)
+          .otherwise(least(lcp, size(col("_pk")).cast("long"),
+            size(col("_prev")).cast("long")))
+          .as("est_cached_tokens"))
   }
 
   /**

@@ -167,6 +167,16 @@ object Multimodal {
       if (w <= 0 || h == 0 || bpp <= 0) None else Some((w, math.abs(h), bpp))
     }
 
+  /** Pixel-data offset (header byte 10), VALIDATED: a payload can pass
+    * [[decodeBmp]] yet carry a negative/garbage offset, and an unguarded
+    * `dataOff + row·rowSize` then indexes negative — an executor throw,
+    * violating the module's quarantine-never-throw contract (round-9
+    * advisor finding). None routes the record to the skip lane. */
+  private[multimodal] def bmpDataOffset(b: Array[Byte]): Option[Int] = {
+    val off = leInt(b, 10)
+    if (off >= 54 && off < b.length) Some(off) else None
+  }
+
   /** Walk RIFF/WAVE chunks: "fmt " → (channels, sampleRate, bits,
     * byteRate), "data" → (offset, size). Odd chunk sizes are padded per
     * the RIFF spec. None when not an integer-PCM WAV. */
@@ -291,16 +301,16 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { m =>
-        decodeBmp(m.payload) match {
-          case Some((w, h, 24)) =>
-            val dataOff = leInt(m.payload, 10)
+        (decodeBmp(m.payload), bmpDataOffset(m.payload)) match {
+          case (Some((w, h, 24)), Some(dataOff)) =>
             val rowSize = ((w * 3 + 3) / 4) * 4
             val outW = (w + 1) / 2
             val outH = (h + 1) / 2
-            // clamp against truncated payloads (same guard as the audio path)
+            // clamp against truncated payloads (same guard as the audio
+            // path); off < 0 guards w·h large enough to overflow Int
             def pix(tx: Int, ty: Int): Option[(Int, Int, Int)] = {
               val off = dataOff + (h - 1 - ty) * rowSize + tx * 3
-              if (off + 2 >= m.payload.length) None
+              if (off < 0 || off + 2 >= m.payload.length) None
               else Some(((m.payload(off) & 0xff),
                 (m.payload(off + 1) & 0xff), (m.payload(off + 2) & 0xff)))
             }
@@ -340,13 +350,12 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { m =>
-        decodeBmp(m.payload) match {
-          case Some((w, h, 24)) =>
-            val dataOff = leInt(m.payload, 10)
+        (decodeBmp(m.payload), bmpDataOffset(m.payload)) match {
+          case (Some((w, h, 24)), Some(dataOff)) =>
             val rowSize = ((w * 3 + 3) / 4) * 4
             def gray(tx: Int, ty: Int): Option[Int] = {
               val off = dataOff + (h - 1 - ty) * rowSize + tx * 3
-              if (off + 2 >= m.payload.length) None
+              if (off < 0 || off + 2 >= m.payload.length) None
               else Some((m.payload(off) & 0xff) + (m.payload(off + 1) & 0xff) +
                 (m.payload(off + 2) & 0xff))
             }

@@ -150,8 +150,12 @@ object Anomaly {
    * string (identical on any engine), expected counts are n·p_micro with
    * the micro-proportions above (they sum to exactly 10⁶), and each
    * chi-square contribution is the cleared-denominator integer
-   * ((10⁶·o − n·p)²) div (10⁶·n·p) in DECIMAL(38,0) — a27's micro-chi²,
-   * replayed bit-for-bit.
+   * ((10⁶·o − n·p_micro)²) div (n·p_micro) in DECIMAL(38,0). That IS the
+   * micro-unit contribution: with _d = 10⁶·(o−e), (o−e)²/e =
+   * _d²/(10⁶·n·p_micro) in whole units, so micro-units divide by
+   * n·p_micro only — a gate summing contrib_micro/10⁶ recovers the
+   * textbook chi² (the round-9 advisor caught an extra 10⁶ here that
+   * floored every mild-drift contribution to zero).
    *
    * Scale shape: ONE hash-agg over the measure (9 output groups); the
    * digit frame (1..9) EXPLODES from the one-row total (no join), and the
@@ -175,7 +179,7 @@ object Anomaly {
       .withColumn("_d", expr(s"CAST(1000000 AS $dec) * o - CAST(n AS $dec) * p_micro"))
       .select(col("digit"), col("o"),
         (col("n") * col("p_micro")).cast("long").as("e_micro"),
-        expr(s"CAST((_d * _d) div (CAST(1000000 AS $dec) * n * p_micro) AS LONG)")
+        expr(s"CAST((_d * _d) div (CAST(n AS $dec) * p_micro) AS LONG)")
           .as("contrib_micro"))
   }
 

@@ -418,7 +418,10 @@ object IoQueries {
           .write.mode("append").parquet(path)
         (names -- batch1).foreach(n =>
           fs.setTimes(new Path(s"$path/$n"), t0 + 5000L, -1))
-        graft.io.Io.readSince(s, path, t0)._1
+        // checkpoint = (watermark, names consumed AT it): batch 1 sits
+        // exactly at t0 and is excluded by name — the boundary-safe
+        // cursor shape (a same-millisecond lander is never lost)
+        graft.io.Io.readSince(s, path, t0, batch1)._1
       },
       Some("""SELECT o_orderkey, o_orderstatus FROM orders
              |WHERE o_orderkey % 2 = 1""".stripMargin),

@@ -391,7 +391,7 @@ object StatQueries {
              |SELECT digit, o, CAST(n * pm AS BIGINT) AS e_micro,
              |  CAST(((1000000::HUGEINT * o - CAST(n AS HUGEINT) * pm)
              |      * (1000000::HUGEINT * o - CAST(n AS HUGEINT) * pm))
-             |    // (1000000::HUGEINT * n * pm) AS BIGINT) AS contrib_micro
+             |    // (CAST(n AS HUGEINT) * pm) AS BIGINT) AS contrib_micro
              |FROM d""".stripMargin)),
 
     // k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et

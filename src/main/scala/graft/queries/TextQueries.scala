@@ -717,10 +717,12 @@ object TextQueries {
              |SELECT doc_id, bucket, pos,
              |  CAST(len(pk) AS BIGINT) AS n_prefix_tokens,
              |  CAST(CASE WHEN prev IS NULL THEN 0 ELSE
-             |    (CASE WHEN pk[1:1] = prev[1:1] THEN 1 ELSE 0 END) +
-             |    (CASE WHEN pk[1:2] = prev[1:2] THEN 1 ELSE 0 END) +
-             |    (CASE WHEN pk[1:3] = prev[1:3] THEN 1 ELSE 0 END) +
-             |    (CASE WHEN pk[1:4] = prev[1:4] THEN 1 ELSE 0 END)
+             |    least(
+             |      (CASE WHEN pk[1:1] = prev[1:1] THEN 1 ELSE 0 END) +
+             |      (CASE WHEN pk[1:2] = prev[1:2] THEN 1 ELSE 0 END) +
+             |      (CASE WHEN pk[1:3] = prev[1:3] THEN 1 ELSE 0 END) +
+             |      (CASE WHEN pk[1:4] = prev[1:4] THEN 1 ELSE 0 END),
+             |      len(pk), len(prev))
              |  END AS BIGINT) AS est_cached_tokens
              |FROM w""".stripMargin)),
 

@@ -57,4 +57,39 @@ class CompactionSpec extends AnyFunSuite with SparkTestBase {
     assert(back.select("id", "payload").exceptAll(df).count() === 0L)
     assert(df.exceptAll(back.select("id", "payload")).count() === 0L)
   }
+
+  test("compactDir on an empty directory returns the empty plan, no throw, no output") {
+    import org.apache.hadoop.fs.Path
+    val dir = "/root/repo/target/compaction_spec/empty"
+    val out = "/root/repo/target/compaction_spec/empty_out"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(dir), true); fs.delete(new Path(out), true)
+    fs.mkdirs(new Path(dir))
+    val plan = Compaction.compactDir(spark, dir, targetBytes = 1000L, outDir = out)
+    assert(plan.count() === 0L)
+    assert(!fs.exists(new Path(out)), "no rewrite must happen for an empty plan")
+  }
+
+  test("compactDir keeps rows whose file names need URI decoding (space, plus, percent)") {
+    import org.apache.hadoop.fs.Path
+    val dir = "/root/repo/target/compaction_spec/oddnames"
+    val out = "/root/repo/target/compaction_spec/oddnames_out"
+    val df = spark.range(0, 300).select(col("id"))
+    df.repartition(3).write.mode("overwrite").parquet(dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // rename the three part files to the characters that break a raw
+    // input_file_name() match: space (URI %20), literal '+' (form-decode
+    // trap), and an actual percent escape in the RAW name
+    val parts = fs.listStatus(new Path(dir))
+      .filter(s => s.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    val odd = Seq("with space.parquet", "with+plus.parquet", "with%20raw.parquet")
+    parts.zip(odd).foreach { case (p, n) =>
+      assert(fs.rename(p, new Path(dir, n)), s"rename to $n")
+    }
+    val plan = Compaction.compactDir(spark, dir, targetBytes = Long.MaxValue, outDir = out)
+    assert(plan.count() === 3L)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 300L, "every row must survive the odd-name rewrite")
+    assert(back.select("id").exceptAll(df).count() === 0L)
+  }
 }

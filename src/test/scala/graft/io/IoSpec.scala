@@ -210,17 +210,53 @@ class IoSpec extends AnyFunSuite with SparkTestBase {
     Seq(1L, 3L).toDF("id").write.mode("append").parquet(dir)
     setMtimes(batch1, t0 + 5000L)
 
-    val (all, wmAll) = Io.readSince(spark, dir, 0L)
+    val (all, wmAll, seenAll) = Io.readSince(spark, dir, 0L)
     assert(all.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L, 6L))
     assert(wmAll === t0 + 5000L)
+    assert(seenAll === (names -- batch1), "boundary set = files at the new watermark")
 
-    val (inc, wmInc) = Io.readSince(spark, dir, t0)
+    // the checkpoint is the PAIR (watermark, names consumed at it):
+    // batch1 sits exactly AT t0, so it is excluded by name, not by mtime
+    val (inc, wmInc, seenInc) = Io.readSince(spark, dir, t0, batch1)
     assert(inc.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
     assert(wmInc === t0 + 5000L)
+    assert(seenInc === (names -- batch1))
 
-    val (none, wmNone) = Io.readSince(spark, dir, t0 + 5000L)
+    val (none, wmNone, seenNone) = Io.readSince(spark, dir, t0 + 5000L, seenInc)
     assert(none.count() === 0L)
     assert(none.schema.fieldNames.toSeq === Seq("id"))
     assert(wmNone === t0 + 5000L)
+    assert(seenNone === seenInc, "checkpoint unchanged when nothing is new")
+  }
+
+  test("readSince: a file landing in the SAME millisecond as the watermark is not lost") {
+    import org.apache.hadoop.fs.Path
+    val dir = "/root/repo/target/io_spec/since_boundary"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def names: Set[String] = fs.listStatus(new Path(dir))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).toSet
+    val t0 = 1700000000000L
+    Seq(10L).toDF("id").write.mode("overwrite").parquet(dir)
+    val batch1 = names
+    batch1.foreach(n => fs.setTimes(new Path(s"$dir/$n"), t0, -1))
+
+    // run 1 consumes batch1 and checkpoints (t0, batch1 names)
+    val (r1, wm1, seen1) = Io.readSince(spark, dir, 0L)
+    assert(r1.select("id").as[Long].collect().toSeq === Seq(10L))
+    assert(wm1 === t0 && seen1 === batch1)
+
+    // a straggler lands with mtime EQUAL to the checkpointed watermark —
+    // the strict-> filter of the round-9 implementation dropped it forever
+    Seq(11L).toDF("id").write.mode("append").parquet(dir)
+    (names -- batch1).foreach(n => fs.setTimes(new Path(s"$dir/$n"), t0, -1))
+    val (r2, wm2, seen2) = Io.readSince(spark, dir, wm1, seen1)
+    assert(r2.select("id").as[Long].collect().toSeq === Seq(11L),
+      "same-millisecond straggler must be admitted exactly once")
+    assert(wm2 === t0 && seen2 === names, "boundary set now covers both files")
+
+    // run 3: nothing new, nothing re-read
+    val (r3, _, _) = Io.readSince(spark, dir, wm2, seen2)
+    assert(r3.count() === 0L, "already-consumed boundary files must not re-read")
   }
 }

@@ -102,6 +102,21 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     assert(Seq(1L, 2L, 3L, 5L).map(out(_)._5).sum === 7L)
   }
 
+  test("prefixCacheOrder: duplicate prompts shorter than k cap LCP at real length") {
+    import spark.implicits._
+    val docs = Seq((1L, "sys"), (2L, "sys"), (3L, "sys go"), (4L, "sys go"))
+      .toDF("doc_id", "text")
+    val out = Packing.prefixCacheOrder(docs, "doc_id", "text", k = 4)
+      .as[(Long, String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // bucket order: "sys"(1) < "sys"(2) < "sys go"(3) < "sys go"(4)
+    assert(out(1L)._5 === 0L)
+    assert(out(2L)._5 === 1L, "identical 1-token prompt must cache 1 token, not k")
+    assert(out(3L)._5 === 1L)
+    assert(out(4L)._5 === 2L, "identical 2-token prompt must cache 2 tokens, not k")
+    out.values.foreach(r =>
+      assert(r._5 <= r._4, s"est_cached_tokens must never exceed n_prefix_tokens: $r"))
+  }
+
   test("mixtureInterleave: 2:1 stride pattern, tie order, positions a permutation") {
     import spark.implicits._
     // A weight 2, B weight 1 → L=2, m_A=1, m_B=2: expected epoch A A B A A B

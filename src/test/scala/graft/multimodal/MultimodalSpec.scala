@@ -410,4 +410,27 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("garbage BMP pixel-data offset is quarantined, never thrown (dHash + downsample)") {
+    import spark.implicits._
+    // valid header/dimensions, but byte 10 rewritten to a negative and an
+    // out-of-range offset: decodeBmp still accepts; the offset guard must
+    // route both to the skip lane instead of ArrayIndexOutOfBounds
+    def corrupt(off: Int): Array[Byte] = {
+      val b = Multimodal.bmpBytes(8, 8, seed = 3L).clone()
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(10, off)
+      b
+    }
+    val recs = Seq(
+      MediaRecord(1L, "image", corrupt(-100)),
+      MediaRecord(2L, "image", corrupt(Int.MinValue)),
+      MediaRecord(3L, "image", corrupt(1 << 30)),   // far past payload end
+      MediaRecord(4L, "image", corrupt(10)),        // inside the header
+      MediaRecord(5L, "image", Multimodal.bmpBytes(8, 8, seed = 3L))).toDS()
+    val hashes = Multimodal.imageDHash(recs).collect()
+    assert(hashes.map(_.media_id).toSeq === Seq(5L), "only the intact BMP hashes")
+    val pix = Multimodal.downsampleImage2x(recs).collect()
+    assert(pix.nonEmpty && pix.forall(_.media_id == 5L), "only the intact BMP downsamples")
+  }
 }

@@ -102,8 +102,14 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
       assert(o === counts.getOrElse(d, 0L), s"digit $d count")
       assert(BigInt(eMicro) === n * p, s"digit $d e_micro")
       val diff = BigInt(1000000) * o - n * p
-      assert(BigInt(contrib) === diff * diff / (BigInt(1000000) * n * p), s"digit $d chi2")
+      // micro-unit contribution: diff = 10⁶·(o−e), so (o−e)²/e in micro
+      // units divides by n·p_micro only (not 10⁶·n·p_micro)
+      assert(BigInt(contrib) === diff * diff / (n * p), s"digit $d chi2")
     }
+    // the whole-unit chi² recovered from the micro contributions is
+    // non-trivial for this drifted fixture (the round-9 bug floored it to 0)
+    val chi2Whole = got.map(_._4).sum / 1000000.0
+    assert(chi2Whole > 1.0, s"chi2 $chi2Whole should register drift")
   }
 
   test("ewmaTrend: hand recursion at alpha=0.5, seed row, drop-to-zero") {
