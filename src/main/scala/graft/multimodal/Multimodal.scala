@@ -526,10 +526,25 @@ object Multimodal {
     * perturbation on the v=1 variant — the "re-encoded copy" whose hash
     * must land within a small Hamming radius of the v=0 original. Pure
     * closed form so the oracle recomputes every sampled gray from
-    * (id, v, x, y) alone. */
+    * (id, v, x, y) alone.
+    *
+    * Coefficient ENTROPY is deliberately wide (round-9 verdict task):
+    * two independent ~2²⁰ prime-modulus mixes of the FULL id (~2⁴⁰
+    * joint states, CRT-coprime so no id < 10¹² repeats a pair) instead
+    * of the old id%7/%3/%11/%5/%13 residues (15 015 image families) —
+    * at a ×100 corpus the old family count saturated, every fingerprint
+    * gained ~100 exact twins, and the m6 pair OUTPUT grew quadratically
+    * (a fixture artifact, not the engine). Products stay < 2⁵² — no
+    * wraparound, so the oracle replays in plain BIGINT arithmetic. */
   private[multimodal] def patternGray(id: Long, v: Int, x: Int, y: Int): Int = {
-    val base = (((1 + id % 7) * x + (1 + id % 3) * x * x + (2 + id % 11) * y +
-      (id % 5) * x * y + id % 13) % 251).toInt
+    val m1 = (id % 1048573L) * 2654435761L % 1048573L
+    val m2 = (id % 1048289L) * 97002529L % 1048289L
+    val ax = 1 + m1 % 251L
+    val bx = 1 + (m1 / 251L) % 251L
+    val ay = 2 + m2 % 251L
+    val axy = (m2 / 251L) % 251L
+    val c0 = (m1 + m2) % 251L
+    val base = ((ax * x + bx * x * x + ay * y + axy * x * y + c0) % 251L).toInt
     val noise = if (v == 1 && (x + 3L * y + id) % 11 == 0) 2 else 0
     base + noise
   }
@@ -564,10 +579,18 @@ object Multimodal {
     * quadratic walk (mod 1999, recentred to ±999 so it always fits
     * 16-bit PCM) plus a sparse +1 perturbation on the v=1 re-encode —
     * energy gradients survive it, exact sample values do not. Closed
-    * form so the oracle recomputes every PCM sample from (id, v, i). */
+    * form so the oracle recomputes every PCM sample from (id, v, i).
+    * Same wide-entropy coefficient mix as [[patternGray]] (the m7
+    * fingerprint space must scale with the corpus, not saturate at a
+    * few hundred envelope families). */
   private[multimodal] def patternSample(id: Long, v: Int, i: Int): Int = {
     val u = i / 4
-    val base = (((3 + id % 11) * u + (1 + id % 7) * u * u + (id % 5) * i) % 1999).toInt - 999
+    val m1 = (id % 1048573L) * 2654435761L % 1048573L
+    val m2 = (id % 1048289L) * 97002529L % 1048289L
+    val a = 3 + m1 % 997L
+    val b = 1 + (m1 / 997L) % 997L
+    val c = m2 % 997L
+    val base = ((a * u + b * u * u + c * i) % 1999L).toInt - 999
     val noise = if (v == 1 && (i + id) % 17 == 0) 1 else 0
     base + noise
   }

@@ -152,10 +152,14 @@ object MediaOracles {
         s" THEN CAST('$p' AS HUGEINT) ELSE CAST('0' AS HUGEINT) END"
     }).mkString("\n      + ")
     s"""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id % 4 = 0),
-       |par AS (
-       |  SELECT id, unnest([0, 1]) AS v, 1 + id % 7 AS ax, 1 + id % 3 AS bx,
-       |    2 + id % 11 AS ay, id % 5 AS axy, id % 13 AS c0
+       |mx AS (SELECT id,
+       |    (id % 1048573) * 2654435761 % 1048573 AS m1,
+       |    (id % 1048289) * 97002529 % 1048289 AS m2
        |  FROM ids),
+       |par AS (
+       |  SELECT id, unnest([0, 1]) AS v, 1 + m1 % 251 AS ax, 1 + (m1 // 251) % 251 AS bx,
+       |    2 + m2 % 251 AS ay, (m2 // 251) % 251 AS axy, (m1 + m2) % 251 AS c0
+       |  FROM mx),
        |h AS (
        |  SELECT id * 2 + v AS media_id,
        |    ($bitTerms) AS uh
@@ -197,10 +201,15 @@ object MediaOracles {
     val pows = (0 until 64).map(f => s"CAST('${BigInt(1) << f}' AS HUGEINT)").mkString(", ")
     s"""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id % 4 = 1),
        |par AS (SELECT id, unnest([0, 1]) AS v FROM ids),
-       |smp AS (SELECT id, v, unnest(range(${graft.multimodal.Multimodal.AudioSamples})) AS i FROM par),
+       |mx AS (SELECT id, v,
+       |    (id % 1048573) * 2654435761 % 1048573 AS m1,
+       |    (id % 1048289) * 97002529 % 1048289 AS m2
+       |  FROM par),
+       |smp AS (SELECT id, v, m1, m2,
+       |    unnest(range(${graft.multimodal.Multimodal.AudioSamples})) AS i FROM mx),
        |sv AS (SELECT id, v, i // 4 AS f,
-       |    ((3 + id % 11) * (i // 4) + (1 + id % 7) * (i // 4) * (i // 4)
-       |      + (id % 5) * i) % 1999 - 999
+       |    ((3 + m1 % 997) * (i // 4) + (1 + (m1 // 997) % 997) * (i // 4) * (i // 4)
+       |      + (m2 % 997) * i) % 1999 - 999
        |      + CASE WHEN v = 1 AND (i + id) % 17 = 0 THEN 1 ELSE 0 END AS s
        |  FROM smp),
        |en AS (SELECT id, v, f, CAST(sum(s * s) AS BIGINT) AS e FROM sv GROUP BY 1, 2, 3),

@@ -433,4 +433,19 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val pix = Multimodal.downsampleImage2x(recs).collect()
     assert(pix.nonEmpty && pix.forall(_.media_id == 5L), "only the intact BMP downsamples")
   }
+
+  test("fixture fingerprint diversity scales with id count (no family saturation)") {
+    import spark.implicits._
+    // 2000 ids spanning a scaled-up id range (the ScaleUp stride pattern):
+    // the wide-entropy coefficient mix must give ~all-distinct hashes —
+    // the round-9 residue coefficients saturated at ~15k image families
+    // and made the sf1 m6/m7 pair output quadratic in the duplication
+    val ids = (0 until 2000).map(i => (i % 10) * 1000000L + i / 10 * 4L)
+    val imgs = ids.map(id => Multimodal.packImagePairById(id).head).toDS()
+    val nImg = Multimodal.imageDHash(imgs).collect().map(_.dhash).distinct.length
+    assert(nImg >= 1990, s"image hash diversity $nImg/2000")
+    val wavs = ids.map(id => Multimodal.packAudioPairById(id).head).toDS()
+    val nWav = Multimodal.audioFingerprint(wavs).collect().map(_.afp).distinct.length
+    assert(nWav >= 1990, s"audio fp diversity $nWav/2000")
+  }
 }
