@@ -578,6 +578,13 @@ object Ann {
     struct(idC.as("id"), dv.as("dv"), norm(dv).as("na"))
   }
 
+  /** [[memberStruct]] plus the population side — carried through the one
+    * bucket agg so cross-side pair generation needs no second shuffle. */
+  private def sideMemberStruct(idC: Column, vecC: Column, sideC: Column): Column = {
+    val dv = transform(vecC, _.cast("double"))
+    struct(idC.as("id"), dv.as("dv"), norm(dv).as("na"), sideC.as("side"))
+  }
+
   /** Exploded in-bucket candidate pairs (id1 < id2, sim) from a grouped
     * frame carrying `members: array<struct<id,dv,na>>`. The sorted array
     * is materialized as its OWN projection stage first: referencing
@@ -793,10 +800,19 @@ object Ann {
       .otherwise(dot(col("_av"), col("_bv")) / (col("_na") * col("_nb")))
     val pairs = a.join(broadcast(b), "_k")
       .select(col("a_id"), col("b_id"), round(sim, 6).as("sim"))
-    // one pass over the scored pairs: rank + top-k sum/count ride the SAME
-    // per-side partitioning (two Window ops per exchange, zero groupBy
-    // branches) — the old 3-branch form (rank, aAgg, bAgg, join back)
-    // recomputed the full pair pipeline per branch.
+    marginTail(pairs, k, minMargin)
+  }
+
+  /** Mutual-top-1 + margin ranking over scored `(a_id, b_id, sim)` rows —
+    * the tail shared by the exact ([[marginBitextMine]]) and candidate-path
+    * ([[marginBitextMineLsh]]) forms: rank + top-k sum/count ride the SAME
+    * per-side partitioning (two Window ops per exchange, zero groupBy
+    * branches — a 3-branch rank/aAgg/bAgg/join-back form would recompute
+    * the full pair pipeline per branch). `sim` must already be the
+    * 6-dp-rounded engine-stable rank key; top-k means sum it as DECIMAL
+    * (exact, order-free) so margins replay bit-identically in SQL. */
+  private def marginTail(pairs: DataFrame, k: Int, minMargin: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wa = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
     val wb = Window.partitionBy("b_id").orderBy(col("sim").desc, col("a_id").asc)
     val pa = Window.partitionBy("a_id")
@@ -814,5 +830,68 @@ object Ann {
         round(col("sim") / (lit(0.5) * (col("_sa") / col("_na") + col("_sb") / col("_nb"))), 6))
       .filter(col("margin") >= minMargin)
       .select(col("a_id"), col("b_id"), col("sim"), col("margin"))
+  }
+
+  /**
+   * Candidate-path margin bitext mining — the scale form of
+   * [[marginBitextMine]], and the registered/benched headline since round
+   * 10: candidate (a, b) pairs come from the multi-table hyperplane-LSH
+   * index (the l10/l11 plane family — table t on plane slice t·nPlanes,
+   * bucket keys tagged `t << nPlanes`) instead of the exact cross
+   * product, and mutual-top-1 + margin rank ONLY the retrieved lists.
+   * That is exactly the Artetxe & Schwenk 2019 construction: in the
+   * paper, margins are computed over FAISS-retrieved k-NN lists, never
+   * over all |A|·|B| pairs — the exact form is the small-corpus oracle,
+   * not the production shape.
+   *
+   * Scale shape: one explode (nTables rows per vector), one shuffle on
+   * bucket, capped in-bucket cross-SIDE pair generation (a bucket larger
+   * than `maxBucketSize` yields no pairs rather than an O(bucket²)
+   * blow-up, observable via `dropStats`), then the shared window tail.
+   * Pair volume is bounded by nTables · cap²/4 per bucket — never
+   * all-pairs. Raise nPlanes as the corpus grows (bucket occupancy ~
+   * corpus/2^nPlanes), nTables buys recall back, exactly as documented on
+   * [[embeddingNearDups]]. Cross-checked against the exact form on
+   * planted alignments in AnnSpec; the candidate set is replayed in SQL
+   * by LshOracles.marginBitextLshSql with literal plane coefficients.
+   */
+  def marginBitextMineLsh(df: DataFrame, vecCol: String, idCol: String,
+      sideCol: Column, k: Int = 4, minMargin: Double = 1.0,
+      nPlanes: Int = 8, nTables: Int = 8, maxBucketSize: Int = 2000,
+      dropStats: Option[DropStats] = None): DataFrame = {
+    require(nPlanes > 0 && nTables > 0 && nPlanes + ceilLog2(nTables) <= 62,
+      s"table tag (nTables=$nTables) must fit above $nPlanes bucket bits in a long")
+    val spark = df.sparkSession
+    val tagged = (0 until nTables).map { t =>
+      lit(t.toLong << nPlanes).bitwiseOR(
+        HyperplaneBucket.bucketCol(spark, "vec", nPlanes, t * nPlanes))
+    }
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        sideCol.cast("long").as("side"))
+      .withColumn("m", sideMemberStruct(col("id"), col("vec"), col("side")))
+      .withColumn("bucket", explode(array(tagged: _*)))
+    val grouped = b.groupBy("bucket")
+      .agg(collect_list(col("m")).as("members"))
+    val buckets = Dedup.observeDrops(grouped, "members", maxBucketSize, dropStats)
+      .filter(size(col("members")).between(2, maxBucketSize))
+    // side split as its OWN projection stage (bound attributes — filter()
+    // referenced from inside the pair lambda would re-scan the members
+    // array once per outer element; no CSE in lambda bodies)
+    val pairs = buckets
+      .select(filter(col("members"), m => m.getField("side") === 0).as("ma"),
+              filter(col("members"), m => m.getField("side") === 1).as("mb"))
+      .filter(size(col("ma")) > 0 && size(col("mb")) > 0)
+      .select(explode(flatten(transform(col("ma"), a =>
+        transform(col("mb"), bb => {
+          val d = dot(a.getField("dv"), bb.getField("dv"))
+          val sim = when(a.getField("na") === 0 || bb.getField("na") === 0, lit(0.0))
+            .otherwise(d / (a.getField("na") * bb.getField("na")))
+          struct(a.getField("id").as("a_id"), bb.getField("id").as("b_id"),
+            sim.as("sim"))
+        })))).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        round(col("p.sim"), 6).as("sim"))
+      .distinct() // pairs found by several tables collapse (same sim bits)
+    marginTail(pairs, k, minMargin)
   }
 }

@@ -384,34 +384,21 @@ object AnnQueries {
              |  sim AS cosine_sim, CAST(rank AS BIGINT) AS rank
              |FROM r WHERE rank <= 5""".stripMargin)),
 
-    // margin-based bitext mining (Artetxe & Schwenk): mutual top-1 pairs
-    // across the label-parity split, margin = sim / mean(top-4 sims of
-    // both endpoints) — the hub-suppressing criterion; DECIMAL-exact
-    // top-k means so margins replay bit-identically
+    // margin-based bitext mining (Artetxe & Schwenk), CANDIDATE-PATH form
+    // (the benched headline since round 10 — the r9 verdict's task 3: the
+    // registered exact cross-pair form enumerated |A|·|B| pairs, 206 s =
+    // quadratic OUTPUT at sf1; the paper itself scores FAISS-retrieved
+    // k-NN lists, never all pairs): mutual top-1 + margin over multi-table
+    // LSH candidates (the l10/l11 plane family), margin = sim / mean(top-4
+    // retrieved sims of both endpoints). The exact form lives on as
+    // Ann.marginBitextMine, cross-checked on planted alignments vs this
+    // path in AnnSpec; DECIMAL-exact top-k means replay bit-identically
     "l84_bitext_margin" -> Q(
-      (s, dir) => Ann.marginBitextMine(td(s, dir, "embeddings"),
-        "embedding", "vec_id", col("label") % 2, k = 4, minMargin = 1.0),
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label % 2 AS side
-             |  FROM embeddings),
-             |a AS (SELECT vec_id AS a_id, v FROM e WHERE side = 0),
-             |b AS (SELECT vec_id AS b_id, v FROM e WHERE side = 1),
-             |p AS (SELECT a_id, b_id,
-             |    round(list_dot_product(a.v, b.v)
-             |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
-             |  FROM a CROSS JOIN b),
-             |r AS (SELECT a_id, b_id, sim,
-             |    row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS ra,
-             |    row_number() OVER (PARTITION BY b_id ORDER BY sim DESC, a_id) AS rb
-             |  FROM p),
-             |aa AS (SELECT a_id, CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) AS sa,
-             |    CAST(count(*) AS BIGINT) AS na FROM r WHERE ra <= 4 GROUP BY 1),
-             |bb AS (SELECT b_id, CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) AS sb,
-             |    CAST(count(*) AS BIGINT) AS nb FROM r WHERE rb <= 4 GROUP BY 1)
-             |SELECT r.a_id, r.b_id, r.sim,
-             |  round(r.sim / (0.5 * (sa / na + sb / nb)), 6) AS margin
-             |FROM r JOIN aa USING (a_id) JOIN bb USING (b_id)
-             |WHERE ra = 1 AND rb = 1
-             |  AND round(r.sim / (0.5 * (sa / na + sb / nb)), 6) >= 1.0""".stripMargin)),
+      (s, dir) => Ann.marginBitextMineLsh(td(s, dir, "embeddings"),
+        "embedding", "vec_id", col("label") % 2, k = 4, minMargin = 1.0,
+        nPlanes = 9, nTables = 8, maxBucketSize = 2000),
+      Some(LshOracles.marginBitextLshSql(nPlanes = 9, dim = 64, k = 4,
+        cap = 2000, nTables = 8, minMargin = 1.0))),
 
     // REAL multimodal decode: per-id real BMP/WAV containers built with
     // every header field a function of the id, parsed back by the pure-JVM

@@ -523,4 +523,39 @@ object LshOracles {
        |       ELSE 'unique' END AS verdict,
        |  COALESCE(e.keeper, near.keeper) AS dup_of
        |FROM nb LEFT JOIN e USING (doc_id) LEFT JOIN near USING (doc_id)""".stripMargin
+
+  /** Exact twin of [[graft.llm.Ann.marginBitextMineLsh]] over `embeddings`
+    * with sides = label % 2 — the candidate-path l84. Multi-table arms
+    * replay the literal-coefficient hyperplane buckets (tag `t << nPlanes`,
+    * plane slice t·nPlanes — same as [[embeddingNearDupsSql]]), capped
+    * buckets yield cross-SIDE pairs only, then the same mutual-top-1 +
+    * DECIMAL-exact margin tail as the exact-form l84 oracle. */
+  def marginBitextLshSql(nPlanes: Int, dim: Int, k: Int, cap: Int,
+                         nTables: Int, minMargin: Double): String = {
+    val arms = (0 until nTables).map { t =>
+      s"SELECT vec_id, v, side, ${t.toLong << nPlanes} + ${bucketSql("v", nPlanes, dim, t * nPlanes)} AS bucket FROM e"
+    }.mkString("\n UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label % 2 AS side
+       |  FROM embeddings),
+       |b AS ($arms),
+       |cnt AS (SELECT bucket, count(*) AS nb FROM b GROUP BY 1),
+       |ok AS (SELECT b.vec_id, b.v, b.side, b.bucket FROM b JOIN cnt USING (bucket)
+       |  WHERE cnt.nb BETWEEN 2 AND $cap),
+       |p AS (SELECT DISTINCT a.vec_id AS a_id, c.vec_id AS b_id,
+       |    round(${cosSql("a.v", "c.v")}, 6) AS sim
+       |  FROM ok a JOIN ok c ON a.bucket = c.bucket AND a.side = 0 AND c.side = 1),
+       |r AS (SELECT a_id, b_id, sim,
+       |    row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS ra,
+       |    row_number() OVER (PARTITION BY b_id ORDER BY sim DESC, a_id) AS rb
+       |  FROM p),
+       |aa AS (SELECT a_id, CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) AS sa,
+       |    CAST(count(*) AS BIGINT) AS na FROM r WHERE ra <= $k GROUP BY 1),
+       |bb AS (SELECT b_id, CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) AS sb,
+       |    CAST(count(*) AS BIGINT) AS nb FROM r WHERE rb <= $k GROUP BY 1)
+       |SELECT r.a_id, r.b_id, r.sim,
+       |  round(r.sim / (0.5 * (sa / na + sb / nb)), 6) AS margin
+       |FROM r JOIN aa USING (a_id) JOIN bb USING (b_id)
+       |WHERE ra = 1 AND rb = 1
+       |  AND round(r.sim / (0.5 * (sa / na + sb / nb)), 6) >= $minMargin""".stripMargin
+  }
 }

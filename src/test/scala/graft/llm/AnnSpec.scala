@@ -207,6 +207,48 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(out.forall(_._3 > 1.0), s"planted pairs clear the margin: ${out.toSeq}")
   }
 
+  test("marginBitextMineLsh: candidate path recovers the exact form's planted pairs") {
+    // aligned pairs are near-identical across sides (cos > 0.999, so every
+    // hyperplane agrees on them in every table — retrieval is certain),
+    // plus a hub vector close to everything; the candidate path must
+    // reproduce the exact form's mutual-top-1 + margin output on them
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    val e = (0L until 12L).flatMap { i =>
+      val v = base.zipWithIndex.map { case (x, d) =>
+        x + 0.3f * math.sin(i * 2.7 + d).toFloat }
+      val vb = v.map(_ + 1e-4f)
+      Seq((i, v, 0), (100L + i, vb, 1))
+    }.toDF("vec_id", "embedding", "label")
+    val exact = Ann.marginBitextMine(e, "embedding", "vec_id",
+        org.apache.spark.sql.functions.col("label"), k = 4, minMargin = 1.0)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val lsh = Ann.marginBitextMineLsh(e, "embedding", "vec_id",
+        org.apache.spark.sql.functions.col("label"), k = 4, minMargin = 1.0,
+        nPlanes = 4, nTables = 4, maxBucketSize = 100)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    // every aligned (i, 100+i) pair is mutual top-1 on both paths with the
+    // same sim; margins may differ (the candidate top-4 mean sees fewer
+    // rows), so compare ids + sims
+    val exactPairs = exact.map(r => (r._1, r._2, r._3))
+    val lshPairs = lsh.map(r => (r._1, r._2, r._3))
+    assert(exactPairs.nonEmpty && exactPairs.forall { case (a, b, _) => b == 100L + a })
+    assert(lshPairs == exactPairs,
+      s"exact=${exactPairs.toSeq.sorted} lsh=${lshPairs.toSeq.sorted}")
+  }
+
+  test("marginBitextMineLsh: over-cap bucket yields no pairs and fires dropStats") {
+    val same = Seq.tabulate(6)(i =>
+      (i.toLong, Array(1f, 0f, 0f, 0f), (i % 2))).toDF("vec_id", "embedding", "label")
+    val st = graft.llm.DropStats(spark, "bitext_drops")
+    val out = Ann.marginBitextMineLsh(same, "embedding", "vec_id",
+      org.apache.spark.sql.functions.col("label"), k = 2, minMargin = 0.0,
+      nPlanes = 3, nTables = 1, maxBucketSize = 5, dropStats = Some(st))
+    assert(out.count() === 0L)
+    assert(st.buckets === 1L)
+    assert(st.rows === 6L)
+  }
+
   test("matryoshkaEval: full dim is identity recall; informative prefix survives truncation") {
     import org.apache.spark.sql.functions.col
     // vectors whose FIRST 2 dims carry all the structure (the MRL training
