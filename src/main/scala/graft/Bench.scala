@@ -21,7 +21,9 @@ import org.apache.spark.sql.SparkSession
  *     3-decimal seconds. With full names the line never fit the window —
  *     every prior round's driver-side parse came back null.
  *  2. a full JSON artifact (COMPLETE record: full query names,
- *     full-precision per-rep seconds, per-rep GC-time deltas, run
+ *     full-precision per-rep seconds, per-rep GC-time deltas, per-query
+ *     shuffle read/write + spill bytes via [[graft.tools.ShuffleTelemetry]]
+ *     — the measured-bytes side of the 100 TB shuffle audit, run
  *     provenance). Artifact provenance is pinned by PATH (round 9 —
  *     the round-8 driver run silently overwrote the committed round-close
  *     artifact, 141.3 s vs 174.3 s, and the working tree read as doc
@@ -153,13 +155,23 @@ object Bench {
     // queries (median-correctable) instead of all reps of one query.
     val repSec = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     val repGc  = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Long]]
+    // per-rep shuffle/spill byte deltas (round 10): measured bytes, not plan
+    // shapes, back the 100 TB shuffle-volume audit in PERF.md. One query
+    // runs at a time and the listener bus is drained before each snapshot,
+    // so a delta is attributable to exactly one (query, rep).
+    val repShuffle = scala.collection.mutable.LinkedHashMap.empty[String, Vector[graft.tools.ShuffleTelemetry.Snap]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    names.foreach { n => repSec += n -> Vector.empty; repGc += n -> Vector.empty }
+    names.foreach { n =>
+      repSec += n -> Vector.empty; repGc += n -> Vector.empty
+      repShuffle += n -> Vector.empty
+    }
+    val telemetry = new graft.tools.ShuffleTelemetry(spark.sparkContext)
     var pass = 0
     while (pass < reps) {
       names.foreach { name =>
         if (!errors.contains(name)) {  // a failed query stays failed; skip its later passes
           val fn = SparkEntry.queries(name)
+          val sh0 = telemetry.snapshot()
           val gc0 = gcMillis()
           val t0 = System.nanoTime()
           try {
@@ -168,6 +180,7 @@ object Bench {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             repSec(name) :+= (System.nanoTime() - t0) / 1e9
             repGc(name)  :+= (gcMillis() - gc0)
+            repShuffle(name) :+= (telemetry.snapshot() - sh0)
           } catch {
             case e: Throwable =>
               errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
@@ -198,12 +211,20 @@ object Bench {
 
     // full-fidelity artifact: complete names, every rep, gc telemetry;
     // partial (errored-later) queries carry their reps flagged, outside the headline
-    def qEntry(k: String, v: Vector[Double], gc: Vector[Long], partial: Boolean): String =
+    def qEntry(k: String, v: Vector[Double], gc: Vector[Long], partial: Boolean): String = {
+      // shuffle bytes are plan-determined (stable across reps modulo AQE),
+      // so the artifact carries the per-rep MAX of each counter — one number
+      // per query per counter, honest about the worst rep
+      val sh = repShuffle.getOrElse(k, Vector.empty)
+      val shJson = if (sh.isEmpty) "" else
+        ",\"shuffle_rw_bytes\":[" + sh.map(_.readBytes).max + "," + sh.map(_.writeBytes).max + "]" +
+        ",\"spill_bytes\":[" + sh.map(_.memSpillBytes).max + "," + sh.map(_.diskSpillBytes).max + "]"
       "\"" + jsonEscape(k) + "\":{\"sec\":" + f"${median(v)}%.6f" +
         ",\"min\":" + f"${v.min}%.6f" + ",\"max\":" + f"${v.max}%.6f" +
         ",\"reps\":" + v.map(x => f"$x%.6f").mkString("[", ",", "]") +
-        ",\"gc_ms\":" + gc.mkString("[", ",", "]") +
+        ",\"gc_ms\":" + gc.mkString("[", ",", "]") + shJson +
         (if (partial) ",\"partial\":true" else "") + "}"
+    }
     val fullQs = (
       repSec.map { case (k, v) => qEntry(k, v, repGc(k), partial = false) } ++
       partialSec.map { case (k, v) => qEntry(k, v, partialGc(k), partial = true) }

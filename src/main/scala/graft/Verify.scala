@@ -47,6 +47,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // twin manifest (round 10): each no-oracle row → its oracled portable
+    // twin, so the driver's correctness artifact self-documents that every
+    // `no_oracle` row is adjudicated by a green exact twin (previously
+    // COVERAGE.md prose). Written BOTH next to the dump and to the tracked
+    // bench/TWINS.json (content is registry-derived and deterministic, so
+    // driver re-runs never dirty git).
+    val twinsJson = graft.queries.Registry.twins.toSeq.sorted
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/twins.json"), twinsJson)
+    try Files.writeString(Paths.get("bench/TWINS.json"), twinsJson)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] could not write bench/TWINS.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

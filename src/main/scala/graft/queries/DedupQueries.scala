@@ -87,7 +87,7 @@ object DedupQueries {
     "l5_minhash_lsh_pairs" -> Q(
       (s, dir) => Dedup.minhashCandidatePairs(
         td(s, dir, "documents"), "text", "doc_id", shingleSize = 3, k = 32, bands = 16),
-      None),
+      None, twin = Some("l5p_minhash_lsh_pairs_portable")),
 
     // portable-family twin of l5: identical staged pipeline, md5-derived
     // universal hashes → the ENTIRE LSH pipeline (shingle, sign, band,
@@ -103,7 +103,7 @@ object DedupQueries {
       (s, dir) => Dedup.nearDupPairs(
         td(s, dir, "documents"), "text", "doc_id",
         threshold = 0.5, shingleSize = 3, k = 32, bands = 16),
-      None),
+      None, twin = Some("l6p_ngram_jaccard_neardups_portable")),
 
     // portable-family twin of l6: candidates + Jaccard verify, both
     // reproduced exactly in the oracle (Jaccard over the same md5 shingle
@@ -124,7 +124,7 @@ object DedupQueries {
     "l7_simhash_neardups" -> Q(
       (s, dir) => Dedup.simhashNearDups(
         td(s, dir, "documents"), "text", "doc_id", maxHamming = 3, blocks = 4),
-      None),
+      None, twin = Some("l7p_simhash_neardups_portable")),
 
     // portable twin of l7: same vote/block/hamming pipeline over md5-derived
     // 60-bit token hashes a DuckDB CTE chain replays exactly
@@ -139,7 +139,7 @@ object DedupQueries {
       (s, dir) => Dedup.nearDupClusters(
         Dedup.minhashCandidatePairs(td(s, dir, "documents"), "text", "doc_id",
           shingleSize = 3, k = 32, bands = 16)),
-      None),
+      None, twin = Some("l13p_neardup_clusters_portable")),
 
     // portable-family twin of l13: connected components over the SAME
     // candidate graph the oracle derives (recursive-CTE reachability)
@@ -153,7 +153,7 @@ object DedupQueries {
     "l8_doc_fingerprint" -> Q(
       (s, dir) => td(s, dir, "documents").select(
         col("doc_id"), TextOps.docFingerprint(col("text")).as("fingerprint")),
-      None),
+      None, twin = Some("l8p_doc_fingerprint_portable")),
 
     // portable twin of l8: same order-sensitive fold with modular
     // arithmetic a DuckDB recursive CTE replays exactly

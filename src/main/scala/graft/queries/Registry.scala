@@ -25,11 +25,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *              plan. Plan-only tooling (PlanAuditSpec) skips eager queries —
  *              calling their `fn` would execute jobs and mutate fixture
  *              dirs, not just build a plan.
+ * @param twin  for a no-oracle row (an xxhash64-family scale path whose
+ *              hash function DuckDB cannot replay): the name of the
+ *              registered row that runs the IDENTICAL pipeline with a
+ *              portable (md5-derived) hash family and IS oracled — the
+ *              machine-readable adjudication the round artifact carries in
+ *              `TWINS.json` (round 10; previously this mapping lived only
+ *              in COVERAGE.md prose). RegistrySpec enforces every twin
+ *              target exists and has an oracle.
  */
 final case class Q(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None,
-    eager: Boolean = false)
+    eager: Boolean = false,
+    twin: Option[String] = None)
 
 object Registry {
 
@@ -73,5 +82,9 @@ object Registry {
     all.map { case (n, q) => n -> q.fn }.toMap
 
   lazy val oracleSql: Map[String, String] =
-    all.collect { case (n, Q(_, Some(sql), _)) => n -> sql }.toMap
+    all.collect { case (n, q) if q.oracle.isDefined => n -> q.oracle.get }.toMap
+
+  /** no-oracle row → its oracled portable twin (see [[Q.twin]]). */
+  lazy val twins: Map[String, String] =
+    all.collect { case (n, q) if q.twin.isDefined => n -> q.twin.get }.toMap
 }

@@ -71,10 +71,19 @@ object StatQueries {
     // DuckDB oracle CAN verify: it recomputes the exact count and expects
     // the flag true. The sketch still runs; a drifted estimate flips the
     // flag and fails the row.
+    //
+    // Aggregate over the DISTINCT frame, not the raw one (round 10): with
+    // countDistinct + HLL in ONE agg, Spark's distinct rewrite grouped the
+    // partial HLL by l_partkey — a 410-word sketch shuffled PER KEY (3.3 KB
+    // × every distinct partkey; explains/a15 r9:24). HLL depends only on
+    // the SET of hashed values, so dedup-first is estimate-identical, and
+    // the partial sketch count drops from |keys| to |partitions| — rsd 0.02
+    // costs 3.3 KB × 32 partitions, which is why it can stay at the
+    // tighter-than-default width.
     "a15_approx_distinct_sketch" -> Q(
       (s, dir) => {
-        val out = td(s, dir, "lineitem").agg(
-          countDistinct(col("l_partkey")).cast("long").as("exact"),
+        val out = td(s, dir, "lineitem").select("l_partkey").distinct().agg(
+          count(lit(1)).cast("long").as("exact"),
           approx_count_distinct(col("l_partkey"), 0.02).cast("long").as("approx"))
           .withColumn("within_5pct",
             abs(col("approx") - col("exact")).cast("double") / col("exact") <= 0.05)

@@ -41,6 +41,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assertNoNestedLoops(Registry.all.filter(_._2.eager))
   }
 
+  test("every no-oracle row declares an oracled twin, and twins resolve") {
+    val byName = Registry.all.toMap
+    // the twin map is total over no-oracle rows: a new hash-family scale
+    // path can't be registered without a machine-checkable adjudication
+    val orphans = Registry.all.collect {
+      case (n, q) if q.oracle.isEmpty && q.twin.isEmpty => n
+    }
+    assert(orphans.isEmpty, s"no-oracle rows without a twin: $orphans")
+    Registry.twins.foreach { case (src, tgt) =>
+      assert(byName.contains(tgt), s"$src: twin $tgt is not registered")
+      assert(byName(tgt).oracle.isDefined, s"$src: twin $tgt has no oracle")
+      assert(byName(src).oracle.isEmpty, s"$src declares a twin but is itself oracled")
+    }
+  }
+
   test("the eager (audit-exempt) set is exactly the documented one") {
     // a new query must not silently dodge the audit by setting eager=true:
     // additions to this set need a construction-time action and a review
