@@ -106,8 +106,16 @@ object CasPublish {
    * publisher committed — system-wide progress is guaranteed).
    */
   def publish(spark: SparkSession, df: DataFrame, root: String, name: String,
-              maxAttempts: Int = 10): CasResult = {
-    val st = store(root, name)
+              maxAttempts: Int = 10): CasResult =
+    publishWith(spark, df, root, name, store(root, name), maxAttempts)
+
+  /** [[publish]] against an injected [[PointerStore]] — the seam for real
+    * object-store backends AND for fault-model tests (PublishSpec injects
+    * list-after-write lag and put-if-absent races the POSIX FileStore
+    * cannot exhibit, proving the loop converges with one winner per
+    * generation under eventual-consistency listings). */
+  def publishWith(spark: SparkSession, df: DataFrame, root: String, name: String,
+                  st: PointerStore, maxAttempts: Int = 10): CasResult = {
     val token = java.util.UUID.randomUUID().toString.take(12)
     val dataName = s"${name}_d_$token"
     val dataPath = s"$root/$dataName"

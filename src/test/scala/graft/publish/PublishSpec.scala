@@ -147,6 +147,84 @@ class PublishSpec extends AnyFunSuite with SparkTestBase {
     } finally pool.shutdownNow()
   }
 
+  test("CAS publish under list-after-write lag: stale heads delay, never double-commit") {
+    // object-store fault model the POSIX FileStore can't exhibit: listings
+    // lag puts (eventual consistency); per-gen reads stay read-after-write
+    val root = freshRoot()
+    val st = new LaggyStore(lagReads = 3)
+    val r1 = CasPublish.publishWith(spark, Seq((1L, "a")).toDF("id", "v"), root, "t", st)
+    assert(r1.published && r1.generation === 1)
+    // different content, stale listing: head reads 0 until the lag drains,
+    // so putIfAbsent(1) keeps losing to the existing manifest — the loop
+    // must retry THROUGH the lag and land at gen 2, never re-commit gen 1
+    val r2 = CasPublish.publishWith(spark, Seq((1L, "b")).toDF("id", "v"), root, "t", st)
+    assert(r2.published && r2.generation === 2,
+      s"converges to the next free generation: $r2")
+    assert(r2.attempts === 3, s"retried through the 3-listing lag: $r2")
+    assert(st.committedCount === 2, "exactly one manifest per generation")
+  }
+
+  test("CAS publish under lag: identical content converges to skip, not a duplicate generation") {
+    val root = freshRoot()
+    val st = new LaggyStore(lagReads = 2)
+    val same = Seq((1L, "same")).toDF("id", "v")
+    assert(CasPublish.publishWith(spark, same, root, "t", st).published)
+    val r = CasPublish.publishWith(spark, same, root, "t", st)
+    // while the listing lags, the diff gate can't see the winner — the
+    // conditional put keeps failing until visibility catches up, and THEN
+    // the gate sees identical content and skips (no phantom generation)
+    assert(!r.published && r.generation === 1, s"skips once the head is visible: $r")
+    assert(st.committedCount === 1)
+    // the skip dropped its staged dir: only the winner's data dir remains
+    val dataDirs = new java.io.File(root).listFiles().map(_.getName).filter(_.startsWith("t_d_"))
+    assert(dataDirs.length === 1, s"staged dir of the skip was dropped: ${dataDirs.toSeq}")
+  }
+
+  test("CAS publish under lag: bounded retries fail loudly and drop the staged dir") {
+    val root = freshRoot()
+    val st = new LaggyStore(lagReads = 10)
+    assert(CasPublish.publishWith(spark, Seq((1L, "a")).toDF("id", "v"), root, "t", st).published)
+    val e = intercept[IllegalStateException] {
+      CasPublish.publishWith(spark, Seq((1L, "b")).toDF("id", "v"), root, "t", st,
+        maxAttempts = 3)
+    }
+    assert(e.getMessage.contains("lost 3 consecutive races"))
+    assert(st.committedCount === 1, "no partial commit")
+    val dataDirs = new java.io.File(root).listFiles().map(_.getName).filter(_.startsWith("t_d_"))
+    assert(dataDirs.length === 1, "the failed publisher's staged dir was dropped")
+  }
+
+  test("CAS publish: concurrent publishers over a lagging store — one winner per generation") {
+    val root = freshRoot()
+    val st = new LaggyStore(lagReads = 2)
+    assert(CasPublish.publishWith(spark, Seq((0L, "base")).toDF("id", "v"), root, "t", st).published)
+    val contents = (1 to 3).map(i => Set((i.toLong, s"writer$i")))
+    val dfs = contents.map(c => c.toSeq.toDF("id", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val futures = dfs.map(df => pool.submit(new java.util.concurrent.Callable[CasPublish.CasResult] {
+        def call(): CasPublish.CasResult =
+          CasPublish.publishWith(spark, df, root, "t", st, maxAttempts = 30)
+      }))
+      val results = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(results.forall(_.published), s"every distinct-content publisher lands: $results")
+      assert(results.map(_.generation).toSet === Set(2L, 3L, 4L),
+        "contiguous generations, one winner each, despite stale listings")
+      assert(st.committedCount === 4)
+      // no torn state: each committed generation maps to exactly one
+      // publisher's staged dir, readable in full
+      val seen = (2L to 4L).map { g =>
+        spark.read.parquet(s"$root/${laggyDataDir(st, g)}")
+          .as[(Long, String)].collect().toSet
+      }
+      assert(seen.toSet === contents.toSet)
+    } finally pool.shutdownNow()
+  }
+
+  /** Data-dir name from a LaggyStore manifest (mirrors CasPublish's parse). */
+  private def laggyDataDir(st: LaggyStore, gen: Long): String =
+    """"data":\s*"([^"]+)"""".r.findFirstMatchIn(st.read(gen)).get.group(1)
+
   test("tag templating (create_modify.py:525-711)") {
     assert(Publish.applyTags("{---a---}/{---b---}", Map("a" -> "x", "b" -> "y")) === "x/y")
     val meta = Publish.templateMetadata(
@@ -179,4 +257,47 @@ class PublishSpec extends AnyFunSuite with SparkTestBase {
       Publish.vacuumPlan(root, "fam", keepLast = 0, minAgeMs = 0L, nowMs = now)
     }
   }
+}
+
+/**
+ * Fault-injecting [[graft.publish.CasPublish.PointerStore]]: the
+ * object-store consistency model the POSIX FileStore cannot exhibit.
+ * Conditional puts are atomic (exactly one winner per generation — S3
+ * If-None-Match / GCS generation-match semantics) and per-generation reads
+ * are read-after-write, but LISTINGS lag: each committed generation stays
+ * invisible to `latestGen()` for `lagReads` subsequent listing calls —
+ * the classic list-after-write eventual consistency window.
+ */
+final class LaggyStore(lagReads: Int) extends graft.publish.CasPublish.PointerStore {
+  private val log = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+  private val pending =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.util.concurrent.atomic.AtomicInteger]()
+
+  def putIfAbsent(gen: Long, payload: String): Boolean = {
+    // register the visibility countdown BEFORE the put becomes readable in
+    // the log, so no listing can observe the commit with zero lag
+    val counter = new java.util.concurrent.atomic.AtomicInteger(lagReads)
+    pending.putIfAbsent(gen, counter)
+    val won = log.putIfAbsent(gen, payload) == null
+    if (!won && (pending.get(gen) eq counter)) pending.remove(gen, counter)
+    won
+  }
+
+  def latestGen(): Long = {
+    pending.forEach((_, c) => c.decrementAndGet())
+    var max = 0L
+    log.forEach { (g, _) =>
+      val p = pending.get(g)
+      if ((p == null || p.get() <= 0) && g > max) max = g
+    }
+    max
+  }
+
+  def read(gen: Long): String = {
+    val v = log.get(gen)
+    require(v != null, s"generation $gen not committed")
+    v
+  }
+
+  def committedCount: Int = log.size()
 }
