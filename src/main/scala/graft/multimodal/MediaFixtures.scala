@@ -1,0 +1,425 @@
+package graft.multimodal
+
+/**
+ * Deterministic REAL-container fixture builders (dev/test/oracle side of
+ * the multimodal family, split out of Multimodal.scala in round 10 — pure
+ * move, no behavior change): every generated header field and payload
+ * byte is a closed-form function of the id/seed, so external oracles can
+ * recompute the expected DECODE of each fixture without parsing anything.
+ */
+private[multimodal] trait MediaFixtures extends MediaContainers {
+
+  // ---- deterministic real-container generators (dev fixtures) ---------
+
+  /** A real 24bpp bottom-up BMP (54-byte header + padded pixel rows);
+    * pixel bytes from a seeded LCG — decoders must get dimensions from the
+    * HEADER, never from the payload length. */
+  private[multimodal] def bmpBytes(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val bb = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)                  // reserved, pixel offset
+    bb.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24)              // planes, bpp
+      .putInt(0).putInt(dataSize)            // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var x = seed * 6364136223846793005L + 1442695040888963407L
+    (0 until dataSize).foreach { _ =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      bb.put((x >>> 56).toByte)
+    }
+    bb.array()
+  }
+
+  /** A real PCM WAV (RIFF + fmt + data chunks), LCG-seeded samples. */
+  private[multimodal] def wavBytes(channels: Int, sampleRate: Int, bits: Int,
+                                   nSamples: Int, seed: Long): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0 && bits % 8 == 0 && nSamples >= 0)
+    val blockAlign = channels * bits / 8
+    val dataSize = nSamples * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                           // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign)       // byte rate
+      .putShort(blockAlign.toShort).putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var x = seed * 6364136223846793005L + 1442695040888963407L
+    (0 until dataSize).foreach { _ =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      bb.put((x >>> 56).toByte)
+    }
+    bb.array()
+  }
+
+  /** A real 24bpp bottom-up BMP whose pixels come from `f(x, y)` in
+    * TOP-DOWN coordinates (gray 0-255, written to all three channels) —
+    * the structured-content sibling of [[bmpBytes]] for perceptual-hash
+    * fixtures, where noise images would carry no gradients to hash. */
+  private[multimodal] def bmpPatternBytes(width: Int, height: Int,
+                                          f: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val bb = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    bb.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // bottom-up row order, 4-byte row padding, B=G=R=gray
+    var y = height - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val g = f(x, y).toByte
+        bb.put(g).put(g).put(g)
+        x += 1
+      }
+      var pad = rowSize - width * 3
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    bb.array()
+  }
+
+  /** dHash fixture side: 16×16 per-image size. */
+  val PatternDim = 16
+
+  /** Gray value of the structured dHash fixture at (x, y), top-down: a
+    * low-degree polynomial of the pixel position with id-derived
+    * coefficients (mod 251 keeps +noise below 256), plus a sparse +2
+    * perturbation on the v=1 variant — the "re-encoded copy" whose hash
+    * must land within a small Hamming radius of the v=0 original. Pure
+    * closed form so the oracle recomputes every sampled gray from
+    * (id, v, x, y) alone.
+    *
+    * Coefficient ENTROPY is deliberately wide (round-9 verdict task):
+    * two independent ~2²⁰ prime-modulus mixes of the FULL id (~2⁴⁰
+    * joint states, CRT-coprime so no id < 10¹² repeats a pair) instead
+    * of the old id%7/%3/%11/%5/%13 residues (15 015 image families) —
+    * at a ×100 corpus the old family count saturated, every fingerprint
+    * gained ~100 exact twins, and the m6 pair OUTPUT grew quadratically
+    * (a fixture artifact, not the engine). Products stay < 2⁵² — no
+    * wraparound, so the oracle replays in plain BIGINT arithmetic. */
+  private[multimodal] def patternGray(id: Long, v: Int, x: Int, y: Int): Int = {
+    val m1 = (id % 1048573L) * 2654435761L % 1048573L
+    val m2 = (id % 1048289L) * 97002529L % 1048289L
+    val ax = 1 + m1 % 251L
+    val bx = 1 + (m1 / 251L) % 251L
+    val ay = 2 + m2 % 251L
+    val axy = (m2 / 251L) % 251L
+    val c0 = (m1 + m2) % 251L
+    val base = ((ax * x + bx * x * x + ay * y + axy * x * y + c0) % 251L).toInt
+    val noise = if (v == 1 && (x + 3L * y + id) % 11 == 0) 2 else 0
+    base + noise
+  }
+
+  /** Two REAL BMPs per id: media_id = 2·id (original) and 2·id+1 (the
+    * perturbed re-encode) — the planted near-dup pair for m6. */
+  def packImagePairById(id: Long): Seq[MediaRecord] =
+    Seq(0, 1).map { v =>
+      MediaRecord(2 * id + v, "image",
+        bmpPatternBytes(PatternDim, PatternDim, (x, y) => patternGray(id, v, x, y)))
+    }
+
+  /** A real mono 16-bit PCM WAV whose samples come from `f(i)` — the
+    * structured-content sibling of [[wavBytes]] for the audio
+    * fingerprint fixtures. */
+  private[multimodal] def wavPatternBytes(nSamples: Int, f: Int => Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * nSamples)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * nSamples)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(2 * nSamples)
+    (0 until nSamples).foreach(i => bb.putShort(f(i).toShort))
+    bb.array()
+  }
+
+  /** m7 fixture length: (64+1) frames × 4 samples. */
+  val AudioSamples = 260
+
+  /** Channel-0 sample i of the audio-fingerprint fixture: a per-frame
+    * quadratic walk (mod 1999, recentred to ±999 so it always fits
+    * 16-bit PCM) plus a sparse +1 perturbation on the v=1 re-encode —
+    * energy gradients survive it, exact sample values do not. Closed
+    * form so the oracle recomputes every PCM sample from (id, v, i).
+    * Same wide-entropy coefficient mix as [[patternGray]] (the m7
+    * fingerprint space must scale with the corpus, not saturate at a
+    * few hundred envelope families). */
+  private[multimodal] def patternSample(id: Long, v: Int, i: Int): Int = {
+    val u = i / 4
+    val m1 = (id % 1048573L) * 2654435761L % 1048573L
+    val m2 = (id % 1048289L) * 97002529L % 1048289L
+    val a = 3 + m1 % 997L
+    val b = 1 + (m1 / 997L) % 997L
+    val c = m2 % 997L
+    val base = ((a * u + b * u * u + c * i) % 1999L).toInt - 999
+    val noise = if (v == 1 && (i + id) % 17 == 0) 1 else 0
+    base + noise
+  }
+
+  /** Two REAL WAVs per id: media_id = 2·id and 2·id+1 (the perturbed
+    * re-encode) — the planted near-dup pair for m7. */
+  def packAudioPairById(id: Long): Seq[MediaRecord] =
+    Seq(0, 1).map { v =>
+      MediaRecord(2 * id + v, "audio",
+        wavPatternBytes(AudioSamples, i => patternSample(id, v, i)))
+    }
+
+  /** Deterministic per-id media fixture: even ids → a real BMP, odd ids →
+    * a real PCM WAV, with every header field a pure function of the id —
+    * so an external oracle can assert the DECODED values from the id alone
+    * (a misparsed offset or endianness flips the comparison). */
+  def packMediaById(id: Long): MediaRecord =
+    if (id % 2 == 0)
+      MediaRecord(id, "image",
+        bmpBytes(width = 1 + (id % 16).toInt, height = 1 + (id % 9).toInt, seed = id))
+    else
+      MediaRecord(id, "audio",
+        wavBytes(channels = 1 + ((id >> 1) % 2).toInt,
+          sampleRate = 8000 * (1 + (id % 3).toInt),
+          bits = 8 * (1 + ((id >> 2) % 2).toInt),
+          nSamples = 1 + (id % 97).toInt, seed = id))
+
+  /** A real minimal PNG: signature, IHDR (13-byte payload, true CRC32),
+    * one LCG-filled IDAT, IEND. Every chunk carries its spec CRC — the
+    * validation path in [[decodePng]] has something real to check. */
+  private[multimodal] def pngBytes(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig, 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val arr = bb.array()
+      bb.putInt(crc32(arr, 4, 4 + data.length).toInt)
+      out.write(bb.array(), 0, arr.length)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.BIG_ENDIAN)
+      .putInt(width).putInt(height)
+      .put(8.toByte)   // bit depth
+      .put(2.toByte)   // color type: truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression, filter, interlace
+      .array()
+    chunk("IHDR", ihdr)
+    var x = seed
+    chunk("IDAT", Array.fill(16) {
+      x = x * 6364136223846793005L + 1442695040888963407L; (x >>> 56).toByte
+    })
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Corrupt a PNG's IHDR CRC in place (last CRC byte flipped) — the
+    * fixture for the must-reject validation path. */
+  private[multimodal] def corruptIhdrCrc(png: Array[Byte]): Array[Byte] = {
+    val b = png.clone()
+    val crcOff = 8 + 4 + 4 + 13 + 3 // sig, len, type, data, last CRC byte
+    b(crcOff) = (b(crcOff) ^ 0xff).toByte
+    b
+  }
+
+  /**
+   * Build real GIF89a bytes: little-endian logical screen descriptor,
+   * global color table, per-frame graphic-control extension + image
+   * descriptor with LZW data sub-blocks, 0x3B trailer. Odd frames carry
+   * a LOCAL color table and every frame ships TWO data sub-blocks, so a
+   * decoder that miscounts either skip is caught. (The GIF87a/89a layout
+   * is public — CompuServe 1989 spec / RFC-adjacent W3C note.)
+   */
+  private[multimodal] def gifBytes(width: Int, height: Int, gctBits: Int,
+                                   frames: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && gctBits >= 0 && gctBits <= 7 && frames >= 1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(width); le16(height)
+    out.write(0x80 | (1 << 4) | gctBits) // GCT flag, color res 1, size bits
+    out.write(0); out.write(0)           // bg index, aspect
+    var x = seed
+    def lcgByte(): Int = { x = x * 6364136223846793005L + 1442695040888963407L; (x >>> 56).toInt & 0xff }
+    (0 until 3 * (1 << (gctBits + 1))).foreach(_ => out.write(lcgByte()))
+    (0 until frames).foreach { f =>
+      out.write(0x21); out.write(0xf9); out.write(4)       // GCE
+      out.write(0); le16(10 * f); out.write(0); out.write(0)
+      out.write(0x2c)                                      // image descriptor
+      le16(0); le16(0); le16(width); le16(height)
+      val lct = f % 2 == 1
+      out.write(if (lct) 0x80 | 1 else 0)                  // LCT flag, 4 entries
+      if (lct) (0 until 3 * 4).foreach(_ => out.write(lcgByte()))
+      out.write(2)                                         // LZW min code size
+      out.write(3); out.write(lcgByte()); out.write(lcgByte()); out.write(lcgByte())
+      out.write(2); out.write(lcgByte()); out.write(lcgByte())
+      out.write(0)                                         // sub-block terminator
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** Deterministic per-id GIF fixture: every decoded field is a pure
+    * function of the id; `id % 11 == 0` ships a non-GIF payload
+    * (quarantine), `id % 7 == 0` (not quarantined) drops the 0x3B
+    * trailer — frames before the cut still count, the verdict flags. */
+  def packGifById(id: Long): MediaRecord = {
+    val payload =
+      if (id % 11 == 0) s"not a gif $id".getBytes("UTF-8")
+      else {
+        val g = gifBytes(width = 4 + (id % 12).toInt, height = 3 + (id % 9).toInt,
+          gctBits = (id % 3).toInt, frames = 1 + (id % 3).toInt, seed = id)
+        if (id % 7 == 0) g.dropRight(1) else g
+      }
+    MediaRecord(id, "image", payload)
+  }
+
+  /** Deterministic per-id PNG fixture: dims are pure functions of the id,
+    * `id % 11 == 0` ships a non-PNG payload (quarantine lane), and
+    * `id % 5 == 0` (not quarantined) ships a corrupted IHDR CRC — every
+    * decoded field and flag is oracle-checkable from the id alone. */
+  def packPngById(id: Long): MediaRecord = {
+    val payload =
+      if (id % 11 == 0) s"not a png $id".getBytes("UTF-8")
+      else {
+        val png = pngBytes(width = 8 + (id % 16).toInt, height = 4 + (id % 8).toInt,
+          seed = id)
+        if (id % 5 == 0) corruptIhdrCrc(png) else png
+      }
+    MediaRecord(id, "image", payload)
+  }
+
+  // ---- JPEG: big-endian marker/segment stream + entropy-coded scan -----
+
+  /**
+   * Build real JPEG-structured bytes (ITU-T T.81 / JFIF layout, public):
+   * SOI, APP0-JFIF, COM, DQT, SOF0 or SOF2 (baseline vs progressive),
+   * DHT, then SOS followed by an ENTROPY-CODED section with spec byte
+   * stuffing (every data 0xFF is written 0xFF 0x00) and one RST0 restart
+   * marker mid-stream, closed by EOI. A parser that trusts segment
+   * lengths inside the scan, or stops at the first raw 0xFF, misreads
+   * this fixture — the entropy walk is the part real JPEG parsers get
+   * wrong.
+   */
+  private[multimodal] def jpegBytes(width: Int, height: Int, components: Int,
+                                    progressive: Boolean, seed: Long): Array[Byte] = {
+    require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff)
+    require(components == 1 || components == 3)
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int): Unit = { out.write(0xff); out.write(marker) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def seg(marker: Int, data: Array[Byte]): Unit = {
+      m(marker); be16(2 + data.length); out.write(data, 0, data.length)
+    }
+    var x = seed
+    def lcgByte(): Int = { x = x * 6364136223846793005L + 1442695040888963407L; (x >>> 56).toInt & 0xff }
+    m(0xd8) // SOI
+    seg(0xe0, "JFIF\u0000".getBytes("US-ASCII") ++
+      Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0)) // version 1.1, density 1×1, no thumb
+    seg(0xfe, s"seed $seed".getBytes("US-ASCII")) // COM
+    seg(0xdb, Array(0.toByte) ++ Array.fill(64)(lcgByte().toByte)) // DQT
+    val sofData = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(8) // precision
+      b.write((height >> 8) & 0xff); b.write(height & 0xff)
+      b.write((width >> 8) & 0xff); b.write(width & 0xff)
+      b.write(components)
+      (1 to components).foreach { c => b.write(c); b.write(0x11); b.write(0) }
+      b.toByteArray
+    }
+    seg(if (progressive) 0xc2 else 0xc0, sofData)
+    seg(0xc4, Array(0.toByte) ++ Array.tabulate(16)(i => (if (i == 1) 1 else 0).toByte)
+      ++ Array(0.toByte)) // DHT: one 2-bit code
+    val sosData = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(components)
+      (1 to components).foreach { c => b.write(c); b.write(0) }
+      b.write(0); b.write(63); b.write(0)
+      b.toByteArray
+    }
+    seg(0xda, sosData)
+    // entropy-coded bytes: stuff every 0xFF; drop a restart marker midway
+    (0 until 24).foreach { i =>
+      if (i == 12) { m(0xd0) } // RST0
+      else {
+        val v = if (i % 6 == 5) 0xff else lcgByte() // guaranteed stuffing cases
+        out.write(v)
+        if (v == 0xff) out.write(0x00)
+      }
+    }
+    m(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Deterministic per-id JPEG fixture: every decoded field is a pure
+    * function of the id; `id % 11 == 0` ships a non-JPEG payload
+    * (quarantine), `id % 7 == 0` (not quarantined) drops the EOI marker —
+    * the scan walk still finds SOF dims, the verdict flags. */
+  def packJpegById(id: Long): MediaRecord = {
+    val payload =
+      if (id % 11 == 0) s"not a jpeg $id".getBytes("UTF-8")
+      else {
+        val j = jpegBytes(width = 5 + (id % 13).toInt, height = 3 + (id % 10).toInt,
+          components = if (id % 2 == 0) 3 else 1,
+          progressive = id % 3 == 0, seed = id)
+        if (id % 7 == 0) j.dropRight(2) else j
+      }
+    MediaRecord(id, "image", payload)
+  }
+
+  // ---- ID3v2: syncsafe integers + tag frame walk ------------------------
+
+  private val Id3FrameIds = IndexedSeq("TIT2", "TPE1", "TALB")
+
+  /** Build a real ID3v2.4 tag: header with a SYNCSAFE declared size,
+    * `nFrames` text frames rotating through TIT2/TPE1/TALB from `start`
+    * (each a syncsafe-sized UTF-8 payload), then `padding` zero bytes.
+    * `corruptPadding` plants one non-zero byte mid-padding — a walk that
+    * blindly trusts the next non-zero byte as a frame id must flag it. */
+  private[multimodal] def id3Bytes(nFrames: Int, start: Int, padding: Int,
+                                   corruptPadding: Boolean, seed: Long): Array[Byte] = {
+    require(nFrames >= 1 && nFrames <= 3 && start >= 0 && padding >= 8)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("ID3".getBytes("US-ASCII"))
+    out.write(4); out.write(0) // version 2.4.0
+    out.write(0)               // flags
+    val frameBytes = (0 until nFrames).map { j =>
+      val fid = Id3FrameIds((start + j) % 3)
+      val payload = (0x03.toChar + f"v${(seed * 31 + j) % 1000000}%07d").getBytes("UTF-8")
+      val fb = new java.io.ByteArrayOutputStream()
+      fb.write(fid.getBytes("US-ASCII"))
+      fb.write(syncsafe(payload.length))
+      fb.write(0); fb.write(0) // frame flags
+      fb.write(payload)
+      fb.toByteArray
+    }
+    val size = frameBytes.map(_.length).sum + padding
+    out.write(syncsafe(size))
+    frameBytes.foreach(out.write)
+    val pad = new Array[Byte](padding)
+    if (corruptPadding) pad(padding / 2) = 0xee.toByte
+    out.write(pad)
+    out.toByteArray
+  }
+
+  /** Deterministic per-id ID3 fixture: frame count/rotation/padding are
+    * pure functions of the id (declared sizes always exceed 127, so a
+    * plain big-endian size read fails loudly); `id % 11 == 0` ships a
+    * non-ID3 payload, `id % 7 == 0` plants a corrupt byte mid-padding. */
+  def packId3ById(id: Long): MediaRecord = {
+    val payload =
+      if (id % 11 == 0) s"not an id3 tag $id".getBytes("UTF-8")
+      else id3Bytes(nFrames = 1 + (id % 3).toInt, start = (id % 3).toInt,
+        padding = 120 + (id % 17).toInt, corruptPadding = id % 7 == 0, seed = id)
+    MediaRecord(id, "audio", payload)
+  }
+}
