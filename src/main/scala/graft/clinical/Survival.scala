@@ -143,7 +143,10 @@ object Survival {
       .filter(col("d") > 0)
       .select(
         col("d1"),
-        expr("(d * n1 * 1000000L) div n").as("e_micro"),
+        expr(
+          // DECIMAL product (the v_micro pattern): d·n1·10⁶ passes 2⁶³
+          // once at-risk counts reach ~10⁹ rows — same value, no overflow
+          "(CAST(d AS DECIMAL(19,0)) * n1 * 1000000) div n").as("e_micro"),
         when(col("n") > 1, expr(
           """(CAST(d AS DECIMAL(19,0)) * (n - d) * n1 * (n - n1) * 1000000)
             | div (CAST(n AS DECIMAL(19,0)) * n * (n - 1))""".stripMargin))

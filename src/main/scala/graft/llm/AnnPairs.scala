@@ -57,6 +57,28 @@ private[llm] trait AnnPairs { this: Ann.type =>
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"), col("p.sim").as("sim"))
   }
 
+  /** Multi-table hyperplane bucket prep shared by [[embeddingNearDups]],
+    * [[lshKnnJoin]] and [[marginBitextMineLsh]] (extracted round 10 — the
+    * tag/require/cap logic lived in three verbatim copies that could
+    * drift): `prepped` must carry a `vec` column plus the per-row member
+    * struct as `m`; table t's buckets are tagged `t << nPlanes` over plane
+    * slice t·nPlanes, exploded one row per (vector, table), collected into
+    * capped per-bucket member lists — ONE shuffle on bucket. */
+  private def cappedBuckets(prepped: DataFrame, nPlanes: Int, nTables: Int,
+      maxBucketSize: Int, dropStats: Option[DropStats]): DataFrame = {
+    require(nPlanes > 0 && nTables > 0 && nPlanes + ceilLog2(nTables) <= 62,
+      s"table tag (nTables=$nTables) must fit above $nPlanes bucket bits in a long")
+    val spark = prepped.sparkSession
+    val tagged = (0 until nTables).map { t =>
+      lit(t.toLong << nPlanes).bitwiseOR(
+        HyperplaneBucket.bucketCol(spark, "vec", nPlanes, t * nPlanes))
+    }
+    val grouped = prepped.withColumn("bucket", explode(array(tagged: _*)))
+      .groupBy("bucket").agg(collect_list(col("m")).as("members"))
+    Dedup.observeDrops(grouped, "members", maxBucketSize, dropStats)
+      .filter(size(col("members")).between(2, maxBucketSize))
+  }
+
   /**
    * Embedding-cosine near-dup pairs at scale: bucket by hyperplane signs,
    * pair within buckets only, keep pairs with cosine ≥ threshold.
@@ -77,20 +99,10 @@ private[llm] trait AnnPairs { this: Ann.type =>
                         maxBucketSize: Int = 2000,
                         dropStats: Option[DropStats] = None,
                         nTables: Int = 1): DataFrame = {
-    require(nPlanes > 0 && nTables > 0 && nPlanes + ceilLog2(nTables) <= 62,
-      s"table tag (nTables=$nTables) must fit above $nPlanes bucket bits in a long")
-    val spark = df.sparkSession
-    val tagged = (0 until nTables).map { t =>
-      lit(t.toLong << nPlanes).bitwiseOR(
-        HyperplaneBucket.bucketCol(spark, "vec", nPlanes, t * nPlanes))
-    }
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("m", memberStruct(col("id"), col("vec"))) // prep once, pre-explode
-      .withColumn("bucket", explode(array(tagged: _*)))
-    val grouped = b.groupBy("bucket")
-      .agg(collect_list(col("m")).as("members"))
-    val buckets = Dedup.observeDrops(grouped, "members", maxBucketSize, dropStats)
-      .filter(size(col("members")).between(2, maxBucketSize))
+    val buckets = cappedBuckets(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .withColumn("m", memberStruct(col("id"), col("vec"))), // prep once, pre-explode
+      nPlanes, nTables, maxBucketSize, dropStats)
     explodedPairs(buckets)
       .select(col("id1"), col("id2"), col("sim").as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
@@ -122,20 +134,10 @@ private[llm] trait AnnPairs { this: Ann.type =>
                  k: Int, nPlanes: Int = 8, nTables: Int = 4,
                  maxBucketSize: Int = 2000,
                  dropStats: Option[DropStats] = None): DataFrame = {
-    require(nPlanes > 0 && nTables > 0 && nPlanes + ceilLog2(nTables) <= 62,
-      s"table tag (nTables=$nTables) must fit above $nPlanes bucket bits in a long")
-    val spark = df.sparkSession
-    val tagged = (0 until nTables).map { t =>
-      lit(t.toLong << nPlanes).bitwiseOR(
-        HyperplaneBucket.bucketCol(spark, "vec", nPlanes, t * nPlanes))
-    }
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("m", memberStruct(col("id"), col("vec"))) // prep once, pre-explode
-      .withColumn("bucket", explode(array(tagged: _*)))
-    val grouped = b.groupBy("bucket")
-      .agg(collect_list(col("m")).as("members"))
-    val buckets = Dedup.observeDrops(grouped, "members", maxBucketSize, dropStats)
-      .filter(size(col("members")).between(2, maxBucketSize))
+    val buckets = cappedBuckets(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .withColumn("m", memberStruct(col("id"), col("vec"))), // prep once, pre-explode
+      nPlanes, nTables, maxBucketSize, dropStats)
     // mirror AFTER the pair explode, on materialized columns — each sim is
     // genuinely computed once (the former in-lambda two-struct form inlined
     // the cosine tree twice; a union of arms would recompute the whole
@@ -305,21 +307,11 @@ private[llm] trait AnnPairs { this: Ann.type =>
       sideCol: Column, k: Int = 4, minMargin: Double = 1.0,
       nPlanes: Int = 8, nTables: Int = 8, maxBucketSize: Int = 2000,
       dropStats: Option[DropStats] = None): DataFrame = {
-    require(nPlanes > 0 && nTables > 0 && nPlanes + ceilLog2(nTables) <= 62,
-      s"table tag (nTables=$nTables) must fit above $nPlanes bucket bits in a long")
-    val spark = df.sparkSession
-    val tagged = (0 until nTables).map { t =>
-      lit(t.toLong << nPlanes).bitwiseOR(
-        HyperplaneBucket.bucketCol(spark, "vec", nPlanes, t * nPlanes))
-    }
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        sideCol.cast("long").as("side"))
-      .withColumn("m", sideMemberStruct(col("id"), col("vec"), col("side")))
-      .withColumn("bucket", explode(array(tagged: _*)))
-    val grouped = b.groupBy("bucket")
-      .agg(collect_list(col("m")).as("members"))
-    val buckets = Dedup.observeDrops(grouped, "members", maxBucketSize, dropStats)
-      .filter(size(col("members")).between(2, maxBucketSize))
+    val buckets = cappedBuckets(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+          sideCol.cast("long").as("side"))
+        .withColumn("m", sideMemberStruct(col("id"), col("vec"), col("side"))),
+      nPlanes, nTables, maxBucketSize, dropStats)
     // side split as its OWN projection stage (bound attributes — filter()
     // referenced from inside the pair lambda would re-scan the members
     // array once per outer element; no CSE in lambda bodies)

@@ -130,11 +130,18 @@ object Sampling {
     require(k >= 1, "k must be positive")
     require(!seed.contains(SeedSep), "seed must not contain the unit separator")
     requireStableKeyType(df, keyCol)
-    df.filter(col(weightCol) > 0)
+    // filter on the CAST weight, not the raw column: a fractional weight
+    // in (0, 1) passes `raw > 0` but casts to BIGINT 0, and `div 0` then
+    // throws under ANSI (or yields NULL priorities that sort FIRST and
+    // silently dominate the sample on a non-ANSI session) — the integer
+    // contract (chars/tokens/bytes) is enforced by the cast, and sub-1
+    // weights are excluded like any other weight that floors to 0
+    df.withColumn("_w", col(weightCol).cast("long"))
+      .filter(col("_w") > 0)
       .withColumn("_u", TextOps.portableHash60(
         concat(lit(seed + SeedSep), col(keyCol).cast("string"))) + 1)
       .select(col(keyCol), col(weightCol),
-        expr(s"_u div CAST(`$weightCol` AS BIGINT)").as("priority"))
+        expr("_u div _w").as("priority"))
       .orderBy(col("priority"), col(keyCol))
       .limit(k)
   }

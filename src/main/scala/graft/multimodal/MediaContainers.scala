@@ -35,6 +35,11 @@ private[multimodal] trait MediaContainers {
       if (w <= 0 || h == 0 || bpp <= 0) None else Some((w, math.abs(h), bpp))
     }
 
+  /** 4-byte-padded 24bpp row size in LONG arithmetic: a header-forged
+    * width near 2³¹ wraps the Int form (w·3 overflows) and corrupts every
+    * downstream offset/size check. */
+  private[multimodal] def bmpRowSize(w: Int): Long = ((w.toLong * 3 + 3) / 4) * 4
+
   /** Pixel-data offset (header byte 10), VALIDATED: a payload can pass
     * [[decodeBmp]] yet carry a negative/garbage offset, and an unguarded
     * `dataOff + row·rowSize` then indexes negative — an executor throw,

@@ -232,23 +232,29 @@ object Multimodal extends MediaFixtures {
     media.mapPartitions { it =>
       it.flatMap { m =>
         (decodeBmp(m.payload), bmpDataOffset(m.payload)) match {
-          case (Some((w, h, 24)), Some(dataOff)) =>
-            val rowSize = ((w * 3 + 3) / 4) * 4
+          // structural guard FIRST (round-10 review finding): the payload
+          // must contain the FULL declared pixel array. A per-pixel bounds
+          // check alone is not a quarantine — forged header dims (h = 2³⁰
+          // over an 8×8 payload) leave a few offsets "in range" and leak
+          // header bytes out as pixels, and the scan burns outW·outH
+          // iterations doing it. Long arithmetic so forged w/h can't wrap.
+          case (Some((w, h, 24)), Some(dataOff))
+              if dataOff + bmpRowSize(w) * h <= m.payload.length =>
+            val rowSize = bmpRowSize(w).toInt
             val outW = (w + 1) / 2
             val outH = (h + 1) / 2
-            // clamp against truncated payloads (same guard as the audio
-            // path); off < 0 guards w·h large enough to overflow Int
-            def pix(tx: Int, ty: Int): Option[(Int, Int, Int)] = {
+            def pix(tx: Int, ty: Int): (Int, Int, Int) = {
               val off = dataOff + (h - 1 - ty) * rowSize + tx * 3
-              if (off < 0 || off + 2 >= m.payload.length) None
-              else Some(((m.payload(off) & 0xff),
-                (m.payload(off + 1) & 0xff), (m.payload(off + 2) & 0xff)))
+              ((m.payload(off) & 0xff),
+                (m.payload(off + 1) & 0xff), (m.payload(off + 2) & 0xff))
             }
             for {
               y <- (0 until outH).iterator
               x <- (0 until outW).iterator
-              (bb, gg, rr) <- pix(2 * x, 2 * y).iterator
-            } yield DownsampledPixel(m.media_id, outW, outH, x, y, bb, gg, rr)
+            } yield {
+              val (bb, gg, rr) = pix(2 * x, 2 * y)
+              DownsampledPixel(m.media_id, outW, outH, x, y, bb, gg, rr)
+            }
           case _ => Iterator.empty
         }
       }
@@ -281,26 +287,26 @@ object Multimodal extends MediaFixtures {
     media.mapPartitions { it =>
       it.flatMap { m =>
         (decodeBmp(m.payload), bmpDataOffset(m.payload)) match {
-          case (Some((w, h, 24)), Some(dataOff)) =>
-            val rowSize = ((w * 3 + 3) / 4) * 4
-            def gray(tx: Int, ty: Int): Option[Int] = {
+          // same structural full-pixel-array guard as [[downsampleImage2x]]:
+          // forged dims or a truncated payload skip the record whole — a
+          // partial grid would mis-hash, and per-pixel bounds checks alone
+          // leak header bytes into the hash (round-10 review finding)
+          case (Some((w, h, 24)), Some(dataOff))
+              if dataOff + bmpRowSize(w) * h <= m.payload.length =>
+            val rowSize = bmpRowSize(w).toInt
+            def gray(tx: Int, ty: Int): Int = {
               val off = dataOff + (h - 1 - ty) * rowSize + tx * 3
-              if (off < 0 || off + 2 >= m.payload.length) None
-              else Some((m.payload(off) & 0xff) + (m.payload(off + 1) & 0xff) +
-                (m.payload(off + 2) & 0xff))
+              (m.payload(off) & 0xff) + (m.payload(off + 1) & 0xff) +
+                (m.payload(off + 2) & 0xff)
             }
             val sx = (0 to gridW).map(gx => gx * w / (gridW + 1))
             val sy = (0 until gridH).map(gy => gy * h / gridH)
             val bits = for {
               gy <- 0 until gridH
               gx <- 0 until gridW
-              a <- gray(sx(gx), sy(gy))
-              b <- gray(sx(gx + 1), sy(gy))
-            } yield if (b > a) 1L << (gy * gridW + gx) else 0L
-            // a truncated payload loses samples: skip, don't mis-hash
-            if (bits.length == gridW * gridH)
-              Iterator.single(ImageHash(m.media_id, bits.foldLeft(0L)(_ | _)))
-            else Iterator.empty
+            } yield if (gray(sx(gx + 1), sy(gy)) > gray(sx(gx), sy(gy)))
+              1L << (gy * gridW + gx) else 0L
+            Iterator.single(ImageHash(m.media_id, bits.foldLeft(0L)(_ | _)))
           case _ => Iterator.empty
         }
       }

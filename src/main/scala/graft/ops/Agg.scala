@@ -179,10 +179,10 @@ object Agg {
     val rhs = lit(tCritNum * tCritNum).cast(d38) * (varTermA + varTermB)
     j.select(col("grp").as(groupCol),
       col("na").as("n"),
-      expr("(sa * 1000000L) div na").cast("long").as("mean_micro"),
+      expr(microMeanSql("sa", "na")).cast("long").as("mean_micro"),
       // nb = 0 when the input has a single group: no "rest" exists —
       // null mean, flag false (CASE is lazy, so ANSI div never sees the 0)
-      when(col("nb") > 0, expr("(sb * 1000000L) div nb").cast("long"))
+      when(col("nb") > 0, expr(microMeanSql("sb", "nb")).cast("long"))
         .as("rest_mean_micro"),
       (col("na") >= 2 && col("nb") >= 2 && lhs > rhs).as("significant"))
   }
@@ -530,6 +530,19 @@ object Agg {
    *
    * Output: (group, n, n_trim_each, trimmed_mean_micro) — all BIGINT.
    */
+  /** `(s * 1000000L) div n` without the 10⁶·s long overflow (hit by a38 at
+    * sf1: 10⁶ · Σcents over a ~3M-row group passes 2⁶³ and ANSI mode
+    * throws): split |s| = q·n + r, then 10⁶|s|/n = 10⁶q + 10⁶r/n with
+    * 10⁶r < 10⁶n. Sign-split trunc-toward-zero, so the value is IDENTICAL
+    * to the old `(s * 1000000L) div n` for every long input — compared
+    * outputs cannot move, only the overflow goes away. Safe while the
+    * MEAN (not the sum) fits micro units (|s/n| < 2⁶³/10⁶ ≈ 9.2·10¹²). */
+  private[graft] def microMeanSql(s: String, n: String): String = {
+    def pos(ss: String) =
+      s"(1000000L * (($ss) div ($n)) + (1000000L * (($ss) % ($n))) div ($n))"
+    s"(CASE WHEN ($s) >= 0 THEN ${pos(s)} ELSE -${pos(s"-($s)")} END)"
+  }
+
   def trimmedMeanByGroup(df: DataFrame, groupCol: String, valCol: String,
                          trimBp: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -546,11 +559,9 @@ object Agg {
         // sign-split floor-of-abs (the a25/a32 rule): Spark `div`
         // truncates toward zero while DuckDB `//` floors toward −∞, so a
         // negative sum must route through its absolute value on BOTH
-        // engines for bit parity
-        expr("""CASE WHEN sum(_v) >= 0
-               |  THEN (1000000L * sum(_v)) div count(1)
-               |  ELSE -((1000000L * -sum(_v)) div count(1))
-               |END""".stripMargin).as("trimmed_mean_micro"))
+        // engines for bit parity; the q/r split inside microMeanSql keeps
+        // 10⁶·Σ out of long overflow at sf1+ group sizes
+        expr(microMeanSql("sum(_v)", "count(1)")).as("trimmed_mean_micro"))
   }
 
   /**

@@ -82,8 +82,11 @@ object StatQueries {
     // tighter-than-default width.
     "a15_approx_distinct_sketch" -> Q(
       (s, dir) => {
+        // count(col), not count(*): a NULL key survives distinct() as its
+        // own row, but COUNT(DISTINCT ...) (the oracle) and the HLL both
+        // exclude NULLs — count(col) keeps all three aligned
         val out = td(s, dir, "lineitem").select("l_partkey").distinct().agg(
-          count(lit(1)).cast("long").as("exact"),
+          count(col("l_partkey")).cast("long").as("exact"),
           approx_count_distinct(col("l_partkey"), 0.02).cast("long").as("approx"))
           .withColumn("within_5pct",
             abs(col("approx") - col("exact")).cast("double") / col("exact") <= 0.05)

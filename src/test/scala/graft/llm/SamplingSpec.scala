@@ -304,6 +304,18 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(other === same, "same seed must replay the same sample")
   }
 
+  test("weightedSamplePriority: fractional weights in (0,1) floor to 0 and are excluded, never dominate") {
+    // pre-fix, 0.5 passed the raw `> 0` filter, cast to BIGINT 0, and the
+    // div-by-0 either threw under ANSI or produced NULL priorities that
+    // sort FIRST — sub-1-weight rows silently filling every sample slot
+    val rows = (1L to 20L).map(k => (k, 10.0)) ++ (100L to 119L).map(k => (k, 0.5))
+    val got = Sampling.weightedSamplePriority(
+        rows.toDF("k", "w"), "k", "w", k = 15, seed = "t4")
+      .as[(Long, Double, Long)].collect().map(_._1).toSet
+    assert(got.forall(_ <= 20L), s"fractional-weight keys must be excluded: $got")
+    assert(got.size === 15)
+  }
+
   test("leakageSafeSplit: exact dups share a split; ratios and determinism hold") {
     val distinct = (1L to 300L).map(i => (i, s"unique document number $i with words"))
     // ids 1001/1002/1003 are byte-identical copies of doc 7's text

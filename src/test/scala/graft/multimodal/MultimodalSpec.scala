@@ -434,6 +434,29 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(pix.nonEmpty && pix.forall(_.media_id == 5L), "only the intact BMP downsamples")
   }
 
+  test("header-forged BMP dims that wrap Int offsets are quarantined, not mis-decoded") {
+    import spark.implicits._
+    // w=1, h=2^30 over an 8×8 payload: rowSize=4 and (h-1-ty)·rowSize wraps
+    // a 32-bit int to a SMALL POSITIVE value — the old `off < 0` guard
+    // passed it and downsampleImage2x emitted header bytes as pixels
+    // (round-10 review finding); LONG offset math must skip the record
+    def forge(w: Int, h: Int): Array[Byte] = {
+      val b = Multimodal.bmpBytes(8, 8, seed = 11L).clone()
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(18, w); bb.putInt(22, h)
+      b
+    }
+    val recs = Seq(
+      MediaRecord(1L, "image", forge(1, 1 << 30)),
+      MediaRecord(2L, "image", forge(0x20000000, 3)), // w·3 wraps rowSize
+      MediaRecord(3L, "image", Multimodal.bmpBytes(8, 8, seed = 11L))).toDS()
+    val pix = Multimodal.downsampleImage2x(recs).collect()
+    assert(pix.nonEmpty && pix.forall(_.media_id == 3L),
+      s"forged dims must quarantine: ${pix.filter(_.media_id != 3L).take(3).toSeq}")
+    val hashes = Multimodal.imageDHash(recs).collect()
+    assert(hashes.map(_.media_id).toSeq === Seq(3L))
+  }
+
   test("fixture fingerprint diversity scales with id count (no family saturation)") {
     import spark.implicits._
     // 2000 ids spanning a scaled-up id range (the ScaleUp stride pattern):

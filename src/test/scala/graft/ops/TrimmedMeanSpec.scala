@@ -29,6 +29,23 @@ class TrimmedMeanSpec extends AnyFunSuite with SparkTestBase {
       3400L)("a") === (6L, 2L, 5000000L))
   }
 
+  test("10⁶·sum past 2⁶³ does not overflow (the sf1 a38 failure): q/r split mean is exact") {
+    // 4000 rows of 5e12: sum = 2e16, 10⁶·sum = 2e22 >> Long.Max — the old
+    // (1000000 * sum) div n threw ARITHMETIC_OVERFLOW under ANSI; the
+    // split computes the exact micro mean (values equal → mean = value)
+    assert(tm(Seq.fill(4000)("a" -> 5000000000000L), 500L)("a")
+      === (4000L, 200L, 5000000000000L * 1000000L / 1L))
+    // and a non-uniform overflow case against plain math: 3 huge values,
+    // no trim → mean = floor(10⁶·(a+b+c)/3) computed via BigInt
+    val vs = Seq(4000000000000L, 5000000000001L, 6000000000002L)
+    val expect = (BigInt(vs.sum) * 1000000 / 3).toLong
+    assert(tm(vs.map("a" -> _), 0L)("a") === (3L, 0L, expect))
+    // negative overflow side: trunc-toward-zero semantics preserved
+    val neg = Seq(-4000000000000L, -5000000000001L, -6000000000002L)
+    val negExpect = -(BigInt(-neg.sum) * 1000000 / 3).toLong
+    assert(tm(neg.map("a" -> _), 0L)("a") === (3L, 0L, negExpect))
+  }
+
   test("negative sums floor symmetrically; tiny groups keep a survivor; contract holds") {
     // mean of (-1, -2) = -1.5 → -1500000 exactly (not -1500001 from a -inf floor)
     assert(tm(Seq(("a", -1L), ("a", -2L)), 0L)("a") === (2L, 0L, -1500000L))

@@ -273,17 +273,19 @@ final class LaggyStore(lagReads: Int) extends graft.publish.CasPublish.PointerSt
   private val pending =
     new java.util.concurrent.ConcurrentHashMap[Long, java.util.concurrent.atomic.AtomicInteger]()
 
-  def putIfAbsent(gen: Long, payload: String): Boolean = {
-    // register the visibility countdown BEFORE the put becomes readable in
-    // the log, so no listing can observe the commit with zero lag
-    val counter = new java.util.concurrent.atomic.AtomicInteger(lagReads)
-    pending.putIfAbsent(gen, counter)
+  // synchronized: register-countdown + log-put must be atomic vs listings,
+  // or a losing racer's cleanup could delete the WINNER's countdown (the
+  // round-10 review finding) and a listing could glimpse a commit before
+  // its countdown registers — either silently weakens the fault model the
+  // concurrency test claims to exercise. A test double doesn't care about
+  // lock contention; it cares that the injected lag is always real.
+  def putIfAbsent(gen: Long, payload: String): Boolean = synchronized {
     val won = log.putIfAbsent(gen, payload) == null
-    if (!won && (pending.get(gen) eq counter)) pending.remove(gen, counter)
+    if (won) pending.put(gen, new java.util.concurrent.atomic.AtomicInteger(lagReads))
     won
   }
 
-  def latestGen(): Long = {
+  def latestGen(): Long = synchronized {
     pending.forEach((_, c) => c.decrementAndGet())
     var max = 0L
     log.forEach { (g, _) =>
