@@ -246,6 +246,58 @@ object Ann extends AnnPairs {
   }
 
   /**
+   * Candidate-path hard-negative mining — the scale form of
+   * [[hardNegatives]] and the registered l73 row since round 10 (the
+   * exact form's work grows as |Q|·|corpus| = quadratically when queries
+   * are a fixed fraction of the corpus — the one >15× sf0.1→sf1 mover
+   * left after the l84 swap): per query, the k most-similar
+   * DIFFERENT-label vectors among multi-table LSH candidates, retrieved
+   * with exactly [[lshTopK]]'s probe discipline (per table: own bucket +
+   * every 1-bit flip), then the label filter and the engine-stable
+   * rounded-sim window. Contrastive training mines hard negatives from
+   * an ANN index in practice (the l84 lesson applies verbatim); the
+   * exact form stays as the small-corpus cross-check, spec-proven to
+   * agree on a retrieval-certain fixture.
+   */
+  def hardNegativesLsh(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, labelCol: String, k: Int, dim: Int,
+      nPlanes: Int = 10, nTables: Int = 8): DataFrame = {
+    require(nPlanes > 0 && nTables > 0 && nPlanes + ceilLog2(nTables) <= 62,
+      s"table tag (nTables=$nTables) must fit above $nPlanes bucket bits in a long")
+    val spark = corpus.sparkSession
+    val tagged = (0 until nTables).map { t =>
+      lit(t.toLong << nPlanes).bitwiseOR(
+        HyperplaneBucket.bucketCol(spark, "cvec", nPlanes, t * nPlanes))
+    }
+    val cb = corpus.select(col(idCol).as("corpus_id"),
+        col(labelCol).as("corpus_label"), col(vecCol).as("cvec"))
+      .withColumn("_nc", norm(col("cvec"))) // once per row, BEFORE the table explode
+      .withColumn("bucket", explode(array(tagged: _*)))
+    val qtagged = (0 until nTables).map { t =>
+      lit(t.toLong << nPlanes).bitwiseOR(
+        HyperplaneBucket.bucketCol(spark, "qvec", nPlanes, t * nPlanes))
+    }
+    val qbase = queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("query_label"), col(vecCol).as("qvec"))
+      .withColumn("_nq", norm(col("qvec")))
+      .withColumn("qbucket", explode(array(qtagged: _*)))
+    val probes = col("qbucket") +: (0 until nPlanes).map(p => col("qbucket").bitwiseXOR(lit(1L << p)))
+    val qb = qbase.select(col("query_id"), col("query_label"), col("qvec"), col("_nq"),
+      explode(array(probes: _*)).as("bucket"))
+    val scored = qb.join(cb, "bucket")
+      .filter(col("query_label") =!= col("corpus_label")) // implies corpus_id ≠ query_id
+      .select(col("query_id"), col("query_label"), col("corpus_id"), col("corpus_label"),
+        cosinePrepped(col("qvec"), col("cvec"), col("_nq"), col("_nc")).as("cosine_sim"))
+      .distinct() // candidates found by several tables/probes collapse (same sim bits)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cosine_sim"), 6).desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+  }
+
+  /**
    * Deterministic pseudo-random unit-free hyperplanes: plane p, dim d →
    * a fixed hash-derived coefficient in [-1, 1). No RNG state — the same
    * plane set on every executor and every run.

@@ -123,6 +123,25 @@ object RecallMetrics {
     found.size.toDouble / p.truePairs.size
   }
 
+  /** Pair recall of the REGISTERED candidate path [[Ann.marginBitextMineLsh]]
+    * against the exact all-pairs [[Ann.marginBitextMine]] on the planted
+    * fixture, sides = id parity (base vs jittered twin — exactly the
+    * aligned-corpus shape bitext mining targets). The l84 quality gate:
+    * exact-replay oracles prove the candidate path computes what it
+    * retrieves; this measures what it RETRIEVES. */
+  def bitextPairRecall(spark: SparkSession, nTables: Int = 8, dim: Int = 32): Double = {
+    import spark.implicits._
+    val p = plantedFixture(spark, dim = dim)
+    val side = col("vec_id") % 2
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    val exact = pairs(Ann.marginBitextMine(p.rows, "embedding", "vec_id",
+      side, k = 4, minMargin = 1.0))
+    val lsh = pairs(Ann.marginBitextMineLsh(p.rows, "embedding", "vec_id",
+      side, k = 4, minMargin = 1.0, nPlanes = 8, nTables = nTables))
+    lsh.intersect(exact).size.toDouble / exact.size
+  }
+
   /** Rank-1 partner recall of [[Ann.lshKnnJoin]] on the planted fixture. */
   def knnRank1Recall(spark: SparkSession, dim: Int = 32): Double = {
     import spark.implicits._

@@ -358,31 +358,23 @@ object AnnQueries {
       Some(LshOracles.retrievalMetricsSql(nPlanes = 6, dim = 64,
         nQueries = 16, k = 5, nTables = 8))),
 
-    // hard-negative mining for contrastive training: per query (every
-    // 100th vector), the 5 most-similar corpus vectors with a DIFFERENT
-    // label. Queries broadcast on a constant key (BHJ, corpus scanned
-    // once, no shuffle); rank on 6-dp-rounded sim + id tie-break
+    // hard-negative mining for contrastive training, CANDIDATE-PATH form
+    // (registered since round 10 — the exact broadcast form's work is
+    // |Q|·|corpus|, quadratic when queries are a fixed corpus fraction:
+    // the one >15× sf0.1→sf1 mover left after the l84 swap): per query
+    // (every 100th vector), the 5 most-similar DIFFERENT-label vectors
+    // among multi-table LSH candidates with 1-bit-flip probes — the ANN
+    // index mining contrastive pipelines actually run. The exact form
+    // stays as Ann.hardNegatives, cross-checked in AnnSpec
     "l73_hard_negatives" -> Q(
       (s, dir) => {
         val e = td(s, dir, "embeddings")
-        Ann.hardNegatives(e, e.filter(col("vec_id") % 100 === 0),
-          "embedding", "vec_id", "label", k = 5)
+        Ann.hardNegativesLsh(e, e.filter(col("vec_id") % 100 === 0),
+          "embedding", "vec_id", "label", k = 5, dim = 64,
+          nPlanes = 10, nTables = 8)
       },
-      Some("""WITH q AS (SELECT vec_id AS query_id, label AS query_label,
-             |    embedding::DOUBLE[] AS qv
-             |  FROM embeddings WHERE vec_id % 100 = 0),
-             |s AS (SELECT q.query_id, q.query_label, e.vec_id AS corpus_id,
-             |    e.label AS corpus_label,
-             |    round(list_dot_product(e.embedding::DOUBLE[], q.qv)
-             |      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-             |         * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
-             |  FROM embeddings e, q
-             |  WHERE e.label <> q.query_label),
-             |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-             |    ORDER BY sim DESC, corpus_id) AS rank FROM s)
-             |SELECT query_id, query_label, corpus_id, corpus_label,
-             |  sim AS cosine_sim, CAST(rank AS BIGINT) AS rank
-             |FROM r WHERE rank <= 5""".stripMargin)),
+      Some(LshOracles.hardNegativesLshSql(nPlanes = 10, dim = 64, k = 5,
+        nTables = 8, queryMod = 100))),
 
     // margin-based bitext mining (Artetxe & Schwenk), CANDIDATE-PATH form
     // (the benched headline since round 10 — the r9 verdict's task 3: the

@@ -524,6 +524,35 @@ object LshOracles {
        |  COALESCE(e.keeper, near.keeper) AS dup_of
        |FROM nb LEFT JOIN e USING (doc_id) LEFT JOIN near USING (doc_id)""".stripMargin
 
+  /** Exact twin of [[graft.llm.Ann.hardNegativesLsh]] over `embeddings`
+    * with queries = `vec_id % queryMod = 0` — the candidate-path l73.
+    * Replays [[lshTopKSql]]'s multi-table arms + 1-bit-flip probes with
+    * labels carried, the different-label filter before DISTINCT, and the
+    * rounded-sim rank. */
+  def hardNegativesLshSql(nPlanes: Int, dim: Int, k: Int, nTables: Int,
+                          queryMod: Int): String = {
+    val probes = ("qb" +: (0 until nPlanes).map(p => s"xor(qb, ${1L << p})")).mkString(", ")
+    val arms = (0 until nTables).map { t =>
+      s"SELECT vec_id, label, e, ${t.toLong << nPlanes} + ${bucketSql("e", nPlanes, dim, t * nPlanes)} AS bucket FROM v"
+    }.mkString("\n UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+       |b AS ($arms),
+       |q AS (SELECT vec_id AS query_id, label AS query_label, e AS qe,
+       |    bucket AS qb FROM b WHERE vec_id % $queryMod = 0),
+       |pr AS (SELECT query_id, query_label, qe, unnest([$probes]) AS bucket FROM q),
+       |sc AS (SELECT DISTINCT p.query_id, p.query_label, c.vec_id AS corpus_id,
+       |    c.label AS corpus_label, ${cosSql("p.qe", "c.e")} AS sim
+       |  FROM pr p JOIN b c ON p.bucket = c.bucket
+       |  WHERE c.label <> p.query_label),
+       |rk AS (SELECT query_id, query_label, corpus_id, corpus_label, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(sim, 6) DESC, corpus_id) AS r
+       |  FROM sc)
+       |SELECT query_id, query_label, corpus_id, corpus_label,
+       |  round(sim, 6) AS cosine_sim, CAST(r AS BIGINT) AS rank
+       |FROM rk WHERE r <= $k""".stripMargin
+  }
+
   /** Exact twin of [[graft.llm.Ann.marginBitextMineLsh]] over `embeddings`
     * with sides = label % 2 — the candidate-path l84. Multi-table arms
     * replay the literal-coefficient hyperplane buckets (tag `t << nPlanes`,

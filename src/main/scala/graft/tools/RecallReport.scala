@@ -37,6 +37,7 @@ object RecallReport {
     val planted1 = RecallMetrics.plantedPairRecall(spark, nTables = 1)
     val planted8 = RecallMetrics.plantedPairRecall(spark, nTables = 8)
     val knn1 = RecallMetrics.knnRank1Recall(spark)
+    val bitext = RecallMetrics.bitextPairRecall(spark, nTables = 8)
 
     val json =
       s"""{
@@ -49,7 +50,8 @@ object RecallReport {
          |    "ivf_recall_at5_nprobe_all": {"value": ${f"$ivfAll%.4f"}, "floor": 1.0, "params": "nProbe=cells is exhaustive, must be exactly 1.0"},
          |    "planted_pair_recall_1table": {"value": ${f"$planted1%.4f"}, "params": "embeddingNearDups, cosine>=0.9 planted twins, nPlanes=8 nTables=1"},
          |    "planted_pair_recall_8tables": {"value": ${f"$planted8%.4f"}, "floor": 0.85, "params": "embeddingNearDups, nPlanes=8 nTables=8"},
-         |    "knn_rank1_partner_recall": {"value": ${f"$knn1%.4f"}, "floor": 0.85, "params": "lshKnnJoin k=1, nPlanes=8 nTables=8"}
+         |    "knn_rank1_partner_recall": {"value": ${f"$knn1%.4f"}, "floor": 0.85, "params": "lshKnnJoin k=1, nPlanes=8 nTables=8"},
+         |    "bitext_pair_recall_vs_exact": {"value": ${f"$bitext%.4f"}, "floor": 0.85, "params": "marginBitextMineLsh vs exact marginBitextMine, parity sides, nPlanes=8 nTables=8 (the registered l84 candidate path)"}
          |  },
          |  "note": "floors are asserted by AnnRecallSpec in CI; this artifact mirrors them per round"
          |}""".stripMargin

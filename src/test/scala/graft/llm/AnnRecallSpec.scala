@@ -69,6 +69,16 @@ class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
     assert(rKnn >= 0.85, f"kNN join missed planted partners at rank 1: $rKnn%.2f < 0.85")
   }
 
+  test("marginBitextMineLsh recovers the exact form's mined pairs (the l84 quality gate)") {
+    // sides = id parity on the planted fixture: each base's aligned twin
+    // is the other side's mutual top-1 — the bitext shape. The oracle
+    // proves the candidate path computes what it retrieves; this floor
+    // gates what it RETRIEVES vs the exact all-pairs miner.
+    val r = RecallMetrics.bitextPairRecall(spark, nTables = 8)
+    info(f"bitext candidate-path pair recall vs exact: $r%.2f")
+    assert(r >= 0.85, f"LSH bitext mining missed exact pairs: $r%.2f < 0.85")
+  }
+
   test("ivfTopK recall improves with nProbe (the knob a user turns)") {
     val r2 = RecallMetrics.ivfRecallAt5(spark, sfDir, nProbe = 2)
     val r8 = RecallMetrics.ivfRecallAt5(spark, sfDir, nProbe = 8)

@@ -237,6 +237,28 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
       s"exact=${exactPairs.toSeq.sorted} lsh=${lshPairs.toSeq.sorted}")
   }
 
+  test("hardNegativesLsh: candidate path recovers the exact form's negatives") {
+    // labeled clusters of near-identical vectors (retrieval-certain: every
+    // hyperplane agrees within a cluster), so the LSH path must reproduce
+    // the exact form's per-query different-label top-k bit-for-bit
+    val rnd = new scala.util.Random(13)
+    val bases = Array.fill(3)(Array.fill(16)(rnd.nextFloat() - 0.5f))
+    val e = (0L until 30L).map { i =>
+      val lbl = (i % 3).toInt
+      val v = bases(lbl).zipWithIndex.map { case (x, d) =>
+        x + 1e-4f * ((i * 7 + d) % 5) }
+      (i, v, s"lbl$lbl")
+    }.toDF("vec_id", "embedding", "label")
+    val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 6)
+    val exact = Ann.hardNegatives(e, queries, "embedding", "vec_id", "label", k = 3)
+      .as[(Long, String, Long, String, Double, Long)].collect().toSet
+    val lsh = Ann.hardNegativesLsh(e, queries, "embedding", "vec_id", "label",
+        k = 3, dim = 16, nPlanes = 4, nTables = 4)
+      .as[(Long, String, Long, String, Double, Long)].collect().toSet
+    assert(exact.nonEmpty && lsh === exact,
+      s"exact=${exact.toSeq.sorted.take(5)} lsh=${lsh.toSeq.sorted.take(5)}")
+  }
+
   test("marginBitextMineLsh: over-cap bucket yields no pairs and fires dropStats") {
     val same = Seq.tabulate(6)(i =>
       (i.toLong, Array(1f, 0f, 0f, 0f), (i % 2))).toDF("vec_id", "embedding", "label")
