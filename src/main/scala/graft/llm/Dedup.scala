@@ -445,6 +445,56 @@ object Dedup {
   }
 
   /**
+   * One-Permutation-Hashing signature ([[OphMinHash]]): the k-wide MinHash
+   * computed in ONE pass over the hashed-shingle array instead of k
+   * seed-mix passes — the signature-stage scale path (O(n+k) per doc vs
+   * O(n·k)). Same null contract as [[minhashFromShingles]]: empty shingle
+   * arrays yield a NULL signature, never a constant one.
+   */
+  def ophSignature(sh: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+    when(size(sh) > 0, column(OphMinHash(expression(sh), k)))
+      .otherwise(lit(null).cast("array<bigint>"))
+  }
+
+  /**
+   * [[lshBands]] with the OPH signature: identical staging (tokenize →
+   * shingle-hash → signature → per-band fold → posexplode), identical
+   * banding arithmetic — only the signature stage changes. With
+   * [[PortableFamily]] every step including the one-pass OPH bin/min/
+   * rotation-borrow is exact integer SQL, so the DuckDB oracle replays
+   * the whole pipeline (see LshOracles.ophBandedCtes).
+   */
+  def lshBandsOph(df: DataFrame, textCol: String, idCol: String,
+                  shingleSize: Int = 3, k: Int = 32, bands: Int = 8,
+                  family: MinHashFamily = Xx64Family): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rows = k / bands
+    val withSig = df
+      .filter(size(TextOps.whitespaceTokens(col(textCol))) >= shingleSize)
+      .select(col(idCol), family.stage1(col(textCol), shingleSize).as("_s1"))
+      .select(col(idCol), family.stage2(col("_s1"), shingleSize).as("_sh"))
+      .select(col(idCol), ophSignature(col("_sh"), k).as("_sig"))
+    val bandHashes = (0 until bands).map(b => family.bandHash(slice(col("_sig"), b * rows + 1, rows), b))
+    withSig.select(col(idCol), posexplode(array(bandHashes: _*)).as(Seq("band_id", "band_hash")))
+  }
+
+  /** [[minhashCandidatePairs]] with the OPH signature path: one shuffle on
+    * (band_id, band_hash), capped buckets, within-bucket pairing. */
+  def ophCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+                        shingleSize: Int = 3, k: Int = 32, bands: Int = 8,
+                        maxBucketSize: Int = 1000,
+                        family: MinHashFamily = Xx64Family): DataFrame = {
+    val banded = lshBandsOph(df, textCol, idCol, shingleSize, k, bands, family)
+    val buckets = banded.groupBy("band_id", "band_hash")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    buckets.select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p._1").as("id1"), col("p._2").as("id2"))
+      .distinct()
+  }
+
+  /**
    * Train/test split leakage audit: deterministic hash split (train <
    * `trainPct`, val < `trainPct+valPct`, test above — the
    * [[Sampling.keepCol]] arithmetic) + LSH candidate pairs that CROSS

@@ -271,4 +271,76 @@ private[multimodal] trait MediaContainers {
     while (paddingOk && p < end) { if (b(p) != 0) paddingOk = false; p += 1 }
     Some((version, frames, size, hasTitle, paddingOk))
   }
+
+  // ---- AVI: the nested-LIST RIFF walk (video container) ----------------
+
+  /**
+   * Parse an AVI container (Microsoft RIFF/AVI spec, public): `RIFF`
+   * size `AVI `, then a chunk walk where `LIST` chunks NEST — the walker
+   * must descend into `hdrl` (for the 56-byte `avih` main header: LE
+   * µs-per-frame @+0, total-frames @+16, streams @+24, width @+32,
+   * height @+36) and into `movi` (counting `##dc`/`##db` video vs `##wb`
+   * audio stream chunks), while SKIPPING unknown lists and chunks whole.
+   * The two classic AVI parser bugs are both exercised by the fixture:
+   * flat walks that treat LIST bodies as sibling chunks, and walks that
+   * forget RIFF's odd-size pad byte. Truncated payloads (declared sizes
+   * overshooting the buffer) keep the counts seen so far — quarantine
+   * verdicts, never throws. Returns (µsPerFrame, totalFramesDeclared,
+   * streams, width, height, videoChunks, audioChunks, cleanEnd); None
+   * when the payload is not RIFF/AVI at all.
+   */
+  private[multimodal] def decodeAvi(
+      b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int, Int, Boolean)] = {
+    def tag(off: Int, s: String): Boolean =
+      off + s.length <= b.length &&
+        s.zipWithIndex.forall { case (c, i) => b(off + i) == c.toByte }
+    if (b.length < 12 || !tag(0, "RIFF") || !tag(8, "AVI ")) return None
+    var usPerFrame, totalFrames, streams, width, height = 0
+    var videoChunks, audioChunks = 0
+    var clean = true
+    // walk [from, until) as a sibling-chunk sequence; recurse into LISTs
+    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+      var p = from
+      while (p + 8 <= until) {
+        val size = leInt(b, p + 4)
+        val dataEnd = p + 8L + size
+        if (size < 0 || dataEnd > until) {
+          // truncated-in-transit: a LIST cut mid-body still yields its
+          // complete leading children (the GIF dropped-trailer semantics);
+          // the verdict flags, the walk never throws
+          clean = false
+          if (tag(p, "LIST") && p + 12 <= until)
+            walk(p + 12, until, inMovi = tag(p + 8, "movi"))
+          p = until
+        }
+        else {
+          if (tag(p, "LIST")) {
+            if (size >= 4) {
+              val body = p + 12
+              walk(body, (p + 8 + size), inMovi = tag(p + 8, "movi"))
+            } else clean = false
+          } else if (tag(p, "avih") && size >= 40) {
+            usPerFrame = leInt(b, p + 8)
+            totalFrames = leInt(b, p + 24)
+            streams = leInt(b, p + 32)
+            width = leInt(b, p + 40)
+            height = leInt(b, p + 44)
+          } else if (inMovi && p + 4 <= until &&
+              b(p).toChar.isDigit && b(p + 1).toChar.isDigit) {
+            val kind = new String(b, p + 2, 2, "US-ASCII")
+            if (kind == "dc" || kind == "db") videoChunks += 1
+            else if (kind == "wb") audioChunks += 1
+          }
+          // RIFF pads odd chunk sizes to even boundaries
+          p = (dataEnd + (size & 1)).toInt
+        }
+      }
+      if (p != until) clean = false
+    }
+    val declaredEnd = math.min(8L + leInt(b, 4), b.length.toLong).toInt
+    walk(12, declaredEnd, inMovi = false)
+    if (8L + leInt(b, 4) > b.length) clean = false
+    Some((usPerFrame, totalFrames, streams, width, height,
+      videoChunks, audioChunks, clean))
+  }
 }

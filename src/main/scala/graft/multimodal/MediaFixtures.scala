@@ -422,4 +422,101 @@ private[multimodal] trait MediaFixtures extends MediaContainers {
         padding = 120 + (id % 17).toInt, corruptPadding = id % 7 == 0, seed = id)
     MediaRecord(id, "audio", payload)
   }
+
+  // ---- AVI: RIFF nested-LIST video container ---------------------------
+
+  /**
+   * Build real AVI bytes (RIFF/AVI spec layout): `RIFF(AVI )` wrapping a
+   * `LIST(hdrl)` — `avih` main header plus one `LIST(strl)`/`strh` per
+   * stream — an ODD-sized top-level `JUNK` chunk (RIFF pads odd chunks;
+   * a walker without the pad byte desyncs here, before `movi`), then
+   * `LIST(movi)` interleaving one `00dc` video chunk per frame (odd/even
+   * payload sizes mixed, so intra-movi padding is exercised too) with a
+   * `01wb` audio chunk per frame when `streams == 2`. `truncateAfterFirstFrame`
+   * cuts the byte stream right after the first video chunk's pad — the
+   * in-transit-truncation lane (leading frames still count, verdict flags).
+   */
+  private[multimodal] def aviBytes(usPerFrame: Int, frames: Int, streams: Int,
+                                   width: Int, height: Int,
+                                   truncateAfterFirstFrame: Boolean,
+                                   seed: Long): Array[Byte] = {
+    require(frames >= 1 && (streams == 1 || streams == 2))
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    var x = seed
+    def lcgByte(): Int = { x = x * 6364136223846793005L + 1442695040888963407L; (x >>> 56).toInt & 0xff }
+    def chunk(id: String, data: Array[Byte]): Unit = {
+      fourcc(id); le32(data.length); out.write(data)
+      if ((data.length & 1) == 1) out.write(0) // RIFF pad to even
+    }
+    def list(typ: String, body: Array[Byte]): Unit = {
+      fourcc("LIST"); le32(4 + body.length); fourcc(typ); out.write(body)
+      if ((body.length & 1) == 1) out.write(0)
+    }
+    def bytesOf(f: => Unit): Array[Byte] = {
+      val keep = out.toByteArray; out.reset(); f
+      val got = out.toByteArray; out.reset(); out.write(keep, 0, keep.length); got
+    }
+    // avih: 56 bytes — µs/frame, maxBytesPerSec, padding, flags, total
+    // frames, initial frames, streams, sugg. buffer, width, height, rsvd×4
+    val avih = bytesOf {
+      le32(usPerFrame); le32(0); le32(0); le32(0); le32(frames); le32(0)
+      le32(streams); le32(0); le32(width); le32(height)
+      le32(0); le32(0); le32(0); le32(0)
+    }
+    val strls = (0 until streams).map { s =>
+      bytesOf {
+        fourcc("strh"); le32(56)
+        fourcc(if (s == 0) "vids" else "auds")
+        (0 until 13).foreach(_ => le32(0))
+      }
+    }
+    val hdrl = bytesOf {
+      chunk("avih", avih)
+      strls.foreach(b => list("strl", b))
+    }
+    val movi = bytesOf {
+      (0 until frames).foreach { f =>
+        chunk("00dc", Array.fill(5 + f % 3)(lcgByte().toByte)) // odd sizes mixed in
+        if (streams == 2) chunk("01wb", Array.fill(4)(lcgByte().toByte))
+      }
+    }
+    val junk = Array.fill(7)(lcgByte().toByte) // odd-sized on purpose
+    val payload = bytesOf {
+      list("hdrl", hdrl)
+      chunk("JUNK", junk)
+      list("movi", movi)
+    }
+    val full = bytesOf { fourcc("RIFF"); le32(4 + payload.length); fourcc("AVI "); out.write(payload, 0, payload.length) }
+    if (!truncateAfterFirstFrame) full
+    else {
+      // cut right after the first 00dc chunk (incl. its pad): offset of
+      // movi body start + first chunk span
+      val firstDc = 5 // 5-byte payload at f=0 (5+0%3), odd → 1 pad byte
+      val moviBodyStart = full.length - movi.length
+      full.take(moviBodyStart + 8 + firstDc + 1)
+    }
+  }
+
+  /** Deterministic per-id AVI fixture: every decoded field is a pure
+    * function of the id; `id % 11 == 0` ships a non-AVI payload
+    * (quarantine), `id % 7 == 0` (not quarantined) truncates mid-`movi` —
+    * the first frame still counts, the verdict flags. */
+  def packAviById(id: Long): MediaRecord = {
+    val payload =
+      if (id % 11 == 0) s"not an avi $id".getBytes("UTF-8")
+      else aviBytes(
+        usPerFrame = 33333 + (id % 5).toInt * 1000,
+        frames = 2 + (id % 4).toInt,
+        streams = 1 + (id % 2).toInt,
+        width = 16 * (1 + (id % 8).toInt),
+        height = 8 * (1 + (id % 6).toInt),
+        truncateAfterFirstFrame = id % 7 == 0,
+        seed = id)
+    MediaRecord(id, "video", payload)
+  }
 }

@@ -59,6 +59,15 @@ final case class Id3Decoded(media_id: Long, is_id3: Boolean, version: Int,
                             n_frames: Int, tag_size: Int,
                             has_title: Boolean, padding_ok: Boolean)
 
+/** AVI (RIFF video) decode result: `avih` main-header fields + the
+  * nested-LIST `movi` walk's stream-chunk counts and a clean-end verdict
+  * (false on truncation or any declared-size overshoot). */
+final case class AviDecoded(media_id: Long, is_avi: Boolean,
+                            us_per_frame: Int, total_frames: Int,
+                            n_streams: Int, width: Int, height: Int,
+                            video_chunks: Int, audio_chunks: Int,
+                            clean_end: Boolean)
+
 /**
  * Multimodal column handling: image/audio/video as opaque `binary` columns
  * with typed metadata, decoded via per-partition batch functions.
@@ -410,6 +419,22 @@ object Multimodal extends MediaFixtures {
           JpegDecoded(r.media_id, is_jpeg = true, w, h, nc, prog, eoi)
         case None => JpegDecoded(r.media_id, is_jpeg = false, 0, 0, 0,
           progressive = false, eoi_ok = false)
+      }
+    })
+  }
+
+  /** Decode an AVI media batch — the quarantine-lane shape of
+    * [[decodePngMedia]]: non-AVI rows surface as `is_avi = false`,
+    * truncated/overshooting containers as `clean_end = false` (leading
+    * complete `movi` chunks still counted). */
+  def decodeAviMedia(media: Dataset[MediaRecord]): Dataset[AviDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      decodeAvi(r.payload) match {
+        case Some((us, tf, ns, w, h, vc, ac, clean)) =>
+          AviDecoded(r.media_id, is_avi = true, us, tf, ns, w, h, vc, ac, clean)
+        case None => AviDecoded(r.media_id, is_avi = false, 0, 0, 0, 0, 0,
+          0, 0, clean_end = false)
       }
     })
   }

@@ -573,6 +573,41 @@ object AnnQueries {
              |  (doc_id % 11 <> 0 AND doc_id % 7 <> 0) AS padding_ok
              |FROM documents""".stripMargin)),
 
+    // m12 — AVI video container decode over REAL bytes: the NESTED-LIST
+    // RIFF walk none of m8–m11 has — the walker must descend into
+    // LIST(hdrl) for the avih main header and LIST(movi) for per-frame
+    // ##dc/##wb stream chunks while skipping unknown chunks whole, and
+    // honor RIFF's odd-size pad byte (an odd JUNK chunk sits before movi
+    // so a padless walk desyncs before counting anything). id%11 non-AVI
+    // quarantine; id%7 truncates mid-movi — the first frame still counts,
+    // clean_end flags
+    "m12_avi_decode" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = td(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map(id => Multimodal.packAviById(id))
+        Multimodal.decodeAviMedia(media).toDF()
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  doc_id % 11 <> 0 AS is_avi,
+             |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+             |       ELSE 33333 + (doc_id % 5) * 1000 END AS INTEGER) AS us_per_frame,
+             |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+             |       ELSE 2 + doc_id % 4 END AS INTEGER) AS total_frames,
+             |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+             |       ELSE 1 + doc_id % 2 END AS INTEGER) AS n_streams,
+             |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+             |       ELSE 16 * (1 + doc_id % 8) END AS INTEGER) AS width,
+             |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+             |       ELSE 8 * (1 + doc_id % 6) END AS INTEGER) AS height,
+             |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+             |       WHEN doc_id % 7 = 0 THEN 1
+             |       ELSE 2 + doc_id % 4 END AS INTEGER) AS video_chunks,
+             |  CAST(CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0 THEN 0
+             |       ELSE (doc_id % 2) * (2 + doc_id % 4) END AS INTEGER) AS audio_chunks,
+             |  (doc_id % 11 <> 0 AND doc_id % 7 <> 0) AS clean_end
+             |FROM documents""".stripMargin)),
+
     // Matryoshka truncation eval (Kusupati et al. 2022): overlap@5 of
     // truncated-dim cosine rankings vs the full 64-dim ranking, per
     // candidate serving dimension — the dim-vs-recall table that decides

@@ -98,6 +98,18 @@ object DedupQueries {
         family = PortableFamily),
       Some(LshOracles.minhashPortableSql(n = 3, k = 32, bands = 16, cap = 1000))),
 
+    // One-Permutation-Hashing MinHash candidates (Li-Owen-Zhang 2012 +
+    // Shrivastava-Li rotation densification): the SIGNATURE-stage scale
+    // path — one native-expression pass over the shingle hashes (O(n+k))
+    // instead of k seed-mix transforms (O(n·k)); same single shuffle on
+    // (band_id, band_hash), same capped buckets. Portable family: bins,
+    // mins, rotation borrows, and band folds all replayed in DuckDB
+    "l113_oph_minhash_pairs" -> Q(
+      (s, dir) => Dedup.ophCandidatePairs(
+        td(s, dir, "documents"), "text", "doc_id", shingleSize = 3, k = 32,
+        bands = 16, family = PortableFamily),
+      Some(LshOracles.ophPairsSql(n = 3, k = 32, bands = 16, cap = 1000))),
+
     // LSH candidates verified with exact n-gram Jaccard
     "l6_ngram_jaccard_neardups" -> Q(
       (s, dir) => Dedup.nearDupPairs(

@@ -587,4 +587,55 @@ object LshOracles {
        |WHERE ra = 1 AND rb = 1
        |  AND round(r.sim / (0.5 * (sa / na + sb / nb)), 6) >= $minMargin""".stripMargin
   }
+
+  /** One-Permutation-Hashing banded CTEs — the exact twin of
+    * [[graft.llm.Dedup.lshBandsOph]] with [[PortableFamily]]: md5 60-bit
+    * shingle hashes (already < 2⁶⁰, so [[graft.llm.OphMinHash]]'s mask is
+    * the identity), per-(doc, h mod k) bin mins, rotation densification
+    * (empty bin j borrows min[(j+t) mod k] + t·C for the smallest t), and
+    * the SAME per-band modular fold as [[bandedCtes]]. */
+  private[queries] def ophBandedCtes(n: Int, k: Int, bands: Int): String = {
+    require(k % bands == 0)
+    val rows = k / bands
+    val c = graft.llm.OphMinHash.C
+    val bandHash = (1 to rows).foldLeft("r.range") { (acc, j) =>
+      s"(($acc)*8191 + sg[$rows*r.range+$j]) % $P"
+    }
+    s"""toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= $n),
+       |hsh AS (
+       |  SELECT doc_id, list_transform(range(1, len(t)-${n - 2}),
+       |    i -> ('0x'||substr(md5(array_to_string(t[i:i+${n - 1}], ' ')),1,15))::BIGINT) AS sh
+       |  FROM toks),
+       |binmin AS (
+       |  SELECT doc_id, h % $k AS bin, min(h) AS mv
+       |  FROM (SELECT doc_id, unnest(sh) AS h FROM hsh) GROUP BY 1, 2),
+       |binsx AS (SELECT doc_id, r.range AS j FROM hsh CROSS JOIN range(0, $k) r),
+       |tdist AS (
+       |  SELECT b.doc_id, b.j, min((m.bin - b.j + $k) % $k) AS t
+       |  FROM binsx b JOIN binmin m USING (doc_id) GROUP BY 1, 2),
+       |sigv AS (
+       |  SELECT t.doc_id, t.j, m.mv + t.t * $c AS s
+       |  FROM tdist t JOIN binmin m ON m.doc_id = t.doc_id
+       |    AND m.bin = (t.j + t.t) % $k),
+       |sig AS (SELECT doc_id, list(s ORDER BY j) AS sg FROM sigv GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, r.range AS band_id, $bandHash AS band_hash
+       |  FROM sig CROSS JOIN range(0,$bands) r)""".stripMargin
+  }
+
+  /** Full OPH MinHash-LSH candidate pipeline, portable family — the exact
+    * twin of `ophCandidatePairs(..., family = PortableFamily)`. */
+  def ophPairsSql(n: Int, k: Int, bands: Int, cap: Int): String =
+    s"""WITH ${ophBandedCtes(n, k, bands)},
+       |buckets AS (
+       |  SELECT band_id, band_hash, list_sort(list(doc_id)) AS ids
+       |  FROM banded GROUP BY 1,2 HAVING count(*) BETWEEN 2 AND $cap),
+       |pl AS (
+       |  SELECT unnest(flatten(list_transform(ids,
+       |    x -> list_transform(list_filter(ids, y -> y > x), y -> [x, y])))) AS pr
+       |  FROM buckets)
+       |SELECT DISTINCT pr[1] AS id1, pr[2] AS id2 FROM pl""".stripMargin
 }

@@ -46,6 +46,12 @@ class CodegenGateSpec extends AnyFunSuite with SparkTestBase {
       // full portable LSH pipeline end to end
       assert(Dedup.minhashCandidatePairs(docs, "text", "doc_id",
         shingleSize = 3, k = 8, bands = 4, family = PortableFamily).count() >= 0)
+      // OphMinHash (one-pass signature) — scalar form + full pipeline
+      val sh = docs.select(TextOps.shingleHashesFromTokenHashes(
+        TextOps.tokenHashes($"text"), 3).as("_sh"))
+      assert(sh.select(Dedup.ophSignature($"_sh", 8)).collect().length === 2)
+      assert(Dedup.ophCandidatePairs(docs, "text", "doc_id",
+        shingleSize = 3, k = 8, bands = 4, family = PortableFamily).count() >= 0)
       // round-8 Unicode expressions (NFC normalize + accent fold): force a
       // non-ASCII literal through both so the generated call paths compile
       val uni = Seq((1L, "café Ångström")).toDF("id", "t")

@@ -336,4 +336,63 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(nd.contains((0L, 1L)))
   }
+
+  test("OPH signature: bin mins and rotation densification match hand computation") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val C = OphMinHash.C
+    // k=4 over hashes {9, 14, 22}: bins 9%4=1, 14%4=2, 22%4=2 (min 14);
+    // bin 0 borrows bin 1 at distance 1, bin 3 borrows bin 1 at distance 2
+    val got = OphMinHash.compute(new GenericArrayData(Array[Long](9, 14, 22)), 4)
+      .toLongArray().toSeq
+    assert(got === Seq(9 + C, 9, 14, 9 + 2 * C))
+    // negative hashes are masked to 60 bits first (xx-family inputs):
+    // m = 2^60-1 lands in bin 3; bins 0..2 borrow it at distances 3, 2, 1
+    val neg = OphMinHash.compute(new GenericArrayData(Array[Long](-1L)), 4)
+      .toLongArray().toSeq
+    val m = -1L & OphMinHash.Mask60
+    assert(neg === Seq(m + 3 * C, m + 2 * C, m + C, m))
+    // empty input → empty array (the column wrapper nulls it)
+    assert(OphMinHash.compute(new GenericArrayData(Array.emptyLongArray), 4)
+      .numElements() === 0)
+  }
+
+  test("OPH candidate pairs find planted near-dups; short docs never pair") {
+    val shorts = Seq((10L, ""), (11L, "one"), (12L, "one two")).toDF("doc_id", "text")
+    val all = docs.unionByName(shorts)
+    for (fam <- Seq(Xx64Family, PortableFamily)) {
+      val pairs = Dedup.ophCandidatePairs(all, "text", "doc_id",
+          shingleSize = 3, k = 32, bands = 16, family = fam)
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((0L, 1L)), s"$fam missed the planted dup")
+      assert(!pairs.contains((3L, 4L)), s"$fam paired unrelated docs")
+      assert(pairs.forall { case (a, b) => a < 10L && b < 10L }, s"$fam short-doc pair")
+    }
+  }
+
+  test("OPH recall vs exact-Jaccard ground truth at sf0.001") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = corpus.select(col("doc_id").as("sid"),
+        array_distinct(TextOps.shingles(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val exact = sh.select(col("sid").as("id1"), col("sh").as("sh1"))
+      .crossJoin(sh.select(col("sid").as("id2"), col("sh").as("sh2")))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), Dedup.jaccard(col("sh1"), col("sh2")).as("j"))
+      .filter(col("j") >= 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture must contain true near-dup pairs")
+    val cands = Dedup.ophCandidatePairs(corpus, "text", "doc_id",
+        shingleSize = 3, k = 32, bands = 16, family = Xx64Family)
+      .as[(Long, Long)].collect().toSet
+    val recall = exact.count(cands).toDouble / exact.size
+    assert(recall >= 0.9, s"OPH recall $recall over ${exact.size} true pairs")
+  }
+
+  test("OPH plan contains no cartesian/crossJoin") {
+    // (codegen of the signature stage is gated in CodegenGateSpec)
+    val plan = Dedup.ophCandidatePairs(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

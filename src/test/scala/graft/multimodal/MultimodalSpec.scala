@@ -471,4 +471,54 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val nWav = Multimodal.audioFingerprint(wavs).collect().map(_.afp).distinct.length
     assert(nWav >= 1990, s"audio fp diversity $nWav/2000")
   }
+
+  test("AVI decode: nested-LIST walk, avih fields, odd-chunk padding, movi counts") {
+    val a = Multimodal.aviBytes(usPerFrame = 40000, frames = 3, streams = 2,
+      width = 320, height = 240, truncateAfterFirstFrame = false, seed = 7L)
+    // hdrl is a LIST inside RIFF, avih a chunk inside hdrl, strl LISTs
+    // nest one deeper, and an ODD-sized JUNK chunk sits before movi — a
+    // flat or padless walk cannot produce these counts
+    assert(Multimodal.decodeAvi(a) === Some((40000, 3, 2, 320, 240, 3, 3, true)))
+    // single-stream: no audio chunks
+    val v = Multimodal.aviBytes(usPerFrame = 33333, frames = 4, streams = 1,
+      width = 64, height = 48, truncateAfterFirstFrame = false, seed = 8L)
+    assert(Multimodal.decodeAvi(v) === Some((33333, 4, 1, 64, 48, 4, 0, true)))
+    // truncated mid-movi: first complete frame still counts, verdict flags
+    val t = Multimodal.aviBytes(usPerFrame = 40000, frames = 3, streams = 2,
+      width = 320, height = 240, truncateAfterFirstFrame = true, seed = 7L)
+    assert(Multimodal.decodeAvi(t) === Some((40000, 3, 2, 320, 240, 1, 0, false)))
+    // an arbitrary byte-level cut (mid-chunk-header) must never throw
+    (1 until a.length).by(13).foreach { n =>
+      val r = Multimodal.decodeAvi(a.take(n))
+      assert(n < 12 && r.isEmpty || r.exists(!_._8), s"cut at $n flags unclean")
+    }
+    assert(Multimodal.decodeAvi("RIFF????WAVE".getBytes("US-ASCII")) === None)
+    assert(Multimodal.decodeAvi(Array[Byte](1, 2, 3)) === None)
+  }
+
+  test("AVI media batch: per-id closed forms and quarantine lanes hold") {
+    import spark.implicits._
+    val ids = (1L to 80L)
+    val out = Multimodal.decodeAviMedia(ids.toDS().map(Multimodal.packAviById))
+      .collect().map(r => r.media_id -> r).toMap
+    ids.foreach { id =>
+      val r = out(id)
+      if (id % 11 == 0)
+        assert((r.is_avi, r.width, r.video_chunks, r.clean_end) === (false, 0, 0, false))
+      else {
+        assert((r.is_avi, r.us_per_frame, r.total_frames, r.n_streams) ===
+          (true, 33333 + (id % 5).toInt * 1000, 2 + (id % 4).toInt, 1 + (id % 2).toInt))
+        assert((r.width, r.height) ===
+          (16 * (1 + (id % 8).toInt), 8 * (1 + (id % 6).toInt)))
+        if (id % 7 == 0)
+          assert((r.video_chunks, r.audio_chunks, r.clean_end) === (1, 0, false),
+            s"id $id truncation lane")
+        else {
+          assert(r.video_chunks === 2 + (id % 4).toInt, s"id $id video chunks")
+          assert(r.audio_chunks === (id % 2).toInt * (2 + (id % 4).toInt), s"id $id audio chunks")
+          assert(r.clean_end, s"id $id clean end")
+        }
+      }
+    }
+  }
 }
