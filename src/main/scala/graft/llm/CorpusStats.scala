@@ -300,4 +300,44 @@ object CorpusStats {
         round(col("lcs_sum").cast("double") / col("ref_sum"), 6).as("rouge_r"),
         round(lit(2.0) * col("lcs_sum") / (col("cand_sum") + col("ref_sum")), 6).as("rouge_f"))
   }
+
+  /**
+   * Flesch-Kincaid readability (Kincaid et al. 1975 — the grade-level
+   * curation gate complement to the Gopher heuristics) in EXACT integer
+   * micro-units. Counts per non-blank doc over lowercased text:
+   * words = whitespace tokens, sentences = max(1, runs of [.!?]),
+   * syllables = vowel-group runs [aeiouy]+ plus one per vowel-less word
+   * (the standard min-1-per-word heuristic). Both scores ride one
+   * common-denominator rational, sign-split integer division (the
+   * a25/l89 ULP rule — no doubles anywhere):
+   *   grade = 0.39·W/S + 11.8·Y/W − 15.59
+   *   ease  = 206.835 − 1.015·W/S − 84.6·Y/W
+   * Expression-only over the scan — zero shuffles; every count and both
+   * divisions replay exactly in ANSI SQL.
+   */
+  def readabilityStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col("_t"), "\\s+")
+    val counts = df
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), lower(trim(col(textCol))).as("_t"))
+      .select(col("doc_id"),
+        size(toks).cast("long").as("w"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col("_t"), lit("[.!?]+"), lit(0))).cast("long"))
+          .as("s"),
+        (size(regexp_extract_all(col("_t"), lit("[aeiouy]+"), lit(0))).cast("long") +
+          size(filter(toks, t => !t.rlike("[aeiouy]"))).cast("long")).as("y"))
+    val withNum = counts.select(col("doc_id"), col("w"), col("s"), col("y"),
+      (lit(390000L) * col("w") * col("w") + lit(11800000L) * col("y") * col("s")
+        - lit(15590000L) * col("s") * col("w")).as("gnum"),
+      (lit(206835000L) * col("s") * col("w") - lit(1015000L) * col("w") * col("w")
+        - lit(84600000L) * col("y") * col("s")).as("en"),
+      (col("s") * col("w")).as("den"))
+    withNum.select(col("doc_id"), col("w").as("n_words"), col("s").as("n_sentences"),
+      col("y").as("n_syllables"),
+      when(col("gnum") < 0, -expr("(-gnum) div den"))
+        .otherwise(expr("gnum div den")).as("fk_grade_micro"),
+      when(col("en") < 0, -expr("(-en) div den"))
+        .otherwise(expr("en div den")).as("ease_micro"))
+  }
 }

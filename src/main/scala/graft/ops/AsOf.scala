@@ -219,4 +219,41 @@ object AsOf {
       .agg(sum(col("next") - col("pos")).cast("long").as("covered_len"))
       .select(col("k"), col("depth").cast("long").as("depth"), col("covered_len"))
   }
+
+  /**
+   * Merge overlapping/touching intervals per key into maximal islands —
+   * the gaps-and-islands coalesce (SQL-idiom classic; the warehouse form
+   * of bedtools merge). An interval starts a NEW island iff its start is
+   * strictly greater than the running max end of all earlier-starting
+   * intervals (touching intervals [1,5],[5,9] merge — half-open
+   * adjacency); island id = running count of new-island flags.
+   *
+   * Output: (k, island_start, island_end, n_intervals) per island.
+   *
+   * Scale shape: ONE shuffle (the per-key window sort) feeding both the
+   * running-max lag and the island-id running sum on the same
+   * partitioning, then a hash-agg that reuses it — no self-join, no
+   * explode (the O(covered-length) blowup), no per-island iteration.
+   * Skewed keys are bounded by their own interval count, not span.
+   */
+  def mergeIntervals(df: DataFrame, keyCol: Column,
+                     startCol: Column, endCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("s"), col("e"))
+    df.select(keyCol.cast("long").as("k"), startCol.cast("long").as("s"),
+        endCol.cast("long").as("e"))
+      // running max end over all PRECEDING intervals (exclude current row:
+      // the first interval of every key must flag as a new island)
+      .withColumn("prev_max_e",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("k"), col("island"))
+      .agg(min(col("s")).as("island_start"), max(col("e")).as("island_end"),
+        count(lit(1)).cast("long").as("n_intervals"))
+      .select(col("k"), col("island_start"), col("island_end"), col("n_intervals"))
+  }
 }

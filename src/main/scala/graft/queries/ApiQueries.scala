@@ -386,6 +386,27 @@ object ApiQueries {
              |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vsum
              |FROM r GROUP BY 1, 2""".stripMargin)),
 
+    // w15 — first-order Markov transition matrix over per-user event
+    // sequences (Funnel.transitionMatrix): lead() pairs in (ts, id) order
+    // → (src,dst) hash-agg → row-normalized probability in exact integer
+    // micro-units; the per-src totals window runs over the |types|²
+    // aggregated matrix, never the event stream
+    "w15_markov_transitions" -> Q(
+      (s, dir) => graft.ops.Funnel.transitionMatrix(
+        Registry.tdEventsUs(s, dir), "user_id", "ts_us", "event_id", "event_type"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             |    event_type FROM events),
+             |p AS (SELECT event_type AS src,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts_us, event_id) AS dst
+             |  FROM e),
+             |c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+             |  FROM p WHERE dst IS NOT NULL GROUP BY 1, 2)
+             |SELECT src, dst, n,
+             |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY src) AS BIGINT)
+             |    AS p_micro
+             |FROM c""".stripMargin)),
+
     "w13_ewma_trend" -> Q(
       (s, dir) => graft.ops.Anomaly.ewmaTrend(
         Registry.tdEventsUs(s, dir)

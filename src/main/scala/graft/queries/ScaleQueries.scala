@@ -212,6 +212,37 @@ object ScaleQueries {
              |FROM seg WHERE next IS NOT NULL AND depth > 0
              |GROUP BY 1, 2""".stripMargin)),
 
+    // J23 — interval MERGE into maximal islands (AsOf.mergeIntervals —
+    //   gaps-and-islands / bedtools merge): 20-day order windows per
+    //   customer bucket coalesce into covered spans. Running-max-end lag
+    //   + island-id running sum on ONE per-key window sort, then a
+    //   hash-agg reusing the partitioning — no explode, no self-join,
+    //   island size bounded by interval count not span length
+    "j23_interval_merge" -> Q(
+      (s, dir) => {
+        val iv = td(s, dir, "orders").filter(col("o_orderkey") % 10 === 0)
+          .select((col("o_custkey") % 5).as("k"),
+            datediff(col("o_orderdate"), lit("1990-01-01")).cast("long").as("sa"))
+          .withColumn("ea", col("sa") + 20L)
+        graft.ops.AsOf.mergeIntervals(iv, col("k"), col("sa"), col("ea"))
+      },
+      Some("""WITH iv AS (SELECT o_custkey % 5 AS k,
+             |    CAST(datediff('day', DATE '1990-01-01',
+             |      CAST(o_orderdate AS DATE)) AS BIGINT) AS s
+             |  FROM orders WHERE o_orderkey % 10 = 0),
+             |m AS (SELECT k, s, s + 20 AS e,
+             |    max(s + 20) OVER (PARTITION BY k ORDER BY s, s + 20
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+             |  FROM iv),
+             |g AS (SELECT k, s, e,
+             |    sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY k ORDER BY s, e
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM m)
+             |SELECT k, min(s) AS island_start, max(e) AS island_end,
+             |  CAST(count(*) AS BIGINT) AS n_intervals
+             |FROM g GROUP BY k, island""".stripMargin)),
+
     // J21 — TEMPORAL dimension join (Scd.temporalJoin): each fact picks
     //   the SCD2 version current AT ITS TIME — key equi-join + interval
     //   filter, deliberately NOT a range join (the key carries the

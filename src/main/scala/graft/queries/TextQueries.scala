@@ -469,6 +469,35 @@ object TextQueries {
              |SELECT doc_id, round(least(n_chars/200.0, 1.0) * (1.0 - n_punct/greatest(n_chars, 1.0))
              |  * (0.5 + 0.5*least((n_chars/greatest(n_words, 1.0))/8.0, 1.0)), 6) AS quality FROM t""".stripMargin)),
 
+    // l114 — Flesch-Kincaid readability (Kincaid 1975): word / sentence /
+    // vowel-group-syllable counts per doc, grade + reading-ease in EXACT
+    // integer micro-units over one common-denominator rational with
+    // sign-split division (no doubles — the a25/l89 ULP rule).
+    // Expression-only over the scan, zero shuffles
+    "l114_readability" -> Q(
+      (s, dir) => graft.llm.CorpusStats.readabilityStats(
+        td(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH b AS (SELECT doc_id, lower(trim(text)) AS t
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |c AS (SELECT doc_id,
+             |    CAST(len(regexp_split_to_array(t, '\s+')) AS BIGINT) AS w,
+             |    greatest(1, CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT)) AS s,
+             |    CAST(len(regexp_extract_all(t, '[aeiouy]+')) AS BIGINT)
+             |      + CAST(len(list_filter(regexp_split_to_array(t, '\s+'),
+             |          x -> NOT regexp_matches(x, '[aeiouy]'))) AS BIGINT) AS y
+             |  FROM b),
+             |n AS (SELECT doc_id, w, s, y,
+             |    390000*w*w + 11800000*y*s - 15590000*s*w AS gnum,
+             |    206835000*s*w - 1015000*w*w - 84600000*y*s AS en,
+             |    s*w AS den
+             |  FROM c)
+             |SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+             |  CAST(CASE WHEN gnum < 0 THEN -((-gnum) // den)
+             |       ELSE gnum // den END AS BIGINT) AS fk_grade_micro,
+             |  CAST(CASE WHEN en < 0 THEN -((-en) // den)
+             |       ELSE en // den END AS BIGINT) AS ease_micro
+             |FROM n""".stripMargin)),
+
     // inverted index: per-token df / total tf / first-20 doc:tf postings,
     // hapax pruned at df >= 5; postings capped by a bounded window rank,
     // never an unbounded collect_list

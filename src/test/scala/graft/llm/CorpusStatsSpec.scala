@@ -225,4 +225,22 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(out._3 === 8L && out._4 === 8L && out._5 === 8L, "identical docs cap at maxTokens")
     assert(out._8 === 1.0)
   }
+
+  test("readabilityStats: hand-computed FK grade and ease in exact micro-units") {
+    val docs = Seq(
+      (1L, "The cat sat. It ran fast!"),
+      (2L, "zzz grr. ok!"),     // vowel-less words get the min-1 syllable
+      (3L, "   ")               // blank: dropped, never a div-by-zero
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.readabilityStats(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: W=6 S=2 Y=6 → grade = .39·3 + 11.8·1 − 15.59 = −2.62 exactly
+    assert(out(1L) === ((1L, 6L, 2L, 6L, -2620000L, 119190000L)))
+    // doc 2: W=3 S=2 Y=1+2 → grade = .39·1.5 + 11.8·1 − 15.59 = −3.205
+    assert(out(2L)._2 === 3L)
+    assert(out(2L)._4 === 3L, "two vowel-less words add min-1 syllables")
+    assert(out(2L)._5 === -3205000L)
+    assert(!out.contains(3L))
+  }
 }

@@ -139,4 +139,46 @@ class AsOfSpec extends AnyFunSuite with SparkTestBase {
     // has depth 0 and must not appear
     assert(out === Map((1L, 2L) -> 4L, (1L, 1L) -> 2L))
   }
+
+  test("mergeIntervals: overlap and touch coalesce, gaps split, contained spans absorb") {
+    // key 1: [0,5] [5,9] touch-merge; [3,4] contained; [12,15] gap-split.
+    // key 2: nested chain [0,100] [10,20] [30,40] — one island, 3 rows.
+    val iv = Seq((1L, 0L, 5L), (1L, 5L, 9L), (1L, 3L, 4L), (1L, 12L, 15L),
+      (2L, 0L, 100L), (2L, 10L, 20L), (2L, 30L, 40L)).toDF("k", "s", "e")
+    val out = AsOf.mergeIntervals(iv, col("k"), col("s"), col("e"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 0L, 9L, 3L), (1L, 12L, 15L, 1L),
+      (2L, 0L, 100L, 3L)))
+  }
+
+  test("mergeIntervals: a later interval inside an EARLIER long span does not restart an island") {
+    // the running max must be over ALL preceding ends, not just the lag-1
+    // neighbor: [0,50] [1,2] [3,4] — lag-1 end of [3,4] is 2, but 3 < 50
+    val iv = Seq((7L, 0L, 50L), (7L, 1L, 2L), (7L, 3L, 4L)).toDF("k", "s", "e")
+    val out = AsOf.mergeIntervals(iv, col("k"), col("s"), col("e"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set((7L, 0L, 50L, 3L)))
+  }
+
+  test("mergeIntervals equals naive union-sweep on random keys") {
+    val rng = new scala.util.Random(7)
+    val iv = (0 until 400).map { _ =>
+      val s = rng.nextInt(60).toLong
+      (rng.nextInt(12).toLong, s, s + 1 + rng.nextInt(15))
+    }
+    val got = AsOf.mergeIntervals(iv.toDF("k", "s", "e"), col("k"), col("s"), col("e"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val expected = iv.groupBy(_._1).flatMap { case (k, rows) =>
+      val sorted = rows.map(r => (r._2, r._3)).sortBy(identity)
+      val islands = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      sorted.foreach { case (s, e) =>
+        if (islands.nonEmpty && s <= islands.last._2)
+          islands(islands.size - 1) = (islands.last._1,
+            math.max(islands.last._2, e), islands.last._3 + 1)
+        else islands += ((s, e, 1L))
+      }
+      islands.map(i => (k, i._1, i._2, i._3))
+    }.toSet
+    assert(got === expected)
+  }
 }

@@ -72,4 +72,26 @@ class FunnelSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(got === expected)
   }
+
+  test("transitionMatrix: per-user lead pairs, exact micro-unit row normalization") {
+    // user 1: a→b→a→c ; user 2: a→b ; transitions: a→b ×2, b→a, a→c
+    val ev = Seq((1L, 10L, 0L, "a"), (1L, 20L, 1L, "b"),
+      (1L, 30L, 2L, "a"), (1L, 40L, 3L, "c"),
+      (2L, 10L, 4L, "a"), (2L, 20L, 5L, "b")).toDF("u", "ts", "id", "t")
+    val out = Funnel.transitionMatrix(ev, "u", "ts", "id", "t")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out === Map(
+      ("a", "b") -> ((2L, 666666L)),  // 2 of 3 from 'a'
+      ("a", "c") -> ((1L, 333333L)),
+      ("b", "a") -> ((1L, 1000000L))))
+  }
+
+  test("transitionMatrix: same-timestamp ties order by id; single-event users emit nothing") {
+    val ev = Seq((1L, 10L, 2L, "x"), (1L, 10L, 1L, "y"), (3L, 5L, 9L, "z"))
+      .toDF("u", "ts", "id", "t")
+    val out = Funnel.transitionMatrix(ev, "u", "ts", "id", "t")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(out === Set(("y", "x", 1L, 1000000L)))
+  }
 }
