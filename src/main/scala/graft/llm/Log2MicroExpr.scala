@@ -80,8 +80,17 @@ object Log2Micro {
   /** The DuckDB replay of [[compute]] over a one-column relation `ns(n)`:
     * paste into a `WITH RECURSIVE` chain; exposes `lg(n, l2m)`. Kept here
     * so oracle SQL and engine code can never drift apart. */
-  def duckSqlCtes(nsRelation: String): String =
-    s"""lgit AS (
+  def duckSqlCtes(nsRelation: String): String = duckSqlCtes(nsRelation, "lg")
+
+  /** [[duckSqlCtes]] with a caller-chosen CTE prefix, for oracles that
+    * need TWO independent log2 tables in one WITH RECURSIVE (a later
+    * stage's inputs depend on the earlier stage's outputs, so one shared
+    * `ns` would be cyclic — the unigram EM trainer's seed vs M-step
+    * costs). Exposes `<prefix>(n, l2m)`. */
+  def duckSqlCtes(nsRelation: String, prefix: String): String = {
+    val lgit = s"${prefix}it"
+    val lg = prefix
+    s"""$lgit AS (
        |  SELECT n, 0 AS i,
        |    CASE WHEN length(bin(n)) - 1 >= 30
        |      THEN n >> (length(bin(n)) - 31)
@@ -94,6 +103,8 @@ object Log2Micro {
        |         ELSE (r*r) >> 30 END,
        |    acc + CASE WHEN ((r*r) >> 30) >= 2147483648
        |               THEN (CAST(1 AS BIGINT) << (20 - (i+1))) ELSE 0 END
-       |  FROM lgit WHERE i < 20),
-       |lg AS (SELECT n, (acc * 1000000) >> 20 AS l2m FROM lgit WHERE i = 20)""".stripMargin
+       |  FROM $lgit WHERE i < 20),
+       |$lg AS (SELECT n, (acc * 1000000) >> 20 AS l2m FROM $lgit WHERE i = 20)""".stripMargin
+  }
+
 }

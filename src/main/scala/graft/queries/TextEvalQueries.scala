@@ -294,6 +294,23 @@ object TextEvalQueries {
         graft.llm.Unigram.DefaultVocab, graft.llm.Unigram.UnkCostMicro,
         graft.llm.Unigram.MaxPieceLen))),
 
+    // l115 — hard-EM unigram-LM tokenizer TRAINING (Kudo 2018's EM
+    // re-estimation, Viterbi E-step): the training-side complement to
+    // l93's segmentation, structured like the BPE trainer — corpus-scale
+    // word-frequency shuffle, then EM over the bounded top-word table.
+    // Every count is an integer and every cost a Log2Micro fixed-point
+    // value, so the ENTIRE train (seed cut, DP, backtrace, EM counts,
+    // M-step costs) replays bit-for-bit in the oracle. eager: collects
+    // the bounded top-word table at construction (the l16 precedent)
+    "l115_unigram_em_train" -> Q(
+      (s, dir) => graft.llm.UnigramTrain.emTrain(
+        s, td(s, dir, "documents"), "text",
+        topWords = 2000, vocabSize = 64, topK = 40, rounds = 1),
+      Some(TextOracles.unigramEmTrainSql(topWords = 2000, vocabSize = 64,
+        topK = 40, maxLen = graft.llm.Unigram.MaxPieceLen,
+        unkCost = graft.llm.Unigram.UnkCostMicro)),
+      eager = true),
+
     // tokenizer FAMILY comparison: per language, BPE tokens-per-word vs
     // unigram pieces-per-word over the same docs in ONE scan — the table
     // a tokenizer rollout decision reads (which family compresses which

@@ -384,6 +384,99 @@ private[queries] trait TextLmOracles extends TextOracleSqlBase {
    * docs — both tokenizer families in ONE WITH RECURSIVE block, exact
    * integer sums, the only doubles the two final per-word ratios.
    */
+  /**
+   * Exact twin of [[graft.llm.UnigramTrain.emTrain]] (rounds = 1) —
+   * l115: the WHOLE hard-EM train replayed in one WITH RECURSIVE —
+   * top-word frequency cut, weighted substring candidate counts, seed
+   * top-V cut, seed costs via the [[graft.llm.Log2Micro]] recurrence
+   * (prefix `lga`), the packed Viterbi DP per word JOINING the
+   * data-derived seed-cost table (l93's DP with vocab joins instead of
+   * literal CASE chains), the smallest-k backtrace, EM counts at word
+   * frequency, the M-step top-V re-cut, and final costs via a SECOND
+   * log2 instance (prefix `lgb` — the two stages' inputs are
+   * sequentially dependent, so one shared `ns` would be cyclic).
+   */
+  def unigramEmTrainSql(topWords: Int, vocabSize: Int, topK: Int,
+                        maxLen: Int, unkCost: Long): String = {
+    require(maxLen == 4, "the DP/backtrace SQL is written for maxLen = 4")
+    val big = graft.llm.Unigram.Big
+    val cap = graft.llm.Unigram.MaxWordChars
+    // DP candidate for piece length k ending at char i (list dp is
+    // 1-indexed; dp[i] = packed cost of the first i-1 chars)
+    def dpCand(k: Int): String =
+      if (k == 1) s"u.dp[u.i] + COALESCE(v1.cost, $unkCost)*2048 + 1"
+      else s"COALESCE(CASE WHEN u.i >= $k THEN u.dp[u.i - ${k - 1}] + v$k.cost*2048 + 1 END, CAST($big AS BIGINT))"
+    // backtrace: smallest k whose candidate achieves dp[j] (CASE order =
+    // the Scala tie-break); piece of length k ends at char j-1
+    val kCase =
+      s"""CASE
+         | WHEN u.dp[u.j] = u.dp[u.j-1] + COALESCE(b1.cost, $unkCost)*2048 + 1 THEN 1
+         | WHEN u.j >= 3 AND b2.cost IS NOT NULL
+         |   AND u.dp[u.j] = u.dp[u.j-2] + b2.cost*2048 + 1 THEN 2
+         | WHEN u.j >= 4 AND b3.cost IS NOT NULL
+         |   AND u.dp[u.j] = u.dp[u.j-3] + b3.cost*2048 + 1 THEN 3
+         | ELSE 4 END""".stripMargin
+    val candUnions = (1 to maxLen).map { k =>
+      s"""    SELECT unnest(list_transform(range(1, length(w) - ${k - 1} + 1),
+         |      p -> substr(w, p, $k))) AS piece, f FROM wf""".stripMargin
+    }.mkString("\n    UNION ALL\n")
+    s"""WITH RECURSIVE
+       |wt AS (
+       |  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |    x -> length(x) > 0) AS ws
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |wfall AS (
+       |  SELECT substr(w, 1, $cap) AS w, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(ws) AS w FROM wt) GROUP BY 1),
+       |wf AS (SELECT w, f FROM wfall ORDER BY f DESC, w LIMIT $topWords),
+       |cnd AS (
+       |  SELECT piece, CAST(sum(f) AS BIGINT) AS cnt FROM (
+       |$candUnions
+       |  ) GROUP BY 1),
+       |seed AS (SELECT piece, cnt FROM cnd ORDER BY cnt DESC, piece LIMIT $vocabSize),
+       |t0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM seed),
+       |nsa AS (SELECT DISTINCT cnt AS n FROM seed UNION SELECT t FROM t0),
+       |${graft.llm.Log2Micro.duckSqlCtes("nsa", "lga")},
+       |seedcost AS (
+       |  SELECT s.piece,
+       |    (SELECT l2m FROM lga WHERE n = (SELECT t FROM t0)) - g.l2m AS cost
+       |  FROM seed s JOIN lga g ON g.n = s.cnt),
+       |udp AS (
+       |  SELECT w, f, length(w) AS n, 1 AS i, [CAST(0 AS BIGINT)] AS dp FROM wf
+       |  UNION ALL
+       |  SELECT u.w, u.f, u.n, u.i + 1,
+       |    list_append(u.dp, least(
+       |      ${(1 to maxLen).map(dpCand).mkString(",\n      ")}))
+       |  FROM udp u
+       |  LEFT JOIN seedcost v1 ON v1.piece = substr(u.w, u.i, 1)
+       |  LEFT JOIN seedcost v2 ON u.i >= 2 AND v2.piece = substr(u.w, u.i - 1, 2)
+       |  LEFT JOIN seedcost v3 ON u.i >= 3 AND v3.piece = substr(u.w, u.i - 2, 3)
+       |  LEFT JOIN seedcost v4 ON u.i >= 4 AND v4.piece = substr(u.w, u.i - 3, 4)
+       |  WHERE u.i <= u.n),
+       |uback AS (
+       |  SELECT w, f, n, dp, n + 1 AS j, CAST(NULL AS VARCHAR) AS piece
+       |  FROM udp WHERE i = n + 1
+       |  UNION ALL
+       |  SELECT u.w, u.f, u.n, u.dp,
+       |    u.j - ($kCase) AS j,
+       |    substr(u.w, u.j - ($kCase), ($kCase)) AS piece
+       |  FROM uback u
+       |  LEFT JOIN seedcost b1 ON b1.piece = substr(u.w, u.j - 1, 1)
+       |  LEFT JOIN seedcost b2 ON u.j >= 3 AND b2.piece = substr(u.w, u.j - 2, 2)
+       |  LEFT JOIN seedcost b3 ON u.j >= 4 AND b3.piece = substr(u.w, u.j - 3, 3)
+       |  WHERE u.j > 1),
+       |em AS (SELECT piece, CAST(sum(f) AS BIGINT) AS cnt
+       |  FROM uback WHERE piece IS NOT NULL GROUP BY 1),
+       |emtop AS (SELECT piece, cnt FROM em ORDER BY cnt DESC, piece LIMIT $vocabSize),
+       |t1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM emtop),
+       |nsb AS (SELECT DISTINCT cnt AS n FROM emtop UNION SELECT t FROM t1),
+       |${graft.llm.Log2Micro.duckSqlCtes("nsb", "lgb")}
+       |SELECT e.piece, e.cnt AS em_count,
+       |  (SELECT l2m FROM lgb WHERE n = (SELECT t FROM t1)) - g.l2m AS cost_micro
+       |FROM emtop e JOIN lgb g ON g.n = e.cnt
+       |ORDER BY em_count DESC, piece LIMIT $topK""".stripMargin
+  }
+
   def tokenizerComparisonSql(merges: Seq[(String, String)],
                              vocab: Seq[(String, Long)], unkCost: Long,
                              maxLen: Int): String =
