@@ -74,6 +74,69 @@ object Packing {
       idCol, "_n", binCapacity, chunkSize)
 
   /**
+   * Packing-EFFICIENCY audit (Johnson 1973's bin-packing heuristics as a
+   * one-row corpus report): per chunk, the bins used by the production
+   * next-fit-in-id-order fold ([[packByTokenBudget]] — streaming, never
+   * reopens a bin), by first-fit-DECREASING (the classic ≤ 11/9·OPT + 1
+   * offline heuristic — what a pre-sorted materialization could achieve),
+   * and the ⌈tokens/capacity⌉ lower bound — the table that decides
+   * whether the cheap streaming fold is leaving GPU-batch utilization on
+   * the table. One row of exact integers; utilization in micro-units.
+   *
+   * Scale shape: identical to [[packByTokenBudget]] — ONE shuffle on the
+   * chunk key, O(chunkSize²) worst-case FFD inside each bounded chunk,
+   * then a single global agg of chunk stats (tiny).
+   */
+  def packingEfficiency(docs: DataFrame, idCol: String, textCol: String,
+                        binCapacity: Long, chunkSize: Long,
+                        merges: Seq[(String, String)] = Bpe.DefaultMerges)
+      : DataFrame = {
+    require(binCapacity > 0 && chunkSize > 0)
+    import docs.sparkSession.implicits._
+    val perChunk = docs
+      .select(col(idCol).cast("long"), Bpe.countTokens(col(textCol), merges).cast("long"))
+      .as[(Long, Option[Long])]
+      // drop null-count rows BEFORE grouping (typed side, same reasoning
+      // as packByTokenBudget): a chunk of only-null docs must emit NO
+      // stats row, matching the oracle's text-IS-NOT-NULL universe
+      .flatMap { case (id, on) => on.map(n => (id, n)) }
+      .groupByKey { case (id, _) => Math.floorDiv(id, chunkSize) }
+      .mapGroups { (chunk: Long, rows: Iterator[(Long, Long)]) =>
+        val ds = rows.toArray
+        // next-fit in id order — packByTokenBudget's exact fold
+        val byId = ds.sortBy(_._1)
+        var bin = 0L
+        var running = 0L
+        byId.foreach { case (_, n) =>
+          if (running > 0 && running + n > binCapacity) { bin += 1; running = 0L }
+          running += n
+        }
+        val nfBins = if (ds.isEmpty) 0L else bin + 1
+        // first-fit-decreasing: (n DESC, id ASC), first bin that fits
+        val fills = scala.collection.mutable.ArrayBuffer[Long]()
+        ds.sortBy { case (id, n) => (-n, id) }.foreach { case (_, n) =>
+          val i = fills.indexWhere(_ + n <= binCapacity)
+          if (i < 0) fills += n else fills(i) += n
+        }
+        val total = ds.map(_._2).sum
+        (chunk, ds.length.toLong, total, nfBins, fills.length.toLong,
+          (total + binCapacity - 1) / binCapacity)
+      }
+    perChunk.toDF("chunk", "n_docs", "total_tokens", "bins_nf", "bins_ffd", "lb")
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum("n_docs").cast("long").as("n_docs"),
+        sum("total_tokens").cast("long").as("total_tokens"),
+        sum("bins_nf").cast("long").as("bins_next_fit"),
+        sum("bins_ffd").cast("long").as("bins_ffd"),
+        sum("lb").cast("long").as("bins_lower_bound"))
+      .select(col("*"),
+        expr(s"total_tokens * 1000000L div (bins_next_fit * $binCapacity)")
+          .as("util_next_fit_micro"),
+        expr(s"total_tokens * 1000000L div (bins_ffd * $binCapacity)")
+          .as("util_ffd_micro"))
+  }
+
+  /**
    * Materialize packed bins into training SEQUENCES: one row per
    * (chunk, bin) with the member texts joined in id order by `docSep`
    * (the \<doc\> boundary marker a trainer splits on), the member count,

@@ -455,6 +455,26 @@ object AnnQueries {
       },
       Some(MediaOracles.dhashPairsSql())),
 
+    // m13 — multimodal near-dup dedup taken END TO END: the m6 dHash
+    // banded-Hamming pair graph collapsed into release-ready CLUSTERS via
+    // the same pointer-jumping components as the text path (l13) — the
+    // "which images are one asset" table a curation run publishes.
+    // Oracle: the m6 candidate CTEs + Hamming verify + recursive reach
+    "m13_media_dedup_clusters" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = td(s, dir, "documents")
+          .filter(col("doc_id") % 4 === 0).select(col("doc_id")).as[Long]
+          .flatMap(id => Multimodal.packImagePairById(id))
+        val hashes = Multimodal.imageDHash(media).toDF()
+        val pairs = Dedup.fingerprintNearDups(hashes, "media_id", "dhash",
+            maxHamming = 3, blocks = 4, maxBucketSize = 4000)
+          .select(col("id1"), col("id2"))
+        Dedup.nearDupClusters(pairs)
+          .select(col("id").as("media_id"), col("cluster_id"))
+      },
+      Some(MediaOracles.dhashClustersSql())),
+
     // the audio half of multimodal near-dup dedup: 64-bit energy-envelope
     // fingerprint (Haitsma-Kalker sign-of-gradient core) of real PCM WAV
     // bytes + the same banded Hamming tail as m6; ids %4==1 (disjoint

@@ -188,6 +188,55 @@ object BpeOracles {
        |  CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n_tokens
        |FROM rec""".stripMargin
 
+  /**
+   * Exact twin of `Packing.packingEfficiency` — l116: the next-fit
+   * recursion ([[packedCtes]]) next to a first-fit-DECREASING replay
+   * (per-chunk recursive fold over (n DESC, doc_id) order carrying the
+   * bin-fill LIST; "first bin that fits" = the first index whose fill
+   * admits n) and the ⌈tokens/capacity⌉ lower bound, aggregated to the
+   * same one-row report with integer micro-unit utilizations.
+   */
+  def packingEfficiencySql(merges: Seq[(String, String)], binCapacity: Long,
+                           chunkSize: Long): String =
+    s"""WITH RECURSIVE
+       |${packedCtes(merges, binCapacity, chunkSize)},
+       |fseq AS (SELECT doc_id, chunk, n,
+       |    row_number() OVER (PARTITION BY chunk ORDER BY n DESC, doc_id) AS rn
+       |  FROM seq),
+       |ffd(chunk, rn, fills) AS (
+       |  SELECT chunk, rn, [n] AS fills FROM fseq WHERE rn = 1
+       |  UNION ALL
+       |  SELECT s.chunk, s.rn,
+       |    CASE WHEN len(list_filter(range(1, len(r.fills) + 1),
+       |             i -> r.fills[i] + s.n <= $binCapacity)) = 0
+       |      THEN list_append(r.fills, s.n)
+       |      ELSE list_transform(range(1, len(r.fills) + 1),
+       |        i -> CASE WHEN i = list_filter(range(1, len(r.fills) + 1),
+       |                j -> r.fills[j] + s.n <= $binCapacity)[1]
+       |             THEN r.fills[i] + s.n ELSE r.fills[i] END)
+       |    END
+       |  FROM ffd r JOIN fseq s ON s.chunk = r.chunk AND s.rn = r.rn + 1),
+       |fmax AS (SELECT chunk, max(rn) AS mr FROM fseq GROUP BY 1),
+       |ffdb AS (SELECT f.chunk, CAST(len(f.fills) AS BIGINT) AS b
+       |  FROM ffd f JOIN fmax m ON m.chunk = f.chunk AND f.rn = m.mr),
+       |nfb AS (SELECT chunk, CAST(max(bin) + 1 AS BIGINT) AS b FROM rec GROUP BY 1),
+       |cst AS (SELECT chunk, CAST(count(*) AS BIGINT) AS docs,
+       |    CAST(sum(n) AS BIGINT) AS total FROM seq GROUP BY 1),
+       |per AS (SELECT c.chunk, c.docs, c.total, nf.b AS nf, fd.b AS fd,
+       |    (c.total + $binCapacity - 1) // $binCapacity AS lb
+       |  FROM cst c JOIN nfb nf USING (chunk) JOIN ffdb fd USING (chunk))
+       |SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(docs) AS BIGINT) AS n_docs,
+       |  CAST(sum(total) AS BIGINT) AS total_tokens,
+       |  CAST(sum(nf) AS BIGINT) AS bins_next_fit,
+       |  CAST(sum(fd) AS BIGINT) AS bins_ffd,
+       |  CAST(sum(lb) AS BIGINT) AS bins_lower_bound,
+       |  CAST(sum(total) * 1000000 // (sum(nf) * $binCapacity) AS BIGINT)
+       |    AS util_next_fit_micro,
+       |  CAST(sum(total) * 1000000 // (sum(fd) * $binCapacity) AS BIGINT)
+       |    AS util_ffd_micro
+       |FROM per""".stripMargin
+
   /** Exact twin of `Packing.materializeBins` (sequence md5'd on both
     * sides to keep compared rows small): the packing recursion joined
     * back to text, aggregated per (chunk, bin) with the identical

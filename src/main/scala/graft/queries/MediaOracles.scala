@@ -134,7 +134,17 @@ object MediaOracles {
    * bottom-up fold, grid-sample position, or bit order in the Scala path
    * flips compared pairs in or out.
    */
-  def dhashPairsSql(maxHamming: Int = 3): String = {
+  def dhashPairsSql(maxHamming: Int = 3): String =
+    s"""WITH ${dhashCandCtes(maxHamming)}
+       |SELECT id1, id2,
+       |  CAST(bit_count(xor(dh1, dh2)) AS BIGINT) AS hamming,
+       |  (id1 // 2 = id2 // 2) AS same_doc
+       |FROM cand WHERE bit_count(xor(dh1, dh2)) <= $maxHamming""".stripMargin
+
+  /** The m6 candidate pipeline as a reusable CTE block ending in
+    * `cand(id1, id2, dh1, dh2)` — consumed by [[dhashPairsSql]] and
+    * [[dhashClustersSql]] so the two can never desynchronize. */
+  private def dhashCandCtes(maxHamming: Int): String = {
     val dim = graft.multimodal.Multimodal.PatternDim
     val gridW = 8
     val gridH = 8
@@ -151,7 +161,7 @@ object MediaOracles {
       s"CASE WHEN ${grayE(sxs(gx + 1), sy)} > ${grayE(sxs(gx), sy)}" +
         s" THEN CAST('$p' AS HUGEINT) ELSE CAST('0' AS HUGEINT) END"
     }).mkString("\n      + ")
-    s"""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id % 4 = 0),
+    s"""ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id % 4 = 0),
        |mx AS (SELECT id,
        |    (id % 1048573) * 2654435761 % 1048573 AS m1,
        |    (id % 1048289) * 97002529 % 1048289 AS m2
@@ -180,12 +190,25 @@ object MediaOracles {
        |cand AS (
        |  SELECT DISTINCT a.media_id AS id1, b.media_id AS id2, a.dh AS dh1, b.dh AS dh2
        |  FROM sl a JOIN sl b ON a.blk = b.blk AND a.slice = b.slice
-       |    AND a.media_id < b.media_id)
-       |SELECT id1, id2,
-       |  CAST(bit_count(xor(dh1, dh2)) AS BIGINT) AS hamming,
-       |  (id1 // 2 = id2 // 2) AS same_doc
-       |FROM cand WHERE bit_count(xor(dh1, dh2)) <= $maxHamming""".stripMargin
+       |    AND a.media_id < b.media_id)""".stripMargin
   }
+
+  /**
+   * Connected components over the m6 VERIFIED near-dup pair graph — the
+   * exact twin of `nearDupClusters(fingerprintNearDups(imageDHash(...)))`
+   * (m13): min-reachable-id labels via the recursive reach CTE (the
+   * exactJaccardClustersSql pattern) over Hamming-verified pairs.
+   */
+  def dhashClustersSql(maxHamming: Int = 3): String =
+    s"""WITH RECURSIVE ${dhashCandCtes(maxHamming)},
+       |vp AS (SELECT id1, id2 FROM cand
+       |  WHERE bit_count(xor(dh1, dh2)) <= $maxHamming),
+       |edges AS (SELECT id1 AS a, id2 AS b FROM vp UNION SELECT id2, id1 FROM vp),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS media_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a""".stripMargin
 
   /**
    * Bit-exact oracle for the audio-fingerprint near-dup pairs (m7): the

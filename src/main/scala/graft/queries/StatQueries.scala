@@ -132,6 +132,21 @@ object StatQueries {
              |CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // a39 — CUBE (all 2^k grouping-set combinations, the full OLAP
+    // materialization next to a19's hierarchy-ordered ROLLUP): one
+    // Expand + hash-agg plan, grouping-set id exposed so every subtotal
+    // level is addressable
+    "a39_cube" -> Q(
+      (s, dir) => td(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(expr("grouping_id()").cast("long").as("gid"),
+          count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+             |CAST(count(*) AS BIGINT) AS n,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
+
     // per-group z-score standardization (windowed mean/stddev — the
     // feature-scaling step of any numeric ML prep): z is scale-free
     // (O(1)), so 6-dp rounding absorbs cross-engine moment noise exactly

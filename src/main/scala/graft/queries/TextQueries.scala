@@ -64,6 +64,18 @@ object TextQueries {
       Some(BpeOracles.packingSql(graft.llm.Bpe.DefaultMerges,
         binCapacity = 512L, chunkSize = 32L))),
 
+    // l116 — packing-EFFICIENCY audit (Johnson 1973): bins used by l23's
+    // streaming next-fit fold vs first-fit-decreasing vs the
+    // ceil(tokens/capacity) lower bound, with micro-unit utilizations —
+    // the one-row report that decides whether pre-sorting bins is worth
+    // a materialization. Same one-shuffle chunk shape as l23
+    "l116_packing_efficiency" -> Q(
+      (s, dir) => graft.llm.Packing.packingEfficiency(
+        td(s, dir, "documents"), "doc_id", "text",
+        binCapacity = 512L, chunkSize = 32L),
+      Some(BpeOracles.packingEfficiencySql(graft.llm.Bpe.DefaultMerges,
+        binCapacity = 512L, chunkSize = 32L))),
+
     // tokenizer LOSSLESSNESS audit: stripping the separator from the
     // encoding must reproduce the whitespace-collapsed source for EVERY
     // doc — the invariant a tokenizer rollout gates on. Both engines

@@ -147,4 +147,35 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(out.map(_._5).sorted.toSeq === (0L until out.length.toLong))
   }
+
+  test("packingEfficiency: hand case where FFD beats streaming next-fit, exact micro utils") {
+    // single-char 'q' words are 1 BPE token each → exact sizes 400/200/400/200;
+    // next-fit in id order burns 4 bins, FFD reaches the LB of 3
+    def qs(n: Int) = ("q " * n).trim
+    val docs = Seq((0L, qs(400)), (1L, qs(200)), (2L, qs(400)), (3L, qs(200)))
+      .toDF("doc_id", "text")
+    val out = Packing.packingEfficiency(docs, "doc_id", "text",
+        binCapacity = 512L, chunkSize = 32L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(out === ((1L, 4L, 1200L, 4L, 3L, 3L,
+      1200000000L / (4 * 512), 1200000000L / (3 * 512))))
+  }
+
+  test("packingEfficiency: lower bound never exceeds either heuristic; null-only chunks emit nothing") {
+    val rng = new scala.util.Random(3)
+    // sizes ≤ capacity: ceil(total/cap) is only a valid lower bound when
+    // no single doc overflows a bin (an oversized doc sits alone in one
+    // over-full bin on both heuristics, beating the "bound")
+    val docs = (0L until 200L).map { id =>
+      (id, if (id >= 64 && id < 96) null else qs2(1 + rng.nextInt(512)))
+    }.toDF("doc_id", "text")
+    val out = Packing.packingEfficiency(docs, "doc_id", "text",
+        binCapacity = 512L, chunkSize = 32L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(out._1 === 6L, "the all-null chunk [64,96) must not emit stats")
+    assert(out._2 === 168L)
+    assert(out._6 <= out._5 && out._6 <= out._4, s"LB must bound both heuristics: $out")
+  }
+
+  private def qs2(n: Int) = ("q " * n).trim
 }

@@ -108,7 +108,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "s31_dynamic_partition_pruning",
       // c26: publishes + vacuum deletions run at construction (the c3
       // lifecycle shape); returns a literal decision table — reviewed r9
-      "c26_publish_vacuum")
+      "c26_publish_vacuum",
+      // l115: collects the bounded top-word frequency table at
+      // construction and runs hard-EM over it (the BPE-trainer split;
+      // the l16 bounded-collect precedent) — reviewed r10
+      "l115_unigram_em_train")
     val actual = Registry.all.filter(_._2.eager).map(_._1).toSet
     assert(actual == expected,
       s"eager-set drift — added: ${actual -- expected}, removed: ${expected -- actual}")
