@@ -32,6 +32,61 @@ object Anonymity {
         (col("class_n") < k).as("violates_k"),
         (col("sensitive_distinct") < l).as("violates_l")): _*)
 
+  /**
+   * t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+   * third rung of the anonymity ladder: l-diversity can hold while a
+   * class's sensitive DISTRIBUTION still leaks (e.g. all-low salaries),
+   * so each class's distribution must stay within EMD t of the global
+   * one. For an ORDERED sensitive attribute the EMD has the closed form
+   * (1/(m−1))·Σᵢ|Σ_{j≤i}(p_j − q_j)| over the m ordered buckets — and
+   * with integer bucket counts it is EXACT: the cumulative numerator over
+   * the common denominator n_class·n_total is pure int64, and the audit
+   * emits floor(10⁶·Σ|cum|/((m−1)·n_class·n_total)). (Int64 headroom:
+   * Σ|cum| ≤ (m−1)·n_class·n_total ≤ (m−1)·n², so ×10⁶ fits until
+   * n ≈ 10⁵·√m rows — beyond that, widen to DECIMAL(38,0).)
+   *
+   * `bucketCol` must be an integer ORDERED bucket expression that is
+   * bit-portable across engines (integer arithmetic, or floor over IEEE
+   * +,−,×,÷ which are correctly-rounded everywhere — never libm).
+   *
+   * Scale shape: two corpus hash-aggs (per-class-bucket, per-bucket),
+   * then every window/join runs over the TINY classes × buckets grid.
+   */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+                      bucketCol: org.apache.spark.sql.Column,
+                      tMicro: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(quasiCols.map(col) :+
+      bucketCol.cast("long").as("_b"): _*)
+    val cb = base.groupBy(quasiCols.map(col) :+ col("_b"): _*)
+      .agg(count(lit(1)).cast("long").as("_c"))
+    val gb = base.groupBy(col("_b"))
+      .agg(count(lit(1)).cast("long").as("_g"))
+    val classes = cb.select(quasiCols.map(col): _*).distinct()
+    val grid = classes.crossJoin(gb) // tiny × tiny: classes × m buckets
+      .join(cb, quasiCols :+ "_b", "left")
+      .na.fill(0L, Seq("_c"))
+    val wClass = Window.partitionBy(quasiCols.map(col): _*)
+    val wCum = wClass.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nTotal = sum(col("_g")).over(wClass) // Σ over the grid = n_total
+    val out = grid
+      .withColumn("_nc", sum(col("_c")).over(wClass))
+      .withColumn("_n", nTotal)
+      .withColumn("_cum", sum(col("_c") * col("_n") - col("_g") * col("_nc")).over(wCum))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max(col("_nc")).as("class_n"),
+        count(lit(1)).cast("long").as("m_buckets"),
+        sum(abs(col("_cum"))).as("_sumabs"),
+        max(col("_n")).as("_nt"))
+    out.select(quasiCols.map(col) ++ Seq(
+      col("class_n"), col("m_buckets"),
+      expr("""CASE WHEN m_buckets <= 1 THEN CAST(0 AS BIGINT)
+             |ELSE _sumabs * 1000000L div ((m_buckets - 1) * class_n * _nt)
+             |END""".stripMargin).as("emd_micro")): _*)
+      .withColumn("violates_t", col("emd_micro") > tMicro)
+  }
+
   /** Suppression pass: drop every row whose quasi-identifier class
     * violates k-anonymity — the minimal-distortion release transform
     * (generalization hierarchies would come before suppression in a full

@@ -437,6 +437,52 @@ object StatQueries {
              |  count(DISTINCT c_acctbal) < 3 AS violates_l
              |FROM customer GROUP BY 1, 2""".stripMargin)),
 
+    // l117 — t-closeness audit (Li-Li-Venkatasubramanian 2007): the third
+    // anonymity rung after l100's k/l — each QI class's ORDERED sensitive
+    // distribution must stay within EMD t of the global one. Ordered EMD
+    // closed form over integer bucket counts: cumulative numerators on
+    // the n_class·n_total common denominator, EXACT micro-unit floor.
+    // Buckets = floor(c_acctbal/1500.0) — IEEE ÷ and floor are
+    // correctly-rounded (bit-identical cross-engine); only libm is not
+    "l117_t_closeness" -> Q(
+      (s, dir) => graft.ops.Anonymity.tClosenessAudit(
+        td(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / lit(1500.0)), tMicro = 150000L),
+      Some("""WITH b AS (SELECT c_nationkey, c_mktsegment,
+             |    CAST(floor(c_acctbal / 1500.0) AS BIGINT) AS bk
+             |  FROM customer),
+             |cb AS (SELECT c_nationkey, c_mktsegment, bk,
+             |    CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2, 3),
+             |gb AS (SELECT bk, CAST(count(*) AS BIGINT) AS g FROM b GROUP BY 1),
+             |cls AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM cb),
+             |grid AS (SELECT cls.c_nationkey, cls.c_mktsegment, gb.bk, gb.g,
+             |    COALESCE(cb.c, 0) AS c
+             |  FROM cls CROSS JOIN gb
+             |  LEFT JOIN cb USING (c_nationkey, c_mktsegment, bk)),
+             |w AS (SELECT *,
+             |    sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment) AS nc,
+             |    sum(g) OVER (PARTITION BY c_nationkey, c_mktsegment) AS nt
+             |  FROM grid),
+             |cum AS (SELECT *,
+             |    sum(c * nt - g * nc) OVER (PARTITION BY c_nationkey, c_mktsegment
+             |      ORDER BY bk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cm
+             |  FROM w),
+             |agg AS (SELECT c_nationkey, c_mktsegment,
+             |    CAST(max(nc) AS BIGINT) AS class_n,
+             |    CAST(count(*) AS BIGINT) AS m_buckets,
+             |    CAST(sum(abs(cm)) AS BIGINT) AS sa,
+             |    CAST(max(nt) AS BIGINT) AS nt
+             |  FROM cum GROUP BY 1, 2)
+             |SELECT c_nationkey, c_mktsegment, class_n, m_buckets,
+             |  CAST(CASE WHEN m_buckets <= 1 THEN 0
+             |       ELSE sa * 1000000 // ((m_buckets - 1) * class_n * nt)
+             |       END AS BIGINT) AS emd_micro,
+             |  CASE WHEN m_buckets <= 1 THEN 0
+             |       ELSE sa * 1000000 // ((m_buckets - 1) * class_n * nt)
+             |       END > 150000 AS violates_t
+             |FROM agg""".stripMargin)),
+
     // Kaplan-Meier survival curves (Kaplan & Meier 1958) — the clinical-
     // outcomes estimator over the reference's days_to_event/vital_status
     // shapes (clinical/Survival.scala). Cohort derived from orders:

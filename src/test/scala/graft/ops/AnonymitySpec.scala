@@ -34,4 +34,34 @@ class AnonymitySpec extends AnyFunSuite with SparkTestBase {
       .filter("violates_k").count()
     assert(reaudit === 0)
   }
+
+  test("tClosenessAudit: hand-computed ordered EMD in exact micro-units") {
+    import org.apache.spark.sql.functions.col
+    // global = uniform over buckets 0..3; class A concentrates low, class
+    // B concentrates high (both EMD 1/3), class C matches global (EMD 0)
+    val rows =
+      Seq(("A", 0L), ("A", 0L), ("A", 1L), ("A", 1L),
+        ("B", 2L), ("B", 2L), ("B", 3L), ("B", 3L),
+        ("C", 0L), ("C", 1L), ("C", 2L), ("C", 3L)).toDF("cls", "bk")
+    val out = Anonymity.tClosenessAudit(rows, Seq("cls"), col("bk"),
+        tMicro = 150000L)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // EMD(A) = (1/3)(0.25 + 0.5 + 0.25 + 0) = 1/3 → floor to 333333 micro
+    assert(out("A") === (("A", 4L, 4L, 333333L, true)))
+    assert(out("B") === (("B", 4L, 4L, 333333L, true)))
+    assert(out("C") === (("C", 4L, 4L, 0L, false)))
+  }
+
+  test("tClosenessAudit: l-diverse class can still violate t (the ladder's point)") {
+    import org.apache.spark.sql.functions.col
+    // class D has 3 DISTINCT sensitive buckets (l-diversity passes at
+    // l=3) but all of them low vs a global spread to bucket 9
+    val rows = (Seq.fill(6)("D") zip Seq(0L, 1L, 2L, 0L, 1L, 2L)) ++
+      (Seq.fill(6)("E") zip Seq(7L, 8L, 9L, 7L, 8L, 9L))
+    val out = Anonymity.tClosenessAudit(rows.toDF("cls", "bk"), Seq("cls"),
+        col("bk"), tMicro = 150000L)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(out.forall(_._5), s"both skewed classes must violate t: ${out.toSeq}")
+  }
 }
