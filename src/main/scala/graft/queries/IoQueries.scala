@@ -155,6 +155,35 @@ object IoQueries {
              |FROM documents WHERE source = 'src7' GROUP BY 1""".stripMargin),
       eager = true),
 
+    // S32 — DYNAMIC partition overwrite (partitionOverwriteMode=dynamic,
+    //   the INSERT OVERWRITE ... PARTITION warehouse primitive): a
+    //   re-run of one ingest slice must replace ONLY the partitions it
+    //   writes — static mode would truncate the whole table, append mode
+    //   would duplicate the slice. Fixture: full partitioned write, then
+    //   a corrected src7 slice (doubled n_chars) overwrites dynamically;
+    //   the read-back per-partition census proves src7 was replaced (not
+    //   doubled) and every other partition kept its original rows
+    "s32_dynamic_partition_overwrite" -> Q(
+      (s, dir) => {
+        val path = s"$FixtureRoot/s32_${new java.io.File(dir).getName}"
+        val docs = td(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        docs.write.partitionBy("source").mode("overwrite").parquet(path)
+        val corrected = docs.filter(col("source") === "src7")
+          .withColumn("n_chars", col("n_chars") * 2)
+        corrected.write.partitionBy("source")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(path)
+        s.read.parquet(path).groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("n_chars").cast("long").as("n_chars"))
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |CAST(sum(CASE WHEN source = 'src7' THEN n_chars * 2
+             |         ELSE n_chars END) AS BIGINT) AS n_chars
+             |FROM documents GROUP BY 1""".stripMargin),
+      eager = true),
+
     // S22 — schema EVOLUTION across parquet batches: an early batch
     //   without a column + a later batch with it, read back as one table
     //   under mergeSchema — the lake reality that a 100 TB corpus is

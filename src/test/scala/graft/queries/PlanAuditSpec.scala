@@ -112,7 +112,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // l115: collects the bounded top-word frequency table at
       // construction and runs hard-EM over it (the BPE-trainer split;
       // the l16 bounded-collect precedent) — reviewed r10
-      "l115_unigram_em_train")
+      "l115_unigram_em_train",
+      // s32: partitioned fixture write + dynamic-overwrite re-run at
+      // construction (the s21/s31 shape) — reviewed r10
+      "s32_dynamic_partition_overwrite")
     val actual = Registry.all.filter(_._2.eager).map(_._1).toSet
     assert(actual == expected,
       s"eager-set drift — added: ${actual -- expected}, removed: ${expected -- actual}")
