@@ -80,6 +80,26 @@ object ScalarFnQueries {
              |list_contains(string_split(text, ' '), 'spark') AS mentions_spark,
              |array_to_string(string_split(text, ' ')[1:3], '_') AS first3 FROM documents""".stripMargin)),
 
+    // F8 — bitwise aggregate family (bit_and / bit_or / bit_xor — flag-
+    //   mask folds over per-key feature bitsets: "which capabilities do
+    //   ALL members share / does ANY member have / parity"). Map-side
+    //   partial hash-aggs, both engines native
+    "f8_bitwise_aggs" -> Q(
+      (s, dir) => td(s, dir, "lineitem")
+        .select((col("l_orderkey") % 10).as("k"),
+          (col("l_partkey") % 256).cast("long").as("mask"))
+        .groupBy("k")
+        .agg(expr("bit_and(mask)").as("all_bits"),
+          expr("bit_or(mask)").as("any_bits"),
+          expr("bit_xor(mask)").as("parity_bits"),
+          count(lit(1)).cast("long").as("n")),
+      Some("""SELECT l_orderkey % 10 AS k,
+             |CAST(bit_and(CAST(l_partkey % 256 AS BIGINT)) AS BIGINT) AS all_bits,
+             |CAST(bit_or(CAST(l_partkey % 256 AS BIGINT)) AS BIGINT) AS any_bits,
+             |CAST(bit_xor(CAST(l_partkey % 256 AS BIGINT)) AS BIGINT) AS parity_bits,
+             |CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
     // F6 — edit distance (levenshtein), the fuzzy-match primitive both
     //   engines ship natively: distance to a fixed probe + case-mangling
     //   distance between derived columns

@@ -141,6 +141,30 @@ object WindowSortSetQueries {
       Some("""SELECT c_nationkey AS nationkey FROM customer
              |EXCEPT SELECT s_nationkey FROM supplier""".stripMargin)),
 
+    // U5 — MULTISET set ops (INTERSECT ALL / EXCEPT ALL — bag semantics:
+    //   duplicates preserved up to the min/difference of multiplicities;
+    //   the census form that distinct set ops silently lose). Spark
+    //   plans both as aggregated multiplicity joins, no explode
+    "u5_multiset_ops" -> Q(
+      (s, dir) => {
+        val a = td(s, dir, "customer").select((col("c_custkey") % 50).as("k"))
+        val b = td(s, dir, "orders").select((col("o_custkey") % 50).as("k"))
+        val both = a.intersectAll(b).groupBy(lit("intersect_all").as("op"), col("k"))
+          .agg(count(lit(1)).cast("long").as("n"))
+        val only = a.exceptAll(b).groupBy(lit("except_all").as("op"), col("k"))
+          .agg(count(lit(1)).cast("long").as("n"))
+        both.unionByName(only)
+      },
+      Some("""WITH a AS (SELECT c_custkey % 50 AS k FROM customer),
+             |b AS (SELECT o_custkey % 50 AS k FROM orders),
+             |ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+             |ea AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+             |SELECT 'intersect_all' AS op, k, CAST(count(*) AS BIGINT) AS n
+             |FROM ia GROUP BY 2
+             |UNION ALL
+             |SELECT 'except_all' AS op, k, CAST(count(*) AS BIGINT) AS n
+             |FROM ea GROUP BY 2""".stripMargin)),
+
     // U3 — symmetric diff publish gate (lookup.py:692-705), side-tagged
     "u3_symmetric_diff" -> Q(
       (s, dir) => {
