@@ -49,8 +49,11 @@ object Anonymity {
    * bit-portable across engines (integer arithmetic, or floor over IEEE
    * +,−,×,÷ which are correctly-rounded everywhere — never libm).
    *
-   * Scale shape: two corpus hash-aggs (per-class-bucket, per-bucket),
-   * then every window/join runs over the TINY classes × buckets grid.
+   * Scale shape: two corpus hash-aggs (per-class-bucket, per-bucket); the
+   * bucket histogram (bounded by the bucket DOMAIN) collects and ships as
+   * a literal array, so the per-class grid is an explode + map lookup —
+   * no join, no cartesian — and the cum window runs over classes × m
+   * tiny rows. Eager: the m-row histogram collects at construction.
    */
   def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
                       bucketCol: org.apache.spark.sql.Column,
@@ -58,32 +61,41 @@ object Anonymity {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(quasiCols.map(col) :+
       bucketCol.cast("long").as("_b"): _*)
-    val cb = base.groupBy(quasiCols.map(col) :+ col("_b"): _*)
-      .agg(count(lit(1)).cast("long").as("_c"))
-    val gb = base.groupBy(col("_b"))
+    // the global bucket histogram is BOUNDED by the bucket domain (m
+    // buckets, not m rows) — collect it (the l16 bounded-collect
+    // precedent) and ship it as a literal array, so the per-class grid
+    // is an explode + map lookup: NO join, NO cartesian anywhere
+    val gbRows = base.groupBy(col("_b"))
       .agg(count(lit(1)).cast("long").as("_g"))
-    val classes = cb.select(quasiCols.map(col): _*).distinct()
-    val grid = classes.crossJoin(gb) // tiny × tiny: classes × m buckets
-      .join(cb, quasiCols :+ "_b", "left")
-      .na.fill(0L, Seq("_c"))
-    val wClass = Window.partitionBy(quasiCols.map(col): _*)
-    val wCum = wClass.orderBy(col("_b"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val nTotal = sum(col("_g")).over(wClass) // Σ over the grid = n_total
-    val out = grid
-      .withColumn("_nc", sum(col("_c")).over(wClass))
-      .withColumn("_n", nTotal)
-      .withColumn("_cum", sum(col("_c") * col("_n") - col("_g") * col("_nc")).over(wCum))
+      .orderBy(col("_b")).collect()
+    val m = gbRows.length.toLong
+    val nTotal = gbRows.map(_.getLong(1)).sum
+    val gLit = array(gbRows.map(r =>
+      struct(lit(r.getLong(0)).as("b"), lit(r.getLong(1)).as("g"))): _*)
+    val perClass = base
+      .groupBy(quasiCols.map(col) :+ col("_b"): _*)
+      .agg(count(lit(1)).cast("long").as("_c"))
       .groupBy(quasiCols.map(col): _*)
-      .agg(max(col("_nc")).as("class_n"),
+      .agg(map_from_entries(collect_list(struct(col("_b"), col("_c")))).as("_cm"),
+        sum(col("_c")).cast("long").as("class_n"))
+    val wCum = Window.partitionBy(quasiCols.map(col): _*)
+      .orderBy(col("_gb.b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = perClass
+      .select(quasiCols.map(col) ++ Seq(col("class_n"),
+        explode(gLit).as("_gb"), col("_cm")): _*)
+      .withColumn("_c", coalesce(element_at(col("_cm"), col("_gb.b")), lit(0L)))
+      .withColumn("_cum",
+        sum(col("_c") * lit(nTotal) - col("_gb.g") * col("class_n")).over(wCum))
+    grid.groupBy(quasiCols.map(col): _*)
+      .agg(max(col("class_n")).as("class_n"),
         count(lit(1)).cast("long").as("m_buckets"),
-        sum(abs(col("_cum"))).as("_sumabs"),
-        max(col("_n")).as("_nt"))
-    out.select(quasiCols.map(col) ++ Seq(
-      col("class_n"), col("m_buckets"),
-      expr("""CASE WHEN m_buckets <= 1 THEN CAST(0 AS BIGINT)
-             |ELSE _sumabs * 1000000L div ((m_buckets - 1) * class_n * _nt)
-             |END""".stripMargin).as("emd_micro")): _*)
+        sum(abs(col("_cum"))).as("_sumabs"))
+      .select(quasiCols.map(col) ++ Seq(
+        col("class_n"), col("m_buckets"),
+        (when(lit(m) <= 1, lit(0L)).otherwise(
+          expr(s"_sumabs * 1000000L div ((m_buckets - 1) * class_n * ${nTotal}L)")))
+          .as("emd_micro")): _*)
       .withColumn("violates_t", col("emd_micro") > tMicro)
   }
 

@@ -448,7 +448,7 @@ object StatQueries {
       (s, dir) => graft.ops.Anonymity.tClosenessAudit(
         td(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
         floor(col("c_acctbal") / lit(1500.0)), tMicro = 150000L),
-      Some("""WITH b AS (SELECT c_nationkey, c_mktsegment,
+      oracle = Some("""WITH b AS (SELECT c_nationkey, c_mktsegment,
              |    CAST(floor(c_acctbal / 1500.0) AS BIGINT) AS bk
              |  FROM customer),
              |cb AS (SELECT c_nationkey, c_mktsegment, bk,
@@ -481,7 +481,7 @@ object StatQueries {
              |  CASE WHEN m_buckets <= 1 THEN 0
              |       ELSE sa * 1000000 // ((m_buckets - 1) * class_n * nt)
              |       END > 150000 AS violates_t
-             |FROM agg""".stripMargin)),
+             |FROM agg""".stripMargin), eager = true),
 
     // Kaplan-Meier survival curves (Kaplan & Meier 1958) — the clinical-
     // outcomes estimator over the reference's days_to_event/vital_status

@@ -115,7 +115,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "l115_unigram_em_train",
       // s32: partitioned fixture write + dynamic-overwrite re-run at
       // construction (the s21/s31 shape) — reviewed r10
-      "s32_dynamic_partition_overwrite")
+      "s32_dynamic_partition_overwrite",
+      // l117: collects the m-row global bucket histogram at construction
+      // (bounded by the bucket DOMAIN, the l16 precedent) and ships it
+      // as a literal array — the join-free grid — reviewed r10
+      "l117_t_closeness")
     val actual = Registry.all.filter(_._2.eager).map(_._1).toSet
     assert(actual == expected,
       s"eager-set drift — added: ${actual -- expected}, removed: ${expected -- actual}")
