@@ -64,4 +64,31 @@ object JoinOps {
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
     saltedBig.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /**
+   * Join-key SKEW report — the diagnostic that decides between a plain
+   * hash join, AQE skew splitting, and [[saltedJoin]]: the `topK`
+   * heaviest key values with their exact row share, plus the suite-level
+   * skew factor max/mean (both in integer micro-units — the straggler
+   * multiplier an unsalted shuffle partition would see). All statistics
+   * ride ONE corpus hash-agg; the ranking window runs over the
+   * aggregated |keys| rows, never the input.
+   */
+  def skewReport(df: DataFrame, key: String, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).cast("long").as("n"))
+    // suite totals: ONE-row agg, attached via the broadcast scalar-join
+    // trick (withScalar) — never an unpartitioned window over the counts
+    // table (|keys| rows through a single task at corpus scale)
+    val stats = counts.agg(sum(col("n")).cast("long").as("_rows"),
+      count(lit(1)).cast("long").as("_keys"), max(col("n")).as("_max"))
+    // top-K via TakeOrderedAndProject (distributed), then rank the K
+    // survivors with a window that only ever sees topK rows
+    val top = counts.orderBy(col("n").desc, col(key).asc).limit(topK)
+    val w = Window.orderBy(col("n").desc, col(key).asc)
+    withScalar(top.withColumn("rank", row_number().over(w).cast("long")), stats)
+      .select(col("rank"), col(key), col("n"),
+        expr("n * 1000000L div _rows").as("share_micro"),
+        expr("_max * 1000000L * _keys div _rows").as("skew_factor_micro"))
+  }
 }

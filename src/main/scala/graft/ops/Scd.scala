@@ -164,4 +164,38 @@ object Scd {
         t >= col(validFromCol) &&
         (col(validToCol).isNull || t < col(validToCol)))
   }
+
+  /**
+   * LATE-ARRIVING dimension handling (Kimball's "early-arriving facts"):
+   * facts referencing a dimension member that has not loaded yet must
+   * not be dropped or stalled — the warehouse INSERTS an inferred member
+   * (key only, attributes null) so the fact join resolves, then ENRICHES
+   * it in place when the real dimension row arrives. Returns the managed
+   * dimension: initial rows tagged `loaded`, fact-driven placeholders
+   * tagged `inferred`, and placeholders whose real row arrived in
+   * `lateDim` tagged `enriched` with the late attributes. (Late rows
+   * never referenced by a fact flow through the ordinary load path, not
+   * this repair path — out of scope by design.)
+   *
+   * Scale shape: one distinct on the fact KEY column (pre-aggregated —
+   * never the fact rows), one anti join against the dim keys, one left
+   * join to the late batch; all key-partitioned equi joins, dims
+   * broadcastable as usual.
+   */
+  def lateArrivingDimension(dim: DataFrame, facts: DataFrame,
+                            lateDim: DataFrame, key: String,
+                            attrCols: Seq[String]): DataFrame = {
+    val attrs = attrCols.map(col)
+    val inferredKeys = facts.select(col(key)).distinct()
+      .join(dim.select(col(key)), Seq(key), "left_anti")
+    // presence marker, not attr nullness: a late row may legitimately
+    // carry NULL attributes and must still read as enriched
+    val repaired = inferredKeys
+      .join(lateDim.withColumn("_present", lit(true)), Seq(key), "left")
+      .select(col(key) +: attrs :+
+        when(col("_present").isNull, lit("inferred"))
+          .otherwise(lit("enriched")).as("status"): _*)
+    dim.select(col(key) +: attrs :+ lit("loaded").as("status"): _*)
+      .unionByName(repaired)
+  }
 }

@@ -332,6 +332,36 @@ object ClinicalQueries {
              |SELECT node, anc, dist FROM cl""".stripMargin),
       eager = true),
 
+    // c29 — LATE-ARRIVING dimension repair (Kimball early-arriving
+    // facts): facts referencing a not-yet-loaded member get an INFERRED
+    // placeholder so the join resolves; when the real row arrives it is
+    // ENRICHED in place. Lanes: k%3=0 initial load ('loaded'), k%3=1
+    // arrives late ('enriched' where referenced by a fact), k%3=2 never
+    // arrives ('inferred'). Key-partitioned equi joins only; the fact
+    // side enters as a DISTINCT key set, never fact rows
+    "c29_late_arriving_dim" -> Q(
+      (s, dir) => {
+        val cust = td(s, dir, "customer")
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+        graft.ops.Scd.lateArrivingDimension(
+          dim = cust.filter(col("k") % 3 === 0),
+          facts = td(s, dir, "orders").select(col("o_custkey").as("k")),
+          lateDim = cust.filter(col("k") % 3 === 1),
+          key = "k", attrCols = Seq("seg"))
+      },
+      Some("""WITH dim0 AS (SELECT c_custkey AS k, c_mktsegment AS seg
+             |  FROM customer WHERE c_custkey % 3 = 0),
+             |late AS (SELECT c_custkey AS k, c_mktsegment AS seg
+             |  FROM customer WHERE c_custkey % 3 = 1),
+             |fk AS (SELECT DISTINCT o_custkey AS k FROM orders),
+             |inf AS (SELECT fk.k FROM fk LEFT JOIN dim0 USING (k)
+             |  WHERE dim0.k IS NULL)
+             |SELECT k, seg, 'loaded' AS status FROM dim0
+             |UNION ALL
+             |SELECT i.k, l.seg,
+             |  CASE WHEN l.k IS NULL THEN 'inferred' ELSE 'enriched' END AS status
+             |FROM inf i LEFT JOIN late l USING (k)""".stripMargin)),
+
     // c23 — CDC changelog apply (Scd.cdcApply): a MULTI-op change stream
     // (I, then up to two Us, then maybe a D per key — strictly monotone
     // seq) compacts to each key's latest op in ONE max_by hash-agg (no

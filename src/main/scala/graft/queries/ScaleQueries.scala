@@ -50,6 +50,31 @@ object ScaleQueries {
       Some("""SELECT l_orderkey, l_partkey, l_quantity, p_name
              |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin)),
 
+    // J24 — join-key SKEW report (the pre-join diagnostic that decides
+    //   plain hash join vs AQE skew split vs j13's explicit salting):
+    //   top-5 heaviest keys with exact row shares + the max/mean skew
+    //   factor in micro-units, over a deliberately skewed key (30% of
+    //   rows collapse onto key 0). One corpus hash-agg; the totals ride
+    //   a broadcast scalar join and the rank window sees only 5 rows
+    "j24_skew_report" -> Q(
+      (s, dir) => graft.ops.JoinOps.skewReport(
+        td(s, dir, "lineitem").select(
+          when(col("l_orderkey") % 10 < 3, lit(0L))
+            .otherwise(col("l_partkey") % 100).as("k")),
+        "k", topK = 5),
+      Some("""WITH kk AS (SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0
+             |    ELSE l_partkey % 100 END AS k FROM lineitem),
+             |c AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM kk GROUP BY 1),
+             |s AS (SELECT CAST(sum(n) AS BIGINT) AS rows_,
+             |    CAST(count(*) AS BIGINT) AS keys_,
+             |    CAST(max(n) AS BIGINT) AS mx FROM c),
+             |t AS (SELECT k, n,
+             |    row_number() OVER (ORDER BY n DESC, k) AS rank FROM c)
+             |SELECT CAST(rank AS BIGINT) AS rank, k, n,
+             |  CAST(n * 1000000 // rows_ AS BIGINT) AS share_micro,
+             |  CAST(mx * 1000000 * keys_ // rows_ AS BIGINT) AS skew_factor_micro
+             |FROM t CROSS JOIN s WHERE rank <= 5""".stripMargin)),
+
     // J14 — as-of (nearest-prior) join: for each order, the latest event of
     //   its user bucket at-or-before the order date; union+window technique,
     //   oracle via DuckDB's native ASOF LEFT JOIN

@@ -37,4 +37,23 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
       .select("k", "name").as[(Long, String)].collect().toSet
     assert(out === Set((1L, "one"), (9L, null)))
   }
+
+  test("skewReport: exact shares, rank tie-break, and the max/mean skew factor") {
+    // key 0: 6 rows, key 1: 2, key 2: 2, key 3: 1, key 4: 1 — 12 rows, 5 keys
+    val df = (Seq.fill(6)(0L) ++ Seq(1L, 1L, 2L, 2L, 3L, 4L)).toDF("k")
+    val out = JoinOps.skewReport(df, "k", topK = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // skew factor = max·keys/rows = 6·5/12 = 2.5 → 2500000 micro
+    assert(out.toSeq === Seq(
+      (1L, 0L, 6L, 500000L, 2500000L),
+      (2L, 1L, 2L, 166666L, 2500000L),   // ties (1,2) rank by key asc
+      (3L, 2L, 2L, 166666L, 2500000L)))
+  }
+
+  test("skewReport: uniform keys report a skew factor of ~1") {
+    val df = (0L until 40L).map(i => i % 8).toDF("k")
+    val out = JoinOps.skewReport(df, "k", topK = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.forall(_._5 === 1000000L), s"uniform must be 1.0: ${out.toSeq}")
+  }
 }

@@ -139,4 +139,17 @@ class ScdSpec extends AnyFunSuite with SparkTestBase {
       (2L, "n2", 200L, "inserted"),
       (5L, "t5", 500L, "kept")))
   }
+
+  test("lateArrivingDimension: loaded / inferred / enriched lanes; NULL late attrs still enrich") {
+    val dim = Seq((1L, "seg1"), (2L, "seg2")).toDF("k", "seg")
+    val facts = Seq(1L, 3L, 4L, 5L, 3L).toDF("k") // 3,4,5 early-arriving
+    val late = Seq((3L, "seg3"), (5L, null.asInstanceOf[String])).toDF("k", "seg")
+    val out = Scd.lateArrivingDimension(dim, facts, late, "k", Seq("seg"))
+      .as[(Long, String, String)].collect().toSet
+    assert(out === Set(
+      (1L, "seg1", "loaded"), (2L, "seg2", "loaded"), // dim rows kept even if unreferenced
+      (3L, "seg3", "enriched"),
+      (4L, null, "inferred"),                          // never arrived
+      (5L, null, "enriched")))                         // arrived with a NULL attr: still enriched
+  }
 }
