@@ -84,4 +84,66 @@ class SweepCrossCheckSpec extends AnyFunSuite with SparkTestBase {
       assert(got === want, s"cursor $cur")
     }
   }
+
+  test("transitionMatrix equals naive per-user pair counting on random event streams") {
+    val ev = (0 until 800).map { i =>
+      (rng.nextInt(20).toLong, rng.nextInt(50).toLong, i.toLong,
+        s"t${rng.nextInt(5)}")
+    }
+    val got = Funnel.transitionMatrix(ev.toDF("u", "ts", "id", "t"),
+        "u", "ts", "id", "t")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val pairs = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      ordered.zip(ordered.drop(1))
+    }
+    val counts = pairs.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val bySrc = counts.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val want = counts.map { case ((s, d), n) =>
+      (s, d) -> ((n, n * 1000000L / bySrc(s))) }
+    assert(got === want)
+  }
+
+  test("skewReport equals naive counting over random skewed keys") {
+    val keys = (0 until 600).map(_ =>
+      if (rng.nextInt(10) < 4) 7L else rng.nextInt(40).toLong)
+    val got = JoinOps.skewReport(keys.toDF("k"), "k", topK = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val counts = keys.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val total = keys.size.toLong
+    val mx = counts.values.max
+    val factor = mx * 1000000L * counts.size / total
+    val want = counts.toSeq.sortBy { case (k, n) => (-n, k) }.take(4)
+      .zipWithIndex.map { case ((k, n), i) =>
+        (i + 1L, k, n, n * 1000000L / total, factor) }
+    assert(got === want)
+  }
+
+  test("readabilityStats equals a naive per-doc computation on random word soup") {
+    val words = Seq("the", "zzz", "analysis", "a", "grr", "pipeline", "io", "qt")
+    val docs = (0L until 60L).map { id =>
+      val n = 1 + rng.nextInt(12)
+      val ws = Seq.fill(n)(words(rng.nextInt(words.size)))
+      val punct = if (rng.nextBoolean()) "." else "!"
+      (id, ws.mkString(" ") + punct)
+    }
+    val got = graft.llm.CorpusStats.readabilityStats(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    docs.foreach { case (id, text) =>
+      val t = text.toLowerCase.trim
+      val toks = t.split("\\s+").toSeq
+      val w = toks.size.toLong
+      val sArr = "[.!?]+".r.findAllIn(t).size.toLong
+      val s = math.max(1L, sArr)
+      val y = "[aeiouy]+".r.findAllIn(t).size.toLong +
+        toks.count(x => !x.exists("aeiouy".contains(_)))
+      def signDiv(num: Long, den: Long) = if (num < 0) -((-num) / den) else num / den
+      val g = signDiv(390000L * w * w + 11800000L * y * s - 15590000L * s * w, s * w)
+      val e = signDiv(206835000L * s * w - 1015000L * w * w - 84600000L * y * s, s * w)
+      assert(got(id) === ((id, w, s, y, g, e)), s"doc $id '$text'")
+    }
+  }
 }
