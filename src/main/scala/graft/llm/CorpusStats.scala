@@ -327,12 +327,19 @@ object CorpusStats {
           .as("s"),
         (size(regexp_extract_all(col("_t"), lit("[aeiouy]+"), lit(0))).cast("long") +
           size(filter(toks, t => !t.rlike("[aeiouy]"))).cast("long")).as("y"))
+    // numerators ride DECIMAL(38,0): in int64, 206835000·s·w wraps once
+    // s·w exceeds ~4.5·10¹⁰ (a multi-million-word document) — decimal
+    // headroom holds to w ≈ 10¹⁶ tokens/doc, i.e. any physical document.
+    // `div` on decimals still returns BIGINT, so the output stays exact
+    // integer micro-units and the DuckDB replay (HUGEINT) is unchanged
+    val (wD, sD, yD) = (col("w").cast("decimal(20,0)"),
+      col("s").cast("decimal(20,0)"), col("y").cast("decimal(20,0)"))
     val withNum = counts.select(col("doc_id"), col("w"), col("s"), col("y"),
-      (lit(390000L) * col("w") * col("w") + lit(11800000L) * col("y") * col("s")
-        - lit(15590000L) * col("s") * col("w")).as("gnum"),
-      (lit(206835000L) * col("s") * col("w") - lit(1015000L) * col("w") * col("w")
-        - lit(84600000L) * col("y") * col("s")).as("en"),
-      (col("s") * col("w")).as("den"))
+      (lit(390000L) * wD * wD + lit(11800000L) * yD * sD
+        - lit(15590000L) * sD * wD).as("gnum"),
+      (lit(206835000L) * sD * wD - lit(1015000L) * wD * wD
+        - lit(84600000L) * yD * sD).as("en"),
+      (sD * wD).as("den"))
     withNum.select(col("doc_id"), col("w").as("n_words"), col("s").as("n_sentences"),
       col("y").as("n_syllables"),
       when(col("gnum") < 0, -expr("(-gnum) div den"))

@@ -78,178 +78,7 @@ object PortableFamily extends MinHashFamily {
  * compared only within buckets. There is no crossJoin anywhere; worst-case
  * skew (a giant bucket of identical docs) is bounded by `maxBucketSize`.
  */
-object Dedup {
-
-  /** Exact-dup fingerprint: md5 of the raw text (hex string). */
-  def exactFingerprint(text: Column): Column = md5(text.cast("binary"))
-
-  /**
-   * Exact dedup: one row per fingerprint group — the minimum id is kept,
-   * with the group's duplicate count. Single hash-shuffle on the
-   * fingerprint; map-side partial aggregation applies.
-   */
-  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(exactFingerprint(col(textCol)).as("fingerprint"))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).cast("long").as("dup_cnt"))
-
-  /** [[exactDedupKeepBest]] merit ceiling (exclusive): 2^20. */
-  val KeepBestMeritCap: Long = 1L << 20
-  /** [[exactDedupKeepBest]] id ceiling (exclusive): 2^33. */
-  val KeepBestIdCap: Long = 1L << 33
-
-  /**
-   * Exact dedup with a PRIORITY keeper: one row per fingerprint group
-   * keeping the member that MAXIMIZES `meritCol` (quality score, doc
-   * length, source trust rank — CCNet keeps the best-scored copy, the
-   * reference keeps RefSeq rows by status rank, refseq.py:append_ranks),
-   * ties broken by the SMALLEST id. Where [[exactDedup]]'s keep-first is
-   * an arbitrary-but-stable winner, this is the curation form: when five
-   * crawls carry the same article, keep the longest / cleanest copy.
-   *
-   * The keeper rides the ONE fingerprint hash-aggregation as a packed
-   * long `(cap − merit)·2³³ + id` whose MIN is "best merit, then smallest
-   * id" — no window sort, no second join, map-side partials apply, and
-   * the arithmetic is pure integers so a DuckDB oracle replays it bit for
-   * bit. Contract (guarded per row): 0 ≤ merit < 2²⁰, 0 ≤ id < 2³³ —
-   * merits are scores/lengths (rescale upstream if wider), ids at 100 TB
-   * needing > 2³³ should dedup on a surrogate id and map back.
-   *
-   * Output: (fingerprint, keep_id, keep_merit, dup_cnt).
-   */
-  def exactDedupKeepBest(df: DataFrame, textCol: String, idCol: String,
-                         meritCol: String): DataFrame = {
-    val merit = col(meritCol).cast("long")
-    val id = col(idCol).cast("long")
-    val packed = when(
-      merit.between(0, KeepBestMeritCap - 1) && id.between(0, KeepBestIdCap - 1),
-      (lit(KeepBestMeritCap) - merit) * lit(KeepBestIdCap) + id)
-      .otherwise(raise_error(concat(
-        lit(s"exactDedupKeepBest: merit/id out of range (merit < $KeepBestMeritCap, id < $KeepBestIdCap): "),
-        merit, lit("/"), id)))
-    df.groupBy(exactFingerprint(col(textCol)).as("fingerprint"))
-      .agg(min(packed).as("_pk"), count(lit(1)).cast("long").as("dup_cnt"))
-      .select(col("fingerprint"),
-        col("_pk").bitwiseAND(lit(KeepBestIdCap - 1)).as("keep_id"),
-        (lit(KeepBestMeritCap) - shiftright(col("_pk"), 33)).as("keep_merit"),
-        col("dup_cnt"))
-  }
-
-  /**
-   * Corpus-level LINE deduplication (the CCNet/RefinedWeb boilerplate
-   * step): a line whose trimmed form appears in ≥ `minDf` DISTINCT
-   * documents is boilerplate (nav bars, cookie banners, license headers)
-   * and is removed from EVERY document; remaining lines are rejoined in
-   * original order. Blank lines are structural, never counted or removed.
-   * Intra-document repeats don't count toward `minDf` — the signal is
-   * cross-document repetition.
-   *
-   * Returns one row per non-null-text document:
-   * (doc_id, clean_text, n_lines, n_removed) — docs whose every line was
-   * boilerplate come back with clean_text = ''.
-   *
-   * Scale shape: two corpus passes, both embarrassingly standard — pass 1
-   * explodes lines and hash-aggregates document frequency (map-side
-   * partials; one shuffle on the trimmed-line key), pass 2 anti-joins the
-   * BROADCAST heavy-line set (boilerplate vocabularies are tiny by
-   * definition — it's the lines that repeat across the corpus) and
-   * reassembles per doc (one shuffle on doc id). No all-pairs anything;
-   * at 100 TB the only growing state is the heavy set, bounded by how
-   * much distinct boilerplate exists, not by corpus size.
-   */
-  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
-                minDf: Int = 2): DataFrame = {
-    require(minDf >= 2, s"minDf=$minDf would remove every non-blank line")
-    val base = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), col(textCol).as("_text"))
-    // -1 limit: trailing empty lines survive the split on both engines
-    val lines = base.select(col("doc_id"),
-      posexplode(split(col("_text"), "\n", -1)).as(Seq("pos", "line")))
-      .withColumn("k", trim(col("line")))
-    val heavy = lines.filter(col("k") =!= "")
-      .groupBy("k").agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= minDf)
-      .select("k")
-    val kept = lines.join(broadcast(heavy), Seq("k"), "left_anti")
-    val agg = kept.groupBy("doc_id").agg(
-      graft.ops.Agg.stringAggOrderedBy(col("line"), col("pos"), "\n").as("clean"),
-      count(lit(1)).cast("long").as("n_kept"))
-    base.select(col("doc_id"),
-        size(split(col("_text"), "\n", -1)).cast("long").as("n_lines"))
-      .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("clean"), lit("")).as("clean_text"),
-        col("n_lines"),
-        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"))
-  }
-
-  /**
-   * Repeated-SPAN scrubbing — the token-level generalization of
-   * [[lineDedup]] and the bucketed approximation of exact-substring dedup
-   * (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
-   * Better"): any maximal run of tokens covered by word `n`-grams that
-   * occur in ≥ `minDf` DISTINCT documents is removed from every document
-   * (long verbatim repeats — licenses, templates, quoted chunks — are
-   * exactly runs of repeated n-grams). Token-exact and case-sensitive;
-   * docs shorter than `n` tokens are untouched; intra-document repeats
-   * don't count toward `minDf`. Suffix arrays give the reference algorithm
-   * single-occurrence precision, but they're a global sequential
-   * structure; n-gram DF + position masking is the shuffle-native form,
-   * over-approximating only in that ALL occurrences of a repeated span are
-   * scrubbed (the [[lineDedup]] convention).
-   *
-   * Returns (doc_id, clean_text, n_tokens, n_removed) per non-blank doc.
-   *
-   * Scale shape: one tokens explode + one shingles explode (corpus-linear,
-   * map-side-partial DF agg on the shingle string), repeated-shingle join,
-   * covered-position expansion bounded by repeated-content volume × n,
-   * anti-join + one reassembly shuffle. The repeated-shingle set is NOT
-   * assumed broadcastable (unlike boilerplate lines it can grow with
-   * heavily-templated corpora) — the join shuffles on the shingle string
-   * and AQE may still broadcast it when small.
-   */
-  def repeatedSpanScrub(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 8, minDf: Int = 2): DataFrame = {
-    require(n >= 2, s"span n-grams need n >= 2, got $n")
-    require(minDf >= 2, s"minDf=$minDf would scrub every shingle")
-    val base = docs
-      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
-      .select(col(idCol).as("doc_id"), TextOps.whitespaceTokens(col(textCol)).as("_toks"))
-    val tok = base.select(col("doc_id"),
-      posexplode(col("_toks")).as(Seq("pos", "w")))
-    val shingled = base.filter(size(col("_toks")) >= n)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("_toks")) - n),
-          i => array_join(slice(col("_toks"), i + 1, lit(n)), " ")))
-          .as(Seq("spos", "s")))
-    val heavy = shingled.groupBy("s")
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= minDf)
-      .select("s")
-    val covered = shingled.join(heavy, "s")
-      .select(col("doc_id"),
-        explode(sequence(col("spos"), col("spos") + (n - 1))).as("pos"))
-      .distinct()
-    val kept = tok.join(covered, Seq("doc_id", "pos"), "left_anti")
-    val agg = kept.groupBy("doc_id").agg(
-      graft.ops.Agg.stringAggOrderedBy(col("w"), col("pos"), " ").as("clean"),
-      count(lit(1)).cast("long").as("n_kept"))
-    base.select(col("doc_id"), size(col("_toks")).cast("long").as("n_tokens"))
-      .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("clean"), lit("")).as("clean_text"),
-        col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"))
-  }
-
-  /**
-   * Deduplicated corpus: keep exactly the min-id row of every exact-dup
-   * group (semi-join against [[exactDedup]]'s keep list — the filter step
-   * a training-data pipeline applies after grouping).
-   */
-  def dedupKeepFirst(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val keep = exactDedup(df, textCol, idCol).select(col("keep_id"))
-    df.join(keep, df(idCol) === keep("keep_id"), "left_semi")
-  }
+object Dedup extends ExactDedupOps with SimHashDedupOps {
 
   /**
    * MinHash signature over word `n`-gram shingles: `k` independent hash
@@ -677,139 +506,4 @@ object Dedup {
     labels
   }
 
-  /**
-   * 64-bit SimHash over whitespace tokens: per-bit majority vote of token
-   * xxhash64 bits. Expression-only: for each bit position the vote is the
-   * sum over tokens of ±1 by that bit — all inside one `aggregate` over the
-   * token array (no explode, no shuffle).
-   */
-  // One literal mask per bit position (1L<<63 is the sign bit; bitwiseAND on
-  // longs is well-defined for it).
-  private val bitMasks: Column = array((0 until 64).map(i => lit(1L << i)): _*)
-
-  def simhash64(text: Column): Column = {
-    val toks = TextOps.whitespaceTokens(lower(text))
-    // votes[i] = sum over tokens of (bit_i(hash) ? 1 : -1), i = 0..63
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, bitMasks,
-          (v, m) => v + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1))
-      })
-    // fold bit votes back into one long
-    aggregate(zip_with(votes, bitMasks,
-        (v, m) => when(v > 0, m).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
-  }
-
-  /** Hamming distance between two 64-bit simhashes (bit_count of xor). */
-  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
-
-  /**
-   * SimHash computed as explode + 64 conditional-sum aggregates instead of
-   * the per-token array fold: the fold allocates two 64-wide arrays per
-   * token; this shape stays in vectorized whole-stage codegen with map-side
-   * partial aggregation (measured ~4× at sf0.1). One shuffle on the doc id.
-   * Docs with zero tokens produce no row.
-   */
-  def simhashByAgg(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df
-      .select(col(idCol), explode(TextOps.whitespaceTokens(lower(col(textCol)))).as("_t"))
-      .select(col(idCol), xxhash64(col("_t")).as("_h"))
-    val votes = (0 until 64).map(i =>
-      sum(when(col("_h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"_v$i"))
-    val agg = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val sim = (0 until 64).map(i =>
-      when(col(s"_v$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ bitwiseOR _)
-    agg.select(col(idCol), sim.as("simhash"))
-  }
-
-  /**
-   * SimHash near-dup candidates: block on `blocks` bit-slices of the
-   * simhash — shuffle on (block_id, slice), pair within blocks, verify
-   * hamming ≤ maxHamming. No crossJoin.
-   *
-   * Banding is pigeonhole-EXACT iff `blocks > maxHamming` (≤ maxHamming
-   * differing bits across > maxHamming disjoint slices leave at least one
-   * slice identical); fewer blocks = approximate. Default is the
-   * literature-standard near-dup setting (Manku et al., WWW'07): 64-bit
-   * fingerprints, hamming ≤ 3, `blocks = 4` — the MINIMAL exact banding.
-   * Fewer, WIDER slices are strictly better than extra narrow ones: r7
-   * shipped blocks=8 (8-bit slices), whose 256 distinct values saturate as
-   * the corpus grows — bucket occupancy, and with it candidate pairs, grew
-   * quadratically (l7 measured ×18 time for ×10 docs); 16-bit slices hold
-   * 65k values and the same query scales linearly. At larger corpora still,
-   * widen slices further and/or add Manku-style permutations — the knob is
-   * slice CARDINALITY vs the pigeonhole floor `blocks > maxHamming`.
-   */
-  def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3, blocks: Int = 4,
-                      maxBucketSize: Int = 1000,
-                      dropStats: Option[DropStats] = None): DataFrame = {
-    // native SimHash64 expression (codegen'd tight loop): measured faster
-    // than both the HOF fold (per-token array allocs) and the explode+64-agg
-    // variant (falls out of codegen at 64 agg buffers)
-    val withSim = df
-      .select(col(idCol), TextOps.whitespaceTokens(lower(col(textCol))).as("_toks"))
-      .select(col(idCol), SimHash64.simhashCol(df.sparkSession, "_toks").as("simhash"))
-    simhashBlockPairs(withSim, idCol, maxHamming, blocks, maxBucketSize, dropStats)
-  }
-
-  /** Portable twin of [[simhashNearDups]]: identical pipeline with
-    * [[SimHashPortable60]] fingerprints (md5-derived token hashes), so a
-    * DuckDB oracle can replay every step — see
-    * `LshOracles.portableSimhashNearDupsSql`. */
-  def simhashNearDupsPortable(df: DataFrame, textCol: String, idCol: String,
-                              maxHamming: Int = 3, blocks: Int = 4,
-                              maxBucketSize: Int = 1000,
-                              dropStats: Option[DropStats] = None): DataFrame = {
-    val withSim = df
-      .select(col(idCol), TextOps.whitespaceTokens(lower(col(textCol))).as("_toks"))
-      .select(col(idCol), SimHashPortable60.simhashCol(df.sparkSession, "_toks").as("simhash"))
-    simhashBlockPairs(withSim, idCol, maxHamming, blocks, maxBucketSize, dropStats)
-  }
-
-  /**
-   * Near-dup pairs over an ARBITRARY precomputed 64-bit fingerprint column
-   * (SimHash, image dHash, audio fingerprint, …): the
-   * [[simhashNearDups]] block-bucket tail exposed for callers that bring
-   * their own fingerprints — e.g. [[graft.multimodal.Multimodal.imageDHash]]
-   * feeding image near-dup dedup (m6). Same semantics and scale shape:
-   * one shuffle on (block_id, slice), capped buckets, pigeonhole-exact
-   * banding iff `blocks > maxHamming`.
-   */
-  def fingerprintNearDups(df: DataFrame, idCol: String, fpCol: String,
-                          maxHamming: Int = 3, blocks: Int = 4,
-                          maxBucketSize: Int = 1000,
-                          dropStats: Option[DropStats] = None): DataFrame =
-    simhashBlockPairs(df.select(col(idCol), col(fpCol).as("simhash")), idCol,
-      maxHamming, blocks, maxBucketSize, dropStats)
-
-  /** Shared block-bucket pairing tail: slice the 64-bit fingerprint into
-    * `blocks` bands, shuffle once on (block_id, slice), pair within capped
-    * buckets, verify hamming ≤ maxHamming. */
-  private def simhashBlockPairs(withSim: DataFrame, idCol: String,
-                                maxHamming: Int, blocks: Int,
-                                maxBucketSize: Int,
-                                dropStats: Option[DropStats]): DataFrame = {
-    val bits = 64 / blocks
-    val slices = (0 until blocks).map(b =>
-      shiftright(col("simhash"), b * bits).bitwiseAND(lit((1L << bits) - 1)))
-    val banded = withSim.select(col(idCol), col("simhash"),
-      posexplode(array(slices: _*)).as(Seq("block_id", "slice")))
-    val grouped = banded.groupBy("block_id", "slice")
-      .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh"))).as("members"))
-    val buckets = observeDrops(grouped, "members", maxBucketSize, dropStats)
-      .filter(size(col("members")).between(2, maxBucketSize))
-    val sorted = array_sort(col("members"))
-    buckets.select(explode(flatten(transform(sorted, (a, i) =>
-        transform(slice(sorted, i + 2, size(sorted)),
-          b => struct(a.getField("id").as("id1"), b.getField("id").as("id2"),
-            hamming64(a.getField("sh"), b.getField("sh")).as("hamming")))))).as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"), col("p.hamming").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-  }
 }

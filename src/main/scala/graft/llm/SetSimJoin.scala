@@ -47,14 +47,23 @@ object SetSimJoin {
    * integer arithmetic — rounding only affects the reported value).
    */
   def prefixJaccardJoin(df: DataFrame, textCol: String, idCol: String,
-      tNum: Int, tDen: Int): DataFrame = {
-    require(tNum > 0 && tDen > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
-    val spark = df.sparkSession
+      tNum: Int, tDen: Int): DataFrame =
+    prefixJaccardJoinElems(
+      df.select(col(idCol).as("doc"),
+          explode(TextOps.whitespaceTokens(col(textCol))).as("tok"))
+        .distinct(),
+      tNum, tDen)
 
-    // (doc, token) distinct — one explode + one hash-agg
-    val toks = df.select(col(idCol).as("doc"),
-        explode(TextOps.whitespaceTokens(col(textCol))).as("tok"))
-      .distinct()
+  /**
+   * [[prefixJaccardJoin]] over an ARBITRARY element table: `elems` must be
+   * a DISTINCT (doc, tok) frame — callers choose the set elements (raw
+   * tokens above; n-gram shingles in [[DedupAudit.plantedPairs]]'s exact
+   * ground truth). Same AllPairs prefix filter, same exact integer
+   * threshold arithmetic, same output shape.
+   */
+  def prefixJaccardJoinElems(elems: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
+    val toks = elems
 
     // document frequency per token
     val freq = toks.groupBy("tok").agg(count(lit(1)).cast("long").as("df"))

@@ -298,8 +298,13 @@ private[multimodal] trait MediaContainers {
     var usPerFrame, totalFrames, streams, width, height = 0
     var videoChunks, audioChunks = 0
     var clean = true
-    // walk [from, until) as a sibling-chunk sequence; recurse into LISTs
-    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+    // walk [from, until) as a sibling-chunk sequence; recurse into LISTs.
+    // depth > 64 marks unclean and stops descending: without the bound an
+    // adversarial payload of nested 12-byte LIST headers recurses once per
+    // level and can StackOverflowError, breaking the never-throws contract
+    // (real AVI nests hdrl/strl/odml — depth < 8)
+    def walk(from: Int, until: Int, inMovi: Boolean, depth: Int): Unit = {
+      if (depth > 64) { clean = false; return }
       var p = from
       while (p + 8 <= until) {
         val size = leInt(b, p + 4)
@@ -310,14 +315,14 @@ private[multimodal] trait MediaContainers {
           // the verdict flags, the walk never throws
           clean = false
           if (tag(p, "LIST") && p + 12 <= until)
-            walk(p + 12, until, inMovi = tag(p + 8, "movi"))
+            walk(p + 12, until, inMovi = tag(p + 8, "movi"), depth + 1)
           p = until
         }
         else {
           if (tag(p, "LIST")) {
             if (size >= 4) {
               val body = p + 12
-              walk(body, (p + 8 + size), inMovi = tag(p + 8, "movi"))
+              walk(body, (p + 8 + size), inMovi = tag(p + 8, "movi"), depth + 1)
             } else clean = false
           } else if (tag(p, "avih") && size >= 40) {
             usPerFrame = leInt(b, p + 8)
@@ -338,7 +343,7 @@ private[multimodal] trait MediaContainers {
       if (p != until) clean = false
     }
     val declaredEnd = math.min(8L + leInt(b, 4), b.length.toLong).toInt
-    walk(12, declaredEnd, inMovi = false)
+    walk(12, declaredEnd, inMovi = false, depth = 0)
     if (8L + leInt(b, 4) > b.length) clean = false
     Some((usPerFrame, totalFrames, streams, width, height,
       videoChunks, audioChunks, clean))

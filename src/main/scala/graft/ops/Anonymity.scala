@@ -59,8 +59,13 @@ object Anonymity {
                       bucketCol: org.apache.spark.sql.Column,
                       tMicro: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NULL contract: a NULL bucket (NULL sensitive attribute) has no
+    // position in the ordered domain, so those rows are excluded from
+    // BOTH the global histogram and the per-class distributions (they
+    // previously NPE'd the histogram collect at construction)
     val base = df.select(quasiCols.map(col) :+
       bucketCol.cast("long").as("_b"): _*)
+      .filter(col("_b").isNotNull)
     // the global bucket histogram is BOUNDED by the bucket domain (m
     // buckets, not m rows) — collect it (the l16 bounded-collect
     // precedent) and ship it as a literal array, so the per-class grid

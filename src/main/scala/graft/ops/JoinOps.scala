@@ -89,6 +89,11 @@ object JoinOps {
     withScalar(top.withColumn("rank", row_number().over(w).cast("long")), stats)
       .select(col("rank"), col(key), col("n"),
         expr("n * 1000000L div _rows").as("share_micro"),
-        expr("_max * 1000000L * _keys div _rows").as("skew_factor_micro"))
+        // widen the 3-term product through DECIMAL(38,0): _max·10⁶·_keys
+        // silently wraps int64 once _max·_keys exceeds ~9.2·10¹² (a 10⁹-row
+        // heavy key over 10⁷ distinct keys); 10³⁸ headroom covers any
+        // realistic corpus, and `div` on decimals still returns BIGINT
+        expr("CAST(_max AS DECIMAL(38,0)) * 1000000 * _keys div _rows")
+          .cast("long").as("skew_factor_micro"))
   }
 }

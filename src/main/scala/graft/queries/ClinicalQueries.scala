@@ -332,6 +332,9 @@ object ClinicalQueries {
              |SELECT node, anc, dist FROM cl""".stripMargin),
       eager = true),
 
+    // (c28 is an intentional gap — never assigned; the id was skipped in
+    // round 10's registration sequence and is tombstoned here so audits
+    // don't hunt for a missing row. Next free clinical id: c30.)
     // c29 — LATE-ARRIVING dimension repair (Kimball early-arriving
     // facts): facts referencing a not-yet-loaded member get an INFERRED
     // placeholder so the join resolves; when the real row arrives it is

@@ -82,12 +82,21 @@ object DedupQueries {
           col("n_tokens"), col("n_removed")),
       Some(TextOracles.repeatedSpanScrubSql(n = 8, minDf = 2))),
 
-    // MinHash-LSH near-dup candidates (xxhash64 signatures → rows-only);
-    // plan property: single shuffle on (band_id, band_hash), no crossJoin
+    // MinHash-LSH near-dup candidates (xxhash64 scale path). DuckDB cannot
+    // replay xxhash64, so the registered OUTPUT is the property audit
+    // (graft.llm.DedupAudit, round 11 — the a15/a17 sketch-oracle
+    // precedent): planted completeness (every exact shingle-Jaccard ≥ 0.9
+    // pair is a candidate), soundness (every candidate shares ≥ 1 exact
+    // shingle), canonical order, no duplicates. The oracle recomputes the
+    // planted count exactly and expects every violation counter = 0. The
+    // raw pair output (and its full exact-twin replay) is l5p below. Plan
+    // property unchanged: single shuffle on (band_id, band_hash), no
+    // crossJoin; the audit adds one AllPairs prefix join (τ=0.9 ⇒ tiny
+    // prefixes) and candidate-keyed joins off a localCheckpointed frame
     "l5_minhash_lsh_pairs" -> Q(
-      (s, dir) => Dedup.minhashCandidatePairs(
+      (s, dir) => graft.llm.DedupAudit.minhashCandidateAudit(
         td(s, dir, "documents"), "text", "doc_id", shingleSize = 3, k = 32, bands = 16),
-      None, twin = Some("l5p_minhash_lsh_pairs_portable")),
+      Some(LshOracles.minhashAuditSql(n = 3)), eager = true),
 
     // portable-family twin of l5: identical staged pipeline, md5-derived
     // universal hashes → the ENTIRE LSH pipeline (shingle, sign, band,
@@ -110,12 +119,16 @@ object DedupQueries {
         bands = 16, family = PortableFamily),
       Some(LshOracles.ophPairsSql(n = 3, k = 32, bands = 16, cap = 1000))),
 
-    // LSH candidates verified with exact n-gram Jaccard
+    // LSH candidates verified with exact n-gram Jaccard (xxhash64 scale
+    // path) — property-audit output like l5: planted completeness,
+    // soundness (emitted Jaccard recomputed from raw shingle STRINGS, an
+    // independent path from the hashed-shingle one that produced it, and
+    // re-tested against the threshold), structure. Raw pairs: l6p
     "l6_ngram_jaccard_neardups" -> Q(
-      (s, dir) => Dedup.nearDupPairs(
+      (s, dir) => graft.llm.DedupAudit.nearDupPairsAudit(
         td(s, dir, "documents"), "text", "doc_id",
         threshold = 0.5, shingleSize = 3, k = 32, bands = 16),
-      None, twin = Some("l6p_ngram_jaccard_neardups_portable")),
+      Some(LshOracles.nearDupAuditSql(n = 3)), eager = true),
 
     // portable-family twin of l6: candidates + Jaccard verify, both
     // reproduced exactly in the oracle (Jaccard over the same md5 shingle
@@ -133,10 +146,16 @@ object DedupQueries {
     // slices): r7's 8 x 8-bit banding at maxHamming=8 was not pigeonhole-
     // exact AND its 256-value slices saturated - pairs grew quadratically
     // (x18 time for x10 docs); 16-bit slices scale linearly
+    // Property-audit output (xxhash64 token hashes aren't DuckDB-replayable):
+    // planted = identical lowered token MULTISETS (SimHash is a multiset
+    // function — hamming 0 ⇒ identical block slices ⇒ guaranteed pair),
+    // soundness = every emitted pair has token-set Jaccard ≥ 1/10 (a15-style
+    // empirical-deterministic floor; measured minima sit far above it),
+    // structure. Raw pairs: l7p
     "l7_simhash_neardups" -> Q(
-      (s, dir) => Dedup.simhashNearDups(
+      (s, dir) => graft.llm.DedupAudit.simhashAudit(
         td(s, dir, "documents"), "text", "doc_id", maxHamming = 3, blocks = 4),
-      None, twin = Some("l7p_simhash_neardups_portable")),
+      Some(LshOracles.simhashAuditSql), eager = true),
 
     // portable twin of l7: same vote/block/hamming pipeline over md5-derived
     // 60-bit token hashes a DuckDB CTE chain replays exactly
@@ -147,11 +166,15 @@ object DedupQueries {
 
     // near-dup clusters: LSH candidates → connected components → the
     // keep-one-per-cluster assignment (rows-only)
+    // Property-audit output (cluster shapes ride the xx candidate graph):
+    // planted pairs co-clustered, every candidate edge's endpoints share a
+    // label (label propagation CONVERGED), labels are idempotent minima,
+    // unique membership. Raw cluster assignment: l13p
     "l13_neardup_clusters" -> Q(
-      (s, dir) => Dedup.nearDupClusters(
-        Dedup.minhashCandidatePairs(td(s, dir, "documents"), "text", "doc_id",
-          shingleSize = 3, k = 32, bands = 16)),
-      None, twin = Some("l13p_neardup_clusters_portable")),
+      (s, dir) => graft.llm.DedupAudit.clustersAudit(
+        td(s, dir, "documents"), "text", "doc_id",
+        shingleSize = 3, k = 32, bands = 16),
+      Some(LshOracles.clustersAuditSql(n = 3)), eager = true),
 
     // portable-family twin of l13: connected components over the SAME
     // candidate graph the oracle derives (recursive-CTE reachability)
@@ -161,11 +184,15 @@ object DedupQueries {
           shingleSize = 3, k = 32, bands = 16, family = PortableFamily)),
       Some(LshOracles.portableClustersSql(n = 3, k = 32, bands = 16, cap = 1000))),
 
-    // rolling-hash document fingerprint (order-sensitive; rows-only)
+    // rolling-hash document fingerprint — property-audit output: the
+    // fingerprint is a pure function of the token SEQUENCE (same sequence
+    // ⇒ same fp; distinct sequences ⇒ distinct fps at 64 bits; REVERSED
+    // non-palindromic sequences ⇒ different fp — the order-sensitivity a
+    // bag-of-words hash fails). Raw fingerprints: l8p
     "l8_doc_fingerprint" -> Q(
-      (s, dir) => td(s, dir, "documents").select(
-        col("doc_id"), TextOps.docFingerprint(col("text")).as("fingerprint")),
-      None, twin = Some("l8p_doc_fingerprint_portable")),
+      (s, dir) => graft.llm.DedupAudit.fingerprintAudit(
+        td(s, dir, "documents"), "text", "doc_id"),
+      Some(LshOracles.fingerprintAuditSql), eager = true),
 
     // portable twin of l8: same order-sensitive fold with modular
     // arithmetic a DuckDB recursive CTE replays exactly

@@ -638,4 +638,74 @@ object LshOracles {
        |    x -> list_transform(list_filter(ids, y -> y > x), y -> [x, y])))) AS pr
        |  FROM buckets)
        |SELECT DISTINCT pr[1] AS id1, pr[2] AS id2 FROM pl""".stripMargin
+
+  // ---- property-audit oracles for the xxhash64 scale paths (round 11) ----
+  //
+  // DuckDB cannot replay xxhash64, so l5/l6/l7/l8/l13 are gated on OUTPUT
+  // PROPERTIES (graft.llm.DedupAudit): the oracle derives the data-driven
+  // expectations (planted-pair counts, doc counts) independently from
+  // documents.parquet with exact integer arithmetic, and expects every
+  // violation counter the Spark side measured to be 0.
+
+  /** Exact ground-truth pairs with n-gram-shingle Jaccard ≥ tNum/tDen —
+    * the engine-neutral planted set of [[graft.llm.DedupAudit.plantedPairs]]
+    * (shared-shingle join; the Spark side uses the AllPairs prefix join,
+    * both exact so the sets are identical). Ends with `planted(id1, id2)`. */
+  private def plantedCtes(n: Int, tNum: Int, tDen: Int): String =
+    s"""${shingleCtes(n)},
+       |se AS (SELECT doc_id, unnest(sh) AS h FROM shs),
+       |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM shs),
+       |ip AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS inter
+       |  FROM se a JOIN se b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |planted AS (
+       |  SELECT ip.id1, ip.id2 FROM ip
+       |  JOIN sz na ON na.doc_id = ip.id1 JOIN sz nb ON nb.doc_id = ip.id2
+       |  WHERE ip.inter * $tDen >= (na.n + nb.n - ip.inter) * $tNum)""".stripMargin
+
+  private def zeroMetrics(names: Seq[String]): String =
+    names.map(m => s"UNION ALL SELECT '$m', CAST(0 AS BIGINT)").mkString("\n")
+
+  /** Property oracle for l5 (MinHash-LSH candidates, xxhash64 family). */
+  def minhashAuditSql(n: Int): String =
+    s"""WITH ${plantedCtes(n, 9, 10)}
+       |SELECT 'planted_pairs' AS metric, CAST(count(*) AS BIGINT) AS value FROM planted
+       |${zeroMetrics(Seq("planted_missed", "zero_overlap_pairs", "misordered", "dup_rows"))}""".stripMargin
+
+  /** Property oracle for l6 (verified near-dup pairs, xxhash64 family). */
+  def nearDupAuditSql(n: Int): String =
+    s"""WITH ${plantedCtes(n, 9, 10)}
+       |SELECT 'planted_pairs' AS metric, CAST(count(*) AS BIGINT) AS value FROM planted
+       |${zeroMetrics(Seq("planted_missed", "below_threshold", "jaccard_mismatch",
+          "misordered", "dup_rows"))}""".stripMargin
+
+  /** Property oracle for l7 (SimHash near-dups): planted = identical
+    * lowered token MULTISETS (SimHash is a multiset function — hamming 0
+    * ⇒ same bucket in every block). */
+  def simhashAuditSql: String =
+    s"""WITH mk AS (
+       |  SELECT doc_id, md5(array_to_string(
+       |    list_sort(regexp_split_to_array(trim(lower(text)), '\\s+')), ' ')) AS k
+       |  FROM documents),
+       |planted AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM mk a JOIN mk b ON a.k = b.k AND a.doc_id < b.doc_id)
+       |SELECT 'planted_pairs' AS metric, CAST(count(*) AS BIGINT) AS value FROM planted
+       |${zeroMetrics(Seq("planted_missed", "low_overlap_pairs", "misordered", "dup_rows"))}""".stripMargin
+
+  /** Property oracle for l8 (rolling-hash fingerprint): the fingerprint is
+    * a pure injective-in-practice function of the token SEQUENCE. */
+  def fingerprintAuditSql: String =
+    s"""SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM documents
+       |UNION ALL SELECT 'distinct_keys', CAST(count(DISTINCT
+       |  array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ')) AS BIGINT)
+       |FROM documents
+       |${zeroMetrics(Seq("key_fp_mismatch", "fp_collisions", "order_collisions"))}""".stripMargin
+
+  /** Property oracle for l13 (near-dup clusters over the xx candidate graph). */
+  def clustersAuditSql(n: Int): String =
+    s"""WITH ${plantedCtes(n, 9, 10)}
+       |SELECT 'planted_pairs' AS metric, CAST(count(*) AS BIGINT) AS value FROM planted
+       |${zeroMetrics(Seq("split_planted", "edge_violations", "keeper_violations",
+          "dup_ids", "uncovered_ids"))}""".stripMargin
 }

@@ -72,11 +72,13 @@ object Registry {
   def all: Seq[(String, Q)] =
     ProjectionQueries.all ++ JoinQueries.all ++ AggQueries.all ++
       WindowSortSetQueries.all ++ ScalarFnQueries.all ++
-      DedupQueries.all ++ AnnQueries.all ++ TextQueries.all ++
+      DedupQueries.all ++ AnnQueries.all ++
+      TokenizerQueries.all ++ TextQueries.all ++
       CurationQueries.all ++ TextEvalQueries.all ++
       IoQueries.all ++ CompositeQueries.all ++
       ClinicalQueries.all ++ ApiQueries.all ++ StreamingQueries.all ++
-      PipelineQueries.all ++ ScaleQueries.all ++ StatQueries.all
+      PipelineQueries.all ++ ScaleQueries.all ++
+      StatQueries.all ++ RobustStatQueries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap

@@ -51,6 +51,23 @@ object Drive {
             println(s"$c: resolved=$resolved spark=${graft.types.BqType.toSpark(resolved)}")
         }
 
+      case "simhashfloor" =>
+        // Measure the empirical token-Jaccard floor of the l7 SimHash
+        // near-dup output — the evidence behind DedupAudit.simhashAudit's
+        // 1/10 soundness floor (run at every SF before moving it).
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val pairs = graft.llm.Dedup.simhashNearDups(docs, "text", "doc_id")
+        val toks = docs.select($"doc_id".as("sid"),
+          array_distinct(graft.llm.TextOps.whitespaceTokens(lower($"text"))).as("tk"))
+        pairs
+          .join(toks, $"id1" === $"sid").withColumnRenamed("tk", "tk1").drop("sid")
+          .join(toks, $"id2" === $"sid").withColumnRenamed("tk", "tk2").drop("sid")
+          .select((size(array_intersect($"tk1", $"tk2")) /
+            size(array_union($"tk1", $"tk2"))).as("tok_jaccard"))
+          .agg(count(lit(1)).as("n_pairs"), min($"tok_jaccard").as("min_j"),
+            expr("percentile(tok_jaccard, 0.05)").as("p05"))
+          .show(false)
+
       case other => sys.error(s"unknown task $other")
     }
     spark.stop()

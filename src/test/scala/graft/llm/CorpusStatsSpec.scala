@@ -243,4 +243,17 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L)._5 === -3205000L)
     assert(!out.contains(3L))
   }
+
+  test("readabilityStats: numerators survive s·w past the int64 bound (ADVICE r10)") {
+    // 250k tokens of "aa." → W = S = Y = 250000, so s·w = 6.25e10 and the
+    // ease numerator 206835000·s·w ≈ 1.3e19 wraps int64 — the DECIMAL(38,0)
+    // widening must keep both scores exact. With W=S=Y the rationals
+    // collapse: grade = (390000+11800000−15590000)·w²/w² = −3.4 exactly,
+    // ease = (206835000−1015000−84600000)·w²/w² = 121.22 exactly
+    val big = Array.fill(250000)("aa.").mkString(" ")
+    val out = CorpusStats.readabilityStats(Seq((1L, big)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(out === ((1L, 250000L, 250000L, 250000L, -3400000L, 121220000L)))
+  }
 }

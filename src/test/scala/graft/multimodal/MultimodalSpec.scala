@@ -496,6 +496,25 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodeAvi(Array[Byte](1, 2, 3)) === None)
   }
 
+  test("AVI decode: adversarial deep LIST nesting is depth-bounded (ADVICE r10)") {
+    // 100k nested 12-byte LIST headers — an unbounded recursive walk
+    // StackOverflowErrors here; the depth guard must flag unclean instead
+    def le(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val levels = 100000
+    val bb = java.nio.ByteBuffer.allocate(12 + levels * 12)
+    bb.put("RIFF".getBytes("US-ASCII")).put(le(4 + levels * 12))
+      .put("AVI ".getBytes("US-ASCII"))
+    (0 until levels).foreach { i =>
+      val remaining = (levels - i) * 12 - 8
+      bb.put("LIST".getBytes("US-ASCII")).put(le(remaining))
+        .put("xxxx".getBytes("US-ASCII"))
+    }
+    val r = Multimodal.decodeAvi(bb.array())
+    assert(r.isDefined && !r.get._8, "deep nesting must parse unclean, not throw")
+  }
+
   test("AVI media batch: per-id closed forms and quarantine lanes hold") {
     import spark.implicits._
     val ids = (1L to 80L)

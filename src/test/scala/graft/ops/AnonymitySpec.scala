@@ -64,4 +64,21 @@ class AnonymitySpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Long, Long, Long, Boolean)].collect()
     assert(out.forall(_._5), s"both skewed classes must violate t: ${out.toSeq}")
   }
+
+  test("tClosenessAudit: NULL buckets are excluded, never an NPE (ADVICE r10)") {
+    import org.apache.spark.sql.functions.col
+    // a NULL sensitive attribute has no position in the ordered domain —
+    // the row drops from BOTH the global histogram and the class counts
+    // (it previously NPE'd the histogram collect at construction)
+    val rows = Seq(("A", Some(0L)), ("A", Some(1L)), ("A", None),
+        ("B", Some(0L)), ("B", Some(1L)))
+      .toDF("cls", "bk")
+    val out = Anonymity.tClosenessAudit(rows, Seq("cls"), col("bk"),
+        tMicro = 150000L)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // after the NULL drop both classes are the uniform {0,1}: EMD 0
+    assert(out("A") === (("A", 2L, 2L, 0L, false)))
+    assert(out("B") === (("B", 2L, 2L, 0L, false)))
+  }
 }

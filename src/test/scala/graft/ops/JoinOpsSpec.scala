@@ -56,4 +56,17 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long, Long, Long)].collect()
     assert(out.forall(_._5 === 1000000L), s"uniform must be 1.0: ${out.toSeq}")
   }
+
+  test("skewReport: skew factor survives _max·10⁶·_keys past int64 (ADVICE r10)") {
+    import org.apache.spark.sql.functions.{col, when}
+    // one 5M-row heavy key + 5M singletons: _max·10⁶·_keys = 5e6·1e6·(5e6+1)
+    // ≈ 2.5e19 wraps int64 (the pre-fix path went negative); the DECIMAL
+    // widening must yield the exact floor(_max·1e6·_keys/_rows)
+    val df = spark.range(0L, 10000000L)
+      .select(when(col("id") < 5000000L, 0L).otherwise(col("id")).as("k"))
+    val top = JoinOps.skewReport(df, "k", topK = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // 5000000·1000000·5000001 div 10000000 = 2500000500000
+    assert(top === ((1L, 0L, 5000000L, 500000L, 2500000500000L)))
+  }
 }

@@ -119,7 +119,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // l117: collects the m-row global bucket histogram at construction
       // (bounded by the bucket DOMAIN, the l16 precedent) and ships it
       // as a literal array — the join-free grid — reviewed r10
-      "l117_t_closeness")
+      "l117_t_closeness",
+      // l5/l6/l7/l8/l13: the xxhash64-family property audits
+      // (DedupAudit, round 11) localCheckpoint the scale-path output at
+      // construction so the audit legs never re-run the LSH pipeline —
+      // the nearDupClusters eager-materialization precedent; plans of
+      // the UNDERLYING operators stay covered via the l*p portable twins
+      "l5_minhash_lsh_pairs", "l6_ngram_jaccard_neardups",
+      "l7_simhash_neardups", "l8_doc_fingerprint", "l13_neardup_clusters")
     val actual = Registry.all.filter(_._2.eager).map(_._1).toSet
     assert(actual == expected,
       s"eager-set drift — added: ${actual -- expected}, removed: ${expected -- actual}")
