@@ -348,4 +348,49 @@ private[multimodal] trait MediaContainers {
     Some((usPerFrame, totalFrames, streams, width, height,
       videoChunks, audioChunks, clean))
   }
+
+  /**
+   * Extract the `movi` stream's video chunk payloads (`##dc`/`##db`) in
+   * stream order — the keyframe feed for frame-level video fingerprinting
+   * (m14). Same walk conventions as [[decodeAvi]]: nested LISTs, RIFF odd
+   * padding, the 64-level depth bound, truncation keeps the complete
+   * leading frames, never throws. None when the payload is not RIFF/AVI
+   * at all (quarantine at the caller).
+   */
+  private[multimodal] def aviVideoFrames(b: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    def tag(off: Int, s: String): Boolean =
+      off + s.length <= b.length &&
+        s.zipWithIndex.forall { case (c, i) => b(off + i) == c.toByte }
+    if (b.length < 12 || !tag(0, "RIFF") || !tag(8, "AVI ")) return None
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(from: Int, until: Int, inMovi: Boolean, depth: Int): Unit = {
+      if (depth > 64) return
+      var p = from
+      while (p + 8 <= until) {
+        val size = leInt(b, p + 4)
+        val dataEnd = p + 8L + size
+        if (size < 0 || dataEnd > until) {
+          // truncated: a LIST cut mid-body still yields its complete
+          // leading frames (the decodeAvi semantics)
+          if (tag(p, "LIST") && p + 12 <= until)
+            walk(p + 12, until, inMovi = tag(p + 8, "movi"), depth + 1)
+          p = until
+        } else {
+          if (tag(p, "LIST")) {
+            if (size >= 4)
+              walk(p + 12, (p + 8 + size).toInt, inMovi = tag(p + 8, "movi"), depth + 1)
+          } else if (inMovi && p + 4 <= until &&
+              b(p).toChar.isDigit && b(p + 1).toChar.isDigit) {
+            val kind = new String(b, p + 2, 2, "US-ASCII")
+            if (kind == "dc" || kind == "db")
+              frames += java.util.Arrays.copyOfRange(b, p + 8, dataEnd.toInt)
+          }
+          p = (dataEnd + (size & 1)).toInt
+        }
+      }
+    }
+    val declaredEnd = math.min(8L + leInt(b, 4), b.length.toLong).toInt
+    walk(12, declaredEnd, inMovi = false, depth = 0)
+    Some(frames.result())
+  }
 }

@@ -519,4 +519,75 @@ private[multimodal] trait MediaFixtures extends MediaContainers {
         seed = id)
     MediaRecord(id, "video", payload)
   }
+
+  /**
+   * AVI container carrying the GIVEN frame payloads as `00dc` chunks —
+   * the structured-content sibling of [[aviBytes]] (whose frames are LCG
+   * noise) for the frame-level fingerprint fixtures: `LIST(hdrl)` with a
+   * correct `avih` + one `vids` `strl`, then `LIST(movi)` with one video
+   * chunk per frame. Odd-sized payloads get the RIFF pad byte.
+   */
+  private[multimodal] def aviWithFrames(frames: Seq[Array[Byte]],
+                                        usPerFrame: Int, width: Int,
+                                        height: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def chunk(id: String, data: Array[Byte]): Unit = {
+      fourcc(id); le32(data.length); out.write(data)
+      if ((data.length & 1) == 1) out.write(0)
+    }
+    def list(typ: String, body: Array[Byte]): Unit = {
+      fourcc("LIST"); le32(4 + body.length); fourcc(typ); out.write(body)
+      if ((body.length & 1) == 1) out.write(0)
+    }
+    def bytesOf(f: => Unit): Array[Byte] = {
+      val keep = out.toByteArray; out.reset(); f
+      val got = out.toByteArray; out.reset(); out.write(keep, 0, keep.length); got
+    }
+    val avih = bytesOf {
+      le32(usPerFrame); le32(0); le32(0); le32(0); le32(frames.size); le32(0)
+      le32(1); le32(0); le32(width); le32(height)
+      le32(0); le32(0); le32(0); le32(0)
+    }
+    val strl = bytesOf {
+      fourcc("strh"); le32(56); fourcc("vids")
+      (0 until 13).foreach(_ => le32(0))
+    }
+    val hdrl = bytesOf { chunk("avih", avih); list("strl", strl) }
+    val movi = bytesOf { frames.foreach(f => chunk("00dc", f)) }
+    val payload = bytesOf { list("hdrl", hdrl); list("movi", movi) }
+    bytesOf {
+      fourcc("RIFF"); le32(4 + payload.length); fourcc("AVI ")
+      out.write(payload, 0, payload.length)
+    }
+  }
+
+  /**
+   * Per-id video PAIR fixture for m14: media 2·id (original, v=0) and
+   * 2·id+1 (the perturbed re-encode, v=1), each an AVI of
+   * `3 + id % 3` BMP keyframes whose grays are the closed form
+   * [[patternGray]] keyed by `id·31 + frame` — so every frame dHash bit
+   * is replayable by the oracle from (id, frame, v, x, y) alone, and the
+   * re-encode's sparse +2 noise keeps each frame within a small Hamming
+   * radius of its original (the m6 planting, per frame). `id % 11 == 0`
+   * ships non-AVI payloads for BOTH variants (quarantine lane: no
+   * frames, no cluster rows).
+   */
+  def packVideoPairById(id: Long): Seq[MediaRecord] =
+    Seq(0, 1).map { v =>
+      val payload =
+        if (id % 11 == 0) s"not a video $id $v".getBytes("UTF-8")
+        else {
+          val nf = 3 + (id % 3).toInt
+          val frames = (0 until nf).map(f =>
+            bmpPatternBytes(PatternDim, PatternDim,
+              (x, y) => patternGray(id * 31 + f, v, x, y)))
+          aviWithFrames(frames, usPerFrame = 33333, PatternDim, PatternDim)
+        }
+      MediaRecord(2 * id + v, "video", payload)
+    }
 }

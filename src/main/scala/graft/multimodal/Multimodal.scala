@@ -33,6 +33,9 @@ final case class DownsampledPixel(media_id: Long, out_w: Int, out_h: Int,
 /** 64-bit perceptual difference hash of one image payload. */
 final case class ImageHash(media_id: Long, dhash: Long)
 
+/** 64-bit perceptual dHash of ONE video keyframe (m14). */
+final case class VideoFrameHash(media_id: Long, frame_idx: Int, fdhash: Long)
+
 /** 64-bit energy-envelope fingerprint of one audio payload. */
 final case class AudioFp(media_id: Long, afp: Long)
 
@@ -294,32 +297,97 @@ object Multimodal extends MediaFixtures {
                  gridW: Int = 8, gridH: Int = 8): Dataset[ImageHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.flatMap { m =>
-        (decodeBmp(m.payload), bmpDataOffset(m.payload)) match {
-          // same structural full-pixel-array guard as [[downsampleImage2x]]:
-          // forged dims or a truncated payload skip the record whole — a
-          // partial grid would mis-hash, and per-pixel bounds checks alone
-          // leak header bytes into the hash (round-10 review finding)
-          case (Some((w, h, 24)), Some(dataOff))
-              if dataOff + bmpRowSize(w) * h <= m.payload.length =>
-            val rowSize = bmpRowSize(w).toInt
-            def gray(tx: Int, ty: Int): Int = {
-              val off = dataOff + (h - 1 - ty) * rowSize + tx * 3
-              (m.payload(off) & 0xff) + (m.payload(off + 1) & 0xff) +
-                (m.payload(off + 2) & 0xff)
-            }
-            val sx = (0 to gridW).map(gx => gx * w / (gridW + 1))
-            val sy = (0 until gridH).map(gy => gy * h / gridH)
-            val bits = for {
-              gy <- 0 until gridH
-              gx <- 0 until gridW
-            } yield if (gray(sx(gx + 1), sy(gy)) > gray(sx(gx), sy(gy)))
-              1L << (gy * gridW + gx) else 0L
-            Iterator.single(ImageHash(m.media_id, bits.foldLeft(0L)(_ | _)))
-          case _ => Iterator.empty
+      it.flatMap(m => dhashOfBmp(m.payload, gridW, gridH)
+        .map(h => ImageHash(m.media_id, h)).iterator)
+    }
+  }
+
+  /** The [[imageDHash]] core on raw bytes — shared with the per-frame
+    * video path ([[videoFrameDHash]]). None for non-BMP / non-24bpp /
+    * truncated payloads (quarantine at the caller). */
+  private[multimodal] def dhashOfBmp(payload: Array[Byte],
+                                     gridW: Int, gridH: Int): Option[Long] =
+    (decodeBmp(payload), bmpDataOffset(payload)) match {
+      // same structural full-pixel-array guard as [[downsampleImage2x]]:
+      // forged dims or a truncated payload skip the record whole — a
+      // partial grid would mis-hash, and per-pixel bounds checks alone
+      // leak header bytes into the hash (round-10 review finding)
+      case (Some((w, h, 24)), Some(dataOff))
+          if dataOff + bmpRowSize(w) * h <= payload.length =>
+        val rowSize = bmpRowSize(w).toInt
+        def gray(tx: Int, ty: Int): Int = {
+          val off = dataOff + (h - 1 - ty) * rowSize + tx * 3
+          (payload(off) & 0xff) + (payload(off + 1) & 0xff) +
+            (payload(off + 2) & 0xff)
         }
+        val sx = (0 to gridW).map(gx => gx * w / (gridW + 1))
+        val sy = (0 until gridH).map(gy => gy * h / gridH)
+        val bits = for {
+          gy <- 0 until gridH
+          gx <- 0 until gridW
+        } yield if (gray(sx(gx + 1), sy(gy)) > gray(sx(gx), sy(gy)))
+          1L << (gy * gridW + gx) else 0L
+        Some(bits.foldLeft(0L)(_ | _))
+      case _ => None
+    }
+
+  /**
+   * Frame-level video fingerprints (m14): walk each AVI's `movi` stream
+   * ([[aviVideoFrames]] — nested LISTs, RIFF padding, truncation-safe),
+   * dHash every video keyframe through the SAME perceptual core as the
+   * image path. Non-AVI payloads and undecodable frames are skipped
+   * (quarantine) — codec work stays in the mapPartitions seam; everything
+   * downstream is plain relational.
+   */
+  def videoFrameDHash(media: Dataset[MediaRecord],
+                      gridW: Int = 8, gridH: Int = 8): Dataset[VideoFrameHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        aviVideoFrames(m.payload).iterator.flatMap(_.iterator.zipWithIndex
+          .flatMap { case (p, i) =>
+            dhashOfBmp(p, gridW, gridH).map(h => VideoFrameHash(m.media_id, i, h))
+          })
       }
     }
+  }
+
+  /**
+   * TEMPORAL video near-dup pairs over per-frame fingerprints: the m6
+   * banded-Hamming machinery applied per ALIGNED frame (same index — the
+   * re-encode/duplicate-upload case; offset/trimmed variants would add a
+   * shift search on top), then video pairs where at least
+   * `matchNum/matchDen` of the LONGER video's frames match. Scale shape:
+   * frame keys pack (media_id, frame_idx) into one long so the
+   * fingerprint join stays a single banded shuffle; the video roll-up is
+   * two tiny hash-aggs + key joins. No pair explosion beyond the capped
+   * fingerprint buckets.
+   *
+   * Input: [[videoFrameDHash]] output. Output: (id1, id2, matched, n1,
+   * n2) with id1 < id2.
+   */
+  def videoNearDupPairs(frames: DataFrame, maxHamming: Int = 3,
+                        blocks: Int = 4, maxBucketSize: Int = 4000,
+                        matchNum: Int = 2, matchDen: Int = 3,
+                        maxFrames: Int = 4096): DataFrame = {
+    import graft.llm.Dedup
+    val keyed = frames.select(
+      (col("media_id") * maxFrames + col("frame_idx")).as("fid"),
+      col("fdhash"))
+    val fp = Dedup.fingerprintNearDups(keyed, "fid", "fdhash",
+      maxHamming, blocks, maxBucketSize)
+    val aligned = fp
+      .filter(col("id1") % maxFrames === col("id2") % maxFrames)
+      .select(expr(s"id1 div $maxFrames").as("id1"),
+        expr(s"id2 div $maxFrames").as("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).cast("long").as("matched"))
+    val n = frames.groupBy(col("media_id"))
+      .agg(count(lit(1)).cast("long").as("nf"))
+    aligned
+      .join(n.select(col("media_id").as("id1"), col("nf").as("n1")), "id1")
+      .join(n.select(col("media_id").as("id2"), col("nf").as("n2")), "id2")
+      .filter(col("matched") * matchDen >= greatest(col("n1"), col("n2")) * matchNum)
+      .select(col("id1"), col("id2"), col("matched"), col("n1"), col("n2"))
   }
 
   /**

@@ -144,15 +144,20 @@ object MediaOracles {
   /** The m6 candidate pipeline as a reusable CTE block ending in
     * `cand(id1, id2, dh1, dh2)` — consumed by [[dhashPairsSql]] and
     * [[dhashClustersSql]] so the two can never desynchronize. */
-  private def dhashCandCtes(maxHamming: Int): String = {
+  /** The 64 dHash gradient-bit CASE terms over the closed-form pattern,
+    * reading coefficient columns (ax, bx, ay, axy, c0, v) with the sparse
+    * re-encode noise keyed by `noiseKey` (the full id for images; the
+    * frame-mixed key for video frames). Shared by the m6/m13 image CTEs
+    * and the m14 video CTEs so the replicas can never desynchronize. */
+  private def dhashBitTerms(noiseKey: String): String = {
     val dim = graft.multimodal.Multimodal.PatternDim
     val gridW = 8
     val gridH = 8
     val sxs = (0 to gridW).map(gx => gx * dim / (gridW + 1))
     def grayE(xv: Int, yv: Int): String =
       s"((ax*$xv + bx*${xv * xv} + ay*$yv + axy*${xv * yv} + c0) % 251" +
-        s" + CASE WHEN v = 1 AND (${xv + 3 * yv} + id) % 11 = 0 THEN 2 ELSE 0 END)"
-    val bitTerms = (for {
+        s" + CASE WHEN v = 1 AND (${xv + 3 * yv} + $noiseKey) % 11 = 0 THEN 2 ELSE 0 END)"
+    (for {
       gy <- 0 until gridH
       gx <- 0 until gridW
     } yield {
@@ -161,6 +166,10 @@ object MediaOracles {
       s"CASE WHEN ${grayE(sxs(gx + 1), sy)} > ${grayE(sxs(gx), sy)}" +
         s" THEN CAST('$p' AS HUGEINT) ELSE CAST('0' AS HUGEINT) END"
     }).mkString("\n      + ")
+  }
+
+  private def dhashCandCtes(maxHamming: Int): String = {
+    val bitTerms = dhashBitTerms("id")
     s"""ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id % 4 = 0),
        |mx AS (SELECT id,
        |    (id % 1048573) * 2654435761 % 1048573 AS m1,
@@ -209,6 +218,76 @@ object MediaOracles {
        |  UNION
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
        |SELECT a AS media_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a""".stripMargin
+
+  /**
+   * Bit-exact oracle for frame-level video near-dup CLUSTERS (m14): the
+   * fixture's keyframe grays are the closed form `patternGray(id·31 + f,
+   * v, x, y)`, so the oracle recomputes every frame's 64 dHash bits,
+   * replays the banded candidate join PER ALIGNED FRAME (same index —
+   * the Spark side's fid-packing + index filter reduces to exactly
+   * this), verifies Hamming ≤ maxHamming, rolls frame matches up to
+   * video pairs at the matchNum/matchDen threshold of the LONGER video,
+   * and runs the recursive-reach components. A wrong movi walk, frame
+   * order, per-frame hash bit, banding slice, alignment, or roll-up
+   * threshold flips compared rows.
+   */
+  def videoClustersSql(maxHamming: Int = 3, matchNum: Int = 2,
+                       matchDen: Int = 3): String = {
+    val bitTerms = dhashBitTerms("kid")
+    s"""WITH RECURSIVE ids AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+       |  WHERE doc_id % 4 = 2 AND doc_id % 11 <> 0),
+       |fr AS (SELECT id, unnest(range(3 + id % 3)) AS f FROM ids),
+       |mx AS (
+       |  SELECT id, f, id*31 + f AS kid,
+       |    ((id*31 + f) % 1048573) * 2654435761 % 1048573 AS m1,
+       |    ((id*31 + f) % 1048289) * 97002529 % 1048289 AS m2
+       |  FROM fr),
+       |par AS (
+       |  SELECT id, f, kid, unnest([0, 1]) AS v,
+       |    1 + m1 % 251 AS ax, 1 + (m1 // 251) % 251 AS bx,
+       |    2 + m2 % 251 AS ay, (m2 // 251) % 251 AS axy, (m1 + m2) % 251 AS c0
+       |  FROM mx),
+       |h AS (
+       |  SELECT id * 2 + v AS media_id, f,
+       |    ($bitTerms) AS uh
+       |  FROM par),
+       |hb AS (
+       |  SELECT media_id, f,
+       |    CAST(CASE WHEN uh >= CAST('$TwoPow63' AS HUGEINT)
+       |      THEN uh - CAST('$TwoPow64' AS HUGEINT) ELSE uh END AS BIGINT) AS dh,
+       |    uh
+       |  FROM h),
+       |sl AS (
+       |  SELECT media_id, f, dh,
+       |    unnest([CAST(0 AS BIGINT), 1, 2, 3]) AS blk,
+       |    unnest([CAST(uh % 65536 AS BIGINT),
+       |            CAST((uh // 65536) % 65536 AS BIGINT),
+       |            CAST((uh // 4294967296) % 65536 AS BIGINT),
+       |            CAST((uh // 281474976710656) % 65536 AS BIGINT)]) AS slice
+       |  FROM hb),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS v1, b.media_id AS v2, a.f AS f,
+       |    a.dh AS d1, b.dh AS d2
+       |  FROM sl a JOIN sl b ON a.blk = b.blk AND a.slice = b.slice
+       |    AND a.f = b.f AND a.media_id < b.media_id),
+       |mp AS (
+       |  SELECT v1, v2, CAST(count(*) AS BIGINT) AS matched FROM cand
+       |  WHERE bit_count(xor(d1, d2)) <= $maxHamming GROUP BY 1, 2),
+       |nf AS (
+       |  SELECT id * 2 + v AS media_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM par GROUP BY 1),
+       |vp AS (
+       |  SELECT mp.v1 AS id1, mp.v2 AS id2
+       |  FROM mp JOIN nf a ON a.media_id = mp.v1 JOIN nf b ON b.media_id = mp.v2
+       |  WHERE mp.matched * $matchDen >= greatest(a.n, b.n) * $matchNum),
+       |edges AS (SELECT id1 AS a, id2 AS b FROM vp UNION SELECT id2, id1 FROM vp),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS media_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a""".stripMargin
+  }
 
   /**
    * Bit-exact oracle for the audio-fingerprint near-dup pairs (m7): the

@@ -72,7 +72,7 @@ object Registry {
   def all: Seq[(String, Q)] =
     ProjectionQueries.all ++ JoinQueries.all ++ AggQueries.all ++
       WindowSortSetQueries.all ++ ScalarFnQueries.all ++
-      DedupQueries.all ++ AnnQueries.all ++
+      DedupQueries.all ++ AnnQueries.all ++ MediaQueries.all ++
       TokenizerQueries.all ++ TextQueries.all ++
       CurationQueries.all ++ TextEvalQueries.all ++
       IoQueries.all ++ CompositeQueries.all ++

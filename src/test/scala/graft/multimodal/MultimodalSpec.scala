@@ -515,6 +515,54 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(r.isDefined && !r.get._8, "deep nesting must parse unclean, not throw")
   }
 
+  test("video frames: movi walk extracts BMP keyframes in order; dHash matches image path") {
+    import spark.implicits._
+    val media = Seq(3L, 4L, 5L).flatMap(Multimodal.packVideoPairById).toDS()
+    val frames = Multimodal.videoFrameDHash(media).collect()
+      .map(f => (f.media_id, f.frame_idx) -> f.fdhash).toMap
+    // frame counts: nf = 3 + id % 3 per variant
+    Seq(3L -> 3, 4L -> 4, 5L -> 5).foreach { case (id, nf) =>
+      Seq(0, 1).foreach { v =>
+        val got = frames.keys.count(_._1 == 2 * id + v)
+        assert(got === nf, s"id=$id v=$v frames")
+      }
+    }
+    // each frame's dHash equals the IMAGE path's dHash of the same pattern
+    val asImages = (0 until 3).map { f =>
+      MediaRecord(f.toLong, "image", Multimodal.bmpPatternBytes(
+        Multimodal.PatternDim, Multimodal.PatternDim,
+        (x, y) => Multimodal.patternGray(3L * 31 + f, 0, x, y)))
+    }.toDS()
+    Multimodal.imageDHash(asImages).collect().foreach { ih =>
+      assert(frames((6L, ih.media_id.toInt)) === ih.dhash,
+        s"frame ${ih.media_id} dHash differs from image path")
+    }
+  }
+
+  test("video near-dup clusters: planted re-encode pairs co-cluster; quarantine absent") {
+    import spark.implicits._
+    // 11 quarantines (non-AVI both variants); others plant (2id, 2id+1)
+    val media = Seq(3L, 4L, 11L, 20L).flatMap(Multimodal.packVideoPairById).toDS()
+    val frames = Multimodal.videoFrameDHash(media).toDF()
+    val pairs = Multimodal.videoNearDupPairs(frames)
+    val got = pairs.select("id1", "id2", "matched", "n1", "n2")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => (r._1, r._2) -> r).toMap
+    Seq(3L, 4L, 20L).foreach { id =>
+      val p = got.get((2 * id, 2 * id + 1))
+      assert(p.isDefined, s"planted pair for id=$id missing")
+      val (_, _, matched, n1, n2) = p.get
+      assert(matched === n1 && n1 === n2, s"id=$id all aligned frames must match")
+    }
+    assert(!got.keys.exists(k => k._1 / 2 == 11L || k._2 / 2 == 11L),
+      "quarantined id 11 must produce no pairs")
+    val clusters = graft.llm.Dedup.nearDupClusters(
+        pairs.select("id1", "id2"))
+      .as[(Long, Long)].collect().toMap
+    Seq(3L, 4L, 20L).foreach { id =>
+      assert(clusters(2 * id) === clusters(2 * id + 1), s"id=$id pair must co-cluster")
+    }
+  }
+
   test("AVI media batch: per-id closed forms and quarantine lanes hold") {
     import spark.implicits._
     val ids = (1L to 80L)
