@@ -139,6 +139,16 @@ object Bench {
           graft.llm.TextOps.portableDocFingerprint(col("id").cast("string")).as("pfp"))
       warm.groupBy("m").agg(max("sh"), max("shp"), max("fp"), max("pfp"))
         .write.format("noop").mode("overwrite").save()
+      // also exercise the ObjectHashAggregate collect_set → sort_array →
+      // array_join path: s18's cold-rep probe (round 11) showed the first
+      // volume pass through that generated class costs ~5× task time
+      // (238 s vs 44–57 s warm at sf1) purely in C2-JIT compilation
+      spark.range(4096)
+        .select((col("id") % 64).as("k"), col("id").cast("string").as("v"))
+        .groupBy("k")
+        .agg(array_join(sort_array(collect_set(col("v"))), "|").as("agg"),
+          countDistinct(col("v")).as("n"))
+        .write.format("noop").mode("overwrite").save()
       clearPersisted(spark)
     }
 
