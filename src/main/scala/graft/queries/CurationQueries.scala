@@ -194,6 +194,49 @@ object CurationQueries {
     // collapse. Fixture text is clean ASCII, so the row augments it with
     // doc_id-keyed decomposed/control/clean tails (the l26 pattern) to
     // exercise every path; the oracle replays via DuckDB nfc_normalize
+    // l121 — code-vs-prose detection (graft/llm/CodeDetect.scala): the
+    // source-mix classifier run before per-domain sampling weights — code
+    // and prose want different dedup thresholds and mixture temperatures.
+    // Exact integer signals (syntax-char count, word-boundary keyword
+    // hits, micro-unit symbol density), expression-only, zero shuffles.
+    // Fixture: docs are word salad with no syntax chars, so doc_id%5∈{0,1}
+    // slices are deterministically rewritten into def-function / JSON
+    // shapes on BOTH sides (the c16 fixture-rotation pattern) — the code
+    // lanes must flag, the prose lane must not.
+    "l121_code_prose_detect" -> Q(
+      (s, dir) => {
+        val d = td(s, dir, "documents").filter(col("text").isNotNull)
+        val id = col("doc_id").cast("string")
+        val aug = d.select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("def f_"), id, lit("(x): return x + "), id,
+              lit(" # "), substring(col("text"), 1, 40)))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit("{ \"k\": ["), id, lit("], \"v\": \""),
+              substring(col("text"), 1, 40), lit("\" }")))
+          .otherwise(col("text")).as("text"))
+        graft.llm.CodeDetect.signals(aug, "doc_id", "text")
+      },
+      Some("""WITH a AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN 'def f_' || CAST(doc_id AS VARCHAR)
+             |           || '(x): return x + ' || CAST(doc_id AS VARCHAR)
+             |           || ' # ' || substr(text, 1, 40)
+             |         WHEN doc_id % 5 = 1 THEN '{ "k": [' || CAST(doc_id AS VARCHAR)
+             |           || '], "v": "' || substr(text, 1, 40) || '" }'
+             |         ELSE text END AS text
+             |  FROM documents WHERE text IS NOT NULL),
+             |s AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             |    CAST(length(text) - length(regexp_replace(text, '[;{}()=\[\]<>:#]', '', 'g')) AS BIGINT) AS n_sym,
+             |    CAST(len(regexp_extract_all(text,
+             |      '\b(def|return|if|else|for|while|class|import|var|const)\b', 1)) AS BIGINT) AS n_kw
+             |  FROM a)
+             |SELECT doc_id, n_chars, n_sym, n_kw,
+             |  CAST(CASE WHEN n_chars = 0 THEN 0
+             |    ELSE (n_sym * 1000000) // n_chars END AS BIGINT) AS sym_micro,
+             |  ((CASE WHEN n_chars = 0 THEN 0
+             |    ELSE (n_sym * 1000000) // n_chars END) >= 20000 OR n_kw >= 2) AS is_code
+             |FROM s""".stripMargin)),
+
     "l47_unicode_normalize" -> Q(
       (s, dir) => {
         val suffix = element_at(array(

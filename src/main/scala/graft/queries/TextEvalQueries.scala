@@ -129,6 +129,36 @@ object TextEvalQueries {
              |  AND max(CASE WHEN rb = 1 THEN score END)
              |    - max(CASE WHEN rw = 1 THEN score END) >= 10""".stripMargin)),
 
+    // l120 — GRPO group-relative advantage (Shao et al. 2024): per
+    // CANDIDATE, reward − group mean in exact integer micro-units, gap to
+    // the group best, best-of-n chosen flag ((score,cid) struct-max
+    // tie-break, as l85) — the rejection-sampling/GRPO data-prep table
+    // where l85 keeps only the two extremes. One explicitly-repartitioned
+    // prompt-key exchange feeds both the group aggregate and the join
+    // probe; no window sort. Same fixture as l85.
+    "l120_grpo_advantage" -> Q(
+      (s, dir) => graft.llm.Preference.groupAdvantage(
+        td(s, dir, "documents").filter(col("text").isNotNull)
+          .select((col("doc_id") % 100).as("prompt_id"),
+            col("doc_id").as("cid"),
+            length(col("text")).cast("long").as("score")),
+        "prompt_id", "cid", "score"),
+      Some("""WITH c AS (SELECT doc_id % 100 AS prompt_id, doc_id AS cid,
+             |    CAST(length(text) AS BIGINT) AS score
+             |  FROM documents WHERE text IS NOT NULL),
+             |g AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_candidates,
+             |    CAST(sum(score) AS BIGINT) AS total,
+             |    CAST(max(score) AS BIGINT) AS best_score
+             |  FROM c GROUP BY 1),
+             |b AS (SELECT c.prompt_id, CAST(max(c.cid) AS BIGINT) AS best_cid
+             |  FROM c JOIN g USING (prompt_id)
+             |  WHERE c.score = g.best_score GROUP BY 1)
+             |SELECT c.prompt_id, c.cid, c.score, g.n_candidates,
+             |  CAST(c.score * 1000000 - (g.total * 1000000) // g.n_candidates AS BIGINT) AS adv_micro,
+             |  CAST(g.best_score - c.score AS BIGINT) AS gap_to_best,
+             |  (c.score = g.best_score AND c.cid = b.best_cid) AS is_chosen
+             |FROM c JOIN g USING (prompt_id) JOIN b USING (prompt_id)""".stripMargin)),
+
     // Bloom-filter decontamination: the constant-memory scale path for
     // l25/l31 — the bench side reduces to ≤ k·|shingles| set bits
     // (broadcast, an m-bit array in deployment) instead of the full hash

@@ -44,6 +44,43 @@ object TokenizerQueries {
         col("doc_id"), graft.llm.Bpe.encodeTokens(col("text")).as("bpe_text")),
       Some(BpeOracles.encodeSql(graft.llm.Bpe.DefaultMerges))),
 
+    // l118 — full WORDPIECE encoding (Wu et al. 2016, BERT's greedy
+    // longest-match-first scan; graft.llm.WordPiece): the third tokenizer
+    // family next to BPE (l21, rank-greedy) and unigram-LM (l93, Viterbi).
+    // The whole token sequence is hash-compared; the oracle replays the
+    // identical scan in a recursive CTE over the SAME interpolated vocab
+    "l118_wordpiece_encode" -> Q(
+      (s, dir) => td(s, dir, "documents").select(
+        col("doc_id"),
+        graft.llm.WordPiece.encodeTokens(col("text")).as("wp_text")),
+      Some(WordPieceOracles.encodeSql(graft.llm.WordPiece.DefaultVocab))),
+
+    // l119 — WordPiece OOV audit: per-language word/token/[UNK] totals —
+    // the out-of-vocabulary rate a tokenizer migration gates on. Both
+    // engines re-derive from their own replay of the encoding, so the
+    // aggregate cross-checks the scan independently of l118's hash.
+    // ([UNK] words emit exactly one '[UNK]' piece and no vocab piece can
+    // equal '[UNK]' — uppercase/brackets aren't in the seed charset — so
+    // counting '[UNK]' pieces == counting UNK words.)
+    "l119_wordpiece_unk_audit" -> Q(
+      (s, dir) => {
+        val enc = graft.llm.WordPiece.encodeTokens(col("text"))
+        td(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("lang"),
+            TextOps.tokenCount(col("text")).as("words"),
+            when(length(enc) === 0, 0L)
+              .otherwise(size(split(enc, " ")).cast("long")).as("wp"),
+            when(length(enc) === 0, 0L)
+              .otherwise(size(filter(split(enc, " "), t => t === "[UNK]")).cast("long"))
+              .as("unk"))
+          .groupBy("lang").agg(
+            count(lit(1)).cast("long").as("n_docs"),
+            sum("words").cast("long").as("n_words"),
+            sum("wp").cast("long").as("wp_tokens"),
+            sum("unk").cast("long").as("wp_unk_words"))
+      },
+      Some(WordPieceOracles.unkAuditSql(graft.llm.WordPiece.DefaultVocab))),
+
     // corpus vocabulary stats over the BPE encoding: top-50 tokens by
     // frequency — the vocab-audit step of a tokenizer rollout
     "l22_bpe_vocab_stats" -> Q(
