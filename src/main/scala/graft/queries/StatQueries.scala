@@ -72,6 +72,37 @@ object StatQueries {
     // the flag true. The sketch still runs; a drifted estimate flips the
     // flag and fails the row.
     //
+    // a40 — HLL distinct sketch with PORTABLE registers (Flajolet et al.
+    // 2007; graft/ops/HllSketch.scala): the mergeable-state path next to
+    // a15's opaque approx_count_distinct — shards sketch independently
+    // and merge by per-bucket max (spec'd). md5-derived hash, exact
+    // integer bitlen ranks, and an exact ⌊A/S⌋ estimator (DECIMAL(38,0)
+    // remainder trick, α₂₅₆ pinned as the micro constant 718273) — the
+    // WHOLE sketch replays in DuckDB: registers, checksum, estimate.
+    "a40_hll_distinct_sketch" -> Q(
+      (s, dir) => graft.ops.HllSketch.summary(
+        td(s, dir, "lineitem"), "l_returnflag", "l_partkey"),
+      Some(s"""WITH vals AS (SELECT DISTINCT l_returnflag AS grp,
+             |    CAST(l_partkey AS VARCHAR) AS v FROM lineitem),
+             |h AS (SELECT grp, CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h60 FROM vals),
+             |b AS (SELECT grp, h60 % 256 AS bucket, h60 // 256 AS w FROM h),
+             |r AS (SELECT grp, bucket,
+             |    MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - len(format('{:b}', w)) END) AS reg
+             |  FROM b GROUP BY 1, 2),
+             |s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_hit,
+             |    CAST(sum(reg * (bucket + 1)) AS BIGINT) AS reg_checksum,
+             |    sum(CAST(9007199254740992 // (CAST(1 AS BIGINT) << reg) AS HUGEINT)) AS s_hit
+             |  FROM r GROUP BY 1),
+             |f AS (SELECT grp, n_hit, reg_checksum,
+             |    s_hit + (256 - n_hit) * CAST(9007199254740992 AS HUGEINT) AS s_sum FROM s),
+             |e AS (SELECT grp, CAST(count(*) AS BIGINT) AS exact_distinct FROM vals GROUP BY 1)
+             |SELECT f.grp, f.n_hit, f.reg_checksum,
+             |  CAST(CAST('${graft.ops.HllSketch.NumeratorA}' AS HUGEINT) // f.s_sum AS BIGINT) AS est_micro,
+             |  e.exact_distinct,
+             |  abs(CAST(CAST('${graft.ops.HllSketch.NumeratorA}' AS HUGEINT) // f.s_sum AS BIGINT)
+             |    - e.exact_distinct * 1000000) <= e.exact_distinct * 500000 AS within_50pct
+             |FROM f JOIN e USING (grp)""".stripMargin)),
+
     // Aggregate over the DISTINCT frame, not the raw one (round 10): with
     // countDistinct + HLL in ONE agg, Spark's distinct rewrite grouped the
     // partial HLL by l_partkey — a 410-word sketch shuffled PER KEY (3.3 KB
