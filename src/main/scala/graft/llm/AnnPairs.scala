@@ -301,7 +301,7 @@ private[llm] trait AnnPairs { this: Ann.type =>
    * corpus/2^nPlanes), nTables buys recall back, exactly as documented on
    * [[embeddingNearDups]]. Cross-checked against the exact form on
    * planted alignments in AnnSpec; the candidate set is replayed in SQL
-   * by LshOracles.marginBitextLshSql with literal plane coefficients.
+   * by AnnOracles.marginBitextLshSql with literal plane coefficients.
    */
   def marginBitextMineLsh(df: DataFrame, vecCol: String, idCol: String,
       sideCol: Column, k: Int = 4, minMargin: Double = 1.0,

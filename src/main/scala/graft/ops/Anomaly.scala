@@ -269,7 +269,7 @@ object Anomaly {
         col(timeCol).cast("long").as("t"))
       .agg(sum(col(valueCol).cast("long")).as("x"))
     val ref = perT.groupBy("key")
-      .agg(expr(graft.ops.Agg.microMeanSql("sum(x)", "count(1)")).as("ref_micro"))
+      .agg(expr(graft.ops.Stats.microMeanSql("sum(x)", "count(1)")).as("ref_micro"))
     val accT = "struct<last:bigint,out:array<struct<t:bigint,x:bigint," +
                "cusum_micro:bigint>>>"
     perT.join(ref, "key")

@@ -127,7 +127,7 @@ object StagedBuilds {
         .cast("long"))
     val ref = ranked.groupBy("rk")
       .agg(sum(col("v")).cast("long").as("s"), count(lit(1)).as("m"))
-      .select(col("rk"), expr(graft.ops.Agg.microMeanSql("s", "m")).as("ref_micro"))
+      .select(col("rk"), expr(graft.ops.Stats.microMeanSql("s", "m")).as("ref_micro"))
     ranked.join(ref, "rk")
       .select(col("sample_id"), col("gene_id"), col("rk"), col("ref_micro"))
   }

@@ -50,7 +50,7 @@ object AnnQueries {
           .select(col("query_id"), col("corpus_id"),
             round(col("cosine_sim"), 6).as("cosine_sim"))
       },
-      Some(LshOracles.lshTopKSql(nPlanes = 6, dim = 64, nQueries = 16, k = 5,
+      Some(AnnOracles.lshTopKSql(nPlanes = 6, dim = 64, nQueries = 16, k = 5,
         nTables = 8))),
 
     // embedding-cosine near-dup pairs, hyperplane-bucketed with 4-table
@@ -64,7 +64,7 @@ object AnnQueries {
         dim = 64, threshold = 0.2, nPlanes = 8, nTables = 4)
         .select(col("id1"), col("id2"),
           round(col("cosine_sim"), 6).as("cosine_sim")),
-      Some(LshOracles.embeddingNearDupsSql(nPlanes = 8, dim = 64,
+      Some(AnnOracles.embeddingNearDupsSql(nPlanes = 8, dim = 64,
         threshold = 0.2, cap = 2000, nTables = 4))),
 
     // embedding preprocessing: L2-normalize → int8-quantize (the 4×-smaller
@@ -159,7 +159,7 @@ object AnnQueries {
     "l37_knn_join" -> Q(
       (s, dir) => Ann.lshKnnJoin(td(s, dir, "embeddings"), "embedding",
         "vec_id", dim = 64, k = 3, nPlanes = 8, nTables = 4),
-      Some(LshOracles.lshKnnJoinSql(nPlanes = 8, dim = 64, k = 3,
+      Some(AnnOracles.lshKnnJoinSql(nPlanes = 8, dim = 64, k = 3,
         cap = 2000, nTables = 4))),
 
     // SemDeDup-style semantic dedup: nearest-of-16-centroids cells (IVF
@@ -174,7 +174,7 @@ object AnnQueries {
         Ann.semanticDedup(e, "embedding", "vec_id", centroids, threshold = 0.35)
           .select(col("id").as("vec_id"), col("cell"), col("kept"))
       },
-      Some(LshOracles.semanticDedupSql(nCentroids = 16, threshold = 0.35,
+      Some(AnnOracles.semanticDedupSql(nCentroids = 16, threshold = 0.35,
         cap = 2000))),
 
     // product quantization encode (Jégou 2011): 64 floats -> 8 codes via
@@ -317,7 +317,7 @@ object AnnQueries {
             query, nProbe = 4, k = 25)
           .select(col("id").as("vec_id"), col("cell"), col("adc_score"))
       },
-      Some(LshOracles.ivfAdcTopKSql(nCells = 16, nProbe = 4, m = 8,
+      Some(AnnOracles.ivfAdcTopKSql(nCells = 16, nProbe = 4, m = 8,
         kCodes = 16, dim = 64, topK = 25))),
 
     // kNN label propagation: seed labels (every 5th doc's lang) spread to
@@ -337,7 +337,7 @@ object AnnQueries {
           .select(col("id").as("vec_id"), col("pred_label"),
             col("weight"), col("n_votes"))
       },
-      Some(LshOracles.knnLabelPropSql(nPlanes = 8, dim = 64, k = 3,
+      Some(AnnOracles.knnLabelPropSql(nPlanes = 8, dim = 64, k = 3,
         cap = 2000, nTables = 4, seedMod = 5))),
 
     // retrieval-quality evaluation as a query: per-query recall@5 +
@@ -355,7 +355,7 @@ object AnnQueries {
           dim = 64, k = 5, nPlanes = 6, nTables = 8)
         graft.llm.RetrievalEval.retrievalMetrics(truth, results, k = 5)
       },
-      Some(LshOracles.retrievalMetricsSql(nPlanes = 6, dim = 64,
+      Some(AnnOracles.retrievalMetricsSql(nPlanes = 6, dim = 64,
         nQueries = 16, k = 5, nTables = 8))),
 
     // hard-negative mining for contrastive training, CANDIDATE-PATH form
@@ -373,7 +373,7 @@ object AnnQueries {
           "embedding", "vec_id", "label", k = 5, dim = 64,
           nPlanes = 10, nTables = 8)
       },
-      Some(LshOracles.hardNegativesLshSql(nPlanes = 10, dim = 64, k = 5,
+      Some(AnnOracles.hardNegativesLshSql(nPlanes = 10, dim = 64, k = 5,
         nTables = 8, queryMod = 100))),
 
     // margin-based bitext mining (Artetxe & Schwenk), CANDIDATE-PATH form
@@ -389,7 +389,7 @@ object AnnQueries {
       (s, dir) => Ann.marginBitextMineLsh(td(s, dir, "embeddings"),
         "embedding", "vec_id", col("label") % 2, k = 4, minMargin = 1.0,
         nPlanes = 9, nTables = 8, maxBucketSize = 2000),
-      Some(LshOracles.marginBitextLshSql(nPlanes = 9, dim = 64, k = 4,
+      Some(AnnOracles.marginBitextLshSql(nPlanes = 9, dim = 64, k = 4,
         cap = 2000, nTables = 8, minMargin = 1.0))),
 
     // Matryoshka truncation eval (Kusupati et al. 2022): overlap@5 of

@@ -235,6 +235,6 @@ object PipelineQueries {
           .select(col("query_id"), col("corpus_id"),
             round(col("cosine_sim"), 6).as("cosine_sim"))
       },
-      Some(LshOracles.ivfTopKSql(nCentroids = 8, nProbe = 2, nQueries = 8, k = 5)))
+      Some(AnnOracles.ivfTopKSql(nCentroids = 8, nProbe = 2, nQueries = 8, k = 5)))
   )
 }

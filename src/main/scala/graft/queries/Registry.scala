@@ -74,7 +74,7 @@ object Registry {
       WindowSortSetQueries.all ++ ScalarFnQueries.all ++
       DedupQueries.all ++ AnnQueries.all ++ MediaQueries.all ++
       TokenizerQueries.all ++ TextQueries.all ++
-      CurationQueries.all ++ TextEvalQueries.all ++
+      CurationQueries.all ++ TextEvalQueries.all ++ PostTrainQueries.all ++
       IoQueries.all ++ CompositeQueries.all ++
       ClinicalQueries.all ++ ApiQueries.all ++ StreamingQueries.all ++
       PipelineQueries.all ++ ScaleQueries.all ++

@@ -101,13 +101,13 @@ object RobustStatQueries {
              |  n_times
              |FROM s""".stripMargin)),
 
-    // exact Gini concentration per source (ops/Agg.giniByGroup): how
+    // exact Gini concentration per source (ops/Stats.giniByGroup): how
     // unevenly is character mass distributed across each source's docs —
     // the inequality audit beside the balance samplers (l33/l48).
     // Sorted-rank closed form, tie-invariant, one DECIMAL(38,0)/HUGEINT
     // floor division in micro-units
     "a31_gini" -> Q(
-      (s, dir) => graft.ops.Agg.giniByGroup(
+      (s, dir) => graft.ops.Stats.giniByGroup(
         td(s, dir, "documents").select(col("source"), col("n_chars")),
         "source", "n_chars"),
       Some("""WITH r AS (SELECT source AS key, CAST(n_chars AS BIGINT) AS x,
@@ -122,12 +122,12 @@ object RobustStatQueries {
              |FROM r GROUP BY 1""".stripMargin)),
 
     // exact lag-k autocorrelation per event_type over daily volumes
-    // (Agg.autocorr): lag 7 is the weekly-rhythm signal beside the
+    // (Stats.autocorr): lag 7 is the weekly-rhythm signal beside the
     // level/trend/change-point monitors. Cleared-denominator integer
     // products, time-offset pairing (gaps shrink n_pairs), sign-split
     // floor-of-abs micro quotient — the a25 rule
     "a32_autocorr" -> Q(
-      (s, dir) => graft.ops.Agg.autocorr(
+      (s, dir) => graft.ops.Stats.autocorr(
         Registry.tdEventsUs(s, dir)
           .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
             lit(1L).as("one")),
@@ -156,14 +156,14 @@ object RobustStatQueries {
              |  END AS BIGINT) AS r_micro
              |FROM lg JOIN den USING (key)""".stripMargin)),
 
-    // a33 — exact lower WEIGHTED median (Agg.weightedMedianByGroup):
+    // a33 — exact lower WEIGHTED median (Stats.weightedMedianByGroup):
     // price center per return flag where each line item counts with its
     // quantity's mass, not once — the unequal-row-mass complement to
     // a14's percentile and a21's MAD. Pure integer selection (smallest v
     // with 2·W(≤v) ≥ W_total), RANGE-frame cumulative so tie order can't
     // move the crossing; one value-ordered window + a skinny min
     "a33_weighted_median" -> Q(
-      (s, dir) => graft.ops.Agg.weightedMedianByGroup(
+      (s, dir) => graft.ops.Stats.weightedMedianByGroup(
         td(s, dir, "lineitem").select(col("l_returnflag").as("grp"),
           round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
           col("l_quantity").cast("long").as("qty")),
@@ -182,12 +182,12 @@ object RobustStatQueries {
              |  CAST(min(v) AS BIGINT) AS wmedian
              |FROM c WHERE 2*cum >= tot GROUP BY 1""".stripMargin)),
 
-    // a34 — Spearman rank correlation (Agg.spearmanByGroup): monotone
+    // a34 — Spearman rank correlation (Stats.spearmanByGroup): monotone
     // association per return flag, robust where a18's Pearson bends to
     // outliers. Average ranks over ties are exact multiples of 1/2
     // (noise-free in double); the rank corr rounds to 6 dp — the a18 rule
     "a34_spearman" -> Q(
-      (s, dir) => graft.ops.Agg.spearmanByGroup(
+      (s, dir) => graft.ops.Stats.spearmanByGroup(
         td(s, dir, "lineitem").select(col("l_returnflag").as("grp"),
           col("l_quantity"), col("l_extendedprice")),
         "grp", "l_quantity", "l_extendedprice"),
@@ -201,13 +201,13 @@ object RobustStatQueries {
              |  CAST(count(*) AS BIGINT) AS n
              |FROM rk GROUP BY 1""".stripMargin)),
 
-    // a35 — exact mode with deterministic ties (Agg.modeByGroup): the
+    // a35 — exact mode with deterministic ties (Stats.modeByGroup): the
     // most frequent quantity per return flag, ties to the smallest
     // value — engine-native mode() is tie-nondeterministic under
     // parallelism, so replayed pipelines need this pinned form. Two
     // hash-aggs via a (−count, value) struct min; no window sort
     "a35_mode" -> Q(
-      (s, dir) => graft.ops.Agg.modeByGroup(
+      (s, dir) => graft.ops.Stats.modeByGroup(
         td(s, dir, "lineitem").select(col("l_returnflag").as("grp"),
           col("l_quantity")),
         "grp", "l_quantity"),
@@ -250,14 +250,14 @@ object RobustStatQueries {
              |FROM pt
              |WINDOW w AS (PARTITION BY key, t % 7)""".stripMargin)),
 
-    // a37 — Theil–Sen robust slope (Agg.theilSen): median of all
+    // a37 — Theil–Sen robust slope (Stats.theilSen): median of all
     // pairwise slopes of the daily-volume series per event_type — the
     // outlier-proof trend beside a25's OLS (breakdown ~29% vs 0%).
     // Sign-split floor micro slopes (the a25/a32 rule), LOWER median by
     // pure rank selection; pairwise is O(n²) in SERIES points (bounded
     // monitor series), never in raw events
     "a37_theil_sen" -> Q(
-      (s, dir) => graft.ops.Agg.theilSen(
+      (s, dir) => graft.ops.Stats.theilSen(
         Registry.tdEventsUs(s, dir)
           .groupBy(col("event_type").as("key"),
             expr("ts_us div 86400000000").as("day"))
@@ -280,13 +280,13 @@ object RobustStatQueries {
              |  CAST(s AS BIGINT) AS slope_micro
              |FROM r WHERE rn = (n + 1) // 2""".stripMargin)),
 
-    // a38 — exact trimmed mean (Agg.trimmedMeanByGroup): 5%-each-side
+    // a38 — exact trimmed mean (Stats.trimmedMeanByGroup): 5%-each-side
     // trimmed price center per return flag — the robust location between
     // mean and median. Rank ties are interchangeable for a SUM so the
     // arbitrary row_number tie-break cannot move the result; micro mean
     // via sign-split floor-of-abs (the a25/a32 div-vs-// rule)
     "a38_trimmed_mean" -> Q(
-      (s, dir) => graft.ops.Agg.trimmedMeanByGroup(
+      (s, dir) => graft.ops.Stats.trimmedMeanByGroup(
         td(s, dir, "lineitem").select(col("l_returnflag").as("grp"),
           round(col("l_extendedprice") * 100).cast("long").as("cents")),
         "grp", "cents", trimBp = 500L),

@@ -31,10 +31,10 @@ object StatQueries {
              |FROM orders GROUP BY 1""".stripMargin)),
 
     // robust location/scale: exact per-group median + median absolute
-    // deviation (ops/Agg.madByGroup) — the outlier-resistant complement
+    // deviation (ops/Stats.madByGroup) — the outlier-resistant complement
     // to a20's mean/σ z-scores; two hash-aggs + broadcast median join
     "a21_mad" -> Q(
-      (s, dir) => graft.ops.Agg.madByGroup(
+      (s, dir) => graft.ops.Stats.madByGroup(
         td(s, dir, "lineitem"), "l_returnflag", "l_extendedprice"),
       Some("""WITH m AS (SELECT l_returnflag,
              |    quantile_cont(l_extendedprice, 0.5) AS med,
@@ -254,7 +254,7 @@ object StatQueries {
     // DECIMAL(38,0)/HUGEINT polynomial inequality, bit-identical on
     // both engines, no sqrt anywhere
     "a22_welch_drift" -> Q(
-      (s, dir) => graft.ops.Agg.welchOneVsRest(
+      (s, dir) => graft.ops.Stats.welchOneVsRest(
         td(s, dir, "documents"), "source", "n_chars"),
       Some("""WITH g AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS na,
              |    CAST(sum(n_chars) AS BIGINT) AS sa,
@@ -314,7 +314,7 @@ object StatQueries {
     // (Spark div truncates, DuckDB // floors — the oracle spells
     // sign-split floor-of-abs so negatives can't diverge)
     "a24_mann_whitney" -> Q(
-      (s, dir) => graft.ops.Agg.mannWhitneyOneVsRest(
+      (s, dir) => graft.ops.Stats.mannWhitneyOneVsRest(
         td(s, dir, "documents"), "source", "n_chars"),
       Some("""WITH gv AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
              |    CAST(count(*) AS BIGINT) AS c
@@ -354,7 +354,7 @@ object StatQueries {
     // DECIMAL(38,0)·HUGEINT products, sign-split floor division (the a24
     // rule). Events reduce to one (key, day) row before any window
     "a25_ols_trend" -> Q(
-      (s, dir) => graft.ops.Agg.olsTrend(
+      (s, dir) => graft.ops.Stats.olsTrend(
         Registry.tdEventsUs(s, dir), "event_type", "ts_us"),
       Some("""WITH daily AS (SELECT event_type AS key,
              |    epoch_us(ts)//86400000000 AS day, CAST(count(*) AS BIGINT) AS y
@@ -395,7 +395,7 @@ object StatQueries {
     // threshold is the cleared-denominator integer inequality
     // 1e6·D_num² > c²micro·n·ng·nb — no sqrt, no float, replays exactly
     "a26_ks_drift" -> Q(
-      (s, dir) => graft.ops.Agg.ksOneVsRest(
+      (s, dir) => graft.ops.Stats.ksOneVsRest(
         td(s, dir, "documents"), "source", "n_chars"),
       Some("""WITH gv AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
              |    CAST(count(*) AS BIGINT) AS c

@@ -5,33 +5,19 @@ import graft.llm.{Dedup, TextOps}
 import Registry.{td, tdEventsUs}
 
 /**
- * Corpus-analytics / eval registry rows (split from TextQueries, round 9
- * — pure mechanical move, registry content unchanged): dialog assembly,
- * edit-distance verify, perplexity buckets + Kneser-Ney, n-gram
- * diversity/precision, preference pairs, bloom decontamination, span
- * corruption, the domain link-graph family (PageRank, triangles),
- * filter-overlap ablation, curriculum schedule, obfuscation blocklist,
- * the unigram tokenizer family, lang-ID confusion, CDC chunking,
- * mojibake repair, and the dataset card.
+ * Corpus-analytics / eval registry rows (split from TextQueries, round 9;
+ * post-training rows moved out to [[PostTrainQueries]] in round 11 — both
+ * pure mechanical moves, registry content unchanged): edit-distance
+ * verify, perplexity buckets + Kneser-Ney, n-gram diversity/precision,
+ * bloom decontamination, the domain link-graph family (PageRank,
+ * triangles), filter-overlap ablation, obfuscation blocklist, the
+ * unigram tokenizer family, lang-ID confusion, CDC chunking, mojibake
+ * repair, PMI collocations, ROUGE-L, the AC blocklist, and the dataset
+ * card.
  */
 object TextEvalQueries {
 
   val all: Seq[(String, Q)] = Seq(
-    // conversation/transcript assembly: the events stream becomes one
-    // ordered multi-turn SFT document per user — group → in-group
-    // struct-sort on (ts, event_id) → render; ONE shuffle on the
-    // conversation key, no global sort, no window
-    "l80_dialog_assembly" -> Q(
-      (s, dir) => graft.llm.Dialog.assembleTranscripts(
-        tdEventsUs(s, dir), "user_id", "ts_us", "event_id", "event_type", "props"),
-      Some("""WITH t AS (SELECT user_id, ts, event_id,
-             |    event_type || '=' || coalesce(json_extract_string(props, '$.k'), '?') AS line
-             |  FROM events)
-             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_turns,
-             |  CAST(length(string_agg(line, chr(10) ORDER BY ts, event_id)) AS BIGINT) AS n_chars,
-             |  string_agg(line, chr(10) ORDER BY ts, event_id) AS transcript
-             |FROM t GROUP BY 1""".stripMargin)),
-
     // char-level near-dup verify for short docs: prefix-blocked
     // Levenshtein with the LSH-family block cap (rank ≤ 16 by id) so a
     // boilerplate mega-block can't go quadratic; sim filters on the
@@ -91,74 +77,6 @@ object TextEvalQueries {
              |  round(n_distinct_ngrams / n_ngrams, 6) AS distinct_ngram_ratio
              |FROM uni u LEFT JOIN gr USING (source)""".stripMargin)),
 
-    // RLHF/DPO preference-pair construction: best-vs-worst scored
-    // candidate per prompt, deterministic (score, id) struct-max/min
-    // tiebreak, minimum-gap filter — ONE hash-aggregate on the prompt key
-    // (llm/Preference.scala). Fixture: docs pooled into 100 prompts,
-    // char-length as the integral score.
-    "l85_preference_pairs" -> Q(
-      (s, dir) => {
-        val cands = td(s, dir, "documents")
-          .filter(col("text").isNotNull)
-          .select((col("doc_id") % 100).as("prompt_id"),
-            col("doc_id").as("cid"),
-            length(col("text")).cast("long").as("score"))
-        graft.llm.Preference.buildPairs(
-          cands, "prompt_id", "cid", "score", minGap = 10)
-      },
-      Some("""WITH c AS (SELECT doc_id % 100 AS prompt_id, doc_id AS cid,
-             |    CAST(length(text) AS BIGINT) AS score
-             |  FROM documents WHERE text IS NOT NULL),
-             |r AS (SELECT prompt_id, cid, score,
-             |    row_number() OVER (PARTITION BY prompt_id
-             |                       ORDER BY score DESC, cid DESC) AS rb,
-             |    row_number() OVER (PARTITION BY prompt_id
-             |                       ORDER BY score ASC, cid ASC) AS rw,
-             |    CAST(count(*) OVER (PARTITION BY prompt_id) AS BIGINT) AS n
-             |  FROM c)
-             |SELECT prompt_id,
-             |  max(CASE WHEN rb = 1 THEN cid END) AS chosen_id,
-             |  max(CASE WHEN rw = 1 THEN cid END) AS rejected_id,
-             |  max(CASE WHEN rb = 1 THEN score END) AS chosen_score,
-             |  max(CASE WHEN rw = 1 THEN score END) AS rejected_score,
-             |  max(CASE WHEN rb = 1 THEN score END)
-             |    - max(CASE WHEN rw = 1 THEN score END) AS gap,
-             |  max(n) AS n_candidates
-             |FROM r GROUP BY 1
-             |HAVING max(n) >= 2
-             |  AND max(CASE WHEN rb = 1 THEN score END)
-             |    - max(CASE WHEN rw = 1 THEN score END) >= 10""".stripMargin)),
-
-    // l120 — GRPO group-relative advantage (Shao et al. 2024): per
-    // CANDIDATE, reward − group mean in exact integer micro-units, gap to
-    // the group best, best-of-n chosen flag ((score,cid) struct-max
-    // tie-break, as l85) — the rejection-sampling/GRPO data-prep table
-    // where l85 keeps only the two extremes. One explicitly-repartitioned
-    // prompt-key exchange feeds both the group aggregate and the join
-    // probe; no window sort. Same fixture as l85.
-    "l120_grpo_advantage" -> Q(
-      (s, dir) => graft.llm.Preference.groupAdvantage(
-        td(s, dir, "documents").filter(col("text").isNotNull)
-          .select((col("doc_id") % 100).as("prompt_id"),
-            col("doc_id").as("cid"),
-            length(col("text")).cast("long").as("score")),
-        "prompt_id", "cid", "score"),
-      Some("""WITH c AS (SELECT doc_id % 100 AS prompt_id, doc_id AS cid,
-             |    CAST(length(text) AS BIGINT) AS score
-             |  FROM documents WHERE text IS NOT NULL),
-             |g AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_candidates,
-             |    CAST(sum(score) AS BIGINT) AS total,
-             |    CAST(max(score) AS BIGINT) AS best_score
-             |  FROM c GROUP BY 1),
-             |b AS (SELECT c.prompt_id, CAST(max(c.cid) AS BIGINT) AS best_cid
-             |  FROM c JOIN g USING (prompt_id)
-             |  WHERE c.score = g.best_score GROUP BY 1)
-             |SELECT c.prompt_id, c.cid, c.score, g.n_candidates,
-             |  CAST(c.score * 1000000 - (g.total * 1000000) // g.n_candidates AS BIGINT) AS adv_micro,
-             |  CAST(g.best_score - c.score AS BIGINT) AS gap_to_best,
-             |  (c.score = g.best_score AND c.cid = b.best_cid) AS is_chosen
-             |FROM c JOIN g USING (prompt_id) JOIN b USING (prompt_id)""".stripMargin)),
-
     // Bloom-filter decontamination: the constant-memory scale path for
     // l25/l31 — the bench side reduces to ≤ k·|shingles| set bits
     // (broadcast, an m-bit array in deployment) instead of the full hash
@@ -174,15 +92,6 @@ object TextEvalQueries {
           "text", "doc_id", n = 5, k = 3, m = 65536)
       },
       Some(TextOracles.bloomDecontaminateSql(n = 5, benchMod = 50, k = 3, m = 65536))),
-
-    // T5-style span corruption: deterministic iid token masks collapsed
-    // into sentinel-numbered spans, (input, target) emitted per doc —
-    // the seq2seq denoising objective; one posexplode + ONE exchange
-    // (lag/running-sum windows and the rebuild groupBy share the doc key)
-    "l88_span_corruption" -> Q(
-      (s, dir) => graft.llm.TextOps.spanCorrupt(
-        td(s, dir, "documents"), "doc_id", "text", maskPct = 15, seed = "sc1"),
-      Some(TextOracles.spanCorruptSql(maskPct = 15, seed = "sc1"))),
 
     // domain-graph PageRank (integer micro-units, 5 iterations, damping
     // 0.85): crawl-quality ranking over the doc→domain link graph
@@ -267,18 +176,6 @@ object TextEvalQueries {
            |  FROM t)
            |${(pairSelects ++ onlySelects).mkString("\nUNION ALL\n")}""".stripMargin
       }),
-
-    // curriculum training schedule: quality-threshold phases (cleanest
-    // first), hash shards + dense positions within each phase — the
-    // epoch-shuffle shape with a curriculum axis; thresholds not
-    // quantiles, so no global sort and phase meanings stay consistent
-    // across separately-curated corpora
-    "l90_curriculum_schedule" -> Q(
-      (s, dir) => graft.llm.Sampling.curriculumSchedule(
-        td(s, dir, "documents")
-          .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q")),
-        "doc_id", "q", thresholds = Seq(0.5, 0.25), nShards = 8, seed = "cu1"),
-      Some(TextOracles.curriculumSql(Seq(0.5, 0.25), nShards = 8, seed = "cu1"))),
 
     // obfuscation folding + blocklist: leet/homoglyph translate fold,
     // THEN word-boundary blocklist counts — catches the trivially-
@@ -615,23 +512,6 @@ object TextEvalQueries {
              |  round(CAST(lcs_sum AS DOUBLE) / ref_sum, 6) AS rouge_r,
              |  round(2.0 * lcs_sum / (cand_sum + ref_sum), 6) AS rouge_f
              |FROM g""".stripMargin)),
-
-    // l106 — weighted sampling without replacement (Ohlsson 1998
-    // sequential Poisson order sampling, the exact-integer sibling of
-    // Efraimidis-Spirakis A-ES — that ln(u)/w form stays spec-replayed
-    // in SamplingSpec): k smallest of priority = (hash60+1) div w,
-    // inclusion odds ∝ n_chars. All-int64 hash/div so order, tie-break
-    // and cut replay bit-for-bit across engines (no libm ln in the
-    // compare — the l104 round-9 lesson). Expression-only +
-    // TakeOrderedAndProject
-    "l106_weighted_sample" -> Q(
-      (s, dir) => graft.llm.Sampling.weightedSamplePriority(
-        td(s, dir, "documents"), "doc_id", "n_chars", k = 100, seed = "ws"),
-      Some("""WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-             |    ('0x'||substr(md5('ws' || chr(31) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT + 1 AS u_int
-             |  FROM documents WHERE n_chars > 0)
-             |SELECT doc_id, n_chars, u_int // n_chars AS priority
-             |FROM t ORDER BY priority, doc_id LIMIT 100""".stripMargin)),
 
     // l107 — Aho-Corasick multi-pattern blocklist: ALL patterns matched in
     // ONE automaton pass per document (vs l91's per-term word-boundary

@@ -9,7 +9,7 @@ class GiniSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
   private def gini(rows: Seq[(String, Long)]): Map[String, (Long, Long, Option[Long])] =
-    Agg.giniByGroup(rows.toDF("k", "v"), "k", "v")
+    Stats.giniByGroup(rows.toDF("k", "v"), "k", "v")
       .collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
@@ -43,7 +43,7 @@ class GiniSpec extends AnyFunSuite with SparkTestBase {
     // lag2: 4 pairs of +9 → r = floor(36e6/54) = 666666
     val df = (1L to 6L).map(t => ("A", t, if (t % 2 == 1) 1L else 2L))
       .toDF("k", "t", "x")
-    val got = Agg.autocorr(df, "k", "t", "x", Seq(1, 2))
+    val got = Stats.autocorr(df, "k", "t", "x", Seq(1, 2))
       .orderBy("lag").as[(String, Long, Long, Option[Long])].collect().toSeq
     assert(got === Seq(("A", 1L, 5L, Some(-833333L)),
       ("A", 2L, 4L, Some(666666L))))
@@ -52,7 +52,7 @@ class GiniSpec extends AnyFunSuite with SparkTestBase {
   test("autocorr: time gaps shrink the pair set; constant series is NULL") {
     val df = Seq(("B", 1L, 5L), ("B", 2L, 7L), ("B", 4L, 9L),
       ("C", 1L, 3L), ("C", 2L, 3L)).toDF("k", "t", "x")
-    val got = Agg.autocorr(df, "k", "t", "x", Seq(1))
+    val got = Stats.autocorr(df, "k", "t", "x", Seq(1))
       .as[(String, Long, Long, Option[Long])].collect()
       .map(r => r._1 -> r).toMap
     assert(got("B")._3 === 1L, "only (1,2) pairs — never across the t=3 hole")

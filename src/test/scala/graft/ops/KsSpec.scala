@@ -3,7 +3,7 @@ package graft.ops
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestBase
 
-/** Exact one-vs-rest Kolmogorov–Smirnov ([[Agg.ksOneVsRest]]). */
+/** Exact one-vs-rest Kolmogorov–Smirnov ([[Stats.ksOneVsRest]]). */
 class KsSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
@@ -26,7 +26,7 @@ class KsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   private def run(rows: Seq[(String, Long)]): Map[String, (String, Long, Long, Boolean)] =
-    Agg.ksOneVsRest(rows.toDF("src", "v"), "src", "v")
+    Stats.ksOneVsRest(rows.toDF("src", "v"), "src", "v")
       .as[(String, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
 
   test("sparse evaluation matches the dense D_num replay exactly (ties, gaps, heads/tails)") {
@@ -58,7 +58,7 @@ class KsSpec extends AnyFunSuite with SparkTestBase {
       (1 to 60).map(i => ("w", 100L + 40L * ((i % 3) - 1))) // 60/100/140
     val ks = run(rows)
     assert(ks("w")._4, "wide group must be KS-significant")
-    val welch = Agg.welchOneVsRest(rows.toDF("src", "v"), "src", "v")
+    val welch = Stats.welchOneVsRest(rows.toDF("src", "v"), "src", "v")
       .as[(String, Long, Long, Long, Boolean)].collect().map(r => r._1 -> r._5).toMap
     assert(!welch("w"), "equal-mean spread change must NOT trip the location test")
   }
@@ -71,7 +71,7 @@ class KsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("single group: null d_micro, not significant (no rest exists)") {
-    val row = Agg.ksOneVsRest((1 to 9).map(i => ("only", i.toLong)).toDF("src", "v"),
+    val row = Stats.ksOneVsRest((1 to 9).map(i => ("only", i.toLong)).toDF("src", "v"),
       "src", "v").collect().head
     assert(row.isNullAt(2) && !row.getBoolean(3))
     assert(row.getLong(1) === 9L)

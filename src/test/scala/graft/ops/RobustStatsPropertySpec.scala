@@ -19,7 +19,7 @@ class RobustStatsPropertySpec extends AnyFunSuite with SparkTestBase {
       val n = 1 + rng.nextInt(12)
       (0 until n).map(_ => (s"g$g", rng.nextInt(21).toLong - 5L, rng.nextInt(4).toLong))
     }
-    val got = Agg.weightedMedianByGroup(rows.toDF("g", "v", "w"), "g", "v", "w")
+    val got = Stats.weightedMedianByGroup(rows.toDF("g", "v", "w"), "g", "v", "w")
       .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
     rows.groupBy(_._1).foreach { case (g, rs) =>
       val sorted = rs.map(r => (r._2, r._3)).sortBy(_._1)
@@ -36,7 +36,7 @@ class RobustStatsPropertySpec extends AnyFunSuite with SparkTestBase {
     val rows = (1 to 300).flatMap { g =>
       (0 until 1 + rng.nextInt(15)).map(_ => (s"g$g", rng.nextInt(6).toLong - 2L))
     }
-    val got = Agg.modeByGroup(rows.toDF("g", "v"), "g", "v")
+    val got = Stats.modeByGroup(rows.toDF("g", "v"), "g", "v")
       .as[(String, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     rows.groupBy(_._1).foreach { case (g, rs) =>
       val counts = rs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
@@ -51,7 +51,7 @@ class RobustStatsPropertySpec extends AnyFunSuite with SparkTestBase {
     val rows = (1 to 200).flatMap { g =>
       (0 until 1 + rng.nextInt(20)).map(_ => (s"g$g", rng.nextInt(2001).toLong - 1000L))
     }
-    val got = Agg.trimmedMeanByGroup(rows.toDF("g", "v"), "g", "v", trimBp)
+    val got = Stats.trimmedMeanByGroup(rows.toDF("g", "v"), "g", "v", trimBp)
       .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
     rows.groupBy(_._1).foreach { case (g, rs) =>
       val sorted = rs.map(_._2).sorted

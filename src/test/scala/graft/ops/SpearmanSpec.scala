@@ -7,7 +7,7 @@ class SpearmanSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
   private def rho(rows: Seq[(String, Double, Double)]): Map[String, (Option[Double], Long)] =
-    Agg.spearmanByGroup(rows.toDF("g", "x", "y"), "g", "x", "y")
+    Stats.spearmanByGroup(rows.toDF("g", "x", "y"), "g", "x", "y")
       .as[(String, Option[Double], Long)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
 

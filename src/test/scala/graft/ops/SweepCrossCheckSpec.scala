@@ -40,7 +40,7 @@ class SweepCrossCheckSpec extends AnyFunSuite with SparkTestBase {
       k.toString -> ts.map(t => (t, rng.nextInt(41).toLong - 20L))
     }
     val rows = pts.flatMap { case (k, s) => s.map { case (t, x) => (k, t, x) } }
-    val got = Agg.theilSen(rows.toDF("key", "t", "x"), "key", "t", "x")
+    val got = Stats.theilSen(rows.toDF("key", "t", "x"), "key", "t", "x")
       .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     pts.foreach { case (k, s) =>
       val slopes = for {

@@ -7,7 +7,7 @@ class TheilSenSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
   private def ts(rows: Seq[(String, Long, Long)]): Map[String, (Long, Long)] =
-    Agg.theilSen(rows.toDF("key", "t", "x"), "key", "t", "x")
+    Stats.theilSen(rows.toDF("key", "t", "x"), "key", "t", "x")
       .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
 
   test("clean linear series recovers the exact slope") {

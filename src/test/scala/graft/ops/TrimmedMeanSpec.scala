@@ -7,7 +7,7 @@ class TrimmedMeanSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
   private def tm(rows: Seq[(String, Long)], bp: Long): Map[String, (Long, Long, Long)] =
-    Agg.trimmedMeanByGroup(rows.toDF("g", "v"), "g", "v", bp)
+    Stats.trimmedMeanByGroup(rows.toDF("g", "v"), "g", "v", bp)
       .as[(String, Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
 
@@ -52,7 +52,7 @@ class TrimmedMeanSpec extends AnyFunSuite with SparkTestBase {
     // n=1 with heavy trim request: k=0, the lone row survives
     assert(tm(Seq(("b", 42L)), 4999L)("b") === (1L, 0L, 42000000L))
     intercept[IllegalArgumentException] {
-      Agg.trimmedMeanByGroup(Seq(("a", 1L)).toDF("g", "v"), "g", "v", 5000L)
+      Stats.trimmedMeanByGroup(Seq(("a", 1L)).toDF("g", "v"), "g", "v", 5000L)
     }
   }
 }

@@ -7,7 +7,7 @@ class WeightedMedianSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
   private def wm(rows: Seq[(String, Long, Long)]): Map[String, (Long, Long, Long)] =
-    Agg.weightedMedianByGroup(rows.toDF("g", "v", "w"), "g", "v", "w")
+    Stats.weightedMedianByGroup(rows.toDF("g", "v", "w"), "g", "v", "w")
       .as[(String, Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
 
@@ -44,7 +44,7 @@ class WeightedMedianSpec extends AnyFunSuite with SparkTestBase {
         org.apache.spark.sql.functions.round(
           org.apache.spark.sql.functions.col("l_extendedprice") * 100).cast("long").as("v"),
         org.apache.spark.sql.functions.col("l_quantity").cast("long").as("w"))
-    val out = Agg.weightedMedianByGroup(df, "g", "v", "w")
+    val out = Stats.weightedMedianByGroup(df, "g", "v", "w")
     val plan = out.queryExecution.executedPlan.toString
     // the value-ordered window and the group-total window must not each
     // demand their own exchange of the data side

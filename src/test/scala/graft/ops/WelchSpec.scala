@@ -13,7 +13,7 @@ class WelchSpec extends AnyFunSuite with SparkTestBase {
       (1 to 30).map(i => ("b", 98L + (i % 7))) ++
       (1 to 30).map(i => ("c", 97L + (i % 9))) ++
       (1 to 30).map(i => ("d", 195L + (i % 11)))
-    val got = Agg.welchOneVsRest(rows.toDF("src", "v"), "src", "v")
+    val got = Stats.welchOneVsRest(rows.toDF("src", "v"), "src", "v")
       .as[(String, Long, Long, Long, Boolean)].collect()
       .map(r => r._1 -> r).toMap
     assert(got("d")._5, "shifted group must be significant")
@@ -31,7 +31,7 @@ class WelchSpec extends AnyFunSuite with SparkTestBase {
       (1 to 40).map(i => ("y", (60 + 2 * (i % 7)).toLong)) ++
       (1 to 15).map(i => ("z", (54 + (i % 3)).toLong))
     val df = rows.toDF("src", "v")
-    val got = Agg.welchOneVsRest(df, "src", "v")
+    val got = Stats.welchOneVsRest(df, "src", "v")
       .as[(String, Long, Long, Long, Boolean)].collect()
       .map(r => r._1 -> r).toMap
 
@@ -57,7 +57,7 @@ class WelchSpec extends AnyFunSuite with SparkTestBase {
 
   test("identical groups are not significant") {
     val rows = (1 to 40).flatMap(i => Seq(("p", (i % 10).toLong), ("q", (i % 10).toLong)))
-    val got = Agg.welchOneVsRest(rows.toDF("src", "v"), "src", "v")
+    val got = Stats.welchOneVsRest(rows.toDF("src", "v"), "src", "v")
       .as[(String, Long, Long, Long, Boolean)].collect()
     assert(got.forall(!_._5), "identical distributions must not flag")
   }
@@ -68,7 +68,7 @@ class WelchSpec extends AnyFunSuite with SparkTestBase {
     val rows = (1 to 25).map(i => ("x", (50 + 3 * (i % 5)).toLong)) ++
       (1 to 40).map(i => ("y", (60 + 2 * (i % 7)).toLong)) ++
       (1 to 15).map(i => ("z", (54 + (i % 3)).toLong))
-    val got = Agg.mannWhitneyOneVsRest(rows.toDF("src", "v"), "src", "v")
+    val got = Stats.mannWhitneyOneVsRest(rows.toDF("src", "v"), "src", "v")
       .as[(String, Long, Long, Long, Boolean)].collect()
       .map(r => r._1 -> r).toMap
 
@@ -99,7 +99,7 @@ class WelchSpec extends AnyFunSuite with SparkTestBase {
   test("mannWhitney: rank-shifted group flags with the right effect sign; identical does not") {
     val rows = (1 to 30).map(i => ("lo", (i % 10).toLong)) ++
       (1 to 30).map(i => ("hi", (100 + i % 10).toLong))
-    val got = Agg.mannWhitneyOneVsRest(rows.toDF("src", "v"), "src", "v")
+    val got = Stats.mannWhitneyOneVsRest(rows.toDF("src", "v"), "src", "v")
       .as[(String, Long, Long, Long, Boolean)].collect()
       .map(r => r._1 -> r).toMap
     assert(got("hi")._5 && got("lo")._5)
@@ -108,7 +108,7 @@ class WelchSpec extends AnyFunSuite with SparkTestBase {
     assert(got("hi")._4 === -1000000L)
     assert(got("lo")._4 === 1000000L)
     val same = (1 to 40).flatMap(i => Seq(("p", (i % 10).toLong), ("q", (i % 10).toLong)))
-    val z = Agg.mannWhitneyOneVsRest(same.toDF("src", "v"), "src", "v")
+    val z = Stats.mannWhitneyOneVsRest(same.toDF("src", "v"), "src", "v")
       .as[(String, Long, Long, Long, Boolean)].collect()
     assert(z.forall(!_._5))
     assert(z.forall(_._4 === 0L), "identical ranks give zero effect")
@@ -125,7 +125,7 @@ class WelchSpec extends AnyFunSuite with SparkTestBase {
       (0 until 4).flatMap(d => ev("flat", 200 + d, 7)) ++
       ev("one", 300, 5)
     val df = rows.toDF("event_type", "ts_us")
-    val got = Agg.olsTrend(df, "event_type", "ts_us")
+    val got = Stats.olsTrend(df, "event_type", "ts_us")
       .as[(String, Long, Option[Long], Option[Long], Option[Long])]
       .collect().map(r => r._1 -> r).toMap
     assert(got("up") === (("up", 5L, Some(2000000L), Some(3000000L), Some(1000000L))))
@@ -133,7 +133,7 @@ class WelchSpec extends AnyFunSuite with SparkTestBase {
     assert(got("one") === (("one", 1L, None, None, None)))
     // negative slope floors toward −∞ consistently: y = −3x + 10
     val down = (0 until 4).flatMap(d => ev("down", 50 + d, 10 - 3 * d)).toDF("event_type", "ts_us")
-    val gd = Agg.olsTrend(down, "event_type", "ts_us")
+    val gd = Stats.olsTrend(down, "event_type", "ts_us")
       .as[(String, Long, Option[Long], Option[Long], Option[Long])].collect()(0)
     assert(gd._3 === Some(-3000000L) && gd._5 === Some(1000000L))
   }
