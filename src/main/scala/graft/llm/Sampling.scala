@@ -55,6 +55,39 @@ object Sampling {
     }
   }
 
+  /**
+   * Mergeable bottom-k uniform sample (the KMV idiom — Bar-Yossef et al.
+   * 2002): per stratum, the k keys with the SMALLEST seeded hash. Because
+   * the hash order is global and data-independent, bottom-k(A ∪ B) =
+   * bottom-k(bottom-k(A) ∪ bottom-k(B)) — shards sample independently and
+   * merge by re-taking the k smallest, the property that makes "a uniform
+   * 10k-doc sample of 100 TB" one map-side partial TakeOrdered per
+   * partition plus a tiny reduce, with NO global sort and NO second scan
+   * when shards arrive incrementally. [[deterministicSample]] keeps a
+   * FRACTION (grows with the corpus); bottom-k keeps a fixed-size panel —
+   * the eval-panel / spot-check shape.
+   *
+   * Determinism: rank by (hash, key) so equal hashes (coupon collisions)
+   * break identically in any engine; ties are already vanishing at 60
+   * hash bits. Emits (stratum, key, hash-rank) for the k smallest.
+   */
+  def bottomKSample(df: DataFrame, keyCol: String, stratumCol: String,
+                    k: Int, seed: String = "s1"): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    requireStableKeyType(df, keyCol)
+    val h = TextOps.portableHash60(
+      concat(lit(seed + SeedSep), col(keyCol).cast("string")))
+    df.select(col(stratumCol).as("stratum"),
+        col(keyCol).cast("long").as("key"), h.as("_h"))
+      .distinct()
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("stratum")).orderBy(col("_h").asc, col("key").asc))
+        .cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("stratum"), col("key"), col("rk"))
+  }
+
   /** Uniform deterministic sample: keep `pct`% of rows by key hash. */
   def deterministicSample(df: DataFrame, keyCol: String, pct: Int,
                           seed: String = "s1"): DataFrame = {

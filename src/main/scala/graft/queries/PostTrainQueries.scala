@@ -118,6 +118,41 @@ object PostTrainQueries {
         "doc_id", "q", thresholds = Seq(0.5, 0.25), nShards = 8, seed = "cu1"),
       Some(TextOracles.curriculumSql(Seq(0.5, 0.25), nShards = 8, seed = "cu1"))),
 
+
+    // l123 — greedy bigram-LM generation (the deterministic core of a
+    // synthetic-data / distillation rollout; graft/llm/Generate.scala):
+    // corpus bigram table -> successor argmax (ties to smallest next) ->
+    // bounded greedy rollouts from the 5 most frequent seeds. The ONLY
+    // corpus-sized work is one bigram hash-agg; the successor table is
+    // vocab-bounded and the rollout is a driver-side fold (the BPE-trainer
+    // shape). Oracle replays table, seeds, and every rollout step in one
+    // recursive CTE. eager: collects the bounded table at build time
+    "l123_ngram_generate" -> Q(
+      (s, dir) => graft.llm.Generate.greedyGenerate(
+        s, td(s, dir, "documents"), "text", nSeeds = 5, steps = 12),
+      Some("""WITH RECURSIVE
+             |tk AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+             |bg AS (SELECT p[1] AS cur, p[2] AS nxt FROM (
+             |  SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) AS p
+             |  FROM tk WHERE len(t) >= 2)),
+             |bc AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+             |sc AS (SELECT cur, nxt FROM (SELECT cur, nxt,
+             |    row_number() OVER (PARTITION BY cur ORDER BY c DESC, nxt) AS rn FROM bc)
+             |  WHERE rn = 1),
+             |un AS (SELECT unnest(t) AS tok FROM tk),
+             |sd AS (SELECT tok FROM (SELECT tok, CAST(count(*) AS BIGINT) AS c
+             |    FROM un WHERE length(tok) > 0 GROUP BY 1)
+             |  ORDER BY c DESC, tok LIMIT 5),
+             |gen(seed, step, cur, txt) AS (
+             |  SELECT tok, CAST(0 AS BIGINT), tok, tok FROM sd
+             |  UNION ALL
+             |  SELECT g.seed, g.step + 1, s.nxt, g.txt || ' ' || s.nxt
+             |  FROM gen g JOIN sc s ON s.cur = g.cur WHERE g.step < 12)
+             |SELECT seed, arg_max(txt, step) AS gen_text,
+             |  CAST(max(step) AS BIGINT) AS n_steps
+             |FROM gen GROUP BY 1""".stripMargin), eager = true),
+
     // l106 — weighted sampling without replacement (Ohlsson 1998
     // sequential Poisson order sampling, the exact-integer sibling of
     // Efraimidis-Spirakis A-ES — that ln(u)/w form stays spec-replayed

@@ -224,6 +224,24 @@ object TextQueries {
              |  CASE event_type WHEN 'click' THEN 25 WHEN 'view' THEN 10
              |    WHEN 'purchase' THEN 100 WHEN 'error' THEN 50 ELSE 0 END""".stripMargin)),
 
+    // l122 — MERGEABLE bottom-k uniform sample (KMV idiom, Bar-Yossef et
+    // al. 2002): per stratum, the k keys with the smallest seeded hash —
+    // a fixed-size eval panel where l28 keeps a corpus-growing fraction.
+    // bottom-k(A∪B) = bottom-k(bottom-k(A) ∪ bottom-k(B)) (spec'd), and
+    // the rank<=k window filter plans as WindowGroupLimit: per-partition
+    // partial top-k before the stratum exchange — no global sort
+    "l122_bottomk_sample" -> Q(
+      (s, dir) => graft.llm.Sampling.bottomKSample(
+        td(s, dir, "events"), "event_id", "event_type", k = 20),
+      Some("""WITH h AS (SELECT DISTINCT event_type AS stratum,
+             |    CAST(event_id AS BIGINT) AS key,
+             |    ('0x'||substr(md5('s1' || chr(31) || CAST(event_id AS VARCHAR)),1,15))::BIGINT AS _h
+             |  FROM events),
+             |r AS (SELECT stratum, key,
+             |    CAST(row_number() OVER (PARTITION BY stratum ORDER BY _h, key) AS BIGINT) AS rk
+             |  FROM h)
+             |SELECT stratum, key, rk FROM r WHERE rk <= 20""".stripMargin)),
+
     // Gopher-style repetition quality filters: top-token / top-bigram /
     // unique-token fractions per doc — two relational hash-aggs, no
     // per-row array lambdas

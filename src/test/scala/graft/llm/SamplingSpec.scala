@@ -343,4 +343,45 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       seed = "sp2").as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
     assert(distinct.exists(d => reseeded(d._1) != byId(d._1)._3))
   }
+
+  test("bottomKSample: MERGE LAW — bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B))") {
+    val a = (0L until 500L).map(i => (i, s"t${i % 3}"))
+    val b = (400L until 1000L).map(i => (i, s"t${i % 3}")) // overlapping shards
+    def bk(rows: Seq[(Long, String)]) = Sampling.bottomKSample(
+        rows.toDF("event_id", "event_type"), "event_id", "event_type", k = 10)
+      .select("stratum", "key", "rk").as[(String, Long, Long)].collect().toSet
+    val whole = bk(a ++ b)
+    val shardA = bk(a).map { case (st, k, _) => (k, st) }
+    val shardB = bk(b).map { case (st, k, _) => (k, st) }
+    val remerged = bk((shardA ++ shardB).toSeq.map { case (k, st) => (k, st) })
+    assert(whole === remerged)
+  }
+
+  test("bottomKSample: fixed panel size, duplicate-row insensitive, deterministic") {
+    val rows = (0L until 300L).map(i => (i, "t"))
+    val once = Sampling.bottomKSample(rows.toDF("event_id", "event_type"),
+      "event_id", "event_type", k = 25).select("key").as[Long].collect().toSet
+    assert(once.size === 25)
+    val dup = Sampling.bottomKSample((rows ++ rows).toDF("event_id", "event_type"),
+      "event_id", "event_type", k = 25).select("key").as[Long].collect().toSet
+    assert(once === dup)
+    // a different seed draws a different panel
+    val other = Sampling.bottomKSample(rows.toDF("event_id", "event_type"),
+      "event_id", "event_type", k = 25, seed = "other")
+      .select("key").as[Long].collect().toSet
+    assert(once !== other)
+  }
+
+  test("bottomKSample: ranks are 1..min(k, stratum size), smallest hash first") {
+    val rows = (0L until 5L).map(i => (i, "t"))
+    val out = Sampling.bottomKSample(rows.toDF("event_id", "event_type"),
+      "event_id", "event_type", k = 10)
+      .orderBy("rk").select("key", "rk").as[(Long, Long)].collect()
+    assert(out.map(_._2).toSeq === (1L to 5L))
+    // rank order must equal the portable-hash order recomputed independently
+    val byHash = rows.map(_._1).sortBy(id =>
+      spark.range(1).select(graft.llm.TextOps.portableHash60(
+        lit("s1" + Sampling.SeedSep + id.toString))).as[Long].collect().head)
+    assert(out.map(_._1).toSeq === byHash)
+  }
 }
