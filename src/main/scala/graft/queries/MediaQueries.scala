@@ -11,11 +11,63 @@ import Registry.td
  * stay in AnnQueries where they interleave with the ANN rows): real
  * BMP/WAV/PNG/GIF/JPEG/ID3/AVI container decodes, audio resample, image
  * downsample, perceptual dHash / audio-fingerprint near-dup pairs and
- * clusters, and frame-level video fingerprinting (m14).
+ * clusters, frame-level video fingerprinting (m14), and the image-text
+ * pair curation gate (m15).
  */
 object MediaQueries {
 
   val all: Seq[(String, Q)] = Seq(
+    // m15 — image-text PAIR curation gate (the LAION-style manifest step:
+    // decode the image, gate on container/resolution/aspect, gate the
+    // caption on token count, emit one verdict per pair with the FIRST
+    // failing gate in a fixed order so reject accounting is unambiguous).
+    // The image side runs the REAL m3 decode over the per-id containers
+    // (odd ids pack WAV → 'not_image' lane is always live); the caption
+    // side is the l2 token counter over a per-id caption PREFIX
+    // (doc_id%8 tokens — the fixture rotation that keeps the
+    // short-caption lane live; fixture texts are otherwise all long).
+    // The oracle recomputes the decoded dims from doc_id via the fixture
+    // closed form and replays the gate cascade
+    "m15_pair_curation_gate" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = td(s, dir, "documents")
+        val media = docs.select(col("doc_id")).as[Long]
+          .map(id => Multimodal.packMediaById(id))
+        val dec = Multimodal.decodeMedia(media).toDF()
+          .select(col("media_id"), col("container"),
+            col("width"), col("height"))
+        val cap = docs.select(col("doc_id").as("pair_id"),
+          least(coalesce(graft.llm.TextOps.tokenCount(col("text")), lit(0L)),
+            pmod(col("doc_id"), lit(8L))).as("n_caption_tokens"))
+        dec.join(cap, col("media_id") === col("pair_id"))
+          .select(col("pair_id"), col("container"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_caption_tokens"),
+            when(col("container") =!= "bmp", "not_image")
+              .when(col("width") < 4 || col("height") < 3, "low_res")
+              .when(col("width") > col("height") * 3
+                || col("height") > col("width") * 3, "bad_aspect")
+              .when(col("n_caption_tokens") < 3, "short_caption")
+              .otherwise("ok").as("verdict"))
+      },
+      Some("""WITH d AS (SELECT doc_id AS pair_id,
+             |    CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS container,
+             |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 16 ELSE 0 END AS BIGINT) AS width,
+             |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 9 ELSE 0 END AS BIGINT) AS height,
+             |    least(CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+             |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT),
+             |      doc_id % 8) AS n_caption_tokens
+             |  FROM documents)
+             |SELECT pair_id, container, width, height, n_caption_tokens,
+             |  CASE WHEN container <> 'bmp' THEN 'not_image'
+             |       WHEN width < 4 OR height < 3 THEN 'low_res'
+             |       WHEN width > height * 3 OR height > width * 3 THEN 'bad_aspect'
+             |       WHEN n_caption_tokens < 3 THEN 'short_caption'
+             |       ELSE 'ok' END AS verdict
+             |FROM d""".stripMargin)),
+
     // REAL multimodal decode: per-id real BMP/WAV containers built with
     // every header field a function of the id, parsed back by the pure-JVM
     // header decoders. The oracle recomputes the expected decoded values

@@ -588,4 +588,38 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("m15 gate cascade: first failing gate wins, in the fixed order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hand-picked ids: 1 odd -> not_image regardless of caption;
+    // 2 -> w=3 (<4) low_res even though caption is short too;
+    // 48 -> w=1 low_res; 30 -> w=15,h=4 bad_aspect (15>12);
+    // 12 -> w=13,h=4 bad_aspect (13>12); 4 -> w=5,h=5, 4%8=4 -> ok;
+    // 58 -> w=11,h=5 fine dims but 58%8=2 < 3 -> short_caption;
+    // 10 -> w=11,h=2 low_res (h<3)
+    val ids = Seq(1L, 2L, 48L, 30L, 12L, 4L, 58L, 10L)
+    val docs = ids.map(i => (i, "five words of caption text here")).toDF("doc_id", "text")
+    val media = docs.select(col("doc_id")).as[Long].map(Multimodal.packMediaById)
+    val dec = Multimodal.decodeMedia(media).toDF()
+    val cap = docs.select(col("doc_id").as("pair_id"),
+      least(lit(6L), pmod(col("doc_id"), lit(8L))).as("n"))
+    val out = dec.join(cap, col("media_id") === col("pair_id"))
+      .select(col("pair_id"),
+        when(col("container") =!= "bmp", "not_image")
+          .when(col("width") < 4 || col("height") < 3, "low_res")
+          .when(col("width") > col("height") * 3
+            || col("height") > col("width") * 3, "bad_aspect")
+          .when(col("n") < 3, "short_caption")
+          .otherwise("ok").as("verdict"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "not_image")
+    assert(out(2L) === "low_res")      // before short_caption: order fixed
+    assert(out(48L) === "low_res")
+    assert(out(30L) === "bad_aspect")
+    assert(out(12L) === "bad_aspect")
+    assert(out(4L) === "ok")
+    assert(out(58L) === "short_caption")
+    assert(out(10L) === "low_res")
+  }
 }
