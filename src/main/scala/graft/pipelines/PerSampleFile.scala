@@ -36,6 +36,12 @@ object PerSampleFile {
    * @param slideToCase slide_to_case(slide_gdc_id, case_barcode,
    *                    sample_barcode, sample_type_name)
    */
+  // No broadcast() hints on the entity maps: their size is data-dependent
+  // (the reference's are ~10^4 rows and auto-broadcast under the 10 MB
+  // threshold), and a hard-coded hint forces a single-threaded driver-side
+  // HashedRelation build even when the map is fact-sized — the c11 lesson
+  // (measured: ~30 s of pure driver wall at sf1). Below the threshold the
+  // planner still broadcasts; above it, AQE picks the shuffle join.
   def build(file: DataFrame, fawe: DataFrame,
             aliquotToCase: DataFrame, slideToCase: DataFrame): DataFrame = {
     val fm = file.join(fawe, Seq("file_id"))
@@ -47,14 +53,14 @@ object PerSampleFile {
       .withColumn("entity_id", lit("multi"))
 
     val aliquotBranch = fm1.filter(col("entity_type") === "aliquot")
-      .join(broadcast(aliquotToCase), col("entity_id") === col("aliquot_gdc_id"))
+      .join(aliquotToCase, col("entity_id") === col("aliquot_gdc_id"))
       .select(col("file_id"), col("file_name"), col("access"),
         lit("aliquot").as("entity_kind"),
         col("case_barcode"), col("sample_barcode"), col("sample_type_name"),
         barcodeSuffix(col("entity_submitter_id")).as("entity_suffix"))
 
     val slideBranch = fm1.filter(col("entity_type") === "slide")
-      .join(broadcast(slideToCase), col("entity_id") === col("slide_gdc_id"))
+      .join(slideToCase, col("entity_id") === col("slide_gdc_id"))
       .select(col("file_id"), col("file_name"), col("access"),
         lit("slide").as("entity_kind"),
         col("case_barcode"), col("sample_barcode"), col("sample_type_name"),
@@ -80,6 +86,6 @@ object PerSampleFile {
    * files without an index URI keep NULL paths.
    */
   def withDrsUris(built: DataFrame, drsUri: DataFrame): DataFrame =
-    built.join(broadcast(drsUri), built("file_id") === drsUri("file_uuid"), "left")
+    built.join(drsUri, built("file_id") === drsUri("file_uuid"), "left")
       .drop("file_uuid")
 }

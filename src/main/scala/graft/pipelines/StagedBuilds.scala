@@ -31,9 +31,17 @@ object StagedBuilds {
    *                 project_short_name)
    */
   def rnaSeq(raw: DataFrame, aliquotToCase: DataFrame): DataFrame = {
+    // No broadcast() hint on the aliquot map: its size is data-dependent
+    // (the reference's real map is ~10⁴ rows and auto-broadcasts under the
+    // 10 MB threshold anyway), and a hard-coded hint forces the driver to
+    // build the HashedRelation single-threaded even when the "dim" is
+    // fact-sized — measured at sf1 (1.5 M rows): the hinted plan spent
+    // ~30 s of WALL in the driver-side broadcast build (44.7 s wall vs
+    // < 2 s of per-core task time); unhinted, AQE picks the shuffle join
+    // at this size and the broadcast join below the threshold.
     val joined = raw
       .filter(!col("gene_id").isin(ExcludedGeneIds: _*))
-      .join(broadcast(aliquotToCase),
+      .join(aliquotToCase,
         substring(col("file_name"), 1, 36) === col("file_gdc_id"))
     joined.groupBy("project_short_name", "case_barcode", "sample_barcode",
         "gene_id", "gene_name")
@@ -83,10 +91,12 @@ object StagedBuilds {
                   aliquotToSample: DataFrame,   // (aliquot_id, sample_id)
                   sampleToCase: DataFrame       // (sample_id, case_id)
                  ): DataFrame =
+    // unhinted (the c11/rnaSeq rationale): metadata maps auto-broadcast
+    // below the threshold; a fact-sized map must not force a driver build
     melted
-      .join(broadcast(runMetaToAliquot), Seq("aliquot_run_metadata_id"))
-      .join(broadcast(aliquotToSample), Seq("aliquot_id"))
-      .join(broadcast(sampleToCase), Seq("sample_id"))
+      .join(runMetaToAliquot, Seq("aliquot_run_metadata_id"))
+      .join(aliquotToSample, Seq("aliquot_id"))
+      .join(sampleToCase, Seq("sample_id"))
 
   /**
    * Quantile normalization (Bolstad et al. 2003, Bioinformatics — the
