@@ -120,6 +120,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // (bounded by the bucket DOMAIN, the l16 precedent) and ships it
       // as a literal array — the join-free grid — reviewed r10
       "l117_t_closeness",
+      // l123: collects the vocab-bounded successor table + seeds at
+      // construction, rolls out driver-side (the BPE-trainer shape,
+      // the l115/l16 bounded-collect precedent) — reviewed r11
+      "l123_ngram_generate",
       // l5/l6/l7/l8/l13: the xxhash64-family property audits
       // (DedupAudit, round 11) localCheckpoint the scale-path output at
       // construction so the audit legs never re-run the LSH pipeline —
