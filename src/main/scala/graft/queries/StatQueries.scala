@@ -178,6 +178,29 @@ object StatQueries {
              |CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // a41 — explicit GROUPING SETS (the third grouping-analytics form
+    // next to a19 ROLLUP and a39 CUBE): a HAND-PICKED lattice — by
+    // (flag, status), by flag, by status-only, and the grand total,
+    // but NOT the (status, flag) redundancies CUBE would add — the
+    // report-table shape when only some margins are wanted. grouping_id
+    // disambiguates rows where a grouping column is NULL-by-data vs
+    // NULL-by-aggregation
+    "a41_grouping_sets" -> Q(
+      (s, dir) => td(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(expr("grouping_id()").cast("long").as("gid"),
+          count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+             |CAST(count(*) AS BIGINT) AS n,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |  (l_returnflag), (l_linestatus), ())""".stripMargin)),
+
     // per-group z-score standardization (windowed mean/stddev — the
     // feature-scaling step of any numeric ML prep): z is scale-free
     // (O(1)), so 6-dp rounding absorbs cross-engine moment noise exactly

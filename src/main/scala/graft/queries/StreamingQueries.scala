@@ -38,6 +38,36 @@ object StreamingQueries {
              |CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS value_sum
              |FROM s GROUP BY user_id, sid""".stripMargin)),
 
+    // w16 — NATIVE session_window (Spark's built-in session operator,
+    // the engine-level twin of the hand-rolled w3 sessionization; in
+    // streaming it runs on merging session state with watermark
+    // eviction). Boundary semantics measured and spec'd (StreamingSpec):
+    // TOUCHING windows merge — an event EXACTLY gap after the previous
+    // stays in the session, same islands boundary as w3 (> for a new
+    // session) — and end = last event + gap (w3 reports the last event)
+    "w16_native_session_window" -> Q(
+      (s, dir) => {
+        val events = Streaming.asEvents(td(s, dir, "events")).toDF()
+        events
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).cast("long").as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            unix_micros(col("session_window.end")).as("end_us"),
+            col("n_events"))
+      },
+      Some("""WITH t AS (SELECT user_id, ts,
+             |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events),
+             |s AS (SELECT user_id, ts,
+             |  SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+             |      THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM t)
+             |SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+             |CAST(max(epoch_us(ts)) + 1800000000 AS BIGINT) AS end_us,
+             |CAST(count(*) AS BIGINT) AS n_events
+             |FROM s GROUP BY user_id, sid""".stripMargin)),
+
     // w12 — stream-static dimension enrichment (events × customer
     // segment dim, LEFT join, dim BROADCAST so the stream side never
     // shuffles): only custkey < 100 enters the dim, so users 100+ land

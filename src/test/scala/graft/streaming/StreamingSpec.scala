@@ -35,6 +35,49 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(batch.exists { case (_, t, n, _) => t == "click" && n == 2 }) // 0-60s window, user1
   }
 
+  test("native session_window: stream and batch agree; TOUCHING sessions merge at the exact gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // user 1: events at 0 s, 60 s, then 1861 s — strictly more than the
+    // 1800 s gap after the second event, so a new session starts
+    val events = Seq(ev(1, 0, 1), ev(2, 60, 1), ev(3, 1861, 1), ev(4, 100, 2))
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("s"),
+        unix_micros(col("session_window.end")).as("e"), col("n"))
+
+    // streaming session windows are APPEND-mode only: a session is emitted
+    // once the watermark passes its end, so a second micro-batch carries a
+    // far-future flush event (user 9) that finalizes every real session
+    // and itself stays withheld in state
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = agg(mem.toDS().toDF()).writeStream.format("memory")
+      .queryName("nsw").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    mem.addData(ev(99, 100000, 9))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("nsw").as[(Long, Long, Long, Long)].collect().toSet
+
+    val batch = agg(events.toDF()).as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    // user 1 has TWO sessions: [0, 60+1800] x2 events and [1861, 1861+1800] x1
+    assert(batch === Set(
+      (1L, 0L, (60L + 1800L) * 1000000L, 2L),
+      (1L, 1861L * 1000000L, (1861L + 1800L) * 1000000L, 1L),
+      (2L, 100L * 1000000L, (100L + 1800L) * 1000000L, 1L)))
+
+    // boundary semantics (what the w16 oracle encodes with its > islands
+    // split, the same boundary as w3): TOUCHING [ts, ts+gap) windows
+    // MERGE — an event arriving EXACTLY gap after the previous one stays
+    // in the session
+    val exact = agg(Seq(ev(1, 0, 1), ev(2, 1800, 1)).toDF())
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(exact === Set((1L, 0L, 3600L * 1000000L, 2L)))
+  }
+
   test("stream-stream attribution join: cross-batch pairing, window bounds, batch parity") {
     implicit val sqlCtx = spark.sqlContext
     val views = Seq(
