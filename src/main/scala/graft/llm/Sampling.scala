@@ -88,6 +88,44 @@ object Sampling {
       .select(col("stratum"), col("key"), col("rk"))
   }
 
+  /**
+   * KMV distinct estimator (Bar-Yossef et al. 2002) from the
+   * [[bottomKSample]] panel: if the k-th smallest 60-bit hash is h_k,
+   * the distinct count estimates as (k−1)·2⁶⁰ / h_k — the QUANTILE-based
+   * sketch next to a40's register-based HLL, and the reason the bottom-k
+   * panel doubles as a cardinality sketch for free. Exact integer
+   * arithmetic: the numerator is one fixed literal, the floor-quotient
+   * is taken by the DECIMAL(38,0) remainder trick (the a40 pattern), so
+   * DuckDB replays the estimate bit-exactly. Strata with fewer than k
+   * distinct keys report their EXACT panel size (the sketch saw
+   * everything). Merge story = bottomKSample's: union panels, re-take
+   * the k smallest, re-read h_k.
+   */
+  def kmvDistinctEstimate(df: DataFrame, keyCol: String, stratumCol: String,
+                          k: Int, seed: String = "s1"): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2 (got $k)")
+    requireStableKeyType(df, keyCol)
+    val numerator = (BigInt(k) - 1) * (BigInt(1) << 60)
+    val h = TextOps.portableHash60(
+      concat(lit(seed + SeedSep), col(keyCol).cast("string")))
+    df.select(col(stratumCol).as("stratum"),
+        col(keyCol).cast("string").as("key"), h.as("_h"))
+      .distinct()
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("stratum")).orderBy(col("_h").asc, col("key").asc))
+        .cast("long"))
+      .filter(col("rk") <= k)
+      .groupBy("stratum")
+      .agg(count(lit(1)).cast("long").as("n_panel"),
+        max(col("_h")).as("kth_hash"))
+      .select(col("stratum"), col("n_panel"), col("kth_hash"),
+        when(col("n_panel") < k, col("n_panel"))
+          .otherwise(expr(s"CAST((CAST('$numerator' AS DECIMAL(38,0)) " +
+            s"- CAST('$numerator' AS DECIMAL(38,0)) % kth_hash) / kth_hash AS BIGINT)"))
+          .as("est_distinct"))
+  }
+
   /** Uniform deterministic sample: keep `pct`% of rows by key hash. */
   def deterministicSample(df: DataFrame, keyCol: String, pct: Int,
                           seed: String = "s1"): DataFrame = {

@@ -256,4 +256,26 @@ object AsOf {
         count(lit(1)).cast("long").as("n_intervals"))
       .select(col("k"), col("island_start"), col("island_end"), col("n_intervals"))
   }
+
+  /**
+   * Interval COMPLEMENT per key (bedtools-complement over the covered
+   * span): the gaps BETWEEN [[mergeIntervals]]' islands — the uncovered
+   * regions a coverage QC reports. Islands are disjoint and
+   * gap-separated by construction (touching intervals merged), so every
+   * emitted gap has length ≥ 1; a key with one island emits nothing.
+   *
+   * Scale shape: rides mergeIntervals' one key-partitioned window, then
+   * one `lead` over the ISLAND table — already reduced to islands per
+   * key, a tiny fraction of the input intervals.
+   */
+  def intervalGaps(df: DataFrame, keyCol: Column,
+                   startCol: Column, endCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("island_start"))
+    mergeIntervals(df, keyCol, startCol, endCol)
+      .withColumn("next_start", lead(col("island_start"), 1).over(w))
+      .filter(col("next_start").isNotNull)
+      .select(col("k"), col("island_end").as("gap_start"),
+        col("next_start").as("gap_end"),
+        (col("next_start") - col("island_end")).as("gap_len"))
+  }
 }

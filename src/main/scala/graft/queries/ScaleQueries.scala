@@ -268,6 +268,42 @@ object ScaleQueries {
              |  CAST(count(*) AS BIGINT) AS n_intervals
              |FROM g GROUP BY k, island""".stripMargin)),
 
+    // j25 — interval COMPLEMENT (bedtools-complement over the covered
+    // span; graft/ops/AsOf.intervalGaps): the gaps BETWEEN j23's merged
+    // islands — the uncovered-region QC a genome-coverage build reports.
+    // Same fixture as j23; every gap has length >= 1 by construction
+    // (touching intervals already merged)
+    "j25_interval_gaps" -> Q(
+      (s, dir) => {
+        val iv = td(s, dir, "orders").filter(col("o_orderkey") % 10 === 0)
+          .select((col("o_custkey") % 5).as("k"),
+            datediff(col("o_orderdate"), lit("1990-01-01")).cast("long").as("sa"))
+          .withColumn("ea", col("sa") + 20L)
+        graft.ops.AsOf.intervalGaps(iv, col("k"), col("sa"), col("ea"))
+      },
+      Some("""WITH iv AS (SELECT o_custkey % 5 AS k,
+             |    CAST(datediff('day', DATE '1990-01-01',
+             |      CAST(o_orderdate AS DATE)) AS BIGINT) AS s
+             |  FROM orders WHERE o_orderkey % 10 = 0),
+             |m AS (SELECT k, s, s + 20 AS e,
+             |    max(s + 20) OVER (PARTITION BY k ORDER BY s, s + 20
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+             |  FROM iv),
+             |g AS (SELECT k, s, e,
+             |    sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY k ORDER BY s, e
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM m),
+             |isl AS (SELECT k, min(s) AS island_start, max(e) AS island_end
+             |  FROM g GROUP BY k, island),
+             |x AS (SELECT k, island_end,
+             |    lead(island_start) OVER (PARTITION BY k ORDER BY island_start) AS next_start
+             |  FROM isl)
+             |SELECT k, CAST(island_end AS BIGINT) AS gap_start,
+             |  CAST(next_start AS BIGINT) AS gap_end,
+             |  CAST(next_start - island_end AS BIGINT) AS gap_len
+             |FROM x WHERE next_start IS NOT NULL""".stripMargin)),
+
     // J21 — TEMPORAL dimension join (Scd.temporalJoin): each fact picks
     //   the SCD2 version current AT ITS TIME — key equi-join + interval
     //   filter, deliberately NOT a range join (the key carries the

@@ -242,6 +242,32 @@ object TextQueries {
              |  FROM h)
              |SELECT stratum, key, rk FROM r WHERE rk <= 20""".stripMargin)),
 
+    // l124 — KMV distinct estimate from the l122 bottom-k panel
+    // (Bar-Yossef et al. 2002: distinct ≈ (k−1)·2⁶⁰ / h_k): the
+    // quantile-based cardinality sketch next to a40's register-based
+    // HLL — the panel doubles as the sketch for free. Exact integer
+    // floor-quotient (the a40 DECIMAL remainder trick) so the estimate
+    // itself hash-compares; under-k strata report their exact size.
+    // events has ~250k distinct ids per type at sf0.1, k=64 → ~12% rsd
+    "l124_kmv_distinct" -> Q(
+      (s, dir) => graft.llm.Sampling.kmvDistinctEstimate(
+        td(s, dir, "events"), "event_id", "event_type", k = 64),
+      Some(s"""WITH h AS (SELECT DISTINCT event_type AS stratum,
+             |    CAST(event_id AS VARCHAR) AS key,
+             |    ('0x'||substr(md5('s1' || chr(31) || CAST(event_id AS VARCHAR)),1,15))::BIGINT AS _h
+             |  FROM events),
+             |r AS (SELECT stratum, _h,
+             |    row_number() OVER (PARTITION BY stratum ORDER BY _h, key) AS rk
+             |  FROM h),
+             |p AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_panel,
+             |    CAST(max(_h) AS BIGINT) AS kth_hash
+             |  FROM r WHERE rk <= 64 GROUP BY 1)
+             |SELECT stratum, n_panel, kth_hash,
+             |  CAST(CASE WHEN n_panel < 64 THEN n_panel
+             |    ELSE CAST('${(BigInt(63) * (BigInt(1) << 60))}' AS HUGEINT) // kth_hash
+             |  END AS BIGINT) AS est_distinct
+             |FROM p""".stripMargin)),
+
     // Gopher-style repetition quality filters: top-token / top-bigram /
     // unique-token fractions per doc — two relational hash-aggs, no
     // per-row array lambdas

@@ -384,4 +384,25 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
         lit("s1" + Sampling.SeedSep + id.toString))).as[Long].collect().head)
     assert(out.map(_._1).toSeq === byHash)
   }
+
+  test("kmvDistinctEstimate: under-k strata are exact; at-k strata estimate within 3 rsd") {
+    val rows = (0L until 5000L).map(i => (i, "big")) ++ (0L until 10L).map(i => (i, "small"))
+    val m = Sampling.kmvDistinctEstimate(
+        rows.toDF("event_id", "event_type"), "event_id", "event_type", k = 256)
+      .select("stratum", "n_panel", "est_distinct")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(m("small") === (("small", 10L, 10L))) // saw everything → exact
+    assert(m("big")._2 === 256L)
+    // rsd ≈ 1/sqrt(k-2) ≈ 6.3%; assert within 3 rsd of 5000
+    val err = math.abs(m("big")._3 - 5000L) / 5000.0
+    assert(err < 0.19, s"KMV estimate ${m("big")._3} off by ${err * 100}%%")
+  }
+
+  test("kmvDistinctEstimate is a pure function of the bottom-k panel (duplicate-insensitive)") {
+    val rows = (0L until 2000L).map(i => (i, "t"))
+    def est(data: Seq[(Long, String)]) = Sampling.kmvDistinctEstimate(
+        data.toDF("event_id", "event_type"), "event_id", "event_type", k = 64)
+      .select("est_distinct").as[Long].collect().head
+    assert(est(rows) === est(rows ++ rows ++ rows))
+  }
 }
