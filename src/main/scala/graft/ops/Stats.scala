@@ -4,14 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
- * Statistical-test and robust-statistics aggregates (split from [[Agg]]
- * on the basic-vs-statistical seam, round 11 — pure mechanical move):
- * MAD, Welch / Mann-Whitney / KS one-vs-rest drift tests, OLS and
- * Theil-Sen trends, autocorrelation, Gini, trimmed mean, mode, Spearman,
- * weighted median. All exact integer/decimal micro-unit arithmetic —
+ * Statistical-test aggregates (split from [[Agg]] round 11; the
+ * rank/order-window half moved to [[RankStats]] round 12 — both pure
+ * mechanical moves): MAD, Welch / Mann-Whitney / KS one-vs-rest drift
+ * tests, OLS trend. All exact integer/decimal micro-unit arithmetic —
  * see each member's scaladoc for the cross-engine rounding contract.
  */
-object Stats {
+object Stats extends RankStats {
   /**
    * Per-group robust location/scale: exact median plus median absolute
    * deviation (MAD = median(|x − median(x)|)) — the outlier-resistant
@@ -334,280 +333,4 @@ object Stats {
         expr(s"ng >= 1 AND nb >= 1 AND dnum * dnum * 1000000 > " +
           s"CAST($c2Micro AS $d38) * n_tot * ng * nb").as("significant"))
   }
-
-  /**
-   * Exact Gini coefficient per group (Gini 1912, the sorted-rank form:
-   * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over x ascending) — the corpus-
-   * balance audit next to the source-cap/balance samplers (llm/Sampling):
-   * how concentrated is token/byte mass across a group's members? G=0 is
-   * perfectly even, G→1 is one-member dominance.
-   *
-   * Exactness: ranks are a row_number over ascending value; tied values
-   * contribute the same xᵢ under ANY rank permutation, so Σ i·xᵢ — and
-   * hence G — is tie-order invariant, no tiebreak column needed. The
-   * quotient is one floor division in micro-units computed in
-   * DECIMAL(38,0) (Σ i·x reaches n²·max(x); DuckDB replays in HUGEINT).
-   *
-   * Scale shape: one per-group sort window + one hash-agg. Negative
-   * values are the caller's contract violation (Gini is defined on
-   * non-negative quantities).
-   *
-   * Output: (key, n, total, gini_micro); gini_micro NULL when total = 0.
-   */
-  /**
-   * Exact lag-k autocorrelation per series (the sample ACF estimator,
-   * Box & Jenkins form with the global mean) — the SEASONALITY detector
-   * next to the level (a21-a24), trend (a25), and change-point (a30)
-   * monitors: lag-7 autocorrelation of daily volumes is the weekly-
-   * rhythm signal, and its absence on a feed that should have one is an
-   * ingest bug.
-   *
-   * Exactness: clear the mean's denominator — with S = Σx over the
-   * key's n buckets, r_k = Σ(n·xᵢ−S)(n·xᵢ₊ₖ−S) / Σ(n·xᵢ−S)², every
-   * term an exact long product; the final quotient is the registry's
-   * sign-split floor-of-abs micro division (truncating `div` ≡ flooring
-   * `//` on non-negatives, so both engines agree on NEGATIVE
-   * correlations too — the a25 rule). Lags are TIME offsets, not row
-   * offsets: a pair exists only when both t and t+k exist, so gaps
-   * shrink n_pairs instead of silently pairing across holes.
-   *
-   * Scale shape: one (key, t) hash-agg, one tiny per-key stats agg
-   * joined back broadcast-size, one self-equi-join of the per-time
-   * table on (key, t+k) per requested lag (exploded once, single
-   * shuffle) — everything after the first agg is calendar-bounded.
-   *
-   * Output: (key, lag, n_pairs, r_micro); r_micro NULL for a
-   * zero-variance series.
-   */
-  def autocorr(df: DataFrame, keyCol: String, timeCol: String,
-               valueCol: String, lags: Seq[Int]): DataFrame = {
-    require(lags.nonEmpty && lags.forall(_ > 0), s"lags must be positive: $lags")
-    val perT = df.groupBy(col(keyCol).as("key"),
-        col(timeCol).cast("long").as("t"))
-      .agg(sum(col(valueCol).cast("long")).as("x"))
-    val st = perT.groupBy("key")
-      .agg(count(lit(1)).as("n"), sum("x").cast("long").as("s"))
-    val withDev = perT.join(st, "key")
-      .withColumn("dev", col("n") * col("x") - col("s"))
-    val den = withDev.groupBy("key")
-      .agg(sum(col("dev") * col("dev")).cast("long").as("den"))
-    val a = withDev.select(col("key"), col("t"), col("dev").as("dev_a"))
-      .withColumn("lag", explode(array(lags.map(k => lit(k.toLong)): _*)))
-    val b = withDev.select(col("key"), col("t").as("tb"), col("dev").as("dev_b"))
-    a.join(b, a("key") === b("key") && col("tb") === col("t") + col("lag"))
-      .drop(b("key"))
-      .groupBy("key", "lag")
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(col("dev_a") * col("dev_b")).cast("long").as("num"))
-      .join(den, "key")
-      .select(col("key"), col("lag"), col("n_pairs"),
-        expr("""CASE WHEN den > 0 THEN
-               |  CASE WHEN num >= 0 THEN CAST((num * 1000000) div den AS LONG)
-               |       ELSE -CAST(((-num) * 1000000) div den AS LONG) END
-               |END""".stripMargin).as("r_micro"))
-  }
-
-  def giniByGroup(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ranked = df.select(col(keyCol).as("key"),
-        col(valueCol).cast("long").as("x"))
-      .withColumn("i", row_number().over(
-        Window.partitionBy("key").orderBy("x")).cast("long"))
-    ranked.groupBy("key")
-      .agg(count(lit(1)).as("n"),
-        sum("x").cast("long").as("total"),
-        sum(col("i") * col("x")).cast("long").as("ix"))
-      .select(col("key"), col("n"), col("total"),
-        expr("""CASE WHEN total > 0 THEN
-               |  CAST((CAST(2 AS DECIMAL(38,0)) * ix - (n + 1) * total)
-               |    * 1000000 div (CAST(n AS DECIMAL(38,0)) * total) AS LONG)
-               |END""".stripMargin).as("gini_micro"))
-  }
-
-  /**
-   * Exact LOWER weighted median per group: the smallest value v with
-   * 2·W(≤v) ≥ W_total — the robust center a14's unweighted percentile
-   * can't give when rows carry unequal mass (price median weighted by
-   * quantity, latency median weighted by request count). Pure integer
-   * selection, no interpolation: bit-identical across engines by
-   * construction.
-   *
-   * Shape: one value-ordered window per group (RANGE frame, so equal
-   * values always share one cumulative mass — tie order can't move the
-   * crossing), the group total riding the SAME partitioning (no second
-   * shuffle), then a skinny min-per-group of the crossing rows. At 100 TB
-   * this is one sort-shuffle of the (group, value, weight) projection —
-   * the exact-selection floor; a histogram/t-digest two-pass trades that
-   * exactness for a scan when the sort is too hot.
-   *
-   * Contract: weights ≥ 0 (zero-weight rows can never cross the half
-   * mass and cannot become the median); an all-zero-weight group
-   * degenerates to its min value.
-   *
-   * Output: (group, n, total_weight, wmedian) — all BIGINT.
-   */
-  /**
-   * Exact TRIMMED mean per group — the robust location between the mean
-   * (breakdown 0%) and the median (discards all order information):
-   * drop the lowest and highest ⌊n·trimBp/10⁴⌋ values by rank, average
-   * the rest in pure integer micro units (⌊10⁶·Σkept / n_kept⌋). Rank
-   * ties are interchangeable for a SUM — equal values dropped from
-   * either end contribute identically — so the result is deterministic
-   * even though row_number breaks value ties arbitrarily.
-   *
-   * One value-ordered window per group + a hash-agg; trimBp < 5000
-   * guarantees at least one survivor per group.
-   *
-   * Output: (group, n, n_trim_each, trimmed_mean_micro) — all BIGINT.
-   */
-  /** `(s * 1000000L) div n` without the 10⁶·s long overflow (hit by a38 at
-    * sf1: 10⁶ · Σcents over a ~3M-row group passes 2⁶³ and ANSI mode
-    * throws): split |s| = q·n + r, then 10⁶|s|/n = 10⁶q + 10⁶r/n with
-    * 10⁶r < 10⁶n. Sign-split trunc-toward-zero, so the value is IDENTICAL
-    * to the old `(s * 1000000L) div n` for every long input — compared
-    * outputs cannot move, only the overflow goes away. Safe while the
-    * MEAN (not the sum) fits micro units (|s/n| < 2⁶³/10⁶ ≈ 9.2·10¹²). */
-  private[graft] def microMeanSql(s: String, n: String): String = {
-    def pos(ss: String) =
-      s"(1000000L * (($ss) div ($n)) + (1000000L * (($ss) % ($n))) div ($n))"
-    s"(CASE WHEN ($s) >= 0 THEN ${pos(s)} ELSE -${pos(s"-($s)")} END)"
-  }
-
-  def trimmedMeanByGroup(df: DataFrame, groupCol: String, valCol: String,
-                         trimBp: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(trimBp >= 0 && trimBp < 5000, s"trimBp must be in [0, 5000), got $trimBp")
-    val g = col(groupCol)
-    df.select(g, col(valCol).cast("long").as("_v"))
-      .withColumn("_rn", row_number().over(Window.partitionBy(g).orderBy(col("_v"))))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy(g)))
-      .withColumn("_k", expr(s"(_n * $trimBp) div 10000"))
-      .filter(col("_rn") > col("_k") && col("_rn") <= col("_n") - col("_k"))
-      .groupBy(g)
-      .agg(first(col("_n")).cast("long").as("n"),
-        first(col("_k")).cast("long").as("n_trim_each"),
-        // sign-split floor-of-abs (the a25/a32 rule): Spark `div`
-        // truncates toward zero while DuckDB `//` floors toward −∞, so a
-        // negative sum must route through its absolute value on BOTH
-        // engines for bit parity; the q/r split inside microMeanSql keeps
-        // 10⁶·Σ out of long overflow at sf1+ group sizes
-        expr(microMeanSql("sum(_v)", "count(1)")).as("trimmed_mean_micro"))
-  }
-
-  /**
-   * Theil–Sen robust slope per key — the median of all pairwise slopes
-   * (Theil 1950 / Sen 1968, public): the trend estimator that shrugs off
-   * the outliers a25's least-squares OLS chases (breakdown point ~29%
-   * vs 0%). Slopes are SIGN-SPLIT floor micro-quotients (the a25/a32
-   * rule — `div` floors toward −∞ which would skew negative slopes), and
-   * the reported value is the LOWER median (rank ⌈n/2⌉ of the sorted
-   * slopes) so selection is pure and engine-exact — no interpolation.
-   *
-   * Contract: input is a PRE-AGGREGATED series (key, t, x) — the a30/a32
-   * monitor shape, hundreds of points per key — because pairwise slopes
-   * are O(n²) per key by definition; this is the bounded-series robust
-   * trend, not a raw-event operator.
-   *
-   * Output: (key, n_pairs, slope_micro).
-   */
-  def theilSen(df: DataFrame, keyCol: String, timeCol: String,
-               valCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val a = df.select(col(keyCol).as("key"),
-      col(timeCol).cast("long").as("ta"), col(valCol).cast("long").as("xa"))
-    val b = df.select(col(keyCol).as("key"),
-      col(timeCol).cast("long").as("tb"), col(valCol).cast("long").as("xb"))
-    val pairs = a.join(b, Seq("key")).filter(col("tb") > col("ta"))
-      .withColumn("s_micro", expr(
-        """CASE WHEN xb >= xa THEN ((xb - xa) * 1000000L) div (tb - ta)
-          |ELSE -(((xa - xb) * 1000000L) div (tb - ta)) END""".stripMargin))
-    pairs
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("key")).orderBy(col("s_micro"))))
-      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy(col("key"))))
-      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
-      .select(col("key"), col("n_pairs").cast("long").as("n_pairs"),
-        col("s_micro").as("slope_micro"))
-  }
-
-  /**
-   * Exact MODE per group with deterministic ties: the most frequent
-   * value, ties resolved to the SMALLEST value — `mode()` alone is
-   * nondeterministic under parallel aggregation, which makes it
-   * unusable in a replayed pipeline. Two hash aggregations, no window
-   * sort: count per (group, value), then `min` over a `(−count, value)`
-   * struct whose lexicographic order IS "highest count, then smallest
-   * value". Map-side partials apply to both; the second shuffle carries
-   * one row per distinct (group, value).
-   *
-   * Output: (group, mode_value, mode_count, n_distinct) — value/count
-   * BIGINT, n_distinct the group's distinct value count.
-   */
-  def modeByGroup(df: DataFrame, groupCol: String, valCol: String): DataFrame =
-    df.select(col(groupCol), col(valCol).cast("long").as("_v"))
-      .groupBy(col(groupCol), col("_v"))
-      .agg(count(lit(1)).as("_cnt"))
-      .groupBy(col(groupCol))
-      .agg(min(struct((-col("_cnt")).as("_nc"), col("_v"))).as("_best"),
-        count(lit(1)).as("n_distinct"))
-      .select(col(groupCol), col("_best._v").as("mode_value"),
-        (-col("_best._nc")).as("mode_count"), col("n_distinct"))
-
-  /**
-   * Spearman rank correlation per group — the monotone-association
-   * complement to a18's Pearson `corr`: rank both variables (AVERAGE
-   * ranks over ties, the standard Spearman treatment) and correlate the
-   * ranks. Robust to outliers and nonlinear-but-monotone relations, which
-   * is why drift monitors prefer it for heavy-tailed metrics.
-   *
-   * Average rank = rank() + (|ties| − 1)/2 — an exact multiple of ½, so
-   * the rank columns are noise-free in double on every engine; the final
-   * `corr` is 6-dp-rounded exactly like a18/a20 to absorb accumulation
-   * order. Groups need ≥ 2 rows and nonzero rank variance on both sides
-   * or rho is NULL (undefined, not 0).
-   *
-   * Shape: one exchange on the group key reused by both rank windows
-   * (same partitioning, two in-partition sorts), then a hash-agg. No
-   * joins, no global sort.
-   */
-  def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
-                      yCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val g = col(groupCol)
-    def avgRank(c: String): Column =
-      rank().over(Window.partitionBy(g).orderBy(col(c))) +
-        (count(lit(1)).over(Window.partitionBy(g, col(c))) - 1) / 2.0
-    df.select(g, avgRank(xCol).as("_rx"), avgRank(yCol).as("_ry"))
-      .groupBy(g)
-      .agg(covar_samp(col("_rx"), col("_ry")).as("_cov"),
-        stddev_samp(col("_rx")).as("_sx"), stddev_samp(col("_ry")).as("_sy"),
-        count(lit(1)).as("n"))
-      // corr as the guarded quotient: Spark 4's ANSI `corr` THROWS on a
-      // zero-variance side, where the statistic is undefined — a constant
-      // column must yield NULL (the DuckDB behavior), never kill the scan.
-      // CaseWhen evaluates its branch lazily, so the division can't fire.
-      .select(g,
-        when(col("_sx") > 0 && col("_sy") > 0,
-          round(col("_cov") / (col("_sx") * col("_sy")), 6)).as("rho"),
-        col("n"))
-  }
-
-  def weightedMedianByGroup(df: DataFrame, groupCol: String, valCol: String,
-                            weightCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byVal = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy(col(groupCol))
-    df.select(col(groupCol), col(valCol).cast("long").as("_v"),
-        col(weightCol).cast("long").as("_w"))
-      .withColumn("_cum", sum(col("_w")).over(byVal))
-      .withColumn("_tot", sum(col("_w")).over(all))
-      .withColumn("_n", count(lit(1)).over(all))
-      .filter(col("_cum") * 2 >= col("_tot"))
-      .groupBy(col(groupCol))
-      .agg(first(col("_n")).cast("long").as("n"),
-        first(col("_tot")).cast("long").as("total_weight"),
-        min(col("_v")).as("wmedian"))
-  }
 }
-

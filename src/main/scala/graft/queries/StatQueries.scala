@@ -16,6 +16,10 @@ object StatQueries {
 
   val all: Seq[(String, Q)] = Seq(
 
+    // (a13 is an intentional gap — never assigned; a12 "paginated
+    // accumulate" is covered by s13 per COVERAGE.md, and the statistics
+    // family starts at a14. Tombstoned so audits don't hunt for a
+    // missing row.)
     // exact percentiles over money cents — interpolation formula is shared
     // (sorted values, (n-1)*p), rounded for cross-engine stability
     "a14_percentiles" -> Q(
