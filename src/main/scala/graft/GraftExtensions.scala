@@ -78,6 +78,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     unary("graft_bpe_encode", "BPE token sequence, space-joined (DefaultMerges table)",
       graft.llm.BpeEncodeExpr(_, graft.llm.Bpe.DefaultMerges))
 
+    // SQL-callable table functions over the DataFrame macro library
+    // (graft_symmetric_diff, graft_mad, graft_trimmed_mean, …): the
+    // BigQuery-SQL-shaped entry point — see [[GraftSqlSurface]]
+    GraftSqlSurface.install(ext)
+
     // sibling-aggregate fusion (SURVEY §4: collapse repeated same-key
     // aggregates of one child into one shuffle) — pre-CBO so pruning and
     // pushdown have already stabilized the aggregate branches it matches
