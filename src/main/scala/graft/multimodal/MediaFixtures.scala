@@ -590,4 +590,30 @@ private[multimodal] trait MediaFixtures extends MediaContainers {
         }
       MediaRecord(2 * id + v, "video", payload)
     }
+
+  /**
+   * Per-id TRIMMED video pair fixture for m16: media 2·id is the original
+   * (`4 + id % 3` keyframes, content keyed by `id·31 + f`); media 2·id+1
+   * is a TRIMMED re-encode — the original's frames from offset
+   * `1 + id % 2` onward, each carrying the v=1 sparse noise. Its j-th
+   * container frame therefore matches original frame `j + trim` within a
+   * small Hamming radius: the duplicate-upload-with-cut-intro case m14's
+   * aligned-frame match misses by construction. `id % 11 == 0` ships
+   * non-AVI payloads for both variants (quarantine lane).
+   */
+  def packVideoTrimPairById(id: Long): Seq[MediaRecord] = {
+    val nf = 4 + (id % 3).toInt
+    val trim = 1 + (id % 2).toInt
+    Seq(0, 1).map { v =>
+      val payload =
+        if (id % 11 == 0) s"not a video $id $v".getBytes("UTF-8")
+        else {
+          val frames = ((if (v == 0) 0 else trim) until nf).map(f =>
+            bmpPatternBytes(PatternDim, PatternDim,
+              (x, y) => patternGray(id * 31 + f, v, x, y)))
+          aviWithFrames(frames, usPerFrame = 33333, PatternDim, PatternDim)
+        }
+      MediaRecord(2 * id + v, "video", payload)
+    }
+  }
 }

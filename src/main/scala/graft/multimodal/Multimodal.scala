@@ -355,8 +355,8 @@ object Multimodal extends MediaFixtures {
   /**
    * TEMPORAL video near-dup pairs over per-frame fingerprints: the m6
    * banded-Hamming machinery applied per ALIGNED frame (same index — the
-   * re-encode/duplicate-upload case; offset/trimmed variants would add a
-   * shift search on top), then video pairs where at least
+   * re-encode/duplicate-upload case; offset/trimmed variants ride the
+   * shift search in [[videoNearDupPairsShifted]]), then video pairs where at least
    * `matchNum/matchDen` of the LONGER video's frames match. Scale shape:
    * frame keys pack (media_id, frame_idx) into one long so the
    * fingerprint join stays a single banded shuffle; the video roll-up is
@@ -388,6 +388,69 @@ object Multimodal extends MediaFixtures {
       .join(n.select(col("media_id").as("id2"), col("nf").as("n2")), "id2")
       .filter(col("matched") * matchDen >= greatest(col("n1"), col("n2")) * matchNum)
       .select(col("id1"), col("id2"), col("matched"), col("n1"), col("n2"))
+  }
+
+  /**
+   * SHIFT-TOLERANT video near-dup pairs (m16) — the trimmed/offset case
+   * [[videoNearDupPairs]]'s aligned-frame match misses: a duplicate
+   * upload with a cut intro matches frame-for-frame at a constant index
+   * OFFSET, never at equal indices. Same banded-Hamming candidate stage
+   * (one shuffle, capped buckets, no pair explosion); then candidates
+   * group by (video pair, frame-index delta) with |delta| ≤ `maxShift`,
+   * the BEST alignment per pair wins (most matched frames; ties to the
+   * smallest |shift|, then the smallest shift — deterministic via one
+   * struct-min, no window sort), and a pair survives when the best
+   * alignment covers ≥ matchNum/matchDen of the SHORTER video (the
+   * trimmed side is contained in the original, so the shorter length is
+   * the attainable ceiling — m14's longer-video bar would reject every
+   * genuine trim).
+   *
+   * The delta search is FREE at candidate time: banding already emits
+   * all cross-index fingerprint matches; bounding |delta| only prunes
+   * the roll-up. Cost is the m14 envelope + one extra tiny hash-agg.
+   *
+   * Input: [[videoFrameDHash]] output. Output: (id1, id2, best_shift,
+   * matched, n1, n2) with id1 < id2; best_shift is frame_idx(id2) −
+   * frame_idx(id1) at the winning alignment (a trimmed id2 yields a
+   * NEGATIVE shift: its frame j matches original frame j + trim).
+   */
+  def videoNearDupPairsShifted(frames: DataFrame, maxShift: Int = 2,
+                               maxHamming: Int = 3, blocks: Int = 4,
+                               maxBucketSize: Int = 4000,
+                               matchNum: Int = 2, matchDen: Int = 3,
+                               maxFrames: Int = 4096): DataFrame = {
+    import graft.llm.Dedup
+    val keyed = frames.select(
+      (col("media_id") * maxFrames + col("frame_idx")).as("fid"),
+      col("fdhash"))
+    val fp = Dedup.fingerprintNearDups(keyed, "fid", "fdhash",
+      maxHamming, blocks, maxBucketSize)
+    // fid packs (media, frame) order-preservingly, so id1 < id2 at the
+    // fid level implies media1 <= media2; equal-media frame pairs are
+    // self-matches within one video and drop here
+    val byShift = fp
+      .select(expr(s"id1 div $maxFrames").as("v1"),
+        expr(s"id1 % $maxFrames").as("f1"),
+        expr(s"id2 div $maxFrames").as("v2"),
+        expr(s"id2 % $maxFrames").as("f2"))
+      .filter(col("v1") =!= col("v2"))
+      .withColumn("shift", col("f2") - col("f1"))
+      .filter(abs(col("shift")) <= maxShift)
+      .groupBy(col("v1").as("id1"), col("v2").as("id2"), col("shift"))
+      .agg(count(lit(1)).cast("long").as("matched"))
+    val best = byShift.groupBy("id1", "id2")
+      .agg(min(struct((-col("matched")).as("_nm"), abs(col("shift")).as("_abs"),
+        col("shift").as("shift"), col("matched").as("matched"))).as("_b"))
+      .select(col("id1"), col("id2"),
+        col("_b.shift").as("best_shift"), col("_b.matched").as("matched"))
+    val n = frames.groupBy(col("media_id"))
+      .agg(count(lit(1)).cast("long").as("nf"))
+    best
+      .join(n.select(col("media_id").as("id1"), col("nf").as("n1")), "id1")
+      .join(n.select(col("media_id").as("id2"), col("nf").as("n2")), "id2")
+      .filter(col("matched") * matchDen >= least(col("n1"), col("n2")) * matchNum)
+      .select(col("id1"), col("id2"), col("best_shift"), col("matched"),
+        col("n1"), col("n2"))
   }
 
   /**

@@ -290,6 +290,84 @@ object MediaOracles {
   }
 
   /**
+   * Bit-exact oracle for the SHIFT-TOLERANT video near-dup pairs (m16):
+   * the fixture plants a TRIMMED re-encode (original frames from offset
+   * `1 + id % 2`, v=1 noise), so the oracle recomputes each variant's
+   * per-frame dHash bits from the closed form (the trimmed side's
+   * container frame j carries original frame j + trim's pattern), replays
+   * the banded candidate join WITHOUT the m14 index-equality (the shift
+   * search), caps |delta| at maxShift, rolls up per (pair, delta), picks
+   * the best alignment (most matches; ties to smallest |shift| then
+   * smallest shift), and thresholds against the SHORTER video. A wrong
+   * frame re-index after the trim, a broken delta computation, or m14's
+   * longer-video bar flips compared rows.
+   */
+  def videoShiftPairsSql(maxShift: Int = 2, maxHamming: Int = 3,
+                         matchNum: Int = 2, matchDen: Int = 3): String = {
+    val bitTerms = dhashBitTerms("kid")
+    s"""WITH ids AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+       |  WHERE doc_id % 4 = 3 AND doc_id % 11 <> 0),
+       |fr AS (SELECT id, 1 + id % 2 AS trim, unnest(range(4 + id % 3)) AS f FROM ids),
+       |vv AS (SELECT id, trim, f, unnest([0, 1]) AS v FROM fr),
+       |fv AS (
+       |  SELECT id, v, id*31 + f AS kid,
+       |    CASE WHEN v = 0 THEN f ELSE f - trim END AS fi
+       |  FROM vv WHERE v = 0 OR f >= trim),
+       |mx AS (
+       |  SELECT id, v, fi, kid,
+       |    (kid % 1048573) * 2654435761 % 1048573 AS m1,
+       |    (kid % 1048289) * 97002529 % 1048289 AS m2
+       |  FROM fv),
+       |par AS (
+       |  SELECT id, v, fi, kid,
+       |    1 + m1 % 251 AS ax, 1 + (m1 // 251) % 251 AS bx,
+       |    2 + m2 % 251 AS ay, (m2 // 251) % 251 AS axy, (m1 + m2) % 251 AS c0
+       |  FROM mx),
+       |h AS (
+       |  SELECT id * 2 + v AS media_id, fi,
+       |    ($bitTerms) AS uh
+       |  FROM par),
+       |hb AS (
+       |  SELECT media_id, fi,
+       |    CAST(CASE WHEN uh >= CAST('$TwoPow63' AS HUGEINT)
+       |      THEN uh - CAST('$TwoPow64' AS HUGEINT) ELSE uh END AS BIGINT) AS dh,
+       |    uh
+       |  FROM h),
+       |sl AS (
+       |  SELECT media_id, fi, dh,
+       |    unnest([CAST(0 AS BIGINT), 1, 2, 3]) AS blk,
+       |    unnest([CAST(uh % 65536 AS BIGINT),
+       |            CAST((uh // 65536) % 65536 AS BIGINT),
+       |            CAST((uh // 4294967296) % 65536 AS BIGINT),
+       |            CAST((uh // 281474976710656) % 65536 AS BIGINT)]) AS slice
+       |  FROM hb),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS v1, b.media_id AS v2,
+       |    a.fi AS f1, b.fi AS f2, a.dh AS d1, b.dh AS d2
+       |  FROM sl a JOIN sl b ON a.blk = b.blk AND a.slice = b.slice
+       |    AND a.media_id < b.media_id),
+       |mp AS (
+       |  SELECT v1, v2, f2 - f1 AS shift, CAST(count(*) AS BIGINT) AS matched
+       |  FROM cand
+       |  WHERE bit_count(xor(d1, d2)) <= $maxHamming
+       |    AND abs(f2 - f1) <= $maxShift
+       |  GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT v1, v2, shift, matched,
+       |    row_number() OVER (PARTITION BY v1, v2
+       |      ORDER BY matched DESC, abs(shift), shift) AS rn
+       |  FROM mp),
+       |nf AS (
+       |  SELECT id * 2 + v AS media_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM fv GROUP BY 1)
+       |SELECT b.v1 AS id1, b.v2 AS id2, CAST(b.shift AS BIGINT) AS best_shift,
+       |  b.matched, a.n AS n1, c.n AS n2
+       |FROM best b JOIN nf a ON a.media_id = b.v1 JOIN nf c ON c.media_id = b.v2
+       |WHERE b.rn = 1 AND b.matched * $matchDen >= least(a.n, c.n) * $matchNum""".stripMargin
+  }
+
+  /**
    * Bit-exact oracle for the audio-fingerprint near-dup pairs (m7): the
    * fixture's PCM samples are the closed-form
    * `Multimodal.patternSample(id, v, i)`, so the oracle recomputes all

@@ -327,5 +327,25 @@ object MediaQueries {
           .select(col("id").as("media_id"), col("cluster_id"))
       },
       Some(MediaOracles.videoClustersSql())),
+
+    // m16 — SHIFT-TOLERANT video dedup (the trimmed-upload case m14's
+    // aligned-frame match misses by construction): each id plants an
+    // original + a TRIMMED re-encode starting 1-2 frames in, so every
+    // genuine match sits at a constant NEGATIVE frame-index delta. Same
+    // banded-Hamming candidate stage; the roll-up groups by (pair,
+    // delta), picks the best alignment deterministically, and thresholds
+    // against the SHORTER video. The oracle recomputes every frame hash
+    // from the closed form (trimmed frame j carries pattern j + trim)
+    // and replays the shift search end to end
+    "m16_video_shift_dedup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = td(s, dir, "documents")
+          .filter(col("doc_id") % 4 === 3).select(col("doc_id")).as[Long]
+          .flatMap(id => Multimodal.packVideoTrimPairById(id))
+        val frames = Multimodal.videoFrameDHash(media).toDF()
+        Multimodal.videoNearDupPairsShifted(frames)
+      },
+      Some(MediaOracles.videoShiftPairsSql())),
   )
 }

@@ -563,6 +563,36 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("video shift dedup: trimmed variants match at the planted offset; m14 misses them") {
+    import spark.implicits._
+    // trims: id=3 → trim 2 of 7 frames; id=4 → trim 1 of 8; id=11 quarantine
+    val media = Seq(3L, 4L, 11L, 20L).flatMap(Multimodal.packVideoTrimPairById).toDS()
+    val frames = Multimodal.videoFrameDHash(media).toDF()
+    val got = Multimodal.videoNearDupPairsShifted(frames)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    Seq(3L, 4L, 20L).foreach { id =>
+      val nf = 4 + (id % 3)
+      val trim = 1 + (id % 2)
+      val p = got.get((2 * id, 2 * id + 1))
+      assert(p.isDefined, s"planted trimmed pair for id=$id missing")
+      val (_, _, bestShift, matched, n1, n2) = p.get
+      assert(bestShift === -trim, s"id=$id shift must be -trim")
+      assert(n1 === nf && n2 === nf - trim, s"id=$id frame counts")
+      assert(matched === n2, s"id=$id every trimmed frame must match")
+    }
+    assert(!got.keys.exists(k => k._1 / 2 == 11L || k._2 / 2 == 11L),
+      "quarantined id 11 must produce no pairs")
+    // the motivating asymmetry: m14's aligned matcher rejects the same
+    // planted trims (no frame matches at delta 0)
+    val aligned = Multimodal.videoNearDupPairs(frames)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    Seq(3L, 4L, 20L).foreach { id =>
+      assert(!aligned.contains((2 * id, 2 * id + 1)),
+        s"id=$id trimmed pair should be invisible to the aligned matcher")
+    }
+  }
+
   test("AVI media batch: per-id closed forms and quarantine lanes hold") {
     import spark.implicits._
     val ids = (1L to 80L)
