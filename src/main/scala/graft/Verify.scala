@@ -11,6 +11,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT_BYTES", "8m"))
       // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
       // rejects by default; read as long (ns since epoch) instead.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

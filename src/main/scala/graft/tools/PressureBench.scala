@@ -42,6 +42,8 @@ object PressureBench {
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.memory.fraction", memFrac)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT_BYTES", "8m"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -71,12 +71,20 @@ object ScaleUp {
     val BigStride = 10000000L   // orderkey/event_id (max ~1.5e6 at sf0.1)
     val SmallStride = 1000000L  // entity keys (max ~2e4 at sf0.1)
 
-    // one scan per table: explode a replica index, then shift per replica
-    def replicated(table: String)(build: (DataFrame, Column) => DataFrame): Unit = {
+    // one scan per table: explode a replica index, then shift per replica.
+    // Output is hash-repartitioned on the PK into 32 files: the source is
+    // ONE small file, so the narrow explode inherits its 1-2 input splits
+    // and would write 1-2 part files — and a 1-2-file replica caps every
+    // scan-bound query at 1-2 tasks on a 32-core host (the l76 seam; one
+    // parquet row group per small file, so in-file range splits can't
+    // recover parallelism). 32 right-shaped files is what s28 compaction
+    // would produce on a real lake region.
+    def replicated(table: String, key: String)(build: (DataFrame, Column) => DataFrame): Unit = {
       val df = spark.read.parquet(s"$src/$table.parquet")
         .withColumn("_r", explode(array((0 until n).map(lit): _*)))
       val shifted = build(df, col("_r").cast("long")).drop("_r")
-      shifted.write.mode("overwrite").parquet(s"$out/$table.parquet")
+      shifted.repartition(32, col(key))
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
       println(s"$table: ${spark.read.parquet(s"$out/$table.parquet").count()} rows")
     }
 
@@ -87,29 +95,29 @@ object ScaleUp {
       println(s"$t: copied unscaled")
     }
 
-    replicated("customer") { (df, r) =>
+    replicated("customer", "c_custkey") { (df, r) =>
       df.withColumn("c_custkey", col("c_custkey") + r * SmallStride) }
-    replicated("supplier") { (df, r) =>
+    replicated("supplier", "s_suppkey") { (df, r) =>
       df.withColumn("s_suppkey", col("s_suppkey") + r * SmallStride) }
-    replicated("part") { (df, r) =>
+    replicated("part", "p_partkey") { (df, r) =>
       df.withColumn("p_partkey", col("p_partkey") + r * SmallStride) }
-    replicated("orders") { (df, r) =>
+    replicated("orders", "o_orderkey") { (df, r) =>
       df.withColumn("o_orderkey", col("o_orderkey") + r * BigStride)
         .withColumn("o_custkey", col("o_custkey") + r * SmallStride) }
-    replicated("lineitem") { (df, r) =>
+    replicated("lineitem", "l_orderkey") { (df, r) =>
       df.withColumn("l_orderkey", col("l_orderkey") + r * BigStride)
         .withColumn("l_partkey", col("l_partkey") + r * SmallStride)
         .withColumn("l_suppkey", col("l_suppkey") + r * SmallStride) }
-    replicated("events") { (df, r) =>
+    replicated("events", "event_id") { (df, r) =>
       df.withColumn("event_id", col("event_id") + r * BigStride)
         .withColumn("user_id", col("user_id") + r * SmallStride) }
-    replicated("documents") { (df, r) =>
+    replicated("documents", "doc_id") { (df, r) =>
       val ciphered = (1 until n).foldLeft(col("text")) { (acc, rep) =>
         when(r === rep, cipher(col("text"), rep)).otherwise(acc)
       }
       df.withColumn("doc_id", col("doc_id") + r * SmallStride)
         .withColumn("text", ciphered) }
-    replicated("embeddings") { (df, r) =>
+    replicated("embeddings", "vec_id") { (df, r) =>
       val dim = spark.read.parquet(s"$src/embeddings.parquet")
         .select(size(col("embedding"))).head().getInt(0)
       val signs = array((0 until n).map(rep =>
