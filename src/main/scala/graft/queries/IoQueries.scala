@@ -523,6 +523,58 @@ object IoQueries {
              |FROM lineitem
              |WHERE (month(l_shipdate) - 1) // 3 + 1 = 2
              |GROUP BY 1""".stripMargin),
-      eager = true)
+      eager = true),
+
+    // S33 — semi-structured VARIANT ingestion (Spark 4's open-ended JSON
+    //   type, the lakehouse answer to BigQuery's JSON columns the
+    //   reference stores API payloads in): parse a JSON document into a
+    //   VARIANT once, then typed-path extraction — variant_get with a
+    //   target type, a present-but-NULL field (is_variant_null, distinct
+    //   from absent), and an OPTIONAL field read with try_variant_get
+    //   (absent → NULL, never an error). The oracle builds the identical
+    //   JSON text and replays every path through DuckDB's JSON extraction,
+    //   so a wrong path walk, type coercion, or null-vs-absent conflation
+    //   on either side flips rows. Scale shape: expression-only scan map —
+    //   parse once per row, extract many (the VARIANT contract)
+    "s33_variant_json" -> Q(
+      (s, dir) => {
+        val js = concat(
+          lit("""{"id": """), col("doc_id"),
+          lit(""", "meta": {"lang": """"), col("lang"),
+          lit("""", "source": """"), col("source"),
+          lit(""""}, "metrics": ["""), col("n_chars"),
+          lit(", "), pmod(col("doc_id"), lit(7)),
+          lit("]"),
+          when(col("doc_id") % 5 === 0, lit(""", "flag": null""")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(""", "extra": {"score": """), col("n_chars") * 2, lit("}")))
+            .otherwise(lit("")),
+          lit("}"))
+        td(s, dir, "documents")
+          .select(col("doc_id"), parse_json(js).as("v"))
+          .select(col("doc_id"),
+            expr("variant_get(v, '$.meta.lang', 'string')").as("lang_v"),
+            expr("variant_get(v, '$.metrics[1]', 'bigint')").as("metric1"),
+            // present-and-null vs absent: flag exists (as JSON null) only
+            // on the %5 lane — is_variant_null is false/NULL elsewhere
+            expr("coalesce(is_variant_null(try_variant_get(v, '$.flag')), false)")
+              .as("flag_is_null"),
+            expr("try_variant_get(v, '$.extra.score', 'bigint')").as("extra_score"))
+      },
+      Some("""WITH j AS (SELECT doc_id,
+             |    '{"id": ' || doc_id || ', "meta": {"lang": "' || lang ||
+             |    '", "source": "' || source || '"}, "metrics": [' || n_chars ||
+             |    ', ' || (doc_id % 7) || ']' ||
+             |    CASE WHEN doc_id % 5 = 0 THEN ', "flag": null' ELSE '' END ||
+             |    CASE WHEN doc_id % 3 = 0
+             |      THEN ', "extra": {"score": ' || (n_chars * 2) || '}'
+             |      ELSE '' END || '}' AS js
+             |  FROM documents)
+             |SELECT doc_id,
+             |  json_extract_string(js, '$.meta.lang') AS lang_v,
+             |  CAST(json_extract(js, '$.metrics[1]') AS BIGINT) AS metric1,
+             |  coalesce(json_type(js, '$.flag') = 'NULL', false) AS flag_is_null,
+             |  CAST(json_extract(js, '$.extra.score') AS BIGINT) AS extra_score
+             |FROM j""".stripMargin))
   )
 }
