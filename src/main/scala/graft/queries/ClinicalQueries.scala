@@ -334,7 +334,7 @@ object ClinicalQueries {
 
     // (c28 is an intentional gap — never assigned; the id was skipped in
     // round 10's registration sequence and is tombstoned here so audits
-    // don't hunt for a missing row. Next free clinical id: c30.)
+    // don't hunt for a missing row. Next free clinical id: c31.)
     // c29 — LATE-ARRIVING dimension repair (Kimball early-arriving
     // facts): facts referencing a not-yet-loaded member get an INFERRED
     // placeholder so the join resolves; when the real row arrives it is
@@ -567,6 +567,39 @@ object ClinicalQueries {
              |  ('o_orderstatus', 'unchanged', 'string', 'string'),
              |  ('o_tags', 'added', NULL, 'string'),
              |  ('o_totalprice', 'type_changed', 'double', 'string'))
-             |t(col_name, status, type_old, type_new)""".stripMargin))
+             |t(col_name, status, type_old, type_new)""".stripMargin)),
+
+    // c30 — policy-driven COLUMN MASKING for publication (the engine-side
+    // form of BigQuery's column-level masking the reference leaves to
+    // warehouse view ACLs): salted-hash pseudonym (still joinable),
+    // last-4 display mask, typed-NULL redaction, and numeric bucket
+    // generalization (pmod floor — exact on negative balances), applied
+    // as one expression-only projection so the masked release is a real
+    // diffable table. Oracle replays every mode: sha256 prefix, repeat/
+    // right padding, NULL typing, and the positive-mod bucket arithmetic
+    "c30_column_masking" -> Q(
+      (s, dir) => {
+        import graft.publish.Masking, Masking.MaskMode._
+        val base = td(s, dir, "customer").select(
+          col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        Masking.applyMasks(base, Seq(
+          "c_name" -> Hash("rel7:"),
+          "c_nationkey" -> Redact,
+          "c_mktsegment" -> Last4,
+          "bal_cents" -> Bucket(10000L)))
+      },
+      Some("""SELECT c_custkey,
+             |  substr(sha256('rel7:' || c_name), 1, 16) AS c_name,
+             |  CAST(NULL AS INTEGER) AS c_nationkey,
+             |  CASE WHEN length(c_mktsegment) <= 4
+             |       THEN repeat('*', length(c_mktsegment))
+             |       ELSE repeat('*', length(c_mktsegment) - 4)
+             |            || right(c_mktsegment, 4) END AS c_mktsegment,
+             |  CAST(round(c_acctbal * 100) AS BIGINT)
+             |    - ((CAST(round(c_acctbal * 100) AS BIGINT) % 10000 + 10000) % 10000)
+             |    AS bal_cents
+             |FROM customer""".stripMargin))
   )
 }
