@@ -177,6 +177,32 @@ private[multimodal] trait MediaFixtures extends MediaContainers {
         wavPatternBytes(AudioSamples, i => patternSample(id, v, i)))
     }
 
+  /**
+   * Per-id TRIMMED audio pair fixture for m17: media 2·id is the original
+   * (`3 + id % 3` fingerprint segments at the default frameSize=4 /
+   * nBits=64 / hop=16 geometry, samples from the m7 closed form); media
+   * 2·id+1 is the same clip with its first `1 + id % 2` segment-hops cut
+   * off — its sample j carries original sample j + 64·trim, with the v=1
+   * sparse noise — so the trimmed clip's segment s matches original
+   * segment s + trim within a small Hamming radius. `id % 11 == 0` ships
+   * non-WAV payloads for both variants (quarantine lane).
+   */
+  def packAudioTrimPairById(id: Long): Seq[MediaRecord] = {
+    val nSegs = 3 + (id % 3).toInt
+    val trim = 1 + (id % 2).toInt
+    val frameSize = 4; val nBits = 64; val hop = 16
+    val samples = frameSize * (nBits + hop * (nSegs - 1) + 1)
+    Seq(0, 1).map { v =>
+      val payload =
+        if (id % 11 == 0) s"not audio $id $v".getBytes("UTF-8")
+        else {
+          val off = if (v == 0) 0 else frameSize * hop * trim
+          wavPatternBytes(samples - off, i => patternSample(id, v, i + off))
+        }
+      MediaRecord(2 * id + v, "audio", payload)
+    }
+  }
+
   /** Deterministic per-id media fixture: even ids → a real BMP, odd ids →
     * a real PCM WAV, with every header field a pure function of the id —
     * so an external oracle can assert the DECODED values from the id alone

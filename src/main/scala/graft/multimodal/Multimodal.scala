@@ -39,6 +39,9 @@ final case class VideoFrameHash(media_id: Long, frame_idx: Int, fdhash: Long)
 /** 64-bit energy-envelope fingerprint of one audio payload. */
 final case class AudioFp(media_id: Long, afp: Long)
 
+/** 64-bit energy-envelope fingerprint of ONE audio segment (m17). */
+final case class AudioSegFp(media_id: Long, seg_idx: Int, afp: Long)
+
 /** PNG IHDR decode result with CRC32 validation verdict. */
 final case class PngDecoded(media_id: Long, is_png: Boolean, width: Int,
                             height: Int, bit_depth: Int, color_type: Int,
@@ -504,6 +507,66 @@ object Multimodal extends MediaFixtures {
                 f += 1
               }
               Iterator.single(AudioFp(m.media_id, fp))
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
+  /**
+   * Per-SEGMENT audio fingerprints (m17): the [[audioFingerprint]]
+   * energy-envelope core applied to OVERLAPPING segments — segment s
+   * covers frames [s·hopFrames, s·hopFrames + nBits], one 64-bit
+   * gradient fingerprint each — so a clip becomes an ordered fingerprint
+   * SEQUENCE exactly like [[videoFrameDHash]]'s frames. That is what
+   * makes audio dedup offset-tolerant: a clip trimmed by a multiple of
+   * the hop re-aligns at a constant segment-index delta, and the SAME
+   * shift roll-up the video path uses ([[videoNearDupPairsShifted]],
+   * which only needs (media_id, frame_idx, fingerprint)) finds it.
+   * Whole-clip m7 fingerprints can't: trimming shifts every frame
+   * boundary's position in the single 64-bit hash. Clips shorter than
+   * one segment emit nothing (quarantine-by-silence, like m7).
+   */
+  def audioSegmentFingerprints(media: Dataset[MediaRecord],
+                               frameSize: Int = 4, nBits: Int = 64,
+                               hopFrames: Int = 16): Dataset[AudioSegFp] = {
+    require(frameSize > 0 && nBits > 0 && hopFrames > 0, "positive params")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        decodeWavChunks(m.payload) match {
+          case Some((ch, _, bits, _, dataOff, dataSize)) if bits == 8 || bits == 16 =>
+            val ba = ch * bits / 8
+            val avail = math.min(dataSize, (m.payload.length - dataOff).toLong)
+            val n = if (ba > 0) (avail / ba).toInt else 0
+            val frames = n / frameSize
+            if (frames < nBits + 1) Iterator.empty
+            else {
+              def sample(s: Int): Int = {
+                val off = dataOff + s * ba
+                if (bits == 8) (m.payload(off) & 0xff) - 128
+                else ((m.payload(off) & 0xff) | (m.payload(off + 1) << 8)).toShort.toInt
+              }
+              val energy = Array.tabulate(frames) { f =>
+                var e = 0L
+                var i = f * frameSize
+                while (i < (f + 1) * frameSize) {
+                  val s = sample(i); e += s.toLong * s; i += 1
+                }
+                e
+              }
+              val nSegs = (frames - nBits - 1) / hopFrames + 1
+              (0 until nSegs).iterator.map { s =>
+                val base = s * hopFrames
+                var fp = 0L
+                var f = 0
+                while (f < nBits) {
+                  if (energy(base + f + 1) > energy(base + f)) fp |= 1L << f
+                  f += 1
+                }
+                AudioSegFp(m.media_id, s, fp)
+              }
             }
           case _ => Iterator.empty
         }

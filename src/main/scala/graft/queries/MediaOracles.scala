@@ -368,6 +368,89 @@ object MediaOracles {
   }
 
   /**
+   * Bit-exact oracle for the SHIFT-TOLERANT audio near-dup pairs (m17):
+   * the fixture's samples are the m7 closed form with the trimmed
+   * variant's sample j carrying original sample j + 64·trim, so the
+   * oracle recomputes every original frame energy from (id, v, frame)
+   * alone, rebuilds each SEGMENT fingerprint (segment s of variant v
+   * reads original frames starting at 16·(s + v·trim)), and replays the
+   * m16 shift search — banding, |delta| ≤ maxShift, best alignment,
+   * shorter-clip threshold. A wrong data offset after the trim, a
+   * mis-based segment window, or a broken hop re-index flips rows.
+   */
+  def audioShiftPairsSql(maxShift: Int = 2, maxHamming: Int = 3,
+                         matchNum: Int = 2, matchDen: Int = 3): String = {
+    val pows = (0 until 64).map(f => s"CAST('${BigInt(1) << f}' AS HUGEINT)").mkString(", ")
+    s"""WITH ids AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+       |  WHERE doc_id % 4 = 1 AND doc_id % 11 <> 0),
+       |par AS (SELECT id, unnest([0, 1]) AS v,
+       |    3 + id % 3 AS nsg, 1 + id % 2 AS trim,
+       |    (id % 1048573) * 2654435761 % 1048573 AS m1,
+       |    (id % 1048289) * 97002529 % 1048289 AS m2
+       |  FROM ids),
+       |co AS (SELECT id, v, nsg, trim,
+       |    3 + m1 % 997 AS a, 1 + (m1 // 997) % 997 AS b, m2 % 997 AS c
+       |  FROM par),
+       |fr AS (SELECT id, v, a, b, c,
+       |    unnest(range(65 + 16 * (nsg - 1))) AS f FROM co),
+       |smp AS (SELECT id, v, f, a, b, c, unnest(range(4)) AS k FROM fr),
+       |sv AS (SELECT id, v, f,
+       |    (a*f + b*f*f + c*(4*f + k)) % 1999 - 999
+       |      + CASE WHEN v = 1 AND (4*f + k + id) % 17 = 0 THEN 1 ELSE 0 END AS s
+       |  FROM smp),
+       |en AS (SELECT id, v, f, CAST(sum(s * s) AS BIGINT) AS e FROM sv GROUP BY 1, 2, 3),
+       |seg AS (SELECT id, v, trim,
+       |    unnest(range(nsg - CASE WHEN v = 1 THEN trim ELSE 0 END)) AS sx
+       |  FROM co),
+       |pw AS (SELECT unnest(range(64)) AS fb, unnest([$pows]) AS p),
+       |h AS (
+       |  SELECT s.id * 2 + s.v AS media_id, s.sx AS fi,
+       |    sum(CASE WHEN e2.e > e1.e THEN pw.p ELSE CAST('0' AS HUGEINT) END) AS uh
+       |  FROM seg s CROSS JOIN pw
+       |    JOIN en e1 ON e1.id = s.id AND e1.v = s.v
+       |      AND e1.f = 16 * (s.sx + CASE WHEN s.v = 1 THEN s.trim ELSE 0 END) + pw.fb
+       |    JOIN en e2 ON e2.id = s.id AND e2.v = s.v AND e2.f = e1.f + 1
+       |  GROUP BY 1, 2),
+       |hb AS (
+       |  SELECT media_id, fi,
+       |    CAST(CASE WHEN uh >= CAST('$TwoPow63' AS HUGEINT)
+       |      THEN uh - CAST('$TwoPow64' AS HUGEINT) ELSE uh END AS BIGINT) AS dh,
+       |    uh
+       |  FROM h),
+       |sl AS (
+       |  SELECT media_id, fi, dh,
+       |    unnest([CAST(0 AS BIGINT), 1, 2, 3]) AS blk,
+       |    unnest([CAST(uh % 65536 AS BIGINT),
+       |            CAST((uh // 65536) % 65536 AS BIGINT),
+       |            CAST((uh // 4294967296) % 65536 AS BIGINT),
+       |            CAST((uh // 281474976710656) % 65536 AS BIGINT)]) AS slice
+       |  FROM hb),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS v1, b.media_id AS v2,
+       |    a.fi AS f1, b.fi AS f2, a.dh AS d1, b.dh AS d2
+       |  FROM sl a JOIN sl b ON a.blk = b.blk AND a.slice = b.slice
+       |    AND a.media_id < b.media_id),
+       |mp AS (
+       |  SELECT v1, v2, f2 - f1 AS shift, CAST(count(*) AS BIGINT) AS matched
+       |  FROM cand
+       |  WHERE bit_count(xor(d1, d2)) <= $maxHamming
+       |    AND abs(f2 - f1) <= $maxShift
+       |  GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT v1, v2, shift, matched,
+       |    row_number() OVER (PARTITION BY v1, v2
+       |      ORDER BY matched DESC, abs(shift), shift) AS rn
+       |  FROM mp),
+       |nf AS (SELECT id * 2 + v AS media_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM seg GROUP BY 1)
+       |SELECT b.v1 AS id1, b.v2 AS id2, CAST(b.shift AS BIGINT) AS best_shift,
+       |  b.matched, a.n AS n1, c.n AS n2
+       |FROM best b JOIN nf a ON a.media_id = b.v1 JOIN nf c ON c.media_id = b.v2
+       |WHERE b.rn = 1 AND b.matched * $matchDen >= least(a.n, c.n) * $matchNum""".stripMargin
+  }
+
+  /**
    * Bit-exact oracle for the audio-fingerprint near-dup pairs (m7): the
    * fixture's PCM samples are the closed-form
    * `Multimodal.patternSample(id, v, i)`, so the oracle recomputes all

@@ -347,5 +347,27 @@ object MediaQueries {
         Multimodal.videoNearDupPairsShifted(frames)
       },
       Some(MediaOracles.videoShiftPairsSql())),
+
+    // m17 — SHIFT-TOLERANT audio dedup (the audio half of the m16
+    // asymmetry: m7's whole-clip fingerprint loses every trimmed upload,
+    // because trimming moves every frame boundary inside the single
+    // 64-bit hash): per-SEGMENT energy-envelope fingerprints (hop 16
+    // frames) turn a clip into an ordered fingerprint sequence, and the
+    // SAME shift roll-up the video path uses finds the constant
+    // segment-index delta. Fixture trims cut whole hops so genuine
+    // matches sit at -trim; the oracle recomputes every frame energy and
+    // segment bit from the m7 closed form and replays the shift search
+    "m17_audio_shift_dedup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = td(s, dir, "documents")
+          .filter(col("doc_id") % 4 === 1).select(col("doc_id")).as[Long]
+          .flatMap(id => Multimodal.packAudioTrimPairById(id))
+        val segs = Multimodal.audioSegmentFingerprints(media).toDF()
+          .select(col("media_id"), col("seg_idx").as("frame_idx"),
+            col("afp").as("fdhash"))
+        Multimodal.videoNearDupPairsShifted(segs)
+      },
+      Some(MediaOracles.audioShiftPairsSql())),
   )
 }

@@ -593,6 +593,39 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("audio shift dedup: trimmed clips match at the planted offset; whole-clip m7 misses them") {
+    import spark.implicits._
+    // id=3 → 6 segs, trim 2; id=4 → 4 segs, trim 1; id=11 quarantine
+    val media = Seq(3L, 4L, 11L, 20L).flatMap(Multimodal.packAudioTrimPairById).toDS()
+    import org.apache.spark.sql.functions.col
+    val segs = Multimodal.audioSegmentFingerprints(media).toDF()
+      .select(col("media_id"), col("seg_idx").as("frame_idx"),
+        col("afp").as("fdhash"))
+    val got = Multimodal.videoNearDupPairsShifted(segs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    Seq(3L, 4L, 20L).foreach { id =>
+      val nSegs = 3 + (id % 3)
+      val trim = 1 + (id % 2)
+      val p = got.get((2 * id, 2 * id + 1))
+      assert(p.isDefined, s"planted trimmed audio pair for id=$id missing")
+      val (_, _, bestShift, matched, n1, n2) = p.get
+      assert(bestShift === -trim, s"id=$id shift must be -trim")
+      assert(n1 === nSegs && n2 === nSegs - trim, s"id=$id segment counts")
+      assert(matched === n2, s"id=$id every trimmed segment must match")
+    }
+    assert(!got.keys.exists(k => k._1 / 2 == 11L || k._2 / 2 == 11L),
+      "quarantined id 11 must produce no pairs")
+    // the whole-clip m7 fingerprint path cannot see the same trims
+    val whole = Multimodal.audioFingerprint(media).toDF()
+    val aligned = graft.llm.Dedup.fingerprintNearDups(whole, "media_id", "afp")
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    Seq(3L, 4L, 20L).foreach { id =>
+      assert(!aligned.contains((2 * id, 2 * id + 1)),
+        s"id=$id trimmed clip should be invisible to the whole-clip fingerprint")
+    }
+  }
+
   test("AVI media batch: per-id closed forms and quarantine lanes hold") {
     import spark.implicits._
     val ids = (1L to 80L)
