@@ -492,4 +492,39 @@ private[queries] trait TextCurationOracles extends TextOracleSqlBase {
        |  CAST($hitSum AS BIGINT) AS n_hits
        |FROM f""".stripMargin
   }
+
+  /** l125 twin: DoReMi-style multiplicative-weights domain reweighting,
+    * rounds UNROLLED into chained CTEs (an aggregate per round is not
+    * expressible inside one recursive CTE term), every step the exact
+    * integer/HUGEINT floor arithmetic of `DomainReweight.doremiWeights`. */
+  def doremiWeightsSql(domainCol: String, valueCol: String, rounds: Int,
+                       etaBp: Long, alphaBp: Long): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = if (r == 1) "w0" else s"w${r - 1}"
+      s"""u$r AS (SELECT m.domain, p.w * m.mult AS u FROM $prev p JOIN m ON m.domain = p.domain),
+         |t$r AS (SELECT sum(u) AS su FROM u$r),
+         |w$r AS (SELECT domain, (CAST(1000000 AS HUGEINT) * u) // su AS w FROM u$r, t$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT $domainCol AS domain, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum($valueCol) AS BIGINT) AS s
+       |  FROM documents WHERE $domainCol IS NOT NULL GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss,
+       |    CAST(count(*) AS BIGINT) AS k FROM d),
+       |rel AS (SELECT domain, n,
+       |    CAST((CAST(1000000 AS HUGEINT) * (CAST(s AS HUGEINT) * nn - CAST(ss AS HUGEINT) * n))
+       |      // (CAST(ss AS HUGEINT) * n) AS BIGINT) AS rel
+       |  FROM d, t),
+       |m AS (SELECT domain, n, rel,
+       |    greatest(CAST(10000 AS HUGEINT),
+       |      CAST(1000000 AS HUGEINT) + ($etaBp * rel) // 10000) AS mult
+       |  FROM rel),
+       |w0 AS (SELECT domain, CAST(1000000 AS HUGEINT) AS w FROM m),
+       |$roundCtes
+       |SELECT m.domain, m.n AS n_docs, m.rel AS rel_excess_micro,
+       |  CAST(((${10000 - alphaBp} * w.w) // 10000
+       |    + ($alphaBp * CAST(1000000 AS HUGEINT)) // (10000 * t.k)) AS BIGINT)
+       |    AS weight_micro
+       |FROM w$rounds w JOIN m ON m.domain = w.domain, t""".stripMargin
+  }
 }

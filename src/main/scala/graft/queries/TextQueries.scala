@@ -121,6 +121,20 @@ object TextQueries {
              |  round(CAST(CAST(1000000000 AS HUGEINT) * r // rsum AS DOUBLE) / w, 6) AS repeat_factor
              |FROM r, t""".stripMargin)),
 
+    // l125 — DoReMi-style domain reweighting (Xie et al. 2023):
+    // multiplicative-weights updates over per-domain relative excess,
+    // uniform smoothing, ALL exact integer/HUGEINT floor arithmetic (the
+    // linear 1+η·excess multiplier is exp's first-order form — no libm).
+    // One corpus hash-agg; the recurrence runs on the ≤|domains| table
+    // driver-side (trainer-table precedent); oracle unrolls the rounds
+    "l125_doremi_weights" -> Q(
+      (s, dir) => graft.llm.DomainReweight.doremiWeights(
+        td(s, dir, "documents"), "source", "n_chars",
+        rounds = 4, etaBp = 100L, alphaBp = 200L),
+      Some(TextOracles.doremiWeightsSql("source", "n_chars",
+        rounds = 4, etaBp = 100L, alphaBp = 200L)),
+      eager = true),
+
     // DSIR importance resampling (Xie 2023): raw corpus scored against a
     // target domain (source='src0') via hashed unigram+bigram models —
     // log2 p_target/p_raw per doc in EXACT int64 fixed-point micro-units
