@@ -115,6 +115,35 @@ object Streaming {
   }
 
   /**
+   * LEFT-OUTER stream-stream attribution (the w11/[[attributionPairs]]
+   * pair join with the UNATTRIBUTED lane kept): every click emits — with
+   * its matching in-window views when they exist, or ONCE with a NULL
+   * view after the watermark proves no view can still arrive (Spark's
+   * outer stream-stream join holds the unmatched row in state until the
+   * other side's watermark passes the join bound, then releases it).
+   * That null lane is the conversion-funnel denominator a monitor needs;
+   * the inner form silently drops it. State stays watermark-bounded on
+   * both sides, exactly like the inner join.
+   */
+  def attributionPairsLeftOuter(views: Dataset[Event], clicks: Dataset[Event],
+                                windowMs: Long, watermarkDelay: String): DataFrame = {
+    val v = views.toDF()
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermarkDelay)
+    val c = clicks.toDF()
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    c.join(v, expr(
+        s"""v_user = c_user AND view_ts <= click_ts
+           |AND view_ts > click_ts - INTERVAL $windowMs MILLISECONDS""".stripMargin),
+        "left_outer")
+      .select(col("click_id"), col("c_user").as("user_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
+  /**
    * Stream-static dimension enrichment — the lookup-join every streaming
    * ingest runs (events × user/account/catalog dimension): a LEFT join so
    * unmatched events survive into a quarantine-visible null lane instead

@@ -114,6 +114,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(batch === streamed)
   }
 
+  test("LEFT-OUTER stream-stream attribution: unattributed clicks emit null only after the watermark proves no view can arrive") {
+    implicit val sqlCtx = spark.sqlContext
+    val vMem = MemoryStream[Event]
+    val cMem = MemoryStream[Event]
+    vMem.addData(ev(10, 100, 1, "view"), ev(12, 150, 2, "view"))
+    val out = Streaming.attributionPairsLeftOuter(vMem.toDS(), cMem.toDS(),
+      windowMs = 30L * 60 * 1000, watermarkDelay = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("attr_lo")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    cMem.addData(ev(20, 210, 1), ev(21, 2000, 2)) // 21: view 12 is 1850s stale
+    q.processAllAvailable()
+    def rows() = spark.table("attr_lo").select("click_id", "view_id")
+      .as[(Long, Option[Long])].collect().toSet
+    // matched click emitted; the UNMATCHED click is still held in state —
+    // emitting it now would be wrong (a matching view could still arrive)
+    assert(rows() === Set((20L, Some(10L))),
+      s"unmatched click must be withheld before the watermark: ${rows()}")
+    // advance both watermarks past click 21's join bound, then one more
+    // micro-batch to run state eviction
+    vMem.addData(ev(90, 6000, 9, "view")); cMem.addData(ev(91, 6100, 9))
+    q.processAllAvailable()
+    vMem.addData(ev(92, 6200, 9, "view")); cMem.addData(ev(93, 6300, 9))
+    q.processAllAvailable(); q.stop()
+    val streamed = rows()
+    assert(streamed.contains((21L, None)),
+      s"unattributed click must emit its null lane after the watermark: $streamed")
+    assert(streamed.contains((20L, Some(10L))) && streamed.contains((91L, Some(90L))))
+    // batch parity: the same plan over batch frames (watermarks no-op)
+    // yields the identical row set, nulls included
+    val views = Seq(ev(10, 100, 1, "view"), ev(12, 150, 2, "view"),
+      ev(90, 6000, 9, "view"), ev(92, 6200, 9, "view"))
+    val clicks = Seq(ev(20, 210, 1), ev(21, 2000, 2), ev(91, 6100, 9), ev(93, 6300, 9))
+    val batch = Streaming.attributionPairsLeftOuter(views.toDS(), clicks.toDS(),
+        30L * 60 * 1000, "10 seconds")
+      .select("click_id", "view_id").as[(Long, Option[Long])].collect().toSet
+    assert(batch === streamed, s"stream $streamed != batch $batch")
+  }
+
   private def doc(id: Long, tSec: Long, text: String) =
     StreamDoc(id, new java.sql.Timestamp(tSec * 1000), text)
 
