@@ -256,8 +256,12 @@ object ClinicalQueries {
             concat(col("c_mktsegment"), lit("-NEW")).as("segment"))
         val noopU = cust.filter(col("c_custkey") % 3 === 0 && col("c_custkey") % 5 =!= 0)
           .select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"))
+        // fresh keys sit at +1e9: OUTSIDE any replica keyspace (ScaleUp
+        // shifts custkeys by r*1e6 per replica, so a +1e6 offset collided
+        // with replica r+1's keys at sf1 — caught by the round-12 sf1
+        // hash gate as a row-count mismatch; fixture bug, not engine bug)
         val freshU = cust.filter(col("c_custkey") % 7 === 0)
-          .select((col("c_custkey") + 1000000L).as("k"), lit("FRESH").as("segment"))
+          .select((col("c_custkey") + 1000000000L).as("k"), lit("FRESH").as("segment"))
         val updates = changedU.unionByName(noopU).unionByName(freshU)
         graft.ops.Scd.scd2Apply(hist, updates, "k", Seq("segment"), batchTs = 100L)
       },
@@ -271,7 +275,7 @@ object ClinicalQueries {
              |SELECT k, seg || '-NEW', CAST(100 AS BIGINT), CAST(NULL AS BIGINT), true
              |FROM c WHERE k % 5 = 0
              |UNION ALL
-             |SELECT k + 1000000, 'FRESH', CAST(100 AS BIGINT), CAST(NULL AS BIGINT), true
+             |SELECT k + 1000000000, 'FRESH', CAST(100 AS BIGINT), CAST(NULL AS BIGINT), true
              |FROM c WHERE k % 7 = 0""".stripMargin)),
 
     // c20 — type-1 keyed MERGE (MERGE INTO … WHEN MATCHED UPDATE/DELETE
@@ -293,8 +297,9 @@ object ClinicalQueries {
         val deletes = cust.filter(col("c_custkey") % 7 === 0)
           .select(col("c_custkey").as("k"), lit("D").as("op"),
             lit(null).cast("string").as("segment"), lit(null).cast("long").as("bal_cents"))
+        // +1e9 insert keys for the same replica-keyspace reason as c19
         val inserts = cust.filter(col("c_custkey") % 5 === 0)
-          .select((col("c_custkey") + 1000000L).as("k"), lit("U").as("op"),
+          .select((col("c_custkey") + 1000000000L).as("k"), lit("U").as("op"),
             lit("INS").as("segment"), lit(0L).as("bal_cents"))
         val source = updates.unionByName(deletes).unionByName(inserts)
         graft.ops.Scd.mergeUpsert(target, source, "k",
@@ -308,7 +313,7 @@ object ClinicalQueries {
              |  CASE WHEN k % 3 = 0 THEN 'updated' ELSE 'kept' END AS action
              |FROM c WHERE k % 7 <> 0
              |UNION ALL
-             |SELECT k + 1000000, 'INS', CAST(0 AS BIGINT), 'inserted'
+             |SELECT k + 1000000000, 'INS', CAST(0 AS BIGINT), 'inserted'
              |FROM c WHERE k % 5 = 0""".stripMargin)),
 
     // ontology ancestor closure (ops/Graph.ancestorClosure): hierarchical
