@@ -124,6 +124,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // construction, rolls out driver-side (the BPE-trainer shape,
       // the l115/l16 bounded-collect precedent) — reviewed r11
       "l123_ngram_generate",
+      "l125_doremi_weights", // domain recurrence driver-side by design
+
       // l5/l6/l7/l8/l13: the xxhash64-family property audits
       // (DedupAudit, round 11) localCheckpoint the scale-path output at
       // construction so the audit legs never re-run the LSH pipeline —
