@@ -25,28 +25,36 @@ private[ops] trait RankStats { this: Stats.type =>
    * quotient is one floor division in micro-units computed in
    * DECIMAL(38,0) (Σ i·x reaches n²·max(x); DuckDB replays in HUGEINT).
    *
-   * Scale shape: one per-group sort window + one hash-agg. Negative
-   * values are the caller's contract violation (Gini is defined on
-   * non-negative quantities).
+   * Scale shape (round 13, histogram-first): the c rows holding distinct
+   * value x occupy ranks (prev, prev+c], so their Σi = c·prev + c(c+1)/2
+   * and Σ i·x = x·(c·prev + c(c+1)/2) — a closed form in the (key, value)
+   * histogram's counts. One parallel hash-agg to the histogram, one
+   * cumulative window over DISTINCT values (domain-bounded, never the
+   * corpus — the old plan row_number-sorted the whole table onto |key|
+   * tasks), one hash-agg; Σi·x accumulates in DECIMAL(38,0) so the 100×
+   * corpus can't wrap the long the r12 plan summed into. Negative values
+   * are the caller's contract violation (Gini is defined on non-negative
+   * quantities).
    *
    * Output: (key, n, total, gini_micro); gini_micro NULL when total = 0.
    */
-  def giniByGroup(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ranked = df.select(col(keyCol).as("key"),
-        col(valueCol).cast("long").as("x"))
-      .withColumn("i", row_number().over(
-        Window.partitionBy("key").orderBy("x")).cast("long"))
-    ranked.groupBy("key")
-      .agg(count(lit(1)).as("n"),
-        sum("x").cast("long").as("total"),
-        sum(col("i") * col("x")).cast("long").as("ix"))
+  def giniByGroup(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    HistogramSelect.annotate(
+      df.select(col(keyCol).as("key"), col(valueCol).cast("long").as("_v"))
+        .groupBy("key", "_v").agg(count(lit(1)).as("_c")),
+      "key")
+      .groupBy("key")
+      .agg(sum("_c").cast("long").as("n"),
+        sum(col("_v") * col("_c")).cast("long").as("total"),
+        // Σi over the value's rank span; c(c+1) is even so `div` is exact
+        sum(col("_v").cast("decimal(38,0)") *
+          expr("_c * _prev + (_c * (_c + 1)) div 2"))
+          .cast("decimal(38,0)").as("ix"))
       .select(col("key"), col("n"), col("total"),
         expr("""CASE WHEN total > 0 THEN
                |  CAST((CAST(2 AS DECIMAL(38,0)) * ix - (n + 1) * total)
                |    * 1000000 div (CAST(n AS DECIMAL(38,0)) * total) AS LONG)
                |END""".stripMargin).as("gini_micro"))
-  }
 
   /**
    * Exact lag-k autocorrelation per series (the sample ACF estimator,
@@ -123,21 +131,27 @@ private[ops] trait RankStats { this: Stats.type =>
    * either end contribute identically — so the result is deterministic
    * even though row_number breaks value ties arbitrarily.
    *
-   * One value-ordered window per group + a hash-agg; trimBp < 5000
-   * guarantees at least one survivor per group.
+   * Scale shape (round 13, histogram-first): the r12 plan row_numbered
+   * the raw corpus on |group| tasks; this one hash-aggs to the
+   * (group, value) histogram, runs the cumulative window over DISTINCT
+   * values, and keeps, per value, the overlap of its rank span
+   * (prev, cum] with the kept band (k, n−k]:
+   * kept_c = min(cum, n−k) − max(prev, k), clamped at 0 — the same
+   * rank-interchangeability argument as before, now in closed form.
+   * trimBp < 5000 guarantees at least one survivor per group.
    *
    * Output: (group, n, n_trim_each, trimmed_mean_micro) — all BIGINT.
    */
   def trimmedMeanByGroup(df: DataFrame, groupCol: String, valCol: String,
                          trimBp: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(trimBp >= 0 && trimBp < 5000, s"trimBp must be in [0, 5000), got $trimBp")
     val g = col(groupCol)
-    df.select(g, col(valCol).cast("long").as("_v"))
-      .withColumn("_rn", row_number().over(Window.partitionBy(g).orderBy(col("_v"))))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy(g)))
+    HistogramSelect.cumHistogram(df, groupCol, col(valCol).cast("long"))
       .withColumn("_k", expr(s"(_n * $trimBp) div 10000"))
-      .filter(col("_rn") > col("_k") && col("_rn") <= col("_n") - col("_k"))
+      .withColumn("_kc", greatest(lit(0L),
+        least(col("_cum"), col("_n") - col("_k")) -
+          greatest(col("_prev"), col("_k"))))
+      .filter(col("_kc") > 0)
       .groupBy(g)
       .agg(first(col("_n")).cast("long").as("n"),
         first(col("_k")).cast("long").as("n_trim_each"),
@@ -146,7 +160,7 @@ private[ops] trait RankStats { this: Stats.type =>
         // negative sum must route through its absolute value on BOTH
         // engines for bit parity; the q/r split inside microMeanSql keeps
         // 10⁶·Σ out of long overflow at sf1+ group sizes
-        expr(microMeanSql("sum(_v)", "count(1)")).as("trimmed_mean_micro"))
+        expr(microMeanSql("sum(_v * _kc)", "sum(_kc)")).as("trimmed_mean_micro"))
   }
 
   /**
@@ -215,35 +229,69 @@ private[ops] trait RankStats { this: Stats.type =>
    * ranks. Robust to outliers and nonlinear-but-monotone relations, which
    * is why drift monitors prefer it for heavy-tailed metrics.
    *
-   * Average rank = rank() + (|ties| − 1)/2 — an exact multiple of ½, so
-   * the rank columns are noise-free in double on every engine; the final
-   * `corr` is 6-dp-rounded exactly like a18/a20 to absorb accumulation
-   * order. Groups need ≥ 2 rows and nonzero rank variance on both sides
-   * or rho is NULL (undefined, not 0).
+   * Average rank = rank() + (|ties| − 1)/2 — an exact multiple of ½.
+   * Groups need ≥ 2 rows and nonzero rank variance on both sides or rho
+   * is NULL (undefined, not 0); 6-dp rounding like a18/a20 absorbs
+   * engine accumulation order.
    *
-   * Shape: one exchange on the group key reused by both rank windows
-   * (same partitioning, two in-partition sorts), then a hash-agg. No
-   * joins, no global sort.
+   * Shape (round 13, histogram-first — the r12 plan ran both rank
+   * windows over the raw corpus, a sort-shuffle onto |group| tasks):
+   *  1. joint (g, x, y) → count histogram — parallel hash-agg on a
+   *     high-cardinality composite key, map-side partials;
+   *  2. marginal (g, x) and (g, y) histograms DERIVED from the joint one;
+   *     the cumulative window that turns counts into average ranks runs
+   *     over distinct values only (avg rank = prev + (c+1)/2);
+   *  3. join the rank maps back onto the joint histogram (the x side is
+   *     groups×|x-domain| rows — broadcast, so CALLERS PASS THE
+   *     LOWER-CARDINALITY VARIABLE AS xCol; the y side shuffles on the
+   *     high-cardinality (g, y));
+   *  4. one hash-agg of EXACT integer moments: with doubled ranks
+   *     d = 2·rank − (n+1) (integers, since avg ranks are ½-multiples,
+   *     and Σ avg ranks = n(n+1)/2 makes their mean exactly (n+1)/2),
+   *     rho = Σw·dx·dy / √(Σw·dx²·Σw·dy²) — the ½s and the centering
+   *     cancel. Moments accumulate in DECIMAL(38,0) (≤ 4n³ ≈ 10²⁶ at
+   *     2·10⁸-row groups), so the only floating point is the final
+   *     quotient — no corpus-sized sort, no FP accumulation order at all.
    */
   def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
                       yCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = col(groupCol)
-    def avgRank(c: String): Column =
-      rank().over(Window.partitionBy(g).orderBy(col(c))) +
-        (count(lit(1)).over(Window.partitionBy(g, col(c))) - 1) / 2.0
-    df.select(g, avgRank(xCol).as("_rx"), avgRank(yCol).as("_ry"))
+    val joint = df.select(g, col(xCol).as("_x"), col(yCol).as("_y"))
+      .groupBy(g, col("_x"), col("_y"))
+      .agg(count(lit(1)).as("_c"))
+    // doubled average rank of each distinct value: 2·(prev + (c+1)/2)
+    // = 2·prev + c + 1 — integer-exact, no halves anywhere
+    def rankMap(valCol: String, out: String): DataFrame = {
+      val byVal = Window.partitionBy(g).orderBy(col("_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      joint.groupBy(g, col(valCol).as("_v"))
+        .agg(sum("_c").as("_cv"))
+        .withColumn("_cum", sum("_cv").over(byVal))
+        .select(g, col("_v").as(valCol),
+          (col("_cum") * 2 - col("_cv") + 1).as(out))
+    }
+    val ranked = joint
+      .join(broadcast(rankMap("_x", "_r2x")), Seq(groupCol, "_x"))
+      .join(rankMap("_y", "_r2y"), Seq(groupCol, "_y"))
+    val dec = "decimal(38,0)"
+    ranked
       .groupBy(g)
-      .agg(covar_samp(col("_rx"), col("_ry")).as("_cov"),
-        stddev_samp(col("_rx")).as("_sx"), stddev_samp(col("_ry")).as("_sy"),
-        count(lit(1)).as("n"))
-      // corr as the guarded quotient: Spark 4's ANSI `corr` THROWS on a
-      // zero-variance side, where the statistic is undefined — a constant
-      // column must yield NULL (the DuckDB behavior), never kill the scan.
-      // CaseWhen evaluates its branch lazily, so the division can't fire.
+      .agg(sum("_c").cast("long").as("n"),
+        sum(col("_c").cast(dec) * col("_r2x") * col("_r2y")).cast(dec).as("_sxy"),
+        sum(col("_c").cast(dec) * col("_r2x") * col("_r2x")).cast(dec).as("_sxx"),
+        sum(col("_c").cast(dec) * col("_r2y") * col("_r2y")).cast(dec).as("_syy"))
+      // centered moments via the exact mean 2·(n+1)/2 = n+1 of doubled
+      // ranks: Σw·d² = Σw·r² − n·(n+1)², Σw·dx·dy = Σw·rx·ry − n·(n+1)²
+      .withColumn("_m", (col("n").cast(dec) * (col("n") + 1) * (col("n") + 1)).cast(dec))
+      .withColumn("_vx", (col("_sxx") - col("_m")).cast("double"))
+      .withColumn("_vy", (col("_syy") - col("_m")).cast("double"))
+      .withColumn("_cov", (col("_sxy") - col("_m")).cast("double"))
+      // guarded quotient: zero rank variance (a constant column) must
+      // yield NULL (the DuckDB corr behavior), never divide or throw
       .select(g,
-        when(col("_sx") > 0 && col("_sy") > 0,
-          round(col("_cov") / (col("_sx") * col("_sy")), 6)).as("rho"),
+        when(col("_vx") > 0 && col("_vy") > 0,
+          round(col("_cov") / sqrt(col("_vx") * col("_vy")), 6)).as("rho"),
         col("n"))
   }
 
@@ -255,13 +303,14 @@ private[ops] trait RankStats { this: Stats.type =>
    * selection, no interpolation: bit-identical across engines by
    * construction.
    *
-   * Shape: one value-ordered window per group (RANGE frame, so equal
-   * values always share one cumulative mass — tie order can't move the
-   * crossing), the group total riding the SAME partitioning (no second
-   * shuffle), then a skinny min-per-group of the crossing rows. At 100 TB
-   * this is one sort-shuffle of the (group, value, weight) projection —
-   * the exact-selection floor; a histogram/t-digest two-pass trades that
-   * exactness for a scan when the sort is too hot.
+   * Shape (round 13, histogram-first): hash-agg to the (group, value)
+   * histogram carrying (Σweight, row count) per distinct value — the r12
+   * plan's RANGE-frame cumulative over the raw corpus sort-shuffled the
+   * whole table onto |group| tasks; merging equal values FIRST makes a
+   * rows-frame cumulative over the histogram identical to it (equal
+   * values share one cumulative mass by construction, so tie order still
+   * can't move the crossing) while the window input stays domain-bounded.
+   * Then the same skinny min-per-group of the crossing rows.
    *
    * Contract: weights ≥ 0 (zero-weight rows can never cross the half
    * mass and cannot become the median); an all-zero-weight group
@@ -272,16 +321,19 @@ private[ops] trait RankStats { this: Stats.type =>
   def weightedMedianByGroup(df: DataFrame, groupCol: String, valCol: String,
                             weightCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byVal = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy(col(groupCol))
-    df.select(col(groupCol), col(valCol).cast("long").as("_v"),
+    val g = col(groupCol)
+    val byVal = Window.partitionBy(g).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(g)
+    df.select(g, col(valCol).cast("long").as("_v"),
         col(weightCol).cast("long").as("_w"))
-      .withColumn("_cum", sum(col("_w")).over(byVal))
-      .withColumn("_tot", sum(col("_w")).over(all))
-      .withColumn("_n", count(lit(1)).over(all))
+      .groupBy(g, col("_v"))
+      .agg(sum("_w").as("_wv"), count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_wv")).over(byVal))
+      .withColumn("_tot", sum(col("_wv")).over(all))
+      .withColumn("_n", sum(col("_c")).over(all))
       .filter(col("_cum") * 2 >= col("_tot"))
-      .groupBy(col(groupCol))
+      .groupBy(g)
       .agg(first(col("_n")).cast("long").as("n"),
         first(col("_tot")).cast("long").as("total_weight"),
         min(col("_v")).as("wmedian"))

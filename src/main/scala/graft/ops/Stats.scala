@@ -17,27 +17,42 @@ object Stats extends RankStats {
    * complement to a20's mean/stddev z-scores (a fat-tailed metric column
    * makes mean±3σ useless; median±k·MAD is the standard robust gate).
    *
-   * Two hash-aggregates with a BROADCAST of the tiny per-group median
-   * table between them (the second pass needs each row's group median to
-   * form |x − m|; medians ≤ #groups rows, so the join never shuffles the
-   * data side). Exact `percentile` (not approx) on both passes — values
-   * are per-row arithmetic, no accumulation-order doubles; results round
-   * to 4dp like a14 to absorb interpolation float noise.
+   * Scale shape (round 13, the histogram-first rule): ONE corpus scan
+   * builds a (group, value) → count histogram — a fully parallel hash
+   * aggregation — and both medians are interpolated selections over
+   * cumulative histograms ([[HistogramSelect]], bit-identical arithmetic
+   * to Spark's `percentile`: h = p·(n−1), interpolate ranks ⌊h⌋+1 and
+   * ⌊h⌋+2). The DEVIATION histogram is derived from the value histogram
+   * (|v − med| per distinct value, counts re-merged), never from a second
+   * corpus pass, so nothing downstream of the first aggregation is
+   * corpus-sized and no task ever buffers a group's values. Replaces the
+   * r12 plan whose exact `percentile` buffered O(corpus/|groups|) rows
+   * per agg buffer. Results round to 4dp like a14 to absorb interpolation
+   * float noise.
    *
    * Output: (group, n, med, mad) — n BIGINT, med/mad rounded doubles.
    */
   def madByGroup(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
-    val x = col(valCol)
-    val medians = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valCol, 0.5)").as("_med"),
-        count(x).cast("long").as("n"))
-    df.select(col(groupCol), x)
-      .join(broadcast(medians), Seq(groupCol))
-      .groupBy(col(groupCol))
-      .agg(
-        first(col("n")).as("n"),
-        round(first(col("_med")), 4).as("med"),
-        round(expr(s"percentile(abs($valCol - _med), 0.5)"), 4).as("mad"))
+    val g = col(groupCol)
+    val hist = HistogramSelect.cumHistogram(df, groupCol, col(valCol))
+    // med and n ride the selection agg; the deviation stage carries them
+    // forward as group constants so nothing ever joins back to this
+    // branch — the histogram is consumed once here, once below (two
+    // corpus scans total, like the r12 plan, minus its value buffering)
+    val meds = HistogramSelect.percentilesFromHistogram(
+      hist, groupCol, Seq(("_med", 0.5)),
+      extra = Seq("_hn" -> max(col("_n")).cast("long")))
+    val devHist = HistogramSelect.annotate(
+      hist.select(g, col("_v"), col("_c"))
+        .join(broadcast(meds), Seq(groupCol))
+        .groupBy(g, abs(col("_v") - col("_med")).as("_v"))
+        .agg(sum("_c").as("_c"), first("_med").as("_m0"), first("_hn").as("_n0")),
+      groupCol)
+    HistogramSelect.percentilesFromHistogram(
+      devHist, groupCol, Seq(("_mad", 0.5)),
+      extra = Seq("_m1" -> first("_m0"), "_n1" -> first("_n0")))
+      .select(g, col("_n1").as("n"), round(col("_m1"), 4).as("med"),
+        round(col("_mad"), 4).as("mad"))
   }
 
   /**

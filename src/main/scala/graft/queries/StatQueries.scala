@@ -20,14 +20,21 @@ object StatQueries {
     // accumulate" is covered by s13 per COVERAGE.md, and the statistics
     // family starts at a14. Tombstoned so audits don't hunt for a
     // missing row.)
-    // exact percentiles over money cents — interpolation formula is shared
-    // (sorted values, (n-1)*p), rounded for cross-engine stability
+    // exact percentiles over money — interpolation formula is shared
+    // (sorted values, (n-1)*p), rounded for cross-engine stability.
+    // Round 13: selected from the (status, price) → count histogram
+    // (ops/HistogramSelect) instead of the buffering `percentile`
+    // aggregate, whose per-group agg buffer holds EVERY value — O(corpus/
+    // |groups|) heap on a 3-value key. The histogram selection is
+    // bit-identical arithmetic on a domain-bounded input.
     "a14_percentiles" -> Q(
-      (s, dir) => td(s, dir, "orders").groupBy("o_orderstatus")
-        .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
-          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99")),
+      (s, dir) => graft.ops.HistogramSelect.percentilesByGroup(
+          td(s, dir, "orders"), "o_orderstatus", col("o_totalprice"),
+          Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)))
+        .select(col("o_orderstatus"),
+          round(col("p50"), 4).as("p50"),
+          round(col("p90"), 4).as("p90"),
+          round(col("p99"), 4).as("p99")),
       Some("""SELECT o_orderstatus,
              |round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
              |round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
