@@ -35,18 +35,33 @@ object GraftSqlSurface {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
-  private def strArg(fn: String, e: Expression, what: String): String = {
-    require(e.foldable && e.dataType == StringType,
-      s"$fn: $what must be a string literal")
+  /** `foldable`/`dataType` throw UnresolvedException on an unresolved
+    * argument — the MOST LIKELY SQL mistake is an unquoted identifier as
+    * a table/column argument, which must surface as the readable message
+    * below, not an internal analyzer error. */
+  private def quietlyFoldableAs(e: Expression,
+                                tpe: Option[org.apache.spark.sql.types.DataType]): Boolean =
+    try e.foldable && tpe.forall(_ == e.dataType)
+    catch { case _: Exception => false }
+
+  private[graft] def strArg(fn: String, e: Expression, what: String): String = {
+    require(quietlyFoldableAs(e, Some(StringType)),
+      s"$fn: $what must be a string literal (quote it: '...')")
     val v = e.eval()
     require(v != null, s"$fn: $what must not be NULL")
     v.toString
   }
 
-  private def longArg(fn: String, e: Expression, what: String): Long = {
-    require(e.foldable, s"$fn: $what must be an integer literal")
+  private[graft] def longArg(fn: String, e: Expression, what: String): Long = {
+    require(quietlyFoldableAs(e, None),
+      s"$fn: $what must be an integer literal")
     e.eval() match {
-      case n: Number => n.longValue()
+      case n: Number =>
+        val l = n.longValue()
+        // 2.5 must be rejected, not silently truncated to 2
+        require(n.doubleValue() == l.toDouble,
+          s"$fn: $what must be an INTEGER literal, got $n")
+        l
       case other => throw new IllegalArgumentException(
         s"$fn: $what must be an integer literal, got $other")
     }
@@ -55,35 +70,46 @@ object GraftSqlSurface {
   /** Resolve a TVF table-name argument against the active session catalog
     * (the session running the SQL — TVF builders execute inside its
     * analyzer, so `active` is always the right session). */
-  private def tableArg(fn: String, e: Expression, what: String): DataFrame =
+  private[graft] def tableArg(fn: String, e: Expression, what: String): DataFrame =
     SparkSession.active.table(strArg(fn, e, what))
 
   /** The macro output spliced back as an ANALYZED subtree: the inner plan
     * resolves against the same session state (temp views, catalog) the
     * outer statement sees, and the outer analyzer treats it as resolved. */
-  private def plan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+  private[graft] def plan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** Register one TVF with arity checking (shared with [[SqlSurfaceMacros]]). */
+  private[graft] def tvf(ext: SparkSessionExtensions)
+                        (name: String, usage: String, arity: Range)
+                        (build: Seq[Expression] => LogicalPlan): Unit =
+    ext.injectTableFunction((FunctionIdentifier(name), info(name, usage),
+      (children: Seq[Expression]) => {
+        require(arity.contains(children.length),
+          s"$name: expected ${arity.min}" +
+            (if (arity.max != arity.min) s"-${arity.max}" else "") +
+            s" arguments ($usage), got ${children.length}")
+        build(children)
+      }))
+
+  /** table + N column-name string args, all positional (shared). */
+  private[graft] def tvfColsIn(ext: SparkSessionExtensions)
+                              (name: String, usage: String, nCols: Int)
+                              (build: (DataFrame, Seq[String]) => DataFrame): Unit =
+    tvf(ext)(name, usage, (nCols + 1) to (nCols + 1)) { args =>
+      val df = tableArg(name, args.head, "table")
+      val cols = args.tail.zipWithIndex.map { case (a, i) =>
+        strArg(name, a, s"column argument ${i + 1}") }
+      plan(build(df, cols))
+    }
 
   def install(ext: SparkSessionExtensions): Unit = {
     def tvf(name: String, usage: String, arity: Range,
             build: Seq[Expression] => LogicalPlan): Unit =
-      ext.injectTableFunction((FunctionIdentifier(name), info(name, usage),
-        (children: Seq[Expression]) => {
-          require(arity.contains(children.length),
-            s"$name: expected ${arity.min}" +
-              (if (arity.max != arity.min) s"-${arity.max}" else "") +
-              s" arguments ($usage), got ${children.length}")
-          build(children)
-        }))
+      GraftSqlSurface.tvf(ext)(name, usage, arity)(build)
 
-    /** table + N column-name string args, all positional. */
     def tvfCols(name: String, usage: String, nCols: Int)
                (build: (DataFrame, Seq[String]) => DataFrame): Unit =
-      tvf(name, usage, (nCols + 1) to (nCols + 1), args => {
-        val df = tableArg(name, args.head, "table")
-        val cols = args.tail.zipWithIndex.map { case (a, i) =>
-          strArg(name, a, s"column argument ${i + 1}") }
-        plan(build(df, cols))
-      })
+      tvfColsIn(ext)(name, usage, nCols)(build)
 
     // ---- diff / publish-gate family -------------------------------------
     tvf("graft_symmetric_diff", "graft_symmetric_diff(tableA, tableB)", 2 to 2,
@@ -145,5 +171,8 @@ object GraftSqlSurface {
     // ---- reshape --------------------------------------------------------
     tvfCols("graft_melt_quant", "graft_melt_quant(table, geneCol)", 1) {
       (df, c) => graft.pipelines.StagedBuilds.meltQuantMatrix(df, c(0)) }
+
+    // ---- joins / dedup / windows / gates (round 13 breadth) -------------
+    SqlSurfaceMacros.install(ext)
   }
 }

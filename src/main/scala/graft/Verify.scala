@@ -7,9 +7,23 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER (dev-only; the driver never sets it) lets the
+    // round's cluster smoke run this same main under
+    // local-cluster[w,c,mem] — real executor JVMs, real serialization of
+    // the native expressions and TVF plans. That mode needs the library
+    // on the executors' classpath: pass the packaged jar via
+    // SPARK_GRAFT_JARS (comma-separated, fed to spark.jars).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+    val builder = sys.env.get("SPARK_GRAFT_JARS") match {
+      case Some(jars) => builder0.config("spark.jars", jars)
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "3g"))
+      case None => builder0
+    }
+    val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT_BYTES", "8m"))

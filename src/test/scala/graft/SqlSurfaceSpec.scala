@@ -150,6 +150,153 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
             |FROM documents""".stripMargin))
   }
 
+  // ---- round-13 breadth: joins, intervals, LSH, sessions, gates ---------
+
+  test("j14_asof_join via graft_asof_join") {
+    check("j14_asof_join",
+      """SELECT o_orderkey, ev AS last_event_id
+        |FROM graft_asof_join('sql_j14_o', 'sql_j14_e', 'k', 'k', 't', 't', 'ev')""".stripMargin,
+      Seq("""CREATE OR REPLACE TEMP VIEW sql_j14_o AS
+            |SELECT o_orderkey, o_custkey % 20 AS k,
+            |  unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS t FROM orders""".stripMargin,
+        """CREATE OR REPLACE TEMP VIEW sql_j14_e AS
+          |SELECT user_id % 20 AS k, ts_us AS t, max(event_id) AS ev
+          |FROM events_us GROUP BY 1, 2""".stripMargin))
+  }
+
+  test("j18_nearest_event via graft_nearest_event") {
+    check("j18_nearest_event",
+      """SELECT click_id, user_id, view_id, dt AS dt_us
+        |FROM graft_nearest_event('sql_j18_c', 'sql_j18_v',
+        |  'user_id', 'v_user', 'click_us', 'view_us', 'view_id')""".stripMargin,
+      Seq("""CREATE OR REPLACE TEMP VIEW sql_j18_c AS
+            |SELECT event_id AS click_id, user_id, ts_us AS click_us
+            |FROM events_us WHERE event_type = 'click'""".stripMargin,
+        """CREATE OR REPLACE TEMP VIEW sql_j18_v AS
+          |SELECT user_id AS v_user, ts_us AS view_us, min(event_id) AS view_id
+          |FROM events_us WHERE event_type = 'view' GROUP BY 1, 2""".stripMargin))
+  }
+
+  private val intervalFixture = Seq(
+    """CREATE OR REPLACE TEMP VIEW sql_iv AS
+      |SELECT o_custkey % 5 AS k,
+      |  CAST(datediff(o_orderdate, DATE '1990-01-01') AS BIGINT) AS sa,
+      |  CAST(datediff(o_orderdate, DATE '1990-01-01') AS BIGINT) + 20 AS ea
+      |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin)
+
+  test("j23_interval_merge via graft_interval_merge") {
+    check("j23_interval_merge",
+      "SELECT * FROM graft_interval_merge('sql_iv', 'k', 'sa', 'ea')",
+      intervalFixture)
+  }
+
+  test("j25_interval_gaps via graft_interval_gaps") {
+    check("j25_interval_gaps",
+      "SELECT * FROM graft_interval_gaps('sql_iv', 'k', 'sa', 'ea')",
+      intervalFixture)
+  }
+
+  test("j22_interval_coverage via graft_interval_coverage") {
+    check("j22_interval_coverage",
+      "SELECT * FROM graft_interval_coverage('sql_iv', 'k', 'sa', 'ea')",
+      intervalFixture)
+  }
+
+  test("j19_interval_overlap via graft_interval_overlap") {
+    check("j19_interval_overlap",
+      """SELECT a_id, b_id, overlap_len
+        |FROM graft_interval_overlap('sql_j19_a', 'sql_j19_b',
+        |  'ka', 'kb', 'sa', 'ea', 'sb', 'eb', 16, 5000)""".stripMargin,
+      Seq("""CREATE OR REPLACE TEMP VIEW sql_j19_a AS
+            |SELECT o_orderkey AS a_id, o_custkey % 5 AS ka,
+            |  CAST(datediff(o_orderdate, DATE '1990-01-01') AS BIGINT) AS sa,
+            |  CAST(datediff(o_orderdate, DATE '1990-01-01') AS BIGINT) + 20 AS ea
+            |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
+        """CREATE OR REPLACE TEMP VIEW sql_j19_b AS
+          |SELECT l_orderkey * 10 + l_linenumber AS b_id, l_suppkey % 5 AS kb,
+          |  CAST(datediff(l_shipdate, DATE '1990-01-01') AS BIGINT) AS sb,
+          |  CAST(datediff(l_shipdate, DATE '1990-01-01') AS BIGINT) + 14 AS eb
+          |FROM lineitem WHERE l_orderkey % 10 = 0""".stripMargin))
+  }
+
+  test("l5p_minhash_lsh_pairs_portable via graft_minhash_pairs_portable") {
+    check("l5p_minhash_lsh_pairs_portable",
+      "SELECT * FROM graft_minhash_pairs_portable('documents', 'text', 'doc_id', 3, 32, 16)")
+  }
+
+  test("l113_oph_minhash_pairs via graft_oph_minhash_pairs") {
+    check("l113_oph_minhash_pairs",
+      "SELECT * FROM graft_oph_minhash_pairs('documents', 'text', 'doc_id', 3, 32, 16)")
+  }
+
+  test("l6p_ngram_jaccard_neardups_portable via graft_near_dup_pairs_portable") {
+    check("l6p_ngram_jaccard_neardups_portable",
+      "SELECT * FROM graft_near_dup_pairs_portable('documents', 'text', 'doc_id', 5000, 3, 32, 16)")
+  }
+
+  test("w3_sessionize_batch via graft_sessionize") {
+    check("w3_sessionize_batch",
+      "SELECT * FROM graft_sessionize('events', 1800000)")
+  }
+
+  test("w8_event_funnel via graft_funnel") {
+    check("w8_event_funnel",
+      """SELECT * FROM graft_funnel('events_us', 'user_id', 'ts_us',
+        |  'event_id', 'event_type', 'signup,view,click,purchase')""".stripMargin)
+  }
+
+  test("c24_expectation_gate via graft_expectation_gate") {
+    check("c24_expectation_gate",
+      """SELECT * FROM graft_expectation_gate('sql_c24',
+        |  'r1_date_present:not_null:o_orderdate;r2_key_unique:unique:o_orderkey;r3_cust_unique:unique:o_custkey;r4_price_cap:in_range:total_cents:0,20000000;r5_prio_12:matches:o_orderpriority:^[12]-;r6_status_of:in_set:o_orderstatus:O|F')""".stripMargin,
+      Seq("""CREATE OR REPLACE TEMP VIEW sql_c24 AS
+            |SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+            |FROM orders""".stripMargin))
+  }
+
+  test("a14_percentiles via graft_percentiles") {
+    check("a14_percentiles",
+      """SELECT o_orderstatus, round(p50, 4) AS p50, round(p90, 4) AS p90,
+        |  round(p99, 4) AS p99
+        |FROM graft_percentiles('orders', 'o_orderstatus', 'o_totalprice',
+        |  'p50:0.5,p90:0.9,p99:0.99')""".stripMargin)
+  }
+
+  test("a28_kaplan_meier via graft_kaplan_meier") {
+    check("a28_kaplan_meier",
+      "SELECT * FROM graft_kaplan_meier('sql_a28', 'grp', 't', 'ev')",
+      Seq("""CREATE OR REPLACE TEMP VIEW sql_a28 AS
+            |SELECT o_orderpriority AS grp, dayofyear(o_orderdate) AS t,
+            |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+            |FROM orders""".stripMargin))
+  }
+
+  test("a32_autocorr via graft_autocorr") {
+    check("a32_autocorr",
+      "SELECT * FROM graft_autocorr('sql_a32', 'event_type', 'day', 'one', '1,2,7')",
+      Seq("""CREATE OR REPLACE TEMP VIEW sql_a32 AS
+            |SELECT event_type, ts_us div 86400000000 AS day,
+            |  CAST(1 AS BIGINT) AS one FROM events_us""".stripMargin))
+  }
+
+  test("a36_seasonal_profile via graft_seasonal_profile") {
+    check("a36_seasonal_profile",
+      "SELECT * FROM graft_seasonal_profile('sql_a36', 'key', 'day', 'x', 7)",
+      Seq("""CREATE OR REPLACE TEMP VIEW sql_a36 AS
+            |SELECT event_type AS key, ts_us div 86400000000 AS day,
+            |  CAST(count(*) AS BIGINT) AS x FROM events_us GROUP BY 1, 2""".stripMargin))
+  }
+
+  test("u4_changed_keys via graft_changed_keys") {
+    check("u4_changed_keys",
+      "SELECT * FROM graft_changed_keys('sql_u4_old', 'sql_u4_neu', 'o_orderkey')",
+      Seq("""CREATE OR REPLACE TEMP VIEW sql_u4_old AS
+            |SELECT o_orderkey, CASE WHEN o_orderkey % 11 = 0 THEN 'CHANGED'
+            |  ELSE o_orderstatus END AS o_orderstatus FROM orders""".stripMargin,
+        """CREATE OR REPLACE TEMP VIEW sql_u4_neu AS
+          |SELECT o_orderkey, o_orderstatus FROM orders""".stripMargin))
+  }
+
   test("argument errors are readable") {
     prepared
     val e1 = intercept[Exception] {
@@ -160,5 +307,20 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
       spark.sql("SELECT * FROM graft_trimmed_mean('lineitem', 'a', 'b', 'x')").collect()
     }
     assert(e2.getMessage.contains("trimBp"))
+    // an UNQUOTED identifier argument must surface a readable error, not
+    // an internal UnresolvedException (round-13 ADVICE fix): Spark 4's
+    // analyzer reports UNRESOLVED_COLUMN for the identifier itself; the
+    // strArg guard catches the same shape on any path that reaches the
+    // builder (e.g. programmatic plans), where the friendly message fires
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_mad(lineitem, 'l_returnflag', 'l_quantity')").collect()
+    }
+    assert(e3.getMessage.contains("cannot be resolved") ||
+      e3.getMessage.contains("must be a string literal"), e3.getMessage)
+    // a fractional numeric literal must be rejected, never truncated
+    val e4 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_trimmed_mean('lineitem', 'l_returnflag', 'l_quantity', 2.5)").collect()
+    }
+    assert(e4.getMessage.toLowerCase.contains("integer"), e4.getMessage)
   }
 }
