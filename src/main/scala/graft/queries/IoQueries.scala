@@ -143,7 +143,13 @@ object IoQueries {
     "s21_partitioned_pruning" -> Q(
       (s, dir) => {
         val path = s"$FixtureRoot/s21_${new java.io.File(dir).getName}"
-        td(s, dir, "documents").write.partitionBy("source")
+        // repartition ON the partition column before a partitionBy write —
+        // without it every write task opens a file in every partition
+        // (tasks × partitions tiny files; 640 at sf1, the round-12 s21/s32
+        // regression). One writer per partition is the 100 TB-correct
+        // layout AND the fast one at every SF
+        td(s, dir, "documents").repartition(col("source"))
+          .write.partitionBy("source")
           .mode("overwrite").parquet(path)
         s.read.parquet(path).filter(col("source") === "src7")
           .groupBy("source")
@@ -168,10 +174,14 @@ object IoQueries {
         val path = s"$FixtureRoot/s32_${new java.io.File(dir).getName}"
         val docs = td(s, dir, "documents")
           .select(col("doc_id"), col("source"), col("n_chars"))
-        docs.write.partitionBy("source").mode("overwrite").parquet(path)
+        // one writer per partition (the s21 rule): tasks × partitions
+        // small files made this row 3× slower at sf1 under the 8 MB split
+        docs.repartition(col("source"))
+          .write.partitionBy("source").mode("overwrite").parquet(path)
         val corrected = docs.filter(col("source") === "src7")
           .withColumn("n_chars", col("n_chars") * 2)
-        corrected.write.partitionBy("source")
+        corrected.repartition(col("source"))
+          .write.partitionBy("source")
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").parquet(path)
         s.read.parquet(path).groupBy("source")
