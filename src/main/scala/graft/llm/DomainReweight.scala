@@ -21,10 +21,14 @@ import org.apache.spark.sql.types._
  * multiplier 1 + η·excess, clamped at 0.01×, which is exp's first-order
  * form and keeps the recurrence in integers; documented trade):
  *
- *   rel_i    = ⌊10⁶·(s_i·N − S·n_i) / (S·n_i)⌋          (floor, BigInt)
- *   mult_i   = max(10⁴, 10⁶ + ⌊ηbp·rel_i / 10⁴⌋)
- *   per round: u_i = w_i·mult_i;  w_i ← ⌊10⁶·u_i / Σu⌋   (renormalize)
- *   final_i  = ⌊(10⁴−αbp)·w_i / 10⁴⌋ + ⌊αbp·10⁶ / (10⁴·k)⌋
+ *   rel_i    = trunc(10⁶·(s_i·N − S·n_i) / (S·n_i))      (TRUNCATING div
+ *                toward zero — BigInt `/`, = Spark `div` = DuckDB `//`;
+ *                NOT floor: rel_i can be negative, and ⌊−7/2⌋ = −4 while
+ *                trunc(−7/2) = −3 — see fdiv below)
+ *   mult_i   = max(10⁴, 10⁶ + trunc(ηbp·rel_i / 10⁴))
+ *   per round: u_i = w_i·mult_i;  w_i ← trunc(10⁶·u_i / Σu)  (renormalize;
+ *                u, Σu ≥ 0 so trunc = floor here)
+ *   final_i  = trunc((10⁴−αbp)·w_i / 10⁴) + trunc(αbp·10⁶ / (10⁴·k))
  *
  * Scale shape: ONE corpus aggregation to per-domain (n, Σv) — the only
  * data-sized job; the recurrence runs driver-side over the DOMAIN table

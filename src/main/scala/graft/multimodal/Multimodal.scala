@@ -369,14 +369,24 @@ object Multimodal extends MediaFixtures {
    * Input: [[videoFrameDHash]] output. Output: (id1, id2, matched, n1,
    * n2) with id1 < id2.
    */
+  /** (media_id, frame_idx) packed into one long, GUARDED: a frame_idx
+    * outside [0, maxFrames) would silently corrupt pair identity (frame
+    * maxFrames of video v aliases frame 0 of video v+1) — fail fast with
+    * a readable error instead. The guard rides the packing expression
+    * itself, so column pruning can never drop it. */
+  private def packedFid(maxFrames: Int) =
+    col("media_id") * maxFrames +
+      when(col("frame_idx").between(0, maxFrames - 1), col("frame_idx"))
+        .otherwise(raise_error(concat(
+          lit(s"video/audio shift dedup: frame_idx out of [0, $maxFrames): "),
+          col("frame_idx").cast("string"))))
+
   def videoNearDupPairs(frames: DataFrame, maxHamming: Int = 3,
                         blocks: Int = 4, maxBucketSize: Int = 4000,
                         matchNum: Int = 2, matchDen: Int = 3,
                         maxFrames: Int = 4096): DataFrame = {
     import graft.llm.Dedup
-    val keyed = frames.select(
-      (col("media_id") * maxFrames + col("frame_idx")).as("fid"),
-      col("fdhash"))
+    val keyed = frames.select(packedFid(maxFrames).as("fid"), col("fdhash"))
     val fp = Dedup.fingerprintNearDups(keyed, "fid", "fdhash",
       maxHamming, blocks, maxBucketSize)
     val aligned = fp
@@ -423,9 +433,7 @@ object Multimodal extends MediaFixtures {
                                matchNum: Int = 2, matchDen: Int = 3,
                                maxFrames: Int = 4096): DataFrame = {
     import graft.llm.Dedup
-    val keyed = frames.select(
-      (col("media_id") * maxFrames + col("frame_idx")).as("fid"),
-      col("fdhash"))
+    val keyed = frames.select(packedFid(maxFrames).as("fid"), col("fdhash"))
     val fp = Dedup.fingerprintNearDups(keyed, "fid", "fdhash",
       maxHamming, blocks, maxBucketSize)
     // fid packs (media, frame) order-preservingly, so id1 < id2 at the

@@ -303,7 +303,8 @@ object MediaOracles {
    * longer-video bar flips compared rows.
    */
   def videoShiftPairsSql(maxShift: Int = 2, maxHamming: Int = 3,
-                         matchNum: Int = 2, matchDen: Int = 3): String = {
+                         matchNum: Int = 2, matchDen: Int = 3,
+                         maxBucketSize: Int = 4000): String = {
     val bitTerms = dhashBitTerms("kid")
     s"""WITH ids AS (
        |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents
@@ -342,11 +343,14 @@ object MediaOracles {
        |            CAST((uh // 4294967296) % 65536 AS BIGINT),
        |            CAST((uh // 281474976710656) % 65536 AS BIGINT)]) AS slice
        |  FROM hb),
+       |slc AS (
+       |  SELECT *, count(*) OVER (PARTITION BY blk, slice) AS bsz FROM sl),
        |cand AS (
        |  SELECT DISTINCT a.media_id AS v1, b.media_id AS v2,
        |    a.fi AS f1, b.fi AS f2, a.dh AS d1, b.dh AS d2
-       |  FROM sl a JOIN sl b ON a.blk = b.blk AND a.slice = b.slice
-       |    AND a.media_id < b.media_id),
+       |  FROM slc a JOIN slc b ON a.blk = b.blk AND a.slice = b.slice
+       |    AND a.media_id < b.media_id
+       |  WHERE a.bsz <= $maxBucketSize),
        |mp AS (
        |  SELECT v1, v2, f2 - f1 AS shift, CAST(count(*) AS BIGINT) AS matched
        |  FROM cand
@@ -379,7 +383,8 @@ object MediaOracles {
    * mis-based segment window, or a broken hop re-index flips rows.
    */
   def audioShiftPairsSql(maxShift: Int = 2, maxHamming: Int = 3,
-                         matchNum: Int = 2, matchDen: Int = 3): String = {
+                         matchNum: Int = 2, matchDen: Int = 3,
+                         maxBucketSize: Int = 4000): String = {
     val pows = (0 until 64).map(f => s"CAST('${BigInt(1) << f}' AS HUGEINT)").mkString(", ")
     s"""WITH ids AS (
        |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents
@@ -426,11 +431,14 @@ object MediaOracles {
        |            CAST((uh // 4294967296) % 65536 AS BIGINT),
        |            CAST((uh // 281474976710656) % 65536 AS BIGINT)]) AS slice
        |  FROM hb),
+       |slc AS (
+       |  SELECT *, count(*) OVER (PARTITION BY blk, slice) AS bsz FROM sl),
        |cand AS (
        |  SELECT DISTINCT a.media_id AS v1, b.media_id AS v2,
        |    a.fi AS f1, b.fi AS f2, a.dh AS d1, b.dh AS d2
-       |  FROM sl a JOIN sl b ON a.blk = b.blk AND a.slice = b.slice
-       |    AND a.media_id < b.media_id),
+       |  FROM slc a JOIN slc b ON a.blk = b.blk AND a.slice = b.slice
+       |    AND a.media_id < b.media_id
+       |  WHERE a.bsz <= $maxBucketSize),
        |mp AS (
        |  SELECT v1, v2, f2 - f1 AS shift, CAST(count(*) AS BIGINT) AS matched
        |  FROM cand
