@@ -73,10 +73,10 @@ object Registry {
     ProjectionQueries.all ++ JoinQueries.all ++ AggQueries.all ++
       WindowSortSetQueries.all ++ ScalarFnQueries.all ++
       DedupQueries.all ++ AnnQueries.all ++ MediaQueries.all ++
-      TokenizerQueries.all ++ TextQueries.all ++
+      TokenizerQueries.all ++ TextQueries.all ++ TextRetrievalQueries.all ++
       CurationQueries.all ++ TextEvalQueries.all ++ PostTrainQueries.all ++
       IoQueries.all ++ CompositeQueries.all ++
-      ClinicalQueries.all ++ ApiQueries.all ++ StreamingQueries.all ++
+      ClinicalQueries.all ++ WarehouseQueries.all ++ ApiQueries.all ++ StreamingQueries.all ++
       PipelineQueries.all ++ ScaleQueries.all ++
       StatQueries.all ++ RobustStatQueries.all
 

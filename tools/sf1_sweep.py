@@ -7,14 +7,21 @@ subprocess with a wall timeout; timeouts are recorded as
 oracle_timeout (NOT failures — those rows are hash-verified at sf0.1
 and their sf1 RESULTS were produced without error by graft.Verify).
 
-Usage: sf1_sweep.py <sfDir> <outDir> <artifact.json> [timeout_sec]
+Usage: sf1_sweep.py <sfDir> <outDir> <artifact.json> [timeout_sec] [onlyCsv]
+
+`onlyCsv` (round 13) restricts the sweep to the named queries — for
+partial-registry dumps like the sf3 heavies, where oracle_sql.json still
+carries every oracle but only the named outputs exist.
 """
 import json, subprocess, sys, time
 
 sf_dir, out_dir, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
 timeout = int(sys.argv[4]) if len(sys.argv) > 4 else 240
+only = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+if only is not None:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 report, ok, fail, timed_out = {}, [], [], []
 t0 = time.time()
 for name in sorted(oracle):
