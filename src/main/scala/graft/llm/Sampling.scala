@@ -423,20 +423,43 @@ object Sampling {
    * across engines/retries, and a re-crawl that appends rows only
    * DISPLACES hash-later rows rather than shifting everyone's rank.
    *
-   * Scale shape: one exchange on the group column + per-group sort (the
-   * [[epochShuffle]] profile). Groups at or under the cap pass through
-   * unchanged. Output: (key, group, pos) with pos 1..maxPerGroup.
+   * Scale shape (round 13 — the r12 plan row_numbered the WHOLE corpus on
+   * |group| tasks, a 3-source key serializing the sort): hash-bucket
+   * PRE-SELECTION, the range-partitioned-selection pattern on the
+   * uniform 60-bit hash. Rows bucket by their hash prefix (monotone in
+   * h, so bucket-major order IS hash order); one parallel hash-agg
+   * counts each (group, bucket); a cumulative window over ≤ nBuckets
+   * rows per group finds the buckets intersecting the first
+   * `maxPerGroup` ranks (prev < cap); only rows in THOSE buckets — at
+   * most cap + one bucket's worth per group, never the corpus — join
+   * back (broadcast: the kept-bucket list is ~⌈cap·nBuckets/n⌉ rows per
+   * group) and take the final exact row_number. Identical output: same
+   * (hash, key) order, same cap. Groups at or under the cap pass
+   * through unchanged. Output: (key, group, pos) with pos
+   * 1..maxPerGroup.
    */
   def capPerGroup(df: DataFrame, keyCol: String, groupCol: String,
-                  maxPerGroup: Int, seed: String = "c1"): DataFrame = {
+                  maxPerGroup: Int, seed: String = "c1",
+                  nBuckets: Int = 4096): DataFrame = {
     require(maxPerGroup > 0, "maxPerGroup must be positive")
+    require(nBuckets > 0, "nBuckets must be positive")
     require(!seed.contains(SeedSep), "seed must not contain the unit separator")
     requireStableKeyType(df, keyCol)
     import org.apache.spark.sql.expressions.Window
     val h = TextOps.portableHash60(
       concat(lit(seed + SeedSep), col(keyCol).cast("string")))
+    val width = math.max(1L, (1L << 60) / nBuckets)
+    val bucketed = df.select(col(keyCol), col(groupCol), h.as("_h"))
+      .withColumn("_b", expr(s"_h div $width"))
+    val cumW = Window.partitionBy(col(groupCol)).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keptBuckets = bucketed.groupBy(col(groupCol), col("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_prev", sum("_c").over(cumW) - col("_c"))
+      .filter(col("_prev") < maxPerGroup)
+      .select(col(groupCol), col("_b"))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("_h"), col(keyCol))
-    df.select(col(keyCol), col(groupCol), h.as("_h"))
+    bucketed.join(broadcast(keptBuckets), Seq(groupCol, "_b"))
       .withColumn("pos", row_number().over(w).cast("long"))
       .filter(col("pos") <= maxPerGroup)
       .select(col(keyCol), col(groupCol), col("pos"))
