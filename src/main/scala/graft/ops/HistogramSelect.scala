@@ -99,10 +99,13 @@ object HistogramSelect {
         // h and ⌊h⌋ are group constants; carry the fraction through the agg
         max(h - floor(h)).as(s"_f_$name"))
     }
+    // Spark's Percentile interpolates two-sided: (higher−pos)·lo +
+    // (pos−lower)·hi — NOT lo + f·(hi−lo), which differs by an ULP
+    // (caught by RangeSelectSpec; the same arithmetic is used here so
+    // "bit-identical to percentile()" holds literally)
     val sel = ps.map { case (name, _) =>
-      (col(s"_lo_$name").cast("double") +
-        col(s"_f_$name") * (col(s"_hi_$name").cast("double") -
-          col(s"_lo_$name").cast("double"))).as(name)
+      ((lit(1.0) - col(s"_f_$name")) * col(s"_lo_$name").cast("double") +
+        col(s"_f_$name") * col(s"_hi_$name").cast("double")).as(name)
     }
     val allAggs = aggs ++ extra.map { case (name, c) => c.as(name) }
     val extraNames = extra.map { case (name, _) => col(name) }

@@ -55,6 +55,26 @@ object StatQueries {
              |  round(quantile_cont(abs(l.l_extendedprice - m.med), 0.5), 4) AS mad
              |FROM lineitem l JOIN m USING (l_returnflag) GROUP BY 1""".stripMargin)),
 
+    // a42 — range-partitioned EXACT percentiles (ops/RangeSelect): the
+    // unbounded-domain complement to a14's histogram selection — the
+    // approx_percentile sketch only ROUTES rows to ranges, the final
+    // interpolated selection inside the located range is exact and
+    // bit-identical to percentile()'s arithmetic; no task ever holds
+    // more than ~n/nRanges rows per group
+    "a42_percentiles_rangepart" -> Q(
+      (s, dir) => graft.ops.RangeSelect.exactPercentilesByGroup(
+          td(s, dir, "lineitem"), "l_returnflag", col("l_extendedprice"),
+          Seq(("p25", 0.25), ("p50", 0.5), ("p95", 0.95)))
+        .select(col("l_returnflag"),
+          round(col("p25"), 4).as("p25"),
+          round(col("p50"), 4).as("p50"),
+          round(col("p95"), 4).as("p95")),
+      Some("""SELECT l_returnflag,
+             |round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
     // approx-percentile sketch (Greenwald-Khanna): like a15, the sketch
     // value itself is engine-specific, so the OUTPUT is the property the
     // sketch guarantees — the estimate brackets the exact percentile
