@@ -170,5 +170,35 @@ object PostTrainQueries {
              |SELECT doc_id, n_chars, u_int // n_chars AS priority
              |FROM t ORDER BY priority, doc_id LIMIT 100""".stripMargin)),
 
+    // l126 — Bradley-Terry preference aggregation (Bradley & Terry 1952,
+    // Hunter 2004 MM): pairwise "which response won" counts → per-item
+    // strength weights, the RLHF reward-data primitive. Fixture: for
+    // each user, the event type whose FIRST event is earlier beats the
+    // later one (deterministic; ties dropped) — a preference stream over
+    // 5 "policies". One corpus agg to the count matrix; the exact
+    // integer MM recurrence runs driver-side over the bounded item
+    // table (the l125 DoReMi shape); the oracle unrolls the rounds as
+    // chained CTEs in HUGEINT floor arithmetic
+    "l126_bradley_terry" -> Q(
+      (s, dir) => {
+        val ft = tdEventsUs(s, dir)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(min(col("ts_us")).as("t0"))
+        val a = ft.select(col("user_id").as("ua"), col("event_type").as("i"),
+          col("t0").as("ta"))
+        val b = ft.select(col("user_id").as("ub"), col("event_type").as("j"),
+          col("t0").as("tb"))
+        val prefs = a.join(b, col("ua") === col("ub") && col("i") < col("j"))
+          .filter(col("ta") =!= col("tb"))
+          .select(
+            when(col("ta") < col("tb"), col("i")).otherwise(col("j")).as("winner"),
+            when(col("ta") < col("tb"), col("j")).otherwise(col("i")).as("loser"))
+          .groupBy("winner", "loser").agg(count(lit(1)).as("n"))
+        graft.llm.PreferenceRank.bradleyTerry(prefs, "winner", "loser", "n",
+          rounds = 6)
+      },
+      Some(PostTrainOracles.bradleyTerrySql(rounds = 6)),
+      eager = true),
+
   )
 }
