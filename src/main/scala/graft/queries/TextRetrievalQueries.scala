@@ -17,6 +17,33 @@ object TextRetrievalQueries {
 
   val all: Seq[(String, Q)] = Seq(
 
+    // l127 — cross-document n-gram diversity per source (llm/Diversity):
+    // type-token ratio + singleton fraction over 3-grams — the Gopher
+    // repetition signal lifted from document scope to SOURCE scope (a
+    // templating crawl collapses ttr between snapshots). Counting key is
+    // the portable 60-bit md5 hash of the gram (8-byte shuffle key,
+    // engine-identical collisions); one exploded hash-agg, no windows
+    "l127_ngram_diversity" -> Q(
+      (s, dir) => graft.llm.Diversity.ngramDiversity(
+        td(s, dir, "documents"), "source", "text", n = 3),
+      Some("""WITH toks AS (SELECT source,
+             |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             |  FROM documents
+             |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+             |gr AS (SELECT source,
+             |    unnest(list_transform(range(1, len(t)-1),
+             |      i -> array_to_string(t[i:i+2], ' '))) AS g
+             |  FROM toks),
+             |h AS (SELECT source,
+             |    CAST(('0x'||substr(md5(g),1,15)) AS BIGINT) AS hg FROM gr),
+             |c AS (SELECT source, hg, count(*) AS c FROM h GROUP BY 1, 2)
+             |SELECT source AS grp, CAST(sum(c) AS BIGINT) AS total_ngrams,
+             |  CAST(count(*) AS BIGINT) AS distinct_ngrams,
+             |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS singleton_ngrams,
+             |  CAST((1000000 * count(*)) // sum(c) AS BIGINT) AS ttr_micro
+             |FROM c GROUP BY 1""".stripMargin)),
+
     // inverted index: per-token df / total tf / first-20 doc:tf postings,
     // hapax pruned at df >= 5; postings capped by a bounded window rank,
     // never an unbounded collect_list
