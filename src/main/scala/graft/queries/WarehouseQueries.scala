@@ -16,6 +16,55 @@ object WarehouseQueries {
 
   val all: Seq[(String, Q)] = Seq(
 
+    // c31 — row-level security audit (publish/RowPolicy): the row-wise
+    // complement to c30's column masking — per ROLE, visible rows /
+    // sensitive mass / distinct entities, ALL roles in one scan (one
+    // conditional aggregate per role, the c24 gate shape). applyPolicy
+    // itself is a plain filter, so pushdown/pruning stay intact
+    "c31_row_policy_audit" -> Q(
+      (s, dir) => {
+        import graft.publish.RowPolicy._
+        policyAudit(
+          td(s, dir, "customer").withColumn("bal_cents",
+            round(col("c_acctbal") * 100).cast("long")),
+          Seq(
+            Policy("emea_analyst", col("c_nationkey").isin(1, 2, 3)),
+            Policy("auto_sales", col("c_mktsegment") === "AUTOMOBILE"),
+            Policy("high_value", col("bal_cents") >= 500000L),
+            Policy("admin", lit(true))),
+          measureCol = col("bal_cents"), entityCol = col("c_nationkey"))
+      },
+      Some("""WITH c AS (SELECT *, CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+             |  FROM customer),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+             |v AS (
+             |  SELECT 'emea_analyst' AS role,
+             |    CAST(sum(CASE WHEN c_nationkey IN (1,2,3) THEN 1 ELSE 0 END) AS BIGINT) AS vr,
+             |    CAST(sum(CASE WHEN c_nationkey IN (1,2,3) THEN bal_cents ELSE 0 END) AS BIGINT) AS ms,
+             |    CAST(count(DISTINCT CASE WHEN c_nationkey IN (1,2,3) THEN c_nationkey END) AS BIGINT) AS ne
+             |  FROM c
+             |  UNION ALL
+             |  SELECT 'auto_sales',
+             |    CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN bal_cents ELSE 0 END) AS BIGINT),
+             |    CAST(count(DISTINCT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_nationkey END) AS BIGINT)
+             |  FROM c
+             |  UNION ALL
+             |  SELECT 'high_value',
+             |    CAST(sum(CASE WHEN bal_cents >= 500000 THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN bal_cents >= 500000 THEN bal_cents ELSE 0 END) AS BIGINT),
+             |    CAST(count(DISTINCT CASE WHEN bal_cents >= 500000 THEN c_nationkey END) AS BIGINT)
+             |  FROM c
+             |  UNION ALL
+             |  SELECT 'admin', CAST(count(*) AS BIGINT),
+             |    CAST(sum(bal_cents) AS BIGINT),
+             |    CAST(count(DISTINCT c_nationkey) AS BIGINT)
+             |  FROM c)
+             |SELECT role, vr AS visible_rows, t.n AS total_rows,
+             |  CAST((10000 * vr) // t.n AS BIGINT) AS visible_bp,
+             |  ms AS measure_sum, ne AS n_entities
+             |FROM v, t""".stripMargin)),
+
     // C19 — SCD2 dimension maintenance (Kimball type-2 MERGE-with-history):
     //   history = customer dimension at valid_from=0; the update batch
     //   mixes changed attributes (%5: segment renamed → close + reopen),
