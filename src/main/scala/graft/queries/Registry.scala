@@ -75,7 +75,7 @@ object Registry {
       DedupQueries.all ++ AnnQueries.all ++ MediaQueries.all ++
       TokenizerQueries.all ++ TextQueries.all ++ TextRetrievalQueries.all ++
       CurationQueries.all ++ TextEvalQueries.all ++ PostTrainQueries.all ++
-      IoQueries.all ++ CompositeQueries.all ++
+      IoQueries.all ++ LakeQueries.all ++ CompositeQueries.all ++
       ClinicalQueries.all ++ WarehouseQueries.all ++ ApiQueries.all ++ StreamingQueries.all ++
       PipelineQueries.all ++ ScaleQueries.all ++
       StatQueries.all ++ RobustStatQueries.all
