@@ -37,6 +37,19 @@ object SqlSurfaceMacros {
         .select(left.columns.map(col).toSeq :+
           col(s"__asof.$payload").as(payload): _*))
     }
+    tvf(ext)("graft_asof_join_forward",
+      "graft_asof_join_forward(left, right, leftKey, rightKey, leftTime, rightTime, payloadCol)",
+      7 to 7) { args =>
+      val fn = "graft_asof_join_forward"
+      val left = tableArg(fn, args(0), "left")
+      val right = tableArg(fn, args(1), "right")
+      val Seq(lk, rk, lt, rt, payload) = (2 to 6).map(i =>
+        strArg(fn, args(i), s"column argument ${i - 1}"))
+      plan(graft.ops.AsOf.asofForward(left, right,
+          col(lk), col(rk), col(lt), col(rt), Seq(payload -> col(payload)))
+        .select(left.columns.map(col).toSeq :+
+          col(s"__asof.$payload").as(payload): _*))
+    }
     tvf(ext)("graft_nearest_event",
       "graft_nearest_event(left, right, leftKey, rightKey, leftTime, rightTime, payloadCol)",
       7 to 7) { args =>
@@ -178,6 +191,40 @@ object SqlSurfaceMacros {
         strArg(fn, args(1), "keyCol"), strArg(fn, args(2), "timeCol"),
         strArg(fn, args(3), "valCol"),
         period = longArg(fn, args(4), "period").toInt))
+    }
+
+    // ---- round-13 additions: preference rank, diversity, range select ----
+    tvf(ext)("graft_bradley_terry",
+      "graft_bradley_terry(table, winnerCol, loserCol, nCol, rounds)",
+      5 to 5) { args =>
+      val fn = "graft_bradley_terry"
+      plan(graft.llm.PreferenceRank.bradleyTerry(tableArg(fn, args(0), "table"),
+        strArg(fn, args(1), "winnerCol"), strArg(fn, args(2), "loserCol"),
+        strArg(fn, args(3), "nCol"),
+        rounds = longArg(fn, args(4), "rounds").toInt))
+    }
+    tvf(ext)("graft_ngram_diversity",
+      "graft_ngram_diversity(table, groupCol, textCol, n)", 4 to 4) { args =>
+      val fn = "graft_ngram_diversity"
+      plan(graft.llm.Diversity.ngramDiversity(tableArg(fn, args(0), "table"),
+        strArg(fn, args(1), "groupCol"), strArg(fn, args(2), "textCol"),
+        n = longArg(fn, args(3), "n").toInt))
+    }
+    tvf(ext)("graft_percentiles_rangepart",
+      "graft_percentiles_rangepart(table, groupCol, valCol, spec 'name:p,...', nRanges)",
+      5 to 5) { args =>
+      val fn = "graft_percentiles_rangepart"
+      val ps = strArg(fn, args(3), "spec").split(',').map(_.trim).map { s =>
+        s.split(':') match {
+          case Array(name, p) => (name, p.toDouble)
+          case _ => throw new IllegalArgumentException(
+            s"$fn: spec entries are 'name:p' (e.g. 'p50:0.5'), got '$s'")
+        }
+      }.toSeq
+      plan(graft.ops.RangeSelect.exactPercentilesByGroup(
+        tableArg(fn, args(0), "table"), strArg(fn, args(1), "groupCol"),
+        col(strArg(fn, args(2), "valCol")), ps,
+        nRanges = longArg(fn, args(4), "nRanges").toInt))
     }
 
     // ---- expectation gate (c24 plan) -------------------------------------

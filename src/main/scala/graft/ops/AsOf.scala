@@ -53,6 +53,25 @@ object AsOf {
   }
 
   /**
+   * FORWARD as-of join: each left row picks the EARLIEST right row with
+   * right-time ≥ left-time per key — the "next scheduled event /
+   * next price tick" direction. Implemented by TIME NEGATION over
+   * [[asofBackward]] (order-reversal maps ≥-earliest onto ≤-latest
+   * exactly, ties included), so the plan — one tagged union, one key
+   * shuffle, one running carry — is the proven backward one; the only
+   * new requirement is that the time columns are NUMERIC (negatable).
+   *
+   * Output: left columns + `__asof` (payload struct, null when no
+   * following row exists).
+   */
+  def asofForward(left: DataFrame, right: DataFrame,
+                  leftKey: Column, rightKey: Column,
+                  leftTime: Column, rightTime: Column,
+                  rightPayload: Seq[(String, Column)]): DataFrame =
+    asofBackward(left, right, leftKey, rightKey,
+      lit(0) - leftTime, lit(0) - rightTime, rightPayload)
+
+  /**
    * Nearest-event join — the BIDIRECTIONAL as-of (sensor alignment /
    * log-correlation shape): for every left row, attach the right row with
    * the smallest |right-time − left-time| within the same key, either

@@ -96,6 +96,28 @@ object ScaleQueries {
              |SELECT o.o_orderkey, e.ev AS last_event_id
              |FROM o ASOF LEFT JOIN e ON o.k = e.k AND e.t <= o.t""".stripMargin)),
 
+    // j26 — FORWARD as-of join (AsOf.asofForward): each order picks the
+    // NEXT event at-or-after its time per key — the "next scheduled
+    // event" direction, implemented by time negation over the proven
+    // backward plan (one tagged union, one key shuffle, one carry)
+    "j26_asof_forward" -> Q(
+      (s, dir) => {
+        val o = td(s, dir, "orders").select(col("o_orderkey"),
+          (col("o_custkey") % 20).as("k"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+        val e = Registry.tdEventsUs(s, dir)
+          .select((col("user_id") % 20).as("k"), col("ts_us").as("t"), col("event_id"))
+          .groupBy("k", "t").agg(max(col("event_id")).as("ev"))
+        graft.ops.AsOf.asofForward(o, e,
+            col("k"), col("k"), col("t"), col("t"), Seq("ev" -> col("ev")))
+          .select(col("o_orderkey"), col("__asof.ev").as("next_event_id"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey % 20 AS k, epoch_us(o_orderdate) AS t FROM orders),
+             |e AS (SELECT user_id % 20 AS k, epoch_us(ts) AS t, max(event_id) AS ev
+             |  FROM events GROUP BY 1, 2)
+             |SELECT o.o_orderkey, e.ev AS next_event_id
+             |FROM o ASOF LEFT JOIN e ON o.k = e.k AND e.t >= o.t""".stripMargin)),
+
     // J15 — binned range join: events falling inside derived order windows;
     //   oracle keeps the plain range predicate as ground truth
     "j15_range_join" -> Q(

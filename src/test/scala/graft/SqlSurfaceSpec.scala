@@ -164,6 +164,18 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
           |FROM events_us GROUP BY 1, 2""".stripMargin))
   }
 
+  test("j26_asof_forward via graft_asof_join_forward") {
+    check("j26_asof_forward",
+      """SELECT o_orderkey, ev AS next_event_id
+        |FROM graft_asof_join_forward('sql_j14_o', 'sql_j14_e', 'k', 'k', 't', 't', 'ev')""".stripMargin,
+      Seq("""CREATE OR REPLACE TEMP VIEW sql_j14_o AS
+            |SELECT o_orderkey, o_custkey % 20 AS k,
+            |  unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS t FROM orders""".stripMargin,
+        """CREATE OR REPLACE TEMP VIEW sql_j14_e AS
+          |SELECT user_id % 20 AS k, ts_us AS t, max(event_id) AS ev
+          |FROM events_us GROUP BY 1, 2""".stripMargin))
+  }
+
   test("j18_nearest_event via graft_nearest_event") {
     check("j18_nearest_event",
       """SELECT click_id, user_id, view_id, dt AS dt_us
@@ -295,6 +307,34 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
             |  ELSE o_orderstatus END AS o_orderstatus FROM orders""".stripMargin,
         """CREATE OR REPLACE TEMP VIEW sql_u4_neu AS
           |SELECT o_orderkey, o_orderstatus FROM orders""".stripMargin))
+  }
+
+  test("l126_bradley_terry via graft_bradley_terry") {
+    check("l126_bradley_terry",
+      "SELECT * FROM graft_bradley_terry('sql_l126', 'winner', 'loser', 'n', 6)",
+      Seq("""CREATE OR REPLACE TEMP VIEW sql_l126 AS
+            |WITH ft AS (SELECT user_id, event_type, min(ts_us) AS t0
+            |  FROM events_us GROUP BY 1, 2)
+            |SELECT
+            |  CASE WHEN a.t0 < b.t0 THEN a.event_type ELSE b.event_type END AS winner,
+            |  CASE WHEN a.t0 < b.t0 THEN b.event_type ELSE a.event_type END AS loser,
+            |  count(*) AS n
+            |FROM ft a JOIN ft b
+            |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+            |WHERE a.t0 <> b.t0 GROUP BY 1, 2""".stripMargin))
+  }
+
+  test("l127_ngram_diversity via graft_ngram_diversity") {
+    check("l127_ngram_diversity",
+      "SELECT * FROM graft_ngram_diversity('documents', 'source', 'text', 3)")
+  }
+
+  test("a42_percentiles_rangepart via graft_percentiles_rangepart") {
+    check("a42_percentiles_rangepart",
+      """SELECT l_returnflag, round(p25, 4) AS p25, round(p50, 4) AS p50,
+        |  round(p95, 4) AS p95
+        |FROM graft_percentiles_rangepart('lineitem', 'l_returnflag',
+        |  'l_extendedprice', 'p25:0.25,p50:0.5,p95:0.95', 32)""".stripMargin)
   }
 
   test("argument errors are readable") {
