@@ -44,4 +44,37 @@ object Diversity {
       .withColumn("ttr_micro",
         expr("(1000000 * distinct_ngrams) div total_ngrams"))
   }
+
+  /**
+   * Duplicate-WEIGHTED sampling (round 13): instead of hard-deleting
+   * exact duplicates (l1) or keeping them all, give every document of a
+   * size-s duplicate cluster weight 1/s and a deterministic 1/s keep
+   * probability — the count-proportional down-weighting used when a
+   * document's duplication FREQUENCY is itself signal (RefinedWeb-style
+   * curation keeps one copy; loss-weighting trainers want the weight).
+   * E[kept per cluster] = 1, and the choice is a pure function of
+   * (seed, doc id) — reproducible across engines and retries.
+   *
+   * Shape: one hash-agg on the 60-bit portable text fingerprint for
+   * cluster sizes, one shuffle join back on the fingerprint (both keyed
+   * on the high-cardinality fingerprint — parallel at any scale), all
+   * arithmetic integer (threshold = ⌊2⁶⁰/s⌋; P(h < t) ≈ 1/s exactly
+   * replayable).
+   *
+   * Output: (id, cluster_size, weight_micro = ⌊10⁶/s⌋, kept).
+   */
+  def dupWeightedSample(df: DataFrame, idCol: String, textCol: String,
+                        seed: String = "d1"): DataFrame = {
+    val sep = "\u001f"
+    require(!seed.contains(sep), "seed must not contain the unit separator")
+    val fp = df.select(col(idCol), TextOps.portableHash60(col(textCol)).as("_fp"))
+    val sizes = fp.groupBy("_fp").agg(count(lit(1)).cast("long").as("cluster_size"))
+    val keepHash = TextOps.portableHash60(
+      concat(lit(seed + sep), col(idCol).cast("string")))
+    fp.join(sizes, Seq("_fp"))
+      .select(col(idCol), col("cluster_size"),
+        expr("1000000L div cluster_size").as("weight_micro"),
+        // integer div (Column./ is DOUBLE division); 2^60 threshold
+        (keepHash < expr("1152921504606846976L div cluster_size")).as("kept"))
+  }
 }

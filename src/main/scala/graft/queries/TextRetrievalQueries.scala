@@ -44,6 +44,31 @@ object TextRetrievalQueries {
              |  CAST((1000000 * count(*)) // sum(c) AS BIGINT) AS ttr_micro
              |FROM c GROUP BY 1""".stripMargin)),
 
+    // l129 — duplicate-WEIGHTED sampling (llm/Diversity): weight 1/s and
+    // a deterministic 1/s keep flag per member of a size-s exact-dup
+    // cluster (count-proportional down-weighting; E[kept per cluster]=1,
+    // reproducible across engines/retries). Cluster key = first-5-word
+    // prefix (the l1 planted-duplicate fixture); one fingerprint
+    // hash-agg + one fingerprint-keyed join, all integer thresholds
+    "l129_dup_weighted_sample" -> Q(
+      (s, dir) => graft.llm.Diversity.dupWeightedSample(
+        td(s, dir, "documents").select(col("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), " ")
+            .as("prefix")),
+        "doc_id", "prefix"),
+      Some("""WITH f AS (SELECT doc_id,
+             |    array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:5], ' ') AS p
+             |  FROM documents),
+             |h AS (SELECT doc_id,
+             |    CAST(('0x'||substr(md5(p),1,15)) AS BIGINT) AS fp FROM f),
+             |s AS (SELECT fp, CAST(count(*) AS BIGINT) AS cluster_size
+             |  FROM h GROUP BY 1)
+             |SELECT doc_id, cluster_size,
+             |  CAST(1000000 // cluster_size AS BIGINT) AS weight_micro,
+             |  CAST(('0x'||substr(md5('d1' || chr(31) || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+             |    < 1152921504606846976 // cluster_size AS kept
+             |FROM h JOIN s USING (fp)""".stripMargin)),
+
     // inverted index: per-token df / total tf / first-20 doc:tf postings,
     // hapax pruned at df >= 5; postings capped by a bounded window rank,
     // never an unbounded collect_list

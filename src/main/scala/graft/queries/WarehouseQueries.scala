@@ -65,6 +65,52 @@ object WarehouseQueries {
              |  ms AS measure_sum, ne AS n_entities
              |FROM v, t""".stripMargin)),
 
+    // c32 — erasure-request CASCADE planner (publish/Erasure): GDPR
+    // right-to-be-forgotten across the FK chain customer → orders →
+    // lineitem (a 2-hop cascade: lineitem never references customer
+    // directly). One key semi/left join per level, per-table
+    // delete/keep counts + a DECIMAL-safe modular checksum of the
+    // deleted keys; the plan is an audit table, applied via anti-joins
+    "c32_erasure_cascade" -> Q(
+      (s, dir) => {
+        import graft.publish.Erasure._
+        val requests = td(s, dir, "customer")
+          .filter(col("c_custkey") % 97 === 0).select("c_custkey")
+        cascadePlan(
+          "customer", td(s, dir, "customer"), col("c_custkey"), requests,
+          Seq(
+            Level("orders", td(s, dir, "orders"),
+              parentRef = col("o_custkey"), ownKey = col("o_orderkey")),
+            Level("lineitem", td(s, dir, "lineitem"),
+              parentRef = col("l_orderkey"),
+              ownKey = col("l_orderkey") * 10 + col("l_linenumber"))))
+      },
+      Some("""WITH req AS (SELECT DISTINCT c_custkey AS k FROM customer
+             |  WHERE c_custkey % 97 = 0),
+             |cu AS (SELECT 'customer' AS table_name,
+             |    CAST(sum(CASE WHEN r.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+             |    CAST(sum(CASE WHEN r.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+             |    CAST(COALESCE(CAST(sum(CASE WHEN r.k IS NOT NULL THEN c_custkey ELSE 0 END) AS HUGEINT), 0)
+             |      % 1000000000000 AS BIGINT) AS del_key_mod
+             |  FROM customer c LEFT JOIN req r ON c.c_custkey = r.k),
+             |okeys AS (SELECT DISTINCT o_orderkey AS k FROM orders
+             |  WHERE o_custkey IN (SELECT k FROM req)),
+             |od AS (SELECT 'orders' AS table_name,
+             |    CAST(sum(CASE WHEN r.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN r.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(COALESCE(CAST(sum(CASE WHEN r.k IS NOT NULL THEN o_orderkey ELSE 0 END) AS HUGEINT), 0)
+             |      % 1000000000000 AS BIGINT)
+             |  FROM orders o LEFT JOIN req r ON o.o_custkey = r.k),
+             |ld AS (SELECT 'lineitem' AS table_name,
+             |    CAST(sum(CASE WHEN ok.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN ok.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(COALESCE(CAST(sum(CASE WHEN ok.k IS NOT NULL
+             |        THEN l_orderkey * 10 + l_linenumber ELSE 0 END) AS HUGEINT), 0)
+             |      % 1000000000000 AS BIGINT)
+             |  FROM lineitem l LEFT JOIN okeys ok ON l.l_orderkey = ok.k)
+             |SELECT * FROM cu UNION ALL SELECT * FROM od
+             |UNION ALL SELECT * FROM ld""".stripMargin)),
+
     // C19 — SCD2 dimension maintenance (Kimball type-2 MERGE-with-history):
     //   history = customer dimension at valid_from=0; the update batch
     //   mixes changed attributes (%5: segment renamed → close + reopen),
