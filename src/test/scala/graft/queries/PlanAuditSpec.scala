@@ -125,6 +125,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // the l115/l16 bounded-collect precedent) — reviewed r11
       "l123_ngram_generate",
       "l125_doremi_weights", // domain recurrence driver-side by design
+      "l126_bradley_terry",  // item-table MM recurrence driver-side (the
+                             // l125 shape) — reviewed r13
+      // s34: two fixture writes + ledger listing happen at construction
+      // (the s21/s32 write-fixture precedent) — reviewed r13
+      "s34_incremental_ingest",
 
       // l5/l6/l7/l8/l13: the xxhash64-family property audits
       // (DedupAudit, round 11) localCheckpoint the scale-path output at
