@@ -24,6 +24,20 @@ if only is not None:
     oracle = {k: v for k, v in oracle.items() if k in only}
 report, ok, fail, timed_out = {}, [], [], []
 t0 = time.time()
+
+
+def dump(partial):
+    """Write the artifact after every query (round 13): a killed sweep
+    leaves a valid partial record instead of nothing."""
+    with open(artifact, "w") as f:
+        json.dump({"sf_dir": sf_dir, "per_query_timeout_sec": timeout,
+                   "partial": partial, "n_done": len(report),
+                   "n_total": len(oracle),
+                   "n_ok": len(ok), "n_fail": len(fail),
+                   "n_oracle_timeout": len(timed_out),
+                   "oracle_timeouts": sorted(timed_out),
+                   "fails": sorted(fail), "queries": report},
+                  f, indent=1, sort_keys=True)
 for name in sorted(oracle):
     per = f"/tmp/sf1_sweep_{name}.json"
     try:
@@ -43,13 +57,8 @@ for name in sorted(oracle):
                         "hash_match": None, "oracle_timeout_sec": timeout}
         timed_out.append(name)
         print(f"TIME {name} (oracle > {timeout}s)", flush=True)
+    dump(partial=True)
 
-with open(artifact, "w") as f:
-    json.dump({"sf_dir": sf_dir, "per_query_timeout_sec": timeout,
-               "n_ok": len(ok), "n_fail": len(fail),
-               "n_oracle_timeout": len(timed_out),
-               "oracle_timeouts": sorted(timed_out),
-               "fails": sorted(fail), "queries": report},
-              f, indent=1, sort_keys=True)
+dump(partial=False)
 print(f"\n{len(ok)} ok, {len(fail)} FAIL, {len(timed_out)} oracle-timeout")
 sys.exit(1 if fail else 0)
