@@ -37,18 +37,19 @@ object Incremental {
    * Rows of every file under `dir` NOT present in `ledger` (a one-column
    * DataFrame of processed path strings), plus the new paths themselves
    * (for the caller's ledger append). Empty delta → an empty DataFrame
-   * with the directory's schema.
+   * with the directory's schema; a directory that is missing or holds
+   * zero parquet files (the first run before any producer wrote) →
+   * an empty zero-column DataFrame, never a schema-inference crash.
    */
   def readNewFiles(spark: SparkSession, dir: String,
                    ledger: DataFrame): (DataFrame, Seq[String]) = {
     import spark.implicits._
     val all = dataFiles(spark, dir)
-    val newPaths =
-      if (all.isEmpty) Seq.empty[String]
-      else all.toDF("path")
-        .join(ledger.select(col(ledger.columns.head).as("path")),
-          Seq("path"), "left_anti")
-        .as[String].collect().toSeq.sorted
+    if (all.isEmpty) return (spark.emptyDataFrame, Seq.empty)
+    val newPaths = all.toDF("path")
+      .join(ledger.select(col(ledger.columns.head).as("path")),
+        Seq("path"), "left_anti")
+      .as[String].collect().toSeq.sorted
     val df =
       if (newPaths.isEmpty) spark.read.parquet(dir).limit(0)
       else spark.read.parquet(newPaths: _*)

@@ -32,8 +32,10 @@ import org.apache.spark.sql.types._
  * (winner, loser) count matrix — the only data-sized job; the
  * recurrence runs driver-side over the ITEM table (bounded by item
  * cardinality: responses-per-prompt, policies, annotators — dozens,
- * the kmeansCentroids / DoReMi trainer-table precedent). Eager by
- * construction. Reference analogy: the per-program aggregate tables
+ * the kmeansCentroids / DoReMi trainer-table precedent), and that bound
+ * is ENFORCED: a pre-aggregate rejects inputs whose distinct winner or
+ * loser count exceeds `maxItems` (and any winner==loser self-pair)
+ * before anything collects. Eager by construction. Reference analogy: the per-program aggregate tables
  * the reference's BQ builds assemble; this one's recurrence just isn't
  * expressible as one SQL statement, so it unrolls like l125.
  *
@@ -46,14 +48,39 @@ object PreferenceRank {
   private val S6 = BigInt(1000000)
 
   def bradleyTerry(counts: DataFrame, winnerCol: String, loserCol: String,
-                   nCol: String, rounds: Int = 6): DataFrame = {
+                   nCol: String, rounds: Int = 6,
+                   maxItems: Int = 4096): DataFrame = {
     require(rounds >= 1 && rounds <= 64, s"rounds must be 1-64, got $rounds")
+    require(maxItems >= 1, s"maxItems must be positive, got $maxItems")
     val spark = counts.sparkSession
-    val rows = counts
+    val base = counts
       .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull)
-      .groupBy(col(winnerCol).cast("string").as("w"),
-        col(loserCol).cast("string").as("l"))
-      .agg(sum(col(nCol).cast("long")).as("n"))
+      .select(col(winnerCol).cast("string").as("w"),
+        col(loserCol).cast("string").as("l"),
+        col(nCol).cast("long").as("n"))
+    // Fail-fast gate, ONE cheap pre-aggregate before anything collects:
+    // (a) winner == loser self-pairs add 2n to c(i,i) and n to both wins
+    // and losses of i, silently skewing every weight — degenerate input
+    // must fail loudly, not diverge from a clean oracle; (b) the count
+    // matrix collects driver-side, bounded by maxItems² aggregated rows —
+    // a caller ranking 10⁶ prompts gets a readable error, not a driver OOM
+    // (the l16/l123 bounded-collect precedent).
+    val pre = base.agg(
+      sum(when(col("w") === col("l"), col("n")).otherwise(0L)).as("self"),
+      countDistinct("w").as("dw"), countDistinct("l").as("dl")).head()
+    require(pre.getLong(0) == 0L,
+      s"bradleyTerry: ${pre.getLong(0)} winner==loser self-comparisons in " +
+        s"'$winnerCol'/'$loserCol' — a self-pair inflates its own wins AND " +
+        "losses; filter these rows upstream")
+    require(pre.getLong(1) <= maxItems && pre.getLong(2) <= maxItems,
+      s"bradleyTerry: ${pre.getLong(1)} distinct winners / ${pre.getLong(2)} " +
+        s"distinct losers exceed maxItems=$maxItems — the count matrix is " +
+        "collected driver-side over the ITEM table (responses-per-prompt, " +
+        "policies, annotators: dozens); raise maxItems only if the matrix " +
+        "genuinely fits the driver")
+    val rows = base
+      .groupBy("w", "l")
+      .agg(sum(col("n")).as("n"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), BigInt(r.getLong(2))))
     require(rows.nonEmpty, "no preference pairs")

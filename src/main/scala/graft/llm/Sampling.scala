@@ -432,8 +432,12 @@ object Sampling {
    * rows per group finds the buckets intersecting the first
    * `maxPerGroup` ranks (prev < cap); only rows in THOSE buckets — at
    * most cap + one bucket's worth per group, never the corpus — join
-   * back (broadcast: the kept-bucket list is ~⌈cap·nBuckets/n⌉ rows per
-   * group) and take the final exact row_number. Identical output: same
+   * back and take the final exact row_number. The kept-bucket list is
+   * ~⌈cap·nBuckets/n⌉ rows PER GROUP, i.e. it grows with |group|
+   * (at least one surviving bucket each), so the join is left to AQE:
+   * broadcast when the list is actually small, shuffle-hash when a
+   * high-cardinality group column would blow the driver. Identical
+   * output: same
    * (hash, key) order, same cap. Groups at or under the cap pass
    * through unchanged. Output: (key, group, pos) with pos
    * 1..maxPerGroup.
@@ -459,7 +463,7 @@ object Sampling {
       .filter(col("_prev") < maxPerGroup)
       .select(col(groupCol), col("_b"))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("_h"), col(keyCol))
-    bucketed.join(broadcast(keptBuckets), Seq(groupCol, "_b"))
+    bucketed.join(keptBuckets, Seq(groupCol, "_b"))
       .withColumn("pos", row_number().over(w).cast("long"))
       .filter(col("pos") <= maxPerGroup)
       .select(col(keyCol), col(groupCol), col("pos"))

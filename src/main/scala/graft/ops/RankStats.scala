@@ -46,9 +46,17 @@ private[ops] trait RankStats { this: Stats.type =>
       .groupBy("key")
       .agg(sum("_c").cast("long").as("n"),
         sum(col("_v") * col("_c")).cast("long").as("total"),
-        // Σi over the value's rank span; c(c+1) is even so `div` is exact
+        // Σi over the value's rank span, formed entirely in DECIMAL(38,0):
+        // c·prev alone reaches n² (wraps LONG above ~3e9-row groups), so
+        // both factors are cast before multiplying; the triangular term
+        // c(c+1)/2 halves the EVEN factor in LONG (safe: c div 2 ≤ c)
+        // and multiplies in decimal — exact, no decimal division.
         sum(col("_v").cast("decimal(38,0)") *
-          expr("_c * _prev + (_c * (_c + 1)) div 2"))
+          expr("""CAST(_c AS DECIMAL(38,0)) * _prev +
+                 |CASE WHEN _c % 2 = 0
+                 |     THEN CAST(_c div 2 AS DECIMAL(38,0)) * (_c + 1)
+                 |     ELSE CAST(_c AS DECIMAL(38,0)) * ((_c + 1) div 2)
+                 |END""".stripMargin))
           .cast("decimal(38,0)").as("ix"))
       .select(col("key"), col("n"), col("total"),
         expr("""CASE WHEN total > 0 THEN

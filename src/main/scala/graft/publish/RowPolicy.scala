@@ -54,7 +54,10 @@ object RowPolicy {
       .select(col("_r.role").as("role"),
         col("_r.v").cast("long").as("visible_rows"),
         col("_n").cast("long").as("total_rows"),
-        expr("(10000 * _r.v) div _n").as("visible_bp"),
+        // guard _n = 0: an empty release candidate audits cleanly
+        // instead of throwing DIVIDE_BY_ZERO under ANSI mode
+        when(col("_n") > 0, expr("(10000 * _r.v) div _n"))
+          .otherwise(lit(0L)).as("visible_bp"),
         col("_r.m").cast("long").as("measure_sum"),
         col("_r.e").cast("long").as("n_entities"))
   }

@@ -38,4 +38,22 @@ class PreferenceRankSpec extends AnyFunSuite with SparkTestBase {
     val split = bt(Seq(("a", "b", 4L), ("a", "b", 2L), ("b", "a", 1L), ("b", "a", 1L)))
     assert(once === split)
   }
+
+  test("winner == loser self-pairs are rejected with a readable error") {
+    val e = intercept[IllegalArgumentException] {
+      bt(Seq(("a", "b", 3L), ("b", "b", 1L)))
+    }
+    assert(e.getMessage.contains("self-comparison"), e.getMessage)
+  }
+
+  test("distinct-item counts above maxItems fail fast before collecting") {
+    val many = (1 to 30).map(i => (s"i$i", s"j$i", 1L)).toDF("w", "l", "n")
+    val e = intercept[IllegalArgumentException] {
+      PreferenceRank.bradleyTerry(many, "w", "l", "n", rounds = 2, maxItems = 10)
+    }
+    assert(e.getMessage.contains("maxItems=10"), e.getMessage)
+    // and the same input passes once the ceiling admits it
+    val ok = PreferenceRank.bradleyTerry(many, "w", "l", "n", rounds = 2, maxItems = 30)
+    assert(ok.count() === 60L)
+  }
 }

@@ -24,6 +24,16 @@ class GovernanceSpec extends AnyFunSuite with SparkTestBase {
     assert(out("admin") === (4L, 4L, 10000L, 60L, 3L))
   }
 
+  test("policyAudit on an empty release candidate: zero rows visible, no ANSI divide-by-zero") {
+    val df = Seq.empty[(Long, String, Long)].toDF("k", "seg", "v")
+    val out = RowPolicy.policyAudit(df,
+        Seq(RowPolicy.Policy("admin", lit(true))), col("v"), col("seg"))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === (0L, 0L, 0L))
+  }
+
   test("policyAudit rejects duplicate roles") {
     val df = Seq((1L, "a")).toDF("k", "seg")
     intercept[IllegalArgumentException] {
