@@ -178,7 +178,11 @@ private[llm] trait AnnPairs { this: Ann.type =>
    * Scale shape: one broadcast (centroids), one shuffle on cell, one
    * left-anti-style join back on id. At 100 TB you raise the centroid
    * count so expected cell occupancy stays under the cap — the same
-   * density knob as IVF.
+   * density knob as IVF. That rule is EXECUTABLE, not prose: pass
+   * `corpusSize` (callers usually know it) and the call fails fast when
+   * cells × maxCellSize < corpus — a model whose total capacity can't
+   * hold the corpus would silently drop nearly every cell whole — or use
+   * [[semanticDedupAuto]], which derives the cell count from the corpus.
    *
    * Output: (id, cell, kept) for EVERY input row — the release-gate form
    * (downstream filters `kept`; auditors count drops per cell).
@@ -186,7 +190,16 @@ private[llm] trait AnnPairs { this: Ann.type =>
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
                     centroids: Seq[Array[Float]], threshold: Double,
                     maxCellSize: Int = 2000,
-                    dropStats: Option[DropStats] = None): DataFrame = {
+                    dropStats: Option[DropStats] = None,
+                    corpusSize: Option[Long] = None): DataFrame = {
+    corpusSize.foreach { n =>
+      require(centroids.size.toLong * maxCellSize >= n,
+        s"semanticDedup: ${centroids.size} cells x maxCellSize=$maxCellSize " +
+          s"= capacity ${centroids.size.toLong * maxCellSize} < corpus $n — " +
+          "over-cap cells are dropped WHOLE, so this model would skip most " +
+          "of the corpus; raise the centroid count (cells ~ corpus / " +
+          "targetCellSize, see semanticDedupAuto) or the cap")
+    }
     val spark = df.sparkSession
     val wd = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
         transform(col(vecCol), _.cast("double")).as("_dv"))
@@ -208,6 +221,40 @@ private[llm] trait AnnPairs { this: Ann.type =>
       .select(col("id2").as("_drop_id")).distinct()
     assigned.join(dropIds, col("id") === col("_drop_id"), "left")
       .select(col("id"), col("cell"), col("_drop_id").isNull.as("kept"))
+  }
+
+  /** Cells needed so EXPECTED occupancy is `targetCellSize`:
+    * ceil(n / target). SemDeDup itself runs ~10⁵ clusters at web scale —
+    * the cell count is a function of the corpus, never a fixed knob. */
+  def deriveCellCount(corpusSize: Long, targetCellSize: Int): Int = {
+    require(corpusSize >= 0 && targetCellSize > 0,
+      s"corpusSize=$corpusSize targetCellSize=$targetCellSize")
+    math.max(1L, (corpusSize + targetCellSize - 1) / targetCellSize)
+      .min(Int.MaxValue.toLong).toInt
+  }
+
+  /**
+   * [[semanticDedup]] with the cell count DERIVED from the corpus instead
+   * of hard-coded: count once, size the model as ceil(n / targetCellSize)
+   * cells, train centroids with the distributed Lloyd trainer
+   * ([[kmeansCentroids]] — at 100 TB train on `df.sample` upstream, the
+   * trainer's documented practice), and run the dedup with the capacity
+   * guard armed. `maxCellSize` defaults to 4× the target, so a cell must
+   * be 4× over-dense before its members are exempted — k-means cells are
+   * uneven, but drop mass stays bounded as the corpus grows because the
+   * cell count grows WITH it (spec'd in SemanticDedupScaleSpec at ×10).
+   */
+  def semanticDedupAuto(df: DataFrame, vecCol: String, idCol: String,
+                        threshold: Double, targetCellSize: Int = 1000,
+                        capFactor: Int = 4, kmeansIters: Int = 3,
+                        dropStats: Option[DropStats] = None): DataFrame = {
+    require(capFactor >= 1, s"capFactor must be >= 1, got $capFactor")
+    val n = df.count()
+    val cells = deriveCellCount(n, targetCellSize)
+    val cents = kmeansCentroids(df, vecCol, idCol, cells, kmeansIters)
+    semanticDedup(df, vecCol, idCol, cents, threshold,
+      maxCellSize = targetCellSize * capFactor, dropStats = dropStats,
+      corpusSize = Some(n))
   }
 
   /**
