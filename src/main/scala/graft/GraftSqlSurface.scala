@@ -35,6 +35,16 @@ object GraftSqlSurface {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Every TVF ever registered through [[tvf]]: name → (usage, arity).
+    * The readable-error fuzz sweep iterates this so new functions are
+    * covered by construction, never by remembering to list them. */
+  private val tvfRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Range)]()
+  def registeredTvfs: Map[String, (String, Range)] = {
+    import scala.jdk.CollectionConverters._
+    tvfRegistry.asScala.toMap
+  }
+
   /** `foldable`/`dataType` throw UnresolvedException on an unresolved
     * argument — the MOST LIKELY SQL mistake is an unquoted identifier as
     * a table/column argument, which must surface as the readable message
@@ -81,7 +91,8 @@ object GraftSqlSurface {
   /** Register one TVF with arity checking (shared with [[SqlSurfaceMacros]]). */
   private[graft] def tvf(ext: SparkSessionExtensions)
                         (name: String, usage: String, arity: Range)
-                        (build: Seq[Expression] => LogicalPlan): Unit =
+                        (build: Seq[Expression] => LogicalPlan): Unit = {
+    tvfRegistry.put(name, (usage, arity))
     ext.injectTableFunction((FunctionIdentifier(name), info(name, usage),
       (children: Seq[Expression]) => {
         require(arity.contains(children.length),
@@ -90,6 +101,7 @@ object GraftSqlSurface {
             s" arguments ($usage), got ${children.length}")
         build(children)
       }))
+  }
 
   /** table + N column-name string args, all positional (shared). */
   private[graft] def tvfColsIn(ext: SparkSessionExtensions)
@@ -174,5 +186,7 @@ object GraftSqlSurface {
 
     // ---- joins / dedup / windows / gates (round 13 breadth) -------------
     SqlSurfaceMacros.install(ext)
+    // ---- composite pipelines (round 14) ----------------------------------
+    SqlSurfaceComposites.install(ext)
   }
 }

@@ -133,9 +133,12 @@ object SqlSurfaceMacros {
     // ---- sessionization / funnel (w3/w8 plans) ---------------------------
     tvf(ext)("graft_sessionize", "graft_sessionize(table, gapMs)", 2 to 2) { args =>
       val fn = "graft_sessionize"
+      // validate the scalar argument BEFORE building the plan: a bad gapMs
+      // must error as gapMs even when the table also lacks event columns
+      val gapMs = longArg(fn, args(1), "gapMs")
       val events = graft.streaming.Streaming.asEvents(tableArg(fn, args(0), "table"))
       plan(graft.streaming.Streaming
-        .sessionizeBatch(events, gapMs = longArg(fn, args(1), "gapMs"))
+        .sessionizeBatch(events, gapMs = gapMs)
         .select(col("user_id"),
           unix_micros(col("session_start")).as("start_us"),
           unix_micros(col("session_end")).as("end_us"),

@@ -6,7 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
  * The SQL front-end gate: each case drives a registered (oracled) query
  * END-TO-END through `spark.sql` alone — temp views + a `graft_*` table
  * function from [[GraftSqlSurface]] — and must reproduce the registered
- * Scala plan's rows exactly. 15 oracled registry rows covered, so a
+ * Scala plan's rows exactly. 45 oracled registry rows covered — including
+ * the composite pipelines (clinical flatten, publish gate, file-metadata
+ * DAG, curation funnel, policy audit, erasure cascade) — so a
  * BigQuery-SQL-shaped user can run the macro library without Scala.
  */
 class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
@@ -335,6 +337,127 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
         |  round(p95, 4) AS p95
         |FROM graft_percentiles_rangepart('lineitem', 'l_returnflag',
         |  'l_extendedprice', 'p25:0.25,p50:0.5,p95:0.95', 32)""".stripMargin)
+  }
+
+  // ---- round-14 composites: the pipelines a SQL-only user runs whole ----
+
+  test("c1_clinical_flatten via graft_clinical_flatten") {
+    check("c1_clinical_flatten",
+      """SELECT * FROM graft_clinical_flatten(
+        |  'case:sql_c1_case:c_custkey; profile:sql_c1_profile:c_custkey:case:prof__:single; orders:sql_c1_orders:o_custkey:case',
+        |  'case')""".stripMargin,
+      Seq(s"""CREATE OR REPLACE TEMP VIEW sql_c1_case AS
+             |SELECT c_custkey, c_name FROM parquet.`$dir/customer.parquet`""".stripMargin,
+        s"""CREATE OR REPLACE TEMP VIEW sql_c1_profile AS
+           |SELECT c_custkey, c_mktsegment, c_acctbal FROM parquet.`$dir/customer.parquet`""".stripMargin,
+        """CREATE OR REPLACE TEMP VIEW sql_c1_orders AS
+          |SELECT o_custkey, o_orderkey FROM orders""".stripMargin))
+  }
+
+  test("c3's diff gate via graft_publish_diff_gate") {
+    prepared
+    // identical tables -> the gate says skip (the r2 publish in c3)
+    val same = spark.sql(
+      "SELECT * FROM graft_publish_diff_gate('orders', 'orders')").collect()
+    assert(same.map(_.toString).toSeq === Seq("[false,0,0]"))
+    // a mutated candidate -> publish, with the one-way diff counts agreeing
+    // with an independent plain-SQL EXCEPT ALL formulation
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sql_c3_cand AS
+                |SELECT o_orderkey, CASE WHEN o_orderkey % 11 = 0 THEN 'MUT'
+                |  ELSE o_orderstatus END AS o_orderstatus FROM orders""".stripMargin)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sql_c3_cur AS
+                |SELECT o_orderkey, o_orderstatus FROM orders""".stripMargin)
+    val gate = spark.sql(
+      "SELECT * FROM graft_publish_diff_gate('sql_c3_cur', 'sql_c3_cand')").collect()(0)
+    val wantOld = spark.sql(
+      """SELECT count(*) FROM (SELECT DISTINCT * FROM sql_c3_cur
+        |EXCEPT SELECT * FROM sql_c3_cand)""".stripMargin).collect()(0).getLong(0)
+    val wantNew = spark.sql(
+      """SELECT count(*) FROM (SELECT DISTINCT * FROM sql_c3_cand
+        |EXCEPT SELECT * FROM sql_c3_cur)""".stripMargin).collect()(0).getLong(0)
+    assert(gate.getBoolean(0) && wantOld > 0)
+    assert(gate.getLong(1) === wantOld && gate.getLong(2) === wantNew)
+  }
+
+  test("c4_diff_qc_report via graft_added_rows/graft_removed_rows/graft_changed_keys") {
+    check("c4_diff_qc_report",
+      """SELECT 'added' AS check, o_orderkey
+        |FROM graft_added_rows('sql_c4_old', 'sql_c4_neu', 'o_orderkey')
+        |UNION ALL SELECT 'removed', o_orderkey
+        |FROM graft_removed_rows('sql_c4_old', 'sql_c4_neu', 'o_orderkey')
+        |UNION ALL SELECT 'changed', o_orderkey
+        |FROM graft_changed_keys('sql_c4_old', 'sql_c4_neu', 'o_orderkey')
+        |UNION ALL SELECT 'dup_key', l_orderkey FROM lineitem
+        |GROUP BY l_orderkey HAVING count(*) >= 6""".stripMargin,
+      Seq("""CREATE OR REPLACE TEMP VIEW sql_c4_old AS
+            |SELECT o_orderkey, CASE WHEN o_orderkey % 11 = 0 THEN 'MUT'
+            |  ELSE o_orderstatus END AS o_orderstatus
+            |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+        """CREATE OR REPLACE TEMP VIEW sql_c4_neu AS
+          |SELECT o_orderkey, o_orderstatus FROM orders""".stripMargin))
+  }
+
+  test("c13_file_metadata_dag via graft_file_metadata_dag") {
+    check("c13_file_metadata_dag",
+      """SELECT o_orderkey, acl_ids, part_ids, n_items
+        |FROM graft_file_metadata_dag('sql_c13_base', 'o_orderkey',
+        |  'lineitem', 'l_orderkey',
+        |  'acl_ids:l_suppkey:acl-:keep:unmapped; part_ids:l_partkey::multi',
+        |  'n_items')""".stripMargin,
+      Seq("CREATE OR REPLACE TEMP VIEW sql_c13_base AS SELECT o_orderkey FROM orders"))
+  }
+
+  test("c10_quant_pipeline via graft_melt_quant") {
+    check("c10_quant_pipeline",
+      """WITH rm AS (SELECT * FROM VALUES ('a0','al0'), ('a1','al1'),
+        |    ('a2','al2'), ('a3','al3') AS t(aliquot_run_metadata_id, aliquot_id)),
+        |  asmp AS (SELECT * FROM VALUES ('al0','sm0'), ('al1','sm1'),
+        |    ('al2','sm0'), ('al3','sm1') AS t(aliquot_id, sample_id)),
+        |  sc AS (SELECT * FROM VALUES ('sm0','case0'), ('sm1','case1')
+        |    AS t(sample_id, case_id))
+        |SELECT m.gene_symbol, m.aliquot_run_metadata_id, m.aliquot_submitter_id,
+        |  rm.aliquot_id, asmp.sample_id, sc.case_id, m.protein_abundance_log2ratio
+        |FROM graft_melt_quant('sql_c10_wide', 'Gene') m
+        |JOIN rm USING (aliquot_run_metadata_id)
+        |JOIN asmp USING (aliquot_id)
+        |JOIN sc USING (sample_id)""".stripMargin,
+      Seq("""CREATE OR REPLACE TEMP VIEW sql_c10_wide AS
+            |SELECT concat('G', l_partkey) AS Gene,
+            |  SUM(CASE WHEN l_suppkey % 4 = 0 THEN CAST(round(l_extendedprice*100) AS BIGINT) END) / 100.0D AS `a0:s0`,
+            |  SUM(CASE WHEN l_suppkey % 4 = 1 THEN CAST(round(l_extendedprice*100) AS BIGINT) END) / 100.0D AS `a1:s1`,
+            |  SUM(CASE WHEN l_suppkey % 4 = 2 THEN CAST(round(l_extendedprice*100) AS BIGINT) END) / 100.0D AS `a2:s2`,
+            |  SUM(CASE WHEN l_suppkey % 4 = 3 THEN CAST(round(l_extendedprice*100) AS BIGINT) END) / 100.0D AS `a3:s3`
+            |FROM lineitem GROUP BY 1""".stripMargin))
+  }
+
+  test("l51_curation_funnel via graft_curation_funnel") {
+    check("l51_curation_funnel",
+      "SELECT * FROM graft_curation_funnel('documents', 'doc_id', 'text', 'source', 50000)")
+  }
+
+  test("l48_source_cap via graft_cap_per_group") {
+    check("l48_source_cap",
+      "SELECT * FROM graft_cap_per_group('documents', 'doc_id', 'source', 15)")
+  }
+
+  test("c31_row_policy_audit via graft_policy_audit") {
+    check("c31_row_policy_audit",
+      """SELECT * FROM graft_policy_audit('sql_c31', 'bal_cents', 'c_nationkey',
+        |  'emea_analyst=c_nationkey IN (1,2,3); auto_sales=c_mktsegment = "AUTOMOBILE"; high_value=bal_cents >= 500000; admin=true')""".stripMargin,
+      Seq(s"""CREATE OR REPLACE TEMP VIEW sql_c31 AS
+             |SELECT *, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+             |FROM parquet.`$dir/customer.parquet`""".stripMargin))
+  }
+
+  test("c32_erasure_cascade via graft_erasure_cascade") {
+    check("c32_erasure_cascade",
+      """SELECT * FROM graft_erasure_cascade('customer', 'c_custkey',
+        |  'sql_c32_req',
+        |  'orders:o_custkey:o_orderkey; lineitem:l_orderkey:l_orderkey*10+l_linenumber')""".stripMargin,
+      Seq(s"""CREATE OR REPLACE TEMP VIEW customer AS
+             |SELECT * FROM parquet.`$dir/customer.parquet`""".stripMargin,
+        """CREATE OR REPLACE TEMP VIEW sql_c32_req AS
+          |SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0""".stripMargin))
   }
 
   test("argument errors are readable") {
