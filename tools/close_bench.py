@@ -21,13 +21,23 @@ committed record:
        - ratio > --max-ratio driven by specific movers -> ACCEPT but list
          the movers loudly (a rerun cannot fix a plan regression; it
          needs investigation, not suppression).
-  4. Write <out>.protocol.json recording every attempt, the gate values,
-     and the accept/reject reasoning.
+  4. SHUFFLE GATE (round 14, verdict ask #5): diff the top-10 shuffle
+     volume (read+write bytes of the 10 heaviest instrumented queries)
+     against the reference artifact. Shuffle bytes are DETERMINISTIC —
+     ambient load never inflates them — so growth > --shuffle-ratio is a
+     plan change, not noise: REJECT the close unless --shuffle-cause
+     names why (the named cause is recorded in the protocol artifact).
+     Wall ratios catch slow; this catches WASTEFUL before it is slow.
+  5. Write <out>.protocol.json recording every attempt, the gate values,
+     and the accept/reject reasoning, plus <out>.shuffle.json (the
+     shuffle_audit.py --json shape) as the tracked round-over-round
+     shuffle record.
 
 Usage:
   close_bench.py <sfDir> <outArtifact> <refArtifact>
       [--reps 3] [--attempts 3] [--load-max 4.0] [--quiet-timeout 1800]
       [--max-ratio 1.1] [--mover-ratio 1.9] [--min-sec 0.3]
+      [--shuffle-ratio 1.5] [--shuffle-cause "reason"]
 """
 import argparse, json, os, statistics, subprocess, sys, time
 
@@ -71,6 +81,35 @@ def compare(cur, ref, min_sec):
     return ratios
 
 
+def shuffle_top10(artifact):
+    """(sum of read+write bytes over the 10 heaviest queries, their names)."""
+    rows = sorted(((n, sum(q.get("shuffle_rw_bytes", [0, 0])))
+                   for n, q in artifact.get("queries", {}).items()
+                   if q.get("shuffle_rw_bytes")), key=lambda r: -r[1])[:10]
+    return sum(r[1] for r in rows), [r[0] for r in rows]
+
+
+def shuffle_verdict(cur, ref, shuffle_ratio, cause):
+    """Deterministic-bytes gate: top-10 shuffle growth is a plan change."""
+    cur_b, cur_top = shuffle_top10(cur)
+    ref_b, _ = shuffle_top10(ref)
+    info = {"top10_bytes": cur_b, "ref_top10_bytes": ref_b, "top10": cur_top}
+    if ref_b <= 0:
+        return "accept", "no reference shuffle record (first close)", info
+    ratio = cur_b / ref_b
+    info["ratio"] = round(ratio, 3)
+    if ratio <= shuffle_ratio:
+        return "accept", f"top-10 shuffle ratio {ratio:.3f} <= {shuffle_ratio}", info
+    if cause:
+        info["named_cause"] = cause
+        return ("accept", f"top-10 shuffle ratio {ratio:.3f} > {shuffle_ratio} "
+                f"ACCEPTED with named cause: {cause}", info)
+    return ("reject", f"top-10 shuffle volume grew {ratio:.2f}x "
+            f"({ref_b/1e9:.2f} -> {cur_b/1e9:.2f} GB) with no named cause — "
+            "shuffle bytes are deterministic, a rerun cannot fix this; name "
+            "the plan change via --shuffle-cause or fix it", info)
+
+
 def verdict(ratios, max_ratio, mover_ratio):
     if not ratios:
         return "accept", "no comparable rows (first close at this SF)", {}
@@ -102,6 +141,8 @@ def main():
     ap.add_argument("--max-ratio", type=float, default=1.1)
     ap.add_argument("--mover-ratio", type=float, default=1.9)
     ap.add_argument("--min-sec", type=float, default=0.3)
+    ap.add_argument("--shuffle-ratio", type=float, default=1.5)
+    ap.add_argument("--shuffle-cause", default=None)
     a = ap.parse_args()
 
     ref = json.load(open(a.ref)) if os.path.exists(a.ref) else {"queries": {}}
@@ -113,17 +154,26 @@ def main():
         cur = run_bench(a.sf_dir, a.out, a.reps)
         ratios = compare(cur, ref, a.min_sec)
         decision, why, movers = verdict(ratios, a.max_ratio, a.mover_ratio)
+        sdecision, swhy, sinfo = shuffle_verdict(cur, ref, a.shuffle_ratio,
+                                                 a.shuffle_cause)
         med = statistics.median(ratios.values()) if ratios else None
         attempts.append({"attempt": attempt, "load_before": load0,
                          "load_after": cur.get("load_avg_end"),
                          "value_sec": cur.get("value"),
                          "n_common": len(ratios), "median_ratio": med,
-                         "movers": movers, "decision": decision, "why": why})
+                         "movers": movers, "decision": decision, "why": why,
+                         "shuffle": dict(sinfo, decision=sdecision, why=swhy)})
         print(f"attempt {attempt}: total {cur.get('value'):.1f}s, "
               f"median ratio {med if med is None else round(med, 3)} -> "
               f"{decision.upper()}: {why}", flush=True)
         if movers:
             print(f"  movers: {movers}", flush=True)
+        print(f"shuffle gate: {sdecision.upper()}: {swhy}", flush=True)
+        if sdecision == "reject":
+            # deterministic bytes — retrying is pointless; fail the close now
+            attempts[-1]["decision"] = "reject"
+            attempts[-1]["why"] += f"; SHUFFLE GATE: {swhy}"
+            break
         if decision == "accept":
             break
     else:
@@ -134,10 +184,14 @@ def main():
         json.dump({"ref": a.ref, "sf_dir": a.sf_dir,
                    "gates": {"load_max": a.load_max, "max_ratio": a.max_ratio,
                              "mover_ratio": a.mover_ratio, "min_sec": a.min_sec,
-                             "reps": a.reps},
+                             "reps": a.reps, "shuffle_ratio": a.shuffle_ratio},
                    "attempts": attempts,
                    "accepted": attempts[-1]["decision"] == "accept"},
                   f, indent=1, sort_keys=True)
+    # tracked round-over-round shuffle record next to the bench artifact
+    subprocess.run([sys.executable, os.path.join(REPO, "tools/shuffle_audit.py"),
+                    a.out, "10", "--json", a.out.replace(".json", "") + ".shuffle.json"],
+                   check=False)
     sys.exit(0 if attempts[-1]["decision"] == "accept" else 1)
 
 

@@ -4,12 +4,24 @@ measured shuffle bytes (the per-rep MAX of read/write recorded by
 graft.tools.ShuffleTelemetry) and flag spill. Feeds the PERF.md 100 TB
 audit with measured bytes instead of plan shapes.
 
-Usage: python3 tools/shuffle_audit.py [bench/BENCH_SF1.json] [topN]
+Round 14: `--json <path>` additionally writes a machine-readable artifact
+(per-query read/write/spill bytes + suite totals + the top-N list), the
+shape close_bench.py diffs round-over-round so top-10 shuffle growth is
+caught BEFORE it is slow enough to move wall-clock ratios.
+
+Usage: python3 tools/shuffle_audit.py [bench/BENCH_SF1.json] [topN] [--json path]
 """
 import json, sys
 
-path = sys.argv[1] if len(sys.argv) > 1 else "bench/BENCH_SF1.json"
-top = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+argv = list(sys.argv[1:])
+json_out = None
+if "--json" in argv:
+    i = argv.index("--json")
+    json_out = argv[i + 1]
+    del argv[i:i + 2]
+
+path = argv[0] if len(argv) > 0 else "bench/BENCH_SF1.json"
+top = int(argv[1]) if len(argv) > 1 else 10
 
 d = json.load(open(path))
 rows = []
@@ -34,3 +46,20 @@ print(f"\nsuite totals: read {tot_r/1e9:.2f} GB, write {tot_w/1e9:.2f} GB, "
       f"{len(rows)} instrumented queries, {len(spillers)} with spill")
 for r in spillers:
     print(f"  SPILL {r[0]}: mem {r[3]/1e6:.1f} MB disk {r[4]/1e6:.1f} MB")
+
+if json_out:
+    art = {
+        "source_bench": path,
+        "sf": d.get("sf"),
+        "totals": {"read_bytes": tot_r, "write_bytes": tot_w,
+                   "n_instrumented": len(rows), "n_spillers": len(spillers)},
+        "top": [{"query": r[0], "read_bytes": r[1], "write_bytes": r[2],
+                 "spill_mem_bytes": r[3], "spill_disk_bytes": r[4],
+                 "sec": r[5]} for r in rows[:top]],
+        "queries": {r[0]: {"read_bytes": r[1], "write_bytes": r[2],
+                           "spill_mem_bytes": r[3], "spill_disk_bytes": r[4]}
+                    for r in rows},
+    }
+    with open(json_out, "w") as f:
+        json.dump(art, f, indent=1, sort_keys=True)
+    print(f"\nwrote {json_out}")
