@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 
 /**
  * Foreign SQL-dump import (SURVEY §repo-map's one scoped-out surface; the
- * reference loads TP53/P53_Database/*.sql SQL Server dumps and
+ * reference loads the TP53/P53_Database .sql SQL Server dumps and
  * Targetome/init-targetome.sql by replaying them through a database): parse
  * `CREATE TABLE` + `INSERT INTO ... VALUES` statements straight into
  * DataFrames, no database needed.
@@ -170,8 +170,9 @@ object SqlDump {
         val tuples = splitTopLevel(values.trim, ',').map(_.trim)
           .filter(_.nonEmpty)
           .map(t => parseTuple(t.stripPrefix("(").stripSuffix(")"), d.schema))
-        rows.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty)
-          ++= tuples
+        val buf = rows.getOrElseUpdate(name,
+          scala.collection.mutable.ArrayBuffer.empty)
+        buf ++= tuples
       case _ => // SET/USE/GO/index DDL — ignored
     }
     defs.map { case (name, d) =>

@@ -130,6 +130,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // s34: two fixture writes + ledger listing happen at construction
       // (the s21/s32 write-fixture precedent) — reviewed r13
       "s34_incremental_ingest",
+      // s35: collects the bounded region table, writes the .sql dump
+      // fixture, and parses it driver-side at construction (the s21/s32
+      // write-fixture + l16 bounded-collect precedents) — reviewed r14
+      "s35_sql_dump_import",
 
       // l5/l6/l7/l8/l13: the xxhash64-family property audits
       // (DedupAudit, round 11) localCheckpoint the scale-path output at
