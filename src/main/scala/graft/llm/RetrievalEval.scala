@@ -58,4 +58,46 @@ object RetrievalEval {
         round(when(col("_first").isNull, lit(0.0))
           .otherwise(lit(1.0) / col("_first")), 6).as("rr"))
   }
+
+  /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009, public):
+   * combine N retrieval rankings — lexical BM25, dense ANN, any mix — by
+   * Σ 1/(kConst + rank), the standard hybrid-search combiner: no score
+   * calibration across systems is needed because only RANKS enter, and
+   * kConst (=60 in the paper) damps the head so one list can't dominate.
+   *
+   * Exactness: each list's contribution is the integer floor quotient
+   * 10⁹ div (kConst + rank) — per-term truncation, so the sum is
+   * accumulation-order-free and any engine replays it bit for bit (the
+   * bradleyTerry/giniByGroup micro-unit rule).
+   *
+   * Scale shape: inputs are top-k LISTS by contract (each ≤ k rows — the
+   * bounded output of bm25TopK / lshTopK / ivfTopK), so every window here
+   * runs over ≤ k·N rows, never the corpus; the expensive retrieval keeps
+   * its own scale shape and fusion adds one tiny hash-agg. Per-list ranks
+   * are recomputed from (score DESC, doc ASC) so result order never
+   * matters.
+   *
+   * Output: (doc_id, rrf_score_nano, n_lists, rrf_rank), top `topK` by
+   * (score desc, doc asc).
+   */
+  def rrfFuse(rankings: Seq[DataFrame], docCol: String, scoreCol: String,
+              kConst: Int = 60, topK: Int = 20): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kConst >= 1 && topK >= 1, s"kConst=$kConst topK=$topK")
+    val perListW = Window.orderBy(col("_s").desc, col("doc_id").asc)
+    val ranked = rankings.map { r =>
+      r.select(col(docCol).as("doc_id"), col(scoreCol).as("_s"))
+        .withColumn("_rnk", row_number().over(perListW).cast("long"))
+        .select(col("doc_id"), col("_rnk"))
+    }.reduce(_ unionByName _)
+    val fusedW = Window.orderBy(col("rrf_score_nano").desc, col("doc_id").asc)
+    ranked
+      .groupBy("doc_id")
+      .agg(sum(expr(s"1000000000 div (${kConst.toLong} + _rnk)")).cast("long")
+          .as("rrf_score_nano"),
+        count(lit(1)).cast("long").as("n_lists"))
+      .withColumn("rrf_rank", row_number().over(fusedW).cast("long"))
+      .filter(col("rrf_rank") <= topK)
+  }
 }

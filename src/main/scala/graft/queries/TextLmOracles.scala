@@ -209,6 +209,32 @@ private[queries] trait TextLmOracles extends TextOracleSqlBase {
   }
 
 
+  /** Exact twin of the l130 registry row: N BM25 lists fused by
+    * reciprocal rank — per-list ranks from (score DESC, doc_id), each
+    * contribution the floor quotient 10⁹ // (kConst + rank) (DuckDB `//`
+    * truncates exactly like Spark `div` on non-negatives). */
+  def rrfFusionSql(termSets: Seq[Seq[String]], listTopK: Int,
+                   kConst: Int, topK: Int): String = {
+    val lists = termSets.zipWithIndex.map { case (ts, i) =>
+      s"""l$i AS (SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM (${bm25TopKSql(ts, listTopK)}))""".stripMargin
+    }.mkString(",\n")
+    val unioned = termSets.indices.map(i => s"SELECT * FROM l$i")
+      .mkString(" UNION ALL ")
+    s"""WITH $lists,
+       |ranked AS ($unioned),
+       |fused AS (SELECT doc_id,
+       |    CAST(sum(1000000000 // ($kConst + rnk)) AS BIGINT) AS rrf_score_nano,
+       |    CAST(count(*) AS BIGINT) AS n_lists
+       |  FROM ranked GROUP BY 1)
+       |SELECT * FROM (
+       |  SELECT doc_id, rrf_score_nano, n_lists,
+       |    CAST(row_number() OVER (ORDER BY rrf_score_nano DESC, doc_id) AS BIGINT) AS rrf_rank
+       |  FROM fused)
+       |WHERE rrf_rank <= $topK""".stripMargin
+  }
+
   /** Exact twin of the l89 registry row: the deterministic doc→domain
     * link synthesis plus [[graft.ops.Graph.pageRankInt]]'s integer
     * iterations unrolled as chained CTEs — floor arithmetic end to end,

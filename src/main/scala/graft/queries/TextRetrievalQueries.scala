@@ -87,6 +87,28 @@ object TextRetrievalQueries {
       Some(TextOracles.bm25TopKSql(
         terms = Seq("join", "vector", "filter", "merge"), topK = 25))),
 
+    // reciprocal-rank fusion (Cormack et al. 2009): three BM25 probe
+    // rankings fused by Σ 10⁹ div (60 + rank) — the hybrid-search combiner
+    // (lexical + dense lists fuse identically: only RANKS enter, so no
+    // cross-system score calibration). Inputs are k-bounded lists, so the
+    // fusion windows never see the corpus
+    "l130_rrf_fusion" -> Q(
+      (s, dir) => {
+        val docs = td(s, dir, "documents")
+        def bm25(terms: Seq[String]) = graft.llm.Index.bm25TopK(
+          docs, "doc_id", "text", terms, topK = 25)
+        graft.llm.RetrievalEval.rrfFuse(
+          Seq(bm25(Seq("join", "vector", "filter", "merge")),
+            bm25(Seq("hash", "sort", "shuffle")),
+            bm25(Seq("stream", "filter", "window"))),
+          "doc_id", "score", kConst = 60, topK = 20)
+      },
+      Some(TextOracles.rrfFusionSql(
+        Seq(Seq("join", "vector", "filter", "merge"),
+          Seq("hash", "sort", "shuffle"),
+          Seq("stream", "filter", "window")),
+        listTopK = 25, kConst = 60, topK = 20))),
+
     // deterministic epoch shuffle: hash-order training permutation +
     // 4-shard assignment as a pure function of (seed, doc_id) — rerunning
     // a crashed epoch reproduces the identical order (orderBy(rand())
