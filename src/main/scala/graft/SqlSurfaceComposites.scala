@@ -177,6 +177,22 @@ object SqlSurfaceComposites {
         tableArg(fn, args(2), "requestsTable"), levels))
     }
 
+    // ---- l130: reciprocal-rank fusion ---------------------------------------
+    // hybrid-search combiner over N top-k ranking tables (CSV of table
+    // names, each (docCol, scoreCol)); ranks only, no score calibration
+    tvf(ext)("graft_rrf_fuse",
+      "graft_rrf_fuse(tablesCsv, docCol, scoreCol, kConst, topK)", 5 to 5) { args =>
+      val fn = "graft_rrf_fuse"
+      val names = strArg(fn, args(0), "tablesCsv").split(',').map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      require(names.nonEmpty, s"$fn: tablesCsv names at least one table")
+      plan(graft.llm.RetrievalEval.rrfFuse(
+        names.map(org.apache.spark.sql.SparkSession.active.table),
+        strArg(fn, args(1), "docCol"), strArg(fn, args(2), "scoreCol"),
+        kConst = longArg(fn, args(3), "kConst").toInt,
+        topK = longArg(fn, args(4), "topK").toInt))
+    }
+
     // ---- c31: row-level-security audit -------------------------------------
     // Policies as `role=sqlPredicate` entries (';'-separated); predicates
     // are arbitrary SQL boolean expressions over the table's columns,

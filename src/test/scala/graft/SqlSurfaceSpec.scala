@@ -460,6 +460,21 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
           |SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0""".stripMargin))
   }
 
+  test("l130_rrf_fusion via graft_rrf_fuse") {
+    prepared
+    // the three BM25 lists as temp views through the Scala macro (their
+    // own TVF path is spec'd above via l40); fusion drives through SQL
+    val docs = spark.table("documents")
+    Seq(Seq("join", "vector", "filter", "merge"),
+      Seq("hash", "sort", "shuffle"),
+      Seq("stream", "filter", "window")).zipWithIndex.foreach { case (ts, i) =>
+      graft.llm.Index.bm25TopK(docs, "doc_id", "text", ts, topK = 25)
+        .createOrReplaceTempView(s"sql_rrf_l$i")
+    }
+    check("l130_rrf_fusion",
+      "SELECT * FROM graft_rrf_fuse('sql_rrf_l0,sql_rrf_l1,sql_rrf_l2', 'doc_id', 'score', 60, 20)")
+  }
+
   test("argument errors are readable") {
     prepared
     val e1 = intercept[Exception] {
