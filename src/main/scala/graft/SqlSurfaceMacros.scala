@@ -230,6 +230,31 @@ object SqlSurfaceMacros {
         nRanges = longArg(fn, args(4), "nRanges").toInt))
     }
 
+    // ---- round-14 additions: annotation QC (l131/l132/l133 plans) --------
+    tvf(ext)("graft_cohen_kappa",
+      "graft_cohen_kappa(table, itemCol, annotatorCol, labelCol)",
+      4 to 4) { args =>
+      val fn = "graft_cohen_kappa"
+      plan(graft.llm.Annotation.cohenKappaPairs(tableArg(fn, args(0), "table"),
+        strArg(fn, args(1), "itemCol"), strArg(fn, args(2), "annotatorCol"),
+        strArg(fn, args(3), "labelCol")))
+    }
+    tvf(ext)("graft_resolve_labels",
+      "graft_resolve_labels(table, itemCol, annotatorCol, labelCol)",
+      4 to 4) { args =>
+      val fn = "graft_resolve_labels"
+      plan(graft.llm.Annotation.resolveLabels(tableArg(fn, args(0), "table"),
+        strArg(fn, args(1), "itemCol"), strArg(fn, args(2), "annotatorCol"),
+        strArg(fn, args(3), "labelCol")))
+    }
+    tvf(ext)("graft_length_bias",
+      "graft_length_bias(table, chosenLenCol, rejectedLenCol)",
+      3 to 3) { args =>
+      val fn = "graft_length_bias"
+      plan(graft.llm.Annotation.lengthBiasAudit(tableArg(fn, args(0), "table"),
+        strArg(fn, args(1), "chosenLenCol"), strArg(fn, args(2), "rejectedLenCol")))
+    }
+
     // ---- expectation gate (c24 plan) -------------------------------------
     // rulesSpec: ';'-separated `id:kind:col[:extra]` —
     //   not_null | unique | in_range:lo,hi | matches:regex | in_set:a|b|c

@@ -200,5 +200,69 @@ object PostTrainQueries {
       Some(PostTrainOracles.bradleyTerrySql(rounds = 6)),
       eager = true),
 
+    // l131 — pairwise Cohen's kappa (Cohen 1960): inter-annotator
+    // agreement over a (item, annotator, label) table, the labeling-QC
+    // gate before any preference data is trusted. Fixture: events
+    // become labels (item = event_id % 500, annotator = user_id % 5,
+    // label = event_type, keep-first by (ts, event_id)). One item-keyed
+    // equi-join reduced to the joint confusion matrix; everything
+    // downstream is (pairs × classes²)-sized
+    "l131_annotator_agreement" -> Q(
+      (s, dir) => {
+        graft.llm.Annotation.cohenKappaPairs(
+          annotationFixture(s, dir), "item", "annot", "label")
+      },
+      Some(PostTrainOracles.annotatorAgreementSql(nItems = 500,
+        nAnnotators = 5))),
+
+    // l132 — majority-vote label resolution with deterministic
+    // ties-to-largest-label policy, confidence basis points, and
+    // tied/unanimous audit flags (the "send back for another label"
+    // queue). Same keep-first label fixture; one corpus hash-agg +
+    // one window over the per-item vote rows
+    "l132_label_resolution" -> Q(
+      (s, dir) => {
+        graft.llm.Annotation.resolveLabels(
+          annotationFixture(s, dir), "item", "annot", "label")
+      },
+      Some(PostTrainOracles.labelResolutionSql(nItems = 500,
+        nAnnotators = 5))),
+
+    // l133 — preference length-bias audit: win rate of the strictly
+    // longer response + mean signed gap, per length-ratio decile and
+    // overall (bucket -1) — the reward-hacking early warning on every
+    // RLHF data card. Fixture pairs: best-vs-worst per 100 prompts
+    // scored by DISTINCT-WORD count, so length correlates with but
+    // does not determine preference. One rollup pass over the pairs
+    "l133_length_bias" -> Q(
+      (s, dir) => {
+        val c = td(s, dir, "documents").filter(col("text").isNotNull)
+          .select((col("doc_id") % 100).as("prompt_id"),
+            col("doc_id").as("cid"),
+            size(array_distinct(split(col("text"), " "))).cast("long")
+              .as("score"),
+            length(col("text")).cast("long").as("len"))
+        val pairs = c.groupBy("prompt_id")
+          .agg(max(struct(col("score"), col("cid"), col("len"))).as("_b"),
+            min(struct(col("score"), col("cid"), col("len"))).as("_w"))
+          .select(col("_b.len").as("chosen_len"),
+            col("_w.len").as("rejected_len"))
+        graft.llm.Annotation.lengthBiasAudit(pairs, "chosen_len",
+          "rejected_len")
+      },
+      Some(PostTrainOracles.lengthBiasSql(nPrompts = 100))),
+
   )
+
+  /** Keep-first (item, annotator, label) fixture shared by l131/l132:
+    * struct-min on (ts_us, event_id) is deterministic because event_id
+    * is unique — replayed in the oracle as a row_number() = 1 window. */
+  private def annotationFixture(s: org.apache.spark.sql.SparkSession,
+                                dir: String) =
+    tdEventsUs(s, dir)
+      .groupBy((col("event_id") % 500).as("item"),
+        (col("user_id") % 5).as("annot"))
+      .agg(min(struct(col("ts_us"), col("event_id"), col("event_type")))
+        .as("_f"))
+      .select(col("item"), col("annot"), col("_f.event_type").as("label"))
 }

@@ -24,7 +24,7 @@ class SqlSurfaceFuzzSpec extends AnyFunSuite with SparkTestBase {
     }
 
   test("every TVF is swept (registration count pin)") {
-    assert(tvfs.size >= 49, s"only ${tvfs.size} TVFs registered: ${tvfs.keys.toSeq.sorted}")
+    assert(tvfs.size >= 52, s"only ${tvfs.size} TVFs registered: ${tvfs.keys.toSeq.sorted}")
     assert(tvfs.keys.forall(_.startsWith("graft_")))
   }
 

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
  * The SQL front-end gate: each case drives a registered (oracled) query
  * END-TO-END through `spark.sql` alone — temp views + a `graft_*` table
  * function from [[GraftSqlSurface]] — and must reproduce the registered
- * Scala plan's rows exactly. 45 oracled registry rows covered — including
+ * Scala plan's rows exactly. 48 oracled registry rows covered — including
  * the composite pipelines (clinical flatten, publish gate, file-metadata
  * DAG, curation funnel, policy audit, erasure cascade) — so a
  * BigQuery-SQL-shaped user can run the macro library without Scala.
@@ -473,6 +473,49 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
     }
     check("l130_rrf_fusion",
       "SELECT * FROM graft_rrf_fuse('sql_rrf_l0,sql_rrf_l1,sql_rrf_l2', 'doc_id', 'score', 60, 20)")
+  }
+
+  // shared keep-first labeling fixture for the l131/l132 TVFs — the
+  // registry fixture replayed in SQL (struct-min ≡ row_number() = 1)
+  private val labView: Seq[String] = Seq(
+    """CREATE OR REPLACE TEMP VIEW sql_lab AS
+      |SELECT item, annot, label FROM (
+      |  SELECT event_id % 500 AS item, user_id % 5 AS annot,
+      |    event_type AS label,
+      |    row_number() OVER (PARTITION BY event_id % 500, user_id % 5
+      |      ORDER BY ts_us, event_id) AS rn
+      |  FROM events_us) WHERE rn = 1""".stripMargin)
+
+  test("l131_annotator_agreement via graft_cohen_kappa") {
+    check("l131_annotator_agreement",
+      "SELECT * FROM graft_cohen_kappa('sql_lab', 'item', 'annot', 'label')",
+      labView)
+  }
+
+  test("l132_label_resolution via graft_resolve_labels") {
+    check("l132_label_resolution",
+      "SELECT * FROM graft_resolve_labels('sql_lab', 'item', 'annot', 'label')",
+      labView)
+  }
+
+  test("l133_length_bias via graft_length_bias") {
+    check("l133_length_bias",
+      "SELECT * FROM graft_length_bias('sql_l133', 'chosen_len', 'rejected_len')",
+      Seq("""CREATE OR REPLACE TEMP VIEW sql_l133 AS
+            |WITH c AS (SELECT doc_id % 100 AS prompt_id, doc_id AS cid,
+            |    CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS score,
+            |    CAST(length(text) AS BIGINT) AS len
+            |  FROM documents WHERE text IS NOT NULL),
+            |r AS (SELECT prompt_id, len, score, cid,
+            |    row_number() OVER (PARTITION BY prompt_id
+            |      ORDER BY score DESC, cid DESC) AS rb,
+            |    row_number() OVER (PARTITION BY prompt_id
+            |      ORDER BY score ASC, cid ASC) AS rw
+            |  FROM c)
+            |SELECT prompt_id,
+            |  max(CASE WHEN rb = 1 THEN len END) AS chosen_len,
+            |  max(CASE WHEN rw = 1 THEN len END) AS rejected_len
+            |FROM r GROUP BY 1""".stripMargin))
   }
 
   test("argument errors are readable") {
