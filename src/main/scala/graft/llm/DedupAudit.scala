@@ -178,21 +178,32 @@ object DedupAudit {
   }
 
   /** l13 audit: connected-component clusters over the xxhash64 candidate
-    * graph — planted pairs land in one cluster, every edge's endpoints
-    * share a label (convergence), labels are idempotent minima, and each
-    * doc appears exactly once. */
+    * graph — ADMITTED planted pairs land in one cluster, every edge's
+    * endpoints share a label (convergence), labels are idempotent minima,
+    * and each doc appears exactly once. Candidate-stage recall (planted
+    * pairs whose bucket the cap dropped whole) is DropStats/recall-gate
+    * territory, not a clustering violation — see splitPlanted below. */
   def clustersAudit(df: DataFrame, textCol: String, idCol: String,
                     shingleSize: Int = 3, k: Int = 32,
-                    bands: Int = 16): DataFrame = {
-    val cands = Dedup.minhashCandidatePairs(df, textCol, idCol, shingleSize, k, bands)
+                    bands: Int = 16, maxBucketSize: Int = 1000): DataFrame = {
+    val cands = Dedup.minhashCandidatePairs(df, textCol, idCol, shingleSize, k, bands,
+      maxBucketSize = maxBucketSize)
       .localCheckpoint()
     val labels = Dedup.nearDupClusters(cands).localCheckpoint()
     val planted = plantedPairs(df, textCol, idCol, shingleSize, 9, 10).localCheckpoint()
     val lab1 = labels.select(col("id").as("id1"), col("cluster_id").as("c1"))
     val lab2 = labels.select(col("id").as("id2"), col("cluster_id").as("c2"))
+    // CLUSTERING-stage invariant only: a planted pair the label
+    // propagation ADMITTED (both sides labeled) must never land in two
+    // clusters. Pairs that never entered the candidate graph — e.g. a
+    // boilerplate mega-cluster whose LSH bucket was cap-dropped WHOLE
+    // (the documented scale semantics, surfaced by DropStats and bounded
+    // by the measured recall gates) — are candidate-stage recall, not a
+    // clustering violation; the skew replica (CORRECTNESS_SKEW) is
+    // exactly the fixture that distinguishes the two stages.
     val splitPlanted = planted
-      .join(lab1, Seq("id1"), "left").join(lab2, Seq("id2"), "left")
-      .filter(col("c1").isNull || col("c2").isNull || col("c1") =!= col("c2"))
+      .join(lab1, Seq("id1")).join(lab2, Seq("id2"))
+      .filter(col("c1") =!= col("c2"))
     val edgeViolations = cands.join(lab1, "id1").join(lab2, "id2")
       .filter(col("c1") =!= col("c2"))
     val keeperViolations = labels.groupBy("cluster_id")

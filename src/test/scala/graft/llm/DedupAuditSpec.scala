@@ -97,4 +97,20 @@ class DedupAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(m("keeper_violations") === 0L)
     assert(m("dup_ids") === 0L && m("uncovered_ids") === 0L)
   }
+
+  test("clusters audit: a cap-dropped mega-cluster is candidate recall, " +
+    "not a split (the CORRECTNESS_SKEW divergence)") {
+    // 5 identical docs in one bucket with cap 4: the bucket drops WHOLE,
+    // its C(5,2)=10 planted pairs never enter the graph — split_planted
+    // must stay 0 (clustering-stage invariant), while the remaining
+    // planted pair (5,6) still co-clusters
+    val mega = (10L to 14L).map(i => (i, base)).toDF("doc_id", "text")
+    val m = metrics(DedupAudit.clustersAudit(
+      docs.filter($"doc_id" > 2).unionByName(mega), "text", "doc_id",
+      maxBucketSize = 4))
+    assert(m("planted_pairs") === 11L, m.toString) // C(5,2) + (5,6)
+    assert(m("split_planted") === 0L)
+    assert(m("edge_violations") === 0L && m("dup_ids") === 0L)
+    assert(m("uncovered_ids") === 0L)
+  }
 }
