@@ -416,9 +416,10 @@ object Dedup extends ExactDedupOps with SimHashDedupOps {
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double, shingleSize: Int = 3,
                    k: Int = 32, bands: Int = 8,
-                   family: MinHashFamily = Xx64Family): DataFrame = {
+                   family: MinHashFamily = Xx64Family,
+                   maxBucketSize: Int = 1000): DataFrame = {
     val cands = minhashCandidatePairs(df, textCol, idCol, shingleSize, k, bands,
-      family = family)
+      maxBucketSize = maxBucketSize, family = family)
     // The shingle pipeline feeds BOTH pair-side joins; broadcast-candidate
     // joins recompute it per side. For expensive hash families one explicit
     // exchange is materialized once and reused (l6p 8.0→6.3 s at sf0.1);

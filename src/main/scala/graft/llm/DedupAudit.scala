@@ -54,13 +54,36 @@ object DedupAudit {
     * same staging as [[Dedup.lshBands]]). Engine-neutral: DuckDB replays
     * it from raw strings. Returns (id1, id2), id1 < id2. */
   def plantedPairs(df: DataFrame, textCol: String, idCol: String,
-                   n: Int, tNum: Int, tDen: Int): DataFrame =
+                   n: Int, tNum: Int, tDen: Int,
+                   capExclude: Int = Int.MaxValue): DataFrame =
     SetSimJoin.prefixJaccardJoinElems(
-      df.select(col(idCol).as("doc"),
+      capAdmissible(df, textCol, capExclude)
+        .select(col(idCol).as("doc"),
           explode(TextOps.shingles(col(textCol), n)).as("tok"))
         .distinct(),
       tNum, tDen)
       .select(col("id1"), col("id2"))
+
+  /**
+   * The cap-ADMISSIBLE planted universe: docs whose EXACT-text duplicate
+   * group exceeds the LSH bucket cap are excluded from planting. Such a
+   * group provably shares every band bucket (identical text ⇒ identical
+   * signatures), so the cap drops it whole by design — its recall is the
+   * documented cap-drop semantics (DropStats + the measured recall
+   * gates), not an audit violation. The remaining limit is explicit: a
+   * NEAR-identical (not byte-identical) cluster above the cap would
+   * still trip the zero-invariant — the audit contract assumes near-dup
+   * clusters beyond exact-dup groups stay under the cap. Replayed in the
+   * oracle as a count(*) OVER (PARTITION BY text) pre-filter.
+   */
+  private def capAdmissible(df: DataFrame, textCol: String,
+                            capExclude: Int): DataFrame =
+    if (capExclude == Int.MaxValue) df
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col(textCol))
+      df.withColumn("_tg", count(lit(1)).over(w))
+        .filter(col("_tg") <= capExclude).drop("_tg")
+    }
 
   /** Distinct string shingles per doc, keyed for pair-side joins. */
   private def shingleSets(df: DataFrame, textCol: String, idCol: String,
@@ -87,10 +110,13 @@ object DedupAudit {
   /** l5 audit: MinHash-LSH candidate pairs (xxhash64 scale path). */
   def minhashCandidateAudit(df: DataFrame, textCol: String, idCol: String,
                             shingleSize: Int = 3, k: Int = 32,
-                            bands: Int = 16): DataFrame = {
-    val cands = Dedup.minhashCandidatePairs(df, textCol, idCol, shingleSize, k, bands)
+                            bands: Int = 16,
+                            maxBucketSize: Int = 1000): DataFrame = {
+    val cands = Dedup.minhashCandidatePairs(df, textCol, idCol, shingleSize, k, bands,
+      maxBucketSize = maxBucketSize)
       .localCheckpoint()
-    val planted = plantedPairs(df, textCol, idCol, shingleSize, 9, 10).localCheckpoint()
+    val planted = plantedPairs(df, textCol, idCol, shingleSize, 9, 10,
+      capExclude = maxBucketSize).localCheckpoint()
     val zeroOverlap = withShingles(cands, shingleSets(df, textCol, idCol, shingleSize))
       .filter(size(array_intersect(col("sh1"), col("sh2"))) === 0)
     (plantedRows(planted, cands) ++
@@ -101,10 +127,13 @@ object DedupAudit {
   /** l6 audit: Jaccard-verified near-dup pairs (xxhash64 scale path). */
   def nearDupPairsAudit(df: DataFrame, textCol: String, idCol: String,
                         threshold: Double, shingleSize: Int = 3, k: Int = 32,
-                        bands: Int = 16): DataFrame = {
-    val pairs = Dedup.nearDupPairs(df, textCol, idCol, threshold, shingleSize, k, bands)
+                        bands: Int = 16,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = Dedup.nearDupPairs(df, textCol, idCol, threshold, shingleSize, k, bands,
+      maxBucketSize = maxBucketSize)
       .localCheckpoint()
-    val planted = plantedPairs(df, textCol, idCol, shingleSize, 9, 10).localCheckpoint()
+    val planted = plantedPairs(df, textCol, idCol, shingleSize, 9, 10,
+      capExclude = maxBucketSize).localCheckpoint()
     // independent recompute: Jaccard from raw shingle STRINGS (the emitted
     // value came from xxhash64-hashed shingles) — identical modulo 2⁻⁶⁴
     // collisions, same 6-dp round-then-compare as the emitting filter
@@ -127,11 +156,16 @@ object DedupAudit {
    * sf0.01, 0.500 at sf0.1 and sf1 — ≥ 5× margin).
    */
   def simhashAudit(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
-    val pairs = Dedup.simhashNearDups(df, textCol, idCol, maxHamming, blocks)
+                   maxHamming: Int = 3, blocks: Int = 4,
+                   maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = Dedup.simhashNearDups(df, textCol, idCol, maxHamming, blocks,
+      maxBucketSize = maxBucketSize)
       .localCheckpoint()
     val key = array_join(array_sort(TextOps.whitespaceTokens(lower(col(textCol)))), " ")
-    val keyed = df.select(col(idCol).as("doc"), md5(key).as("mk"))
+    // same cap-admissible planted universe as the MinHash audits: an
+    // identical-text group above the bucket cap drops whole by design
+    val keyed = capAdmissible(df, textCol, maxBucketSize)
+      .select(col(idCol).as("doc"), md5(key).as("mk"))
     val planted = keyed.as("a").join(keyed.as("b"),
         col("a.mk") === col("b.mk") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id1"), col("b.doc").as("id2"))
@@ -190,7 +224,8 @@ object DedupAudit {
       maxBucketSize = maxBucketSize)
       .localCheckpoint()
     val labels = Dedup.nearDupClusters(cands).localCheckpoint()
-    val planted = plantedPairs(df, textCol, idCol, shingleSize, 9, 10).localCheckpoint()
+    val planted = plantedPairs(df, textCol, idCol, shingleSize, 9, 10,
+      capExclude = maxBucketSize).localCheckpoint()
     val lab1 = labels.select(col("id").as("id1"), col("cluster_id").as("c1"))
     val lab2 = labels.select(col("id").as("id2"), col("cluster_id").as("c2"))
     // CLUSTERING-stage invariant only: a planted pair the label

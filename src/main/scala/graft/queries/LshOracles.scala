@@ -18,10 +18,10 @@ object LshOracles {
 
   /** Shared CTE prefix: tokenized docs (short docs excluded, mirroring the
     * lshBands pre-filter) + distinct string shingles. */
-  private def shingleCtes(n: Int): String =
+  private def shingleCtes(n: Int, src: String = "documents"): String =
     s"""toks AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-       |  FROM documents
+       |  FROM $src
        |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= $n),
        |shs AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-${n - 2}),
@@ -334,8 +334,19 @@ object LshOracles {
     * the engine-neutral planted set of [[graft.llm.DedupAudit.plantedPairs]]
     * (shared-shingle join; the Spark side uses the AllPairs prefix join,
     * both exact so the sets are identical). Ends with `planted(id1, id2)`. */
-  private def plantedCtes(n: Int, tNum: Int, tDen: Int): String =
-    s"""${shingleCtes(n)},
+  /** Cap-admissible doc universe (the DedupAudit.capAdmissible twin):
+    * exact-text duplicate groups above the bucket cap are excluded from
+    * planting — the cap drops them whole by design. */
+  private def admCte(cap: Int): String =
+    s"""adm AS (SELECT doc_id, text FROM (
+       |    SELECT doc_id, text, count(*) OVER (PARTITION BY text) AS _tg
+       |    FROM documents) WHERE _tg <= $cap)"""
+      .stripMargin
+
+  private def plantedCtes(n: Int, tNum: Int, tDen: Int,
+                          cap: Int = 1000): String =
+    s"""${admCte(cap)},
+       |${shingleCtes(n, src = "adm")},
        |se AS (SELECT doc_id, unnest(sh) AS h FROM shs),
        |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM shs),
        |ip AS (
@@ -365,11 +376,14 @@ object LshOracles {
   /** Property oracle for l7 (SimHash near-dups): planted = identical
     * lowered token MULTISETS (SimHash is a multiset function — hamming 0
     * ⇒ same bucket in every block). */
-  def simhashAuditSql: String =
-    s"""WITH mk AS (
+  def simhashAuditSql: String = simhashAuditSql(1000)
+
+  def simhashAuditSql(cap: Int): String =
+    s"""WITH ${admCte(cap)},
+       |mk AS (
        |  SELECT doc_id, md5(array_to_string(
        |    list_sort(regexp_split_to_array(trim(lower(text)), '\\s+')), ' ')) AS k
-       |  FROM documents),
+       |  FROM adm),
        |planted AS (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2
        |  FROM mk a JOIN mk b ON a.k = b.k AND a.doc_id < b.doc_id)

@@ -30,7 +30,8 @@ object StreamingQueries {
              |s AS (SELECT user_id, ts, value,
              |  SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
              |      THEN 1 ELSE 0 END)
-             |    OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+             |    OVER (PARTITION BY user_id ORDER BY ts
+             |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
              |  FROM t)
              |SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
              |CAST(max(epoch_us(ts)) AS BIGINT) AS end_us,
@@ -61,7 +62,8 @@ object StreamingQueries {
              |s AS (SELECT user_id, ts,
              |  SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
              |      THEN 1 ELSE 0 END)
-             |    OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+             |    OVER (PARTITION BY user_id ORDER BY ts
+             |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
              |  FROM t)
              |SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
              |CAST(max(epoch_us(ts)) + 1800000000 AS BIGINT) AS end_us,

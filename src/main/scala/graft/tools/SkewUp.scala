@@ -35,7 +35,14 @@ import org.apache.spark.sql.functions._
  */
 object SkewUp {
 
+  /** Fresh-id base + per-copy stride: appended ids are 2·10⁹ + r·10⁶ +
+    * origId — outside every replica keyspace (the round-12 fixture rule)
+    * AND below the 2³³ ceiling the keep-best dedup's (merit, id) packing
+    * documents (docK ≤ 2000 ⇒ max id 4·10⁹ < 8.59·10⁹), so the skew
+    * replica exercises skew, not an unrelated id-range contract. Source
+    * ids are < 10⁶ at every shipped SF (asserted below). */
   private val Off = 2000000000L
+  private val Stride = 1000000L
 
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -62,6 +69,12 @@ object SkewUp {
         .orderBy(col("count").desc, col(key).asc).limit(1)
         .collect()(0).getLong(0)
 
+    /** The fresh-id scheme packs origId into a 10⁶ stride slot. */
+    def requireIdRange(df: DataFrame, idCol: String): Unit = {
+      val mx = df.agg(max(col(idCol))).collect()(0).getLong(0)
+      require(mx < Stride, s"$idCol max $mx >= stride $Stride — widen Stride")
+    }
+
     /** `k` copies of `hotRows`, replica index r = 1..k via explode. */
     def fan(hotRows: DataFrame, k: Int): DataFrame =
       hotRows.withColumn("_r",
@@ -75,9 +88,10 @@ object SkewUp {
 
     // events — hot user, fresh event_ids
     val ev = t("events")
+    requireIdRange(ev, "event_id")
     val hotUser = hottest(ev, "user_id")
     val evHot = fan(ev.filter(col("user_id") === hotUser), evK)
-      .withColumn("event_id", col("_r") * Off + col("event_id")).drop("_r")
+      .withColumn("event_id", lit(Off) + col("_r") * Stride + col("event_id")).drop("_r")
     write(ev.unionByName(evHot), "events")
     println(s"[skewup] hot user_id=$hotUser x$evK")
 
@@ -90,17 +104,19 @@ object SkewUp {
 
     // orders — hot customer, fresh orderkeys
     val ord = t("orders")
+    requireIdRange(ord, "o_orderkey")
     val hotCust = hottest(ord, "o_custkey")
     val ordHot = fan(ord.filter(col("o_custkey") === hotCust), ordK)
-      .withColumn("o_orderkey", col("_r") * Off + col("o_orderkey")).drop("_r")
+      .withColumn("o_orderkey", lit(Off) + col("_r") * Stride + col("o_orderkey")).drop("_r")
     write(ord.unionByName(ordHot), "orders")
     println(s"[skewup] hot o_custkey=$hotCust x$ordK")
 
     // documents — mega dup-cluster of the first doc, fresh doc_ids
     val docs = t("documents")
+    requireIdRange(docs, "doc_id")
     val seed = docs.orderBy("doc_id").limit(1)
     val docHot = fan(seed, docK)
-      .withColumn("doc_id", col("_r") * Off + col("doc_id")).drop("_r")
+      .withColumn("doc_id", lit(Off) + col("_r") * Stride + col("doc_id")).drop("_r")
     write(docs.unionByName(docHot), "documents")
     println(s"[skewup] doc mega-cluster x$docK")
 

@@ -100,17 +100,32 @@ class DedupAuditSpec extends AnyFunSuite with SparkTestBase {
 
   test("clusters audit: a cap-dropped mega-cluster is candidate recall, " +
     "not a split (the CORRECTNESS_SKEW divergence)") {
-    // 5 identical docs in one bucket with cap 4: the bucket drops WHOLE,
-    // its C(5,2)=10 planted pairs never enter the graph — split_planted
-    // must stay 0 (clustering-stage invariant), while the remaining
-    // planted pair (5,6) still co-clusters
+    // 5 identical docs in one bucket with cap 4: the bucket drops WHOLE
+    // by design, so the cap-ADMISSIBLE planted universe excludes the
+    // whole exact-dup group — planted_pairs counts only the surviving
+    // (5,6) pair, split_planted stays 0 (clustering-stage invariant),
+    // and the mega-cluster's recall is DropStats/recall-gate territory
     val mega = (10L to 14L).map(i => (i, base)).toDF("doc_id", "text")
     val m = metrics(DedupAudit.clustersAudit(
       docs.filter($"doc_id" > 2).unionByName(mega), "text", "doc_id",
       maxBucketSize = 4))
-    assert(m("planted_pairs") === 11L, m.toString) // C(5,2) + (5,6)
+    assert(m("planted_pairs") === 1L, m.toString) // just (5,6); mega excluded
     assert(m("split_planted") === 0L)
     assert(m("edge_violations") === 0L && m("dup_ids") === 0L)
     assert(m("uncovered_ids") === 0L)
+  }
+
+  test("cap-admissible planting also guards the pair audits (l5/l6/l7)") {
+    // same mega-cluster through the MinHash candidate audit with cap 4:
+    // planted_missed must be 0 because the over-cap exact-dup group is
+    // not in the planted universe; the base docs' pairs still plant
+    val mega = (10L to 14L).map(i => (i, base)).toDF("doc_id", "text")
+    val m = metrics(DedupAudit.minhashCandidateAudit(
+      docs.unionByName(mega), "text", "doc_id", maxBucketSize = 4))
+    assert(m("planted_missed") === 0L, m.toString)
+    assert(m("misordered") === 0L && m("dup_rows") === 0L)
+    val m7 = metrics(DedupAudit.simhashAudit(
+      docs.unionByName(mega), "text", "doc_id", maxBucketSize = 4))
+    assert(m7("planted_missed") === 0L, m7.toString)
   }
 }
