@@ -109,6 +109,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT_BYTES", "8m"))
+      // AQE coalescing floor (round 14, guide §2.2/§2.5): with the default
+      // 1 MB floor, every post-shuffle stage under cpus×1 MB coalesces to a
+      // handful of tasks — fatal for CPU-dense small shuffles (md5/shingle
+      // verify joins, histogram windows ran 1-task on 32 cores; QueryProbe
+      // evidence in OPTIMIZATION_r14.md). parallelismFirst already targets
+      // bytes/defaultParallelism; this floor is what stopped it. Scale-safe:
+      // the floor only binds when a stage's total shuffle bytes are below
+      // cpus×1 MB — production-sized exchanges never feel it.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "64k"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")

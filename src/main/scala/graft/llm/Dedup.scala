@@ -3,6 +3,8 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ops.ScanPar.widen
+
 /**
  * Pluggable hash family for the MinHash-LSH pipeline. Two members:
  *
@@ -136,7 +138,9 @@ object Dedup extends ExactDedupOps with SimHashDedupOps {
     // the scan O(tokens²) per row (measured 12–20× at sf0.1). The source
     // predicate below is linear, evaluated once, and semantically identical
     // (size(_sh) > 0 ⟺ n_tokens ≥ shingleSize).
-    val withSig = df
+    // widen: the signature pipeline is the suite's densest per-row compute;
+    // a one-row-group source would run it single-task (ScanPar doc).
+    val withSig = widen(df)
       .filter(size(TextOps.whitespaceTokens(col(textCol))) >= shingleSize)
       .select(col(idCol) +: carried :+ family.stage1(col(textCol), shingleSize).as("_s1"): _*)
       .select(col(idCol) +: carried :+ family.stage2(col("_s1"), shingleSize).as("_sh"): _*)
@@ -215,7 +219,7 @@ object Dedup extends ExactDedupOps with SimHashDedupOps {
                        shingleSize: Int = 3, k: Int = 32, bands: Int = 8,
                        family: MinHashFamily = Xx64Family): DataFrame = {
     val nb = newDf.select(col(idCol), exactFingerprint(col(textCol)).as("_fp"))
-    val ex = corpusDf
+    val ex = widen(corpusDf)
       .select(exactFingerprint(col(textCol)).as("_fp"), col(idCol).as("_cid"))
       .groupBy("_fp").agg(min(col("_cid")).as("_exact_keeper"))
     val bc = lshBands(corpusDf, textCol, idCol, shingleSize, k, bands, family)
@@ -299,7 +303,7 @@ object Dedup extends ExactDedupOps with SimHashDedupOps {
                   family: MinHashFamily = Xx64Family): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rows = k / bands
-    val withSig = df
+    val withSig = widen(df)
       .filter(size(TextOps.whitespaceTokens(col(textCol))) >= shingleSize)
       .select(col(idCol), family.stage1(col(textCol), shingleSize).as("_s1"))
       .select(col(idCol), family.stage2(col("_s1"), shingleSize).as("_sh"))
@@ -425,7 +429,7 @@ object Dedup extends ExactDedupOps with SimHashDedupOps {
     // exchange is materialized once and reused (l6p 8.0→6.3 s at sf0.1);
     // for xxhash64 the recompute is cheaper than shuffling wide shingle
     // arrays (measured +0.5 s), so the exchange is family-gated.
-    val shBase = df.select(col(idCol).as("sid"), family.stage1(col(textCol), shingleSize).as("_s1"))
+    val shBase = widen(df).select(col(idCol).as("sid"), family.stage1(col(textCol), shingleSize).as("_s1"))
       .select(col("sid"),
         array_distinct(family.stage2(col("_s1"), shingleSize)).as("sh"))
     val sh = if (family.exchangeWorthMaterializing) shBase.repartition(col("sid")) else shBase

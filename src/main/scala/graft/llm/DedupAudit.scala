@@ -3,6 +3,8 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ops.ScanPar.widen
+
 /**
  * Property audits for the xxhash64-family dedup scale paths (l5/l6/l7/l8/
  * l13): DuckDB cannot replay xxhash64, so these rows are verified by
@@ -57,7 +59,7 @@ object DedupAudit {
                    n: Int, tNum: Int, tDen: Int,
                    capExclude: Int = Int.MaxValue): DataFrame =
     SetSimJoin.prefixJaccardJoinElems(
-      capAdmissible(df, textCol, capExclude)
+      widen(capAdmissible(df, textCol, capExclude))
         .select(col(idCol).as("doc"),
           explode(TextOps.shingles(col(textCol), n)).as("tok"))
         .distinct(),
@@ -88,7 +90,7 @@ object DedupAudit {
   /** Distinct string shingles per doc, keyed for pair-side joins. */
   private def shingleSets(df: DataFrame, textCol: String, idCol: String,
                           n: Int): DataFrame =
-    df.select(col(idCol).as("sid"),
+    widen(df).select(col(idCol).as("sid"),
       array_distinct(TextOps.shingles(col(textCol), n)).as("sh"))
 
   /** Join (id1, id2) pairs to both docs' shingle sets → adds sh1, sh2. */
@@ -164,12 +166,12 @@ object DedupAudit {
     val key = array_join(array_sort(TextOps.whitespaceTokens(lower(col(textCol)))), " ")
     // same cap-admissible planted universe as the MinHash audits: an
     // identical-text group above the bucket cap drops whole by design
-    val keyed = capAdmissible(df, textCol, maxBucketSize)
+    val keyed = widen(capAdmissible(df, textCol, maxBucketSize))
       .select(col(idCol).as("doc"), md5(key).as("mk"))
     val planted = keyed.as("a").join(keyed.as("b"),
         col("a.mk") === col("b.mk") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id1"), col("b.doc").as("id2"))
-    val toks = df.select(col(idCol).as("sid"),
+    val toks = widen(df).select(col(idCol).as("sid"),
       array_distinct(TextOps.whitespaceTokens(lower(col(textCol)))).as("sh"))
     val overlap = withShingles(pairs, toks)
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
@@ -191,7 +193,7 @@ object DedupAudit {
   def fingerprintAudit(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = TextOps.whitespaceTokens(col(textCol))
     val fold = (arr: Column) => aggregate(arr, lit(0L), (acc, t) => xxhash64(acc, t))
-    val fp = df.select(col(idCol),
+    val fp = widen(df).select(col(idCol),
         md5(array_join(toks, " ")).as("key"),
         TextOps.docFingerprint(col(textCol)).as("fp"),
         fold(reverse(toks)).as("fp_rev"),

@@ -3,6 +3,8 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ops.ScanPar.widen
+
 /**
  * Exact / line / span deduplication family (split from Dedup.scala,
  * round 11 — pure mechanical move on the family seam, mixed back into
@@ -22,7 +24,7 @@ private[llm] trait ExactDedupOps {
    * fingerprint; map-side partial aggregation applies.
    */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(exactFingerprint(col(textCol)).as("fingerprint"))
+    widen(df).groupBy(exactFingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).cast("long").as("dup_cnt"))
 
   /** [[exactDedupKeepBest]] merit ceiling (exclusive): 2^20. */
@@ -59,7 +61,7 @@ private[llm] trait ExactDedupOps {
       .otherwise(raise_error(concat(
         lit(s"exactDedupKeepBest: merit/id out of range (merit < $KeepBestMeritCap, id < $KeepBestIdCap): "),
         merit, lit("/"), id)))
-    df.groupBy(exactFingerprint(col(textCol)).as("fingerprint"))
+    widen(df).groupBy(exactFingerprint(col(textCol)).as("fingerprint"))
       .agg(min(packed).as("_pk"), count(lit(1)).cast("long").as("dup_cnt"))
       .select(col("fingerprint"),
         col("_pk").bitwiseAND(lit(KeepBestIdCap - 1)).as("keep_id"),
@@ -92,7 +94,7 @@ private[llm] trait ExactDedupOps {
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
                 minDf: Int = 2): DataFrame = {
     require(minDf >= 2, s"minDf=$minDf would remove every non-blank line")
-    val base = docs.filter(col(textCol).isNotNull)
+    val base = widen(docs).filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(textCol).as("_text"))
     // -1 limit: trailing empty lines survive the split on both engines
     val lines = base.select(col("doc_id"),
@@ -144,7 +146,7 @@ private[llm] trait ExactDedupOps {
                         n: Int = 8, minDf: Int = 2): DataFrame = {
     require(n >= 2, s"span n-grams need n >= 2, got $n")
     require(minDf >= 2, s"minDf=$minDf would scrub every shingle")
-    val base = docs
+    val base = widen(docs)
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"), TextOps.whitespaceTokens(col(textCol)).as("_toks"))
     val tok = base.select(col("doc_id"),

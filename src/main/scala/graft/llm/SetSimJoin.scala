@@ -3,6 +3,8 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ops.ScanPar.widen
+
 /**
  * EXACT set-similarity self-join with prefix filtering (AllPairs / PPJoin,
  * Bayardo et al. WWW'07, Xiao et al. WWW'08) — the deterministic complement
@@ -49,7 +51,7 @@ object SetSimJoin {
   def prefixJaccardJoin(df: DataFrame, textCol: String, idCol: String,
       tNum: Int, tDen: Int): DataFrame =
     prefixJaccardJoinElems(
-      df.select(col(idCol).as("doc"),
+      widen(df).select(col(idCol).as("doc"),
           explode(TextOps.whitespaceTokens(col(textCol))).as("tok"))
         .distinct(),
       tNum, tDen)
@@ -136,7 +138,7 @@ object SetSimJoin {
 
     // distinct shingle hashes per doc, sorted by (df asc, h asc) — the
     // rarest-first prefix order realized per row, no global rank
-    val sh = df.select(col(idCol).as("doc"),
+    val sh = widen(df).select(col(idCol).as("doc"),
         explode(array_distinct(transform(
           TextOps.shingles(col(textCol), n),
           s => TextOps.portableHash60(s)))).as("h"))

@@ -42,9 +42,17 @@ final case class Q(
 
 object Registry {
 
-  /** Read one driver testdata table. */
+  /** Read one driver testdata table — scan-widened ([[graft.ops.ScanPar]]):
+    * the testdata tables ship as ONE single-row-group parquet file each, so
+    * without a post-read repartition every expression before the first
+    * exchange runs as one task regardless of core count (round-14
+    * measurement: the dominant stage of most top-20 bench rows). The widen
+    * is a no-op whenever the file layout already fills the cores (any
+    * production-sized table) or the table is dimension-tiny. Row order is
+    * not part of any registered query's contract (all limits/takes are
+    * totally ordered; the driver gate sorts rows before hashing). */
   def td(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.ops.ScanPar.widen(s.read.parquet(s"$dir/$name.parquet"))
 
   /**
    * The events table with `ts` canonicalized to an epoch-microseconds
