@@ -118,7 +118,7 @@ object Bench {
       // the floor only binds when a stage's total shuffle bytes are below
       // cpus×1 MB — production-sized exchanges never feel it.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "256k"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.ops.Agg
-import Registry.td
+import Registry.{td, tdw}
 
 /**
  * SURVEY §2.4 — aggregation surface (A1–A11) over the driver's testdata.
@@ -85,7 +85,7 @@ object AggQueries {
 
     // A8 — wide GROUP BY dedup-merge with pooled STRING_AGG (RNA_seq.py:161-215)
     "a8_wide_groupby_merge" -> Q(
-      (s, dir) => td(s, dir, "lineitem").groupBy(
+      (s, dir) => tdw(s, dir, "lineitem").groupBy(
         "l_orderkey", "l_returnflag", "l_linestatus")
         .agg(Agg.stringAggDistinctOrdered(col("l_linenumber").cast("string"), ";").as("linenumbers"),
           dsum(col("l_quantity")).as("qty")),
@@ -106,7 +106,7 @@ object AggQueries {
     //   (build_gdc_file_clinical_tables_TCGA.py:274-295)
     "a10_null_census_json" -> Q(
       (s, dir) => Agg.nullCensusJson(
-        td(s, dir, "orders").select(
+        tdw(s, dir, "orders").select(
           when(col("o_orderpriority") === "3-MEDIUM", lit(null).cast("string"))
             .otherwise(col("o_orderpriority")).as("prio_opt"),
           when(col("o_orderstatus") === "P", lit(null).cast("string"))

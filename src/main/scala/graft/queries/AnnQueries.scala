@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.llm.{Ann, Dedup}
 import graft.multimodal.Multimodal
-import Registry.td
+import Registry.{td, tdw}
 
 /**
  * Embedding/ANN-family registry rows (split from LlmQueries, round 9 —
@@ -183,7 +183,7 @@ object AnnQueries {
     // codebook from the same parquet and replays encoding exactly
     "l52_pq_encode" -> Q(
       (s, dir) => {
-        val e = td(s, dir, "embeddings")
+        val e = tdw(s, dir, "embeddings")
         graft.llm.Pq.encode(e, "embedding", "vec_id",
             graft.llm.Pq.seedCodebooks(e, "embedding", "vec_id", m = 8, k = 16))
           .select(col("id").as("vec_id"), col("codes"), col("recon_err"))
@@ -259,7 +259,7 @@ object AnnQueries {
     // all derive from the data, so the oracle replays the ranking exactly
     "l53_pq_adc_topk" -> Q(
       (s, dir) => {
-        val e = td(s, dir, "embeddings")
+        val e = tdw(s, dir, "embeddings")
         val cbs = graft.llm.Pq.seedCodebooks(e, "embedding", "vec_id", m = 8, k = 16)
         val query = graft.llm.Ann.firstKCentroids(e, "embedding", "vec_id", 1).head
         graft.llm.Pq.adcTopK(e, "embedding", "vec_id", cbs, query, k = 25)

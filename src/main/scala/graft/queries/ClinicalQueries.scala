@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.clinical.{Clinical, DcfManifest, EntitySpec, PdcClinical}
 import graft.publish.Publish
-import Registry.td
+import Registry.{td, tdw}
 
 /**
  * SURVEY §2.10 — clinical flatteners (C1/C2), publish workflow (C3),
@@ -148,7 +148,7 @@ object ClinicalQueries {
           .when(k % 4 === 1, concat(lit("['"), gs, lit("']")))
           .when(k % 4 === 2, concat(lit("['"), s3u, lit("', '"), web, lit("']")))
           .otherwise(gs)
-        val manifest = td(s, dir, "orders")
+        val manifest = tdw(s, dir, "orders")
           .select(col("o_orderkey").as("k"))
           .select(k, id.as("id"), acl.as("acl"), indexd.as("indexd_url"))
         val legacy = manifest.filter(k % 2 === 1).drop("k") // hg19

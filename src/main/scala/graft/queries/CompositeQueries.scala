@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.ops.{Agg, Diff}
-import Registry.td
+import Registry.{td, tdw}
 
 /**
  * SURVEY §2.10 — composite pipeline operators ("macros"): diff/QC report
@@ -102,7 +102,7 @@ object CompositeQueries {
     //   fingerprint-keyed merge across callers, '|'-joined disagreements
     "s18_maf_caller_merge" -> Q(
       (s, dir) => {
-        val l = td(s, dir, "lineitem")
+        val l = tdw(s, dir, "lineitem")
         val caller1 = l.select(col("l_orderkey"), col("l_linenumber"),
           lit("caller1").as("caller"), col("l_returnflag").as("v"))
         val caller2 = l.select(col("l_orderkey"), col("l_linenumber"),

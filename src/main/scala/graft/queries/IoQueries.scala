@@ -512,8 +512,13 @@ object IoQueries {
     "s31_dynamic_partition_pruning" -> Q(
       (s, dir) => {
         val path = s"$FixtureRoot/s31_${new java.io.File(dir).getName}"
+        // one writer per partition (the s21/s32 rule): without the
+        // repartition every write task opens a file in all 12 month
+        // partitions — tasks × partitions tiny files, and the widened
+        // 32-task input made that 384 files per fixture write
         td(s, dir, "lineitem")
           .withColumn("ship_month", month(col("l_shipdate")))
+          .repartition(col("ship_month"))
           .write.partitionBy("ship_month").mode("overwrite").parquet(path)
         val fact = s.read.parquet(path)
         val dim = td(s, dir, "lineitem")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.pipelines.{PerSampleFile, StagedBuilds}
 import graft.llm.Ann
-import Registry.td
+import Registry.{td, tdw}
 
 /**
  * Flagship reference pipeline shapes (SURVEY §7 minimum slice + §3.3
@@ -132,8 +132,8 @@ object PipelineQueries {
     //   artifact-gene filter + pooled-sample merge (RNA_seq.py:218-299)
     "c11_rna_seq_build" -> Q(
       (s, dir) => {
-        val l = td(s, dir, "lineitem")
-        val o = td(s, dir, "orders")
+        val l = tdw(s, dir, "lineitem")
+        val o = tdw(s, dir, "orders")
         val raw = l.select(
           concat(rpad(concat(lit("u"), col("l_orderkey")), 36, "x"), lit(".rna_seq.tsv")).as("file_name"),
           when(col("l_partkey") % 29 === 0, lit("__no_feature"))

@@ -42,17 +42,22 @@ final case class Q(
 
 object Registry {
 
-  /** Read one driver testdata table — scan-widened ([[graft.ops.ScanPar]]):
-    * the testdata tables ship as ONE single-row-group parquet file each, so
-    * without a post-read repartition every expression before the first
-    * exchange runs as one task regardless of core count (round-14
-    * measurement: the dominant stage of most top-20 bench rows). The widen
-    * is a no-op whenever the file layout already fills the cores (any
-    * production-sized table) or the table is dimension-tiny. Row order is
-    * not part of any registered query's contract (all limits/takes are
-    * totally ordered; the driver gate sorts rows before hashing). */
+  /** Read one driver testdata table. NOT scan-widened: a blanket
+    * [[graft.ops.ScanPar.widen]] here was measured round 14 — it helps
+    * expression-dense consumers but regresses plain scan→aggregate queries
+    * 2–4× (the round-robin exchange ships full raw rows where the scan
+    * stage's partial aggregation used to ship sketch-sized partials).
+    * Widening is opt-in per consumer: [[tdw]] for expression-dense query
+    * pipelines, operator-internal widen at the corpus-text seams. */
   def td(s: SparkSession, dir: String, name: String): DataFrame =
-    graft.ops.ScanPar.widen(s.read.parquet(s"$dir/$name.parquet"))
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** [[td]] + [[graft.ops.ScanPar.widen]] — for queries whose per-row
+    * compute above the scan (string building, regexp, hashing, decode)
+    * dominates the cost of one small-table round-robin exchange. No-op on
+    * production-sized layouts (see ScanPar). */
+  def tdw(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.ops.ScanPar.widen(td(s, dir, name))
 
   /**
    * The events table with `ts` canonicalized to an epoch-microseconds

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.clinical.Clinical
 import graft.normalize.Normalize
 import graft.ops.{Agg, JoinOps}
-import Registry.td
+import Registry.{td, tdw}
 
 /**
  * Scale-pattern operators: theta-join rewrite, skew salting, null-column
@@ -452,7 +452,7 @@ object ScaleQueries {
     "c13_file_metadata_dag" -> Q(
       (s, dir) => {
         val o = td(s, dir, "orders")
-        val l = td(s, dir, "lineitem")
+        val l = tdw(s, dir, "lineitem")
         val acl = l.groupBy(col("l_orderkey").as("k1"))
           .agg(Agg.stringAggDistinctOrdered(concat(lit("acl-"), col("l_suppkey")), ";").as("acl_ids"))
         val parts = l.groupBy(col("l_orderkey").as("k2"))

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import Registry.td
+import Registry.{td, tdw}
 
 /**
  * Statistical operators: exact percentiles (oracle), HLL sketch distinct
@@ -256,7 +256,7 @@ object StatQueries {
       (s, dir) => graft.ops.Profile.profile(
         // money pre-cast to decimal: double→string rendering diverges across
         // engines at ≥1e7 (Spark goes scientific), decimal doesn't
-        td(s, dir, "orders").withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)")),
+        tdw(s, dir, "orders").withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)")),
         Seq("o_orderstatus", "o_custkey", "o_totalprice")),
       Some("""WITH a AS (SELECT CAST(count(o_orderstatus) AS BIGINT) AS s_nn, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS s_d,
              |  CAST(min(o_orderstatus) AS VARCHAR) AS s_min, CAST(max(o_orderstatus) AS VARCHAR) AS s_max,

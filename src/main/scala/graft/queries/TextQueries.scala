@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.llm.{Dedup, TextOps}
-import Registry.{td, tdEventsUs}
+import Registry.{td, tdw, tdEventsUs}
 
 /**
  * Text-analysis-family registry rows (split from LlmQueries, round 9 —
@@ -18,7 +18,7 @@ object TextQueries {
   val all: Seq[(String, Q)] = Seq(
     // language-ID heuristic: argmax of per-language stopword hits
     "l3_lang_id" -> Q(
-      (s, dir) => td(s, dir, "documents").select(
+      (s, dir) => tdw(s, dir, "documents").select(
         col("doc_id"), TextOps.langIdHeuristic(col("text")).as("pred_lang")),
       Some("""WITH h AS (SELECT doc_id,
              |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t IN ('der','die','das','und','ist','ein'))) AS de_h,
@@ -37,7 +37,7 @@ object TextQueries {
     // languages even when function words are absent; profiles interpolated
     // into the oracle from the same Scala constants
     "l24_lang_id_ngram" -> Q(
-      (s, dir) => td(s, dir, "documents").select(
+      (s, dir) => tdw(s, dir, "documents").select(
         col("doc_id"), graft.llm.NgramLangId.langIdNgram(col("text")).as("pred_lang")),
       Some(TextOracles.langIdNgramSql)),
 
@@ -46,7 +46,7 @@ object TextQueries {
     // portable md5 shingle hashes so the oracle replays it exactly
     "l25_decontaminate" -> Q(
       (s, dir) => {
-        val docs = td(s, dir, "documents")
+        val docs = tdw(s, dir, "documents")
         graft.llm.Decontaminate.flaggedDocs(
           docs.filter(col("doc_id") % 50 =!= 0),
           docs.filter(col("doc_id") % 50 === 0),
@@ -59,7 +59,7 @@ object TextQueries {
     // (a release gate needs the zeros); same broadcast shape as l25
     "l31_contamination_score" -> Q(
       (s, dir) => {
-        val docs = td(s, dir, "documents")
+        val docs = tdw(s, dir, "documents")
         graft.llm.Decontaminate.contaminationScore(
           docs.filter(col("doc_id") % 50 =!= 0),
           docs.filter(col("doc_id") % 50 === 0),
@@ -72,7 +72,7 @@ object TextQueries {
     // shuffle; the oracle replays the window arithmetic in BIGINT
     "l32_doc_chunking" -> Q(
       (s, dir) => TextOps.slidingWindows(
-        td(s, dir, "documents"), "doc_id", "text",
+        tdw(s, dir, "documents"), "doc_id", "text",
         windowTokens = 64, strideTokens = 48),
       Some(TextOracles.slidingWindowsSql(window = 64, stride = 48))),
 
@@ -82,7 +82,7 @@ object TextQueries {
     // rates are exact long floor-division basis points the oracle replays
     "l33_domain_balance" -> Q(
       (s, dir) => graft.llm.Sampling.balanceToShares(
-          td(s, dir, "documents"), "doc_id", "source", "n_chars",
+          tdw(s, dir, "documents"), "doc_id", "source", "n_chars",
           targetPct = Map("src0" -> 40, "src1" -> 40, "src2" -> 20))
         .select(col("doc_id"), col("source"), col("n_chars")),
       Some(TextOracles.balanceToSharesSql("source", "n_chars",
@@ -96,7 +96,7 @@ object TextQueries {
     // fix-up and the HUGEINT min-rate arithmetic verbatim
     "l63_tempered_mixture" -> Q(
       (s, dir) => graft.llm.Sampling.temperedMixture(
-          td(s, dir, "documents"), "doc_id", "source", "n_chars", seed = "t2")
+          tdw(s, dir, "documents"), "doc_id", "source", "n_chars", seed = "t2")
         .select(col("doc_id"), col("source"), col("n_chars")),
       Some(TextOracles.temperedMixtureSql("source", "n_chars", seed = "t2")),
       eager = true),
@@ -107,7 +107,7 @@ object TextQueries {
     // broadcast Σr, DECIMAL/HUGEINT exact floored allocation)
     "l79_token_budget_plan" -> Q(
       (s, dir) => graft.llm.Sampling.tokenBudgetPlan(
-        td(s, dir, "documents"), "source", "n_chars", budget = 1000000000L),
+        tdw(s, dir, "documents"), "source", "n_chars", budget = 1000000000L),
       Some("""WITH w AS (SELECT source AS stratum, CAST(SUM(n_chars) AS BIGINT) AS w
              |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
              |r AS (SELECT stratum, w,
@@ -129,7 +129,7 @@ object TextQueries {
     // driver-side (trainer-table precedent); oracle unrolls the rounds
     "l125_doremi_weights" -> Q(
       (s, dir) => graft.llm.DomainReweight.doremiWeights(
-        td(s, dir, "documents"), "source", "n_chars",
+        tdw(s, dir, "documents"), "source", "n_chars",
         rounds = 4, etaBp = 100L, alphaBp = 200L),
       Some(TextOracles.doremiWeightsSql("source", "n_chars",
         rounds = 4, etaBp = 100L, alphaBp = 200L)),
@@ -143,7 +143,7 @@ object TextQueries {
     // oracle replays the identical integer recurrence as a recursive CTE
     "l64_dsir_importance" -> Q(
       (s, dir) => {
-        val docs = td(s, dir, "documents")
+        val docs = tdw(s, dir, "documents")
         graft.llm.Dsir.importanceWeights(
           docs, docs.filter(col("source") === "src0"),
           "doc_id", "text", nBuckets = 1024)
@@ -167,7 +167,7 @@ object TextQueries {
           lit("<script type=\"text/javascript\">var x = "), d.cast("string"),
           lit("; if (x < 2) { x = x && 1; }</script>\n"),
           lit("<p>&quot;tail&quot; &amp; more&nbsp;here</p></body></html>"))
-        td(s, dir, "documents")
+        tdw(s, dir, "documents")
           .select(d, TextOps.stripHtml(html).as("c"))
           .select(col("doc_id"), md5(col("c").cast("binary")).as("clean_md5"),
             length(col("c")).cast("long").as("n_chars_clean"))
@@ -206,7 +206,7 @@ object TextQueries {
         val syn = concat(col("text"), lit(" contact user"), col("doc_id"),
           lit("@example.com or +1 (555) 010-"),
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
-        td(s, dir, "documents").select(
+        tdw(s, dir, "documents").select(
           col("doc_id"),
           graft.llm.TextOps.scrubPii(syn).as("scrubbed"),
           graft.llm.TextOps.piiCount(syn).as("n_pii"))
@@ -218,7 +218,7 @@ object TextQueries {
     // stay small
     "l29_pack_materialize" -> Q(
       (s, dir) => graft.llm.Packing.materializeBins(
-          td(s, dir, "documents"), "doc_id", "text",
+          tdw(s, dir, "documents"), "doc_id", "text",
           binCapacity = 512L, chunkSize = 32L)
         .select(col("chunk"), col("bin"), md5(col("seq_text")).as("seq_md5"),
           col("n_docs"), col("total_tokens")),
@@ -287,12 +287,12 @@ object TextQueries {
     // per-row array lambdas
     "l27_repetition_filters" -> Q(
       (s, dir) => graft.llm.RepetitionStats.repetitionStats(
-        td(s, dir, "documents"), "doc_id", "text"),
+        tdw(s, dir, "documents"), "doc_id", "text"),
       Some(TextOracles.repetitionStatsSql)),
 
     // quality scoring: length/punctuation/word-shape composite
     "l4_quality_score" -> Q(
-      (s, dir) => td(s, dir, "documents").select(
+      (s, dir) => tdw(s, dir, "documents").select(
         col("doc_id"), TextOps.qualityScore(col("text")).as("quality")),
       Some("""WITH t AS (SELECT doc_id,
              |  CAST(length(text) AS DOUBLE) AS n_chars,
@@ -310,7 +310,7 @@ object TextQueries {
     // Expression-only over the scan, zero shuffles
     "l114_readability" -> Q(
       (s, dir) => graft.llm.CorpusStats.readabilityStats(
-        td(s, dir, "documents"), "doc_id", "text"),
+        tdw(s, dir, "documents"), "doc_id", "text"),
       Some("""WITH b AS (SELECT doc_id, lower(trim(text)) AS t
              |  FROM documents WHERE length(trim(text)) > 0),
              |c AS (SELECT doc_id,

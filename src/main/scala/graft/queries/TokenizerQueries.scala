@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.llm.{Dedup, TextOps}
-import Registry.td
+import Registry.{td, tdw}
 
 /**
  * Tokenizer / packing-family registry rows (split from TextQueries,
@@ -18,7 +18,7 @@ object TokenizerQueries {
   val all: Seq[(String, Q)] = Seq(
     // token counting: whitespace + BPE-ish regex units
     "l2_token_count" -> Q(
-      (s, dir) => td(s, dir, "documents").select(
+      (s, dir) => tdw(s, dir, "documents").select(
         col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
         TextOps.bpeishCount(col("text")).as("n_bpeish")),
@@ -32,7 +32,7 @@ object TokenizerQueries {
     // fixed DefaultMerges table; the oracle replays the identical merge
     // loop in a recursive CTE with the SAME interpolated merges
     "l20_bpe_token_count" -> Q(
-      (s, dir) => td(s, dir, "documents").select(
+      (s, dir) => tdw(s, dir, "documents").select(
         col("doc_id"), graft.llm.Bpe.countTokens(col("text")).as("bpe_tokens")),
       Some(BpeOracles.tokenCountSql(graft.llm.Bpe.DefaultMerges))),
 
@@ -40,7 +40,7 @@ object TokenizerQueries {
     // hash-compared, so any divergence in any merge step of any word fails
     // the row — the strongest external check on the tokenizer
     "l21_bpe_encode" -> Q(
-      (s, dir) => td(s, dir, "documents").select(
+      (s, dir) => tdw(s, dir, "documents").select(
         col("doc_id"), graft.llm.Bpe.encodeTokens(col("text")).as("bpe_text")),
       Some(BpeOracles.encodeSql(graft.llm.Bpe.DefaultMerges))),
 
@@ -50,7 +50,7 @@ object TokenizerQueries {
     // The whole token sequence is hash-compared; the oracle replays the
     // identical scan in a recursive CTE over the SAME interpolated vocab
     "l118_wordpiece_encode" -> Q(
-      (s, dir) => td(s, dir, "documents").select(
+      (s, dir) => tdw(s, dir, "documents").select(
         col("doc_id"),
         graft.llm.WordPiece.encodeTokens(col("text")).as("wp_text")),
       Some(WordPieceOracles.encodeSql(graft.llm.WordPiece.DefaultVocab))),
@@ -65,7 +65,7 @@ object TokenizerQueries {
     "l119_wordpiece_unk_audit" -> Q(
       (s, dir) => {
         val enc = graft.llm.WordPiece.encodeTokens(col("text"))
-        td(s, dir, "documents").filter(col("text").isNotNull)
+        tdw(s, dir, "documents").filter(col("text").isNotNull)
           .select(col("lang"),
             TextOps.tokenCount(col("text")).as("words"),
             when(length(enc) === 0, 0L)
@@ -84,7 +84,7 @@ object TokenizerQueries {
     // corpus vocabulary stats over the BPE encoding: top-50 tokens by
     // frequency — the vocab-audit step of a tokenizer rollout
     "l22_bpe_vocab_stats" -> Q(
-      (s, dir) => td(s, dir, "documents")
+      (s, dir) => tdw(s, dir, "documents")
         .select(explode(split(graft.llm.Bpe.encodeTokens(col("text")), " ")).as("token"))
         .filter(length(col("token")) > 0)
         .groupBy("token").agg(count(lit(1)).cast("long").as("n"))
@@ -96,7 +96,7 @@ object TokenizerQueries {
     // oracle replays the identical greedy fold per chunk recursively)
     "l23_token_packing" -> Q(
       (s, dir) => graft.llm.Packing.packTextByTokenBudget(
-        td(s, dir, "documents"), "doc_id", "text",
+        tdw(s, dir, "documents"), "doc_id", "text",
         binCapacity = 512L, chunkSize = 32L).toDF(),
       Some(BpeOracles.packingSql(graft.llm.Bpe.DefaultMerges,
         binCapacity = 512L, chunkSize = 32L))),
@@ -108,7 +108,7 @@ object TokenizerQueries {
     // a materialization. Same one-shuffle chunk shape as l23
     "l116_packing_efficiency" -> Q(
       (s, dir) => graft.llm.Packing.packingEfficiency(
-        td(s, dir, "documents"), "doc_id", "text",
+        tdw(s, dir, "documents"), "doc_id", "text",
         binCapacity = 512L, chunkSize = 32L),
       Some(BpeOracles.packingEfficiencySql(graft.llm.Bpe.DefaultMerges,
         binCapacity = 512L, chunkSize = 32L))),
@@ -118,7 +118,7 @@ object TokenizerQueries {
     // doc — the invariant a tokenizer rollout gates on. Both engines
     // compute the mismatch count independently; expected (n_docs, 0)
     "l35_bpe_roundtrip" -> Q(
-      (s, dir) => td(s, dir, "documents")
+      (s, dir) => tdw(s, dir, "documents")
         .filter(col("text").isNotNull)
         .select(
           (translate(graft.llm.Bpe.encodeTokens(col("text")), " ", "")
@@ -136,7 +136,7 @@ object TokenizerQueries {
     // 10 rows, not the corpus
     "l71_vocab_growth" -> Q(
       (s, dir) => graft.llm.CorpusStats.vocabGrowth(
-        td(s, dir, "documents"), "doc_id",
+        tdw(s, dir, "documents"), "doc_id",
         TextOps.shingles(col("text"), 3), nBuckets = 10),
       Some("""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
              |    FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
@@ -158,7 +158,7 @@ object TokenizerQueries {
     // sums; the only doubles are the two final divisions
     "l77_bpe_fertility" -> Q(
       (s, dir) => {
-        val d = td(s, dir, "documents").filter(col("text").isNotNull)
+        val d = tdw(s, dir, "documents").filter(col("text").isNotNull)
           .select(col("lang"),
             coalesce(graft.llm.Bpe.countTokens(col("text")), lit(0L)).as("bpe"),
             TextOps.tokenCount(col("text")).as("words"),
@@ -180,7 +180,7 @@ object TokenizerQueries {
     // boundaries, no floating log); one (source,bucket) hash-agg
     "l78_length_histogram" -> Q(
       (s, dir) => graft.llm.CorpusStats.lengthHistogram(
-        td(s, dir, "documents"), "source", "text"),
+        tdw(s, dir, "documents"), "source", "text"),
       Some("""WITH t AS (SELECT source,
              |    CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
              |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tc
@@ -200,7 +200,7 @@ object TokenizerQueries {
     // min-id agg → shingle join → per-doc agg; no windows, no all-pairs
     "l75_ngram_novelty" -> Q(
       (s, dir) => graft.llm.CorpusStats.ngramNovelty(
-        td(s, dir, "documents"), "doc_id", "text", n = 8),
+        tdw(s, dir, "documents"), "doc_id", "text", n = 8),
       Some("""WITH tk AS (SELECT doc_id,
              |    regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
              |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-6),
@@ -218,7 +218,7 @@ object TokenizerQueries {
     // count per source. One shuffle on source; decimal-summed mean
     "l74_consecutive_overlap" -> Q(
       (s, dir) => graft.llm.CorpusStats.consecutiveOverlap(
-        td(s, dir, "documents"), "doc_id", "source", "text",
+        tdw(s, dir, "documents"), "doc_id", "source", "text",
         n = 3, highThreshold = 0.5),
       Some("""WITH tk AS (SELECT doc_id, source,
              |    regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
@@ -244,7 +244,7 @@ object TokenizerQueries {
     // weight via min_by/arg_min — deterministic, ids are unique)
     "l72_dup_histogram" -> Q(
       (s, dir) => graft.llm.CorpusStats.dupSizeHistogram(
-        td(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        tdw(s, dir, "documents").select(col("doc_id"), col("n_chars"),
           Dedup.exactFingerprint(
             array_join(slice(TextOps.whitespaceTokens(col("text")), 1, 5), " ")).as("fp")),
         "fp", "doc_id", "n_chars"),
@@ -265,7 +265,7 @@ object TokenizerQueries {
     // in DECIMAL(18,6) over per-doc 6-dp-rounded scores (exact arithmetic
     // ⇒ engine-identical), then divided as double by an exact long
     "l36_corpus_report" -> Q(
-      (s, dir) => td(s, dir, "documents").agg(
+      (s, dir) => tdw(s, dir, "documents").agg(
         count(lit(1)).cast("long").as("n_docs"),
         sum(when(col("text").isNull || length(trim(col("text"))) === 0, 1L)
           .otherwise(0L)).cast("long").as("n_blank"),
