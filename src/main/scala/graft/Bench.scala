@@ -109,16 +109,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT_BYTES", "8m"))
-      // AQE coalescing floor (round 14, guide §2.2/§2.5): with the default
-      // 1 MB floor, every post-shuffle stage under cpus×1 MB coalesces to a
-      // handful of tasks — fatal for CPU-dense small shuffles (md5/shingle
-      // verify joins, histogram windows ran 1-task on 32 cores; QueryProbe
-      // evidence in OPTIMIZATION_r14.md). parallelismFirst already targets
-      // bytes/defaultParallelism; this floor is what stopped it. Scale-safe:
-      // the floor only binds when a stage's total shuffle bytes are below
-      // cpus×1 MB — production-sized exchanges never feel it.
+      // AQE coalescing floor — measured BOTH ways in round 14 and kept at
+      // the Spark default: 256k/64k floors do fan CPU-dense small shuffles
+      // out to the cores (a21 3.25→2.46 warm), but suite-wide the extra
+      // tiny tasks cost more than they buy (full-registry A/B at sf0.1:
+      // 312.8 s @256k vs 260.6 s @1m, identical code —
+      // bench/BENCH_R14_MID{2,3}.json). Env knob kept for experiments.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "256k"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "1m"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -166,7 +166,7 @@ object DedupAudit {
     val key = array_join(array_sort(TextOps.whitespaceTokens(lower(col(textCol)))), " ")
     // same cap-admissible planted universe as the MinHash audits: an
     // identical-text group above the bucket cap drops whole by design
-    val keyed = widen(capAdmissible(df, textCol, maxBucketSize))
+    val keyed = capAdmissible(df, textCol, maxBucketSize)
       .select(col(idCol).as("doc"), md5(key).as("mk"))
     val planted = keyed.as("a").join(keyed.as("b"),
         col("a.mk") === col("b.mk") && col("a.doc") < col("b.doc"))
@@ -193,7 +193,7 @@ object DedupAudit {
   def fingerprintAudit(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = TextOps.whitespaceTokens(col(textCol))
     val fold = (arr: Column) => aggregate(arr, lit(0L), (acc, t) => xxhash64(acc, t))
-    val fp = widen(df).select(col(idCol),
+    val fp = df.select(col(idCol),
         md5(array_join(toks, " ")).as("key"),
         TextOps.docFingerprint(col(textCol)).as("fp"),
         fold(reverse(toks)).as("fp_rev"),

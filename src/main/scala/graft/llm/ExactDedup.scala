@@ -24,7 +24,7 @@ private[llm] trait ExactDedupOps {
    * fingerprint; map-side partial aggregation applies.
    */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    widen(df).groupBy(exactFingerprint(col(textCol)).as("fingerprint"))
+    df.groupBy(exactFingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).cast("long").as("dup_cnt"))
 
   /** [[exactDedupKeepBest]] merit ceiling (exclusive): 2^20. */
@@ -61,7 +61,7 @@ private[llm] trait ExactDedupOps {
       .otherwise(raise_error(concat(
         lit(s"exactDedupKeepBest: merit/id out of range (merit < $KeepBestMeritCap, id < $KeepBestIdCap): "),
         merit, lit("/"), id)))
-    widen(df).groupBy(exactFingerprint(col(textCol)).as("fingerprint"))
+    df.groupBy(exactFingerprint(col(textCol)).as("fingerprint"))
       .agg(min(packed).as("_pk"), count(lit(1)).cast("long").as("dup_cnt"))
       .select(col("fingerprint"),
         col("_pk").bitwiseAND(lit(KeepBestIdCap - 1)).as("keep_id"),
@@ -94,7 +94,7 @@ private[llm] trait ExactDedupOps {
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
                 minDf: Int = 2): DataFrame = {
     require(minDf >= 2, s"minDf=$minDf would remove every non-blank line")
-    val base = widen(docs).filter(col(textCol).isNotNull)
+    val base = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(textCol).as("_text"))
     // -1 limit: trailing empty lines survive the split on both engines
     val lines = base.select(col("doc_id"),

@@ -3,7 +3,6 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.ops.ScanPar.widen
 
 /**
  * SimHash near-dup family (split from Dedup.scala, round 11 — pure
@@ -89,7 +88,7 @@ private[llm] trait SimHashDedupOps {
     // native SimHash64 expression (codegen'd tight loop): measured faster
     // than both the HOF fold (per-token array allocs) and the explode+64-agg
     // variant (falls out of codegen at 64 agg buffers)
-    val withSim = widen(df)
+    val withSim = df
       .select(col(idCol), TextOps.whitespaceTokens(lower(col(textCol))).as("_toks"))
       .select(col(idCol), SimHash64.simhashCol(df.sparkSession, "_toks").as("simhash"))
     simhashBlockPairs(withSim, idCol, maxHamming, blocks, maxBucketSize, dropStats)
@@ -103,7 +102,7 @@ private[llm] trait SimHashDedupOps {
                               maxHamming: Int = 3, blocks: Int = 4,
                               maxBucketSize: Int = 1000,
                               dropStats: Option[DropStats] = None): DataFrame = {
-    val withSim = widen(df)
+    val withSim = df
       .select(col(idCol), TextOps.whitespaceTokens(lower(col(textCol))).as("_toks"))
       .select(col(idCol), SimHashPortable60.simhashCol(df.sparkSession, "_toks").as("simhash"))
     simhashBlockPairs(withSim, idCol, maxHamming, blocks, maxBucketSize, dropStats)

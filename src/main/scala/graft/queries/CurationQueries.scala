@@ -47,7 +47,7 @@ object CurationQueries {
 
     "l51_curation_funnel" -> Q(
       (s, dir) => graft.llm.Curation.curationFunnel(
-        tdw(s, dir, "documents"), "doc_id", "text", "source",
+        td(s, dir, "documents"), "doc_id", "text", "source",
         graft.llm.QualityClassifier.DefaultModel,
         minLogit = graft.llm.QualityClassifier.DefaultModel.bias
           .add(new java.math.BigDecimal("0.050000"))),
@@ -70,7 +70,7 @@ object CurationQueries {
           lit("/p/"), col("doc_id").cast("string"),
           when(col("doc_id") % 3 === 0, lit(" and http://mirror.example.net/x"))
             .otherwise(lit("")))
-        tdw(s, dir, "documents")
+        td(s, dir, "documents")
           .select(col("doc_id"),
             explode(graft.llm.TextOps.extractUrlDomains(aug)).as("domain"))
           .groupBy("domain")
@@ -114,7 +114,7 @@ object CurationQueries {
           lit("?utm_source=feed&id="), (d % 5).cast("string"),
           lit("&fbclid=x"), d.cast("string"),
           when(d % 6 === 0, lit("#Sec")).otherwise(lit("")))
-        tdw(s, dir, "documents")
+        td(s, dir, "documents")
           .select(d, TextOps.canonicalizeUrl(url).as("canonical_url"))
           .groupBy("canonical_url")
           .agg(count(lit(1)).cast("long").as("n_urls"),
@@ -165,7 +165,7 @@ object CurationQueries {
     "l49_sft_template" -> Q(
       (s, dir) => {
         val tk = split(trim(col("text")), "\\s+")
-        val d = tdw(s, dir, "documents").select(col("doc_id"),
+        val d = td(s, dir, "documents").select(col("doc_id"),
           array_join(slice(tk, 1, 8), " ").as("prompt"),
           array_join(slice(tk, 9, 1 << 20), " ").as("resp"))
         graft.llm.TextOps.renderSftTemplate(
@@ -180,7 +180,7 @@ object CurationQueries {
     // one exchange on source + per-group sort, engine-reproducible
     "l48_source_cap" -> Q(
       (s, dir) => graft.llm.Sampling.capPerGroup(
-        tdw(s, dir, "documents"), "doc_id", "source", maxPerGroup = 15),
+        td(s, dir, "documents"), "doc_id", "source", maxPerGroup = 15),
       Some("""WITH h AS (SELECT doc_id, source,
              |    ('0x'||substr(md5('c1' || chr(31) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS hv
              |  FROM documents)
@@ -205,7 +205,7 @@ object CurationQueries {
     // lanes must flag, the prose lane must not.
     "l121_code_prose_detect" -> Q(
       (s, dir) => {
-        val d = tdw(s, dir, "documents").filter(col("text").isNotNull)
+        val d = td(s, dir, "documents").filter(col("text").isNotNull)
         val id = col("doc_id").cast("string")
         val aug = d.select(col("doc_id"),
           when(col("doc_id") % 5 === 0,
@@ -245,7 +245,7 @@ object CurationQueries {
           lit("bad\u0007ctl\u001Ftail"),
           lit("plain tail")), (col("doc_id") % 4).cast("int") + 1)
         val raw = concat_ws(" ", col("text"), suffix)
-        tdw(s, dir, "documents")
+        td(s, dir, "documents")
           .select(col("doc_id"), raw.as("_raw"))
           .withColumn("norm_text", graft.llm.TextOps.normalizeText(col("_raw")))
           .select(col("doc_id"), col("norm_text"),
@@ -260,7 +260,7 @@ object CurationQueries {
     // the l8p fingerprint fold + the seeded bucket hash
     "l110_leakage_safe_split" -> Q(
       (s, dir) => graft.llm.Sampling.leakageSafeSplit(
-        tdw(s, dir, "documents"), "doc_id", "text", trainPct = 90, valPct = 5),
+        td(s, dir, "documents"), "doc_id", "text", trainPct = 90, valPct = 5),
       Some("""WITH RECURSIVE toks AS (
              |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
              |  FROM documents WHERE text IS NOT NULL),

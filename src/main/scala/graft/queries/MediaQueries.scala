@@ -31,7 +31,7 @@ object MediaQueries {
     "m15_pair_curation_gate" -> Q(
       (s, dir) => {
         import s.implicits._
-        val docs = tdw(s, dir, "documents")
+        val docs = td(s, dir, "documents")
         val media = docs.select(col("doc_id")).as[Long]
           .map(id => Multimodal.packMediaById(id))
         val dec = Multimodal.decodeMedia(media).toDF()
@@ -75,7 +75,7 @@ object MediaQueries {
     "m3_media_decode" -> Q(
       (s, dir) => {
         import s.implicits._
-        val media = tdw(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = td(s, dir, "documents").select(col("doc_id")).as[Long]
           .map(id => Multimodal.packMediaById(id))
         Multimodal.decodeMedia(media).toDF()
       },
@@ -89,7 +89,7 @@ object MediaQueries {
     "m4_audio_resample" -> Q(
       (s, dir) => {
         import s.implicits._
-        val media = tdw(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = td(s, dir, "documents").select(col("doc_id")).as[Long]
           .map(id => Multimodal.packMediaById(id))
         Multimodal.resampleAudio2x(media).toDF()
       },
@@ -102,7 +102,7 @@ object MediaQueries {
     "m5_image_downsample" -> Q(
       (s, dir) => {
         import s.implicits._
-        val media = tdw(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = td(s, dir, "documents").select(col("doc_id")).as[Long]
           .map(id => Multimodal.packMediaById(id))
         Multimodal.downsampleImage2x(media).toDF()
       },
@@ -120,7 +120,7 @@ object MediaQueries {
     "m6_image_dhash_pairs" -> Q(
       (s, dir) => {
         import s.implicits._
-        val media = tdw(s, dir, "documents")
+        val media = td(s, dir, "documents")
           .filter(col("doc_id") % 4 === 0).select(col("doc_id")).as[Long]
           .flatMap(id => Multimodal.packImagePairById(id))
         val hashes = Multimodal.imageDHash(media).toDF()
@@ -139,7 +139,7 @@ object MediaQueries {
     "m13_media_dedup_clusters" -> Q(
       (s, dir) => {
         import s.implicits._
-        val media = tdw(s, dir, "documents")
+        val media = td(s, dir, "documents")
           .filter(col("doc_id") % 4 === 0).select(col("doc_id")).as[Long]
           .flatMap(id => Multimodal.packImagePairById(id))
         val hashes = Multimodal.imageDHash(media).toDF()
@@ -158,7 +158,7 @@ object MediaQueries {
     "m7_audio_fp_pairs" -> Q(
       (s, dir) => {
         import s.implicits._
-        val media = tdw(s, dir, "documents")
+        val media = td(s, dir, "documents")
           .filter(col("doc_id") % 4 === 1).select(col("doc_id")).as[Long]
           .flatMap(id => Multimodal.packAudioPairById(id))
         val fps = Multimodal.audioFingerprint(media).toDF()
@@ -177,7 +177,7 @@ object MediaQueries {
     "m8_png_decode" -> Q(
       (s, dir) => {
         import s.implicits._
-        val media = tdw(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = td(s, dir, "documents").select(col("doc_id")).as[Long]
           .map(id => Multimodal.packPngById(id))
         Multimodal.decodePngMedia(media).toDF()
       },
@@ -199,7 +199,7 @@ object MediaQueries {
     "m9_gif_decode" -> Q(
       (s, dir) => {
         import s.implicits._
-        val media = tdw(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = td(s, dir, "documents").select(col("doc_id")).as[Long]
           .map(id => Multimodal.packGifById(id))
         Multimodal.decodeGifMedia(media).toDF()
       },
@@ -227,7 +227,7 @@ object MediaQueries {
     "m10_jpeg_decode" -> Q(
       (s, dir) => {
         import s.implicits._
-        val media = tdw(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = td(s, dir, "documents").select(col("doc_id")).as[Long]
           .map(id => Multimodal.packJpegById(id))
         Multimodal.decodeJpegMedia(media).toDF()
       },
@@ -253,7 +253,7 @@ object MediaQueries {
     "m11_id3_decode" -> Q(
       (s, dir) => {
         import s.implicits._
-        val media = tdw(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = td(s, dir, "documents").select(col("doc_id")).as[Long]
           .map(id => Multimodal.packId3ById(id))
         Multimodal.decodeId3Media(media).toDF()
       },
@@ -280,7 +280,7 @@ object MediaQueries {
     "m12_avi_decode" -> Q(
       (s, dir) => {
         import s.implicits._
-        val media = tdw(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = td(s, dir, "documents").select(col("doc_id")).as[Long]
           .map(id => Multimodal.packAviById(id))
         Multimodal.decodeAviMedia(media).toDF()
       },
@@ -317,7 +317,7 @@ object MediaQueries {
     "m14_video_dhash_clusters" -> Q(
       (s, dir) => {
         import s.implicits._
-        val media = tdw(s, dir, "documents")
+        val media = td(s, dir, "documents")
           .filter(col("doc_id") % 4 === 2).select(col("doc_id")).as[Long]
           .flatMap(id => Multimodal.packVideoPairById(id))
         val frames = Multimodal.videoFrameDHash(media).toDF()
@@ -340,7 +340,7 @@ object MediaQueries {
     "m16_video_shift_dedup" -> Q(
       (s, dir) => {
         import s.implicits._
-        val media = tdw(s, dir, "documents")
+        val media = td(s, dir, "documents")
           .filter(col("doc_id") % 4 === 3).select(col("doc_id")).as[Long]
           .flatMap(id => Multimodal.packVideoTrimPairById(id))
         val frames = Multimodal.videoFrameDHash(media).toDF()
@@ -360,7 +360,7 @@ object MediaQueries {
     "m17_audio_shift_dedup" -> Q(
       (s, dir) => {
         import s.implicits._
-        val media = tdw(s, dir, "documents")
+        val media = td(s, dir, "documents")
           .filter(col("doc_id") % 4 === 1).select(col("doc_id")).as[Long]
           .flatMap(id => Multimodal.packAudioTrimPairById(id))
         val segs = Multimodal.audioSegmentFingerprints(media).toDF()

@@ -36,7 +36,7 @@ object PostTrainQueries {
     // char-length as the integral score.
     "l85_preference_pairs" -> Q(
       (s, dir) => {
-        val cands = tdw(s, dir, "documents")
+        val cands = td(s, dir, "documents")
           .filter(col("text").isNotNull)
           .select((col("doc_id") % 100).as("prompt_id"),
             col("doc_id").as("cid"),
@@ -76,7 +76,7 @@ object PostTrainQueries {
     // probe; no window sort. Same fixture as l85.
     "l120_grpo_advantage" -> Q(
       (s, dir) => graft.llm.Preference.groupAdvantage(
-        tdw(s, dir, "documents").filter(col("text").isNotNull)
+        td(s, dir, "documents").filter(col("text").isNotNull)
           .select((col("doc_id") % 100).as("prompt_id"),
             col("doc_id").as("cid"),
             length(col("text")).cast("long").as("score")),
@@ -103,7 +103,7 @@ object PostTrainQueries {
     // (lag/running-sum windows and the rebuild groupBy share the doc key)
     "l88_span_corruption" -> Q(
       (s, dir) => graft.llm.TextOps.spanCorrupt(
-        tdw(s, dir, "documents"), "doc_id", "text", maskPct = 15, seed = "sc1"),
+        td(s, dir, "documents"), "doc_id", "text", maskPct = 15, seed = "sc1"),
       Some(TextOracles.spanCorruptSql(maskPct = 15, seed = "sc1"))),
 
     // curriculum training schedule: quality-threshold phases (cleanest
@@ -113,7 +113,7 @@ object PostTrainQueries {
     // across separately-curated corpora
     "l90_curriculum_schedule" -> Q(
       (s, dir) => graft.llm.Sampling.curriculumSchedule(
-        tdw(s, dir, "documents")
+        td(s, dir, "documents")
           .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q")),
         "doc_id", "q", thresholds = Seq(0.5, 0.25), nShards = 8, seed = "cu1"),
       Some(TextOracles.curriculumSql(Seq(0.5, 0.25), nShards = 8, seed = "cu1"))),
@@ -129,7 +129,7 @@ object PostTrainQueries {
     // recursive CTE. eager: collects the bounded table at build time
     "l123_ngram_generate" -> Q(
       (s, dir) => graft.llm.Generate.greedyGenerate(
-        s, tdw(s, dir, "documents"), "text", nSeeds = 5, steps = 12),
+        s, td(s, dir, "documents"), "text", nSeeds = 5, steps = 12),
       Some("""WITH RECURSIVE
              |tk AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
              |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
@@ -163,7 +163,7 @@ object PostTrainQueries {
     // TakeOrderedAndProject
     "l106_weighted_sample" -> Q(
       (s, dir) => graft.llm.Sampling.weightedSamplePriority(
-        tdw(s, dir, "documents"), "doc_id", "n_chars", k = 100, seed = "ws"),
+        td(s, dir, "documents"), "doc_id", "n_chars", k = 100, seed = "ws"),
       Some("""WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
              |    ('0x'||substr(md5('ws' || chr(31) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT + 1 AS u_int
              |  FROM documents WHERE n_chars > 0)
@@ -236,7 +236,7 @@ object PostTrainQueries {
     // does not determine preference. One rollup pass over the pairs
     "l133_length_bias" -> Q(
       (s, dir) => {
-        val c = tdw(s, dir, "documents").filter(col("text").isNotNull)
+        val c = td(s, dir, "documents").filter(col("text").isNotNull)
           .select((col("doc_id") % 100).as("prompt_id"),
             col("doc_id").as("cid"),
             size(array_distinct(split(col("text"), " "))).cast("long")

@@ -24,7 +24,7 @@ object TextEvalQueries {
     // 6-dp-rounded value so the boundary is engine-identical
     "l81_edit_distance_verify" -> Q(
       (s, dir) => graft.llm.EditSim.prefixBlockedEditVerify(
-        tdw(s, dir, "documents"), "doc_id", "text",
+        td(s, dir, "documents"), "doc_id", "text",
         prefixLen = 32, capLen = 400, blockCap = 16, minSim = 0.5),
       Some("""WITH b AS (SELECT doc_id AS id,
              |    substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 400) AS t
@@ -100,7 +100,7 @@ object TextEvalQueries {
     // iteration is floor arithmetic, so all 5 rounds oracle-replay exactly
     "l89_domain_pagerank" -> Q(
       (s, dir) => {
-        val arms = tdw(s, dir, "documents").select(col("source").as("src"),
+        val arms = td(s, dir, "documents").select(col("source").as("src"),
           explode(array((0 until 2).map(r =>
             concat(lit("src"), pmod(TextOps.portableHash60(
               concat(lit("link" + r + graft.llm.Sampling.SeedSep),
@@ -117,7 +117,7 @@ object TextEvalQueries {
     // fan-out), one closing equi-join, floor-arithmetic coefficient
     "l101_triangle_count" -> Q(
       (s, dir) => {
-        val arms = tdw(s, dir, "documents").select(col("source").as("src"),
+        val arms = td(s, dir, "documents").select(col("source").as("src"),
           explode(array((0 until 2).map(r =>
             concat(lit("src"), pmod(TextOps.portableHash60(
               concat(lit("link" + r + graft.llm.Sampling.SeedSep),
@@ -133,7 +133,7 @@ object TextEvalQueries {
     // side pair explosion + ONE hash-agg
     "l102_filter_overlap" -> Q(
       (s, dir) => {
-        val docs = tdw(s, dir, "documents")
+        val docs = td(s, dir, "documents")
           .withColumn("_q", TextOps.qualityScore(col("text")))
           .withColumn("_fpc",
             count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -216,7 +216,7 @@ object TextEvalQueries {
     // replays the DP as a recursive CTE with the same packed-long cells
     "l93_unigram_segment" -> Q(
       (s, dir) => graft.llm.Unigram.segmentCost(
-        tdw(s, dir, "documents"), "doc_id", "text"),
+        td(s, dir, "documents"), "doc_id", "text"),
       Some(TextOracles.unigramSegmentSql(
         graft.llm.Unigram.DefaultVocab, graft.llm.Unigram.UnkCostMicro,
         graft.llm.Unigram.MaxPieceLen))),
@@ -231,7 +231,7 @@ object TextEvalQueries {
     // the bounded top-word table at construction (the l16 precedent)
     "l115_unigram_em_train" -> Q(
       (s, dir) => graft.llm.UnigramTrain.emTrain(
-        s, tdw(s, dir, "documents"), "text",
+        s, td(s, dir, "documents"), "text",
         topWords = 2000, vocabSize = 64, topK = 40, rounds = 1),
       Some(TextOracles.unigramEmTrainSql(topWords = 2000, vocabSize = 64,
         topK = 40, maxLen = graft.llm.Unigram.MaxPieceLen,
@@ -244,7 +244,7 @@ object TextEvalQueries {
     // language better); both recursive replays share one oracle block
     "l94_tokenizer_comparison" -> Q(
       (s, dir) => {
-        val d = tdw(s, dir, "documents").filter(col("text").isNotNull)
+        val d = td(s, dir, "documents").filter(col("text").isNotNull)
           .select(col("lang"),
             coalesce(graft.llm.Bpe.countTokens(col("text")), lit(0L)).as("bpe"),
             graft.llm.Unigram.segmentArray(col("text")).as("_s"))
@@ -270,7 +270,7 @@ object TextEvalQueries {
     // (true, predicted, count) cells every classifier eval reports;
     // one scan + one hash-agg, prediction expression-side
     "l95_langid_confusion" -> Q(
-      (s, dir) => tdw(s, dir, "documents")
+      (s, dir) => td(s, dir, "documents")
         .select(col("lang"),
           graft.llm.NgramLangId.langIdNgram(col("text")).as("pred_lang"))
         .groupBy("lang", "pred_lang")
@@ -289,7 +289,7 @@ object TextEvalQueries {
     // exchange, portable-hash cuts replay exactly
     "l96_cdc_chunking" -> Q(
       (s, dir) => graft.llm.TextOps.cdcChunks(
-        tdw(s, dir, "documents"), "doc_id", "text", k = 3, m = 16),
+        td(s, dir, "documents"), "doc_id", "text", k = 3, m = 16),
       Some("""WITH t AS (SELECT doc_id,
              |    list_filter(regexp_split_to_array(trim(text), '\s+'),
              |      x -> length(x) > 0) AS tk
@@ -327,7 +327,7 @@ object TextEvalQueries {
     "l97_mojibake_repair" -> Q(
       (s, dir) => {
         val mojibakePair = "[\u00C2-\u00F4][\u0080-\u00BF]"
-        tdw(s, dir, "documents")
+        td(s, dir, "documents")
           .withColumn("planted",
             when(col("doc_id") % 3 === 0, translate(col("text"), "aeou", "áéöú"))
               .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" — fin…")))
@@ -391,7 +391,7 @@ object TextEvalQueries {
     // bigram table and mirrors the float expression op-for-op
     "l98_kneser_ney" -> Q(
       (s, dir) => graft.llm.LangModel.kneserNeyScores(
-        tdw(s, dir, "documents"), "doc_id", "text"),
+        td(s, dir, "documents"), "doc_id", "text"),
       Some(TextOracles.kneserNeySql())),
 
     // dataset card (Gebru et al. 2021): one long-form (section, dim,
@@ -400,7 +400,7 @@ object TextEvalQueries {
     // composed from the same primitives l1/l2/l4 oracle individually
     "l99_dataset_card" -> Q(
       (s, dir) => graft.llm.DatasetCard.datasetCard(
-        tdw(s, dir, "documents"), "doc_id", "text", "lang", "source"),
+        td(s, dir, "documents"), "doc_id", "text", "lang", "source"),
       Some("""WITH t AS (SELECT doc_id, lang, source, text,
              |    CAST(length(text) AS DOUBLE) AS nc,
              |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -452,7 +452,7 @@ object TextEvalQueries {
     // One corpus shuffle; marginals are windows over the pair table only
     "l104_pmi_collocations" -> Q(
       (s, dir) => graft.llm.LangModel.pmiCollocations(
-        tdw(s, dir, "documents"), "doc_id", "text", minCount = 5L, topK = 50),
+        td(s, dir, "documents"), "doc_id", "text", minCount = 5L, topK = 50),
       Some("""WITH t AS (SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
              |    x -> length(x) > 0) AS tk FROM documents),
              |s AS (SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
@@ -478,7 +478,7 @@ object TextEvalQueries {
     // of [match ? dp[j-1]+1 : dp[j]]), exactly the native loop's algebra
     "l105_rouge_l" -> Q(
       (s, dir) => graft.llm.CorpusStats.rougeLBySource(
-        tdw(s, dir, "documents"), "doc_id", "source", "text", maxTokens = 40),
+        td(s, dir, "documents"), "doc_id", "source", "text", maxTokens = 40),
       Some("""WITH RECURSIVE t AS (SELECT doc_id, source,
              |    (list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
              |      x -> length(x) > 0))[1:40] AS tk
@@ -523,7 +523,7 @@ object TextEvalQueries {
     // and "can"⊂"scan" / "bat"⊂"batch" keep the nested lane honest
     "l107_ac_blocklist" -> Q(
       (s, dir) => graft.llm.AhoCorasick.blocklistHits(
-        s, tdw(s, dir, "documents"), "doc_id", "text",
+        s, td(s, dir, "documents"), "doc_id", "text",
         Seq("scan", "can", "merge", "bat", "spark", "row")),
       Some("""WITH p AS (SELECT unnest(['scan', 'can', 'merge', 'bat', 'spark', 'row']) AS pattern),
              |c AS (SELECT doc_id, pattern,

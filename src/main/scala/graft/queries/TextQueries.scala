@@ -37,7 +37,7 @@ object TextQueries {
     // languages even when function words are absent; profiles interpolated
     // into the oracle from the same Scala constants
     "l24_lang_id_ngram" -> Q(
-      (s, dir) => tdw(s, dir, "documents").select(
+      (s, dir) => td(s, dir, "documents").select(
         col("doc_id"), graft.llm.NgramLangId.langIdNgram(col("text")).as("pred_lang")),
       Some(TextOracles.langIdNgramSql)),
 
@@ -46,7 +46,7 @@ object TextQueries {
     // portable md5 shingle hashes so the oracle replays it exactly
     "l25_decontaminate" -> Q(
       (s, dir) => {
-        val docs = tdw(s, dir, "documents")
+        val docs = td(s, dir, "documents")
         graft.llm.Decontaminate.flaggedDocs(
           docs.filter(col("doc_id") % 50 =!= 0),
           docs.filter(col("doc_id") % 50 === 0),
@@ -59,7 +59,7 @@ object TextQueries {
     // (a release gate needs the zeros); same broadcast shape as l25
     "l31_contamination_score" -> Q(
       (s, dir) => {
-        val docs = tdw(s, dir, "documents")
+        val docs = td(s, dir, "documents")
         graft.llm.Decontaminate.contaminationScore(
           docs.filter(col("doc_id") % 50 =!= 0),
           docs.filter(col("doc_id") % 50 === 0),
@@ -72,7 +72,7 @@ object TextQueries {
     // shuffle; the oracle replays the window arithmetic in BIGINT
     "l32_doc_chunking" -> Q(
       (s, dir) => TextOps.slidingWindows(
-        tdw(s, dir, "documents"), "doc_id", "text",
+        td(s, dir, "documents"), "doc_id", "text",
         windowTokens = 64, strideTokens = 48),
       Some(TextOracles.slidingWindowsSql(window = 64, stride = 48))),
 
@@ -82,7 +82,7 @@ object TextQueries {
     // rates are exact long floor-division basis points the oracle replays
     "l33_domain_balance" -> Q(
       (s, dir) => graft.llm.Sampling.balanceToShares(
-          tdw(s, dir, "documents"), "doc_id", "source", "n_chars",
+          td(s, dir, "documents"), "doc_id", "source", "n_chars",
           targetPct = Map("src0" -> 40, "src1" -> 40, "src2" -> 20))
         .select(col("doc_id"), col("source"), col("n_chars")),
       Some(TextOracles.balanceToSharesSql("source", "n_chars",
@@ -96,7 +96,7 @@ object TextQueries {
     // fix-up and the HUGEINT min-rate arithmetic verbatim
     "l63_tempered_mixture" -> Q(
       (s, dir) => graft.llm.Sampling.temperedMixture(
-          tdw(s, dir, "documents"), "doc_id", "source", "n_chars", seed = "t2")
+          td(s, dir, "documents"), "doc_id", "source", "n_chars", seed = "t2")
         .select(col("doc_id"), col("source"), col("n_chars")),
       Some(TextOracles.temperedMixtureSql("source", "n_chars", seed = "t2")),
       eager = true),
@@ -107,7 +107,7 @@ object TextQueries {
     // broadcast Σr, DECIMAL/HUGEINT exact floored allocation)
     "l79_token_budget_plan" -> Q(
       (s, dir) => graft.llm.Sampling.tokenBudgetPlan(
-        tdw(s, dir, "documents"), "source", "n_chars", budget = 1000000000L),
+        td(s, dir, "documents"), "source", "n_chars", budget = 1000000000L),
       Some("""WITH w AS (SELECT source AS stratum, CAST(SUM(n_chars) AS BIGINT) AS w
              |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
              |r AS (SELECT stratum, w,
@@ -129,7 +129,7 @@ object TextQueries {
     // driver-side (trainer-table precedent); oracle unrolls the rounds
     "l125_doremi_weights" -> Q(
       (s, dir) => graft.llm.DomainReweight.doremiWeights(
-        tdw(s, dir, "documents"), "source", "n_chars",
+        td(s, dir, "documents"), "source", "n_chars",
         rounds = 4, etaBp = 100L, alphaBp = 200L),
       Some(TextOracles.doremiWeightsSql("source", "n_chars",
         rounds = 4, etaBp = 100L, alphaBp = 200L)),
@@ -218,7 +218,7 @@ object TextQueries {
     // stay small
     "l29_pack_materialize" -> Q(
       (s, dir) => graft.llm.Packing.materializeBins(
-          tdw(s, dir, "documents"), "doc_id", "text",
+          td(s, dir, "documents"), "doc_id", "text",
           binCapacity = 512L, chunkSize = 32L)
         .select(col("chunk"), col("bin"), md5(col("seq_text")).as("seq_md5"),
           col("n_docs"), col("total_tokens")),
@@ -292,7 +292,7 @@ object TextQueries {
 
     // quality scoring: length/punctuation/word-shape composite
     "l4_quality_score" -> Q(
-      (s, dir) => tdw(s, dir, "documents").select(
+      (s, dir) => td(s, dir, "documents").select(
         col("doc_id"), TextOps.qualityScore(col("text")).as("quality")),
       Some("""WITH t AS (SELECT doc_id,
              |  CAST(length(text) AS DOUBLE) AS n_chars,

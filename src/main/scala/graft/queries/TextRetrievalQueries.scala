@@ -25,7 +25,7 @@ object TextRetrievalQueries {
     // engine-identical collisions); one exploded hash-agg, no windows
     "l127_ngram_diversity" -> Q(
       (s, dir) => graft.llm.Diversity.ngramDiversity(
-        tdw(s, dir, "documents"), "source", "text", n = 3),
+        td(s, dir, "documents"), "source", "text", n = 3),
       Some("""WITH toks AS (SELECT source,
              |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
              |  FROM documents
@@ -52,7 +52,7 @@ object TextRetrievalQueries {
     // hash-agg + one fingerprint-keyed join, all integer thresholds
     "l129_dup_weighted_sample" -> Q(
       (s, dir) => graft.llm.Diversity.dupWeightedSample(
-        tdw(s, dir, "documents").select(col("doc_id"),
+        td(s, dir, "documents").select(col("doc_id"),
           array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), " ")
             .as("prefix")),
         "doc_id", "prefix"),
@@ -74,7 +74,7 @@ object TextRetrievalQueries {
     // never an unbounded collect_list
     "l39_inverted_index" -> Q(
       (s, dir) => graft.llm.Index.invertedIndex(
-        tdw(s, dir, "documents"), "doc_id", "text", minDf = 5, maxPostings = 20),
+        td(s, dir, "documents"), "doc_id", "text", minDf = 5, maxPostings = 20),
       Some(TextOracles.invertedIndexSql(minDf = 5, maxPostings = 20))),
 
     // BM25 ranked retrieval for a 4-term probe query: Robertson idf + tf
@@ -82,7 +82,7 @@ object TextRetrievalQueries {
     // DECIMAL(18,6) (order-independent), global top-25
     "l40_bm25_topk" -> Q(
       (s, dir) => graft.llm.Index.bm25TopK(
-        tdw(s, dir, "documents"), "doc_id", "text",
+        td(s, dir, "documents"), "doc_id", "text",
         terms = Seq("join", "vector", "filter", "merge"), topK = 25),
       Some(TextOracles.bm25TopKSql(
         terms = Seq("join", "vector", "filter", "merge"), topK = 25))),
@@ -94,7 +94,7 @@ object TextRetrievalQueries {
     // fusion windows never see the corpus
     "l130_rrf_fusion" -> Q(
       (s, dir) => {
-        val docs = tdw(s, dir, "documents")
+        val docs = td(s, dir, "documents")
         def bm25(terms: Seq[String]) = graft.llm.Index.bm25TopK(
           docs, "doc_id", "text", terms, topK = 25)
         graft.llm.RetrievalEval.rrfFuse(
@@ -115,7 +115,7 @@ object TextRetrievalQueries {
     // cannot); one exchange + per-shard sort
     "l41_epoch_shuffle" -> Q(
       (s, dir) => graft.llm.Sampling.epochShuffle(
-        tdw(s, dir, "documents"), "doc_id", nShards = 4, seed = "e1"),
+        td(s, dir, "documents"), "doc_id", nShards = 4, seed = "e1"),
       Some("""WITH h AS (SELECT doc_id,
              |    ('0x'||substr(md5('e1' || chr(31) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS hv
              |  FROM documents)
@@ -128,7 +128,7 @@ object TextRetrievalQueries {
     // shuffles; short docs (< 3 tokens) keep lo=hi=n (all-prefix)
     "l42_fim_transform" -> Q(
       (s, dir) => TextOps.fimTransform(
-        tdw(s, dir, "documents"), "doc_id", "text", seed = "f1", minTokens = 3),
+        td(s, dir, "documents"), "doc_id", "text", seed = "f1", minTokens = 3),
       Some(TextOracles.fimTransformSql(seed = "f1", minTokens = 3))),
 
     // CCNet-style bigram-LM surprisal: the corpus scores itself under an
@@ -146,7 +146,7 @@ object TextRetrievalQueries {
     // one-stream token window (no join-back), 6-dp rank key
     "l44_tfidf_keywords" -> Q(
       (s, dir) => graft.llm.Index.tfidfTopTerms(
-        tdw(s, dir, "documents"), "doc_id", "text", topK = 5, maxDfFrac = 0.8),
+        td(s, dir, "documents"), "doc_id", "text", topK = 5, maxDfFrac = 0.8),
       Some(TextOracles.tfidfTopTermsSql(topK = 5, maxDfFrac = 0.8))),
 
     // deterministic count-min sketch heavy hitters: 4 rows x 64 buckets
@@ -155,7 +155,7 @@ object TextRetrievalQueries {
     // cell table is constant-size, the bounded-memory heavy-hitter form
     "l45_cms_heavy_hitters" -> Q(
       (s, dir) => graft.llm.Sketch.cmsHeavyHitters(
-        tdw(s, dir, "documents"), "doc_id", "text",
+        td(s, dir, "documents"), "doc_id", "text",
         probes = Seq("join", "hash", "filter", "zzz_absent"), d = 4, w = 64),
       Some(TextOracles.cmsHeavyHittersSql(
         probes = Seq("join", "hash", "filter", "zzz_absent"), d = 4, w = 64))),
@@ -170,7 +170,7 @@ object TextRetrievalQueries {
     // splits the corpus near half rather than rubber-stamping every row
     "l46_quality_classifier" -> Q(
       (s, dir) => graft.llm.QualityClassifier.score(
-        tdw(s, dir, "documents"), "doc_id", "text",
+        td(s, dir, "documents"), "doc_id", "text",
         graft.llm.QualityClassifier.DefaultModel,
         minLogit = graft.llm.QualityClassifier.DefaultModel.bias
           .add(new java.math.BigDecimal("0.050000"))),
@@ -185,7 +185,7 @@ object TextRetrievalQueries {
     // rounded to 6 dp with id tie-break, so ntile agrees across engines
     "l69_calibration" -> Q(
       (s, dir) => graft.llm.QualityClassifier.calibrationTable(
-        tdw(s, dir, "documents"), "doc_id", "text",
+        td(s, dir, "documents"), "doc_id", "text",
         graft.llm.QualityClassifier.DefaultModel,
         minLogit = graft.llm.QualityClassifier.DefaultModel.bias
           .add(new java.math.BigDecimal("0.050000")),
@@ -206,7 +206,7 @@ object TextRetrievalQueries {
           lit("café touché"), lit("Ångström"),
           lit("naïve façade"), lit("plain tail")),
           (col("doc_id") % 4).cast("int") + 1)
-        tdw(s, dir, "documents")
+        td(s, dir, "documents")
           .select(col("doc_id"), concat_ws(" ", col("text"), suffix).as("_raw"))
           .withColumn("folded", graft.llm.TextOps.foldAccents(col("_raw")))
           .select(col("doc_id"), col("folded"),
@@ -257,7 +257,7 @@ object TextRetrievalQueries {
     // pattern) so the cross-engine sum is order-independent and exact
     "l54_token_entropy" -> Q(
       (s, dir) => {
-        val tf = tdw(s, dir, "documents")
+        val tf = td(s, dir, "documents")
           .select(col("doc_id"),
             explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
           .filter(length(col("token")) > 0)
@@ -302,7 +302,7 @@ object TextRetrievalQueries {
     // (doc, idx) hash-agg
     "l109_feature_hashing" -> Q(
       (s, dir) => graft.llm.TextOps.featureHashSparse(
-        tdw(s, dir, "documents"), "doc_id", "text", dim = 16),
+        td(s, dir, "documents"), "doc_id", "text", dim = 16),
       Some("""WITH t AS (SELECT doc_id,
              |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
              |      x -> length(x) > 0)) AS tok
@@ -324,7 +324,7 @@ object TextRetrievalQueries {
     // partitions by first token — never a global sort
     "l111_prefix_cache_order" -> Q(
       (s, dir) => graft.llm.Packing.prefixCacheOrder(
-        tdw(s, dir, "documents"), "doc_id", "text", k = 4),
+        td(s, dir, "documents"), "doc_id", "text", k = 4),
       Some("""WITH b AS (SELECT doc_id,
              |    (list_filter(regexp_split_to_array(trim(text), '\s+'),
              |      x -> length(x) > 0))[1:4] AS pk
@@ -359,7 +359,7 @@ object TextRetrievalQueries {
     // per-source count map collects at construction (the l33/l63 shape)
     "l112_mixture_interleave" -> Q(
       (s, dir) => graft.llm.Packing.mixtureInterleave(
-        tdw(s, dir, "documents"), "doc_id", "source",
+        td(s, dir, "documents"), "doc_id", "source",
         Map("src0" -> 5, "src1" -> 3, "src2" -> 2)),
       Some("""WITH d AS (SELECT doc_id, source FROM documents
              |  WHERE source IN ('src0', 'src1', 'src2')),

@@ -18,7 +18,7 @@ object TokenizerQueries {
   val all: Seq[(String, Q)] = Seq(
     // token counting: whitespace + BPE-ish regex units
     "l2_token_count" -> Q(
-      (s, dir) => tdw(s, dir, "documents").select(
+      (s, dir) => td(s, dir, "documents").select(
         col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
         TextOps.bpeishCount(col("text")).as("n_bpeish")),
@@ -32,7 +32,7 @@ object TokenizerQueries {
     // fixed DefaultMerges table; the oracle replays the identical merge
     // loop in a recursive CTE with the SAME interpolated merges
     "l20_bpe_token_count" -> Q(
-      (s, dir) => tdw(s, dir, "documents").select(
+      (s, dir) => td(s, dir, "documents").select(
         col("doc_id"), graft.llm.Bpe.countTokens(col("text")).as("bpe_tokens")),
       Some(BpeOracles.tokenCountSql(graft.llm.Bpe.DefaultMerges))),
 
@@ -40,7 +40,7 @@ object TokenizerQueries {
     // hash-compared, so any divergence in any merge step of any word fails
     // the row — the strongest external check on the tokenizer
     "l21_bpe_encode" -> Q(
-      (s, dir) => tdw(s, dir, "documents").select(
+      (s, dir) => td(s, dir, "documents").select(
         col("doc_id"), graft.llm.Bpe.encodeTokens(col("text")).as("bpe_text")),
       Some(BpeOracles.encodeSql(graft.llm.Bpe.DefaultMerges))),
 
@@ -50,7 +50,7 @@ object TokenizerQueries {
     // The whole token sequence is hash-compared; the oracle replays the
     // identical scan in a recursive CTE over the SAME interpolated vocab
     "l118_wordpiece_encode" -> Q(
-      (s, dir) => tdw(s, dir, "documents").select(
+      (s, dir) => td(s, dir, "documents").select(
         col("doc_id"),
         graft.llm.WordPiece.encodeTokens(col("text")).as("wp_text")),
       Some(WordPieceOracles.encodeSql(graft.llm.WordPiece.DefaultVocab))),
@@ -84,7 +84,7 @@ object TokenizerQueries {
     // corpus vocabulary stats over the BPE encoding: top-50 tokens by
     // frequency — the vocab-audit step of a tokenizer rollout
     "l22_bpe_vocab_stats" -> Q(
-      (s, dir) => tdw(s, dir, "documents")
+      (s, dir) => td(s, dir, "documents")
         .select(explode(split(graft.llm.Bpe.encodeTokens(col("text")), " ")).as("token"))
         .filter(length(col("token")) > 0)
         .groupBy("token").agg(count(lit(1)).cast("long").as("n"))
@@ -96,7 +96,7 @@ object TokenizerQueries {
     // oracle replays the identical greedy fold per chunk recursively)
     "l23_token_packing" -> Q(
       (s, dir) => graft.llm.Packing.packTextByTokenBudget(
-        tdw(s, dir, "documents"), "doc_id", "text",
+        td(s, dir, "documents"), "doc_id", "text",
         binCapacity = 512L, chunkSize = 32L).toDF(),
       Some(BpeOracles.packingSql(graft.llm.Bpe.DefaultMerges,
         binCapacity = 512L, chunkSize = 32L))),
@@ -108,7 +108,7 @@ object TokenizerQueries {
     // a materialization. Same one-shuffle chunk shape as l23
     "l116_packing_efficiency" -> Q(
       (s, dir) => graft.llm.Packing.packingEfficiency(
-        tdw(s, dir, "documents"), "doc_id", "text",
+        td(s, dir, "documents"), "doc_id", "text",
         binCapacity = 512L, chunkSize = 32L),
       Some(BpeOracles.packingEfficiencySql(graft.llm.Bpe.DefaultMerges,
         binCapacity = 512L, chunkSize = 32L))),
@@ -118,7 +118,7 @@ object TokenizerQueries {
     // doc — the invariant a tokenizer rollout gates on. Both engines
     // compute the mismatch count independently; expected (n_docs, 0)
     "l35_bpe_roundtrip" -> Q(
-      (s, dir) => tdw(s, dir, "documents")
+      (s, dir) => td(s, dir, "documents")
         .filter(col("text").isNotNull)
         .select(
           (translate(graft.llm.Bpe.encodeTokens(col("text")), " ", "")
@@ -158,7 +158,7 @@ object TokenizerQueries {
     // sums; the only doubles are the two final divisions
     "l77_bpe_fertility" -> Q(
       (s, dir) => {
-        val d = tdw(s, dir, "documents").filter(col("text").isNotNull)
+        val d = td(s, dir, "documents").filter(col("text").isNotNull)
           .select(col("lang"),
             coalesce(graft.llm.Bpe.countTokens(col("text")), lit(0L)).as("bpe"),
             TextOps.tokenCount(col("text")).as("words"),
@@ -180,7 +180,7 @@ object TokenizerQueries {
     // boundaries, no floating log); one (source,bucket) hash-agg
     "l78_length_histogram" -> Q(
       (s, dir) => graft.llm.CorpusStats.lengthHistogram(
-        tdw(s, dir, "documents"), "source", "text"),
+        td(s, dir, "documents"), "source", "text"),
       Some("""WITH t AS (SELECT source,
              |    CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
              |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tc
@@ -244,7 +244,7 @@ object TokenizerQueries {
     // weight via min_by/arg_min — deterministic, ids are unique)
     "l72_dup_histogram" -> Q(
       (s, dir) => graft.llm.CorpusStats.dupSizeHistogram(
-        tdw(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        td(s, dir, "documents").select(col("doc_id"), col("n_chars"),
           Dedup.exactFingerprint(
             array_join(slice(TextOps.whitespaceTokens(col("text")), 1, 5), " ")).as("fp")),
         "fp", "doc_id", "n_chars"),
@@ -265,7 +265,7 @@ object TokenizerQueries {
     // in DECIMAL(18,6) over per-doc 6-dp-rounded scores (exact arithmetic
     // ⇒ engine-identical), then divided as double by an exact long
     "l36_corpus_report" -> Q(
-      (s, dir) => tdw(s, dir, "documents").agg(
+      (s, dir) => td(s, dir, "documents").agg(
         count(lit(1)).cast("long").as("n_docs"),
         sum(when(col("text").isNull || length(trim(col("text"))) === 0, 1L)
           .otherwise(0L)).cast("long").as("n_blank"),
