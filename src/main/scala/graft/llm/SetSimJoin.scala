@@ -3,7 +3,6 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.ops.ScanPar.widen
 
 /**
  * EXACT set-similarity self-join with prefix filtering (AllPairs / PPJoin,
@@ -51,7 +50,7 @@ object SetSimJoin {
   def prefixJaccardJoin(df: DataFrame, textCol: String, idCol: String,
       tNum: Int, tDen: Int): DataFrame =
     prefixJaccardJoinElems(
-      widen(df).select(col(idCol).as("doc"),
+      df.select(col(idCol).as("doc"),
           explode(TextOps.whitespaceTokens(col(textCol))).as("tok"))
         .distinct(),
       tNum, tDen)
@@ -67,12 +66,19 @@ object SetSimJoin {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
     val toks = elems
 
-    // document frequency per token
-    val freq = toks.groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
+    // document frequency per token as a WINDOW over the token partition
+    // (round 14, guide §2.4 — same-keyed operations share one exchange):
+    // the previous agg-then-join shape shuffled the (doc, tok) stream
+    // twice (once into the df aggregate, once into the join) and sorted
+    // both join sides; one count-over-partition produces the identical
+    // exact df with a single exchange + sort of the stream.
+    val withDf = toks.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("tok"))).cast("long"))
 
     // per-doc tokens sorted by (df asc, tok asc) — the global rarest-first
     // order realized per row; n = |token set|
-    val docToks = toks.join(freq, "tok")
+    val docToks = withDf
       .groupBy(col("doc"))
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
       .select(col("doc"),
@@ -138,12 +144,15 @@ object SetSimJoin {
 
     // distinct shingle hashes per doc, sorted by (df asc, h asc) — the
     // rarest-first prefix order realized per row, no global rank
-    val sh = widen(df).select(col(idCol).as("doc"),
+    val sh = df.select(col(idCol).as("doc"),
         explode(array_distinct(transform(
           TextOps.shingles(col(textCol), n),
           s => TextOps.portableHash60(s)))).as("h"))
-    val freq = sh.groupBy("h").agg(count(lit(1)).cast("long").as("df"))
-    val docSh = sh.join(freq, "h")
+    // df via count-over-partition: one exchange of the shingle stream
+    // instead of agg + join (see prefixJaccardJoinElems above)
+    val docSh = sh.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h"))).cast("long"))
       .groupBy(col("doc"))
       .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ord"))
       .select(col("doc"),
