@@ -111,6 +111,26 @@ object Dedup extends ExactDedupOps with SimHashDedupOps {
   }
 
   /**
+   * [[minhashFromShingles]] over HASHED shingles (array<bigint>) via the
+   * native one-pass [[MinHashSeeds]] expression — BIT-IDENTICAL values
+   * (round-14 spec proves expr ≡ HOF per family), one array traversal, no
+   * per-seed Catalyst array allocations. The HOF form was the suite's
+   * hottest stage (16 CPU-seconds per l5/l6/l13 run at sf0.1). The
+   * string-shingle convenience path must keep the HOF ([[minhashSignature]]
+   * hashes raw strings inside seedMix — a different value domain).
+   */
+  private[graft] def minhashFromHashedShingles(sh: Column, k: Int,
+                                               family: MinHashFamily): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+    val portable = family match {
+      case PortableFamily => true
+      case _ => false
+    }
+    when(size(sh) > 0, column(MinHashSeeds(expression(sh), k, portable)))
+      .otherwise(lit(null).cast("array<bigint>"))
+  }
+
+  /**
    * LSH banding: split the k-wide signature into `bands` bands of k/bands
    * rows each; each band hashes to one bucket key. Docs sharing ANY band
    * bucket become candidate pairs.
@@ -144,7 +164,7 @@ object Dedup extends ExactDedupOps with SimHashDedupOps {
       .filter(size(TextOps.whitespaceTokens(col(textCol))) >= shingleSize)
       .select(col(idCol) +: carried :+ family.stage1(col(textCol), shingleSize).as("_s1"): _*)
       .select(col(idCol) +: carried :+ family.stage2(col("_s1"), shingleSize).as("_sh"): _*)
-      .select(col(idCol) +: carried :+ minhashFromShingles(col("_sh"), k, family).as("_sig"): _*)
+      .select(col(idCol) +: carried :+ minhashFromHashedShingles(col("_sh"), k, family).as("_sig"): _*)
     val bandHashes = (0 until bands).map(b => family.bandHash(slice(col("_sig"), b * rows + 1, rows), b))
     withSig.select(col(idCol) +: carried :+ posexplode(array(bandHashes: _*)).as(Seq("band_id", "band_hash")): _*)
   }
