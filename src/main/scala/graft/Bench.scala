@@ -276,6 +276,16 @@ object Bench {
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","stat":"median","reps":$reps,"queries":$qs,"errors":$es,""" +
       s""""sf":"${jsonEscape(sfDir)}","keys":"prefix-before-first-underscore","full":"${jsonEscape(outPath)}"}""")
+    // Round 15, additions-only: at 329 queries the per-query line above is
+    // ~8 KB, longer than the driver's ~2000-char tail capture, so its JSON
+    // parse came back null every round (PERF_r14 "prev_bench_ok": false
+    // despite rc 0). A SECOND, short, LAST line carries the headline —
+    // total, count, errors, and the path of the full artifact — so any
+    // tail-window capture gets a complete parseable JSON object. The
+    // per-query line, timing protocol and env contract are untouched.
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"total_sec":${f"$total%.3f"},"unit":"sec","stat":"median","reps":$reps,""" +
+      s""""n":${med.size},"errors":$es,"sf":"${jsonEscape(sfDir)}","cpus":$cpus,"full":"${jsonEscape(outPath)}"}""")
     spark.stop()
   }
 }

@@ -47,16 +47,132 @@ object HistogramSelect {
       groupCol)
 
   /** Adds `_cum`/`_n`/`_prev` to an existing (groupCol, _v, _c) histogram
-    * (one distinct value per row). Both windows share one exchange on the
-    * group key; the sorted input is histogram-sized, not corpus-sized. */
-  def annotate(hist0: DataFrame, groupCol: String): DataFrame = {
-    val g = col(groupCol)
-    val byVal = Window.partitionBy(g).orderBy(col("_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hist0
-      .withColumn("_cum", sum("_c").over(byVal))
-      .withColumn("_n", sum("_c").over(Window.partitionBy(g)))
+    * (one distinct value per row) via the two-level parallel cumulative
+    * ([[parCumSum]]) — identical long sums, but the per-group sorted pass
+    * runs on (group, value-bucket) partitions instead of ≤|group| tasks. */
+  def annotate(hist0: DataFrame, groupCol: String): DataFrame =
+    parCumSum(hist0, groupCol, "_v", Seq("_c"))
+      .withColumnRenamed("_cum_c", "_cum")
+      .withColumnRenamed("_tot_c", "_n")
       .withColumn("_prev", col("_cum") - col("_c"))
+
+  /**
+   * Two-level PARALLEL per-group cumulative sums over a value-keyed
+   * histogram (round 15, guide §2.2/§2.5): `hist` has ONE row per
+   * (groupCol, valCol) — the [[cumHistogram]] shape — and for each column
+   * in `sumCols` this adds
+   *
+   *   `_cum<c>` = Σ c over rows of the same group with value ≤ this value
+   *   `_tot<c>` = Σ c over the whole group
+   *
+   * A plain `sum(c) OVER (PARTITION BY group ORDER BY value)` runs ONE
+   * task per group — with a 3-value group key that is three serial passes
+   * over the histogram at ANY scale, the last structurally serial stage
+   * of the rank-statistics family. Two-level form:
+   *
+   *   1. per-group (min, max) of the value (tiny agg, broadcast);
+   *   2. each row gets an EQUI-WIDTH VALUE BUCKET — monotone in the value
+   *      by construction, so bucket order refines value order;
+   *   3. per-(group, bucket) partial sums (parallel hash-agg), cumulated
+   *      ACROSS buckets by a window over the |groups|×|buckets| partial
+   *      table (tiny), broadcast back as per-bucket offsets;
+   *   4. the ordered cumulative runs WITHIN (group, bucket) partitions —
+   *      |groups|×|buckets| concurrent sorted tasks — plus the offset.
+   *
+   * Buckets = session defaultParallelism (scale-adaptive, never a local
+   * constant). Long sums are associative, so the regrouped total is
+   * BIT-IDENTICAL to the single-window form; ties cannot reorder because
+   * the histogram has one row per (group, value). Null groups and null
+   * values keep their window semantics: joins are null-safe and a null
+   * value lands in the null bucket, which sorts first like `ORDER BY
+   * value` does. Value skew only degrades bucket balance (worst case =
+   * the old single-task shape), never correctness.
+   */
+  /** Single-window reference form of [[parCumSum]] — the shape that wins
+    * below the scale gate (one exchange, one sorted pass, ≤|groups|
+    * tasks but tiny stage count). */
+  private def seqCumSum(hist: DataFrame, groupCol: String,
+                        valCol: String, sumCols: Seq[String]): DataFrame = {
+    val byVal = Window.partitionBy(col(groupCol)).orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col(groupCol))
+    hist.select(hist.columns.map(col) ++ sumCols.flatMap(c => Seq(
+      sum(col(c)).over(byVal).as("_cum" + c),
+      sum(col(c)).over(all).as("_tot" + c))): _*)
+  }
+
+  /**
+   * Scale gate for the two-level form, the [[ScanPar.widen]] posture in
+   * reverse: the two-level plan pays ~3 extra stage barriers (range agg →
+   * broadcast → bucketed exchange → offset window → broadcast), which at
+   * bench scale is pure scheduling latency — MEASURED round 15 at
+   * sf0.1/32 cores: a21 3.68→7.98 s, a34 3.66→5.64 s, a38 1.96→3.69 s
+   * with the two-level always on; warm QueryProbe showed ~0.2 s of task
+   * time under ~1.0 s of wall on 10 sequential 1-task stages. The serial
+   * window only matters when the histogram is big, and the histogram can
+   * only be big when the SOURCE is big, so: two-level iff the source
+   * layout could fill the cores on its own (bytes ≥ parallelism ×
+   * maxPartitionBytes — where [[ScanPar.widen]] starts to no-op), or the
+   * frame has no file inputs at all (in-memory fixtures: cheap either
+   * way, and specs must exercise the parallel path). Env override
+   * `SPARK_GRAFT_PARCUM` = force | off for A/B evidence and plan dumps.
+   */
+  private def useParallelCum(hist: DataFrame): Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_PARCUM", "auto") match {
+      case "force" => true
+      case "off" => false
+      case _ =>
+        val spark = hist.sparkSession
+        val p = spark.sparkContext.defaultParallelism
+        if (p <= 1) return false
+        ScanPar.inputBytes(hist) match {
+          case None => true // in-memory fixture: cheap either way; specs cover the parallel path
+          case Some(bytes) =>
+            bytes >= p.toLong * spark.sessionState.conf.filesMaxPartitionBytes
+        }
+    }
+
+  private[graft] def parCumSum(hist: DataFrame, groupCol: String,
+                               valCol: String, sumCols: Seq[String]): DataFrame = {
+    if (!useParallelCum(hist)) return seqCumSum(hist, groupCol, valCol, sumCols)
+    val g = col(groupCol)
+    val v = col(valCol)
+    val buckets = math.max(hist.sparkSession.sparkContext.defaultParallelism, 2)
+    // per-group value range — |groups| rows, broadcast
+    val rng = hist.groupBy(g.as("_pg")).agg(min(v).as("_vlo"), max(v).as("_vhi"))
+    // equi-width bucket, computed in double: the double cast is monotone
+    // non-decreasing, so the bucket is too (collisions above 2^53 only
+    // merge adjacent values into one bucket — still ordered, still exact).
+    // A NULL value must be an explicit NULL bucket — `ORDER BY v` sorts
+    // nulls FIRST, and least() would otherwise SKIP the null arithmetic
+    // and misfile the row into the last bucket
+    val bkt = when(v.isNull, lit(null).cast("int"))
+      .when(col("_vhi") <= col("_vlo"), lit(0))
+      .otherwise(least(lit(buckets - 1),
+        floor((v.cast("double") - col("_vlo").cast("double")) /
+          (col("_vhi").cast("double") - col("_vlo").cast("double")) * buckets)
+          .cast("int")))
+    val hb = hist.join(broadcast(rng), g <=> col("_pg"))
+      .withColumn("_bkt", bkt)
+      .drop("_pg", "_vlo", "_vhi")
+    // per-(group, bucket) partials → exclusive running offsets + totals;
+    // the window input is |groups|×|buckets| rows, never histogram-sized
+    val partials = sumCols.map(c => sum(col(c)).as("_s" + c))
+    val perB = hb.groupBy(g.as("_og"), col("_bkt").as("_ob"))
+      .agg(partials.head, partials.tail: _*)
+    val wOff = Window.partitionBy(col("_og")).orderBy(col("_ob"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col("_og"))
+    val offs = perB.select(Seq(col("_og"), col("_ob")) ++ sumCols.flatMap(c => Seq(
+      coalesce(sum(col("_s" + c)).over(wOff), lit(0L)).as("_off" + c),
+      sum(col("_s" + c)).over(wTot).as("_tot" + c))): _*)
+    // within-bucket ordered cumulative + the bucket's offset
+    val wIn = Window.partitionBy(g, col("_bkt")).orderBy(v)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hb.join(broadcast(offs), g <=> col("_og") && col("_bkt") <=> col("_ob"))
+      .select(hist.columns.map(col) ++ sumCols.flatMap(c => Seq(
+        (sum(col(c)).over(wIn) + col("_off" + c)).as("_cum" + c),
+        col("_tot" + c))): _*)
   }
 
   /**

@@ -263,22 +263,20 @@ private[ops] trait RankStats { this: Stats.type =>
    */
   def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
                       yCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val g = col(groupCol)
     val joint = df.select(g, col(xCol).as("_x"), col(yCol).as("_y"))
       .groupBy(g, col("_x"), col("_y"))
       .agg(count(lit(1)).as("_c"))
     // doubled average rank of each distinct value: 2·(prev + (c+1)/2)
-    // = 2·prev + c + 1 — integer-exact, no halves anywhere
-    def rankMap(valCol: String, out: String): DataFrame = {
-      val byVal = Window.partitionBy(g).orderBy(col("_v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      joint.groupBy(g, col(valCol).as("_v"))
-        .agg(sum("_c").as("_cv"))
-        .withColumn("_cum", sum("_cv").over(byVal))
+    // = 2·prev + c + 1 — integer-exact, no halves anywhere. Cumulative via
+    // the two-level parallel form (round 15, HistogramSelect.parCumSum):
+    // the r13 window ran ≤|group| tasks over the marginal histogram
+    def rankMap(valCol: String, out: String): DataFrame =
+      HistogramSelect.parCumSum(
+        joint.groupBy(g, col(valCol).as("_v")).agg(sum("_c").as("_cv")),
+        groupCol, "_v", Seq("_cv"))
         .select(g, col("_v").as(valCol),
-          (col("_cum") * 2 - col("_cv") + 1).as(out))
-    }
+          (col("_cum_cv") * 2 - col("_cv") + 1).as(out))
     val ranked = joint
       .join(broadcast(rankMap("_x", "_r2x")), Seq(groupCol, "_x"))
       .join(rankMap("_y", "_r2y"), Seq(groupCol, "_y"))
@@ -328,22 +326,20 @@ private[ops] trait RankStats { this: Stats.type =>
    */
   def weightedMedianByGroup(df: DataFrame, groupCol: String, valCol: String,
                             weightCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val g = col(groupCol)
-    val byVal = Window.partitionBy(g).orderBy(col("_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy(g)
-    df.select(g, col(valCol).cast("long").as("_v"),
-        col(weightCol).cast("long").as("_w"))
-      .groupBy(g, col("_v"))
-      .agg(sum("_w").as("_wv"), count(lit(1)).as("_c"))
-      .withColumn("_cum", sum(col("_wv")).over(byVal))
-      .withColumn("_tot", sum(col("_wv")).over(all))
-      .withColumn("_n", sum(col("_c")).over(all))
-      .filter(col("_cum") * 2 >= col("_tot"))
+    // cumulative weight via the two-level parallel form (round 15,
+    // HistogramSelect.parCumSum — the r13 windows ran ≤|group| tasks);
+    // group totals ride the same bucket-offset pass
+    HistogramSelect.parCumSum(
+      df.select(g, col(valCol).cast("long").as("_v"),
+          col(weightCol).cast("long").as("_w"))
+        .groupBy(g, col("_v"))
+        .agg(sum("_w").as("_wv"), count(lit(1)).as("_c")),
+      groupCol, "_v", Seq("_wv", "_c"))
+      .filter(col("_cum_wv") * 2 >= col("_tot_wv"))
       .groupBy(g)
-      .agg(first(col("_n")).cast("long").as("n"),
-        first(col("_tot")).cast("long").as("total_weight"),
+      .agg(first(col("_tot_c")).cast("long").as("n"),
+        first(col("_tot_wv")).cast("long").as("total_weight"),
         min(col("_v")).as("wmedian"))
   }
 }

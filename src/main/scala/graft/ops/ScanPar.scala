@@ -47,6 +47,37 @@ object ScanPar {
     * exchange, and dims should stay trivially broadcastable. */
   val MinBytes: Long = 256L << 10
 
+  /** Per-path file sizes, cached across query constructions (round 15,
+    * ADVICE): widen runs at PLAN time, so on a multi-thousand-file
+    * production table the per-file getFileStatus RPCs would add planning
+    * latency exactly where widen then no-ops. Parquet data files are
+    * immutable once written (new data = new files), so a cached length
+    * never changes a widen decision. */
+  private val sizeCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Total size of `df`'s file inputs, via the per-path cache.
+    * None = no file inputs (in-memory fixture); Some(-1) = listing or
+    * stat failed (unknown layout — callers keep the conservative shape).
+    * NonFatal only (round 15, ADVICE): a Throwable catch here swallowed
+    * OOM/LinkageError/interrupts into a silent fallback. */
+  private[graft] def inputBytes(df: DataFrame): Option[Long] = {
+    val files = try df.inputFiles catch { case scala.util.control.NonFatal(_) => Array.empty[String] }
+    if (files.isEmpty) return None
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    try {
+      Some(files.map { f =>
+        val cached = sizeCache.get(f)
+        if (cached != null) cached.longValue()
+        else {
+          val path = new Path(f)
+          val len = path.getFileSystem(hconf).getFileStatus(path).getLen
+          sizeCache.put(f, len)
+          len
+        }
+      }.sum)
+    } catch { case scala.util.control.NonFatal(_) => Some(-1L) } // unknown layout
+  }
+
   /** See object doc. No-ops when: single-core session; no file inputs
     * (in-memory fixtures); layout already yields ≥ parallelism splits;
     * or the table is under [[MinBytes]]. Nested calls are harmless —
@@ -55,17 +86,10 @@ object ScanPar {
     val spark = df.sparkSession
     val p = spark.sparkContext.defaultParallelism
     if (p <= 1) return df
-    val files = try df.inputFiles catch { case _: Throwable => Array.empty[String] }
-    if (files.isEmpty) return df
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val bytes = try {
-      files.map { f =>
-        val path = new Path(f)
-        path.getFileSystem(hconf).getFileStatus(path).getLen
-      }.sum
-    } catch { case _: Throwable => return df } // unknown layout → untouched
-    if (bytes < MinBytes || bytes >= p.toLong * maxSplit) df
-    else df.repartition(p)
+    inputBytes(df) match {
+      case Some(bytes) if bytes >= MinBytes && bytes < p.toLong * maxSplit => df.repartition(p)
+      case _ => df // in-memory, unknown, tiny, or already wide enough
+    }
   }
 }

@@ -56,12 +56,32 @@ class MinHashSeedsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("interpreted eval matches codegen") {
-    val e = MinHashSeeds(expression(col("sh")), k, portable = false)
-    val df = frames.select(column(e).as("a"))
-    // force interpreted path via a plan that falls back (nondeterministic
-    // wrapper defeats whole-stage codegen fusion of the projection)
-    val interp = frames.select(column(MinHashSeeds(expression(col("sh")), k, portable = false)).as("a"),
-      rand().as("_r")).drop("_r")
-    assert(df.collect().map(_.toSeq).toSeq === interp.collect().map(_.toSeq).toSeq)
+    // Round 15 (ADVICE): the old form wrapped the projection in rand(),
+    // which does NOT disable whole-stage codegen — nullSafeEval was never
+    // exercised. Genuinely cover the interpreted path by calling eval()
+    // on InternalRows directly and comparing to the codegen'd plan.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val inputs: Seq[Seq[java.lang.Long]] =
+      frames.collect().map(_.getSeq[Long](1).map(java.lang.Long.valueOf): Seq[java.lang.Long]).toSeq :+
+        Seq[java.lang.Long](5L, null, 9L)
+    for (portable <- Seq(false, true)) {
+      val e = MinHashSeeds(
+        BoundReference(0, ArrayType(LongType, containsNull = true), nullable = true),
+        k, portable)
+      val interp = inputs.map { sh =>
+        val arr = new GenericArrayData(sh.map(v => if (v == null) null else v.longValue()).toArray[Any])
+        e.eval(InternalRow(arr)).asInstanceOf[ArrayData].toObjectArray(LongType).toSeq
+      }
+      val codegen = inputs.zipWithIndex.map { case (sh, i) => (i.toLong, sh) }
+        .toDF("id", "sh")
+        .select(col("id"), column(MinHashSeeds(expression(col("sh")), k, portable)).as("a"))
+        .orderBy("id")
+        .collect().map(r => Option(r.getSeq[java.lang.Long](1)).map(_.toSeq).orNull).toSeq
+      assert(interp.map(_.map(Option(_).map(_.toString).orNull)) ===
+        codegen.map(_.map(v => Option(v).map(_.toString).orNull)))
+    }
   }
 }
